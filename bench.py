@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into a `noop` sink (full pipeline runs on
+executors, nothing collected to the driver), which is the honest way to
+time a distributed plan.  A warmup pass absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_sf_mobile_food_facilities_public_spark.session import get_spark
+from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+HEADLINE = [
+    "flagship_top5_customers_by_order_count",
+    "pricing_summary",
+    "top_revenue_orders",
+    "window_count_per_customer",
+    "dedup_first_per_order",
+    "count_distinct_parts_per_flag",
+    "full_outer_join_composite",
+    "surrogate_key_orders",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = {n: relational.QUERIES[n] for n in HEADLINE if n in relational.QUERIES}
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        for n in extra.split(","):
+            if n in relational.QUERIES:
+                queries[n] = relational.QUERIES[n]
+
+    # warmup: JVM + codegen + parquet footer caches
+    _run(relational.QUERIES[HEADLINE[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Fixed-schema catalog for the engine.
+
+The reference infers schemas upstream (JSON/CSV -> pandas ``object``) and
+only fixes types at the Postgres DDL (``/root/reference/airflow.py:330-432``)
+— a round-trip hazard SURVEY.md section 1.2 calls out.  This engine is
+fixed-schema throughout: one ``StructType`` per table, applied at read time,
+so Catalyst gets exact types (and parquet readers get exact column pruning)
+from the first scan onward.
+
+Two table families:
+
+- the driver's TPC-H-ish test tables (``/root/testdata/sf*/``) used by the
+  oracle-paired operator queries, and
+- the SF-domain tables (schedule / permit / yelp and the 11 derived tables)
+  from FIXTURES.md, used by the normalization pipeline in ``plans/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver test tables (TESTDATA.md) — schemas match the parquet files exactly.
+# ---------------------------------------------------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table with its declared schema.
+
+    Parquet is self-describing, so the schema here acts as an assertion +
+    pruning contract rather than inference; mismatches surface at read
+    time instead of mid-query.
+    """
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (reference S10,
+    ``airflow.py:643-652``) so ``spark.sql`` can address them by name."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# SF-domain schemas (FIXTURES.md A1-A4; DDL airflow.py:330-432).
+# ---------------------------------------------------------------------------
+
+SF_SCHEDULE_SCHEMA = T.StructType(
+    [
+        T.StructField("permit", T.StringType()),
+        T.StructField("applicant", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("locationdesc", T.StringType()),
+        T.StructField("locationid", T.LongType()),
+        T.StructField("cnn", T.LongType()),
+        T.StructField("block", T.StringType()),
+        T.StructField("optionaltext", T.StringType()),
+        T.StructField("coldtruck", T.StringType()),
+        T.StructField("addr_date_create", T.StringType()),
+        T.StructField("addr_date_modified", T.StringType()),
+        T.StructField("dayorder", T.IntegerType()),
+        T.StructField("dayofweekstr", T.StringType()),
+        T.StructField("starttime", T.StringType()),
+        T.StructField("endtime", T.StringType()),
+        T.StructField("start24", T.StringType()),
+        T.StructField("end24", T.StringType()),
+    ]
+)
+
+SF_PERMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("objectid", T.IntegerType()),
+        T.StructField("permit", T.StringType()),
+        T.StructField("applicant", T.StringType()),
+        T.StructField("facilitytype", T.StringType()),
+        T.StructField("cnn", T.LongType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("fooditems", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("approved", T.StringType()),
+        T.StructField("received", T.StringType()),
+        T.StructField("expirationdate", T.StringType()),
+        T.StructField("priorpermit", T.IntegerType()),
+        # Socrata computed-region noise columns, dropped by P2 (airflow.py:163)
+        T.StructField(":@computed_region_yftq_j783", T.StringType()),
+        T.StructField(":@computed_region_p5aj_wyqh", T.StringType()),
+        T.StructField(":@computed_region_rxqg_mtj9", T.StringType()),
+        T.StructField(":@computed_region_bh8s_q3mv", T.StringType()),
+        T.StructField(":@computed_region_fyvs_ahh9", T.StringType()),
+    ]
+)
+
+SF_YELP_SCHEMA = T.StructType(
+    [
+        T.StructField("Yelp_id", T.StringType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Review", T.IntegerType()),
+        T.StructField("Rating", T.DoubleType()),
+        T.StructField("Address", T.StringType()),
+        T.StructField("Phone", T.StringType()),
+        T.StructField("Latitude", T.DecimalType(8, 6)),
+        T.StructField("Longitude", T.DecimalType(9, 6)),
+    ]
+)

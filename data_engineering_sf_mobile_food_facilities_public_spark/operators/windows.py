@@ -1,0 +1,64 @@
+"""Window operators (reference A6, F4; SURVEY.md sections 2.4-2.5).
+
+A6 — ``groupby(...).transform('count')`` (``/root/reference/airflow.py:251``)
+is the reference's one true window function: the per-group size broadcast
+back onto every row.  F4 — ``range(0, len(df))`` (``airflow.py:158-160``)
+is a contiguous surrogate key that downstream tables join on, so gaps are
+not acceptable (rules out bare ``monotonically_increasing_id``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_count(
+    df: DataFrame, keys: Sequence[str], out_col: str = "group_count"
+) -> DataFrame:
+    """Per-row count of rows sharing ``keys`` (A6).
+
+    One hash shuffle on ``keys``; an unordered window has no sort, so the
+    exchange is the whole cost.  At scale an equivalent formulation is
+    groupBy(keys).count() + broadcast-or-shuffle join back — Catalyst picks
+    the window formulation's single shuffle over the join's two.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def surrogate_key(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    out_col: str = "surrogate_id",
+) -> DataFrame:
+    """Contiguous 0..n-1 id in ``order_by`` order (F4).
+
+    A global ``row_number`` needs a total order, which Spark executes as a
+    single-partition window — correct, but a scale bottleneck.  We instead
+    compute per-partition counts and offset each partition's local
+    row_number by the running total of earlier partitions: two jobs, no
+    single-task sort, same contiguous result.  The ``order_by`` columns
+    must define a total order (tie-broken) for determinism.
+    """
+    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+
+    # Local row number within each (already range-partitioned) partition,
+    # then add the cumulative size of all earlier partitions.
+    part_w = Window.partitionBy("__pid").orderBy(*order_by)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    offsets_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        with_pid.groupBy("__pid")
+        .count()
+        .withColumn("__offset", F.coalesce(F.sum("count").over(offsets_w), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    return (
+        with_pid.withColumn("__local", F.row_number().over(part_w) - F.lit(1))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )

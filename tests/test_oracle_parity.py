@@ -1,0 +1,37 @@
+"""Differential oracle tests — the same check the driver runs.
+
+For every oracle-paired entry in ``queries()``, run the Spark plan and
+the DuckDB SQL on identical parquet and compare row count, column names
+and order-insensitive normalized values.  SF dir defaults to sf0.001 for
+speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to mirror the
+driver exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+from tests.parity import compare
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, name):
+    problems = compare(QUERIES[name](spark, SF_ORACLE), ORACLES[name], SF_ORACLE)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    # non-SQL-expressible ops: the driver's weaker check — runs, yields >=0 rows
+    df = QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
