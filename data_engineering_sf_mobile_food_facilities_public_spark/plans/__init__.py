@@ -1,2 +1,9 @@
 """Whole-query plans: the flagship analytics query, the oracle-paired
-relational operator suite, and the SF 11-table normalization pipeline."""
+relational operator suite, and the SF 11-table normalization pipeline.
+
+Importing this package registers every query module into
+``relational.QUERIES`` / ``relational.ORACLE_SQL``.
+"""
+
+from . import relational as relational  # base registry
+from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries
