@@ -1,0 +1,134 @@
+"""Near-duplicate detection: word-shingles, exact n-gram Jaccard, and
+MinHash+LSH banding (BASELINE.json north star: "dedup").
+
+Scale design (the whole point of MinHash+LSH):
+- exact all-pairs Jaccard is O(n^2) and impossible at 100 TB;
+- the shingle inverted-index join prunes to pairs sharing >=1 shingle —
+  correct but still quadratic on hot shingles;
+- MinHash compresses each doc to ``num_perm`` hashes (one groupBy), LSH
+  bands hash those into buckets, and only bucket-mates are compared:
+  the candidate join is an equi-join on (band_idx, band_hash) that
+  shuffles signatures, not documents.  Hot buckets can be salted or
+  capped; verification touches only candidate pairs.
+
+Determinism: hashes are md5 hex strings (identical in every engine), and
+MinHash takes the lexicographic MIN of md5('<seed>:' || shingle) — so the
+signatures, bands, and candidates are exactly reproducible in the DuckDB
+oracle (see plans/text_analysis.py), not just statistically similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+DEFAULT_NUM_PERM = 8
+DEFAULT_BANDS = 4  # 2 rows per band with num_perm=8
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Built with higher-order functions (sequence/transform/slice) — the
+    explode is the only row-expansion, and the distinct is a narrow
+    pre-aggregation before any join.
+    """
+    toks = tokens(text_col)
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
+    """One row per doc with columns h0..h{num_perm-1}: the lexicographic
+    min of md5('<seed>:' || shingle).  A single hash-aggregate on id —
+    map-side partial mins keep the shuffle at one row per doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Explode each signature into ``bands`` (band_idx, band_hash) rows;
+    band_hash = md5 of the concatenated member hashes."""
+    rows_per_band = num_perm // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
+    Equi-join on (band_idx, band_hash): only signatures shuffle."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def shared_shingle_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact candidate generation: pairs sharing >=1 shingle (inverted-
+    index self-join).  The precise-but-hotter alternative to LSH."""
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for each candidate pair: |A ∩ B| / |A ∪ B| over
+    distinct shingle sets.  Joins touch only candidate pairs' shingles."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (BASELINE.json north star:
+"similarity search").
+
+Three tiers, trading recall for scale:
+
+1. ``brute_force_topk`` — exact: query set x full corpus.  Right when the
+   query set is small (it broadcasts) or as the ground-truth baseline.
+   Cost: |Q| * |corpus| cosines, embarrassingly parallel, no shuffle of
+   the corpus (queries are broadcast to it).
+2. ``blocked_pairs`` — exact within a blocking key (label, LSH bucket,
+   IVF cell): turns O(n^2) into sum of per-block squares via one
+   equi-join on the block key.
+3. ``lsh_bucketed_topk`` — approximate: random-hyperplane signatures
+   (deterministic md5-derived planes) bucket the corpus; queries only
+   scan their own bucket.  The 100 TB path: bucket assignment is a narrow
+   map, search is a per-bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+
+ROUND_DIGITS = 6  # kill last-ulp double divergence across engines
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) of each query against the corpus.
+    Queries are broadcast; ranking uses (cos desc, id asc) so the result
+    is deterministic including k-boundary ties."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def blocked_pairs(
+    corpus: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs within each block: equi-join on the block key,
+    id_a < id_b, cosine >= threshold."""
+    a = corpus.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        as_double(vec_col).alias("va"),
+    )
+    b = corpus.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_b"),
+        as_double(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def hyperplane_bucket(vec_col, num_planes: int = 8, dim: int = 64):
+    """Deterministic random-hyperplane LSH bucket id (0..2^num_planes-1).
+
+    Plane p's d-th component is +1/-1 from the parity of the first hex
+    digit of md5('p:d') — reproducible anywhere, no stored model.  The
+    bucket id is the sign pattern of the vector against all planes.
+    """
+    v = as_double(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def plane_sign(p: int, d: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        signs = [plane_sign(p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    At scale, bucket the corpus once (narrow map, optionally written
+    bucket-partitioned) and search becomes an equi-join on bucket id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        hyperplane_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        hyperplane_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

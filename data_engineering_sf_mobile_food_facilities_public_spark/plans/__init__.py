@@ -7,3 +7,5 @@ Importing this package registers every query module into
 
 from . import relational as relational  # base registry
 from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries
+from . import similarity_search as similarity_search  # embedding ANN / near-dup
+from . import text_analysis as text_analysis  # text stats / dedup family

@@ -1,0 +1,76 @@
+"""Oracle-paired similarity-search queries over the ``embeddings`` table
+(BASELINE.json north star: "similarity search").
+
+Cosines are computed in double with a fixed fold order on both engines
+(verified bit-identical vs DuckDB's list_cosine_similarity) and rounded
+to 6 digits at the edge as insurance against platform ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.similarity import blocked_pairs, brute_force_topk, lsh_bucketed_topk
+from .relational import _register
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for a broadcast query subset
+    (vec_id % 100 == 0) — the ground-truth baseline tier."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(q, e, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@_register(
+    "embedding_near_dup_blocked",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked on the label column (the
+    cluster/partition key): exact within-block join, cos >= 0.4."""
+    e = load(spark, sf_dir, "embeddings")
+    return blocked_pairs(e, "label", 0.4)
+
+
+@_register("ann_lsh_bucketed_topk")  # rows-only: approximate by design
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets — the 100 TB
+    tier (bucket once, search within bucket)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucketed_topk(q, e, k=10)

@@ -1,0 +1,285 @@
+"""Oracle-paired text-analysis & dedup queries over the ``documents``
+table (BASELINE.json north star: dedup + text analysis).
+
+The shingle / MinHash / LSH machinery uses md5 hex strings as hashes, so
+the DuckDB oracle reproduces signatures, buckets, candidates and Jaccard
+values *exactly* — the approximate algorithm itself is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TX
+from ..operators import dedup_first
+from ..operators.minhash import (
+    candidate_pairs,
+    jaccard,
+    lsh_bands,
+    minhash_signatures,
+    shared_shingle_pairs,
+    shingles,
+)
+from .relational import _register
+
+# Shared DuckDB CTEs mirroring functions/text.py + operators/minhash.py.
+_TOKENS_CTE = """
+WITH tok AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM documents
+)
+"""
+
+_SHINGLE_CTE = (
+    _TOKENS_CTE
+    + """
+, pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+    FROM pos
+)
+"""
+)
+
+_MINHASH_CTE = (
+    _SHINGLE_CTE
+    + """
+, sig AS (
+    SELECT doc_id,
+           min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+           min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+           min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+           min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM sig
+    UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+    UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+    UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+"""
+)
+
+_JACCARD_TAIL = """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT cm.id_a, cm.id_b,
+       CAST(cm.n_common AS DOUBLE) / (na.n_sh + nb.n_sh - cm.n_common) AS jaccard
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_a
+JOIN sizes nb ON nb.doc_id = cm.id_b
+"""
+
+
+@_register(
+    "text_token_stats",
+    _TOKENS_CTE
+    + """
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish alpha/digit-run tokens."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.size(TX.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@_register(
+    "text_quality_scores",
+    _TOKENS_CTE
+    + """
+    SELECT doc_id,
+           CAST(length(list_filter(tokens,
+                    t -> list_contains(['the','a','and','is'], t))) AS DOUBLE)
+               / len(tokens)
+             - 0.5 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                           AS DOUBLE) / length(text))
+             + 0.1 * (least(CAST(len(tokens) AS DOUBLE), 100.0) / 100.0)
+               AS quality_score
+    FROM tok
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic: stopword density - punctuation soup + length bonus."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality_score"))
+
+
+@_register(
+    "text_lang_id",
+    _TOKENS_CTE
+    + """
+    , hits AS (
+        SELECT doc_id,
+           length(list_filter(tokens, t -> list_contains(['der','die','und','ist'], t))) AS h_de,
+           length(list_filter(tokens, t -> list_contains(['the','a','and','is'], t))) AS h_en,
+           length(list_filter(tokens, t -> list_contains(['el','los','y','es'], t))) AS h_es,
+           length(list_filter(tokens, t -> list_contains(['le','la','et','est'], t))) AS h_fr
+        FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic tiebreak de<en<es<fr)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@_register(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@_register(
+    "exact_dedup_documents",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep lowest doc_id.
+    The shuffle carries (fp, doc_id) only — never the document text."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("doc_id", TX.fingerprint("text").alias("fp"))
+    return dedup_first(fp, ["fp"], ["doc_id"]).select("doc_id", "fp")
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+, cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+"""
+    + _JACCARD_TAIL,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (5-shingle) Jaccard for every pair sharing a shingle —
+    the inverted-index candidate join (precise tier of the dedup family)."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    return jaccard(shared_shingle_pairs(sh), sh)
+
+
+@_register("minhash_lsh_near_dup", _MINHASH_CTE + _JACCARD_TAIL)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) + LSH(4 bands) candidates, verified with exact
+    Jaccard — the scale tier: only bucket-mates are ever compared."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    cands = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return jaccard(cands, sh)
+
+
+@_register(
+    "minhash_dedup_survivors",
+    _MINHASH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    dupes AS (
+        SELECT DISTINCT cm.id_b AS doc_id
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+        WHERE CAST(cm.n_common AS DOUBLE) / (na.n_sh + nb.n_sh - cm.n_common) >= 0.5
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)
+    """,
+)
+def minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: drop the higher doc_id of every verified
+    pair with Jaccard >= 0.5; anti-join the corpus against the drop list."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    cands = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    dupes = (
+        jaccard(cands, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return d.select("doc_id").join(dupes, "doc_id", "left_anti")
+
+
+@_register("simhash_signatures")  # rows-only: hex->int conv has no DuckDB twin
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5-derived token hashes: for each
+    bit, sum +1/-1 over tokens and take the sign.  Pure Catalyst exprs
+    (conv/shift/and); one narrow projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        TX.tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    df = d.select("doc_id", tok_hash.alias("hashes"))
+    sim = F.lit(0).cast("long")
+    for bit in range(16):
+        bit_sum = F.aggregate(
+            F.transform(
+                F.col("hashes"),
+                lambda h: F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        sim = sim + F.when(bit_sum > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return df.select("doc_id", sim.alias("simhash"))

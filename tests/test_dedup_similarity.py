@@ -1,0 +1,80 @@
+"""Unit tests for the dedup family and similarity search — properties the
+oracle hash-match can't express (recall containment, bounds, bucket shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+    candidate_pairs,
+    jaccard,
+    lsh_bands,
+    minhash_signatures,
+    shared_shingle_pairs,
+    shingles,
+)
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_lsh_candidates_subset_of_exact(spark):
+    # any pair sharing an LSH band shares its min-hashes, hence >=1 shingle:
+    # LSH candidates must be a subset of the exact inverted-index candidates
+    d = load(spark, SF_SMOKE, "documents")
+    sh = shingles(d)
+    exact = {(r.id_a, r.id_b) for r in shared_shingle_pairs(sh).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(lsh_bands(minhash_signatures(sh))).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0  # generator plants near-dups
+
+
+def test_jaccard_bounds_and_high_sim_found_by_lsh(spark):
+    d = load(spark, SF_SMOKE, "documents")
+    sh = shingles(d)
+    exact_j = jaccard(shared_shingle_pairs(sh), sh).collect()
+    assert all(0.0 < r.jaccard <= 1.0 for r in exact_j)
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(lsh_bands(minhash_signatures(sh))).collect()
+    }
+    # every truly-identical-shingle-set pair (jaccard == 1) must hit in LSH
+    for r in exact_j:
+        if r.jaccard == 1.0:
+            assert (r.id_a, r.id_b) in lsh_pairs
+
+
+def test_brute_force_topk_shape(spark):
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    res = brute_force_topk(q, e, k=10).collect()
+    n_queries = q.count()
+    assert len(res) == n_queries * 10
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, 11))
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != qid for r in rows)
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    # approximate top-k: each result's cosine can't exceed the exact top-1,
+    # and all results come from the query's own bucket (so <= k rows/query)
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.rank): r.cos_sim for r in brute_force_topk(q, e, k=1).collect()
+    }
+    approx = lsh_bucketed_topk(q, e, k=10).collect()
+    for r in approx:
+        assert r.cos_sim <= exact[(r.query_id, 1)] + 1e-9
