@@ -18,6 +18,7 @@ Two table families:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
@@ -121,6 +122,13 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
 
 
+# events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects as TimestampType.  Read it as nanos-since-epoch
+# (legacy nanosAsLong) and truncate to micros — the same truncation DuckDB
+# applies — so both engines see identical microsecond timestamps.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its declared schema.
 
@@ -128,7 +136,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning contract rather than inference; mismatches surface at read
     time instead of mid-query.
     """
-    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    schema = TESTDATA_SCHEMAS[name]
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType)
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(f"{sf_dir}/{name}.parquet")
+        for c in nanos_cols:
+            # integer div — double division would lose precision at 1e18 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df.select(*[f.name for f in schema.fields])
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,99 @@
+"""Binary (image/audio/video) columns as first-class data.
+
+Design: media is an opaque ``binary`` column plus a typed metadata struct
+(mime, n_bytes, source).  Heavy per-item work (decode, resize, frame
+sampling, feature extraction) runs as Arrow-batched ``mapInPandas`` — the
+only sane shape at 100 TB: batches stream through Python workers without
+per-row pickling, partitions process independently, and the decode library
+never touches the JVM.
+
+The actual image/audio codecs are NOT installed in this environment, so
+``decode_image`` raises ``NotImplementedError`` unless the deterministic
+fake decoder is requested — the Spark-side plumbing (schemas, batch
+iteration, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_checksum", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic stand-in media: 16 md5 bytes of the text as the
+    ``data`` blob + metadata columns.  At scale this column would come
+    from the lakehouse (parquet/iceberg binary column or object-store
+    pointers resolved by a fetch stage)."""
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        F.unhex(F.md5(F.col(text_col))).alias("data"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(16).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, int]:
+    """Decode an image to (width, height).
+
+    STUB: real decoding needs an image library not present in this
+    container.  The deterministic fake derives a plausible shape from the
+    first two bytes so downstream plumbing is exercised end-to-end.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library not installed here; "
+            "pass deterministic_fake=True for the plumbing-test decoder"
+        )
+    return (64 + data[0] % 64, 64 + data[1] % 64)
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    One ``mapInPandas`` pass: each Python worker receives pandas batches
+    of (item_id, data, ...), computes features vectorized where possible,
+    and yields FEATURE_SCHEMA batches.  No shuffle — runs in the scan
+    stage; repartition upstream if decode cost needs more parallelism.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["data"]
+            dims = [decode_image(d, deterministic_fake=True) for d in data]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "byte_checksum": data.map(lambda b: sum(b) % (1 << 31)).astype(
+                        "int64"
+                    ),
+                    "width": pd.Series([w for w, _ in dims], dtype="int32"),
+                    "height": pd.Series([h for _, h in dims], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)

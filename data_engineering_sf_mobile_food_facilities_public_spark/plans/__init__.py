@@ -5,6 +5,7 @@ Importing this package registers every query module into
 ``relational.QUERIES`` / ``relational.ORACLE_SQL``.
 """
 
+from . import extensions as extensions  # streaming / ml / multimodal
 from . import relational as relational  # base registry
 from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries
 from . import similarity_search as similarity_search  # embedding ANN / near-dup

@@ -1,0 +1,125 @@
+"""Oracle-paired queries for the streaming / ML / multimodal surfaces.
+
+Streaming results are produced by a real Structured Streaming execution
+(Trigger.AvailableNow into a memory sink); since complete-mode output over
+a finite file set equals the batch aggregate, the DuckDB batch SQL is its
+exact oracle — the driver verifies a *streaming* run against *batch* SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..ml.regression import linreg_pipeline, ols_simple
+from ..multimodal.binary_ops import attach_fake_binary, extract_features
+from ..streaming.events_stream import (
+    hourly_event_counts_stream,
+    read_events_stream,
+    run_available_now,
+)
+from .relational import _register
+
+_stream_run_counter = [0]
+
+
+@_register(
+    "streaming_hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS event_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts executed as a genuine stream
+    (AvailableNow) — checked against the batch aggregate."""
+    _stream_run_counter[0] += 1
+    name = f"hourly_event_counts_{_stream_run_counter[0]}"
+    stream = hourly_event_counts_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, name)
+
+
+@_register(
+    "event_type_daily_values",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_type_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming rollup: daily value totals per type
+    (exact DECIMAL sums)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "ols_price_vs_quantity",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        FROM lineitem
+    )
+    SELECT n,
+           round(CAST(CAST(n AS DECIMAL(38,6)) * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,6)) * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(CAST(n AS DECIMAL(38,6)) * sxy - sx * sy AS DOUBLE)
+                     / CAST(CAST(n AS DECIMAL(38,6)) * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extendedprice on quantity — the engine's
+    oracle-checkable regression (exact decimal sums, double at the edge)."""
+    return ols_simple(load(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+@_register("ml_linreg_metrics")  # rows-only: MLlib model, not SQL-expressible
+def ml_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml parity (M1-M2): assemble per-customer order features,
+    fit LinearRegression (normal solver), report RMSE/R2."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    feats = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return linreg_pipeline(feats, ["n_orders", "avg_price"], "c_acctbal")
+
+
+@_register("multimodal_byte_features")  # rows-only: mapInPandas stage
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach deterministic media bytes to the
+    documents table, then Arrow-batched mapInPandas feature extraction
+    (stubbed decoder, real plumbing)."""
+    d = load(spark, sf_dir, "documents")
+    return extract_features(attach_fake_binary(d, "doc_id", "text"))

@@ -1,0 +1,85 @@
+"""Streaming operators over the ``events`` table.
+
+The reference models "weekly refresh" in the scheduler, not the data
+plane (``/root/reference/airflow.py:821``).  The engine's equivalent is
+incremental batch: ``Trigger.AvailableNow`` drains whatever files exist,
+checkpoints, and stops — rerunnable on a cadence with exactly-once file
+sink semantics.  The same plan keeps running as a true stream when fed a
+live source.
+
+Scale notes: a tumbling-window count is a streaming hash aggregate whose
+state is bounded by the watermark horizon; partitioning is by group key,
+and ``spark.sql.shuffle.partitions`` sizes the state store spread.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from ..catalog import TESTDATA_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet (schema fixed up front —
+    streaming reads never infer).
+
+    ``ts`` is parquet TIMESTAMP(NANOS): read as nanos-since-epoch long
+    and truncate to micros, same as the batch loader (catalog.load).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = TESTDATA_SCHEMAS["events"]
+    read_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in schema.fields
+        ]
+    )
+    # The streaming file source wants a directory; glob-filter to the one
+    # events file so sibling tables in sf_dir are never listed.
+    return (
+        spark.readStream.schema(read_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(*[f.name for f in schema.fields])
+    )
+
+
+def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour window x event_type counts.
+
+    The watermark bounds state: windows older than max(ts) - watermark are
+    finalized and evicted.  Late rows within the horizon still update
+    their window; later ones are dropped — the explicit late-data policy
+    the reference lacks.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink and return the final
+    result as a DataFrame.  Complete mode: every window is emitted, so
+    the output equals the batch answer over the same files."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
