@@ -5,6 +5,7 @@ Importing this package registers every query module into
 ``relational.QUERIES`` / ``relational.ORACLE_SQL``.
 """
 
+from . import analytics as analytics  # windows / set ops / rollup / time-series
 from . import extensions as extensions  # streaming / ml / multimodal
 from . import relational as relational  # base registry
 from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries

@@ -1,0 +1,426 @@
+"""Oracle-paired analytics extensions: ranking windows, frame aggregates,
+set operations, multi-dimensional aggregation (rollup / cube / pivot),
+string & array functions, and the time-series operator family
+(time-bucket rollup, as-of join, range join, sessionization).
+
+The reference needs none of these (SURVEY.md sections 2.5, 2.7 — no
+ranking, no set algebra, no time-series), but they complete the surface a
+query engine at 100 TB is expected to have.  Every query here follows the
+conventions in ``relational``: identical aliases both sides, DECIMAL
+arithmetic for double aggregates, timestamps rendered as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.timeseries import (
+    asof_join,
+    range_join_count,
+    sessionize,
+    time_bucket,
+)
+from .relational import _dec, _register
+
+# ---------------------------------------------------------------------------
+# Ranking windows (rank / dense_rank / lag / lead) — SURVEY.md section 2.5
+# notes these come "nearly for free" once row_number exists.
+# ---------------------------------------------------------------------------
+
+_RANK_W = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+
+@_register(
+    "ranking_windows",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           RANK()       OVER ({_RANK_W}) AS rnk,
+           DENSE_RANK() OVER ({_RANK_W}) AS drnk,
+           LAG(o_orderkey)  OVER ({_RANK_W}) AS prev_orderkey,
+           LEAD(o_orderkey) OVER ({_RANK_W}) AS next_orderkey
+    FROM orders
+    """,
+)
+def ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lag / lead over a per-customer order history.
+    One shuffle on the partition key; the per-partition sort feeds all
+    four functions in a single Window physical operator."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@_register(
+    "moving_sum_3_orders",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER ({_RANK_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving_sum_3
+    FROM orders
+    """,
+)
+def moving_sum_3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bounded window aggregate (3-row moving sum per customer) —
+    DECIMAL inside the frame so the value is summation-order-exact."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("moving_sum_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — SURVEY.md section 2.7 (absent in the reference; engine
+# completeness).  SQL UNION / INTERSECT / EXCEPT are DISTINCT-semantics.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "set_union_keys",
+    """
+    SELECT c_custkey AS k FROM customer
+    UNION
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): one hash-distinct over the concatenation."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.union(o).distinct()
+
+
+@_register(
+    "set_intersect_active_customers",
+    """
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_intersect_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers that placed at least one order (left-semi
+    shape; Spark plans a hash aggregate + join)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+@_register(
+    "set_except_inactive_customers",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with zero orders (anti-join shape)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: ROLLUP / CUBE / PIVOT
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS row_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total) in
+    one pass — Spark expands to a grouping-sets Expand + single shuffle,
+    not three scans."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+    )
+
+
+@_register(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping sets of (status, priority) in one Expand."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-discovery job;
+    at scale always pass the values).  Missing combinations coalesce to 0
+    to match COUNT FILTER semantics."""
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / array scalar functions (extends reference F3/F7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "string_functions",
+    r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           str_split(p_name, ' ')[2] AS second_word,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           substring(p_type, 1, 5) AS type_prefix
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper / regexp_extract / split-index / lpad / substring — all
+    Catalyst built-ins (whole-stage codegen, no UDF)."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.split("p_name", " ").getItem(1).alias("second_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    )
+
+
+@_register(
+    "explode_word_counts",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(str_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST) + count — the lateral-view workhorse."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "sorted_list_agg",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS orderkeys_csv
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation.  collect_list has nondeterministic order,
+    so sort the array numerically before rendering — the only way a
+    distributed engine can promise a stable aggregate string."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys_csv")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series family (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "time_bucket_rollup_15min",
+    """
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_rollup_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style fixed-width rollup: scalar bucket expression (stays
+    in codegen) + hash aggregate.  At scale this is the continuous-
+    aggregate pattern: partition parquet by day, bucket within."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(time_bucket("ts", "15 minutes"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "asof_latest_order",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each event's most recent order at-or-before its
+    timestamp.  Union-merge formulation (one shuffle on the key, no
+    nested-loop) — see operators.timeseries.asof_join.  The right side is
+    pre-aggregated to one row per (key, ts) for determinism."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("odate"),
+            "last_orderkey",
+        )
+    )
+    return asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="odate",
+        right_vals=["last_orderkey"],
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+@_register(
+    "range_join_recent_events",
+    """
+    SELECT e.event_id, COUNT(r.ts) AS n_prev_hour
+    FROM events e
+    LEFT JOIN events r
+      ON e.user_id = r.user_id
+     AND r.ts >= e.ts - INTERVAL 1 HOUR
+     AND r.ts < e.ts
+    GROUP BY e.event_id
+    """,
+)
+def range_join_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: per event, how many events the same user produced
+    in the preceding hour.  The equi key (user_id) keeps it a real
+    hash/sort-merge join with the range as an in-join filter — never a
+    broadcast nested loop over the fact."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts")
+    )
+    return range_join_count(
+        e,
+        r,
+        equi=("user_id", "r_uid"),
+        lower=F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        upper=F.col("r_ts") < F.col("ts"),
+        count_alias="n_prev_hour",
+    ).select("event_id", "n_prev_hour")
+
+
+@_register(
+    "sessionization_stats",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session stats.
+    lag + running sum in ONE window shuffle, then a hash aggregate; the
+    batch twin of streaming session_window (streaming/)."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", "30 minutes", tiebreak=["event_id"])
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
