@@ -159,3 +159,66 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: KMeans partitions
+    the corpus into ``n_cells`` Voronoi cells; each query probes only its
+    ``nprobe`` nearest cells.
+
+    Scale shape: the coarse quantizer is tiny (n_cells centroids, fit on
+    a sample), cell assignment is a narrow map over the corpus (write the
+    corpus partitioned by cell to make this a one-time cost), and search
+    is an equi-join on cell id — candidates drop from |corpus| to
+    ~nprobe/n_cells of it.  Recall is tunable via nprobe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("fv", array_to_vector("cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(c.select("fv"))
+    assigned = model.transform(c).drop("fv")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cell_w = Window.partitionBy("query_id").orderBy(F.desc("center_cos"), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centers_df))
+        .withColumn("center_cos", cosine(F.col("qv"), F.col("center")))
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

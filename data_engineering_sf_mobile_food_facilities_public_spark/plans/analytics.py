@@ -424,3 +424,126 @@ def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates from exact moments, null handling, conditional agg
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stats_from_moments",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+               AS stddev_qty,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def stats_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / correlation computed from exact DECIMAL moments, doubles
+    only at the edge — the oracle-exact formulation of the streaming-
+    unfriendly two-pass statistics (built-in stddev_samp/corr accumulate
+    in doubles, whose value depends on partition order)."""
+    li = load(spark, sf_dir, "lineitem")
+    qx = _dec("l_quantity")
+    px = _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(px).alias("sy"),
+        F.sum(px * px).alias("syy"),
+        F.sum(qx * px).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), 6).alias(
+            "stddev_qty"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "na_fill_defaults",
+    """
+    SELECT c.c_custkey,
+           COALESCE(s.s_name, 'none') AS s_name,
+           COALESCE(s.s_acctbal, 0.0) AS s_acctbal
+    FROM customer c
+    LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey <= 5) s
+    ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def na_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling (reference P4's inverse): manufactured join nulls
+    repaired with typed defaults via DataFrame.na.fill."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 5)
+    joined = c.join(s, c.c_nationkey == s.s_nationkey, "left").select(
+        "c_custkey", "s_name", "s_acctbal"
+    )
+    return joined.na.fill({"s_name": "none", "s_acctbal": 0.0})
+
+
+@_register(
+    "conditional_aggregation",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS finished_total,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_count,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (SUM CASE / COUNT CASE) — filtered metrics
+    in one scan instead of one scan per predicate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("finished_total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("open_count"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -123,3 +123,25 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stubbed decoder, real plumbing)."""
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_fake_binary(d, "doc_id", "text"))
+
+
+@_register(
+    "streaming_running_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    counts emitted in update mode.  The count per key is monotone across
+    micro-batches, so max-over-emissions == batch COUNT(*) — an exact
+    batch oracle for a genuinely stateful streaming execution."""
+    from ..streaming.stateful import run_update_stream, running_user_counts
+
+    _stream_run_counter[0] += 1
+    name = f"running_user_counts_{_stream_run_counter[0]}"
+    return run_update_stream(
+        running_user_counts(read_events_stream(spark, sf_dir)), name
+    )

@@ -74,3 +74,14 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return lsh_bucketed_topk(q, e, k=10)
+
+
+@_register("ann_ivf_topk")  # rows-only: approximate by design (KMeans cells)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF: KMeans coarse quantizer, nprobe=2 cells
+    per query — the clustered alternative to the LSH tier."""
+    from ..operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(q, e, k=10, n_cells=16, nprobe=2)
