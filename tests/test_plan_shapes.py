@@ -1,0 +1,82 @@
+"""Plan-shape regression tests — the 100 TB design assertions.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one that survives a 1000-executor scale-up: filters and projections
+reach the parquet scan, small dimensions broadcast, top-k never global-
+sorts, range joins never degenerate to nested loops, and the relational
+hot path contains no Python row evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = relational.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_filter_pushdown(spark):
+    plan = _plan(spark, "projection_filter")
+    assert "PushedFilters: [" in plan and "EqualTo(l_returnflag,R)" in plan
+    # column pruning: the scan must not read the unreferenced wide columns
+    assert "l_comment" not in plan
+    assert "l_tax" not in plan
+
+
+def test_pricing_summary_single_shuffle(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert plan.count("Exchange") == 1  # partial agg -> one shuffle -> final agg
+    assert "ReadSchema" in plan and "l_orderkey" not in plan  # pruned scan
+
+
+def test_top_k_plans_as_take_ordered(spark):
+    # O2: ORDER BY ... LIMIT k must be a per-partition heap, not a global sort
+    for name in ("flagship_top5_customers_by_order_count", "top_revenue_orders"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(spark, "left_join_sparse_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_and_asof_joins_never_nested_loop(spark):
+    for name in ("range_join_recent_events", "asof_latest_order"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "flagship_top5_customers_by_order_count",
+        "pricing_summary",
+        "top_revenue_orders",
+        "dedup_first_per_order",
+        "window_count_per_customer",
+        "full_outer_join_composite",
+        "surrogate_key_orders",
+        "sessionization_stats",
+        "time_bucket_rollup_15min",
+    ],
+)
+def test_relational_hot_path_is_jvm_only(spark, name):
+    # UDFs are the slow path: the core suite must contain no Python eval
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_exchange_counts_bounded(spark):
+    # shuffle budget per operator family: window ops one shuffle,
+    # sessionization one shuffle + agg exchange at most
+    assert _plan(spark, "window_count_per_customer").count("Exchange") == 1
+    assert _plan(spark, "sessionization_stats").count("Exchange") <= 2
