@@ -547,3 +547,24 @@ def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("open_count"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "struct_pack_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey AS pair_custkey, o_orderstatus AS pair_status
+    FROM orders
+    """,
+)
+def struct_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (airflow.py:88): row -> struct pack and field re-projection.
+    Structs are free inside Catalyst (no serialization boundary); the
+    flat output keeps the oracle hash comparable."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.struct("o_custkey", "o_orderstatus").alias("pair")
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("pair.o_custkey").alias("pair_custkey"),
+        F.col("pair.o_orderstatus").alias("pair_status"),
+    )
