@@ -568,3 +568,67 @@ def struct_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair.o_custkey").alias("pair_custkey"),
         F.col("pair.o_orderstatus").alias("pair_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — oracle-verified to equal the
+# unsalted plans exactly.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregate over a low-cardinality (hot) key.  The
+    oracle is the plain GROUP BY — salting must be invisible in the
+    result, only in the shuffle layout."""
+    from ..operators.skew import salted_agg
+
+    e = load(spark, sf_dir, "events")
+    m = salted_agg(
+        e,
+        ["event_type"],
+        [
+            F.sum(F.col("value").cast("decimal(18,4)")),
+            F.count(F.lit(1)),
+        ],
+        n_salts=16,
+    )
+    return m.select(
+        "event_type",
+        F.col("agg_0").cast("double").alias("total_value"),
+        F.col("agg_1").cast("long").alias("n"),
+    )
+
+
+@_register(
+    "skew_salted_join",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join on a skewed foreign key (25 nations for all
+    customers), then aggregate.  Oracle = the plain join + GROUP BY."""
+    from ..operators.skew import salted_join
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = salted_join(c, n, "c_nationkey", "n_nationkey", n_salts=8)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
