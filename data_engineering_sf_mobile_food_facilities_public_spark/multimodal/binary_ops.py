@@ -97,3 +97,82 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_data", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) -> bytes:
+    """STUB resize: real resampling needs an imaging library not installed
+    here.  The fake produces a deterministic (w*h//64)-byte blob derived
+    from the source bytes so batch shapes and sizes are realistic."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resizing requires an imaging library not installed here; "
+            "pass deterministic_fake=True for the plumbing-test resizer"
+        )
+    n = max(1, (w * h) // 64)
+    reps = (n // max(1, len(data))) + 1
+    return (bytes(data) * reps)[:n]
+
+
+def resize_images(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
+    """Arrow-batched 1:1 media transform (decode -> resample -> re-encode
+    in the real pipeline).  Same mapInPandas shape as extract_features:
+    no shuffle, scan-stage parallelism."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "data": pdf["data"].map(
+                        lambda b: resize_image(b, w, h, deterministic_fake=True)
+                    ),
+                    "width": pd.Series([w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
+    """1:N frame sampling: each media row yields one output row per
+    sampled "frame" (here: every_n_bytes-th slice of the blob — the real
+    decoder would seek keyframes).  Demonstrates the row-expanding
+    mapInPandas shape video pipelines need (explode is not expressible
+    for lazily-decoded frames)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for item_id, data in zip(pdf["item_id"], pdf["data"]):
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    ids.append(item_id)
+                    frame_nos.append(i)
+                    frames.append(bytes(data[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "frame_data": frames,
+                }
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

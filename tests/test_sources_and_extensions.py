@@ -128,3 +128,24 @@ def test_linreg_pipeline_deterministic(spark):
     m2 = linreg_pipeline(li, ["l_quantity", "l_discount"], "l_extendedprice").collect()[0]
     assert m1.rmse == m2.rmse and m1.r2 == m2.r2
     assert 0.0 <= m1.r2 <= 1.0
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        attach_fake_binary,
+        resize_images,
+        sample_frames,
+    )
+    from tests.conftest import SF_SMOKE
+
+    media = attach_fake_binary(load(spark, SF_SMOKE, "documents").limit(20), "doc_id", "text")
+    resized = resize_images(media, 64, 64).collect()
+    assert all(len(r["data"]) == 64 * 64 // 64 for r in resized)
+    assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
+
+    frames = sample_frames(media, every_n_bytes=4)
+    # 16-byte fake blobs -> 4 frames each, frame_no 0..3
+    per_item = frames.groupBy("item_id").count().collect()
+    assert all(r["count"] == 4 for r in per_item)
+    assert len(per_item) == 20

@@ -1,0 +1,97 @@
+"""Behavioral streaming tests: watermark late-data drop and exactly-once
+file-sink reruns — the semantics SURVEY.md section 2.9 notes the
+reference lacks entirely."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("wstart"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two rows in the 10:00 window + one at 13:00 that advances
+    # the watermark to 12:30 once the batch commits
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:10:00"), 1.0),
+            (1, _ts("2024-01-01 13:00:00"), 1.0),
+        ],
+    )
+    run_once()
+
+    # batch 2: a LATE row for the 10:00 window (behind the 12:30
+    # watermark -> must be dropped before aggregation)
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:20:00"), 1.0)])
+    run_once()
+
+    emitted = {
+        r["wstart"]: r["n"] for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window was finalized with ONLY the on-time rows — the
+    # late 10:20 row fell behind the 12:30 watermark and was dropped
+    assert emitted[_ts("2024-01-01 10:00:00")] == 2
+
+
+def test_file_sink_rerun_is_exactly_once(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    _write_events(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (2, _ts("2024-01-01 11:00:00"), 2.0)],
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # idempotent rerun: checkpoint says nothing new -> no dupes
+    assert spark.read.parquet(out).count() == 2
