@@ -24,11 +24,16 @@ HEADLINE = [
     "flagship_top5_customers_by_order_count",
     "pricing_summary",
     "top_revenue_orders",
+    "regional_revenue",
     "window_count_per_customer",
     "dedup_first_per_order",
     "count_distinct_parts_per_flag",
     "full_outer_join_composite",
     "surrogate_key_orders",
+    "sessionization_stats",
+    "time_bucket_rollup_15min",
+    "minhash_lsh_near_dup",
+    "ann_cosine_topk",
 ]
 
 

@@ -632,3 +632,99 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join + subquery shapes (join-reordering / semi-join surface)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "regional_revenue",
+    """
+    SELECT r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table star join.  The dimension chain
+    (region->nation->customer) collapses into broadcasts; only the
+    orders-lineitem fact join shuffles — the plan Catalyst should (and
+    does) pick without hints."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@_register(
+    "exists_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS == left-semi join (each left row emitted at most once,
+    no right columns) — Spark's dedicated semi-join, not an inner join
+    + distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "orders_above_customer_avg",
+    """
+    WITH avgs AS (
+        SELECT o_custkey,
+               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,6))
+                   AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > a.avg_price
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's average),
+    decorrelated the way Catalyst rewrites it: aggregate-then-join.  The
+    avg is exact DECIMAL so the > comparison can't flap on ulp noise."""
+    o = load(spark, sf_dir, "orders")
+    avgs = (
+        o.groupBy("o_custkey")
+        .agg(F.avg(_dec("o_totalprice")).cast("decimal(22,6)").alias("avg_price"))
+        .withColumnRenamed("o_custkey", "a_custkey")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.a_custkey)
+        .filter(_dec("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey")
+    )

@@ -206,7 +206,12 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (5-shingle) Jaccard for every pair sharing a shingle —
-    the inverted-index candidate join (precise tier of the dedup family)."""
+    the inverted-index candidate join (precise tier of the dedup family).
+
+    The shingle index feeds candidate generation and both sides of the
+    verification join; at this scale Spark's pipelined recompute beats
+    caching (measured), while a 100 TB run would materialize the index
+    to parquet once and reuse it."""
     d = load(spark, sf_dir, "documents")
     sh = shingles(d)
     return jaccard(shared_shingle_pairs(sh), sh)

@@ -149,3 +149,42 @@ def test_multimodal_resize_and_frame_sampling(spark):
     per_item = frames.groupBy("item_id").count().collect()
     assert all(r["count"] == 4 for r in per_item)
     assert len(per_item) == 20
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    """The reference's weekly refresh drops and rebuilds everything
+    (airflow.py:310-311); the engine's equivalent is dynamic partition
+    overwrite — rewriting only the partitions present in the new batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.files import (
+        write_parquet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = os.path.join(tmp_path, "events_by_day")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        e = load(spark, SF_SMOKE, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_parquet(e, out, partition_by=["day"])
+        total = spark.read.parquet(out).count()
+        days = [r["day"] for r in spark.read.parquet(out).select("day").distinct().collect()]
+        one_day = sorted(days)[0]
+
+        # "weekly" re-run delivers one refreshed day; only that partition
+        # is rewritten, all others stay untouched
+        refreshed = e.filter(F.col("day") == one_day)
+        n_day = refreshed.count()
+        write_parquet(refreshed, out, mode="overwrite", partition_by=["day"])
+        assert spark.read.parquet(out).count() == total
+        assert (
+            spark.read.parquet(out).filter(F.col("day") == one_day).count() == n_day
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
