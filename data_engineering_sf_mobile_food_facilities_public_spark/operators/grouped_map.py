@@ -1,0 +1,37 @@
+"""Grouped-map operator via ``applyInPandas``.
+
+The per-group pandas function is the right tool when group logic is a
+real algorithm (fit a curve, run scipy, normalize against group stats)
+rather than an aggregate expression.  One shuffle on the group key;
+each group arrives as a single pandas DataFrame in an Arrow batch.
+
+Caveat that shapes the API: a *whole group* must fit in one worker's
+memory — so key choice is a scale decision (users: fine; one global
+key: not).  For unbounded groups, fall back to window functions or
+two-pass moment aggregation (see plans/analytics.stats_from_moments).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Normalize ``value_col`` against its group's mean/std (ddof=0).
+    Single-member or zero-variance groups get z=0.0."""
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = float(pdf[value_col].std(ddof=0))
+        mean = float(pdf[value_col].mean())
+        z = (pdf[value_col] - mean) / std if std > 0 else 0.0
+        return pdf.assign(**{out_col: z})
+
+    return df.groupBy(group_col).applyInPandas(normalize, schema=schema)

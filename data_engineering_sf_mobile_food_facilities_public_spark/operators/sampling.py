@@ -1,0 +1,56 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and holdout splits that are (a)
+reproducible across runs and engines, (b) computable in a single narrow
+map (no shuffle, no global state), and (c) stable under repartitioning.
+``rand(seed)`` fails (a) and (c) — its value depends on partition layout.
+Hashing the row key does not: md5 is identical everywhere, so the same
+row lands in the same split in Spark, DuckDB, or a 1000-executor cluster.
+
+Mechanics: the first 4 hex chars of md5(salt || key) are a uniform
+16-bit bucket.  Fixed-width lowercase hex compares lexicographically in
+numeric order, so "bucket < p * 65536" is a plain *string* comparison
+against a 4-char hex threshold — no base conversion, portable to any
+SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16
+
+
+def _threshold_hex(fraction: float) -> str:
+    return format(min(_BUCKETS, max(0, int(fraction * _BUCKETS))), "04x")
+
+
+def hash_bucket_hex(key: Column | str, salt: str = "") -> Column:
+    """4-hex-char uniform bucket from md5(salt || key)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 4)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — same rows every
+    run, every engine, every partitioning.  A narrow filter: no shuffle,
+    pushes down past column pruning like any other predicate."""
+    return df.filter(hash_bucket_hex(key, salt) < _threshold_hex(fraction))
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_fraction: float = 0.2, salt: str = "split"
+) -> DataFrame:
+    """Label every row 'train' or 'test' by key hash.  Filtering on the
+    label gives disjoint, exhaustive, reproducible splits; keying on an
+    entity id (user, document) keeps all of an entity's rows on one side
+    (no leakage across the split)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket_hex(key, salt) < _threshold_hex(test_fraction), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

@@ -728,3 +728,82 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_dec("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py) and grouped-map
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "deterministic_sample_orders",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash-sample (threshold 0x1999 = 6553/65536).  Same rows in
+    every engine and under any repartitioning — the property rand(seed)
+    cannot give — verified by the byte-identical DuckDB twin."""
+    from ..operators.sampling import deterministic_sample
+
+    o = load(spark, sf_dir, "orders")
+    return deterministic_sample(o, "o_orderkey", 0.1).select("o_orderkey", "o_custkey")
+
+
+@_register(
+    "train_test_split_counts",
+    """
+    SELECT CASE WHEN substr(md5('split' || CAST(o_custkey AS VARCHAR)), 1, 4)
+                     < '3333'
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-keyed 80/20 split (keyed on customer, so every customer's
+    orders land wholly on one side — no leakage), summarized per side."""
+    from ..operators.sampling import train_test_split
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        train_test_split(o, "o_custkey", 0.2)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@_register("grouped_zscore_sample")  # rows-only: pandas float path
+def grouped_zscore_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-customer z-scores of order totals
+    (exact values unit-tested on literal frames)."""
+    from ..operators.grouped_map import zscore_per_group
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return zscore_per_group(o, "o_custkey", "o_totalprice")
+
+
+@_register("api_source_scan")  # rows-only: custom DataSource, no table oracle
+def api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 custom Python DataSource: page-partitioned API scan
+    (deterministic synthetic transport; see sources/api_source.py)."""
+    from ..sources.api_source import PagedApiDataSource
+
+    try:
+        spark.dataSource.register(PagedApiDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("paged_api")
+        .option("pages", "4")
+        .option("page_size", "500")
+        .load()
+    )

@@ -1,0 +1,95 @@
+"""Custom Python DataSource for paged-API scans (Spark 4).
+
+SURVEY.md S1/S2: the reference pulls the Socrata datasets with one
+driver-side REST GET (limit=2000, ``/root/reference/airflow.py:71-85``).
+The Spark-4 scale mapping is a *custom data source* whose partitions are
+API pages: the driver plans N page-partitions, each executor task fetches
+and yields its own page — parallel, retryable per-task, and composable
+with the rest of the plan (filters over the result still prune columns
+via the projection the source yields).
+
+No network exists in this environment, so the transport is pluggable: the
+default ``page_rows`` generator synthesizes deterministic Socrata-shaped
+rows (seeded per page), and a real deployment swaps in an HTTP fetcher
+with the identical page contract.  Everything else — registration,
+planning, partition serialization, Arrow row yield — is the real
+machinery, exercised in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+API_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.LongType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_CATEGORIES = ("truck", "cart", "stand", "trailer")
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def page_rows(page: int, page_size: int) -> Iterator[tuple]:
+    """Deterministic stand-in for one API page fetch (seeded by page)."""
+    base = page * page_size
+    for i in range(page_size):
+        rid = base + i
+        h = _h(f"rec:{rid}")
+        yield (
+            rid,
+            page,
+            f"vendor_{h % 997}",
+            _CATEGORIES[h % len(_CATEGORIES)],
+            round((h % 100_000) / 100.0, 2),
+        )
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int, page_size: int):
+        self.page = page
+        self.page_size = page_size
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_pages = int(options.get("pages", "4"))
+        self.page_size = int(options.get("page_size", "500"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per API page -> fetch parallelism == page count
+        return [_PagePartition(p, self.page_size) for p in range(self.n_pages)]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        # executor-side: fetch (here: synthesize) exactly this page
+        return page_rows(partition.page, partition.page_size)
+
+
+class PagedApiDataSource(DataSource):
+    """Usage::
+
+        spark.dataSource.register(PagedApiDataSource)
+        df = (spark.read.format("paged_api")
+              .option("pages", 8).option("page_size", 250).load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self) -> T.StructType:
+        return API_SCHEMA
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return PagedApiReader(self.options)

@@ -1,0 +1,74 @@
+"""Sampling determinism, grouped-map exactness, custom DataSource."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.grouped_map import (
+    zscore_per_group,
+)
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.sampling import (
+    deterministic_sample,
+    train_test_split,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_sample_is_stable_under_repartitioning(spark):
+    o = load(spark, SF_SMOKE, "orders")
+    a = {r["o_orderkey"] for r in deterministic_sample(o, "o_orderkey", 0.1).collect()}
+    b = {
+        r["o_orderkey"]
+        for r in deterministic_sample(o.repartition(17), "o_orderkey", 0.1).collect()
+    }
+    assert a == b and 0 < len(a) < o.count()
+
+
+def test_split_is_disjoint_exhaustive_and_leak_free(spark):
+    o = load(spark, SF_SMOKE, "orders")
+    s = train_test_split(o, "o_custkey", 0.2)
+    total = o.count()
+    assert s.count() == total
+    # no customer appears on both sides
+    leaky = (
+        s.select("o_custkey", "split").distinct()
+        .groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    )
+    assert leaky == 0
+
+
+def test_grouped_zscore_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 3.0), (3, "h", 5.0)], "id long, k string, v double"
+    )
+    out = {r["id"]: r["zscore"] for r in zscore_per_group(df, "k", "v").collect()}
+    assert out[1] == -1.0 and out[2] == 1.0  # mean 2, std(ddof=0) 1
+    assert out[3] == 0.0  # singleton group -> 0
+
+
+def test_api_datasource_scans_in_page_partitions(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.api_source import (
+        PagedApiDataSource,
+    )
+
+    try:
+        spark.dataSource.register(PagedApiDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("paged_api")
+        .option("pages", "3")
+        .option("page_size", "100")
+        .load()
+    )
+    assert df.count() == 300
+    assert df.rdd.getNumPartitions() == 3  # one task per API page
+    # deterministic: same options -> same content
+    df2 = (
+        spark.read.format("paged_api")
+        .option("pages", "3")
+        .option("page_size", "100")
+        .load()
+    )
+    assert df.exceptAll(df2).count() == 0
