@@ -807,3 +807,51 @@ def api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("page_size", "500")
         .load()
     )
+
+
+@_register(
+    "percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation — probed bit-identical; rounded as ulp insurance).
+    At 100 TB switch to approx_percentile (t-digest, one pass, bounded
+    memory) — the exact form needs a per-group sort."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@_register(
+    "grouping_sets_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguating which
+    column is aggregated-out (vs a genuinely null value) — one Expand +
+    one shuffle, same engine machinery as rollup/cube."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
