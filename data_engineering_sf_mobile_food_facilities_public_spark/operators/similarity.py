@@ -18,6 +18,8 @@ Three tiers, trading recall for scale:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,6 +217,48 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k like ``brute_force_topk`` but scoring in a vectorized
+    Arrow pandas_udf: each batch computes a numpy matrix-vector product
+    instead of a per-row Catalyst fold — the fast path when the scoring
+    math outgrows SQL expressions (the exact-fold variant stays the
+    oracle tier; numpy reassociates floating adds, so last-ulp values may
+    differ)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        q = np.asarray(qv.tolist(), dtype=np.float64)
+        c = np.asarray(cv.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", q, c)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(c, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos_batch(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (

@@ -855,3 +855,67 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@_register(
+    "posexplode_words",
+    """
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos, words[i] AS word
+    FROM (SELECT p_partkey, str_split(p_name, ' ') AS words FROM part),
+         LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
+    """,
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array unnest WITH ORDINALITY (0-based position)."""
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+    )
+
+
+@_register(
+    "higher_order_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(tokens, t -> length(t) >= 6)) AS INT) AS n_long,
+           CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
+               AS total_chars,
+           list_aggregate(list_transform(tokens, t -> length(t)), 'max') AS max_len
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+          FROM documents)
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform / aggregate) —
+    lambda expressions evaluated inside Catalyst, no UDF, no explode:
+    the per-row array math stays a narrow projection."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) >= 6)).alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_chars"
+        ),
+        F.array_max(lens).alias("max_len"),
+    )
+
+
+@_register(
+    "union_all_order_events",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS entity_id, 'order' AS kind FROM orders
+    UNION ALL
+    SELECT CAST(event_id AS VARCHAR) AS entity_id, 'event' AS kind FROM events
+    """,
+)
+def union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous sources via unionByName — no
+    distinct, no shuffle: partitions concatenate."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("entity_id"), F.lit("order").alias("kind")
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("entity_id"), F.lit("event").alias("kind")
+    )
+    return o.unionByName(e)

@@ -85,3 +85,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(q, e, k=10, n_cells=16, nprobe=2)
+
+
+@_register("ann_cosine_topk_vectorized")  # rows-only: numpy fold order differs in last ulp
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas_udf brute-force tier: numpy batch matrix math instead
+    of the Catalyst fold — same candidates, vectorized scoring (exact-fold
+    sibling ``ann_cosine_topk`` remains the oracle tier)."""
+    from ..operators.similarity import brute_force_topk_vectorized
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk_vectorized(q, e, k=10)

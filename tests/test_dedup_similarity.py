@@ -78,3 +78,13 @@ def test_lsh_topk_is_subset_quality(spark):
     approx = lsh_bucketed_topk(q, e, k=10).collect()
     for r in approx:
         assert r.cos_sim <= exact[(r.query_id, 1)] + 1e-9
+
+
+def test_vectorized_ann_matches_exact_tier(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+    from tests.conftest import SF_SMOKE
+
+    exact = relational.QUERIES["ann_cosine_topk"](spark, SF_SMOKE)
+    fast = relational.QUERIES["ann_cosine_topk_vectorized"](spark, SF_SMOKE)
+    assert exact.exceptAll(fast).count() == 0
+    assert fast.exceptAll(exact).count() == 0
