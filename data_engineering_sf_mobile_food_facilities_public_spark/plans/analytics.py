@@ -919,3 +919,90 @@ def union_all_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("entity_id"), F.lit("event").alias("kind")
     )
     return o.unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# Anti-join, ordered-gap, and ntile coverage — the remaining classic
+# window/join shapes SURVEY.md section 2.5 lists as "free once windows
+# exist".
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "anti_join_customers_no_f_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def anti_join_customers_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti hash join.  The status filter pushes
+    below the join into the orders scan (smaller build side); no
+    null-aware fallback needed because the key is a join condition, not
+    a NOT IN list."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "lag_gap_days_per_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def lag_gap_days_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (null on the first):
+    lag + datediff in one Window operator, one shuffle on the customer
+    key.  Timestamps are date-resolution so day arithmetic is exact in
+    both engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    )
+
+
+@_register(
+    "ntile_price_quartiles",
+    """
+    SELECT o_orderpriority, CAST(q AS INT) AS q, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 NTILE(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS q
+          FROM orders)
+    GROUP BY o_orderpriority, q
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority price quartiles via ntile(4).  Deliberately
+    PARTITIONED ntile — a global ntile would force every row through one
+    window partition (the classic single-reducer trap); partitioning by
+    a dimension keeps the sort distributed, and the follow-up aggregate
+    reuses the same hash partitioning (no second exchange needed for the
+    o_orderpriority grouping prefix)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Oracle-paired lakehouse / incremental-pipeline queries: MERGE upsert,
+SCD2 history compaction, and funnel conversion.
+
+The reference's only load strategy is truncate-and-reload
+(``/root/reference/airflow.py:330-432``); these queries supply the
+incremental shapes a 100 TB pipeline actually runs — newest-wins MERGE
+compaction, type-2 dimension history, and sequential funnel analysis —
+each as a shuffle-minimal DataFrame plan (see ``operators/merge.py`` for
+the plan-shape rationale).
+
+Conventions follow ``plans.relational``: identical aliases on both
+sides, timestamps exported as epoch-microsecond BIGINTs (exact in both
+engines; the events table is nanos-parquet truncated identically to
+micros on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.merge import merge_upsert, scd2_compact
+from .relational import _register
+
+
+@_register(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders USING updates: a derived update set exercises
+    both WHEN MATCHED (every 10th key restated with status 'X' and a 10%
+    price bump) and WHEN NOT MATCHED (new keys offset by 1e9).  The
+    engine-side plan is union + one keyed window (operators/merge.py),
+    not the oracle's anti-join formulation — same result, one shuffle.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    matched = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merge_upsert(orders, matched.unionByName(inserted), keys=["o_orderkey"])
+
+
+@_register(
+    "scd2_user_event_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island,
+               MIN(ts) AS valid_from, COUNT(*) AS n_changes
+        FROM ordered GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from)) AS BIGINT)
+               AS valid_to_us,
+           n_changes
+    FROM runs
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the event stream: one row per maximal run of a
+    user's consecutive equal event_type, with [valid_from, valid_to)
+    bounds (gaps-and-islands, operators/merge.py scd2_compact).
+    (user_id, ts) is unique in the dataset, so the lead over valid_from
+    is deterministic."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    out = scd2_compact(e, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_changes",
+    )
+
+
+@_register(
+    "funnel_signup_to_purchase",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(epoch_us(s.signup_ts) AS BIGINT) AS signup_us,
+           CAST(epoch_us(MIN(p.ts)) AS BIGINT) AS first_purchase_us,
+           CAST(MIN(p.ts) IS NOT NULL AS INT) AS converted
+    FROM s
+    LEFT JOIN events p
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: each user's first signup and first purchase at or
+    after it.  The signup side collapses to one row per user BEFORE the
+    join (aggregate pushdown by construction), so the join probe side is
+    tiny and broadcastable; the range predicate rides along as a join
+    filter on the hash join, never a nested loop."""
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user_id") == F.col("user_id")) & (F.col("p_ts") >= F.col("signup_ts")),
+        "left",
+    )
+    return joined.groupBy("user_id", "signup_ts").agg(
+        F.min("p_ts").alias("first_purchase_ts")
+    ).select(
+        "user_id",
+        F.unix_micros("signup_ts").alias("signup_us"),
+        F.unix_micros("first_purchase_ts").alias("first_purchase_us"),
+        F.when(F.col("first_purchase_ts").isNotNull(), 1).otherwise(0).alias("converted"),
+    )

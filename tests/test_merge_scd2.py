@@ -1,0 +1,59 @@
+"""Operator-level semantics for lakehouse mutations (operators/merge.py):
+MERGE upsert edge cases and SCD2 island compaction on hand-built frames.
+The end-to-end oracle pairing lives in plans/lakehouse.py via
+test_oracle_parity; these pin the operator contracts directly.
+"""
+
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.merge import (
+    merge_upsert,
+    scd2_compact,
+)
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "v"])
+    out = {r.k: r.v for r in merge_upsert(target, source, keys=["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_merge_upsert_empty_source_is_identity(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = target.filter(F.lit(False))
+    out = merge_upsert(target, source, keys=["k"]).collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a")]
+
+
+def test_merge_upsert_composite_key(spark):
+    target = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], ["k1", "k2", "v"])
+    source = spark.createDataFrame([(1, 2, "B"), (2, 1, "c")], ["k1", "k2", "v"])
+    out = {(r.k1, r.k2): r.v for r in merge_upsert(target, source, ["k1", "k2"]).collect()}
+    assert out == {(1, 1): "a", (1, 2): "B", (2, 1): "c"}
+
+
+def test_scd2_compact_islands_and_bounds(spark):
+    rows = [
+        # user 1: a a b a  -> three runs (a x2, b, a)
+        (1, "a", 10, 1),
+        (1, "a", 20, 2),
+        (1, "b", 30, 3),
+        (1, "a", 40, 4),
+        # user 2: single run
+        (2, "x", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "id"])
+    out = sorted(
+        scd2_compact(df, "k", "attr", "ts", "id").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    got = [(r.k, r.attr, r.valid_from, r.valid_to, r.n_changes) for r in out]
+    assert got == [
+        (1, "a", 10, 30, 2),
+        (1, "b", 30, 40, 1),
+        (1, "a", 40, None, 1),
+        (2, "x", 5, None, 1),
+    ]

@@ -80,3 +80,18 @@ def test_exchange_counts_bounded(spark):
     # sessionization one shuffle + agg exchange at most
     assert _plan(spark, "window_count_per_customer").count("Exchange") == 1
     assert _plan(spark, "sessionization_stats").count("Exchange") <= 2
+
+
+def test_merge_upsert_single_shuffle_no_join(spark):
+    # MERGE via union + keyed window: exactly one exchange, no join node
+    # (the full-outer-join formulation would shuffle both sides).
+    plan = _plan(spark, "merge_upsert_orders")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    # Both island row_numbers + the run aggregate + the lead window all
+    # reuse the user_id hash partitioning: bounded exchanges.
+    plan = _plan(spark, "scd2_user_event_history")
+    assert plan.count("Exchange") <= 2
