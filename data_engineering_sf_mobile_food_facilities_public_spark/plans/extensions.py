@@ -145,3 +145,69 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_update_stream(
         running_user_counts(read_events_stream(spark, sf_dir)), name
     )
+
+
+@_register(
+    "streaming_sliding_window_counts",
+    """
+    WITH starts AS (
+        SELECT event_type, time_bucket(INTERVAL 15 MINUTES, ts) AS wstart FROM events
+        UNION ALL
+        SELECT event_type,
+               time_bucket(INTERVAL 15 MINUTES, ts) - INTERVAL 15 MINUTES
+        FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS event_count
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30min/15min watermarked window counts executed as a real
+    stream; the oracle enumerates each event's two containing windows
+    explicitly (union of the two 15-min-aligned starts)."""
+    from ..streaming.events_stream import sliding_window_counts_stream
+
+    _stream_run_counter[0] += 1
+    name = f"sliding_window_counts_{_stream_run_counter[0]}"
+    stream = sliding_window_counts_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, name)
+
+
+@_register(
+    "streaming_enriched_events",
+    """
+    SELECT e.event_id, e.user_id, c.c_name AS user_name, e.event_type
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the event stream enriched against
+    the static customer dimension, append mode (stateless)."""
+    from ..streaming.events_stream import enrich_stream_with_dim, run_append_to_table
+
+    _stream_run_counter[0] += 1
+    name = f"enriched_events_{_stream_run_counter[0]}"
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return run_append_to_table(
+        enrich_stream_with_dim(read_events_stream(spark, sf_dir), dim), name
+    )
+
+
+@_register(
+    "streaming_dedup_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a deliberately doubled stream
+    (same source unioned with itself): per-type counts of the deduped
+    append output equal the plain batch counts — exactly-once semantics
+    made observable."""
+    from ..streaming.events_stream import dedup_doubled_stream, run_append_to_table
+
+    _stream_run_counter[0] += 1
+    name = f"dedup_events_{_stream_run_counter[0]}"
+    deduped = run_append_to_table(dedup_doubled_stream(spark, sf_dir), name)
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

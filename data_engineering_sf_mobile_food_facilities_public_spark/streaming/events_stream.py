@@ -83,3 +83,69 @@ def run_available_now(result: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def sliding_window_counts_stream(
+    events: DataFrame,
+    width: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING window counts: each event lands in
+    width/slide overlapping windows (F.window generates them at the
+    scan, no self-join).  State per (window, key) is still bounded by
+    the watermark horizon; overlap multiplies state by width/slide, the
+    standard cost of sliding aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static left join: every micro-batch hash-joins against the
+    static dimension snapshot — Spark plans it as a broadcast join when
+    the dim fits, so the stream never shuffles.  This is the streaming
+    analogue of the reference's enrichment joins (airflow.py:654-660
+    left join), stateless, append-mode-safe."""
+    return events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left").select(
+        "event_id", "user_id", F.col("c_name").alias("user_name"), "event_type"
+    )
+
+
+def dedup_doubled_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once demo: the SAME file source read twice and unioned
+    (every event arrives duplicated), then
+    ``dropDuplicatesWithinWatermark`` on the event key collapses the
+    duplicates.  State holds one entry per key inside the watermark
+    horizon and is evicted past it — dedup at unbounded-stream scale,
+    unlike a global dropDuplicates whose state never shrinks."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    return (
+        doubled.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def run_append_to_table(result: DataFrame, query_name: str) -> DataFrame:
+    """Execute an append-mode streaming plan over all available input
+    (Trigger.AvailableNow) into an in-memory sink; return the sink table."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
