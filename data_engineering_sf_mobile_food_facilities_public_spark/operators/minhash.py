@@ -31,20 +31,28 @@ DEFAULT_BANDS = 4  # 2 rows per band with num_perm=8
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle).
 
-    Built with higher-order functions (sequence/transform/slice) — the
-    explode is the only row-expansion, and the distinct is a narrow
+    Positions are exploded FIRST and the k-gram is built with plain
+    ``slice``/``concat_ws`` on the carried token array — deliberately
+    not ``F.transform(sequence, lambda)``: higher-order lambda bodies
+    are evaluated interpreted (outside whole-stage codegen), which
+    measured ~5x slower at sf0.1 for identical output.  The explode is
+    the only row-expansion, and the distinct is a narrow
     pre-aggregation before any join.
     """
     toks = tokens(text_col)
-    sh = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), toks.alias("__tk")).filter(
+        F.size("__tk") >= k
+    )
     return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        base.select(
+            id_col,
+            "__tk",
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - (k - 1))).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.slice("__tk", F.col("__i"), k)).alias("shingle"),
+        )
         .distinct()
     )
 
