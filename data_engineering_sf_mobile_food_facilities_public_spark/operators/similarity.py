@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 
 ROUND_DIGITS = 6  # kill last-ulp double divergence across engines
 
@@ -37,19 +37,27 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) of each query against the corpus.
     Queries are broadcast; ranking uses (cos desc, id asc) so the result
-    is deterministic including k-boundary ties."""
+    is deterministic including k-boundary ties.
+
+    Norms are computed ONCE per row before the join (cosine = dot /
+    (qnorm * cnorm)); inside the |Q| x |corpus| cross space only the dot
+    fold remains — same bits as folding cosine per pair (the norm
+    subexpressions are identical), a third of the per-pair work."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qnorm", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cnorm", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+                ROUND_DIGITS,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -75,19 +83,22 @@ def blocked_pairs(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         as_double(vec_col).alias("va"),
-    )
+    ).withColumn("na", norm(F.col("va")))
     b = corpus.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         as_double(vec_col).alias("vb"),
-    )
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), ROUND_DIGITS).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ROUND_DIGITS,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -140,19 +151,22 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qv"),
         hyperplane_bucket(vec_col, num_planes, dim).alias("bucket"),
-    )
+    ).withColumn("qnorm", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         hyperplane_bucket(vec_col, num_planes, dim).alias("bucket"),
-    )
+    ).withColumn("cnorm", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+                ROUND_DIGITS,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -188,7 +202,7 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("fv", array_to_vector("cv"))
+    ).withColumn("cnorm", norm(F.col("cv"))).withColumn("fv", array_to_vector("cv"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
     model = km.fit(c.select("fv"))
     assigned = model.transform(c).drop("fv")
@@ -199,14 +213,16 @@ def ivf_topk(
         [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
         "cell int, center array<double>",
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qnorm", norm(F.col("qv")))
     cell_w = Window.partitionBy("query_id").orderBy(F.desc("center_cos"), F.col("cell"))
     probes = (
         q.join(F.broadcast(centers_df))
         .withColumn("center_cos", cosine(F.col("qv"), F.col("center")))
         .withColumn("cell_rank", F.row_number().over(cell_w))
         .filter(F.col("cell_rank") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qnorm", "cell")
     )
 
     scored = (
@@ -215,7 +231,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), ROUND_DIGITS).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+                ROUND_DIGITS,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))

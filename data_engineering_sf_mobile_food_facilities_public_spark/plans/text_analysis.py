@@ -271,20 +271,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit, sum +1/-1 over tokens and take the sign.  Pure Catalyst exprs
     (conv/shift/and); one narrow projection, no shuffle."""
     d = load(spark, sf_dir, "documents")
-    tok_hash = F.transform(
-        TX.tokens("text"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    # explode + 16 conditional SUMs in one hash aggregate — equivalent to
+    # a per-row HOF fold but fully inside whole-stage codegen (HOF lambda
+    # bodies evaluate interpreted; see operators/minhash.py shingles).
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("t")).select(
+        "doc_id", h.alias("h")
     )
-    df = d.select("doc_id", tok_hash.alias("hashes"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(16)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for bit in range(16):
-        bit_sum = F.aggregate(
-            F.transform(
-                F.col("hashes"),
-                lambda h: F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        sim = sim + F.when(bit_sum > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-    return df.select("doc_id", sim.alias("simhash"))
+        sim = sim + F.when(
+            F.coalesce(F.col(f"b{bit}"), F.lit(0)) > 0, F.lit(1 << bit)
+        ).otherwise(F.lit(0))
+    # left join keeps token-less docs with simhash 0, as the fold did
+    return (
+        d.select("doc_id")
+        .join(sig, "doc_id", "left")
+        .select("doc_id", sim.alias("simhash"))
+    )
