@@ -1006,3 +1006,159 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-range frames, percent-of-total, column profiling, fuzzy matching.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7day_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS day_num,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_7d
+    FROM orders
+    """,
+)
+def rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day spend per customer: a RANGE frame over epoch-day
+    numbers (rangeBetween needs a numeric sort key; day arithmetic is
+    exact).  One window exchange on the customer key; the interval frame
+    is evaluated by frame-pointer sliding, not a self-join.  Sums stay
+    DECIMAL until the edge so both engines agree bit-exactly."""
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("bigint").alias("day_num"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_7d"),
+    )
+
+
+@_register(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE) /
+                 CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS share
+    FROM rev
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): the global window runs AFTER
+    aggregation, over one row per nation — the single-partition window
+    trap is avoided because the heavy lifting happened in the
+    partitioned aggregate; only ~25 rows pass through the global frame.
+    Dimension joins broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice")).alias("rev_dec"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(total).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@_register(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderstatus' AS col,
+           COUNT(*) - COUNT(o_orderstatus) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count / distinct count /
+    min / max in one pass per column group, unioned into a tall report.
+    Each leg is an independent scan-aggregate (Spark schedules them in
+    parallel); at 100 TB you'd fuse the null/min/max legs into one scan
+    and keep only DISTINCT per-column."""
+    o = load(spark, sf_dir, "orders")
+
+    def leg(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+
+    return leg("o_orderstatus").unionByName(leg("o_orderpriority")).unionByName(
+        leg("o_custkey")
+    )
+
+
+@_register(
+    "fuzzy_name_match",
+    """
+    SELECT c.c_name, s.s_name,
+           levenshtein(c.c_name, s.s_name) AS dist
+    FROM customer c
+    JOIN supplier s
+      ON substr(c.c_name, 10, 7) = substr(s.s_name, 10, 7)
+    WHERE levenshtein(c.c_name, s.s_name) <= 6
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching — the name-matching problem the reference
+    attempted manually (SURVEY.md section 6, report.pdf p.11) as a
+    blocked similarity join: equi-join on a blocking key (shared id
+    prefix) prunes the cross product, then Levenshtein verifies within
+    the block.  The same shape scales to any token/LSH blocking key."""
+    c = load(spark, sf_dir, "customer").select("c_name")
+    s = load(spark, sf_dir, "supplier").select("s_name")
+    joined = c.join(
+        F.broadcast(s),
+        F.substring("c_name", 10, 7) == F.substring("s_name", 10, 7),
+    )
+    return joined.select(
+        "c_name", "s_name", F.levenshtein("c_name", "s_name").alias("dist")
+    ).filter(F.col("dist") <= 6)

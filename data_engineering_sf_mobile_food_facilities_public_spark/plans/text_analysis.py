@@ -8,7 +8,7 @@ values *exactly* — the approximate algorithm itself is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -295,4 +295,114 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id")
         .join(sig, "doc_id", "left")
         .select("doc_id", sim.alias("simhash"))
+    )
+
+
+_VERIFIED_PAIRS_TAIL = """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT cm.id_a, cm.id_b
+    FROM common cm
+    JOIN sizes na ON na.doc_id = cm.id_a
+    JOIN sizes nb ON nb.doc_id = cm.id_b
+    WHERE CAST(cm.n_common AS DOUBLE)
+          / (na.n_sh + nb.n_sh - cm.n_common) >= 0.5
+)
+"""
+
+
+@_register(
+    "near_dup_components",
+    _MINHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _VERIFIED_PAIRS_TAIL
+    + """
+    , und AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM walk GROUP BY a
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: verified pairs (Jaccard >= 0.5) fed into
+    iterative min-label connected components (operators/graph.py) — the
+    engine's iterative fixpoint operator, oracle-checked against a
+    recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    verified = (
+        jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(verified).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    _TOKENS_CTE
+    + """
+    , tl AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+    tc AS (SELECT doc_id, token, COUNT(*) AS n_td FROM tl GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, token, n_td,
+                  SUM(n_td) OVER (PARTITION BY doc_id) AS len_d
+           FROM tc),
+    idf AS (SELECT token, COUNT(*) AS n_df FROM tc GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT dl.doc_id, dl.token,
+               round((CAST(dl.n_td AS DOUBLE) / dl.len_d)
+                     * ln((n.n_docs + 1.0) / (idf.n_df + 1.0)), 6) AS tfidf
+        FROM dl JOIN idf USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.  Term counts aggregate once;
+    document length rides the SAME doc_id partitioning as a window (no
+    second scan); document frequency is the only token-keyed shuffle.
+    ln() is IEEE-identical across engines on these arguments and the
+    6-digit round absorbs any last-ulp skew."""
+    d = load(spark, sf_dir, "documents")
+    tl = d.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tc = tl.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n_td"))
+    dl = tc.withColumn(
+        "len_d", F.sum("n_td").over(Window.partitionBy("doc_id"))
+    )
+    idf = tc.groupBy("token").agg(F.count(F.lit(1)).alias("n_df"))
+    n_docs = d.count()
+    scored = dl.join(idf, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("n_td").cast("double") / F.col("len_d"))
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("n_df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "tfidf", "rank")
     )

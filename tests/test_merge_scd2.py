@@ -57,3 +57,16 @@ def test_scd2_compact_islands_and_bounds(spark):
         (1, "a", 40, None, 1),
         (2, "x", 5, None, 1),
     ]
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 plus separate pair 10-11: two components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
