@@ -34,6 +34,13 @@ HEADLINE = [
     "time_bucket_rollup_15min",
     "minhash_lsh_near_dup",
     "ann_cosine_topk",
+    "tfidf_top_terms",
+    "merge_upsert_orders",
+    "scd2_user_event_history",
+    "funnel_signup_to_purchase",
+    "rolling_7day_spend",
+    "fuzzy_name_match",
+    "revenue_share_by_nation",
 ]
 
 
@@ -57,11 +64,17 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     _run(relational.QUERIES[HEADLINE[0]](spark, sf_dir))
 
+    # best-of-2 per query: the first run pays one-off Catalyst compile +
+    # codegen (~1-4s/plan in local mode); the repeat measures the
+    # steady-state execution a long-running cluster actually sees.
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
