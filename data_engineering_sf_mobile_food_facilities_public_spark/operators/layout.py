@@ -1,0 +1,116 @@
+"""Data-layout operators: Z-order clustering keys and small-file
+compaction — the table-maintenance surface a 100 TB lakehouse needs
+around the query engine.
+
+The reference writes one parquet object per table per run from the
+driver (``/root/reference/airflow.py:704-724``), so it has neither
+problem; at scale both are existential:
+
+- **Z-order**: multi-dimensional min/max pruning.  Sorting by a single
+  column clusters only that column; interleaving the bits of two (or
+  more) dimension keys gives files whose min/max ranges are tight in
+  BOTH dimensions, so predicates on either prune files.  The key is a
+  pure Catalyst bit expression (shift/or/and — codegen, no UDF);
+  clustering = repartitionByRange + sortWithinPartitions on it, which
+  samples ranges instead of forcing a global sort through one reducer.
+- **Compaction**: streaming ingest / per-task writers leave many small
+  files; reading them back costs one scheduler task + footer fetch
+  each.  Compaction rewrites a directory into ceil(bytes/target)
+  files.  Coalesce (no shuffle) when shrinking file count; repartition
+  only when files must also be rebalanced.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(col_a: Column | str, col_b: Column | str, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer keys into
+    a single Z-value (Morton code): bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1.  Plain shift/and/or expressions — exactly
+    reproducible in any engine with integer bit ops (the DuckDB oracle
+    runs the same formula).
+
+    At 100 TB: compute once per row at write time, then
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` and write —
+    every file's (a, b) bounding box is tight, so min/max stats prune
+    on either dimension.
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-partition + locally sort by the Z-value (drops the helper
+    column).  Range partitioning samples the key distribution — no
+    single-reducer global sort, balanced output files.
+
+    Each dimension is min/max-scaled to the full ``bits`` width first:
+    interleaving RAW keys of different magnitudes degenerates to a
+    single-column sort (the wider key's high bits own every split
+    boundary — measured: unscaled (custkey, day) clustered exactly like
+    day-only).  Linear scaling fixes dimensions of different ranges;
+    for heavy value skew, substitute rank-space scaling (bucket by
+    approxQuantile boundaries), which is what Delta's OPTIMIZE ZORDER
+    does with range_partition_id."""
+    mm = df.agg(
+        F.min(col_a).alias("amin"),
+        F.max(col_a).alias("amax"),
+        F.min(col_b).alias("bmin"),
+        F.max(col_b).alias("bmax"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scale(col: str, lo: float, hi: float) -> Column:
+        if hi <= lo:
+            return F.lit(0).cast("bigint")
+        return ((F.col(col) - F.lit(lo)) * top / F.lit(hi - lo)).cast("bigint")
+
+    keyed = df.withColumn(
+        "__z",
+        zorder_key(
+            scale(col_a, mm.amin, mm.amax), scale(col_b, mm.bmin, mm.bmax), bits
+        ),
+    )
+    return (
+        keyed.repartitionByRange(num_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~ceil(total_bytes /
+    target_file_bytes) files; returns the output file count.  Uses
+    coalesce (narrow, no shuffle) — the standard periodic compaction a
+    streaming file sink needs."""
+    from pathlib import Path
+
+    total = sum(p.stat().st_size for p in Path(src_dir).glob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    return len(list(Path(dst_dir).glob("*.parquet")))

@@ -155,3 +155,37 @@ def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("first_purchase_ts").alias("first_purchase_us"),
         F.when(F.col("first_purchase_ts").isNotNull(), 1).otherwise(0).alias("converted"),
     )
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of operators/layout.zorder_key — same bit formula."""
+    terms = [
+        f"((({a} >> {i}) & 1) << {2 * i}) | ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return " | ".join(f"({t})" for t in terms)
+
+
+@_register(
+    "zorder_key_orders",
+    f"""
+    SELECT o_orderkey,
+           CAST({_z_interleave_sql(
+               "o_custkey",
+               "date_diff('day', DATE '1970-01-01', o_orderdate)",
+           )} AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) — the
+    write-time layout key that makes parquet min/max stats prune on
+    EITHER dimension (operators/layout.py).  Pure bit arithmetic,
+    bit-identical in the oracle."""
+    from ..operators.layout import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    return o.select(
+        "o_orderkey", zorder_key(F.col("o_custkey"), day).alias("zkey")
+    )

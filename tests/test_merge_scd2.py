@@ -70,3 +70,50 @@ def test_connected_components_chain_and_isolated_pair(spark):
     )
     out = {r.id: r.component for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.layout import (
+        cluster_by_zorder,
+    )
+    from tests.conftest import SF_SMOKE
+
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", F.unix_date(F.col("o_orderdate").cast("date")).alias("day")
+    )
+
+    def avg_spread(df, col):
+        import pyspark.sql.functions as SF
+
+        stats = df.groupBy(SF.spark_partition_id().alias("pid")).agg(
+            (SF.max(col) - SF.min(col)).alias("spread")
+        )
+        rows = stats.collect()
+        return sum(r.spread for r in rows) / len(rows)
+
+    n = 8
+    by_day = o.repartitionByRange(n, "day").sortWithinPartitions("day")
+    by_z = cluster_by_zorder(o, "o_custkey", "day", n)
+    # day-sorted files have near-full custkey spread per file; z-ordered
+    # files must be materially tighter on custkey while staying bounded
+    # on day.
+    assert avg_spread(by_z, "o_custkey") < 0.7 * avg_spread(by_day, "o_custkey")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.layout import (
+        compact_parquet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "small_files")
+    load(spark, SF_SMOKE, "orders").repartition(16).write.parquet(src)
+    import pathlib
+
+    assert len(list(pathlib.Path(src).glob("*.parquet"))) == 16
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(dst).count() == load(spark, SF_SMOKE, "orders").count()
