@@ -1,0 +1,76 @@
+"""Versioned parquet snapshots: write-once version directories with a
+time-travel reader — the minimal table-format layer (what Delta/Iceberg
+metadata provides) built on plain parquet + a version manifest.
+
+Layout::
+
+    table_dir/
+      v=1/part-*.parquet
+      v=2/part-*.parquet
+      _latest            # text file holding the current version number
+
+Writes are write-audit-publish: data lands in the new ``v=N`` directory
+first, and the tiny ``_latest`` pointer flips last (atomic rename), so a
+crashed writer never corrupts the readable table and old versions stay
+readable for time travel / reproducible training runs.  Readers that
+pass ``version=`` pin a snapshot — the property a 100 TB training
+pipeline needs so a re-run months later sees identical data.
+
+Retention is explicit (``vacuum`` drops versions below a floor), never
+implicit — dropping a version a reader still pins is the operator's
+decision.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_latest"
+
+
+def latest_version(table_dir: str) -> int:
+    """Current published version, 0 if the table doesn't exist yet."""
+    p = os.path.join(table_dir, _LATEST)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Publish ``df`` as the next version; returns the version number."""
+    v = latest_version(table_dir) + 1
+    data_dir = os.path.join(table_dir, f"v={v}")
+    df.write.mode("overwrite").parquet(data_dir)
+    tmp = os.path.join(table_dir, _LATEST + ".__tmp__")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(table_dir, _LATEST))
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the latest snapshot."""
+    v = latest_version(table_dir) if version is None else version
+    data_dir = os.path.join(table_dir, f"v={v}")
+    if v < 1 or not os.path.exists(data_dir):
+        raise FileNotFoundError(f"no snapshot v={v} under {table_dir}")
+    return spark.read.parquet(data_dir)
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop versions older than the newest ``keep_last``; returns the
+    dropped version numbers."""
+    current = latest_version(table_dir)
+    dropped = []
+    for v in range(1, current - keep_last + 1):
+        d = os.path.join(table_dir, f"v={v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+            dropped.append(v)
+    return dropped
