@@ -54,3 +54,24 @@ def train_test_split(
             hash_bucket_hex(key, salt) < _threshold_hex(test_fraction), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    stratum_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction (rebalancing skewed classes), still a single narrow filter
+    — the per-stratum threshold is a CASE expression on the stratum
+    column, the hash is computed once.  Strata absent from ``fractions``
+    are dropped (fraction 0)."""
+    bucket = hash_bucket_hex(key, salt)
+    thr = F.lit("0000")
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -1236,3 +1236,145 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in [0.25, 0.5, 0.75, 0.95]])[F.col("idx")].alias("q"),
         "value",
     )
+
+
+@_register(
+    "incremental_daily_event_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized pre-cutoff
+    aggregate plus a delta aggregate over new data, combined by summing
+    partial counts — the re-aggregation touches ONLY the delta rows plus
+    one tiny summary table, never the history (the 100 TB refresh
+    pattern).  The oracle recomputes from scratch; both must agree
+    because COUNT partials compose."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    cutoff = "2024-01-15"
+    old = (  # stands in for the stored summary of history
+        e.filter(F.col("ts") < F.lit(cutoff))
+        .groupBy(day, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    delta = (
+        e.filter(F.col("ts") >= F.lit(cutoff))
+        .groupBy(day, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        old.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+
+
+@_register(
+    "stratified_sample_counts",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE substr(md5('strat' || CAST(o_orderkey AS VARCHAR)), 1, 4)
+          < CASE o_orderstatus
+                WHEN 'F' THEN '0ccc' WHEN 'O' THEN '0ccc' WHEN 'P' THEN '8000'
+                ELSE '0000' END
+    GROUP BY o_orderstatus
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rare stratum 'P' keeps 50%,
+    common strata keep 5% — class rebalancing as one narrow hash filter
+    (operators/sampling.py), reproducible in any engine."""
+    from ..operators.sampling import stratified_sample
+
+    o = load(spark, sf_dir, "orders")
+    sampled = stratified_sample(
+        o,
+        key="o_orderkey",
+        fractions={"F": 0.05, "O": 0.05, "P": 0.5},
+        stratum_col="o_orderstatus",
+        salt="strat",
+    )
+    return sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "first_last_nth_order",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an UNBOUNDED frame (the frame must be
+    explicit: the default frame stops at CURRENT ROW, making last_value
+    a self-reference — the classic window gotcha)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "datetime_breakdown",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTHS, '%Y-%m-%d')
+               AS plus_3m
+    FROM orders
+    """,
+)
+def datetime_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function breadth: extract family, last_day, add_months —
+    all scalar projections that fuse into the scan."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow_tmp"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+    ).select(
+        "o_orderkey",
+        "y",
+        "q",
+        "m",
+        # Spark dayofweek: Sunday=1..Saturday=7; ISO dow: Monday=1..Sunday=7
+        F.when(F.col("dow_tmp") == 1, 7).otherwise(F.col("dow_tmp") - 1).alias(
+            "iso_dow"
+        ),
+        "doy",
+        "month_end",
+        "plus_3m",
+    )
