@@ -41,6 +41,7 @@ HEADLINE = [
     "rolling_7day_spend",
     "fuzzy_name_match",
     "revenue_share_by_nation",
+    "training_data_pipeline",
 ]
 
 

@@ -406,3 +406,130 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+@_register(
+    "training_data_pipeline",
+    """
+    WITH tok AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, tokens,
+               CAST(length(list_filter(tokens,
+                        t -> list_contains(['the','a','and','is'], t))) AS DOUBLE)
+                   / len(tokens)
+                 - 0.5 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                               AS DOUBLE) / length(text))
+                 + 0.1 * (least(CAST(len(tokens) AS DOUBLE), 100.0) / 100.0) AS q,
+               length(list_filter(tokens, t -> list_contains(['der','die','und','ist'], t))) AS h_de,
+               length(list_filter(tokens, t -> list_contains(['the','a','and','is'], t))) AS h_en,
+               length(list_filter(tokens, t -> list_contains(['el','los','y','es'], t))) AS h_es,
+               length(list_filter(tokens, t -> list_contains(['le','la','et','est'], t))) AS h_fr
+        FROM tok
+    ),
+    kept AS (
+        SELECT doc_id, text FROM scored
+        WHERE q >= 0.05
+          AND greatest(h_de, h_en, h_es, h_fr) > 0
+          AND h_de <> greatest(h_de, h_en, h_es, h_fr)
+          AND h_en = greatest(h_de, h_en, h_es, h_fr)
+    ),
+    ex AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM kept
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) = 1
+    ),
+    ktok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens FROM ex
+    ),
+    pos AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+        FROM ktok
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+        FROM pos
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+               min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+               min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+               min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    dupes AS (
+        SELECT DISTINCT cm.id_b AS doc_id
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+        WHERE CAST(cm.n_common AS DOUBLE)
+              / (na.n_sh + nb.n_sh - cm.n_common) >= 0.5
+    )
+    SELECT e.doc_id,
+           CAST(len(regexp_split_to_array(trim(e.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM ex e
+    WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.doc_id = e.doc_id)
+      AND substr(md5('tdp' || CAST(e.doc_id AS VARCHAR)), 1, 4) < '8000'
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-data prep run — what a user of
+    this engine actually executes nightly: quality filter -> language
+    filter (en) -> exact dedup (fingerprint, keep lowest id) -> near-dup
+    dedup (MinHash+LSH verified Jaccard >= 0.5) -> deterministic 50%
+    sample -> token accounting.  Every stage is one of the engine's
+    proven operators composed lazily into a single Catalyst plan; the
+    oracle replays the identical chain in SQL."""
+    from ..operators.sampling import deterministic_sample
+
+    d = load(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id",
+        "text",
+        TX.quality_score("text").alias("q"),
+        TX.lang_id("text").alias("lang_pred"),
+    ).filter((F.col("q") >= 0.05) & (F.col("lang_pred") == "en"))
+
+    fp = kept.select("doc_id", "text", TX.fingerprint("text").alias("f"))
+    ex = dedup_first(fp, ["f"], ["doc_id"]).select("doc_id", "text")
+
+    sh = shingles(ex)
+    dupes = (
+        jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = ex.join(dupes, "doc_id", "left_anti")
+    sampled = deterministic_sample(survivors, "doc_id", 0.5, salt="tdp")
+    return sampled.select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
