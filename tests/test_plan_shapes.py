@@ -95,3 +95,30 @@ def test_scd2_single_exchange(spark):
     # reuse the user_id hash partitioning: bounded exchanges.
     plan = _plan(spark, "scd2_user_event_history")
     assert plan.count("Exchange") <= 2
+
+
+# Queries whose PLAN legitimately contains a nested-loop join: the
+# brute-force ANN tiers are a deliberate query-x-corpus cross product
+# (broadcast queries, exact scoring), and IVF crosses queries with the
+# tiny centroid table.
+_NESTED_LOOP_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_cosine_topk_vectorized",
+    "ann_ivf_topk",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in relational.QUERIES
+        if not n.startswith("streaming_") and n not in _NESTED_LOOP_ALLOWED
+    ),
+)
+def test_no_accidental_nested_loop_joins(spark, name):
+    # A CartesianProduct or BroadcastNestedLoopJoin anywhere else means a
+    # join predicate failed to become an equi-join key — fatal at 100 TB.
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
