@@ -176,3 +176,32 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: batches arrive as
+    raw ``pyarrow.RecordBatch`` — no pandas materialization, so binary
+    blobs never copy into Python objects until touched.  Preferable when
+    the per-batch work is itself Arrow/numpy-native; output is
+    bit-identical to the pandas path."""
+    import pyarrow as pa
+
+    def featurize(batches):
+        for batch in batches:
+            ids = batch.column("item_id")
+            data = batch.column("data").to_pylist()
+            dims = [decode_image(d, deterministic_fake=True) for d in data]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([len(d) for d in data], type=pa.int64()),
+                    pa.array(
+                        [sum(d) % (1 << 31) for d in data], type=pa.int64()
+                    ),
+                    pa.array([w for w, _ in dims], type=pa.int32()),
+                    pa.array([h for _, h in dims], type=pa.int32()),
+                ],
+                names=["item_id", "n_bytes", "byte_checksum", "width", "height"],
+            )
+
+    return media.mapInArrow(featurize, FEATURE_SCHEMA)

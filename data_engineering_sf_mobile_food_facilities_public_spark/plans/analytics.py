@@ -1378,3 +1378,87 @@ def datetime_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_end",
         "plus_3m",
     )
+
+
+@_register(
+    "flagship_via_sql",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS order_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY order_count DESC, c.c_custkey
+    LIMIT 5
+    """,
+)
+def flagship_via_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the TEXTUAL SQL interface (spark.sql over
+    registered views) — same Catalyst plan as the DataFrame build
+    (airflow.py:654-660 ran this exact shape as SQL text too).  Proves
+    the engine exposes both API surfaces over one catalog."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               COUNT(o.o_orderkey) AS order_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY order_count DESC, c.c_custkey
+        LIMIT 5
+        """
+    )
+
+
+@_register(
+    "shipping_priority_top10",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1997-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): three-way join with date
+    filters pushed to both fact scans, grouped revenue in exact DECIMAL,
+    top-10 via TakeOrderedAndProject (never a global sort)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    rev = (
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -188,3 +188,21 @@ def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_map_in_arrow_matches_pandas_path(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        attach_fake_binary,
+        extract_features,
+        extract_features_arrow,
+    )
+    from tests.conftest import SF_SMOKE
+
+    media = attach_fake_binary(
+        load(spark, SF_SMOKE, "documents"), "doc_id", "text"
+    )
+    a = extract_features(media)
+    b = extract_features_arrow(media)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
