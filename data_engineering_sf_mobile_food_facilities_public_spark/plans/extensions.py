@@ -211,3 +211,38 @@ def streaming_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"dedup_events_{_stream_run_counter[0]}"
     deduped = run_append_to_table(dedup_doubled_stream(spark, sf_dir), name)
     return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@_register(
+    "streaming_session_windows",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization via the built-in session_window
+    (incremental session-state merging) — oracle is the batch
+    gaps-and-islands formulation.  Session start equals min(ts) in both;
+    the >= boundary matches session_window's exclusive session end."""
+    from ..streaming.events_stream import session_window_counts_stream
+
+    _stream_run_counter[0] += 1
+    name = f"session_windows_{_stream_run_counter[0]}"
+    stream = session_window_counts_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, name)

@@ -149,3 +149,25 @@ def run_append_to_table(result: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def session_window_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in streaming SESSION windows: per-user sessions closed by
+    ``gap`` inactivity, state merged incrementally as events arrive and
+    finalized past the watermark.  The batch twin is the
+    lag-plus-running-sum sessionize (operators/timeseries.py) — same
+    sessions, computed incrementally here.  Boundary: an event exactly
+    ``gap`` after the previous one starts a NEW session (session end is
+    exclusive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -206,3 +206,61 @@ def test_map_in_arrow_matches_pandas_path(spark):
     b = extract_features_arrow(media)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_observe_metrics_on_pipeline(spark):
+    """df.observe(): pipeline-health counters collected as a side effect
+    of the action — no second scan (the production observability hook
+    for row counts / null rates at 100 TB)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    obs = Observation("orders_health")
+    o = load(spark, SF_SMOKE, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive_price"
+        ),
+    )
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    m = obs.get
+    assert m["n_rows"] == load(spark, SF_SMOKE, "orders").count()
+    assert m["n_nonpositive_price"] == 0
+    assert 0 < n_f <= m["n_rows"]
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written before and after a column was
+    added read together with mergeSchema; old rows surface null."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "evolving")
+    o = load(spark, SF_SMOKE, "orders")
+    o.select("o_orderkey", "o_totalprice").write.parquet(d + "/batch=1")
+    o.select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("source_tag")
+    ).write.parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "source_tag", "batch"}
+    n = o.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("source_tag").isNull()).count() == n
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    p = str(tmp_path / "orders_orc")
+    o = load(spark, SF_SMOKE, "orders")
+    o.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == o.schema
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
