@@ -1462,3 +1462,45 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@_register(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, value
+    FROM (SELECT o_orderkey,
+                 o_totalprice AS totalprice,
+                 CAST(o_custkey AS DOUBLE) AS custkey_num
+          FROM orders)
+    UNPIVOT (value FOR measure IN (totalprice, custkey_num))
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measures to tall (measure, value) rows — the
+    inverse of pivot, a narrow per-row expansion (no shuffle)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey_num"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@_register("hll_sketch_distinct_parts")  # rows-only: sketch bytes are engine-specific
+def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 datasketches): per-flag sketches
+    built in one pass, then UNIONED into a grand total — the
+    re-aggregatable approximate-distinct pattern (store sketch bytes per
+    partition/day, merge on demand; never recount raw data)."""
+    l = load(spark, sf_dir, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    return per_flag.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_parts")
+    )
