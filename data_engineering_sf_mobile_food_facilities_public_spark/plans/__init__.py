@@ -8,6 +8,7 @@ Importing this package registers every query module into
 from . import analytics as analytics  # windows / set ops / rollup / time-series
 from . import extensions as extensions  # streaming / ml / multimodal
 from . import lakehouse as lakehouse  # merge upsert / scd2 / funnel
+from . import modern_sql as modern_sql  # bitmap / variant / recursive CTE / listagg
 from . import relational as relational  # base registry
 from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries
 from . import similarity_search as similarity_search  # embedding ANN / near-dup

@@ -1,0 +1,341 @@
+"""Modern SQL surface (Spark 4.x): re-aggregatable bitmap distinct,
+mode/median, regression aggregates, LISTAGG, error-safe try_* arithmetic,
+multiset INTERSECT ALL / EXCEPT ALL, recursive CTEs (calendar gap-fill),
+VARIANT semi-structured shredding, and a Count-Min frequency sketch.
+
+The reference has none of these (SURVEY.md section 2 — its one Catalyst
+query is a join+count+top-5, /root/reference/airflow.py:654-660), but a
+100 TB engine is expected to carry them:
+
+* **bitmap distinct** is THE re-aggregatable exact-distinct pattern at
+  scale — store per-(group, bucket) roaring-style bitmaps, OR-merge on
+  demand; never recount raw data (same shape as the HLL sketch query,
+  but exact).
+* **recursive CTE** gap-fill generates the calendar dimension inside the
+  plan — no driver-side date loop, no collect().
+* **VARIANT** (parse_json → variant_get) is Spark 4's shredded
+  semi-structured type: binary-encoded, predicate-pushdown-friendly —
+  the scale path for JSON event properties vs. per-row string parsing.
+* **try_divide** keeps ANSI-mode pipelines total (NULL, not job-abort,
+  on divide-by-zero) — at 100 TB one poison row must not kill the run.
+
+Oracle-exactness notes (tests/parity.py): regression aggregates round(6)
+both sides (incremental covariance accumulation differs in the last ulp
+between engines); mode() is tie-free in the testdata at every SF (ties
+would make both engines' choice unspecified); AVG over exact ints is a
+single double division — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from .relational import _dec, _register
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable exact distinct: bitmap_construct_agg / bitmap_count
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bitmap_distinct_parts_by_flag",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bitmap_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via mergeable bitmaps: group to
+    (flag, bucket) partial bitmaps with map-side combine, then OR/count
+    — the materialized-view-friendly twin of COUNT(DISTINCT), which at
+    scale is stored per partition/day and merged on demand."""
+    l = load(spark, sf_dir, "lineitem")
+    partials = l.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    return partials.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: mode / median / regr_*
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mode_median_by_flag",
+    """
+    SELECT l_returnflag,
+           mode(l_linenumber) AS mode_linenumber,
+           median(l_extendedprice) AS median_price,
+           median(l_linenumber) AS median_linenumber
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def mode_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() (deterministic variant) and median() — single-pass typed
+    aggregates; median is the exact interpolated 0.5-quantile (ints
+    promote to double on interpolation in both engines)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber", True).alias("mode_linenumber"),
+        F.median("l_extendedprice").alias("median_price"),
+        F.median("l_linenumber").alias("median_linenumber"),
+    )
+
+
+@_register(
+    "regr_price_vs_quantity",
+    """
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regr_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI regression aggregates (regr_count/slope/intercept/r2) — the
+    built-in single-pass OLS twin of ml/regression.py, all map-side
+    combinable.  round(6): the engines accumulate covariance in a
+    different order, so the last ulp differs."""
+    l = load(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return l.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG (SQL:2016) — ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "listagg_nations_per_region",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) through the SQL text
+    interface — the standard ordered string aggregation (DuckDB spells
+    it string_agg).  Broadcast join on the 5-row region dim."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe arithmetic: try_divide
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "try_divide_return_rates",
+    """
+    SELECT l_partkey,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS returned_qty,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS return_lines,
+           CASE WHEN COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) = 0 THEN NULL
+                ELSE CAST(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END)
+           END AS qty_per_return
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def try_divide_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide: NULL instead of error/poison on zero denominators
+    (parts with no returned lines) — keeps ANSI-mode pipelines total at
+    scale.  The DuckDB oracle spells the same semantics with CASE."""
+    l = load(spark, sf_dir, "lineitem")
+    is_r = F.when(F.col("l_returnflag") == "R", True)
+    agg = l.groupBy("l_partkey").agg(
+        F.sum(is_r.otherwise(None).cast("int") * _dec("l_quantity"))
+        .cast("double")
+        .alias("returned_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("return_lines"),
+    )
+    return agg.select(
+        "l_partkey",
+        "returned_qty",
+        "return_lines",
+        F.try_divide("returned_qty", "return_lines").alias("qty_per_return"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset algebra: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multiset_customer_orders_h1_vs_h2",
+    """
+    SELECT o_custkey, 'both_halves' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    )
+    UNION ALL
+    SELECT o_custkey, 'early_only' AS tag FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    )
+    """,
+)
+def multiset_customer_orders_h1_vs_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag semantics (per-occurrence, not
+    per-value): customers' order multiplicities before vs. after a date
+    split.  Each set op is one hash shuffle on the key; no dedup pass."""
+    o = load(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    return early.intersectAll(late).withColumn("tag", F.lit("both_halves")).unionAll(
+        early.exceptAll(late).withColumn("tag", F.lit("early_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: in-plan calendar dimension + gap fill
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "calendar_fill_monthly_revenue",
+    """
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+               date_trunc('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ), months(month_start) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM months
+        WHERE month_start < (SELECT hi FROM bounds)
+    ), rev AS (
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(m.month_start, '%Y-%m') AS month,
+           COALESCE(rev.revenue, 0.0) AS revenue,
+           COALESCE(rev.n_orders, 0) AS n_orders
+    FROM months m LEFT JOIN rev ON m.month_start = rev.month_start
+    """,
+)
+def calendar_fill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) generating the month calendar INSIDE the
+    plan, left-joined to monthly revenue so empty months surface as 0 —
+    gap-fill with no driver-side date loop.  The ~80-month recursion is
+    a tiny driver-local spine; the revenue agg is the only shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT trunc(MIN(o_orderdate), 'MM') AS lo,
+                   trunc(MAX(o_orderdate), 'MM') AS hi
+            FROM orders
+        ), months(month_start) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT add_months(month_start, 1) FROM months
+            WHERE month_start < (SELECT hi FROM bounds)
+        ), rev AS (
+            SELECT trunc(o_orderdate, 'MM') AS month_start,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(m.month_start, 'yyyy-MM') AS month,
+               COALESCE(rev.revenue, 0.0D) AS revenue,
+               COALESCE(rev.n_orders, 0L) AS n_orders
+        FROM months m LEFT JOIN rev ON m.month_start = rev.month_start
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: shredded semi-structured event properties
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "variant_shred_event_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+           AVG(CAST(json_extract(props, '$.k') AS INT)) AS k_avg,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max,
+           COUNT(CAST(json_extract(props, '$.k') AS INT)) AS k_present
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_shred_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path: parse_json once into Spark 4's binary
+    semi-structured type, shred typed fields with variant_get, aggregate
+    — the scale path for JSON event properties (columnar, shreddable,
+    no per-row string re-parse; AVG over exact ints is one double
+    division, bit-identical across engines)."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    return (
+        e.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.avg("k").alias("k_avg"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("k_present"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — approximate frequency (rows-only: sketch bytes are
+# engine-specific, like the HLL sketch query)
+# ---------------------------------------------------------------------------
+
+
+@_register("count_min_sketch_flag_freq")  # rows-only: binary sketch format
+def count_min_sketch_flag_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over l_returnflag (eps=1%, conf=99%, fixed seed):
+    sub-linear mergeable frequency summary — the streaming/partitioned
+    answer to 'how often does each key occur' without a full groupBy.
+    Returns the sketch size plus the exact cardinality for context."""
+    l = load(spark, sf_dir, "lineitem")
+    sk = l.agg(
+        F.count_min_sketch("l_returnflag", F.lit(0.01), F.lit(0.99), F.lit(42)).alias(
+            "cms"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+    return sk.select(
+        F.length("cms").alias("sketch_bytes"),
+        "n_rows",
+    )
