@@ -147,6 +147,52 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _register_tws(name: str, sql: str):
+    # transformWithStateInPandas runs a Python state-server process that
+    # speaks protobuf; without the package the query crashes at start,
+    # so the entry only registers where the API can actually run.
+    from ..streaming.stateful import HAS_TRANSFORM_WITH_STATE
+
+    return _register(name, sql) if HAS_TRANSFORM_WITH_STATE else (lambda fn: fn)
+
+
+@_register_tws(
+    "streaming_tws_running_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_tws_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB state
+    store): per-user running (count, max value) in a typed ValueState,
+    emitted in update mode.  Both measures are monotone across
+    micro-batches, so max-over-emissions == the batch GROUP BY — an
+    exact oracle for the successor stateful operator."""
+    from ..streaming.stateful import tws_running_user_stats
+
+    _stream_run_counter[0] += 1
+    name = f"tws_running_stats_{_stream_run_counter[0]}"
+    result = tws_running_user_stats(read_events_stream(spark, sf_dir))
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 @_register(
     "streaming_sliding_window_counts",
     """

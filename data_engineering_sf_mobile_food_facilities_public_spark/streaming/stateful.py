@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+try:  # transformWithState runs a Python state-server that speaks
+    # protobuf; the processor classes import lazily, but without the
+    # protobuf package every query crashes at start — gate on both.
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - environment-dependent
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -59,6 +74,63 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4) — the successor stateful API: typed state
+# variables (value/list/map), timers, TTL, and an explicit processor
+# lifecycle.  Requires the RocksDB state store provider, which is also
+# the at-scale choice (changelog checkpointing, state larger than heap).
+# ---------------------------------------------------------------------------
+
+_TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+class RunningUserStats(StatefulProcessor):
+    """Per-user running (count, max value) in a ValueState variable.
+
+    Both emitted measures are monotone across micro-batches, so
+    max-over-emissions equals the batch COUNT(*) / MAX(value) per key —
+    the same exact-oracle contract as ``running_user_counts``.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("stats", "n BIGINT, mx DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mx = self._state.get() if self._state.exists() else (0, None)
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas (update mode)."""
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStats(),
+        outputStructType=_TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -134,3 +134,25 @@ def test_foreach_batch_incremental_merge(spark, tmp_path):
         got.join(events, ["user_id", "event_type", "ts", "value"]).count()
         == got.count()
     )
+
+
+def test_transform_with_state_running_stats(spark):
+    """transformWithStateInPandas (Spark 4 stateful API): needs the
+    protobuf-speaking Python state server — skip where absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.extensions import (
+        streaming_tws_running_stats,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = streaming_tws_running_stats(spark, SF_SMOKE).orderBy("user_id")
+    want = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .orderBy("user_id")
+    )
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
