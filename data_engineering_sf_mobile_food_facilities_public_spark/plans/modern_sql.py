@@ -339,3 +339,142 @@ def count_min_sketch_flag_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("cms").alias("sketch_bytes"),
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join distribution (two-level aggregation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q13_customer_order_distribution",
+    """
+    SELECT order_count, COUNT(*) AS num_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority NOT LIKE '%URGENT%'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY order_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customers-per-order-count histogram.  Left join with a
+    pushed residual predicate on the join's probe side, then two
+    aggregations — the second groups on the first's output, so AQE can
+    coalesce its tiny shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count("*").alias("num_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL join surface)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lateral_long_words_per_doc",
+    """
+    SELECT d.doc_id,
+           COUNT(*) AS long_words,
+           MAX(length(x.w)) AS max_len
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) x
+    WHERE length(x.w) > 8
+    GROUP BY d.doc_id
+    """,
+)
+def lateral_long_words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL text interface — the
+    standard spelling of 'explode this row-derived relation'.  Catalyst
+    rewrites it to a Generate (no nested-loop); same plan as the
+    DataFrame explode path."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               COUNT(*) AS long_words,
+               MAX(length(x.w)) AS max_len
+        FROM documents d,
+             LATERAL (SELECT explode(split(d.text, ' ')) AS w) x
+        WHERE length(x.w) > 8
+        GROUP BY d.doc_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regexp function breadth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "regexp_doc_features",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([a-z]{7,})', 1)) AS n_long_tokens,
+           split_part(source, '_', 1) AS source_head,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_len
+    FROM documents
+    """,
+)
+def regexp_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface (regexp_extract_all / split_part /
+    regexp_replace) — narrow per-row projections, fully codegen'd
+    JVM-side; patterns restricted to the POSIX-common subset both
+    engines' regex dialects agree on."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("([a-z]{7,})"), 1)).alias(
+            "n_long_tokens"
+        ),
+        F.split_part("source", F.lit("_"), F.lit(1)).alias("source_head"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("consonant_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (injection-safe named binds)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "parameterized_sql_big_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def parameterized_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...)): literals bound
+    server-side as typed parameters, not string-spliced — the
+    injection-safe API surface; Catalyst still constant-folds and
+    pushes the bound predicate to the scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0},
+    )
