@@ -54,3 +54,20 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (built-in since Spark 4): executor-parallel, one
+    document per partition file.  Same rule as CSV: the sink exists for
+    interchange with legacy feeds, not as an analytical format."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row"
+) -> DataFrame:
+    """XML scan with a mandatory explicit schema (no inference) — XML
+    inference is a full extra pass over the data at scale."""
+    return (
+        spark.read.schema(schema).option("rowTag", row_tag).format("xml").load(path)
+    )

@@ -264,3 +264,19 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(p)
     assert back.schema == o.schema
     assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """XML source/sink (built-in since Spark 4): schema'd round-trip
+    preserves types; reads never infer."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.files import (
+        read_xml,
+        write_xml,
+    )
+
+    df = load(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_xml")
+    write_xml(df, path, row_tag="nation")
+    back = read_xml(spark, path, df.schema, row_tag="nation")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

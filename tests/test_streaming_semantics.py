@@ -156,3 +156,50 @@ def test_transform_with_state_running_stats(spark):
         .orderBy("user_id")
     )
     assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+
+def test_state_store_reader(spark, tmp_path):
+    """Offline state inspection: the statestore/state-metadata sources
+    read a stopped query's keyed state straight from its checkpoint and
+    it equals the batch aggregate over the same input."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.stateful import (
+        running_user_counts,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.state_inspect import (
+        read_keyed_state,
+        state_metadata,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        running_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("state_reader_probe")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = read_keyed_state(spark, ckpt)
+    want = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    got = {r.user_id: r.n for r in state.collect()}
+    assert got == {r.user_id: r.n for r in want.collect()}
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert meta[0].operatorName == "applyInPandasWithState"
+    # multiple micro-batches actually ran (maxFilesPerTrigger=1 x 3 files)
+    assert meta[0].maxBatchId >= 2
