@@ -21,7 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 API_SCHEMA = T.StructType(
@@ -76,12 +81,54 @@ class PagedApiReader(DataSourceReader):
         return page_rows(partition.page, partition.page_size)
 
 
+class PagedApiStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same page contract: the offset is the
+    next unread page, each batch covers up to ``pages_per_batch`` new
+    pages (bounded by ``max_pages``), and every page in a batch is its
+    own executor-side partition — ingestion parallelism == page count,
+    replay is exact because offsets are page numbers."""
+
+    def __init__(self, options: dict):
+        self.page_size = int(options.get("page_size", "500"))
+        self.pages_per_batch = int(options.get("pages_per_batch", "2"))
+        self.max_pages = int(options.get("max_pages", "6"))
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        # Rate limiting lives HERE: each poll advances at most
+        # pages_per_batch, capped at max_pages (a real API would probe
+        # its cursor) — so drains terminate and batches stay bounded.
+        self._cursor = min(self._cursor + self.pages_per_batch, self.max_pages)
+        return {"page": self._cursor}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # must honor the exact [start, end) range the engine asks for —
+        # clamping here would skip committed-but-unread pages on replay
+        return [
+            _PagePartition(p, self.page_size)
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        return page_rows(partition.page, partition.page_size)
+
+    def commit(self, end: dict) -> None:
+        # a real API source would ack/expire its server-side cursor
+        pass
+
+
 class PagedApiDataSource(DataSource):
     """Usage::
 
         spark.dataSource.register(PagedApiDataSource)
         df = (spark.read.format("paged_api")
               .option("pages", 8).option("page_size", 250).load())
+
+        stream = (spark.readStream.format("paged_api")
+                  .option("max_pages", 6).option("page_size", 250).load())
     """
 
     @classmethod
@@ -93,3 +140,6 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return PagedApiReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return PagedApiStreamReader(self.options)

@@ -72,3 +72,41 @@ def test_api_datasource_scans_in_page_partitions(spark):
         .load()
     )
     assert df.exceptAll(df2).count() == 0
+
+
+def test_paged_api_stream_reader(spark):
+    """Custom Python streaming data source: page-cursor offsets, one
+    partition per page, bounded micro-batches — drains exactly
+    max_pages * page_size rows and replays nothing twice."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.api_source import (
+        PagedApiDataSource,
+        page_rows,
+    )
+
+    try:
+        spark.dataSource.register(PagedApiDataSource)
+    except Exception:
+        pass  # already registered by the batch test in this session
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("max_pages", 4)
+        .option("pages_per_batch", 2)
+        .option("page_size", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paged_api_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("paged_api_stream")
+    assert got.count() == 4 * 100
+    # exactly-once: no page fetched twice, and rows match the page contract
+    assert got.select("record_id").distinct().count() == 400
+    want = sorted(r for p in range(4) for r in page_rows(p, 100))
+    assert sorted(map(tuple, got.collect())) == want
