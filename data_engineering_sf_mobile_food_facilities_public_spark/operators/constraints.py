@@ -52,3 +52,29 @@ def check_fk_orphans(
         .distinct()
         .join(parent.select(*parent_keys).distinct(), cond, "left_anti")
     )
+
+
+def run_expectations(
+    df: DataFrame, rules: Sequence[tuple[str, F.Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations (dbt-test / Deequ shape):
+    ``rules`` maps a name to a boolean "row is valid" expression; the
+    result is one row per rule with its violation count.
+
+    All rules evaluate in a SINGLE scan — each becomes a conditional
+    count in one aggregate — then the 1-row result unpivots to
+    (rule, violations).  Adding a rule never adds a pass over the data,
+    which is the property that matters at 100 TB.
+    """
+    agg = df.agg(
+        *[
+            F.count(F.when(~valid, F.lit(1))).alias(name)
+            for name, valid in rules
+        ]
+    )
+    return agg.unpivot(
+        ids=[],
+        values=[name for name, _ in rules],
+        variableColumnName="rule",
+        valueColumnName="violations",
+    )

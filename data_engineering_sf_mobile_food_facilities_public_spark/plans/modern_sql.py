@@ -478,3 +478,177 @@ def parameterized_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDAF (GROUPED_AGG) — the UDF-triad completion
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "udaf_weighted_avg_discount",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6)
+             AS wavg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas_udf: quantity-weighted
+    mean discount per flag.  Arrow moves each group as one Series batch;
+    no per-row Python.  round(6) absorbs the float-summation-order
+    difference vs the oracle's built-in SUMs (see functions/udafs.py for
+    the no-partial-agg scale caveat)."""
+    from ..functions.udafs import weighted_mean
+
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_discount", "l_quantity"), 6).alias(
+            "wavg_discount"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window (batch) — the built-in twin of operators/
+# timeseries.sessionize
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "session_window_user_activity",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def session_window_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window in BATCH groupBy: 30-minute-gap sessions
+    per user in one aggregate operator (merging session state in the
+    agg hash map) — no window-function pass, one shuffle on user_id.
+    The oracle derives the same sessions with lag + running sum; session
+    end is last event + gap by definition.
+
+    The custom twin (operators/timeseries.sessionize) exists for
+    semantics session_window can't express (per-key dynamic gaps,
+    session caps); prefer this built-in when plain gap sessions are
+    enough."""
+    e = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (single-pass)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "expectations_orders",
+    """
+    SELECT 'custkey_not_null' AS rule,
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           COUNT(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           COUNT(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                           AND o_orderdate < TIMESTAMP '2000-01-01') THEN 1 END)
+    FROM orders
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test/Deequ-style expectations over orders: not-null, range,
+    accepted-values, date-bounds — all counted in ONE scan (conditional
+    counts in a single aggregate, then unpivoted to (rule, violations)).
+    The oracle's UNION ALL of scans is the shape this operator avoids."""
+    from ..operators.constraints import run_expectations
+
+    o = load(spark, sf_dir, "orders")
+    return run_expectations(
+        o,
+        [
+            ("custkey_not_null", F.col("o_custkey").isNotNull()),
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("status_in_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "orderdate_in_range",
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion / association statistics breadth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dispersion_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_s,
+           ROUND(covar_pop(l_extendedprice, l_quantity), 6) AS covar_p,
+           ROUND(stddev_samp(l_extendedprice), 6) AS price_sd,
+           ROUND(var_samp(l_extendedprice), 6) AS price_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def dispersion_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop / stddev / variance — single-pass
+    co-moment aggregates, all map-side combinable; round(6) for the
+    engines' accumulation-order ulp (same note as regr_*)."""
+    l = load(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 6).alias("covar_s"),
+        F.round(F.covar_pop(y, x), 6).alias("covar_p"),
+        F.round(F.stddev_samp(y), 6).alias("price_sd"),
+        F.round(F.var_samp(y), 6).alias("price_var"),
+    )

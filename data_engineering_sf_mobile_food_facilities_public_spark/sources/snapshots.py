@@ -25,8 +25,10 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LATEST = "_latest"
 
@@ -74,3 +76,39 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(d)
             dropped.append(v)
     return dropped
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    version_old: int,
+    version_new: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-feed between two snapshot versions: one row per
+    changed key tagged insert / delete / update (CDC the reference's
+    weekly full-reload pipeline can't produce — airflow.py re-INSERTs
+    every row, /root/reference/airflow.py:462-508).
+
+    One full-outer join on the key; non-key columns compare via a
+    single murmur3 row-hash on each side, so the shuffle carries
+    (key, hash) instead of whole rows for the unchanged majority.
+    """
+    old = read_snapshot(spark, table_dir, version_old)
+    new = read_snapshot(spark, table_dir, version_new)
+    keys = list(keys)
+    payload = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.hash(*payload).alias("_h_old"))
+    n = new.select(*keys, F.hash(*payload).alias("_h_new"))
+    joined = o.join(n, keys, "full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_h_old").isNull(), F.lit("insert"))
+        .when(F.col("_h_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+    ).filter(
+        F.col("_h_old").isNull()
+        | F.col("_h_new").isNull()
+        | (F.col("_h_old") != F.col("_h_new"))
+    )

@@ -71,3 +71,41 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     got_years = {r.year for r in joined.select("year").distinct().collect()}
     assert got_years == {1998}
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """diff_snapshots derives an exact insert/update/delete change feed
+    between two published versions."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.snapshots import (
+        diff_snapshots,
+    )
+
+    table = str(tmp_path / "orders_tbl")
+    o = load(spark, SF_SMOKE, "orders")
+    v1 = write_snapshot(o.filter(F.col("o_orderkey") > 10), table)
+    # v2: delete keys > 9000, update (reprice) keys < 100, insert keys <= 10
+    v2 = write_snapshot(
+        o.filter(F.col("o_orderkey") <= 9000).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") < 100, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        table,
+    )
+
+    diff = diff_snapshots(spark, table, v1, v2, keys=["o_orderkey"])
+    by_type = {
+        r.change_type: r.n
+        for r in diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    want_inserts = o.filter(F.col("o_orderkey") <= 10).count()
+    want_deletes = o.filter(F.col("o_orderkey") > 9000).count()
+    want_updates = o.filter(
+        (F.col("o_orderkey") < 100) & (F.col("o_orderkey") > 10)
+    ).count()
+    assert by_type.get("insert", 0) == want_inserts
+    assert by_type.get("delete", 0) == want_deletes
+    assert by_type.get("update", 0) == want_updates
+    # and nothing else changed
+    assert diff.count() == want_inserts + want_deletes + want_updates
