@@ -652,3 +652,49 @@ def dispersion_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp(y), 6).alias("price_sd"),
         F.round(F.var_samp(y), 6).alias("price_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map type surface: build -> transform -> filter -> explode back to rows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "map_status_counts_by_priority",
+    """
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderstatus AS status, cnt * 2 AS doubled
+    FROM counts WHERE cnt * 2 >= 10
+    """,
+)
+def map_status_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-priority status->count map built
+    with map_from_entries(collect_list(struct)), values rewritten with
+    transform_values, pruned with map_filter, then exploded back to
+    rows.  The map stays tiny (|statuses| entries per group), so the
+    interpreted higher-order lambdas touch O(groups) values, not
+    O(rows) — the collect_list feeding it is the part that must stay
+    bounded at scale (bounded key domain here)."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    maps = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "cnt"))
+        ).alias("status_counts")
+    )
+    transformed = maps.select(
+        "o_orderpriority",
+        F.map_filter(
+            F.transform_values("status_counts", lambda k, v: v * 2),
+            lambda k, v: v >= 10,
+        ).alias("status_counts"),
+    )
+    return transformed.select(
+        "o_orderpriority",
+        F.explode("status_counts").alias("status", "doubled"),
+    )

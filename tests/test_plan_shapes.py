@@ -122,3 +122,46 @@ def test_no_accidental_nested_loop_joins(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """Join hints steer the physical strategy: BROADCAST forces a
+    BroadcastHashJoin, SHUFFLE_MERGE forces a SortMergeJoin — the manual
+    overrides for when stats mislead the planner at scale."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    c = load(spark, SF_SMOKE, "customer")
+    o = load(spark, SF_SMOKE, "orders")
+
+    broadcast_plan = o.join(
+        c.hint("broadcast"), o.o_custkey == c.c_custkey
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in broadcast_plan
+
+    smj_plan = o.join(
+        c.hint("shuffle_merge"), o.o_custkey == c.c_custkey
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj_plan
+
+
+def test_cache_table_plan_and_release(spark):
+    """catalog.cacheTable materializes an InMemoryRelation reused by
+    later plans; uncache releases it — the explicit reuse surface for
+    iterative consumers (lineage stays intact for recompute)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import (
+        register_views,
+    )
+    from tests.conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    spark.catalog.cacheTable("nation")
+    try:
+        assert spark.catalog.isCached("nation")
+        df = spark.table("nation").groupBy("n_regionkey").count()
+        df.collect()  # materialize the cache, finalize the AQE plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "In-memory table" in plan
+    finally:
+        spark.catalog.uncacheTable("nation")
+    assert not spark.catalog.isCached("nation")
