@@ -42,6 +42,10 @@ HEADLINE = [
     "fuzzy_name_match",
     "revenue_share_by_nation",
     "training_data_pipeline",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "bitmap_distinct_parts_by_flag",
+    "session_window_user_activity",
 ]
 
 

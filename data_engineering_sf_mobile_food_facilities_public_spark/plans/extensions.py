@@ -147,6 +147,36 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "streaming_complete_event_type_counts",
+    """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_complete_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode: every trigger re-emits the FULL aggregate
+    state (the mode for small always-fresh result tables, e.g. live
+    leaderboards).  After an AvailableNow drain the memory sink holds
+    exactly the batch GROUP BY — no monotone-max reduction needed,
+    which is the observable difference from update mode."""
+    _stream_run_counter[0] += 1
+    name = f"complete_counts_{_stream_run_counter[0]}"
+    counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _register_tws(name: str, sql: str):
     # transformWithStateInPandas runs a Python state-server process that
     # speaks protobuf; without the package the query crashes at start,

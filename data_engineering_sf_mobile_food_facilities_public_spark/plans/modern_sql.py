@@ -698,3 +698,128 @@ def map_status_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderpriority",
         F.explode("status_counts").alias("status", "doubled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate -> HAVING -> join back to detail
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity clears a threshold, joined
+    back to customer detail.  The HAVING prefilter is a semi-join input
+    built from a partial-aggregated groupBy — the big lineitem table is
+    scanned once for the filter and once for the final sum, and the
+    filter side arrives at the join as just the qualifying keys."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    # big renames its key: it derives from `l`, and the later semi-join
+    # would otherwise be an ambiguous self-reference
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile_disc — the discrete quantile twin of median/percentile
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "percentile_disc_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_disc_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc (WITHIN GROUP): returns an ACTUAL data value at
+    each quantile, not an interpolation — exact cross-engine equality
+    with no float tolerance, and the variant to use when the quantile
+    must be a real observed value (e.g. a latency sample)."""
+    o = load(spark, sf_dir, "orders")
+    exprs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(name)
+        for q, name in ((0.25, "p25"), (0.50, "p50"), (0.90, "p90"))
+    ]
+    return o.groupBy("o_orderstatus").agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Numeric RANGE window frame (value-based, not row-based)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "range_frame_price_neighbors",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS neighbors_1k
+    FROM orders
+    """,
+)
+def range_frame_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame over a numeric ordering: for each order,
+    how many same-status orders priced within +-1000 — a sliding
+    neighborhood count with one shuffle on the partition key and a sort
+    the frame scan rides (ties share a frame by definition, so the
+    result is deterministic under any partitioning)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("neighbors_1k"),
+    )

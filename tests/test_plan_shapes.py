@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
 from tests.conftest import SF_SMOKE
 
@@ -165,3 +167,43 @@ def test_cache_table_plan_and_release(spark):
     finally:
         spark.catalog.uncacheTable("nation")
     assert not spark.catalog.isCached("nation")
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter injection: a selective dimension filter puts
+    a bloom_filter_agg semi-filter on the fact side of a shuffle join,
+    so most fact rows drop BEFORE the exchange — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching slice.  (Broadcast joins don't need it, so the test pins a
+    shuffle join.)"""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 350000)
+        l = load(spark, SF_SMOKE, "lineitem")
+        plan = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
