@@ -823,3 +823,55 @@ def range_frame_price_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count("*").over(w).alias("neighbors_1k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit cross join: dense dimension grid + zero-fill
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cross_join_region_status_grid",
+    """
+    WITH counts AS (
+        SELECT n.n_regionkey, o.o_orderstatus, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT r.r_name, s.o_orderstatus AS status,
+           COALESCE(counts.n_orders, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN counts ON r.r_regionkey = counts.n_regionkey
+                    AND s.o_orderstatus = counts.o_orderstatus
+    """,
+)
+def cross_join_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate CROSS JOIN: the dense region x status grid, left-joined
+    to observed counts so absent combinations surface as 0.  Cartesian
+    products are fatal between large inputs, but dim x dim grids are the
+    sanctioned use — both sides are tiny, the product stays driver-small,
+    and the fact-side aggregation happens BEFORE the grid join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    grid = r.crossJoin(o.select("o_orderstatus").distinct())
+    return grid.join(
+        counts,
+        (grid.r_regionkey == counts.n_regionkey)
+        & (grid.o_orderstatus == counts.o_orderstatus),
+        "left",
+    ).select(
+        "r_name",
+        grid.o_orderstatus.alias("status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )

@@ -85,3 +85,32 @@ def test_merge_matches_pandas(spark):
         .sort_index()
     )
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_merge_asof_matches_pandas(spark):
+    """Distributed merge_asof — the pandas twin of the engine's custom
+    as-of join (operators/timeseries.asof_join)."""
+    quotes = pd.DataFrame(
+        {
+            "time": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10"]
+            ),
+            "px": [100.0, 101.0, 102.0],
+        }
+    )
+    trades = pd.DataFrame(
+        {
+            "time": pd.to_datetime(
+                ["2024-01-01 10:01", "2024-01-01 10:06", "2024-01-01 10:11"]
+            ),
+            "qty": [5, 7, 9],
+        }
+    )
+    got = (
+        ps.merge_asof(ps.from_pandas(trades), ps.from_pandas(quotes), on="time")
+        .sort_values("time")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(trades, quotes, on="time")
+    pd.testing.assert_frame_equal(got, want)

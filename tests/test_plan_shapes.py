@@ -107,6 +107,9 @@ _NESTED_LOOP_ALLOWED = {
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
     "ann_ivf_topk",
+    # dim x dim dense grid: a deliberate tiny cartesian (5 regions x
+    # |statuses|) — the fact side is pre-aggregated before the grid join
+    "cross_join_region_status_grid",
 }
 
 

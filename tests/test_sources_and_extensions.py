@@ -280,3 +280,27 @@ def test_xml_round_trip(spark, tmp_path):
     back = read_xml(spark, path, df.schema, row_tag="nation")
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_transpose_and_to_arrow(spark):
+    """Spark 4 API surface: df.transpose() pivots a small frame about its
+    first column; df.toArrow() hands the result to the Arrow ecosystem
+    zero-copy (both driver-bounded — for small summaries only)."""
+    summary = (
+        load(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    t = summary.transpose()
+    # statuses become columns; the two measures become rows
+    statuses = [r.o_orderstatus for r in summary.collect()]
+    assert t.columns == ["key"] + statuses
+    assert {r.key for r in t.collect()} == {"n", "avg_price"}
+
+    at = summary.toArrow()
+    assert at.num_rows == summary.count()
+    assert at.column_names == summary.columns
