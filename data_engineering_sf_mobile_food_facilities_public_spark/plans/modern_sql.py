@@ -875,3 +875,95 @@ def cross_join_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame
         grid.o_orderstatus.alias("status"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: cume_dist / percent_rank
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "distribution_windows",
+    """
+    SELECT o_orderkey,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank — relative-position windows (both
+    tie-stable: equal order keys share a value, so no tiebreak column is
+    needed).  Same single-shuffle window execution as the ranking
+    family; round(6) for the engines' division ulp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bitwise_agg_orderkeys",
+    """
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bitwise_agg_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor — commutative-associative integer
+    folds, fully map-side combinable (the xor fold doubles as a cheap
+    order-insensitive content checksum for partition reconciliation)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar edge functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "calendar_edge_functions",
+    """
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,
+           quarter(o_orderdate) AS qtr,
+           weekofyear(o_orderdate) AS iso_week,
+           strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d')
+             AS plus_30d
+    FROM orders
+    """,
+)
+def calendar_edge_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-edge scalar functions (last_day / dayofweek / quarter /
+    ISO week / date_add) — narrow codegen'd projections.  Cross-engine
+    shim captured in the oracle: DuckDB numbers Sunday 0, Spark 1."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+    )
