@@ -148,6 +148,51 @@ def streaming_running_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "streaming_stream_stream_join",
+    """
+    SELECT a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within 1 hour of
+    a view by the same user.  Inner matches emit as found, so the
+    AvailableNow drain equals the batch interval join exactly — the
+    oracle is that batch join."""
+    from ..streaming.events_stream import interval_join_streams
+
+    _stream_run_counter[0] += 1
+    name = f"stream_stream_join_{_stream_run_counter[0]}"
+    views = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join_streams(views, purchases, "1 hour").select(
+        F.col("l.user_id").alias("user_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@_register(
     "streaming_complete_event_type_counts",
     """
     SELECT event_type, COUNT(*) AS n_events

@@ -733,18 +733,23 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    # big renames its key: it derives from `l`, and the later semi-join
-    # would otherwise be an ambiguous self-reference
+    # big renames its key: it derives from `l`, and the later semi-joins
+    # would otherwise be ambiguous self-references
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 150)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
+    # push the semi-filter onto BOTH fact inputs before the wide join:
+    # the qualifying-key set is small (it broadcasts), so orders and
+    # lineitem each shrink to the matching slice and the o x l join
+    # never materializes non-qualifying rows
+    o_big = o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+    l_big = l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(l_big, o_big.o_orderkey == l_big.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .select(

@@ -171,3 +171,27 @@ def session_window_counts_stream(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame, right: DataFrame, gap: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: right rows within
+    [left.ts, left.ts + gap] per user.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so each side's buffered state is evicted once
+    the other side's watermark passes the interval — state stays
+    O(in-flight window), not O(stream).  Inner-join matches emit as soon
+    as both rows arrive (the watermark only gates state cleanup), so an
+    AvailableNow drain yields exactly the batch join result.
+    """
+    l = left.withWatermark("ts", "2 hours").alias("l")
+    r = right.withWatermark("ts", "2 hours").alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + interval {gap}"
+        ),
+    )
