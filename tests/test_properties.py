@@ -1,0 +1,89 @@
+"""Property-based partition-invariance tests (hypothesis).
+
+The engine's central distributed-correctness claim (SCALE.md last
+section): no operator's RESULT may depend on how rows are partitioned or
+in what order partitions are visited.  These tests generate small random
+datasets and assert the result is bit-identical across different
+partition counts — the property the DuckDB oracle enforces indirectly,
+checked here directly and generatively.
+
+Spark jobs are slow per example, so examples are few and shapes small;
+the generators aim at the known hazard points (duplicate keys, ties,
+negative values) rather than volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.dedup import (
+    dedup_first,
+)
+from data_engineering_sf_mobile_food_facilities_public_spark.operators.merge import (
+    merge_upsert,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# rows: (key, seq, value) with deliberately colliding keys and seqs
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _df(spark, rows, n_parts):
+    return spark.createDataFrame(
+        rows, "key INT, seq INT, value INT"
+    ).repartition(n_parts)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@given(rows=_ROWS, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_dedup_first_partition_invariant(spark, rows, parts):
+    """dedup_first's named total order (seq, then value as tiebreak)
+    yields the same survivor per key under any partitioning."""
+    got = _rows(dedup_first(_df(spark, rows, parts), ["key"], ["seq", "value"]))
+    want = _rows(dedup_first(_df(spark, rows, 2), ["key"], ["seq", "value"]))
+    assert got == want
+
+
+@given(rows=_ROWS, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_grouped_sum_partition_invariant(spark, rows, parts):
+    """Integer aggregation (exact arithmetic) is summation-order-free;
+    with the DECIMAL-at-the-edge rule this extends to doubles."""
+    a = _rows(_df(spark, rows, parts).groupBy("key").agg(F.sum("value").alias("s")))
+    b = _rows(_df(spark, rows, 2).groupBy("key").agg(F.sum("value").alias("s")))
+    assert a == b
+
+
+@given(rows=_ROWS, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_merge_upsert_idempotent_and_partition_invariant(spark, rows, parts):
+    """MERGE newest-wins: applying the same delta twice equals applying
+    it once, under any partitioning (the lakehouse upsert contract;
+    both inputs key-unique per the operator's contract)."""
+    base = dedup_first(_df(spark, rows, parts), ["key"], ["seq", "value"])
+    delta = base.withColumn("seq", F.col("seq") + 1)
+    once = merge_upsert(base, delta, keys=["key"])
+    twice = merge_upsert(once, delta, keys=["key"])
+    assert _rows(once) == _rows(twice)
+    # and the merged table is partition-count independent
+    base2 = dedup_first(_df(spark, rows, 2), ["key"], ["seq", "value"])
+    delta2 = base2.withColumn("seq", F.col("seq") + 1)
+    assert _rows(once) == _rows(merge_upsert(base2, delta2, keys=["key"]))
