@@ -972,3 +972,138 @@ def calendar_edge_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plus_30d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar string breadth + least/greatest
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "string_scalar_breadth",
+    """
+    SELECT c_custkey,
+           lpad(c_name, 25, '*') AS padded,
+           rpad(c_mktsegment, 12, '.') AS segment_padded,
+           reverse(c_name) AS reversed,
+           left(c_name, 8) AS head8,
+           right(c_name, 5) AS tail5,
+           repeat(c_mktsegment, 2) AS seg_twice,
+           least(c_custkey, c_nationkey) AS lo,
+           greatest(c_custkey, c_nationkey) AS hi
+    FROM customer
+    """,
+)
+def string_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/rpad/reverse/left/right/repeat + least/greatest — narrow
+    codegen'd projections (the fixed-width padding functions are the
+    usual key-normalization tools before byte-ordered layouts)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 25, "*").alias("padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("segment_padded"),
+        F.reverse("c_name").alias("reversed"),
+        F.expr("left(c_name, 8)").alias("head8"),
+        F.expr("right(c_name, 5)").alias("tail5"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.least("c_custkey", "c_nationkey").alias("lo"),
+        F.greatest("c_custkey", "c_nationkey").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# to_json — structured row -> JSON document rendering
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "to_json_order_documents",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(
+               orderkey := o_orderkey,
+               status := o_orderstatus,
+               price := CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+           )) AS doc
+    FROM orders
+    """,
+)
+def to_json_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(...)): rows rendered as JSON documents inside the
+    plan (the sink-side inverse of the from_json flatten path).  The
+    price goes through DECIMAL so the JSON number renders identically in
+    both engines — raw doubles would expose shortest-repr differences."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_orderstatus").alias("status"),
+                # as a string: Spark's JSON keeps decimal scale
+                # ("188990.90") where DuckDB strips it (188990.9)
+                _dec("o_totalprice").cast("string").alias("price"),
+            )
+        ).alias("doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array set algebra: union / intersect / except over collected arrays
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_set_ops_region_pairs",
+    """
+    WITH sets AS (
+        SELECT r.r_regionkey, r.r_name,
+               list_sort(list(DISTINCT substr(n.n_name, 1, 1))) AS initials
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_regionkey, r.r_name
+    )
+    SELECT a.r_name AS region_a, b.r_name AS region_b,
+           list_aggr(list_sort(list_distinct(list_concat(a.initials, b.initials))),
+                     'string_agg', ',') AS union_initials,
+           COALESCE(list_aggr(list_sort(list_intersect(a.initials, b.initials)),
+                     'string_agg', ','), '') AS common_initials,
+           COALESCE(list_aggr(list_sort(list_filter(a.initials,
+                     x -> NOT list_contains(b.initials, x))),
+                     'string_agg', ','), '') AS only_a_initials
+    FROM sets a JOIN sets b ON a.r_regionkey < b.r_regionkey
+    """,
+)
+def array_set_ops_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_union / array_intersect / array_except over per-region
+    nation-initial sets, for every region pair.  Array set algebra works
+    element-wise inside a row — no shuffle once the arrays exist; the
+    dim-pair inequality join is a sanctioned tiny cross (5x4/2 rows).
+    Sorted + joined to strings so the oracle compare is order-free."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    sets = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.substring("n_name", 1, 1))
+            ).alias("initials")
+        )
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    joined = a.join(b, F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+    return joined.select(
+        F.col("a.r_name").alias("region_a"),
+        F.col("b.r_name").alias("region_b"),
+        F.array_join(
+            F.array_sort(F.array_union("a.initials", "b.initials")), ","
+        ).alias("union_initials"),
+        F.array_join(
+            F.array_sort(F.array_intersect("a.initials", "b.initials")), ","
+        ).alias("common_initials"),
+        F.array_join(
+            F.array_sort(F.array_except("a.initials", "b.initials")), ","
+        ).alias("only_a_initials"),
+    )

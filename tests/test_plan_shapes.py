@@ -110,6 +110,8 @@ _NESTED_LOOP_ALLOWED = {
     # dim x dim dense grid: a deliberate tiny cartesian (5 regions x
     # |statuses|) — the fact side is pre-aggregated before the grid join
     "cross_join_region_status_grid",
+    # region-pair inequality join: 5x4/2 rows by construction
+    "array_set_ops_region_pairs",
 }
 
 
