@@ -1107,3 +1107,142 @@ def array_set_ops_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_except("a.initials", "b.initials")), ","
         ).alias("only_a_initials"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-touch cohort x activity period)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_retention_daily",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset, COUNT(*) AS active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity — the canonical product-analytics
+    rollup.  Two shuffles on user_id (first-touch agg + the join back)
+    share partitioning; the distinct collapses repeat visits before the
+    final small aggregate."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("active_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "active_users",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Groupwise top-k (rank window + filter)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top2_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise top-k: each customer's two priciest orders via a
+    row_number window + filter (orderkey tiebreak names a total order).
+    One shuffle on the group key; Spark pushes the rn <= 2 bound into
+    the window sort as a group-limit, so no full per-group sort output
+    materializes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month change (aggregate -> lag window on the series)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mom_revenue_change",
+    """
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS change,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS pct_change
+    FROM monthly
+    """,
+)
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: aggregate to a tiny series, then
+    a lag window over it.  The unpartitioned window is safe HERE because
+    it runs on the ~80-row aggregate, never the fact table — the pattern
+    to call out in review at scale.  round() keeps the double division
+    cross-engine stable."""
+    from pyspark.sql import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.trunc("o_orderdate", "MM"), "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("change"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
