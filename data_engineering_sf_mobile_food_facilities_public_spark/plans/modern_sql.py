@@ -28,6 +28,7 @@ single double division — bit-identical across engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1245,4 +1246,104 @@ def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - prev, 2).alias("change"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot with MULTIPLE aggregates per cell
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pivot_multi_agg_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_revenue,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_revenue,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with two aggregates per cell (count + revenue): explicit
+    pivot values keep the schema static (no extra distinct-values job),
+    and every cell is a conditional aggregate in ONE pass — the oracle's
+    FILTER clauses are exactly what the pivot compiles to."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(*) is rejected inside Pivot; count(lit(1)) is the same
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_revenue").alias("f_revenue"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_revenue").alias("o_revenue"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_revenue").alias("p_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-variable lookup inside a Pandas UDF (model-shipping pattern)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "broadcast_dict_region_lookup",
+    """
+    SELECT n.n_nationkey, r.r_name AS region_name, COUNT(c.c_custkey) AS n_customers
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, r.r_name
+    """,
+)
+def broadcast_dict_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sc.broadcast of a driver-built lookup dict consumed inside an
+    Arrow pandas_udf — how model weights / vocab / label maps ship to
+    executors (one copy per executor, not per task).  The oracle proves
+    the lookup equals the equivalent dimension join; for RELATIONAL
+    lookups prefer the join (Catalyst can't see through a UDF) — the
+    broadcast pattern is for objects joins can't express."""
+    from pyspark.sql.functions import pandas_udf
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = load(spark, sf_dir, "customer")
+    mapping = {
+        row.n_nationkey: row.r_name
+        for row in n.join(r, n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "r_name")
+        .collect()
+    }
+    bc = spark.sparkContext.broadcast(mapping)
+
+    @pandas_udf("string")
+    def region_of(nk: pd.Series) -> pd.Series:
+        m = bc.value
+        return nk.map(m)
+
+    return (
+        n.select("n_nationkey")
+        .join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_nationkey")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .select(
+            "n_nationkey",
+            region_of("n_nationkey").alias("region_name"),
+            "n_customers",
+        )
     )
