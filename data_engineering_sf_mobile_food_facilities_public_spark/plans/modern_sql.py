@@ -1347,3 +1347,34 @@ def broadcast_dict_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scan provenance: input_file_name audit
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rows_per_input_file",
+    """
+    SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def rows_per_input_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_file_name() provenance: row counts per physical input file
+    — the audit primitive for 100 TB scans (which files fed this
+    result; which file produced the bad rows).  Basename-normalized
+    (Spark reports a file: URI); the testdata table is one file, so the
+    oracle can name it literally — the Spark side still derives it from
+    the scan."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.regexp_extract(F.input_file_name(), r"([^/\\]+)$", 1).alias(
+                "file_name"
+            )
+        )
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n_rows"))
+    )

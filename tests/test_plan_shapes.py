@@ -212,3 +212,47 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_checkpoint_truncates_lineage(spark, tmp_path):
+    """df.checkpoint() persists to reliable storage and cuts the logical
+    plan back to a scan of the checkpointed data — the lineage-control
+    tool for iterative pipelines whose plans would otherwise grow per
+    iteration (localCheckpoint variant used by operators/graph.py)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = (
+        load(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .checkpoint(eager=True)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # post-checkpoint plan scans the materialized RDD, not the parquet
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+    assert df.count() == 3  # and it still answers
+
+
+def test_accumulator_counts_batches_processed(spark):
+    """Accumulators: executor-side counters visible on the driver after
+    an action — the standard bad-record/bytes-processed telemetry
+    channel for Arrow-batched Python operators."""
+    import pandas as pd
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    rows_seen = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            rows_seen.add(len(pdf))
+            yield pdf.assign(flagged=pdf["o_totalprice"] < 0)
+
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    out = o.mapInPandas(tag, "o_orderkey long, o_totalprice double, flagged boolean")
+    n = out.count()
+    assert rows_seen.value == n == o.count()
