@@ -12,4 +12,6 @@ from . import modern_sql as modern_sql  # bitmap / variant / recursive CTE / lis
 from . import relational as relational  # base registry
 from . import sf_pipeline as sf_pipeline  # SF 11-table pipeline entries
 from . import similarity_search as similarity_search  # embedding ANN / near-dup
+from . import sql_features as sql_features  # pipe syntax / SQL UDF / collation
 from . import text_analysis as text_analysis  # text stats / dedup family
+from . import tpch_suite as tpch_suite  # Q5-Q22 decision-support shapes

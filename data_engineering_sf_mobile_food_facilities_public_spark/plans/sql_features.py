@@ -1,0 +1,307 @@
+"""Spark 4 SQL-surface features: pipe syntax, SQL UDFs (scalar and
+table-valued), string collations, EXECUTE IMMEDIATE, IDENTIFIER(), and
+VALUES inline tables.
+
+The reference drives Spark through a single ``spark.sql`` string
+(airflow.py:654-660); a drop-in engine should carry the full modern SQL
+front-end surface so that same entry point keeps working as users adopt
+newer syntax.  Everything here is front-end sugar over the same Catalyst
+plans — each query's oracle is the equivalent classic ANSI SQL, proving
+the new syntax changes nothing semantically.
+
+Scale notes: all of these compile to ordinary optimized plans (SQL UDFs
+inline into the calling expression tree — no Python round-trip, full
+codegen; pipe syntax is parse-time rewrite only), so the 100 TB story is
+identical to the classic-syntax twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with siblings)
+
+from ..catalog import register_views
+from .relational import _register
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (|>) — Spark 4.0's sequential query composition.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipe_syntax_flag_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grouped aggregate as the classic oracle, written in Spark
+    4.0 pipe syntax (FROM |> WHERE |> AGGREGATE).  Pipe operators are a
+    parser-level rewrite: the optimized plan (pushdown, partial agg) is
+    byte-identical to the classic form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+                     COUNT(*) AS line_count
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, revenue, line_count
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF — CREATE FUNCTION ... RETURNS ... RETURN expr.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sql_udf_net_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS net_revenue
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4): the charged-amount formula is
+    defined once as a catalog function and reused.  SQL UDFs inline
+    into the expression tree at analysis time — unlike Python UDFs
+    there is no serialization boundary, so whole-stage codegen and
+    DECIMAL exactness are preserved."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_amount(
+            price DOUBLE, discount DOUBLE, tax DOUBLE)
+        RETURNS DECIMAL(28,6)
+        RETURN CAST(price AS DECIMAL(18,2)) * (1 - CAST(discount AS DECIMAL(4,2)))
+                                            * (1 + CAST(tax AS DECIMAL(4,2)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(SUM(net_amount(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+                 AS net_revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL table-valued UDF — RETURNS TABLE; a calendar spine without collect().
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sql_tvf_monthly_spine",
+    f"""
+    WITH months AS (
+      SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                    TIMESTAMP '1996-12-01',
+                                    INTERVAL 1 MONTH)) AS month_start
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+           CAST(COALESCE(r, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM months LEFT JOIN rev ON m = month_start
+    """,
+)
+def sql_tvf_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function generating a 12-month calendar spine, left-
+    joined to monthly revenue so empty months surface as 0 — the spine
+    is produced inside the plan (sequence+explode under the hood), not
+    by a driver-side loop."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION month_spine(
+            start_ts TIMESTAMP, end_ts TIMESTAMP)
+        RETURNS TABLE (month_start TIMESTAMP)
+        RETURN SELECT explode(sequence(start_ts, end_ts, INTERVAL 1 MONTH))
+        """
+    )
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY date_trunc('month', o_orderdate)
+        )
+        SELECT date_format(month_start, 'yyyy-MM-dd') AS month_start,
+               CAST(COALESCE(r, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM month_spine(TIMESTAMP '1996-01-01', TIMESTAMP '1996-12-01')
+        LEFT JOIN rev ON m = month_start
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# String collation — case-insensitive grouping via UTF8_LCASE.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "collated_type_counts",
+    """
+    SELECT lower(p_type) AS p_type_ci, COUNT(*) AS part_count
+    FROM part
+    GROUP BY lower(p_type)
+    """,
+)
+def collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 UTF8_LCASE): mixed-case type
+    labels (manufactured by lowercasing odd part keys) group together
+    without an explicit lower() on the grouping key.  The output key is
+    normalized with lower() only to make the representative
+    deterministic for the oracle — the grouping itself is collation-
+    driven."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN p_type
+                      ELSE lower(p_type) END COLLATE UTF8_LCASE AS p_type_ci
+          FROM part
+        )
+        SELECT CAST(lower(p_type_ci) AS STRING COLLATE UTF8_BINARY) AS p_type_ci,
+               COUNT(*) AS part_count
+        FROM mixed
+        GROUP BY p_type_ci
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE — server-side dynamic SQL with positional binds.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "execute_immediate_status_totals",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 50000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def execute_immediate_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with a USING bind — dynamic SQL composed and
+    executed engine-side.  Parameter markers bind as literals into the
+    analyzed plan, so the predicate still pushes down to the scan
+    (unlike string concatenation, with no injection surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  COUNT(*) AS n
+           FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
+          USING 50000.0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDENTIFIER() — SQL-injection-safe dynamic table / column references.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "identifier_dynamic_rollup",
+    """
+    SELECT n_regionkey AS group_key, COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def identifier_dynamic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) resolves table and column names from bind
+    parameters at analysis time — the safe form of templated rollups
+    (``f"GROUP BY {col}"`` string-building is the injection-prone
+    anti-pattern this replaces)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS group_key, COUNT(*) AS n
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "nation", "col": "n_regionkey"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# VALUES inline table — literal dimension joined without a file or view.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "values_inline_priority_weights",
+    """
+    SELECT w.tier,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+                    CAST(w.weight AS DECIMAL(3,1))) AS DOUBLE) AS weighted_total
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 3.0, 'hot'),
+                 ('2-HIGH',   2.0, 'hot'),
+                 ('3-MEDIUM', 1.0, 'warm'),
+                 ('4-NOT SPECIFIED', 1.0, 'warm'),
+                 ('5-LOW',    0.5, 'cold')) AS w(priority, weight, tier)
+      ON o.o_orderpriority = w.priority
+    GROUP BY w.tier
+    """,
+)
+def values_inline_priority_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension (priority -> weight/tier) broadcast-
+    joined to the fact table — the idiomatic way to attach a small
+    hand-maintained mapping without materializing a file; Catalyst
+    treats it as a LocalRelation (folded, broadcast, never shuffled)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT w.tier,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+                        CAST(w.weight AS DECIMAL(3,1))) AS DOUBLE) AS weighted_total
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 3.0, 'hot'),
+                     ('2-HIGH',   2.0, 'hot'),
+                     ('3-MEDIUM', 1.0, 'warm'),
+                     ('4-NOT SPECIFIED', 1.0, 'warm'),
+                     ('5-LOW',    0.5, 'cold')) AS w(priority, weight, tier)
+          ON o.o_orderpriority = w.priority
+        GROUP BY w.tier
+        """
+    )
