@@ -305,3 +305,133 @@ def values_inline_priority_weights(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY w.tier
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL — infer grouping keys from the non-aggregate select list.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "group_by_all_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def group_by_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+): grouping keys inferred from the
+    select list — parse-time sugar, identical aggregate plan to the
+    explicit form the oracle spells out."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SELECT * EXCEPT — schema-stable wide-table projection.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "select_except_projection",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def select_except_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (cols): project everything but a denylist —
+    the maintainable way to drop bulky payload columns from a wide
+    table.  Column pruning still reaches the scan: the parser expands
+    the star minus the exclusions before analysis."""
+    register_views(spark, sf_dir)
+    return spark.sql("SELECT * EXCEPT (n_regionkey) FROM nation")
+
+
+# ---------------------------------------------------------------------------
+# width_bucket — equi-width histogram binning as a scalar function.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "width_bucket_quantity_deciles",
+    """
+    SELECT CAST(FLOOR((l_quantity - 1) / 5.0) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY bucket
+    """,
+)
+def width_bucket_quantity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket(qty, 1, 51, 10): ten equi-width quantity bins in a
+    single scalar call (DuckDB lacks the function, so the oracle is the
+    equivalent floor formula — exact because quantities are integral
+    and the bin width 5.0 divides without rounding)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT width_bucket(l_quantity, 1, 51, 10) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        FROM lineitem
+        GROUP BY bucket
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window — last-observation-carried-forward gap fill.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "locf_order_price_fill",
+    """
+    SELECT o_orderkey,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_price
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders
+    )
+    """,
+)
+def locf_order_price_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward via last_value(... IGNORE
+    NULLS): every third order's price is nulled (deterministically) and
+    back-filled from the customer's most recent non-null order.  The
+    frame is explicit ROWS UNBOUNDED PRECEDING..CURRENT so both engines
+    walk the identical sequence; leading nulls stay null on both."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(last_value(v) IGNORE NULLS OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS filled_price
+        FROM (
+          SELECT o_orderkey, o_custkey, o_orderdate,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+          FROM orders
+        )
+        """
+    )

@@ -533,3 +533,120 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrub of emails / phone numbers before training.
+# The synthetic corpus contains no PII, so each doc gets a deterministic
+# email + phone appended first; the redactor then has real work to do and
+# the oracle checks both the match counts and the scrubbed text hash.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@_register(
+    "pii_redact_documents",
+    r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call 415-555-0'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: count then redact email/phone patterns
+    per document, emitting the scrubbed text's md5 (fixed-width, engine-
+    portable).  Pure JVM regexp — narrow transformation, no shuffle, no
+    Python; at 100 TB this runs at scan speed with the patterns compiled
+    once per task."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 415-555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring — boilerplate/spam signal: share of the document
+# taken by its single most frequent token.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_repetition_scores",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, t AS token, COUNT(*) AS cnt
+        FROM tok, unnest(tokens) AS u(t)
+        GROUP BY doc_id, t
+    ),
+    ranked AS (
+        SELECT doc_id, token, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, token) AS rn
+        FROM counts
+    )
+    SELECT doc_id, token AS top_token, cnt AS top_count,
+           total AS total_tokens,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS repetition_ratio
+    FROM ranked WHERE rn = 1
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition ratio = count of the most frequent token
+    / total tokens (tie-broken to the lexicographically first token so
+    both engines pick the same winner).  Shape: explode -> two-level
+    count -> one analytic window, all partitioned by doc_id — the
+    explode never leaves its partition's doc_ids, so at 100 TB this is
+    one shuffle on (doc_id, token) and one on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    ranked = counts.withColumn("total", F.sum("cnt").over(w)).withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("cnt").desc(), "token")),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("token").alias("top_token"),
+        F.col("cnt").alias("top_count"),
+        F.col("total").alias("total_tokens"),
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )
