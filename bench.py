@@ -38,6 +38,8 @@ HEADLINE = [
     "merge_upsert_orders",
     "scd2_user_event_history",
     "funnel_signup_to_purchase",
+    "q5_local_supplier_volume",
+    "q9_product_type_profit",
     "rolling_7day_spend",
     "fuzzy_name_match",
     "revenue_share_by_nation",

@@ -112,6 +112,10 @@ _NESTED_LOOP_ALLOWED = {
     "cross_join_region_status_grid",
     # region-pair inequality join: 5x4/2 rows by construction
     "array_set_ops_region_pairs",
+    # 1-row scalar-threshold broadcast (c_acctbal > avg): one comparison
+    # per probe row against a single broadcast row — the right plan for
+    # a non-equi scalar subquery at any scale
+    "q22_inactive_high_balance",
 }
 
 
@@ -256,3 +260,61 @@ def test_accumulator_counts_batches_processed(spark):
     out = o.mapInPandas(tag, "o_orderkey long, o_totalprice double, flagged boolean")
     n = out.count()
     assert rows_seen.value == n == o.count()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite (plans/tpch_suite.py) — star-join physical shape.
+# ---------------------------------------------------------------------------
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    # Q5: region/nation/customer/supplier are broadcast; the only
+    # shuffle-worthy join is lineitem |><| orders.
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q6_is_scan_plus_single_aggregate(spark):
+    # Q6 is the purest scan-shape: pushed predicates, no join, and the
+    # only exchange is the 1-row final-aggregate combine.
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q8_single_fact_shuffle(spark):
+    # Every dimension (part, supplier+nation, customer-in-region)
+    # broadcasts; lineitem should shuffle at most for the orders join
+    # and the year aggregate.
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_threshold_is_broadcast_not_collect(spark):
+    # The MAX-revenue scalar rides a broadcast join — the plan must not
+    # contain a cartesian/nested-loop product and needs two aggregates
+    # (per-supplier revenue + its max) feeding a broadcast.
+    plan = _plan(spark, "q15_top_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q22_anti_join_physical(spark):
+    # The NOT EXISTS must be a broadcast anti join; the only nested-loop
+    # element allowed is the 1-row scalar-threshold broadcast.
+    plan = _plan(spark, "q22_inactive_high_balance")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
