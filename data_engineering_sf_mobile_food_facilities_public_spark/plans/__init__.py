@@ -7,6 +7,7 @@ Importing this package registers every query module into
 
 from . import analytics as analytics  # windows / set ops / rollup / time-series
 from . import extensions as extensions  # streaming / ml / multimodal
+from . import frame_api as frame_api  # crosstab / top-k sketch / pagination
 from . import lakehouse as lakehouse  # merge upsert / scd2 / funnel
 from . import modern_sql as modern_sql  # bitmap / variant / recursive CTE / listagg
 from . import relational as relational  # base registry

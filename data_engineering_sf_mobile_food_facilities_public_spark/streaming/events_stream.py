@@ -174,9 +174,9 @@ def session_window_counts_stream(
 
 
 def interval_join_streams(
-    left: DataFrame, right: DataFrame, gap: str = "1 hour"
+    left: DataFrame, right: DataFrame, gap: str = "1 hour", how: str = "inner"
 ) -> DataFrame:
-    """Watermarked stream-stream INNER join: right rows within
+    """Watermarked stream-stream join: right rows within
     [left.ts, left.ts + gap] per user.
 
     Both sides carry watermarks and the join condition bounds event time
@@ -185,7 +185,13 @@ def interval_join_streams(
     O(in-flight window), not O(stream).  Inner-join matches emit as soon
     as both rows arrive (the watermark only gates state cleanup), so an
     AvailableNow drain yields exactly the batch join result.
-    """
+
+    ``how="left_outer"`` additionally emits null-padded left rows — but
+    only once the watermark proves no future right row can match
+    (left.ts + gap + delay has passed), so outer results trail the
+    watermark by design; rows still inside the horizon at shutdown never
+    produce their null match (tests/test_streaming_semantics.py pins
+    this)."""
     l = left.withWatermark("ts", "2 hours").alias("l")
     r = right.withWatermark("ts", "2 hours").alias("r")
     return l.join(
@@ -194,4 +200,5 @@ def interval_join_streams(
             f"l.user_id = r.user_id AND r.ts >= l.ts "
             f"AND r.ts <= l.ts + interval {gap}"
         ),
+        how,
     )

@@ -203,3 +203,69 @@ def test_state_store_reader(spark, tmp_path):
     assert meta[0].operatorName == "applyInPandasWithState"
     # multiple micro-batches actually ran (maxFilesPerTrigger=1 x 3 files)
     assert meta[0].maxBatchId >= 2
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer interval join: matches emit eagerly; the null-padded
+    row for an unmatched view emits only after the watermark passes its
+    join horizon (view.ts + gap + delay), and views still inside the
+    horizon at shutdown emit nothing."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.events_stream import (
+        interval_join_streams,
+    )
+
+    views_dir = os.path.join(tmp_path, "views")
+    buys_dir = os.path.join(tmp_path, "buys")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+
+    def run_once():
+        views = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(views_dir)
+        buys = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(buys_dir)
+        joined = interval_join_streams(views, buys, "1 hour", "left_outer").select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("view_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: matched view (user 1) + unmatched view (user 2)
+    _write_events(spark, views_dir, [(1, _ts("2024-01-01 10:00:00"), 1.0),
+                                     (2, _ts("2024-01-01 10:05:00"), 1.0)])
+    _write_events(spark, buys_dir, [(1, _ts("2024-01-01 10:30:00"), 9.0)])
+    run_once()
+
+    # batch 2: watermark advancers on BOTH inputs (watermark = min over
+    # sources); commits global watermark to 16:00 - 2h = 14:00, which is
+    # past user 2's horizon 10:05 + 1h + 2h = 13:05
+    _write_events(spark, views_dir, [(98, _ts("2024-01-01 16:00:00"), 1.0)])
+    _write_events(spark, buys_dir, [(99, _ts("2024-01-01 16:00:00"), 1.0)])
+    run_once()
+
+    # batch 3: one more tick so the 14:00 watermark is *applied* to
+    # evict user 2's view and emit its null match
+    _write_events(spark, views_dir, [(97, _ts("2024-01-01 16:30:00"), 1.0)])
+    _write_events(spark, buys_dir, [(96, _ts("2024-01-01 16:30:00"), 1.0)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    matched = {(r.user_id, r.view_ts, r.purchase_ts) for r in rows
+               if r.purchase_ts is not None}
+    nulls = {(r.user_id, r.view_ts) for r in rows if r.purchase_ts is None}
+    # eager inner match, exactly once
+    assert matched == {(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))}
+    # user 2's null row emitted after watermark closure; users 97/98 are
+    # still inside the horizon -> no null rows for them
+    assert nulls == {(2, _ts("2024-01-01 10:05:00"))}
