@@ -8,7 +8,7 @@ to 6 digits at the edge as insurance against platform ulp drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -97,3 +97,58 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return brute_force_topk_vectorized(q, e, k=10)
+
+
+@_register(
+    "binary_quantize_hamming_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(length(list_filter(list_zip(q.v, e.v),
+                           p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS hamming
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """,
+)
+def binary_quantize_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding quantization + hamming top-10: each 64-dim vector
+    packs its sign bits into ONE int64, and per-pair scoring collapses to
+    ``bit_count(q XOR c)`` — two ALU ops instead of a 64-float fold, and
+    64x less state to broadcast/shuffle.  This is the standard first
+    tier of a scale ANN cascade (binary prefilter, exact cosine rerank —
+    the rerank tier is `ann_cosine_topk`).  The oracle scores sign
+    mismatches directly; packed XOR popcount is bit-for-bit the same
+    number."""
+    e = load(spark, sf_dir, "embeddings")
+    packed = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), sequence(0, 63),"
+        " (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), packed.alias("qbits"))
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), packed.alias("cbits"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("qbits").bitwiseXOR(F.col("cbits")))
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -650,3 +650,53 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetition_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs that share any 5-gram
+# with a held-out benchmark set (the standard pre-training hygiene pass).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decontaminate_documents",
+    _SHINGLE_CTE
+    + """
+    , bench AS (
+        SELECT DISTINCT shingle, doc_id AS bench_id FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_overlap_shingles,
+           COUNT(DISTINCT b.bench_id) AS n_benchmark_docs_hit
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan: training documents (doc_id % 97 != 0) that
+    share at least one 5-token shingle with the benchmark split
+    (doc_id % 97 == 0), with overlap breadth per doc.
+
+    Scale shape: both sides reduce to DISTINCT (doc, shingle) before the
+    join, the benchmark side is orders of magnitude smaller and
+    broadcastable, and the join key is the shingle string (hash it to a
+    64-bit for 100 TB).  This is the exact-match decontamination pass a
+    training pipeline runs against eval suites before every dump."""
+    sh = shingles(load(spark, sf_dir, "documents"))
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("shingle"), F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_overlap_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs_hit"),
+        )
+    )

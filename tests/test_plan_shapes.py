@@ -107,6 +107,9 @@ _NESTED_LOOP_ALLOWED = {
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
     "ann_ivf_topk",
+    # binary prefilter tier: same deliberate broadcast query x corpus
+    # scan as the other brute-force ANN tiers (64x smaller state)
+    "binary_quantize_hamming_topk",
     # dim x dim dense grid: a deliberate tiny cartesian (5 regions x
     # |statuses|) — the fact side is pre-aggregated before the grid join
     "cross_join_region_status_grid",
