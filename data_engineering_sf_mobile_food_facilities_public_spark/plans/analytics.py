@@ -1564,3 +1564,193 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.agg(
         F.sum("is_tri").alias("n_triangles"), F.sum("is_edge").alias("n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis A-Res with an
+# md5-derived uniform): heavier orders more likely sampled, same result
+# on any engine / any partitioning.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weighted_sample_orders",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+               round(pow(CAST(('0x' || substr(md5('ws42' || CAST(o_orderkey AS VARCHAR)), 1, 13))
+                              AS BIGINT) / 4503599627370496.0,
+                         1.0 / o_totalprice), 6) AS k
+        FROM orders
+    )
+    SELECT o_orderkey, total
+    FROM keyed
+    ORDER BY k DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of 100 orders, probability
+    proportional to price: A-Res keys u^(1/w) with u drawn from
+    md5(salt||key) (13 hex chars -> uniform in [0,1)), top-100 by key.
+
+    rand()-based sampling changes with partitioning and engine; the
+    hashed uniform makes the draw a pure function of the row, so the
+    oracle reproduces it bit-for-bit (keys rounded to 6dp with a PK
+    tiebreak to absorb last-ulp pow() differences between libm's).  The
+    top-100 runs as TakeOrderedAndProject — per-partition heaps, no
+    global sort, no driver-side state: the distributed weighted
+    reservoir."""
+    orders = load(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws42"), F.col("o_orderkey").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(4503599627370496.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("o_totalprice")), 6
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+            key.alias("k"),
+        )
+        .orderBy(F.col("k").desc(), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median absolute deviation + outlier counts per group.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mad_outliers_by_status",
+    """
+    WITH med AS (
+        SELECT o_orderstatus, median(o_totalprice) AS med
+        FROM orders GROUP BY o_orderstatus
+    ),
+    dev AS (
+        SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS adev, m.med
+        FROM orders o JOIN med m USING (o_orderstatus)
+    )
+    SELECT o_orderstatus,
+           CAST(any_value(med) AS DOUBLE) AS med,
+           CAST(median(adev) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN adev > 3 * (SELECT median(adev) FROM dev d2
+                          WHERE d2.o_orderstatus = dev.o_orderstatus)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev
+    GROUP BY o_orderstatus
+    """,
+)
+def mad_outliers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per order status: median, median-absolute-
+    deviation, and |x - med| > 3*MAD outlier counts.  Two grouped
+    medians with the first joined back by broadcast — medians are exact
+    interpolated percentiles (identical in both engines), and the
+    absolute deviations are single double subtractions, so the whole
+    chain is bit-stable.  The 100 TB version swaps median for
+    approx_percentile at a fixed error and keeps the same two-pass
+    shape."""
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(F.median("o_totalprice").alias("med"))
+    dev = orders.join(F.broadcast(med), "o_orderstatus").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderstatus").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.first("med").cast("double").alias("med"),
+            F.first("mad").cast("double").alias("mad"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce: drop rapid-fire repeats within 5 minutes per user.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "debounce_user_events",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id, COUNT(*) AS kept_events
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    GROUP BY user_id
+    """,
+)
+def debounce_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep an event only if >5 minutes passed since the
+    user's previous event (double-click / retry suppression before
+    sessionization).  One lag window per user, then a filter — a single
+    shuffle on user_id; the streaming twin is
+    dropDuplicatesWithinWatermark keyed on (user, 5-min bucket)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # exact microsecond arithmetic — events carry sub-second precision,
+    # so a seconds-truncating cast would misclassify boundary gaps
+    kept = lagged.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 300_000_000)
+    )
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("kept_events"))
+
+
+# ---------------------------------------------------------------------------
+# rank() top-k with ties kept — the tie-preserving twin of row_number top-k.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top2_prices_with_ties",
+    """
+    SELECT c_custkey AS custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               RANK() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC) AS rnk
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    WHERE rnk <= 2
+    """,
+)
+def top2_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 order prices per customer with RANK() — equal prices share
+    a rank and are ALL kept (row_number would arbitrarily break them;
+    this variant is the audit-safe one).  Catalyst still applies the
+    window-group-limit pushdown: each partition's heap keeps only
+    candidate rows before the final window sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+            F.col("rnk").cast("long"),
+        )
+    )
