@@ -1754,3 +1754,49 @@ def top2_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly detection: z-score of daily event volume.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "daily_event_anomalies",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('day', ts)
+    ),
+    stats AS (
+        SELECT AVG(n) AS mu, stddev_samp(n) AS sigma FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sigma, 6) AS zscore,
+           CASE WHEN abs(n - mu) > 2 * sigma THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily, stats
+    """,
+)
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flags: each day's event count z-scored against the
+    whole series (|z| > 2 flagged).  Counts are integers, so mean and
+    stddev are closed-form exact in double and the 1-row stats aggregate
+    broadcasts back over the daily series — the monitoring query every
+    ingest pipeline runs over its arrival counts; at 100 TB the daily
+    rollup is the incremental aggregate and this never rescans raw
+    events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    return daily.join(F.broadcast(stats)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        F.when(F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma"), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )

@@ -700,3 +700,77 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_benchmark_docs_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the classic LM-based quality filter:
+# score each document by the average log-probability of its bigrams under
+# a model trained on the corpus itself.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bigram_lm_scores",
+    _TOKENS_CTE
+    + """
+    , pos AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM tok
+        WHERE len(tokens) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2 FROM pos
+    ),
+    uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
+    ),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(ln(CAST(g.c12 AS DOUBLE) / u.c1)), 6) AS avg_logprob
+    FROM bigrams b
+    JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+    JOIN uni u ON b.w1 = u.w1
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring: train a bigram model on the corpus
+    (P(w2|w1) = c(w1,w2) / c(w1)) and score every document by its mean
+    bigram log-probability — low scores mark unnatural word salad, the
+    filter perplexity-based pipelines apply before training.
+
+    Scale shape: two grouped counts over the exploded bigram stream,
+    joined back on the bigram key — the model IS a DataFrame, so
+    "training" and "scoring" are the same shuffle framework with no
+    driver-side state; swap the corpus counts for a persisted table to
+    score new data against a frozen model.  ln() agrees bit-for-bit
+    across engines; the per-doc mean is rounded to 6dp to absorb
+    summation-order ulps (same convention as tfidf)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens("text").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 2)).alias("i"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        F.col("tk")[F.col("i")].alias("w1"),
+        F.col("tk")[F.col("i") + 1].alias("w2"),
+    )
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .withColumn("lp", F.log(F.col("c12").cast("double") / F.col("c1")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

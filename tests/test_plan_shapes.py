@@ -119,6 +119,8 @@ _NESTED_LOOP_ALLOWED = {
     # per probe row against a single broadcast row — the right plan for
     # a non-equi scalar subquery at any scale
     "q22_inactive_high_balance",
+    # 1-row global-stats broadcast (mean/stddev) joined over the series
+    "daily_event_anomalies",
 }
 
 

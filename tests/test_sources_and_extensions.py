@@ -304,3 +304,80 @@ def test_transpose_and_to_arrow(spark):
     at = summary.toArrow()
     assert at.num_rows == summary.count()
     assert at.column_names == summary.columns
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    """spark.read.format("binaryFile") ingests raw media files as
+    (path, length, content) rows — the on-ramp from an object store into
+    the multimodal mapInPandas pipeline, with a glob pushdown so only
+    matching files are listed."""
+    import os
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import extract_features
+
+    media_dir = os.path.join(tmp_path, "media")
+    os.makedirs(media_dir)
+    payloads = {f"img_{i}.bin": bytes([i, 255 - i]) * 8 for i in range(5)}
+    for fname, blob in payloads.items():
+        with open(os.path.join(media_dir, fname), "wb") as f:
+            f.write(blob)
+    with open(os.path.join(media_dir, "skip.txt"), "w") as f:
+        f.write("not media")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(media_dir)
+    )
+    assert files.count() == 5  # glob filtered the .txt out at listing time
+
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("item_id"),
+        F.col("content").alias("data"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("length").alias("n_bytes"),
+    )
+    feats = {r["item_id"]: r for r in extract_features(media).collect()}
+    assert set(feats) == set(range(5))
+    for i in range(5):
+        blob = payloads[f"img_{i}.bin"]
+        # fake decoder shape derives from the first two bytes
+        assert feats[i]["width"] == 64 + blob[0] % 64
+        assert feats[i]["height"] == 64 + blob[1] % 64
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Production JSON ingestion: PERMISSIVE mode quarantines bad lines
+    into _corrupt_record (pipeline keeps running, rejects auditable);
+    DROPMALFORMED silently drops them; FAILFAST aborts — the three
+    policies a 100 TB ingest chooses between per contract."""
+    import os
+
+    import pytest as _pytest
+
+    src = os.path.join(tmp_path, "events.jsonl")
+    with open(src, "w") as f:
+        f.write('{"id": 1, "v": 10.5}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"id": 2, "v": -3.25}\n')
+
+    schema = "id BIGINT, v DOUBLE, _corrupt_record STRING"
+    permissive = spark.read.schema(schema).json(src)
+    rows = permissive.collect()
+    good = {r["id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "THIS IS NOT JSON"
+
+    dropped = spark.read.schema("id BIGINT, v DOUBLE").option(
+        "mode", "DROPMALFORMED"
+    ).json(src)
+    assert {r["id"] for r in dropped.collect()} == {1, 2}
+
+    failfast = spark.read.schema("id BIGINT, v DOUBLE").option(
+        "mode", "FAILFAST"
+    ).json(src)
+    with _pytest.raises(Exception):
+        failfast.collect()
