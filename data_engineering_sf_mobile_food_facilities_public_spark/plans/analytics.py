@@ -1800,3 +1800,81 @@ def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers ALL of whose orders clear a bar.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customers_every_order_above_10k",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice <= 10000.0
+    )
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def customers_every_order_above_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all" quantification): customers with
+    at least one order and NO order at or under 10k.  The universal
+    quantifier rewrites to a left-anti join against the violating-order
+    keys — one pass over orders builds both the violator set and the
+    counts, no correlated re-scan per customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    violators = o.filter(F.col("o_totalprice") <= 10000.0).select(
+        F.col("o_custkey").alias("bad_key")
+    )
+    qualified = c.join(
+        violators, c.c_custkey == F.col("bad_key"), "left_anti"
+    )
+    return (
+        qualified.join(o, qualified.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination — the scale-safe successor to LIMIT/OFFSET.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "keyset_page_after_cursor",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1996-06-15', 1000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50
+    """,
+)
+def keyset_page_after_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the page after cursor (1996-06-15,
+    key 1000) under the (date, PK) total order.  Unlike OFFSET — which
+    must materialize and discard every preceding row — the cursor is a
+    sargable row-value predicate: the date bound pushes into the scan
+    and the heap only ever holds 50 rows, the same cost for page 1 and
+    page 1,000,000."""
+    orders = load(spark, sf_dir, "orders")
+    cur_d = F.lit("1996-06-15").cast("timestamp")
+    after = (F.col("o_orderdate") > cur_d) | (
+        (F.col("o_orderdate") == cur_d) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        orders.filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+    )

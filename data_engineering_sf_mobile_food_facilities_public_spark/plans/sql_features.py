@@ -435,3 +435,47 @@ def locf_order_price_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral column alias — reuse a computed column later in the SAME select.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lateral_column_alias_margins",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                    CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS tax_due,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                        CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS gross
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def lateral_column_alias_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4): ``gross`` is defined in terms
+    of the sibling aliases ``net`` and ``tax_due`` in the same SELECT —
+    no subquery nesting, no expression duplication in the user's query
+    (the analyzer inlines them, so the oracle spells the expansion)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                        CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS tax_due,
+               net + tax_due AS gross
+        FROM lineitem
+        GROUP BY l_orderkey
+        """
+    )

@@ -774,3 +774,48 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy profiling — label-balance diagnostics per source.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lang_entropy_by_source",
+    """
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, SUM(n) AS total FROM counts GROUP BY source
+    )
+    SELECT c.source,
+           CAST(any_value(t.total) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           round(-SUM((CAST(c.n AS DOUBLE) / t.total)
+                      * ln(CAST(c.n AS DOUBLE) / t.total)), 6) AS lang_entropy
+    FROM counts c JOIN tot t USING (source)
+    GROUP BY c.source
+    """,
+)
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per document source — the
+    balance diagnostic for dataset curation (entropy 0 = monolingual
+    source; ln(k) = uniform over k languages).  Integer counts make the
+    probabilities exact; two tiny grouped aggregates and a broadcast
+    join, never a second scan of the documents."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.first("total").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
