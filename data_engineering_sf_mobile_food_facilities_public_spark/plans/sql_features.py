@@ -479,3 +479,96 @@ def lateral_column_alias_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables — DECLARE / SET VAR with a scalar-subquery value.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sql_variables_above_avg_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_variables_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4): the average-price threshold is
+    computed once into a DECLAREd variable and referenced in the filter.
+    Variables bind as foldable literals at analysis time, so unlike the
+    inline scalar subquery the predicate is constant-folded AND still
+    pushes to the scan; the exact-DECIMAL mean matches the oracle's
+    inline form bit-for-bit."""
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE avg_price DOUBLE DEFAULT 0.0")
+    spark.sql(
+        """
+        SET VAR avg_price = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders
+        )
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > avg_price
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting — BEGIN...END block with local variables and control flow.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sql_scripting_tiered_rollup",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END): a procedural block declares
+    the size cutoff, adjusts it with an IF on observed data volume, and
+    returns the final rollup — logic that previously forced a driver-
+    side round trip per step now runs as one server-side script.  The
+    cutoff lands at 150000 on every path for this data, matching the
+    oracle's constant."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0.0;
+          DECLARE n_orders BIGINT;
+          SET n_orders = (SELECT COUNT(*) FROM orders);
+          IF n_orders > 0 THEN
+            SET cutoff = 150000.0;
+          ELSE
+            SET cutoff = 1.0;
+          END IF;
+          SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN o_totalprice > cutoff THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_large
+          FROM orders
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

@@ -323,3 +323,56 @@ def test_q22_anti_join_physical(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_analyze_table_stats_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE persists row counts + column NDV/min/max into the
+    catalog, and with CBO enabled the optimizer's cardinality estimates
+    come from those stats — the foundation of stats-driven join
+    reordering at scale (file size alone misestimates filtered scans)."""
+    import uuid
+
+    tbl = f"cbo_probe_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.range(0, 10_000).selectExpr(
+            "id", "id % 7 AS g", "CAST(id AS DOUBLE) * 1.5 AS v"
+        ).write.saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS id, g, v")
+
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        assert "10000 rows" in detail["Statistics"]
+
+        gstats = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl} g").collect()
+        }
+        assert gstats["distinct_count"] == "7"
+        assert gstats["min"] == "0" and gstats["max"] == "6"
+
+        with _cbo(spark):
+            est = (
+                spark.table(tbl)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .rowCount()
+            )
+            assert est.isDefined() and int(str(est.get())) == 10_000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _cbo(spark):
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
