@@ -35,3 +35,31 @@ def zscore_per_group(
         return pdf.assign(**{out_col: z})
 
     return df.groupBy(group_col).applyInPandas(normalize, schema=schema)
+
+
+def group_extrema_arrow(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group (count, min, max) computed inside an ``applyInArrow``
+    grouped map — the zero-copy sibling of ``applyInPandas``: each group
+    arrives as a ``pyarrow.Table`` and never materializes a pandas
+    object, which matters when groups are wide binary/media batches.
+    min/max/count involve no floating accumulation, so the result is
+    exact and oracle-comparable (unlike the zscore path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def extrema(table: pa.Table) -> pa.Table:
+        v = table[value_col]
+        return pa.table(
+            {
+                group_col: pa.array([table[group_col][0].as_py()], pa.string()),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "min_v": pa.array([pc.min(v).as_py()], pa.float64()),
+                "max_v": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    return df.groupBy(group_col).applyInArrow(
+        extrema, schema=f"{group_col} string, n long, min_v double, max_v double"
+    )

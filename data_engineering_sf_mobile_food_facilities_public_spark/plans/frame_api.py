@@ -176,3 +176,30 @@ def union_by_name_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("o_orderkey", F.lit(None).cast("int").alias("half"))
     return h1.unionByName(h2, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow grouped map — exact extrema per group, zero-copy batches.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "arrow_grouped_extrema_status",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def arrow_grouped_extrema_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order-price extrema via an ``applyInArrow`` grouped
+    map (pyarrow.compute, no pandas materialization).  min/max/count
+    have no floating accumulation, so the Arrow path is exact and
+    differential-tested against the SQL aggregate — proving the custom-
+    operator escape hatch preserves engine semantics."""
+    from ..operators.grouped_map import group_extrema_arrow
+
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return group_extrema_arrow(orders, "o_orderstatus", "o_totalprice")

@@ -25,7 +25,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -143,3 +145,78 @@ class PagedApiDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return PagedApiStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER: JSON-lines sink with a commit manifest
+# (write-audit-publish at the task level — S8's set-based sink, generalized
+# to any python-reachable system).
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class JsonlAuditWriter(DataSourceWriter):
+    """Each task writes its partition to a uniquely-named ``.jsonl``
+    file and reports (file, row count) in its commit message; only the
+    driver-side ``commit`` — which runs iff every task succeeded —
+    publishes the ``_MANIFEST.json`` naming the valid files.  Readers
+    trust the manifest, so a failed/retried task's orphan file is
+    invisible: per-job exactly-once without renames, the same
+    write-audit-publish contract as the parquet snapshot sink."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = [
+            {"file": m.filename, "rows": m.rows} for m in messages if m is not None
+        ]
+        manifest = {"files": files, "total_rows": sum(f["rows"] for f in files)}
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlAuditDataSource(DataSource):
+    """``df.write.format("jsonl_audit").option("path", dir)`` sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> DataSourceWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_audit sink requires option 'path'")
+        return JsonlAuditWriter(path)

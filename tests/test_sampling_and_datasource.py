@@ -110,3 +110,39 @@ def test_paged_api_stream_reader(spark):
     assert got.select("record_id").distinct().count() == 400
     want = sorted(r for p in range(4) for r in page_rows(p, 100))
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_jsonl_audit_writer_publishes_manifest(spark, tmp_path):
+    """Custom Python DataSource WRITER: every task writes its own jsonl
+    part and the driver publishes _MANIFEST.json only after all tasks
+    commit — readers that trust the manifest see exactly the committed
+    rows."""
+    import json
+    import os
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.api_source import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = os.path.join(tmp_path, "audit_sink")
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 4  # one part per task
+
+    rows = []
+    for entry in manifest["files"]:
+        with open(os.path.join(out, entry["file"])) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["doubled"] == 2 * r["id"] for r in rows)
+
+    # a straggler/orphan file outside the manifest is ignored by contract
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999, "doubled": 0}\n')
+    manifest_files = {e["file"] for e in manifest["files"]}
+    assert "part-orphan.jsonl" not in manifest_files
