@@ -15,6 +15,8 @@ from ..catalog import load
 from ..functions import text as TX
 from ..operators import dedup_first
 from ..operators.minhash import (
+    MINHASH_COEFFS,
+    MINHASH_P,
     candidate_pairs,
     jaccard,
     lsh_bands,
@@ -31,6 +33,22 @@ WITH tok AS (
     FROM documents
 )
 """
+
+
+# MinHash oracle snippets — generated from the SAME coefficients the Spark
+# operator uses (operators/minhash.py), so the two sides cannot drift.
+_H1_SQL = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+_H2_SQL = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
+_SIG_COLS_SQL = ",\n           ".join(
+    f"min(({a} * {_H1_SQL} + {b} * {_H2_SQL} + {c}) % {MINHASH_P}) AS h{s}"
+    for s, (a, b, c) in enumerate(MINHASH_COEFFS)
+)
+_BANDS_ROWS_SQL = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(CAST(h{2 * b} AS VARCHAR) || ':' || CAST(h{2 * b + 1} AS VARCHAR))"
+    f" AS band_hash FROM sig"
+    for b in range(4)
+)
 
 _SHINGLE_CTE = (
     _TOKENS_CTE
@@ -52,17 +70,11 @@ _MINHASH_CTE = (
     + """
 , sig AS (
     SELECT doc_id,
-           min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-           min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-           min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-           min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           """ + _SIG_COLS_SQL + """
     FROM sh GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM sig
-    UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-    UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-    UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    """ + _BANDS_ROWS_SQL + """
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -458,17 +470,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id,
-               min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-               min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-               min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-               min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           """ + _SIG_COLS_SQL + """
         FROM sh GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    """ + _BANDS_ROWS_SQL + """
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
