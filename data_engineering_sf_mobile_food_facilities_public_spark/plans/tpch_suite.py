@@ -636,3 +636,91 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 (adapted) — disjunction of conjunctive band predicates: the classic
+# OR-of-ANDs pushdown shape (brand/size bands stand in for brand/container).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive bands spanning both
+    join sides.  Catalyst factors the per-side disjunctions out of the
+    OR (CNF conversion): part rows not matching ANY brand/size band and
+    lineitem rows outside the quantity hull are dropped BEFORE the join,
+    and only the residual mixed-side predicate runs after it."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(band).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted) — share-threshold report: parts whose revenue exceeds a
+# fixed fraction of the total (scalar-subquery HAVING).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q11_important_parts",
+    f"""
+    WITH part_rev AS (
+        SELECT l_partkey, SUM({_DISC_PRICE_SQL}) AS rev
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue
+    FROM part_rev
+    WHERE CAST(rev AS DOUBLE) > (
+        SELECT CAST(SUM(rev) AS DOUBLE) * 0.001 FROM part_rev
+    )
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose aggregate exceeds a fraction
+    of the grand total (the scalar subquery over the SAME aggregate).
+    The per-part aggregate is computed once; its grand total re-
+    aggregates the small grouped result (never the raw table) and comes
+    back as a 1-row broadcast threshold.  The share comparison runs in
+    double on both engines (exact DECIMAL sums cast at the edge)."""
+    li = load(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev"))
+    total = part_rev.agg(
+        (F.sum("rev").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        part_rev.join(F.broadcast(total))
+        .filter(F.col("rev").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("rev").cast("double").alias("revenue"))
+    )

@@ -121,6 +121,8 @@ _NESTED_LOOP_ALLOWED = {
     "q22_inactive_high_balance",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
+    # 1-row grand-total threshold broadcast over the grouped aggregate
+    "q11_important_parts",
 }
 
 
@@ -376,3 +378,78 @@ def _cbo(spark):
         yield
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
+
+
+def test_nested_schema_pruning_reads_one_subfield(spark, tmp_path):
+    """Nested-column pruning: selecting one struct subfield must scan
+    ONLY that leaf (ReadSchema shows the pruned struct) — on 100 TB
+    lakes with wide event structs this is the difference between reading
+    kilobytes and terabytes per row group."""
+    import os
+
+    path = os.path.join(tmp_path, "nested")
+    spark.range(0, 1000).selectExpr(
+        "id",
+        "named_struct('a', id * 2, 'b', CAST(id AS STRING), "
+        "'big', repeat('x', 100)) AS payload",
+    ).write.parquet(path)
+
+    df = spark.read.parquet(path).select("payload.a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "payload:struct<a:bigint>" in plan.replace(" ", "")
+    # the wide leaves never reach the scan schema
+    assert "big:string" not in plan.replace(" ", "")
+    assert "b:string" not in plan.replace(" ", "")
+
+
+def test_bucket_pruning_scans_selected_buckets(spark, tmp_path):
+    """Bucket pruning: an equality predicate on the bucketing key scans
+    only the matching bucket files (SelectedBucketsCount in the scan) —
+    the static sibling of partition pruning for high-cardinality keys."""
+    import os
+    import uuid
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.bucketed import write_bucketed
+
+    name = f"bucket_prune_{uuid.uuid4().hex[:8]}"
+    try:
+        df = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS v")
+        write_bucketed(df, name, os.path.join(tmp_path, name), "k", 8)
+        # the planner auto-disables bucketed scans that bring no
+        # distribution benefit; pin it on so the filter can bucket-prune
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            plan = (
+                spark.table(name)
+                .filter(F.col("k") == 42)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "SelectedBucketsCount: 1 out of 8" in plan
+        finally:
+            spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_distribute_and_cluster_by_sql_layout(spark):
+    """DISTRIBUTE BY / CLUSTER BY SQL: explicit layout control compiles
+    to a hash repartition (and local sort for CLUSTER BY) — the SQL
+    surface for pre-shuffling ahead of co-partitioned consumers."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    dist = spark.sql(
+        "SELECT o_custkey, o_totalprice FROM orders DISTRIBUTE BY o_custkey"
+    )
+    dplan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" in dplan
+
+    clus = spark.sql(
+        "SELECT o_custkey, o_totalprice FROM orders CLUSTER BY o_custkey"
+    )
+    cplan = clus._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" in cplan
+    assert "Sort [o_custkey" in cplan
