@@ -381,3 +381,30 @@ def test_json_corrupt_record_handling(spark, tmp_path):
     ).json(src)
     with _pytest.raises(Exception):
         failfast.collect()
+
+
+def test_ansi_mode_fails_loud_and_try_functions_stay_total(spark):
+    """Spark 4 runs ANSI mode by default: arithmetic overflow and bad
+    casts ABORT the job instead of silently corrupting — and the try_*
+    family is the sanctioned per-expression opt-out that returns NULL.
+    At 100 TB this is the difference between a poison row failing loudly
+    at its source and a wrong aggregate shipped downstream."""
+    import pytest as _pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        spark.sql("SELECT 9223372036854775807 + 1 AS x").collect()
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        spark.sql("SELECT CAST('abc' AS INT) AS x").collect()
+
+    row = spark.sql(
+        """
+        SELECT try_add(9223372036854775807, 1) AS overflow_null,
+               try_divide(1, 0) AS div0_null,
+               try_cast('abc' AS INT) AS badcast_null
+        """
+    ).collect()[0]
+    assert row.overflow_null is None
+    assert row.div0_null is None
+    assert row.badcast_null is None
