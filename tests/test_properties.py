@@ -87,3 +87,59 @@ def test_merge_upsert_idempotent_and_partition_invariant(spark, rows, parts):
     base2 = dedup_first(_df(spark, rows, 2), ["key"], ["seq", "value"])
     delta2 = base2.withColumn("seq", F.col("seq") + 1)
     assert _rows(once) == _rows(merge_upsert(base2, delta2, keys=["key"]))
+
+
+_TEXT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # doc_id (collisions fine)
+        st.lists(
+            st.sampled_from(["spark", "merge", "join", "row", "batch", "key"]),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=_TEXT_ROWS, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_minhash_signatures_partition_invariant(spark, rows, parts):
+    """The affine minhash signature is a pure function of a doc's
+    shingle SET: any partitioning (and any duplicate text rows) yields
+    identical h0..h7."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in rows], "doc_id LONG, text STRING"
+    ).repartition(parts)
+    sh = shingles(docs)
+    got = _rows(minhash_signatures(sh))
+    ref = _rows(minhash_signatures(shingles(docs.repartition(1))))
+    assert got == ref
+
+
+@given(rows=_ROWS, parts=st.sampled_from([1, 3, 7]))
+@settings(**_SETTINGS)
+def test_weighted_sample_partition_invariant(spark, rows, parts):
+    """The A-Res weighted sample is a pure row function (md5 uniform +
+    pow + rounded key, PK tiebreak): the same top-k under any
+    partitioning."""
+    df = spark.createDataFrame(
+        [(i, k, abs(v) + 1.0) for i, (k, _, v) in enumerate(rows)],
+        "rid LONG, key INT, w DOUBLE",
+    ).repartition(parts)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("p"), F.col("rid").cast("string"))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("w")), 6)
+    pick = lambda d: _rows(
+        d.select("rid", key.alias("k")).orderBy(F.col("k").desc(), "rid").limit(5)
+    )
+    assert pick(df) == pick(df.repartition(1))
