@@ -791,7 +791,26 @@ def grouped_zscore_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_per_group(o, "o_custkey", "o_totalprice")
 
 
-@_register("api_source_scan")  # rows-only: custom DataSource, no table oracle
+_API_SOURCE_ORACLE = """
+    WITH ids AS (
+        SELECT unnest(generate_series(0, 1999)) AS record_id
+    ),
+    hashed AS (
+        SELECT record_id,
+               CAST(record_id // 500 AS INTEGER) AS page,
+               CAST(('0x' || substr(md5('rec:' || CAST(record_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM ids
+    )
+    SELECT record_id, page,
+           'vendor_' || CAST(hv % 997 AS VARCHAR) AS name,
+           (['truck', 'cart', 'stand', 'trailer'])[(hv % 4) + 1] AS category,
+           round((hv % 100000) / 100.0, 2) AS value
+    FROM hashed
+"""
+
+
+@_register("api_source_scan", _API_SOURCE_ORACLE)
 def api_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 custom Python DataSource: page-partitioned API scan
     (deterministic synthetic transport; see sources/api_source.py)."""

@@ -116,7 +116,19 @@ def ml_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linreg_pipeline(feats, ["n_orders", "avg_price"], "c_acctbal")
 
 
-@_register("multimodal_byte_features")  # rows-only: mapInPandas stage
+_BYTE_CHECKSUM_SQL = "CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT) + CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)"
+
+_MULTIMODAL_ORACLE = f"""
+    SELECT doc_id AS item_id,
+           CAST(16 AS BIGINT) AS n_bytes,
+           CAST(({_BYTE_CHECKSUM_SQL}) % 2147483648 AS BIGINT) AS byte_checksum,
+           CAST(64 + (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) % 64 AS INTEGER) AS width,
+           CAST(64 + (CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) % 64 AS INTEGER) AS height
+    FROM documents
+"""
+
+
+@_register("multimodal_byte_features", _MULTIMODAL_ORACLE)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach deterministic media bytes to the
     documents table, then Arrow-batched mapInPandas feature extraction

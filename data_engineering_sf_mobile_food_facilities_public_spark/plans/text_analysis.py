@@ -277,7 +277,38 @@ def minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(dupes, "doc_id", "left_anti")
 
 
-@_register("simhash_signatures")  # rows-only: hex->int conv has no DuckDB twin
+
+# SimHash oracle: md5 low-60-bit lane via the '0x'||hex cast, 16 signed
+# bit-votes, sign -> bit reassembly — generated to mirror the Spark exprs.
+_SIMHASH_VOTES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN (h & {1 << bit}) > 0 THEN 1 ELSE -1 END) AS b{bit}"
+    for bit in range(16)
+)
+_SIMHASH_ASSEMBLE_SQL = " + ".join(
+    f"(CASE WHEN COALESCE(b{bit}, 0) > 0 THEN {1 << bit} ELSE 0 END)"
+    for bit in range(16)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM tok, unnest(tokens) AS u(t)
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_SIMHASH_VOTES_SQL}
+        FROM ex GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST({_SIMHASH_ASSEMBLE_SQL} AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+@_register("simhash_signatures", _SIMHASH_ORACLE)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5-derived token hashes: for each
     bit, sum +1/-1 over tokens and take the sign.  Pure Catalyst exprs
