@@ -88,3 +88,31 @@ def test_vectorized_ann_matches_exact_tier(spark):
     fast = relational.QUERIES["ann_cosine_topk_vectorized"](spark, SF_SMOKE)
     assert exact.exceptAll(fast).count() == 0
     assert fast.exceptAll(exact).count() == 0
+
+
+def test_ivf_recall_against_exact_baseline(spark):
+    """IVF quality contract: with nprobe=4 of 8 cells, recall@10 vs the
+    brute-force baseline must clear 0.6 on the test corpus, and raising
+    nprobe must not lower recall (more probed cells -> superset of
+    candidates).  Approximate tiers need a measured recall floor, not
+    just 'runs without error'."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import ivf_topk
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, e, k=10).collect()
+    }
+
+    def recall(nprobe):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, e, k=10, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r4 = recall(4)
+    r8 = recall(8)  # probing every cell == exhaustive -> recall 1.0
+    assert r4 >= 0.6, r4
+    assert r8 >= r4
+    assert r8 == 1.0, r8
