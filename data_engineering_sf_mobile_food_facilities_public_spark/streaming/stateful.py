@@ -152,3 +152,69 @@ def run_update_stream(result: DataFrame, query_name: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def _session_emit(
+    key: tuple, pdfs, state: GroupState
+):
+    """Emit a user's session (count, span) ONLY when its event-time
+    timeout fires — nothing is produced while events keep arriving."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+        return
+    n, first_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+        n += len(pdf)
+        first_us = min(first_us, us.min()) if first_us is not None else us.min()
+        last_us = max(last_us, us.max()) if last_us is not None else us.max()
+    state.update((int(n), int(first_us), int(last_us)))
+    # close the session once the watermark passes last event + 30 minutes
+    state.setTimeoutTimestamp(int(last_us) // 1000 + 30 * 60 * 1000)
+    yield from ()
+
+
+def session_close_on_timeout(events: DataFrame) -> DataFrame:
+    """Session aggregation that emits exclusively via EventTimeTimeout:
+    per-user (count, first, last) is buffered in state and released only
+    when the watermark proves the 30-minute gap has passed — the
+    timeout-driven flavor of sessionization (vs. session_window's
+    window-merge flavor), and the pattern for any 'emit when the key
+    goes quiet' operator (cart abandonment, device offline)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_emit,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

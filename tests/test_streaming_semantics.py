@@ -269,3 +269,56 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     # user 2's null row emitted after watermark closure; users 97/98 are
     # still inside the horizon -> no null rows for them
     assert nulls == {(2, _ts("2024-01-01 10:05:00"))}
+
+
+def test_event_time_timeout_closes_sessions(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a user's session emits
+    ONLY after the watermark passes last_event + 30min.  User 1 goes
+    quiet -> its session is released on a later batch; user 2 keeps
+    events inside the horizon -> still buffered at shutdown."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.stateful import (
+        session_close_on_timeout,
+    )
+
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    out = os.path.join(tmp_path, "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            session_close_on_timeout(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1's burst of 3 events
+    _write_events(spark, src, [(1, _ts("2024-01-01 10:00:00"), 1.0),
+                               (1, _ts("2024-01-01 10:05:00"), 1.0),
+                               (1, _ts("2024-01-01 10:20:00"), 1.0)])
+    run_once()
+
+    # batch 2: user 2 far in the future advances the watermark past
+    # user 1's timeout (10:20 + 30min = 10:50; wm = 12:00 - 10min)
+    _write_events(spark, src, [(2, _ts("2024-01-01 12:00:00"), 1.0)])
+    run_once()
+
+    # batch 3: another tick applies the advanced watermark -> timeout fires
+    _write_events(spark, src, [(2, _ts("2024-01-01 12:05:00"), 1.0)])
+    run_once()
+
+    rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert 1 in rows
+    s = rows[1]
+    assert s.n_events == 3
+    assert s.first_us == int(_ts("2024-01-01 10:00:00").timestamp() * 1_000_000)
+    assert s.last_us == int(_ts("2024-01-01 10:20:00").timestamp() * 1_000_000)
+    # user 2's session is still open (inside the watermark horizon)
+    assert 2 not in rows
