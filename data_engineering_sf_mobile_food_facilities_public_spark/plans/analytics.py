@@ -1897,3 +1897,148 @@ def keyset_page_after_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer — null-preserving row expansion (empty arrays keep the row).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "explode_outer_rare_tokens",
+    """
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t = 'vector') AS hits
+        FROM documents
+    ),
+    expanded AS (
+        SELECT doc_id, t AS hit
+        FROM arr, unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS u(t)
+    )
+    SELECT doc_id, hit, CASE WHEN hit IS NULL THEN 0 ELSE 1 END AS has_hit
+    FROM expanded
+    """,
+)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: documents with NO 'vector' token still produce one
+    (doc_id, NULL) row — the left-join flavor of row expansion, so
+    downstream counts see every document (plain explode silently drops
+    empty arrays, the classic lost-rows bug in per-item pipelines)."""
+    from ..functions.text import tokens as _tokens
+
+    d = load(spark, sf_dir, "documents")
+    hits = d.select(
+        "doc_id",
+        F.filter(_tokens("text"), lambda t: t == F.lit("vector")).alias("hits"),
+    )
+    return hits.select(
+        "doc_id", F.explode_outer("hits").alias("hit")
+    ).withColumn("has_hit", F.when(F.col("hit").isNull(), 0).otherwise(1))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: order status vs priority.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "chi_square_status_priority",
+    """
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS o
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    tots AS (
+        SELECT s, p, o,
+               SUM(o) OVER (PARTITION BY s) AS row_tot,
+               SUM(o) OVER (PARTITION BY p) AS col_tot,
+               SUM(o) OVER () AS grand
+        FROM cells
+    )
+    SELECT round(SUM(pow(o - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(grand AS DOUBLE))), 6) AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM tots
+    """,
+)
+def chi_square_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between order status and
+    priority, computed from ONE grouped count: expected cell counts come
+    from windowed row/column totals over the contingency cells (15 rows),
+    never a rescan.  Integer counts make each cell's term exact; the
+    15-term sum is rounded to 6dp."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tots = (
+        cells.withColumn("row_tot", F.sum("o").over(Window.partitionBy("s")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("p")))
+        .withColumn("grand", F.sum("o").over(Window.partitionBy()))
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    return tots.agg(
+        F.round(F.sum(F.pow(F.col("o") - expected, 2) / expected), 6).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient — revenue concentration per nation, exact DECIMAL sums.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gini_revenue_by_nation",
+    """
+    WITH cust_rev AS (
+        SELECT c_nationkey, c_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey, c_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM cust_rev
+    )
+    SELECT c_nationkey,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           round(2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                     / (any_value(n) * CAST(SUM(rev) AS DOUBLE))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation
+    (0 = equal, ->1 = concentrated) via the sorted-rank formula.  Both
+    SUM(i*rev) and SUM(rev) run in exact DECIMAL (i is an integer rank
+    with a PK tiebreak), so the only floating step is the final scalar
+    arithmetic — deterministic across engines and partitionings."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cust_rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev", "c_custkey")
+    ranked = cust_rev.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("c_nationkey"))
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.first("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("rev")).cast("double")
+            / (F.first("n") * F.sum("rev").cast("double"))
+            - (F.first("n") + F.lit(1.0)) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -856,3 +856,66 @@ def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining — top bigrams by pointwise mutual information.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_collocations_pmi",
+    _TOKENS_CTE
+    + """
+    , pos AS (
+        SELECT doc_id, tokens, unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM tok WHERE len(tokens) >= 2
+    ),
+    bg AS (SELECT tokens[i] AS w1, tokens[i + 1] AS w2 FROM pos),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    uni2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(ln(CAST(c12 AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+    FROM big JOIN uni1 USING (w1) JOIN uni2 USING (w2), tot
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def top_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 20 bigrams (count >= 5) with the highest
+    pointwise mutual information ln(P(w1,w2) / (P(w1)P(w2))) — the
+    classic phrase detector ("new york") run before tokenizer/vocab
+    builds.  Three grouped counts off one exploded bigram stream; the
+    grand total is a 1-row broadcast; deterministic ln + round(6) with a
+    full tiebreak on the limit."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    bg = toks.select(
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 2)).alias("i"), "tk"
+    ).select(
+        F.col("tk")[F.col("i")].alias("w1"), F.col("tk")[F.col("i") + 1].alias("w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(uni1, "w1")
+        .join(uni2, "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

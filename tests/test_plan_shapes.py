@@ -123,6 +123,8 @@ _NESTED_LOOP_ALLOWED = {
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate
     "q11_important_parts",
+    # 1-row bigram grand-total broadcast into the PMI expression
+    "top_collocations_pmi",
 }
 
 
