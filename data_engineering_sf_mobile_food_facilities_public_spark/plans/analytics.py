@@ -2042,3 +2042,96 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid proximity join — points within 500 m without a cross join.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "geo_grid_proximity_pairs",
+    """
+    WITH pts AS (
+        SELECT s_suppkey AS id,
+               37.7 + CAST(s_suppkey AS DOUBLE) / 1000.0 AS lat,
+               -122.4 - CAST(s_suppkey % 97 AS DOUBLE) / 1000.0 AS lon
+        FROM supplier
+    ),
+    cells AS (
+        SELECT id, lat, lon,
+               CAST(FLOOR(lat / 0.01) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / 0.01) AS BIGINT) AS cx
+        FROM pts
+    ),
+    probes AS (
+        SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+        FROM cells,
+             unnest([-1, 0, 1]) AS t1(dy),
+             unnest([-1, 0, 1]) AS t2(dx)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt(pow((b.lon - a.lon) * 111.320
+                          * cos(radians((a.lat + b.lat) / 2)), 2)
+                      + pow((b.lat - a.lat) * 110.574, 2)), 4) AS dist_km
+    FROM probes a JOIN cells b ON a.cy = b.cy AND a.cx = b.cx AND a.id < b.id
+    WHERE sqrt(pow((b.lon - a.lon) * 111.320
+                   * cos(radians((a.lat + b.lat) / 2)), 2)
+               + pow((b.lat - a.lat) * 110.574, 2)) <= 0.5
+    """,
+)
+def geo_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join: point pairs within 500 m, via a spatial grid
+    — each point lands in a ~1 km cell, one side explodes to its 3x3
+    neighbor cells, and candidates come from an EQUI-join on the cell
+    key (never an all-pairs distance scan).  Same blocked-join shape as
+    the embedding near-dup operator; at 100 TB swap the grid for a
+    geohash/S2 cell id, identical plan.  Distance is equirectangular
+    (exact enough at city scale), rounded to absorb libm ulps."""
+    s = load(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.lit(37.7) + F.col("s_suppkey").cast("double") / 1000.0).alias("lat"),
+        (F.lit(-122.4) - (F.col("s_suppkey") % 97).cast("double") / 1000.0).alias(
+            "lon"
+        ),
+    )
+    cells = pts.withColumn(
+        "cy", F.floor(F.col("lat") / 0.01).cast("long")
+    ).withColumn("cx", F.floor(F.col("lon") / 0.01).cast("long"))
+    neighbor_structs = ", ".join(
+        f"struct({dy} AS dy, {dx} AS dx)" for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    )
+    offsets = F.expr(f"explode(array({neighbor_structs}))")
+    probes = cells.select("id", "lat", "lon", "cy", "cx", offsets.alias("o")).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+    )
+    a = probes.alias("a")
+    b = cells.alias("b")
+    dist = F.sqrt(
+        F.pow(
+            (F.col("b.lon") - F.col("a.lon"))
+            * 111.320
+            * F.cos(F.radians((F.col("a.lat") + F.col("b.lat")) / 2)),
+            2,
+        )
+        + F.pow((F.col("b.lat") - F.col("a.lat")) * 110.574, 2)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dist <= 0.5)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dist, 4).alias("dist_km"),
+        )
+    )
