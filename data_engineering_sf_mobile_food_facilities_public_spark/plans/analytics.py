@@ -2135,3 +2135,232 @@ def geo_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dist, 4).alias("dist_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — cumulative-weight crossing, no per-group sort collect.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS x,
+               CAST(l_quantity AS DECIMAL(12,2)) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, x, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY x, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+        FROM w
+    )
+    SELECT l_returnflag, CAST(MIN(x) AS DOUBLE) AS weighted_median
+    FROM cum
+    WHERE cum_wt >= tot_wt / 2
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first value
+    whose cumulative weight crosses half the total (weights in exact
+    DECIMAL, order totalized on (x, wt)).  One window over the group
+    partitioning, a filter, and a MIN — no per-group sort-and-collect,
+    so the same plan holds when a group has a billion rows."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("wt"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("x", "wt")
+    cum = w.withColumn(
+        "cum_wt", F.sum("wt").over(win.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("tot_wt", F.sum("wt").over(Window.partitionBy("l_returnflag")))
+    return (
+        cum.filter(F.col("cum_wt") >= F.col("tot_wt") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("x").cast("double").alias("weighted_median"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions — event-type bigram probabilities per user stream.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, COUNT(*) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM counts
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: LEAD over
+    each user's (ts, event_id)-ordered stream pairs consecutive events,
+    one grouped count, and a row-normalizing window turns counts into
+    P(dst | src) — the behavioral fingerprint used for funnel modeling
+    and bot detection.  Integer counts, deterministic order, round(6)
+    division."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("src")), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample t-statistic from exact moments — A/B lift significance.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ab_test_t_statistic",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(o_orderkey AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    moments AS (
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS s1,
+               CAST(SUM(x * x) AS DOUBLE) AS s2
+        FROM assigned GROUP BY grp
+    ),
+    stats AS (
+        SELECT grp, n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - 1) AS var
+        FROM moments
+    )
+    SELECT round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat
+    FROM (SELECT * FROM stats WHERE grp = 'A') a,
+         (SELECT * FROM stats WHERE grp = 'B') b
+    """,
+)
+def ab_test_t_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-statistic between two md5-hash-assigned experiment arms,
+    from single-pass exact moments: sums and sums-of-squares run in
+    DECIMAL (order-independent), so mean/variance/t are pure arithmetic
+    on two 1-row aggregates — the experimentation readout at any scale,
+    with the assignment itself engine-portable (never rand())."""
+    o = load(spark, sf_dir, "orders")
+    grp = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("o_orderkey").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    moments = (
+        o.select(grp.alias("grp"), x.alias("x"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+        )
+    )
+    stats = moments.select(
+        "grp",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = stats.filter(F.col("grp") == "A").alias("a")
+    b = stats.filter(F.col("grp") == "B").alias("b")
+    return a.join(F.broadcast(b)).select(
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("b.mean"), 6).alias("mean_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average — closed-form weights, no recursion.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ema_customer_spend",
+    """
+    WITH seq AS (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS i,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    SELECT o_custkey,
+           round(CAST(SUM(CAST(o_totalprice * 0.3 * pow(0.7, n - i)
+                              AS DECIMAL(28,10))) AS DOUBLE), 6) AS ema_unnorm,
+           CAST(any_value(n) AS BIGINT) AS n_orders
+    FROM seq
+    GROUP BY o_custkey
+    """,
+)
+def ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of each customer's order values
+    (alpha=0.3, zero-seeded) in CLOSED FORM: ema_n = sum_i alpha *
+    (1-alpha)^(n-i) * x_i.  The recursion becomes one weighted sum per
+    group — windows rank the orders, pow supplies the decay — so the
+    sequential dependency that defeats plain window frames runs as an
+    ordinary parallel aggregate.  round(6) absorbs summation-order
+    ulps."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("o_custkey"))
+    )
+    # each double term is cast to DECIMAL before the sum, so the
+    # aggregate is order-independent (a raw double sum flaps the 6th
+    # decimal at rounding boundaries between engines)
+    term = (
+        F.col("o_totalprice") * 0.3 * F.pow(F.lit(0.7), F.col("n") - F.col("i"))
+    ).cast("decimal(28,10)")
+    return seq.groupBy("o_custkey").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("ema_unnorm"),
+        F.first("n").cast("long").alias("n_orders"),
+    )

@@ -125,6 +125,8 @@ _NESTED_LOOP_ALLOWED = {
     "q11_important_parts",
     # 1-row bigram grand-total broadcast into the PMI expression
     "top_collocations_pmi",
+    # 1-row x 1-row arm-stats combine for the t statistic
+    "ab_test_t_statistic",
 }
 
 
