@@ -2364,3 +2364,135 @@ def ema_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term).cast("double"), 6).alias("ema_unnorm"),
         F.first("n").cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree distribution — connectivity profile of the part graph.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "part_graph_degree_distribution",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    degrees AS (
+        SELECT node, COUNT(*) AS degree
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM degrees GROUP BY degree
+    """,
+)
+def part_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the parts-bought-together graph: undirected
+    degrees from the union of both edge endpoints, then a count-of-counts
+    — the power-law profile that tells you whether hub salting is needed
+    before heavier graph algorithms (two small aggregates after the edge
+    dedup; the edge build is the only real work and is shared with the
+    triangle count)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics breadth — three-valued logic, null-safe compare, coalesce.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "null_semantics_breadth",
+    """
+    WITH nulled AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri
+        FROM orders
+    )
+    SELECT
+        SUM(CASE WHEN status = pri THEN 1 ELSE 0 END) AS eq_true,
+        SUM(CASE WHEN status IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END)
+            AS null_safe_eq_true,
+        SUM(CASE WHEN status IS NULL AND pri IS NULL THEN 1 ELSE 0 END)
+            AS both_null,
+        SUM(CASE WHEN coalesce(status, pri, 'none') = 'none' THEN 1 ELSE 0 END)
+            AS fully_defaulted,
+        SUM(CASE WHEN nullif(status, 'F') IS NULL AND status IS NOT NULL
+                 THEN 1 ELSE 0 END) AS nullified_f
+    FROM nulled
+    """,
+)
+def null_semantics_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic audit on manufactured nulls: plain ``=`` never
+    matches a NULL (eq_true counts only real matches), the null-safe
+    ``<=>`` / IS NOT DISTINCT FROM also matches NULL-to-NULL, and
+    coalesce/nullif round out the defaulting surface — the exact
+    semantics a 100 TB join/dedup pipeline silently depends on."""
+    o = load(spark, sf_dir, "orders")
+    nulled = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return nulled.agg(
+        one_if(F.col("status") == F.col("pri")).alias("eq_true"),
+        one_if(F.col("status").eqNullSafe(F.col("pri"))).alias("null_safe_eq_true"),
+        one_if(F.col("status").isNull() & F.col("pri").isNull()).alias("both_null"),
+        one_if(F.coalesce("status", "pri", F.lit("none")) == "none").alias(
+            "fully_defaulted"
+        ),
+        one_if(
+            F.nullif(F.col("status"), F.lit("F")).isNull() & F.col("status").isNotNull()
+        ).alias("nullified_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion — IANA zone math on both engines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "timezone_conversion_events",
+    """
+    SELECT date_part('hour', ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/Los_Angeles')
+             AS la_hour,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY la_hour
+    """,
+)
+def timezone_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts by Los Angeles local hour: both engines resolve the
+    same IANA rules (DST included), so the wall-clock histogram matches
+    exactly — timestamps stay naive-UTC internally and convert only at
+    the analytical edge, the sane 100 TB timezone policy."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour(F.from_utc_timestamp("ts", "America/Los_Angeles")).alias("la_hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
