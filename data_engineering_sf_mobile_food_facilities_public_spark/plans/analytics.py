@@ -2496,3 +2496,59 @@ def timezone_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.hour(F.from_utc_timestamp("ts", "America/Los_Angeles")).alias("la_hour")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — view-to-purchase time percentiles via the as-of join.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.user_id, p.ts, v.vts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.vts
+    ),
+    lags AS (
+        SELECT (epoch_us(ts) - epoch_us(vts)) / 60000000.0 AS lag_min
+        FROM matched WHERE vts IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_converted,
+           round(quantile_cont(lag_min, 0.5), 6) AS p50_minutes,
+           round(quantile_cont(lag_min, 0.9), 6) AS p90_minutes
+    FROM lags
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: each purchase as-of-joins back
+    to the user's most recent prior view (union-merge as-of — one
+    shuffle, no per-row subquery), and the minute lags roll into exact
+    interpolated p50/p90 — the funnel-health metric, composed from the
+    engine's own as-of operator rather than a bespoke join."""
+    from ..operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    matched = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["vts"],
+    )
+    lags = matched.filter(F.col("vts").isNotNull()).select(
+        ((F.unix_micros("ts") - F.unix_micros("vts")) / 60000000.0).alias("lag_min")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lag_min, 0.5)"), 6).alias("p50_minutes"),
+        F.round(F.expr("percentile(lag_min, 0.9)"), 6).alias("p90_minutes"),
+    )
