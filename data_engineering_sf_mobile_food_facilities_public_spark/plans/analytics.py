@@ -2552,3 +2552,105 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_min, 0.5)"), 6).alias("p50_minutes"),
         F.round(F.expr("percentile(lag_min, 0.9)"), 6).alias("p90_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage — fewest customers covering 80% of each nation's revenue.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pareto_customers_80pct",
+    """
+    WITH cust_rev AS (
+        SELECT c_nationkey, c_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey, c_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               SUM(rev) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, c_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_rev,
+               SUM(rev) OVER (PARTITION BY c_nationkey) AS tot_rev,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM cust_rev
+    )
+    SELECT c_nationkey,
+           CAST(any_value(n_cust) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN cum_rev - rev <
+                              CAST(0.8 AS DECIMAL(2,1)) * tot_rev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS top_customers_for_80pct
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def pareto_customers_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the fewest top customers whose revenue
+    crosses 80% of their nation's total — a descending cumulative-sum
+    window in exact DECIMAL (PK tiebreak), counting rows until the
+    PRIOR cumulative is below the 0.8 threshold (so the crossing
+    customer is included).  The 80/20 health check every revenue team
+    runs, partition-stable by construction."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cust_rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    nw = Window.partitionBy("c_nationkey")
+    w = nw.orderBy(F.col("rev").desc(), "c_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        cust_rev.withColumn("cum_rev", F.sum("rev").over(w))
+        .withColumn("tot_rev", F.sum("rev").over(nw))
+        .withColumn("n_cust", F.count(F.lit(1)).over(nw))
+    )
+    threshold = F.lit(0.8).cast("decimal(2,1)") * F.col("tot_rev")
+    return ranked.groupBy("c_nationkey").agg(
+        F.first("n_cust").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("cum_rev") - F.col("rev") < threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("top_customers_for_80pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — exact via integer cents, no log10 edge cases.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "benford_first_digit_prices",
+    """
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS first_digit,
+           COUNT(*) AS n,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM orders
+    GROUP BY first_digit
+    """,
+)
+def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order values: leading digit taken from
+    the INTEGER CENTS rendering (round to cents, cast, first char) — no
+    log10 on doubles, whose boundary ulps (log10(1000) != 3.0 in some
+    libms) would flap digits between engines.  Fraud/anomaly screening
+    as one grouped count plus a share window."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    first_digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.groupBy(first_digit.alias("first_digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "first_digit",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double"), 6
+        ).alias("share"),
+    )

@@ -572,3 +572,41 @@ def sql_scripting_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTER clause — per-aggregate predicates without CASE scaffolding.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_clause_aggregates",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_jumbo,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                AS DOUBLE) AS hot_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def filter_clause_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause: each aggregate gets its own predicate in one
+    grouped pass — same plan as the CASE WHEN encoding, declared
+    directly.  Null-handling differs from CASE in one spot the oracle
+    pins: a FILTERed SUM over zero rows is NULL, not 0."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_jumbo,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS DOUBLE) AS hot_revenue
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
