@@ -2654,3 +2654,160 @@ def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double"), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — PSI over fixed price buckets, H1 vs H2 1996.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "psi_price_drift",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 'h1'
+                    ELSE 'h2' END AS half,
+               LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS n2
+        FROM assigned GROUP BY bucket
+    ),
+    probs AS (
+        SELECT bucket,
+               (n1 + 0.5) / (SUM(n1) OVER () + 0.5 * COUNT(*) OVER ()) AS p,
+               (n2 + 0.5) / (SUM(n2) OVER () + 0.5 * COUNT(*) OVER ()) AS q
+        FROM counts
+    )
+    SELECT round(SUM((p - q) * ln(p / q)), 6) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM probs
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two halves of 1996 over
+    fixed 50k price buckets (0.5 Laplace smoothing so empty buckets
+    never divide by zero) — THE drift monitor a feature store runs
+    before retraining.  One grouped count; probabilities and the
+    PSI fold are pure arithmetic on the tiny bucket table."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), "h1"
+        )
+        .otherwise("h2")
+        .alias("half"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9)
+        ).alias("bucket"),
+    )
+    counts = assigned.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "h1", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == "h2", 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.partitionBy()
+    probs = counts.select(
+        "bucket",
+        (
+            (F.col("n1") + 0.5)
+            / (F.sum("n1").over(w) + 0.5 * F.count(F.lit(1)).over(w))
+        ).alias("p"),
+        (
+            (F.col("n2") + 0.5)
+            / (F.sum("n2").over(w) + 0.5 * F.count(F.lit(1)).over(w))
+        ).alias("q"),
+    )
+    return probs.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov statistic — max CDF gap, exact integer fractions.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ks_statistic_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    stepped AS (
+        SELECT x,
+               SUM(SUM(is1)) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(SUM(is2)) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               SUM(SUM(is1)) OVER () AS n1,
+               SUM(SUM(is2)) OVER () AS n2
+        FROM assigned GROUP BY x
+    )
+    SELECT round(MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)), 6)
+             AS ks_stat,
+           CAST(any_value(n1) AS BIGINT) AS n1,
+           CAST(any_value(n2) AS BIGINT) AS n2
+    FROM stepped
+    """,
+)
+def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the halves of
+    1996: group by distinct price (ties collapse), running counts per
+    sample over the value order, and the max |CDF1 - CDF2| — all
+    integer counts until the final exact divisions, so the statistic is
+    bit-stable.  The nonparametric cousin of PSI for drift detection;
+    the global-order window is the scale caveat (sample or bucket
+    first at 100 TB)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("is2"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
+    )
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    stepped = per_x.select(
+        F.sum("d1").over(cum).alias("c1"),
+        F.sum("d2").over(cum).alias("c2"),
+        F.sum("d1").over(tot).alias("n1"),
+        F.sum("d2").over(tot).alias("n2"),
+    )
+    return stepped.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.first("n1").cast("long").alias("n1"),
+        F.first("n2").cast("long").alias("n2"),
+    )
