@@ -919,3 +919,99 @@ def top_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: stable pseudonymization — join-preserving key replacement.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pseudonymize_customer_orders",
+    """
+    WITH pseud AS (
+        SELECT o_custkey,
+               'u_' || substr(md5('salt-2026:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                 AS pseudonym,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    )
+    SELECT pseudonym,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_spend
+    FROM pseud
+    GROUP BY pseudonym
+    """,
+)
+def pseudonymize_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization for training exports: the customer key is
+    replaced by a salted-hash pseudonym that is STABLE (same key ->
+    same pseudonym, so joins and groupBys still work) but not
+    reversible without the salt.  Aggregating by pseudonym proves
+    join-preservation: the rollup matches the raw-key rollup
+    cardinality exactly."""
+    o = load(spark, sf_dir, "orders")
+    pseudonym = F.concat(
+        F.lit("u_"),
+        F.substring(
+            F.md5(F.concat(F.lit("salt-2026:"), F.col("o_custkey").cast("string"))),
+            1,
+            12,
+        ),
+    )
+    return (
+        o.select(pseudonym.alias("pseudonym"), _dec_price())
+        .groupBy("pseudonym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_spend"),
+        )
+    )
+
+
+def _dec_price():
+    return F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity audit over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "k_anonymity_audit",
+    """
+    WITH eq_classes AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM eq_classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of the (nation, market-segment) quasi-identifier
+    pair: the dataset's k is the SMALLEST equivalence class, and the
+    audit counts classes (and rows) under the k=5 release threshold —
+    the check a governance gate runs before sharing any training
+    extract.  One grouped count plus a 1-row summary."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_5"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
