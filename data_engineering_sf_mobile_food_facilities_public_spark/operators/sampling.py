@@ -23,7 +23,13 @@ _BUCKETS = 1 << 16
 
 
 def _threshold_hex(fraction: float) -> str:
-    return format(min(_BUCKETS, max(0, int(fraction * _BUCKETS))), "04x")
+    # fraction >= 1.0 would format to the 5-char "10000", which sorts
+    # *below* any bucket starting with '2'..'f' lexicographically and
+    # silently kept only ~6% of rows.  "g" sorts above every hex char,
+    # so `bucket < "g"` keeps everything.
+    if fraction >= 1.0:
+        return "g"
+    return format(max(0, int(fraction * _BUCKETS)), "04x")
 
 
 def hash_bucket_hex(key: Column | str, salt: str = "") -> Column:

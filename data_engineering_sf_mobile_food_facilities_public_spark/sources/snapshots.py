@@ -91,15 +91,19 @@ def diff_snapshots(
     every row, /root/reference/airflow.py:462-508).
 
     One full-outer join on the key; non-key columns compare via a
-    single murmur3 row-hash on each side, so the shuffle carries
-    (key, hash) instead of whole rows for the unchanged majority.
+    single 64-bit xxhash64 row-hash on each side, so the shuffle
+    carries (key, hash) instead of whole rows for the unchanged
+    majority.  64 bits, not 32: with billions of changed keys a 32-bit
+    hash makes old/new collisions (a changed row silently classified
+    unchanged and dropped from the feed) statistically expected;
+    at 2^-64 they are negligible.
     """
     old = read_snapshot(spark, table_dir, version_old)
     new = read_snapshot(spark, table_dir, version_new)
     keys = list(keys)
     payload = [c for c in old.columns if c not in keys]
-    o = old.select(*keys, F.hash(*payload).alias("_h_old"))
-    n = new.select(*keys, F.hash(*payload).alias("_h_new"))
+    o = old.select(*keys, F.xxhash64(*payload).alias("_h_old"))
+    n = new.select(*keys, F.xxhash64(*payload).alias("_h_new"))
     joined = o.join(n, keys, "full_outer")
     return joined.select(
         *keys,

@@ -25,6 +25,25 @@ def test_sample_is_stable_under_repartitioning(spark):
     assert a == b and 0 < len(a) < o.count()
 
 
+def test_sample_fraction_one_keeps_everything(spark):
+    """fraction >= 1.0 must be the identity — the naive 4-hex threshold
+    formats 65536 as the 5-char '10000', which sorts below most buckets
+    and silently kept ~6% of rows (round-1 advice)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    o = load(spark, SF_SMOKE, "orders")
+    total = o.count()
+    assert deterministic_sample(o, "o_orderkey", 1.0).count() == total
+    assert deterministic_sample(o, "o_orderkey", 1.5).count() == total
+    strata = [r[0] for r in o.select("o_orderstatus").distinct().collect()]
+    s = stratified_sample(
+        o, "o_orderkey", {st: 1.0 for st in strata}, "o_orderstatus"
+    )
+    assert s.count() == total
+
+
 def test_split_is_disjoint_exhaustive_and_leak_free(spark):
     o = load(spark, SF_SMOKE, "orders")
     s = train_test_split(o, "o_custkey", 0.2)

@@ -122,11 +122,19 @@ def test_foreach_batch_incremental_merge(spark, tmp_path):
     )
     target = str(tmp_path / "table")
     q = stream_merge_to_parquet(
-        stream, target, str(tmp_path / "ckpt"), keys=["user_id"]
+        stream,
+        target,
+        str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        order_by=[F.col("ts").desc()],
     )
     assert q.lastProgress is not None
 
-    got = spark.read.parquet(target)
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.foreach_batch import (
+        read_merge_target,
+    )
+
+    got = read_merge_target(spark, target)
     # one row per user survives
     assert got.count() == events.select("user_id").distinct().count()
     # and every surviving row is a real event row for that user
@@ -134,6 +142,13 @@ def test_foreach_batch_incremental_merge(spark, tmp_path):
         got.join(events, ["user_id", "event_type", "ts", "value"]).count()
         == got.count()
     )
+    # newest-wins is deterministic: each survivor carries its user's max ts
+    # *within some micro-batch at or after that user's last appearance*;
+    # with a total drain the final winner is the global per-user latest.
+    latest = events.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    assert got.select("user_id", "ts").join(
+        latest, ["user_id", "ts"]
+    ).count() == got.count()
 
 
 def test_transform_with_state_running_stats(spark):
