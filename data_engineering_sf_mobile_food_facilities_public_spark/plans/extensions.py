@@ -137,6 +137,41 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_binary(d, "doc_id", "text"))
 
 
+# The synthetic blobs carry REAL container headers; the oracle replays the
+# same md5-lane arithmetic the generator used (fmt = h[0:2] % 3,
+# width = 1 + h[2:6] % 1024, height = 1 + h[6:10] % 1024), so a hash match
+# proves the header bytes written by the generator and the offsets read by
+# the parser agree with the public format specs end-to-end.
+_IMAGE_HEADER_ORACLE = """
+    SELECT doc_id AS item_id,
+           CASE (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 3)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+             ELSE 'image/bmp' END AS mime,
+           CAST(1 + CAST(('0x' || substr(md5(text), 3, 4)) AS BIGINT) % 1024
+                AS INTEGER) AS width,
+           CAST(1 + CAST(('0x' || substr(md5(text), 7, 4)) AS BIGINT) % 1024
+                AS INTEGER) AS height,
+           CAST(CASE (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 3)
+             WHEN 0 THEN 45 WHEN 1 THEN 26 ELSE 42 END AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+@_register("image_header_decode", _IMAGE_HEADER_ORACLE)
+def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real header-level image decode (no codec library): synthesize
+    header-valid PNG/GIF/BMP blobs per document, then parse MIME and
+    width/height back from the actual bytes at the offsets the format
+    specs define (``multimodal/binary_ops.py: sniff_mime, decode_image``).
+    Two Arrow ``mapInPandas`` stages, narrow end-to-end."""
+    from ..multimodal.binary_ops import decode_media, synthesize_image_blobs
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media(synthesize_image_blobs(d, "doc_id", "text")).drop(
+        "entropy_millibits"
+    )
+
+
 @_register(
     "streaming_running_user_counts",
     """

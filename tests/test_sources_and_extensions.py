@@ -122,6 +122,81 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"\x00" * 16)
 
 
+def test_header_decoders_parse_real_formats():
+    """decode_image reads REAL header bytes at the public spec offsets —
+    round-trip a hand-built header per format and a synthetic JPEG with
+    an APP0 segment before its SOF0 marker."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        byte_entropy,
+        decode_wav_meta,
+        sniff_mime,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    assert sniff_mime(png) == "image/png"
+    assert decode_image(png) == (640, 480)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert sniff_mime(gif) == "image/gif"
+    assert decode_image(gif) == (320, 200)
+
+    bmp = (
+        b"BM" + (62).to_bytes(4, "little") + bytes(4)
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (800).to_bytes(4, "little", signed=True)
+        + (-600).to_bytes(4, "little", signed=True)  # top-down BMP: negative h
+    )
+    assert sniff_mime(bmp) == "image/bmp"
+    assert decode_image(bmp) == (800, 600)
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8]) \
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + bytes(10)
+    jpg = b"\xff\xd8" + app0 + sof0
+    assert sniff_mime(jpg) == "image/jpeg"
+    assert decode_image(jpg) == (1920, 1080)
+
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    assert sniff_mime(wav) == "audio/wav"
+    assert decode_wav_meta(wav) == (2, 44100, 16)
+
+    assert byte_entropy(b"\x00" * 100) == 0.0
+    assert byte_entropy(bytes(range(256))) == 8.0
+
+
+def test_synthesized_blobs_decode_to_oracle_formula(spark):
+    """End-to-end: generator writes real headers, parser reads them back;
+    values must equal the md5-lane formula the SQL oracle replays."""
+    import hashlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_media,
+        synthesize_image_blobs,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").limit(80)
+    texts = {r.doc_id: r.text for r in d.collect()}
+    out = decode_media(synthesize_image_blobs(d, "doc_id", "text")).collect()
+    assert len(out) == 80
+    for r in out:
+        h = hashlib.md5(texts[r.item_id].encode()).hexdigest()
+        fmt = int(h[0:2], 16) % 3
+        assert r.mime == ["image/png", "image/gif", "image/bmp"][fmt]
+        assert r.width == 1 + int(h[2:6], 16) % 1024
+        assert r.height == 1 + int(h[6:10], 16) % 1024
+        assert r.entropy_millibits > 0
+
+
 def test_linreg_pipeline_deterministic(spark):
     li = load(spark, SF_SMOKE, "lineitem").limit(2000)
     m1 = linreg_pipeline(li, ["l_quantity", "l_discount"], "l_extendedprice").collect()[0]
