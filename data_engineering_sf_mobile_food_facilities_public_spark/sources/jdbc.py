@@ -4,8 +4,10 @@
 The reference reads 10 Postgres tables whole over a single JDBC connection
 and loads them with row-at-a-time INSERT loops (~2k network round-trips
 per table).  The engine replaces both directions with set-based, partition-
-parallel transfers.  Untestable in this environment (no database); the
-wrappers are import-safe and parameter-complete.
+parallel transfers.  Executed for real in this environment against the
+Derby embedded database Spark bundles (``tests/test_jdbc_derby.py``:
+round trip, partition-parallel ranges, predicate/projection pushdown into
+the external SQL, overwrite/append modes).
 """
 
 from __future__ import annotations

@@ -1,0 +1,92 @@
+"""Executed JDBC evidence (reference S7/S8, airflow.py:551-640,462-508).
+
+The sandbox has no Postgres, but Spark bundles Apache Derby (for the
+Hive metastore), whose embedded JDBC driver runs inside the driver JVM —
+so the engine's JDBC reader/writer execute for REAL here: an actual SQL
+database, actual partition-parallel range queries, actual pushdown.
+This replaces the round-1 "code complete, never executed" status.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+from data_engineering_sf_mobile_food_facilities_public_spark.sources.jdbc import (
+    read_jdbc,
+    write_jdbc,
+)
+from tests.conftest import SF_SMOKE
+
+DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    return f"jdbc:derby:{tmp_path_factory.mktemp('derby')}/db;create=true"
+
+
+def test_jdbc_write_read_round_trip_partitioned(spark, derby_url):
+    """Batched write -> partition-parallel read: row set survives exactly,
+    and the scan really issues numPartitions range queries."""
+    o = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    write_jdbc(o, derby_url, "orders_t", batch_size=500, **DERBY)
+    back = read_jdbc(
+        spark,
+        derby_url,
+        "orders_t",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=4,
+        **DERBY,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == o.count()
+    # exact content parity, not just counts
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+
+def test_jdbc_scan_pushes_filters_and_prunes_columns(spark, derby_url):
+    """The contract the reference's whole-table JDBC reads never had:
+    predicates and projection must reach the external engine's SQL."""
+    back = read_jdbc(spark, derby_url, "orders_t", **DERBY)
+    q = back.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice,100000.0)" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+    # the generated external SQL projects only the pruned column
+    assert 'SELECT "o_orderkey" FROM orders_t' in plan
+
+
+def test_jdbc_overwrite_and_append_modes(spark, derby_url):
+    n = load(spark, SF_SMOKE, "nation")
+    write_jdbc(n, derby_url, "nation_t", **DERBY)
+    write_jdbc(n, derby_url, "nation_t", mode="append", **DERBY)
+    assert read_jdbc(spark, derby_url, "nation_t", **DERBY).count() == 2 * n.count()
+    write_jdbc(n, derby_url, "nation_t", mode="overwrite", **DERBY)
+    assert read_jdbc(spark, derby_url, "nation_t", **DERBY).count() == n.count()
+
+
+def test_jdbc_multi_table_load_like_reference(spark, derby_url):
+    """The reference's S8 flow loads a star of tables over JDBC
+    (airflow.py:462-508, row-at-a-time INSERTs); here: set-based batched
+    writes, then a join across two JDBC-scanned tables."""
+    c = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    r = load(spark, SF_SMOKE, "region")
+    write_jdbc(c, derby_url, "customer_t", **DERBY)
+    write_jdbc(r, derby_url, "region_t", **DERBY)
+    cj = read_jdbc(spark, derby_url, "customer_t", **DERBY)
+    rj = read_jdbc(spark, derby_url, "region_t", **DERBY)
+    assert rj.count() == 5
+    joined = cj.join(
+        load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_regionkey"),
+        cj.c_nationkey == F.col("n_nationkey"),
+    )
+    assert joined.count() == c.count()
