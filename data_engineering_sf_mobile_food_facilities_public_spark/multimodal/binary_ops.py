@@ -109,22 +109,33 @@ def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, in
             int.from_bytes(data[8:10], "little"),
         )
     if mime == "image/bmp" and len(data) >= 26:
-        return (
-            int.from_bytes(data[18:22], "little", signed=True),
-            abs(int.from_bytes(data[22:26], "little", signed=True)),
-        )
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        # height may legally be negative (top-down row order); width may not
+        if w > 0:
+            return (w, abs(h))
+        if not deterministic_fake:
+            raise ValueError("bmp: non-positive width in header")
     if mime == "image/jpeg":
         # walk marker segments to the first start-of-frame (SOF0/1/2)
         i = 2
         while i + 9 < len(data):
             if data[i] != 0xFF:
                 break
+            # 0xFF fill/padding bytes are legal between segments — skip runs
+            while i + 2 < len(data) and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):
+                if i + 9 > len(data):
+                    break
                 return (
                     int.from_bytes(data[i + 7 : i + 9], "big"),
                     int.from_bytes(data[i + 5 : i + 7], "big"),
                 )
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS: entropy-coded data follows — stop walking
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone marker, no length field
             else:

@@ -153,9 +153,26 @@ def hyperplane_bucket(vec_col, num_planes: int = 8, dim: int = 64):
 
     @pandas_udf("int")
     def bucket_batch(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        # null or wrong-length vectors would make the batch ragged and
+        # crash the matmul; substitute zeros and emit a null bucket so
+        # bad rows degrade (drop out of the bucket equi-join) instead
+        # of failing the job
+        rows = vecs.tolist()
+        valid = np.array(
+            [r is not None and len(r) == dim for r in rows], dtype=bool
+        )
+        if valid.all():  # fast path: one contiguous asarray, no copy loop
+            m = np.asarray(rows, dtype=np.float64)  # (batch, dim)
+            proj = m @ signs
+            return pd.Series(((proj >= 0) @ bits).astype(np.int32))
+        m = np.zeros((len(rows), dim), dtype=np.float64)
+        for j, r in enumerate(rows):
+            if valid[j]:
+                m[j] = r
         proj = m @ signs  # (batch, planes)
-        return pd.Series(((proj >= 0) @ bits).astype(np.int32))
+        out = pd.array(((proj >= 0) @ bits).astype(np.int32), dtype="Int32")
+        out[~valid] = pd.NA
+        return pd.Series(out)
 
     return bucket_batch(v)
 

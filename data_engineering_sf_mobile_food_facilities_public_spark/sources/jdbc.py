@@ -49,11 +49,20 @@ def write_jdbc(
     table: str,
     mode: str = "overwrite",
     batch_size: int = 10_000,
+    num_partitions: int | None = None,
     **options: str,
 ) -> None:
     """Set-based JDBC sink: executors write concurrently with batched
     inserts (``batchsize``) — the replacement for the reference's
-    row-at-a-time INSERT loops."""
+    row-at-a-time INSERT loops.
+
+    ``num_partitions`` caps writer concurrency (one JDBC connection per
+    partition) by coalescing before the write — the knob that keeps a
+    1000-executor job from opening 1000 connections against a database
+    that allows 50.  ``batch_size`` sizes each ``executeBatch`` round
+    trip within a partition."""
+    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+        df = df.coalesce(num_partitions)
     w = (
         df.write.format("jdbc")
         .option("url", url)

@@ -38,10 +38,17 @@ def merge_into_parquet_batch(
     target_dir: str,
     keys: Sequence[str],
     order_by: Sequence[str | Column] | None = None,
+    vacuum_keep_last: int | None = None,
 ) -> int:
     """Merge one micro-batch into the versioned parquet table at
     ``target_dir`` (created on first batch); returns the published
     version.
+
+    Retention is an *operator decision* (snapshots.py contract): old
+    versions are kept unless ``vacuum_keep_last`` is set, in which case
+    each batch vacuums down to that many versions after publishing.
+    Leaving it ``None`` preserves every version for time-travel readers;
+    a pipeline that knows no reader pins old versions passes e.g. ``2``.
 
     ``order_by`` names the winner per key (pass descending columns for
     newest-wins, e.g. ``[F.col("ts").desc()]``).  With ``order_by`` the
@@ -77,7 +84,8 @@ def merge_into_parquet_batch(
         else:
             merged = incoming
     v = write_snapshot(merged, target_dir)
-    vacuum(target_dir, keep_last=2)
+    if vacuum_keep_last is not None:
+        vacuum(target_dir, keep_last=vacuum_keep_last)
     return v
 
 
@@ -92,12 +100,15 @@ def stream_merge_to_parquet(
     checkpoint_dir: str,
     keys: Sequence[str],
     order_by: Sequence[str | Column] | None = None,
+    vacuum_keep_last: int | None = None,
 ):
     """Run a stream into the merge sink with Trigger.AvailableNow;
     returns the finished StreamingQuery."""
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, _bid: merge_into_parquet_batch(df, target_dir, keys, order_by)
+            lambda df, _bid: merge_into_parquet_batch(
+                df, target_dir, keys, order_by, vacuum_keep_last=vacuum_keep_last
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

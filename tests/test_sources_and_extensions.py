@@ -174,6 +174,70 @@ def test_header_decoders_parse_real_formats():
     assert byte_entropy(bytes(range(256))) == 8.0
 
 
+def test_header_decoder_edge_cases():
+    """Spec-legal oddities the round-2 ADVICE flagged: 0xFF fill bytes
+    between JPEG segments, SOS before any SOF, and BMPs with a negative
+    (malformed) width."""
+    # fill bytes (legal padding) between APP0 and SOF0 must not derail the walk
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8]) \
+        + (240).to_bytes(2, "big") + (320).to_bytes(2, "big") + bytes(10)
+    jpg_fill = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0
+    assert decode_image(jpg_fill) == (320, 240)
+
+    # SOS with no SOF: walker must stop at entropy-coded data, not read
+    # garbage lengths out of it
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+    jpg_sofless = b"\xff\xd8" + app0 + sos + b"\x12\x34\x56\x78" * 4
+    with pytest.raises(ValueError):
+        decode_image(jpg_sofless)
+
+    # negative width is malformed (only height may legally be negative)
+    bad_bmp = (
+        b"BM" + (62).to_bytes(4, "little") + bytes(4)
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (-800).to_bytes(4, "little", signed=True)
+        + (600).to_bytes(4, "little", signed=True)
+    )
+    with pytest.raises(ValueError):
+        decode_image(bad_bmp)
+
+
+def test_hyperplane_bucket_tolerates_null_and_ragged_vectors(spark):
+    """A null or wrong-length embedding degrades to a null bucket (row
+    drops out of the bucket equi-join) instead of crashing the batch."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import (
+        hyperplane_bucket,
+    )
+
+    rows = [
+        (1, [float(i) for i in range(8)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong length
+        (4, [float(-i) for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select(
+            "vec_id", hyperplane_bucket("embedding", num_planes=4, dim=8).alias("bucket")
+        ).collect()
+    }
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and out[4] is not None
+    # all-valid fast path agrees with the mixed-batch slow path
+    clean = spark.createDataFrame(
+        [rows[0], rows[3]], "vec_id long, embedding array<double>"
+    )
+    clean_out = {
+        r["vec_id"]: r["bucket"]
+        for r in clean.select(
+            "vec_id", hyperplane_bucket("embedding", num_planes=4, dim=8).alias("bucket")
+        ).collect()
+    }
+    assert clean_out[1] == out[1] and clean_out[4] == out[4]
+
+
 def test_synthesized_blobs_decode_to_oracle_formula(spark):
     """End-to-end: generator writes real headers, parser reads them back;
     values must equal the md5-lane formula the SQL oracle replays."""
