@@ -19,10 +19,20 @@ from pyspark.sql import DataFrame
 
 
 def zscore_per_group(
-    df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Normalize ``value_col`` against its group's mean/std (ddof=0).
-    Single-member or zero-variance groups get z=0.0."""
+    """Normalize ``value_col`` against its group's mean/std (ddof=0 =
+    population std, DuckDB's STDDEV_POP).  Single-member or zero-variance
+    groups get z=0.0.
+
+    ``round_digits`` rounds the z-score so the result is comparable
+    against a SQL ``AVG``/``STDDEV_POP`` window oracle despite ulp-level
+    float accumulation-order differences between engines (the repo's
+    ROUND_DIGITS convention, ``operators/similarity.py``)."""
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -32,6 +42,10 @@ def zscore_per_group(
         std = float(pdf[value_col].std(ddof=0))
         mean = float(pdf[value_col].mean())
         z = (pdf[value_col] - mean) / std if std > 0 else 0.0
+        if round_digits is not None:
+            import numpy as np
+
+            z = np.round(z, round_digits) + 0.0  # +0.0 folds -0.0 into 0.0
         return pdf.assign(**{out_col: z})
 
     return df.groupBy(group_col).applyInPandas(normalize, schema=schema)

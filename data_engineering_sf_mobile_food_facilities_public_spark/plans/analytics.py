@@ -781,14 +781,32 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("grouped_zscore_sample")  # rows-only: pandas float path
+@_register(
+    "grouped_zscore_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN g_std > 0
+                THEN round((o_totalprice - g_mean) / g_std, 6) + 0.0
+                ELSE 0.0 END AS zscore
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS g_mean,
+               STDDEV_POP(o_totalprice) OVER (PARTITION BY o_custkey) AS g_std
+        FROM orders
+    )
+    """,
+)
 def grouped_zscore_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map: per-customer z-scores of order totals
-    (exact values unit-tested on literal frames)."""
+    """applyInPandas grouped-map: per-customer z-scores of order totals.
+
+    Oracle-paired (round-2 verdict task 1): pandas ``std(ddof=0)`` is
+    population std = DuckDB ``STDDEV_POP``; both sides round to 6
+    digits (repo ROUND_DIGITS convention) to absorb accumulation-order
+    ulp drift, and both fold -0.0 to 0.0 (``+ 0.0``)."""
     from ..operators.grouped_map import zscore_per_group
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    return zscore_per_group(o, "o_custkey", "o_totalprice")
+    return zscore_per_group(o, "o_custkey", "o_totalprice", round_digits=6)
 
 
 _API_SOURCE_ORACLE = """

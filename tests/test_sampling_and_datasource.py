@@ -66,6 +66,25 @@ def test_grouped_zscore_exact_values(spark):
     assert out[3] == 0.0  # singleton group -> 0
 
 
+def test_grouped_zscore_rounding_folds_negative_zero(spark):
+    """round_digits path: tiny negative z rounds to 0.0 (not -0.0, whose
+    repr would hash-mismatch the oracle's 0.0)."""
+    import math
+
+    # middle value sits 1e-12 below the group mean -> z ~ -1e-12,
+    # which rounds to -0.0 and must be folded to +0.0
+    df = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", 1.0 - 1.5e-12), (3, "g", 2.0)],
+        "id long, k string, v double",
+    )
+    out = {
+        r["id"]: r["zscore"]
+        for r in zscore_per_group(df, "k", "v", round_digits=6).collect()
+    }
+    z = out[2]
+    assert z == 0.0 and math.copysign(1.0, z) == 1.0
+
+
 def test_api_datasource_scans_in_page_partitions(spark):
     from data_engineering_sf_mobile_food_facilities_public_spark.sources.api_source import (
         PagedApiDataSource,
