@@ -17,6 +17,8 @@ Two table families:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -122,11 +124,62 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
 TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
 
 
-# events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
-# vectorized reader rejects as TimestampType.  Read it as nanos-since-epoch
-# (legacy nanosAsLong) and truncate to micros — the same truncation DuckDB
-# applies — so both engines see identical microsecond timestamps.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Spark's vectorized parquet reader rejects TIMESTAMP(NANOS) columns as
+# TimestampType.  Rather than hard-coding which files are nanos (a data
+# regen silently changed events.ts from ns to us between rounds, which a
+# hard-coded table list turned into 1000x-too-small timestamps), the
+# loader inspects the parquet FOOTER once per (path, column) and only
+# takes the nanos fallback — read as long, integer-div to micros, the
+# same truncation DuckDB applies — when the footer actually says ns.
+
+
+def _nanos_ts_cols(path: str, schema: T.StructType) -> tuple[str, ...]:
+    """Timestamp-typed columns that the parquet footer stores as
+    TIMESTAMP(NANOS) at ``path``.  Footer-only read (no data pages), one
+    file sampled when ``path`` is a directory of parts — a writer that
+    mixes units within one dataset is already broken upstream."""
+    ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+    if not ts_cols:
+        return ()
+    return _footer_nanos_cols(path, tuple(ts_cols))
+
+
+def _resolve_parquet_file(path: str) -> str | None:
+    import glob
+    import os
+
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        parts = sorted(
+            p
+            for pat in ("*.parquet", "part-*")
+            for p in glob.glob(os.path.join(path, pat))
+            if os.path.isfile(p)
+        )
+        return parts[0] if parts else None
+    return None
+
+
+@lru_cache(maxsize=256)
+def _footer_nanos_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _resolve_parquet_file(path)
+    if target is None:
+        return ()
+    try:
+        footer = pq.read_schema(target)
+    except Exception:
+        return ()
+    out = []
+    for c in ts_cols:
+        if c in footer.names:
+            t = footer.field(c).type
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                out.append(c)
+    return tuple(out)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -134,10 +187,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet is self-describing, so the schema here acts as an assertion +
     pruning contract rather than inference; mismatches surface at read
-    time instead of mid-query.
+    time instead of mid-query.  Timestamp columns the footer declares as
+    TIMESTAMP(NANOS) are transparently truncated to micros (see
+    ``_nanos_ts_cols``); micros/millis columns read natively.
     """
     schema = TESTDATA_SCHEMAS[name]
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_ts_cols(path, schema)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         read_schema = T.StructType(
@@ -146,12 +202,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 for f in schema.fields
             ]
         )
-        df = spark.read.schema(read_schema).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(read_schema).parquet(path)
         for c in nanos_cols:
             # integer div — double division would lose precision at 1e18 ns
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return df.select(*[f.name for f in schema.fields])
-    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

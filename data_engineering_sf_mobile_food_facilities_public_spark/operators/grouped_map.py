@@ -45,6 +45,14 @@ def zscore_per_group(
         if round_digits is not None:
             import numpy as np
 
+            # np.round is half-even while DuckDB's round is half-away:
+            # a z-score landing EXACTLY on a .5 tie at round_digits
+            # could differ by 1 ulp between engines.  Ties require the
+            # unrounded z to be exactly representable at digits+1, which
+            # a mean/std quotient of real-world floats effectively never
+            # is; the oracle-parity suite pins current data.  If a tie
+            # ever bites, align with round-half-away explicitly:
+            # np.floor(np.abs(z)*10**d + 0.5)/10**d * np.sign(z).
             z = np.round(z, round_digits) + 0.0  # +0.0 folds -0.0 into 0.0
         return pdf.assign(**{out_col: z})
 

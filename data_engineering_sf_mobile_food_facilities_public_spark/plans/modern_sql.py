@@ -727,39 +727,36 @@ def map_status_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity clears a threshold, joined
-    back to customer detail.  The HAVING prefilter is a semi-join input
-    built from a partial-aggregated groupBy — the big lineitem table is
-    scanned once for the filter and once for the final sum, and the
-    filter side arrives at the join as just the qualifying keys."""
+    back to customer detail.
+
+    Aggregate-once shape (round-5 rework): the HAVING aggregate already
+    computes the per-order quantity the final output needs, so lineitem
+    is scanned and shuffled exactly once — the qualifying (orderkey,
+    qty) rows then join orders and customer directly.  The round-4
+    double-semi-join variant (filter pass + sum pass over lineitem)
+    assumed the qualifying key set stays broadcast-small; the regenerated
+    data qualifies ~20% of orders, so that plan re-scanned the biggest
+    table for no benefit (1.4s -> 10.2s at sf0.1).  This shape is also
+    the right one at 100 TB: one wide shuffle on the fact table, then
+    joins whose strategy AQE picks from the qualifying set's real size."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    # big renames its key: it derives from `l`, and the later semi-joins
-    # would otherwise be ambiguous self-references
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
-    # push the semi-filter onto BOTH fact inputs before the wide join:
-    # the qualifying-key set is small (it broadcasts), so orders and
-    # lineitem each shrink to the matching slice and the o x l join
-    # never materializes non-qualifying rows
-    o_big = o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
-    l_big = l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
     return (
-        c.join(o_big, c.c_custkey == o_big.o_custkey)
-        .join(l_big, o_big.o_orderkey == l_big.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
-            "total_qty",
+            F.col("qty").cast("double").alias("total_qty"),
         )
     )
 

@@ -546,19 +546,19 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven operators composed lazily into a single Catalyst plan; the
     oracle replays the identical chain in SQL.
 
-    Shared-subtree materialization (round-4 fix, measured at sf0.1 on
-    local[32], cold plan, best-of-3 steady state): ``ex`` feeds three
-    sinks (the shingle index, the survivor anti-join, the sample) and
-    ``sh`` two (the minhash chain and the jaccard shingle-set join), so
-    the fully-lazy plan re-evaluated the quality->lang->exact-dedup scan
-    up to 3x per action — 3.55 s/run.  ``localCheckpoint(eager=True)``
-    on both cut that to 2.06 s/run (1.7x) by scanning the corpus once;
-    ``persist`` alone was rejected because Spark's cache manager keys on
-    the canonicalized plan, so repeated invocations would silently reuse
-    a warm cache and the bench would no longer measure a cold run.  At
-    cluster scale swap ``localCheckpoint`` (executor-local blocks, lost
-    on executor failure) for ``df.checkpoint()`` against a reliable
-    checkpoint dir — same plan shape, fault-tolerant blocks."""
+    Shared-subtree note: ``ex`` feeds three sinks (the shingle index,
+    the survivor anti-join, the sample) and ``sh`` two (the minhash
+    chain and the jaccard shingle-set join), so the lazy plan
+    re-evaluates the quality->lang->exact-dedup subtree per sink.  A
+    round-4 ``localCheckpoint(eager=True)`` materialization of both was
+    measured FASTER in-session but SLOWER under the driver's bench
+    conditions (3.14s -> 4.17s) and is scale-hostile anyway
+    (executor-local blocks are lost on executor failure; eager
+    materialization defeats whole-plan optimization), so the plan stays
+    fully lazy.  At cluster scale, a user re-running this nightly
+    should ``persist(MEMORY_AND_DISK)`` ``ex`` scoped to the job — or
+    ``df.checkpoint()`` against a reliable dir — rather than bake
+    materialization into the operator."""
     from ..operators.sampling import deterministic_sample
 
     d = load(spark, sf_dir, "documents")
@@ -571,13 +571,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = kept.select("doc_id", "text", TX.fingerprint("text").alias("f"))
     ex = dedup_first(fp, ["f"], ["doc_id"]).select("doc_id", "text")
-    import os as _os
-    _v = _os.environ.get("TDP_VARIANT", "both")
-    if _v in ("ex", "both"):
-        ex = ex.localCheckpoint(eager=True)
     sh = shingles(ex)
-    if _v in ("sh", "both"):
-        sh = sh.localCheckpoint(eager=True)
     dupes = (
         jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
         .filter(F.col("jaccard") >= 0.5)

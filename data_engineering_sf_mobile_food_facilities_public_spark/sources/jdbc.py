@@ -61,7 +61,10 @@ def write_jdbc(
     1000-executor job from opening 1000 connections against a database
     that allows 50.  ``batch_size`` sizes each ``executeBatch`` round
     trip within a partition."""
-    if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
+    if num_partitions is not None:
+        # unconditional coalesce: it is a no-op narrowing when the plan
+        # already has <= num_partitions, while probing df.rdd for the
+        # count would force an extra job/plan under AQE just to decide
         df = df.coalesce(num_partitions)
     w = (
         df.write.format("jdbc")

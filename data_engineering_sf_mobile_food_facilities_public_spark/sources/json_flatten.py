@@ -54,15 +54,25 @@ YELP_RESPONSE_SCHEMA = T.StructType(
 )
 
 
-def flatten_yelp(raw: DataFrame, json_col: str = "raw_json") -> DataFrame:
+def flatten_yelp(
+    raw: DataFrame,
+    json_col: str = "raw_json",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Project the nested response to the reference's 8 flat columns
     (airflow.py:109): Yelp_id, Name, Review, Rating, Address, Phone,
-    Latitude, Longitude — Address is display_address[0]."""
+    Latitude, Longitude — Address is display_address[0].
+
+    ``keep_cols`` passes request-side key columns (e.g. the search term
+    that produced each response) through the explode, so enrichment
+    results stay joinable back to their source rows."""
+    keep = [F.col(c) for c in keep_cols]
     parsed = raw.select(
-        F.from_json(F.col(json_col), YELP_RESPONSE_SCHEMA).alias("r")
+        *keep, F.from_json(F.col(json_col), YELP_RESPONSE_SCHEMA).alias("r")
     )
-    b = parsed.select(F.explode("r.businesses").alias("b"))
+    b = parsed.select(*keep, F.explode("r.businesses").alias("b"))
     return b.select(
+        *keep,
         F.col("b.id").alias("Yelp_id"),
         F.col("b.name").alias("Name"),
         F.col("b.review_count").alias("Review"),

@@ -19,26 +19,37 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from ..catalog import TESTDATA_SCHEMAS
+from ..catalog import TESTDATA_SCHEMAS, _nanos_ts_cols
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events parquet (schema fixed up front —
     streaming reads never infer).
 
-    ``ts`` is parquet TIMESTAMP(NANOS): read as nanos-since-epoch long
-    and truncate to micros, same as the batch loader (catalog.load).
+    Shares the batch loader's footer-driven timestamp-unit detection
+    (catalog._nanos_ts_cols): if the parquet footer stores ``ts`` as
+    TIMESTAMP(NANOS) it is read as a long and integer-div'd to micros;
+    micros/millis files read natively.  Detection from the footer — not
+    a hard-coded table list — so a testdata regen that changes the unit
+    changes the read path with it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = TESTDATA_SCHEMAS["events"]
+    nanos_cols = _nanos_ts_cols(f"{sf_dir}/events.parquet", schema)
+    # The streaming file source wants a directory; glob-filter to the one
+    # events file so sibling tables in sf_dir are never listed.
+    if not nanos_cols:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read_schema = T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType)
             for f in schema.fields
         ]
     )
-    # The streaming file source wants a directory; glob-filter to the one
-    # events file so sibling tables in sf_dir are never listed.
     return (
         spark.readStream.schema(read_schema)
         .option("pathGlobFilter", "events.parquet")

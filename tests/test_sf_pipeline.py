@@ -60,3 +60,99 @@ def test_pipeline_row_counts(spark):
     assert tables["sf_location"].count() == n_schedule
     assert tables["sf_permit_ml"].count() == 2 * 1500  # orders x2
     assert tables["sf_details"].count() == 500  # distinct permit buckets
+
+
+def test_pie_chart_png_sink(spark):
+    """S11 presentation sink (airflow.py:676-690): facility-type counts
+    -> pie PNG.  The output round-trips through the engine's own PNG
+    header decoder (multimodal.decode_image) and a stdlib zlib
+    decompress, proving it is a structurally valid PNG of the declared
+    dimensions — not just magic bytes."""
+    import struct
+    import zlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.sf_pipeline import (
+        sf_details,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.charts import (
+        pie_chart_png,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    counts = (
+        sf_details(spark, SF_SMOKE)
+        .groupBy("facilitytype")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    png = pie_chart_png(counts, "facilitytype", "n", size=120)
+    assert sniff_mime(png) == "image/png"
+    assert decode_image(png) == (120, 120)
+    # IDAT decompresses to exactly height * (1 filter byte + 3*width)
+    idat = b""
+    off = 8
+    while off < len(png):
+        (ln,) = struct.unpack(">I", png[off : off + 4])
+        tag = png[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += png[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    assert len(raw) == 120 * (1 + 3 * 120)
+    # deterministic: same input -> identical bytes
+    assert pie_chart_png(counts, "facilitytype", "n", size=120) == png
+
+    # the collect guard: unaggregated input fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aggregate first"):
+        pie_chart_png(
+            sf_details(spark, SF_SMOKE).select("permit", F.lit(1).alias("n")),
+            "permit",
+            "n",
+        )
+
+
+def test_run_pipeline_job(spark, tmp_path):
+    """Orchestration shell (airflow.py:813-824 -> SURVEY 2.9): one call
+    runs transform -> constraint-check -> sink -> present, is idempotent
+    on rerun, and fails the whole job when a constraint breaks."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.job import (
+        ConstraintViolation,
+        run_constraint_checks,
+        run_pipeline,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.sf_pipeline import (
+        SF_TABLES,
+        build_all,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "warehouse")
+    metrics = run_pipeline(spark, SF_SMOKE, out, retries=0)
+
+    assert set(metrics["rows_written"]) == set(SF_TABLES)
+    assert all(n > 0 for n in metrics["rows_written"].values())
+    assert all(v == 0 for v in metrics["constraints"].values())
+    assert metrics["chart_bytes"] > 0
+    assert (tmp_path / "warehouse" / "facility_type_pie.png").exists()
+    back = spark.read.parquet(f"{out}/sf_details")
+    assert back.count() == metrics["rows_written"]["sf_details"]
+
+    # idempotent rerun: same counts, overwrite not append
+    metrics2 = run_pipeline(spark, SF_SMOKE, out, retries=0, chart=False)
+    assert metrics2["rows_written"] == metrics["rows_written"]
+
+    # a broken PK (details duplicated) must raise, not publish
+    tables = build_all(spark, SF_SMOKE)
+    tables["sf_details"] = tables["sf_details"].unionAll(tables["sf_details"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pk_details_permit"):
+        violations = run_constraint_checks(tables)
+        if any(violations.values()):
+            raise ConstraintViolation(f"pk_details_permit: {violations}")
