@@ -457,3 +457,13 @@ def test_distribute_and_cluster_by_sql_layout(spark):
     cplan = clus._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(o_custkey" in cplan
     assert "Sort [o_custkey" in cplan
+
+
+def test_q18_scans_lineitem_exactly_once(spark):
+    """Round-4 regression guard: q18's old shape semi-joined lineitem
+    against its own HAVING keys, scanning the biggest table twice (7.4x
+    slower once ~20% of orders qualified).  The aggregate-once rewrite
+    must keep exactly one lineitem scan and no semi-joins."""
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+    assert "LeftSemi" not in plan
