@@ -162,16 +162,25 @@ def _resolve_parquet_file(path: str) -> str | None:
 
 
 @lru_cache(maxsize=256)
-def _footer_nanos_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
-    import pyarrow as pa
+def _footer_schema(path: str):
+    """Cached parquet-footer schema at ``path`` (None when unreadable).
+    Footer-only — no data pages touched."""
     import pyarrow.parquet as pq
 
     target = _resolve_parquet_file(path)
     if target is None:
-        return ()
+        return None
     try:
-        footer = pq.read_schema(target)
+        return pq.read_schema(target)
     except Exception:
+        return None
+
+
+def _footer_nanos_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
+    import pyarrow as pa
+
+    footer = _footer_schema(path)
+    if footer is None:
         return ()
     out = []
     for c in ts_cols:
@@ -180,6 +189,24 @@ def _footer_nanos_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:
             if pa.types.is_timestamp(t) and t.unit == "ns":
                 out.append(c)
     return tuple(out)
+
+
+def _check_declared_columns(path: str, schema: T.StructType, name: str) -> None:
+    """Fail-loud guard against silent schema drift: Spark's
+    ``read.schema(...)`` null-fills columns absent from the file, so a
+    testdata regen that renames or drops a column would otherwise turn
+    into silent NULLs mid-query (the same failure mode as the round-4
+    timestamp-unit drift, in column form).  Footer names are cached; the
+    check costs nothing after the first load of a path."""
+    footer = _footer_schema(path)
+    if footer is None:
+        return
+    missing = [f.name for f in schema.fields if f.name not in footer.names]
+    if missing:
+        raise ValueError(
+            f"table '{name}' at {path} is missing declared column(s) "
+            f"{missing}; file has {footer.names} — testdata schema drift?"
+        )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -193,6 +220,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     schema = TESTDATA_SCHEMAS[name]
     path = f"{sf_dir}/{name}.parquet"
+    _check_declared_columns(path, schema, name)
     nanos_cols = _nanos_ts_cols(path, schema)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -724,3 +724,28 @@ def test_http_enrichment_end_to_end_with_stub_server(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_schema_drift_fails_loudly(spark, tmp_path):
+    """A regen that renames/drops a declared column must raise at load
+    time, not null-fill silently (Spark's read.schema default)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            # 'ts' renamed to 'timestamp' — drift
+            "timestamp": pa.array([0], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["a"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    with _pytest.raises(ValueError, match="missing declared column.*ts"):
+        load(spark, str(d), "events")
