@@ -174,6 +174,98 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repetition_filter_stats",
+    _TOKENS_CTE
+    + """
+    , idx AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens))) AS i
+        FROM tok
+    ),
+    words AS (
+        SELECT doc_id, tokens[i] AS w, i AS pos
+        FROM idx WHERE tokens[i] <> ''
+    ),
+    big AS (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        FROM words
+    ),
+    bgc AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM big WHERE bg IS NOT NULL GROUP BY doc_id, bg
+    ),
+    bstats AS (
+        SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM bgc GROUP BY doc_id
+    ),
+    wstats AS (
+        SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS ndw
+        FROM words GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) AS top_bigram_frac,
+           1.0 - CAST(w.ndw AS DOUBLE) / w.nw AS dup_word_frac,
+           (coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) <= 0.0625
+            AND 1.0 - CAST(w.ndw AS DOUBLE) / w.nw <= 0.8) AS keep
+    FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+    """,
+)
+def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of bigram slots occupied by the single most repeated
+    bigram, the duplicate-word fraction, and a keep flag over both
+    (thresholds chosen so the synthetic corpus splits) — the "remove
+    boilerplate / degenerate repetition" stage of a training-data
+    pipeline (Rae et al. 2021 section A1.3, public).
+
+    Plan shape: ZERO shuffles, ONE scan.  A per-document statistic never
+    needs an explode fan-out — the whole computation is array
+    higher-order functions inside one narrow projection (bigrams via
+    zip_with over two slices; the most-repeated-bigram count as the
+    longest run in the SORTED bigram array, found by a single
+    ``aggregate`` fold).  The naive posexplode -> lead-window ->
+    re-aggregate formulation of the same stats costs two scans and four
+    exchanges; this one is embarrassingly parallel at any scale.  The
+    DuckDB oracle intentionally uses the exploded relational
+    formulation — two independent derivations, same values.  Fractions
+    are single IEEE divisions of exact integers — bit-identical across
+    engines, no rounding convention needed."""
+    d = load(spark, sf_dir, "documents")
+    toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+    bigrams = (
+        f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+    # longest equal-run in the sorted bigram array == max occurrence
+    # count of any single bigram; one fold, no grouping
+    maxc = (
+        f"aggregate(array_sort({bigrams}), "
+        f"named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        f"(acc, x) -> IF(x = acc.prev, "
+        f"named_struct('prev', x, 'run', acc.run + 1L, "
+        f"'best', greatest(acc.best, acc.run + 1L)), "
+        f"named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
+        f"acc -> acc.best)"
+    )
+    stats = d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("nw"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("ndw"),
+        F.expr(maxc).alias("maxc"),
+        F.expr(f"size({bigrams})").cast("long").alias("nbg"),
+    ).filter(F.col("nw") > 0)  # empty docs are absent from the oracle too
+    top_frac = F.when(F.col("nbg") > 0, F.col("maxc").cast("double") / F.col("nbg")).otherwise(F.lit(0.0))
+    dup_frac = F.lit(1.0) - F.col("ndw").cast("double") / F.col("nw")
+    return stats.select(
+        "doc_id",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        ((top_frac <= 0.0625) & (dup_frac <= 0.8)).alias("keep"),
+    )
+
+
+@_register(
     "text_fingerprints",
     """
     SELECT doc_id,

@@ -467,3 +467,13 @@ def test_q18_scans_lineitem_exactly_once(spark):
     plan = _plan(spark, "q18_large_volume_customers")
     assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
     assert "LeftSemi" not in plan
+
+
+def test_repetition_stats_zero_shuffle_single_scan(spark):
+    """Per-document stats must never explode-and-reaggregate: the array
+    HOF formulation computes bigram repetition inside one narrow
+    projection — no Exchange, one scan, no Python eval."""
+    plan = _plan(spark, "repetition_filter_stats")
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
