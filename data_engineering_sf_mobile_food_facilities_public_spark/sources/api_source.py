@@ -208,8 +208,64 @@ class JsonlAuditWriter(DataSourceWriter):
                     pass
 
 
+class _ManifestFilePartition(InputPartition):
+    def __init__(self, path: str, expected_rows: int):
+        self.path = path
+        self.expected_rows = expected_rows
+
+
+class JsonlAuditReader(DataSourceReader):
+    """Manifest-trusting READ side of the write-audit-publish contract:
+    only files named in ``_MANIFEST.json`` are listed — an orphan part
+    from a failed/retried task is invisible even though it sits in the
+    same directory.  One partition per manifest file, so read
+    parallelism == committed-file count, and each task cross-checks its
+    file's row count against the manifest (a short read means a file was
+    truncated AFTER publish — corruption, and it fails loudly)."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_audit scan requires option 'path'")
+        self._schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
+        return [
+            _ManifestFilePartition(os.path.join(self.path, e["file"]), e["rows"])
+            for e in manifest["files"]
+        ]
+
+    def read(self, partition: _ManifestFilePartition) -> Iterator[tuple]:
+        import json
+
+        names = [f.name for f in self._schema.fields]
+        n = 0
+        with open(partition.path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                n += 1
+                yield tuple(rec.get(name) for name in names)
+        if n != partition.expected_rows:
+            raise IOError(
+                f"{partition.path}: manifest promises {partition.expected_rows} "
+                f"rows, file has {n} — truncated after publish?"
+            )
+
+
 class JsonlAuditDataSource(DataSource):
-    """``df.write.format("jsonl_audit").option("path", dir)`` sink."""
+    """``df.write.format("jsonl_audit").option("path", dir)`` sink, and
+    the matching manifest-trusting scan::
+
+        spark.read.format("jsonl_audit").schema(ddl).option("path", dir).load()
+
+    The scan requires an explicit schema (JSON lines carry none)."""
 
     @classmethod
     def name(cls) -> str:
@@ -220,3 +276,12 @@ class JsonlAuditDataSource(DataSource):
         if not path:
             raise ValueError("jsonl_audit sink requires option 'path'")
         return JsonlAuditWriter(path)
+
+    def schema(self) -> T.StructType:
+        raise ValueError(
+            "jsonl_audit scan requires an explicit .schema(...) — JSON "
+            "lines are schemaless"
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return JsonlAuditReader(self.options, schema)

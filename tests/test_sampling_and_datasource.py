@@ -184,3 +184,58 @@ def test_jsonl_audit_writer_publishes_manifest(spark, tmp_path):
         f.write('{"id": 999, "doubled": 0}\n')
     manifest_files = {e["file"] for e in manifest["files"]}
     assert "part-orphan.jsonl" not in manifest_files
+
+
+def test_jsonl_audit_reader_trusts_manifest(spark, tmp_path):
+    """READ side of write-audit-publish: the scan lists only
+    manifest-committed files, so orphan parts are invisible; a file
+    truncated after publish fails the read loudly."""
+    import json
+    import os
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.api_source import (
+        JsonlAuditDataSource,
+    )
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    out = os.path.join(tmp_path, "audit_rt")
+    df = spark.range(0, 50).selectExpr("id", "id * 3 AS tripled").repartition(3)
+    df.write.format("jsonl_audit").option("path", out).mode("append").save()
+
+    # an orphan part NOT in the manifest must be invisible to the scan
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999, "tripled": 0}\n')
+
+    back = (
+        spark.read.format("jsonl_audit")
+        .schema("id long, tripled long")
+        .option("path", out)
+        .load()
+    )
+    rows = back.collect()
+    assert sorted(r.id for r in rows) == list(range(50))
+    assert all(r.tripled == 3 * r.id for r in rows)
+    assert back.rdd.getNumPartitions() == 3  # one partition per committed file
+
+    # missing schema fails loudly (jsonl is schemaless)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="explicit .schema"):
+        spark.read.format("jsonl_audit").option("path", out).load().collect()
+
+    # truncation after publish: chop a committed file, read must fail
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        first = json.load(f)["files"][0]["file"]
+    with open(os.path.join(out, first), "r+") as f:
+        lines = f.readlines()
+        f.seek(0)
+        f.truncate()
+        f.writelines(lines[:-1])
+    with _pytest.raises(Exception, match="truncated after publish"):
+        (
+            spark.read.format("jsonl_audit")
+            .schema("id long, tripled long")
+            .option("path", out)
+            .load()
+            .collect()
+        )
