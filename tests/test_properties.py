@@ -143,3 +143,89 @@ def test_weighted_sample_partition_invariant(spark, rows, parts):
         d.select("rid", key.alias("k")).orderBy(F.col("k").desc(), "rid").limit(5)
     )
     assert pick(df) == pick(df.repartition(1))
+
+
+@given(
+    slices=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+            st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    size=st.integers(min_value=16, max_value=64),
+)
+@settings(max_examples=25, deadline=None)
+def test_pie_png_always_structurally_valid(slices, size):
+    """Any positive slice list renders to a decodable PNG of the declared
+    dimensions whose raster decompresses to exactly height*(1+3*width)
+    bytes — the format invariants hold for arbitrary inputs, not just the
+    happy-path test chart."""
+    import struct
+    import zlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.charts import (
+        render_pie_png,
+    )
+
+    png = render_pie_png(slices, size=size)
+    assert sniff_mime(png) == "image/png"
+    assert decode_image(png) == (size, size)
+    idat = b""
+    off = 8
+    while off < len(png):
+        (ln,) = struct.unpack(">I", png[off : off + 4])
+        if png[off + 4 : off + 8] == b"IDAT":
+            idat += png[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    assert len(zlib.decompress(idat)) == size * (1 + 3 * size)
+    # determinism: identical input -> identical bytes
+    assert render_pie_png(slices, size=size) == png
+
+
+def _bigram_stats_reference(words: list[str]) -> tuple[float, float]:
+    """Plain-Python reference for the repetition stats."""
+    from collections import Counter
+
+    nw = len(words)
+    dup = 1.0 - len(set(words)) / nw
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    top = (max(Counter(bigrams).values()) / len(bigrams)) if bigrams else 0.0
+    return top, dup
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="xyz", min_size=1, max_size=2),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_stats_match_python_reference(spark, docs):
+    """The array-HOF repetition fold must agree with a plain-Python
+    Counter reference on arbitrary word lists — the longest-sorted-run
+    trick really computes the max bigram multiplicity."""
+    import data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis as TA
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig_load = TA.load
+    TA.load = lambda s, d, n: df
+    try:
+        out = {r.doc_id: r for r in TA.repetition_filter_stats(spark, "ignored").collect()}
+    finally:
+        TA.load = orig_load
+    for i, words in enumerate(docs):
+        top, dup = _bigram_stats_reference(words)
+        assert abs(out[i].top_bigram_frac - top) < 1e-12, (i, words)
+        assert abs(out[i].dup_word_frac - dup) < 1e-12, (i, words)
