@@ -678,6 +678,71 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget mixture — the data-mixture construction step: fill a
+# per-language token budget deterministically.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_budget_mixture",
+    _TOKENS_CTE
+    + """
+    , sized AS (
+        SELECT doc_id, lang,
+               CAST(len(tokens) AS BIGINT) AS n_tokens,
+               md5('mix' || CAST(doc_id AS VARCHAR)) AS h
+        FROM tok JOIN documents USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 3000 END
+    """,
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: fill each language's token budget (en
+    8k, others 3k here — chosen to BIND on the test corpus, so the cut
+    is exercised, not vacuous) by taking documents in deterministic salted-hash
+    order until the running token total crosses the budget — the "build
+    a 1B-token mix at fixed language proportions" step of assembling a
+    training corpus.  Hash order makes the selection a reproducible
+    uniform sample of each language, not a prefix of ingestion order.
+
+    Plan: one shuffle on ``lang``, then a running sum inside each
+    partition.  A cumulative sum is inherently sequential per group; at
+    100 TB with few giant language groups, the scalable variant is the
+    surrogate-key two-pass (range-partition each group by hash, partial
+    sums per range, broadcast the per-range offsets — same shape as
+    ``operators/windows.surrogate_key``), which this operator's window
+    keeps as its semantic twin.  Budgets arrive as an expression, so
+    changing the mix never changes the plan shape."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.when(F.col("lang") == "en", F.lit(8000)).otherwise(F.lit(3000))
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction — regex scrub of emails / phone numbers before training.
 # The synthetic corpus contains no PII, so each doc gets a deterministic
 # email + phone appended first; the redactor then has real work to do and
