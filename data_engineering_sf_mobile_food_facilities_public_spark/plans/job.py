@@ -100,11 +100,21 @@ def run_pipeline(
     out_dir: str,
     retries: int = 1,
     chart: bool = True,
+    yelp_base_url: str | None = None,
+    yelp_max_targets: int | None = None,
 ) -> dict[str, Any]:
-    """Execute one full pipeline period: transform -> check -> sink ->
-    present.  Returns a metrics dict (stage durations, attempts, rows
-    written per table, chart bytes) — what a scheduler's task log would
-    show.  Idempotent: rerunning with the same ``out_dir`` overwrites.
+    """Execute one full pipeline period: [extract-enrich] -> transform ->
+    check -> sink -> present.  Returns a metrics dict (stage durations,
+    attempts, rows written per table, chart bytes) — what a scheduler's
+    task log would show.  Idempotent: rerunning with the same
+    ``out_dir`` overwrites.
+
+    ``yelp_base_url`` enables the reference DAG's live-enrichment
+    extract (airflow.py:92-124): distinct (applicant, address) targets
+    are batch-fetched executor-side and the flattened result lands as a
+    ``yelp_enriched`` parquet table.  ``yelp_max_targets`` caps the
+    request count (deterministically — sorted before the limit), the
+    coarse politeness knob on top of the per-task connection bound.
     """
     metrics: dict[str, Any] = {"stages": {}}
 
@@ -116,6 +126,25 @@ def run_pipeline(
             "attempts": attempts + 1,
         }
         return result
+
+    if yelp_base_url:
+        from ..sources.http_enrich import enrich_with_yelp
+        from .sf_sources import sf_permit
+
+        def extract_enrich() -> int:
+            targets = (
+                sf_permit(spark, sf_dir).select("applicant", "address").distinct()
+            )
+            if yelp_max_targets is not None:
+                targets = targets.orderBy("applicant", "address").limit(
+                    yelp_max_targets
+                )
+            enriched = enrich_with_yelp(targets, base_url=yelp_base_url)
+            path = os.path.join(out_dir, "yelp_enriched")
+            enriched.write.mode("overwrite").parquet(path)
+            return _parquet_rows(path)
+
+        metrics["yelp_enriched_rows"] = staged("extract_enrich", extract_enrich)
 
     tables = staged("transform", lambda: build_all(spark, sf_dir))
 

@@ -156,3 +156,71 @@ def test_run_pipeline_job(spark, tmp_path):
         violations = run_constraint_checks(tables)
         if any(violations.values()):
             raise ConstraintViolation(f"pk_details_permit: {violations}")
+
+
+def test_run_pipeline_with_live_enrichment(spark, tmp_path):
+    """The full DAG shape including the Extract stage: run_pipeline with
+    a yelp endpoint performs real executor-side HTTP fetches against an
+    in-process stub and publishes the flattened result as a parquet
+    table alongside the transform outputs."""
+    import http.server
+    import json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.job import (
+        run_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            term = q.get("term", [""])[0]
+            loc = q.get("location", [""])[0]
+            body = json.dumps(
+                {
+                    "businesses": [
+                        {
+                            "id": f"y-{term}-{loc}",
+                            "name": term,
+                            "review_count": 1,
+                            "rating": 5.0,
+                            "location": {"display_address": [loc]},
+                            "display_phone": "555",
+                            "coordinates": {"latitude": 1.0, "longitude": 2.0},
+                        }
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = str(tmp_path / "wh_enriched")
+        metrics = run_pipeline(
+            spark,
+            SF_SMOKE,
+            out,
+            retries=0,
+            chart=False,
+            yelp_base_url=f"http://127.0.0.1:{srv.server_address[1]}",
+            yelp_max_targets=25,
+        )
+        assert metrics["yelp_enriched_rows"] == 25
+        assert "extract_enrich" in metrics["stages"]
+        back = spark.read.parquet(f"{out}/yelp_enriched")
+        assert back.count() == 25
+        assert set(back.columns) >= {"applicant", "Yelp_id", "Name", "Rating"}
+        assert all(r.Rating == 5.0 for r in back.collect())
+    finally:
+        srv.shutdown()
+        srv.server_close()
