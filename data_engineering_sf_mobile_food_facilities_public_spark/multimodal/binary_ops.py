@@ -341,14 +341,97 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR, rows
+    padded to 4 bytes) from raw top-down RGB bytes.  Pure struct — the
+    format is public and trivial, no imaging library involved."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        for x in range(width):  # RGB -> BGR
+            body += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+        body += b"\x00" * pad
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(body), 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from a 24-bit uncompressed
+    BMP.  REAL pixel decoding — possible without a codec library because
+    BI_RGB pixel data is just padded BGR rows at a header-declared
+    offset.  Compressed or non-24-bit BMPs raise."""
+    import struct
+
+    if sniff_mime(data) != "image/bmp" or len(data) < 54:
+        raise ValueError("not a BMP or truncated header")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bmp: non-positive dimensions")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"bmp: only 24-bit BI_RGB decodable (bpp={bpp})")
+    h = abs(h_signed)
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    if pixel_off + stride * h > len(data):
+        raise ValueError("bmp: pixel array truncated")
+    out = bytearray(row_raw * h)
+    for y in range(h):
+        # negative header height = top-down storage; positive = bottom-up
+        src_y = y if h_signed < 0 else h - 1 - y
+        row = data[pixel_off + src_y * stride : pixel_off + src_y * stride + row_raw]
+        for x in range(w):  # BGR -> RGB
+            out[y * row_raw + 3 * x] = row[3 * x + 2]
+            out[y * row_raw + 3 * x + 1] = row[3 * x + 1]
+            out[y * row_raw + 3 * x + 2] = row[3 * x]
+    return w, h, bytes(out)
+
+
+def resize_rgb_nearest(rgb: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of top-down RGB bytes (numpy index
+    map — vectorized, no imaging library)."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return arr[ys][:, xs].tobytes()
+
+
 def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) -> bytes:
-    """STUB resize: real resampling needs an imaging library not installed
-    here.  The fake produces a deterministic (w*h//64)-byte blob derived
-    from the source bytes so batch shapes and sizes are realistic."""
+    """Resize a media blob to (w, h).
+
+    REAL for 24-bit uncompressed BMP: header-offset pixel decode ->
+    vectorized nearest-neighbor resample -> BMP re-encode, all stdlib +
+    numpy.  Compressed codecs (PNG deflate prediction, JPEG DCT, GIF
+    LZW) need libraries not installed here, so those formats raise
+    ``NotImplementedError`` unless ``deterministic_fake=True``, which
+    produces a deterministic (w*h//64)-byte blob so batch shapes stay
+    realistic in plumbing tests."""
+    if sniff_mime(data) == "image/bmp":
+        try:
+            sw, sh, rgb = decode_bmp_pixels(data)
+            return encode_bmp(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
+        except ValueError:
+            pass  # synthetic/truncated BMP: fall through to the stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "image resizing requires an imaging library not installed here; "
-            "pass deterministic_fake=True for the plumbing-test resizer"
+            "only 24-bit uncompressed BMP resizes without an imaging "
+            "library; pass deterministic_fake=True for the plumbing-test "
+            "resizer"
         )
     n = max(1, (w * h) // 64)
     reps = (n // max(1, len(data))) + 1

@@ -749,3 +749,61 @@ def test_schema_drift_fails_loudly(spark, tmp_path):
     pq.write_table(tbl, str(d / "events.parquet"))
     with _pytest.raises(ValueError, match="missing declared column.*ts"):
         load(spark, str(d), "events")
+
+
+def test_bmp_pixel_codec_and_real_resize(spark):
+    """24-bit BMP pixel ops are REAL (no imaging library): encode ->
+    decode round-trips bytes exactly, nearest-neighbor resize picks the
+    mathematically expected source pixels, and the mapInPandas resize
+    path emits valid BMPs of the target dimensions for real inputs."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_bmp_pixels,
+        decode_image,
+        encode_bmp,
+        resize_image,
+        resize_rgb_nearest,
+        sniff_mime,
+    )
+
+    # 4x2 image, distinct pixel values
+    rgb = bytes(range(4 * 2 * 3))
+    bmp = encode_bmp(4, 2, rgb)
+    assert sniff_mime(bmp) == "image/bmp"
+    assert decode_image(bmp) == (4, 2)
+    w, h, back = decode_bmp_pixels(bmp)
+    assert (w, h) == (4, 2)
+    assert back == rgb  # exact round-trip through BGR/bottom-up/padding
+
+    # nearest-neighbor: downscale 4x2 -> 2x1 must pick pixels (0,0),(0,2)
+    small = resize_rgb_nearest(rgb, 4, 2, 2, 1)
+    px = lambda x, y: rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+    assert small == px(0, 0) + px(2, 0)
+
+    # full real resize: BMP in -> BMP out at target dims, decodable
+    out = resize_image(bmp, 8, 8)  # no deterministic_fake needed for BMP
+    assert decode_image(out) == (8, 8)
+    ow, oh, orgb = decode_bmp_pixels(out)
+    # upscale 4x2 -> 8x8 nearest: corner pixel preserved
+    assert orgb[:3] == px(0, 0)
+
+    # non-decodable formats still refuse without the fake flag
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30, 8, 8)
+
+    # distributed path over real BMPs
+    from pyspark.sql import Row
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [Row(item_id=1, data=bmp), Row(item_id=2, data=encode_bmp(2, 2, bytes(12)))]
+    )
+    resized = {r.item_id: r for r in resize_images(media, 6, 6).collect()}
+    for item_id in (1, 2):
+        r = resized[item_id]
+        assert (r.width, r.height) == (6, 6)
+        assert decode_image(bytes(r.data)) == (6, 6)
