@@ -1544,6 +1544,116 @@ def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics: iterative PageRank on the customer-supplier graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of the Spark loop below: r0..r5 as
+    CTEs, each applying the identical damped update with the identical
+    round-to-6 boundary.  Generated from the same constants so the two
+    sides cannot drift."""
+    iters = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(
+            f""",
+    r{k} AS (
+        SELECT b.node,
+               round(CAST(0.15 AS DOUBLE) / b.n
+                     + CAST({_PR_DAMP} AS DOUBLE) * coalesce(c.contrib, 0), 6) AS pr
+        FROM (SELECT node, n FROM nodes, nn) b
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr / d.outdeg) AS contrib
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c USING (node)
+    )"""
+        )
+        prev = f"r{k}"
+    return (
+        """
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 6) AS pr FROM nodes, nn)
+    """
+        + "".join(iters)
+        + f"\n    SELECT node, pr FROM r{_PR_ITERS}"
+    )
+
+
+@_register("pagerank_customer_supplier", _pagerank_oracle_sql())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (5 damped iterations, d=0.85) on the
+    bidirectional customer-supplier transaction graph (edge = customer
+    bought from supplier; both directions added so no node dangles).
+
+    The iterative-algorithm pattern on DataFrames: each iteration is one
+    join (ranks onto out-edges) + one aggregation (sum of contributions
+    per destination) + one left join back onto the node set — all
+    shuffling on the same node key, so AQE coalesces the exchanges.  The
+    node count enters as a broadcast 1-row aggregate (the Q15/Q22
+    scalar-threshold pattern), never a driver-side ``collect``.  Ranks
+    round to 6 digits at each iteration BOUNDARY so both engines iterate
+    from identical inputs regardless of per-group summation order.
+
+    Scale notes: lineage grows linearly with iterations — at real depth,
+    ``df.checkpoint()`` every ~10 iterations truncates it (the classic
+    iterative-workload pattern); convergence detection (L1 delta <
+    epsilon) is one extra self-join per check, run every k-th iteration
+    rather than every step."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_w = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(nn))  # (node, n): scalar via broadcast
+    ranks = base.select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, base.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
 # Graph analytics: exact triangle count on the part co-occurrence graph.
 # ---------------------------------------------------------------------------
 
