@@ -183,3 +183,44 @@ def run_pipeline(
         metrics["chart_bytes"] = staged("present", present)
 
     return metrics
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry so an external scheduler (cron, Airflow BashOperator —
+    the reference's own cadence layer, airflow.py:813-824) can invoke one
+    pipeline period: ``python -m <pkg>.plans.job SF_DIR OUT_DIR``.
+    Prints the metrics dict as one JSON line; non-zero exit on failure
+    so the scheduler's retry policy sees it."""
+    import argparse
+    import json
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="run one pipeline period")
+    p.add_argument("sf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--retries", type=int, default=1)
+    p.add_argument("--no-chart", action="store_true")
+    p.add_argument("--yelp-base-url", default=None)
+    p.add_argument("--yelp-max-targets", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark("sf-pipeline-job")
+    try:
+        metrics = run_pipeline(
+            spark,
+            args.sf_dir,
+            args.out_dir,
+            retries=args.retries,
+            chart=not args.no_chart,
+            yelp_base_url=args.yelp_base_url,
+            yelp_max_targets=args.yelp_max_targets,
+        )
+    finally:
+        spark.stop()
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    raise SystemExit(main())

@@ -68,6 +68,8 @@ def test_range_and_asof_joins_never_nested_loop(spark):
         "surrogate_key_orders",
         "sessionization_stats",
         "time_bucket_rollup_15min",
+        "repetition_filter_stats",
+        "token_budget_mixture",
     ],
 )
 def test_relational_hot_path_is_jvm_only(spark, name):
