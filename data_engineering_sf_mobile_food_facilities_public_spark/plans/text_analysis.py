@@ -173,8 +173,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
-@_register(
-    "repetition_filter_stats",
+# Repetition-stat CTE chain, shared by the standalone query and the
+# composed curation pipeline below (one definition, two consumers).
+_REP_CTES = (
     _TOKENS_CTE
     + """
     , idx AS (
@@ -201,13 +202,24 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     wstats AS (
         SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS ndw
         FROM words GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT w.doc_id,
+               coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) AS top_bigram_frac,
+               1.0 - CAST(w.ndw AS DOUBLE) / w.nw AS dup_word_frac,
+               (coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) <= 0.0625
+                AND 1.0 - CAST(w.ndw AS DOUBLE) / w.nw <= 0.8) AS keep
+        FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
     )
-    SELECT w.doc_id,
-           coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) AS top_bigram_frac,
-           1.0 - CAST(w.ndw AS DOUBLE) / w.nw AS dup_word_frac,
-           (coalesce(CAST(b.maxc AS DOUBLE) / b.nbg, 0.0) <= 0.0625
-            AND 1.0 - CAST(w.ndw AS DOUBLE) / w.nw <= 0.8) AS keep
-    FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+"""
+)
+
+
+@_register(
+    "repetition_filter_stats",
+    _REP_CTES
+    + """
+    SELECT doc_id, top_bigram_frac, dup_word_frac, keep FROM rep
     """,
 )
 def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +243,22 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single IEEE divisions of exact integers — bit-identical across
     engines, no rounding convention needed."""
     d = load(spark, sf_dir, "documents")
+    stats = d.select("doc_id", *_repetition_raw_cols()).filter(
+        F.col("nw") > 0  # empty docs are absent from the oracle too
+    )
+    top_frac, dup_frac, keep = _repetition_fracs()
+    return stats.select(
+        "doc_id",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+def _repetition_raw_cols() -> list:
+    """The four per-document integer stats as Catalyst array-HOF columns
+    over ``text`` — shared by the standalone stats query and the
+    composed curation pipeline so both fuse into a single scan."""
     toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
     bigrams = (
         f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
@@ -248,20 +276,80 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
         f"acc -> acc.best)"
     )
-    stats = d.select(
-        "doc_id",
+    return [
         F.expr(f"size({toks})").cast("long").alias("nw"),
         F.expr(f"size(array_distinct({toks}))").cast("long").alias("ndw"),
         F.expr(maxc).alias("maxc"),
         F.expr(f"size({bigrams})").cast("long").alias("nbg"),
-    ).filter(F.col("nw") > 0)  # empty docs are absent from the oracle too
-    top_frac = F.when(F.col("nbg") > 0, F.col("maxc").cast("double") / F.col("nbg")).otherwise(F.lit(0.0))
+    ]
+
+
+def _repetition_fracs() -> tuple:
+    """(top_bigram_frac, dup_word_frac, keep) expressions over the raw
+    stat columns from :func:`_repetition_raw_cols`."""
+    top_frac = F.when(
+        F.col("nbg") > 0, F.col("maxc").cast("double") / F.col("nbg")
+    ).otherwise(F.lit(0.0))
     dup_frac = F.lit(1.0) - F.col("ndw").cast("double") / F.col("nw")
-    return stats.select(
+    return top_frac, dup_frac, (top_frac <= 0.0625) & (dup_frac <= 0.8)
+
+
+@_register(
+    "corpus_curation_pipeline",
+    _REP_CTES
+    + """
+    , kept AS (SELECT doc_id FROM rep WHERE keep),
+    sized AS (
+        SELECT t.doc_id, d.lang,
+               CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+               md5('cur' || CAST(t.doc_id AS VARCHAR)) AS h
+        FROM tok t
+        JOIN kept k ON k.doc_id = t.doc_id
+        JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation run: repetition quality filter -> per-language
+    token-budget mixture over the SURVIVORS (en 6k, others 2k — binding
+    on the filtered corpus).  Because the repetition stats are per-row
+    array-HOF expressions, the filter FUSES into the mixture's scan (no
+    join, no second scan — shared via ``_repetition_raw_cols``), so the
+    whole two-stage pipeline is ONE scan and ONE exchange: the
+    per-language running sum.  That fusion is the payoff of keeping
+    quality signals narrow; a groupBy-based filter stage would have
+    forced a join here."""
+    d = load(spark, sf_dir, "documents")
+    with_stats = d.select("doc_id", "lang", "text", *_repetition_raw_cols()).filter(
+        F.col("nw") > 0
+    )
+    _, _, keep = _repetition_fracs()
+    sized = with_stats.filter(keep).select(
         "doc_id",
-        top_frac.alias("top_bigram_frac"),
-        dup_frac.alias("dup_word_frac"),
-        ((top_frac <= 0.0625) & (dup_frac <= 0.8)).alias("keep"),
+        "lang",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.when(F.col("lang") == "en", F.lit(6000)).otherwise(F.lit(2000))
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 
 

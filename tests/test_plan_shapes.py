@@ -482,3 +482,14 @@ def test_repetition_stats_zero_shuffle_single_scan(spark):
     assert "Exchange" not in plan
     assert plan.count("documents.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_curation_pipeline_single_scan_single_exchange(spark):
+    """The composed repetition-filter -> token-budget pipeline must fuse
+    the filter into the mixture's scan (per-row HOF stats, no join): one
+    documents scan, exactly one Exchange (the per-language running sum),
+    no Python eval."""
+    plan = _plan(spark, "corpus_curation_pipeline")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
