@@ -229,3 +229,27 @@ def test_repetition_stats_match_python_reference(spark, docs):
         top, dup = _bigram_stats_reference(words)
         assert abs(out[i].top_bigram_frac - top) < 1e-12, (i, words)
         assert abs(out[i].dup_word_frac - dup) < 1e-12, (i, words)
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """PageRank invariants on the real graph: total rank stays ~1
+    (damped update conserves mass up to the 6-digit per-node rounding),
+    every rank is positive, and node count matches the graph's node
+    set."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        pagerank_customer_supplier,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ranks = pagerank_customer_supplier(spark, SF_SMOKE).collect()
+    n = len(ranks)
+    assert n > 0
+    total = sum(r.pr for r in ranks)
+    # each of the 5 iterations re-rounds every node to 6 digits, so the
+    # worst-case accumulated drift is iters * n * 5e-7 (damping shrinks
+    # carried-over drift, so this bound is conservative)
+    assert abs(total - 1.0) <= 5 * n * 5e-7 + 1e-6, total
+    assert all(r.pr > 0 for r in ranks)
+    # bipartite construction: both customer and supplier nodes present
+    kinds = {r.node[0] for r in ranks}
+    assert kinds == {"c", "s"}
