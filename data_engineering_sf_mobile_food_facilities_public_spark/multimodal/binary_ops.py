@@ -72,6 +72,8 @@ def sniff_mime(data: bytes) -> str:
         return "image/bmp"
     if data[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if data[:2] == b"P6" and (len(data) > 2 and data[2:3].isspace()):
+        return "image/x-portable-pixmap"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
@@ -108,6 +110,13 @@ def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, in
             int.from_bytes(data[6:8], "little"),
             int.from_bytes(data[8:10], "little"),
         )
+    if mime == "image/x-portable-pixmap":
+        try:
+            w, h, _, _ = _ppm_header(data)
+            return (w, h)
+        except ValueError:
+            if not deterministic_fake:
+                raise
     if mime == "image/bmp" and len(data) >= 26:
         w = int.from_bytes(data[18:22], "little", signed=True)
         h = int.from_bytes(data[22:26], "little", signed=True)
@@ -400,6 +409,54 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6): ASCII header + raw top-down RGB — the simplest
+    real image container; zero dependencies."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def _ppm_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_offset) from a P6 header —
+    tolerates '#' comment lines and arbitrary whitespace between tokens
+    per the Netpbm spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("ppm: truncated header")
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError("ppm: non-positive dimensions")
+    return w, h, maxval, i + 1  # one whitespace byte separates pixels
+
+
+def decode_ppm_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from a binary P6 PPM with
+    maxval 255."""
+    w, h, maxval, off = _ppm_header(data)
+    if maxval != 255:
+        raise ValueError(f"ppm: unsupported maxval {maxval}")
+    if off + w * h * 3 > len(data):
+        raise ValueError("ppm: pixel data truncated")
+    return w, h, bytes(data[off : off + w * h * 3])
+
+
 def resize_rgb_nearest(rgb: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resample of top-down RGB bytes (numpy index
     map — vectorized, no imaging library)."""
@@ -421,12 +478,19 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
     ``NotImplementedError`` unless ``deterministic_fake=True``, which
     produces a deterministic (w*h//64)-byte blob so batch shapes stay
     realistic in plumbing tests."""
-    if sniff_mime(data) == "image/bmp":
+    mime = sniff_mime(data)
+    if mime == "image/bmp":
         try:
             sw, sh, rgb = decode_bmp_pixels(data)
             return encode_bmp(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
         except ValueError:
             pass  # synthetic/truncated BMP: fall through to the stub path
+    if mime == "image/x-portable-pixmap":
+        try:
+            sw, sh, rgb = decode_ppm_pixels(data)
+            return encode_ppm(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
+        except ValueError:
+            pass
     if not deterministic_fake:
         raise NotImplementedError(
             "only 24-bit uncompressed BMP resizes without an imaging "

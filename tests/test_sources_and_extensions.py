@@ -807,3 +807,37 @@ def test_bmp_pixel_codec_and_real_resize(spark):
         r = resized[item_id]
         assert (r.width, r.height) == (6, 6)
         assert decode_image(bytes(r.data)) == (6, 6)
+
+
+def test_ppm_codec_real_roundtrip():
+    """P6 PPM joins BMP as a fully real codec: encode -> sniff -> header
+    dims -> pixel round-trip -> real resize, comments and whitespace in
+    the header handled per spec."""
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+        decode_ppm_pixels,
+        encode_ppm,
+        resize_image,
+        sniff_mime,
+    )
+
+    rgb = bytes(range(3 * 2 * 3))
+    ppm = encode_ppm(3, 2, rgb)
+    assert sniff_mime(ppm) == "image/x-portable-pixmap"
+    assert decode_image(ppm) == (3, 2)
+    assert decode_ppm_pixels(ppm) == (3, 2, rgb)
+
+    # comment + extra whitespace in header per Netpbm spec
+    commented = b"P6\n# a comment\n 3  2 \n255\n" + rgb
+    assert decode_ppm_pixels(commented) == (3, 2, rgb)
+
+    out = resize_image(ppm, 6, 4)
+    assert sniff_mime(out) == "image/x-portable-pixmap"
+    assert decode_image(out) == (6, 4)
+    w, h, orgb = decode_ppm_pixels(out)
+    assert orgb[:3] == rgb[:3]  # corner preserved by nearest-neighbor
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm_pixels(b"P6\n3 2\n255\n" + rgb[:-1])
