@@ -29,6 +29,65 @@ def window_count(
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group: str,
+    order_by: Sequence[str],
+    value: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Per-``group`` cumulative sum of ``value`` in ``order_by`` order,
+    WITHOUT the single-task-per-group window.
+
+    ``Window.partitionBy(group)`` puts each group's entire data through
+    one sequential task — at 100 TB a training mix has a handful of
+    giant language groups, so "en" alone would be tens of TB through a
+    single reducer.  This is the two-pass decomposition instead (same
+    shape as :func:`surrogate_key`):
+
+    1. Range-partition the data on ``(group, *order_by)`` so every
+       partition holds a contiguous slice of the global order and no
+       partition exceeds the planner's target size — a giant group just
+       spans MANY partitions.
+    2. Local per-``(partition, group)`` running sums, plus a tiny
+       per-``(partition, group)`` total aggregate (#partitions × #groups
+       rows) whose per-group prefix sums over partition id give each
+       slice's starting offset; broadcast-join the offsets back.
+
+    Result is identical to the single-window formulation for any total
+    ``(group, *order_by)`` order; the per-task work is bounded by the
+    range-partition size regardless of group skew.
+    """
+    keys = [group, *order_by]
+    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+
+    local_w = (
+        Window.partitionBy("__pid", group)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets_w = (
+        Window.partitionBy(group)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        with_pid.groupBy("__pid", group)
+        .agg(F.sum(value).alias("__part_sum"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__part_sum").over(offsets_w), F.lit(0))
+        )
+        .select("__pid", group, "__offset")
+    )
+    return (
+        with_pid.withColumn("__local", F.sum(value).over(local_w))
+        .join(F.broadcast(offsets), ["__pid", group])
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
 def surrogate_key(
     df: DataFrame,
     order_by: Sequence[str | Column],

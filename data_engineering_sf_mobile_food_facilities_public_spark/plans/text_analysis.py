@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import text as TX
-from ..operators import dedup_first
+from ..operators import dedup_first, grouped_running_sum
 from ..operators.minhash import (
     MINHASH_COEFFS,
     MINHASH_P,
@@ -324,11 +324,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-budget mixture over the SURVIVORS (en 6k, others 2k — binding
     on the filtered corpus).  Because the repetition stats are per-row
     array-HOF expressions, the filter FUSES into the mixture's scan (no
-    join, no second scan — shared via ``_repetition_raw_cols``), so the
-    whole two-stage pipeline is ONE scan and ONE exchange: the
-    per-language running sum.  That fusion is the payoff of keeping
-    quality signals narrow; a groupBy-based filter stage would have
-    forced a join here."""
+    join, no second scan — shared via ``_repetition_raw_cols``); the
+    cumulative sum then runs as the same two-pass range-partition
+    decomposition as :func:`token_budget_mixture` (``operators/windows.
+    grouped_running_sum``), so no stage ever funnels a whole language
+    through one task.  That fusion is the payoff of keeping quality
+    signals narrow; a groupBy-based filter stage would have forced a
+    join here."""
     d = load(spark, sf_dir, "documents")
     with_stats = d.select("doc_id", "lang", "text", *_repetition_raw_cols()).filter(
         F.col("nw") > 0
@@ -340,14 +342,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").cast("long").alias("n_tokens"),
         F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))).alias("h"),
     )
-    win = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     budget = F.when(F.col("lang") == "en", F.lit(6000)).otherwise(F.lit(2000))
     return (
-        sized.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        grouped_running_sum(
+            sized, "lang", ["h", "doc_id"], "n_tokens", out_col="cum_tokens"
+        )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
@@ -802,14 +801,16 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus.  Hash order makes the selection a reproducible
     uniform sample of each language, not a prefix of ingestion order.
 
-    Plan: one shuffle on ``lang``, then a running sum inside each
-    partition.  A cumulative sum is inherently sequential per group; at
-    100 TB with few giant language groups, the scalable variant is the
-    surrogate-key two-pass (range-partition each group by hash, partial
-    sums per range, broadcast the per-range offsets — same shape as
-    ``operators/windows.surrogate_key``), which this operator's window
-    keeps as its semantic twin.  Budgets arrive as an expression, so
-    changing the mix never changes the plan shape."""
+    Plan: the per-language cumulative sum runs as the TWO-PASS
+    range-partition decomposition (``operators/windows.
+    grouped_running_sum``), not a ``Window.partitionBy(lang)`` — the
+    single-window formulation funnels each language's entire corpus
+    through one sequential task, and at 100 TB "en" alone is tens of TB.
+    Range partitioning on (lang, h, doc_id) bounds every task at the
+    planner's partition size regardless of language skew; per-range
+    partial sums plus broadcast per-range offsets reassemble the exact
+    global running sum.  Budgets arrive as an expression, so changing
+    the mix never changes the plan shape."""
     d = load(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id",
@@ -817,14 +818,11 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").cast("long").alias("n_tokens"),
         F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))).alias("h"),
     )
-    win = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     budget = F.when(F.col("lang") == "en", F.lit(8000)).otherwise(F.lit(3000))
     return (
-        sized.withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        grouped_running_sum(
+            sized, "lang", ["h", "doc_id"], "n_tokens", out_col="cum_tokens"
+        )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )

@@ -484,12 +484,40 @@ def test_repetition_stats_zero_shuffle_single_scan(spark):
     assert "EvalPython" not in plan
 
 
-def test_curation_pipeline_single_scan_single_exchange(spark):
+@pytest.mark.parametrize(
+    "name", ["token_budget_mixture", "corpus_curation_pipeline"]
+)
+def test_mixture_cumsum_has_no_per_group_sequential_window(spark, name):
+    """The per-language running sum must run as the two-pass
+    range-partition decomposition (grouped_running_sum), never as a
+    ``Window.partitionBy(lang)`` over the corpus — that funnels each
+    language through ONE task, a sequential bottleneck at 100 TB.  The
+    full-data window (ordered by h, doc_id) must be partitioned by
+    (__pid, lang); the only lang-partitioned window allowed is the tiny
+    per-range offsets aggregate (ordered by __pid)."""
+    import re
+
+    plan = _plan(spark, name)
+    # corpus-sized window partitioned by lang alone = the bottleneck
+    assert not re.search(r"\], \[lang#\d+\], \[h#", plan), name
+    # the scalable local window: partitioned by (__pid, lang)
+    assert re.search(r"\], \[__pid#\d+, lang#\d+\], \[h#", plan), name
+    assert "EvalPython" not in plan
+
+
+def test_curation_pipeline_fuses_filter_and_reuses_exchange(spark):
     """The composed repetition-filter -> token-budget pipeline must fuse
-    the filter into the mixture's scan (per-row HOF stats, no join): one
-    documents scan, exactly one Exchange (the per-language running sum),
-    no Python eval."""
-    plan = _plan(spark, "corpus_curation_pipeline")
-    assert plan.count("documents.parquet") == 1
-    assert plan.count("Exchange") == 1
+    the filter into the mixture's scan (per-row HOF stats, no join
+    between the stages), and the two-pass cumsum's offsets branch must
+    REUSE the range exchange at runtime rather than re-scanning
+    documents: after execution the AQE final plan carries a
+    ReusedExchange, so the corpus is scanned and range-shuffled exactly
+    once."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+    df = relational.QUERIES["corpus_curation_pipeline"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
     assert "EvalPython" not in plan
