@@ -11,10 +11,14 @@ No image/audio *codec* library is installed in this environment, but
 container-format headers are public byte layouts — so ``sniff_mime``
 (magic numbers) and ``decode_image`` (PNG/GIF/BMP/JPEG/WAV header
 parsing) are REAL: they read actual widths/heights/sample-rates from
-the fixed header offsets each format specifies.  Only pixel-level work
-(resampling, frame decode) remains stubbed behind
-``deterministic_fake=True`` — the Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested either way.
+the fixed header offsets each format specifies.  Pixel-level decode and
+resize are also REAL for three formats: 24-bit BMP and P6 PPM (raw
+pixel arrays at header offsets) and 8-bit RGB/RGBA PNG (stdlib ``zlib``
+inflate + the public five-filter scanline prediction,
+``decode_png_pixels``).  Only entropy-coded codecs (JPEG DCT, GIF LZW)
+remain stubbed behind ``deterministic_fake=True`` — the Spark-side
+plumbing (schemas, batch iteration, partitioning) is real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -409,6 +413,96 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) from an 8-bit RGB or RGBA
+    non-interlaced PNG.
+
+    REAL pixel decoding with zero non-stdlib dependencies: PNG's
+    compression is DEFLATE, which stdlib ``zlib`` inflates, and the
+    per-scanline prediction filters (None/Sub/Up/Average/Paeth) are a
+    public five-case algorithm over the previous byte/row.  RGBA alpha
+    is dropped after unfiltering (the filters operate on the full pixel
+    stride, so stripping must happen last).  Palette, 16-bit, grayscale
+    and Adam7-interlaced PNGs raise ``ValueError`` — loud, not wrong.
+    """
+    import struct
+    import zlib
+
+    if sniff_mime(data) != "image/png":
+        raise ValueError("not a PNG")
+    w = h = None
+    depth = ctype = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        length = int.from_bytes(data[i : i + 4], "big")
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("png: truncated IHDR")
+            w, h = struct.unpack(">II", body[:8])
+            depth, ctype, _, _, interlace = body[8:13]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # 4 length + 4 tag + body + 4 crc
+    if w is None:
+        raise ValueError("png: no IHDR chunk")
+    if w <= 0 or h <= 0:
+        raise ValueError("png: non-positive dimensions")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "png: only 8-bit RGB/RGBA non-interlaced decodable "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    ch = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: bad IDAT stream ({e})") from e
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        raise ValueError("png: pixel data truncated")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub: predict from the pixel to the left
+            for k in range(ch, stride):
+                row[k] = (row[k] + row[k - ch]) & 0xFF
+        elif ftype == 2:  # Up: predict from the row above
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ftype == 3:  # Average of left and above
+            for k in range(stride):
+                a = row[k - ch] if k >= ch else 0
+                row[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth: nearest of left/above/upper-left
+            for k in range(stride):
+                a = row[k - ch] if k >= ch else 0
+                b = prev[k]
+                c = prev[k - ch] if k >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    if ch == 4:
+        rgb = bytearray(w * h * 3)
+        for px in range(w * h):
+            rgb[3 * px : 3 * px + 3] = out[4 * px : 4 * px + 3]
+        return w, h, bytes(rgb)
+    return w, h, bytes(out)
+
+
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     """Binary PPM (P6): ASCII header + raw top-down RGB — the simplest
     real image container; zero dependencies."""
@@ -471,13 +565,15 @@ def resize_rgb_nearest(rgb: bytes, w: int, h: int, new_w: int, new_h: int) -> by
 def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) -> bytes:
     """Resize a media blob to (w, h).
 
-    REAL for 24-bit uncompressed BMP: header-offset pixel decode ->
-    vectorized nearest-neighbor resample -> BMP re-encode, all stdlib +
-    numpy.  Compressed codecs (PNG deflate prediction, JPEG DCT, GIF
-    LZW) need libraries not installed here, so those formats raise
-    ``NotImplementedError`` unless ``deterministic_fake=True``, which
-    produces a deterministic (w*h//64)-byte blob so batch shapes stay
-    realistic in plumbing tests."""
+    REAL for 24-bit uncompressed BMP, binary P6 PPM, and 8-bit RGB/RGBA
+    non-interlaced PNG: pixel decode (header offsets for BMP/PPM, zlib
+    inflate + scanline unfilter for PNG) -> vectorized nearest-neighbor
+    resample -> re-encode in the same format, all stdlib + numpy.  The
+    remaining compressed codecs (JPEG DCT, GIF LZW) need libraries not
+    installed here, so those formats raise ``NotImplementedError``
+    unless ``deterministic_fake=True``, which produces a deterministic
+    (w*h//64)-byte blob so batch shapes stay realistic in plumbing
+    tests."""
     mime = sniff_mime(data)
     if mime == "image/bmp":
         try:
@@ -491,11 +587,21 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             return encode_ppm(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
         except ValueError:
             pass
+    if mime == "image/png":
+        try:
+            sw, sh, rgb = decode_png_pixels(data)
+            resized = resize_rgb_nearest(rgb, sw, sh, w, h)
+            from ..sources.charts import png_encode
+
+            rows = [resized[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
+            return png_encode(w, h, rows)
+        except ValueError:
+            pass  # header-only/palette/interlaced PNG: stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "only 24-bit uncompressed BMP resizes without an imaging "
-            "library; pass deterministic_fake=True for the plumbing-test "
-            "resizer"
+            "only BMP (24-bit BI_RGB), P6 PPM, and 8-bit RGB/RGBA PNG "
+            "resize without an imaging library; pass "
+            "deterministic_fake=True for the plumbing-test resizer"
         )
     n = max(1, (w * h) // 64)
     reps = (n // max(1, len(data))) + 1

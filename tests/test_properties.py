@@ -253,3 +253,34 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # bipartite construction: both customer and supplier nodes present
     kinds = {r.node[0] for r in ranks}
     assert kinds == {"c", "s"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    rgba=st.booleans(),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_decode_inverts_any_filtered_encoding(w, h, rgba, filters, seed):
+    """PNG pixel decode is the exact inverse of DEFLATE + scanline
+    filtering for every image shape, channel layout (RGB/RGBA), and
+    filter-type sequence — pixels derived deterministically from the
+    seed, filters cycled per row."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+    from tests.test_sources_and_extensions import _make_png
+
+    ch = 4 if rgba else 3
+    n = w * h * ch
+    pixels = bytes((seed * 2654435761 + i * 97 + (i * i) % 251) % 256 for i in range(n))
+    png = _make_png(w, h, pixels, ctype=6 if rgba else 2, filters=filters)
+    dw, dh, rgb = decode_png_pixels(png)
+    assert (dw, dh) == (w, h)
+    if rgba:
+        expect = b"".join(pixels[4 * p : 4 * p + 3] for p in range(w * h))
+    else:
+        expect = pixels
+    assert rgb == expect

@@ -841,3 +841,152 @@ def test_ppm_codec_real_roundtrip():
 
     with _pytest.raises(ValueError, match="truncated"):
         decode_ppm_pixels(b"P6\n3 2\n255\n" + rgb[:-1])
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward-apply a PNG scanline filter (the encoder side of the
+    public spec) so the decoder's unfiltering can be exercised on every
+    filter type, not just the filter-0 stream our own encoder emits."""
+    out = bytearray([ftype])
+    for k in range(len(row)):
+        a = row[k - ch] if k >= ch else 0
+        b = prev[k]
+        c = prev[k - ch] if k >= ch else 0
+        if ftype == 0:
+            v = row[k]
+        elif ftype == 1:
+            v = (row[k] - a) & 0xFF
+        elif ftype == 2:
+            v = (row[k] - b) & 0xFF
+        elif ftype == 3:
+            v = (row[k] - ((a + b) >> 1)) & 0xFF
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = (row[k] - pred) & 0xFF
+        out.append(v)
+    return bytes(out)
+
+
+def _make_png(w: int, h: int, pixels: bytes, ctype: int, filters: list[int]) -> bytes:
+    import struct
+    import zlib
+
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        raw += _png_filter_row(filters[y % len(filters)], row, prev, ch)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_roundtrip_with_own_encoder():
+    """decode(png_encode(x)) == x: the repo's stdlib PNG writer
+    (sources/charts.py) and the multimodal decoder must be exact
+    inverses for 8-bit RGB."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.charts import png_encode
+
+    w, h = 5, 4
+    rgb = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    rows = [rgb[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
+    png = png_encode(w, h, rows)
+    assert decode_png_pixels(png) == (w, h, rgb)
+
+
+def test_png_unfilter_all_five_filter_types():
+    """Each scanline filter (None/Sub/Up/Average/Paeth) must invert
+    exactly; the fixture cycles all five across rows, RGB and RGBA."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+
+    w, h = 6, 10
+    rgb = bytes((i * 31 + 11) % 256 for i in range(w * h * 3))
+    png = _make_png(w, h, rgb, ctype=2, filters=[0, 1, 2, 3, 4])
+    assert decode_png_pixels(png) == (w, h, rgb)
+
+    # RGBA: filters run over the 4-byte stride; alpha dropped afterwards
+    rgba = bytes((i * 13 + 5) % 256 for i in range(w * h * 4))
+    png4 = _make_png(w, h, rgba, ctype=6, filters=[4, 3, 2, 1, 0])
+    expect = bytearray()
+    for px in range(w * h):
+        expect += rgba[4 * px : 4 * px + 3]
+    assert decode_png_pixels(png4) == (w, h, bytes(expect))
+
+
+def test_png_real_resize_and_unsupported_variants():
+    """PNG joins BMP/PPM as a fully real pixel codec: real nearest-
+    neighbor resize re-encoded as PNG; palette/16-bit/interlaced PNGs
+    refuse loudly instead of decoding wrong."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+        decode_png_pixels,
+        resize_image,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.charts import png_encode
+
+    w, h = 4, 2
+    rgb = bytes(range(w * h * 3))
+    png = png_encode(w, h, [rgb[3 * w * y : 3 * w * (y + 1)] for y in range(h)])
+    out = resize_image(png, 8, 6)  # no deterministic_fake: PNG is real now
+    assert sniff_mime(out) == "image/png"
+    assert decode_image(out) == (8, 6)
+    ow, oh, orgb = decode_png_pixels(out)
+    assert (ow, oh) == (8, 6)
+    assert orgb[:3] == rgb[:3]  # corner preserved by nearest-neighbor
+
+    # unsupported variants raise ValueError with the variant named
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="color_type=3"):
+        decode_png_pixels(pal)
+    inter = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(14)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="interlace=1"):
+        decode_png_pixels(inter)
+    with _pytest.raises(ValueError, match="truncated|bad IDAT"):
+        decode_png_pixels(
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
