@@ -48,6 +48,12 @@ HEADLINE = [
     "q18_large_volume_customers",
     "bitmap_distinct_parts_by_flag",
     "session_window_user_activity",
+    # round-6 additions: the curation/graph surface (no r01 baseline —
+    # the diff gate tolerates added queries and tracks them from here on)
+    "repetition_filter_stats",
+    "token_budget_mixture",
+    "corpus_curation_pipeline",
+    "pagerank_customer_supplier",
 ]
 
 

@@ -30,14 +30,25 @@ def diff(baseline: dict, current: dict) -> dict:
         if name in cur_q and cur_q[name] > THRESHOLD * base_q[name]
     }
     missing = sorted(set(base_q) - set(cur_q))
+    added = sorted(set(cur_q) - set(base_q))
+    # apples-to-apples: the suite grows over rounds, so the headline
+    # ratio is computed over the intersection; added queries are listed
+    # with their own times and excluded from the comparison
+    comparable = sorted(set(base_q) & set(cur_q))
+    comp_base = sum(base_q[n] for n in comparable)
+    comp_cur = sum(cur_q[n] for n in comparable)
     return {
         "metric": "bench_diff_vs_r01",
         "baseline_total": baseline["value"],
         "current_total": current["value"],
         "total_ratio": round(current["value"] / baseline["value"], 3),
+        "comparable_total_baseline": round(comp_base, 3),
+        "comparable_total_current": round(comp_cur, 3),
+        "comparable_ratio": round(comp_cur / comp_base, 3) if comp_base else None,
         "threshold": THRESHOLD,
         "regressed": regressed,
         "missing_queries": missing,
+        "added_queries": {n: cur_q[n] for n in added},
         "ok": not regressed and not missing,
     }
 

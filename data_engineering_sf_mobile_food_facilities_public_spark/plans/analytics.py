@@ -1605,26 +1605,44 @@ def _pagerank_oracle_sql() -> str:
     )
 
 
-@_register("pagerank_customer_supplier", _pagerank_oracle_sql())
-def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative PageRank (5 damped iterations, d=0.85) on the
-    bidirectional customer-supplier transaction graph (edge = customer
-    bought from supplier; both directions added so no node dangles).
+def pagerank_run(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _PR_ITERS,
+    damp: float = _PR_DAMP,
+    checkpoint_every: int | None = None,
+    checkpoint_dir: str | None = None,
+    unsafe_local_checkpoint: bool = False,
+    tol: float | None = None,
+    check_every: int = 5,
+) -> tuple[DataFrame, int, float | None]:
+    """Parameterized PageRank on the customer-supplier graph; returns
+    ``(ranks, iterations_run, last_l1_delta)``.
 
-    The iterative-algorithm pattern on DataFrames: each iteration is one
-    join (ranks onto out-edges) + one aggregation (sum of contributions
-    per destination) + one left join back onto the node set — all
-    shuffling on the same node key, so AQE coalesces the exchanges.  The
-    node count enters as a broadcast 1-row aggregate (the Q15/Q22
-    scalar-threshold pattern), never a driver-side ``collect``.  Ranks
-    round to 6 digits at each iteration BOUNDARY so both engines iterate
-    from identical inputs regardless of per-group summation order.
+    Two scale controls the fixed-depth oracle query doesn't need but a
+    50-iteration production run does:
 
-    Scale notes: lineage grows linearly with iterations — at real depth,
-    ``df.checkpoint()`` every ~10 iterations truncates it (the classic
-    iterative-workload pattern); convergence detection (L1 delta <
-    epsilon) is one extra self-join per check, run every k-th iteration
-    rather than every step."""
+    * ``checkpoint_every`` — lineage grows linearly with iterations, so
+      every N iterations the ranks materialize through a RELIABLE
+      ``df.checkpoint()`` (``checkpoint_dir`` must be given; it is set
+      on the SparkContext).  ``localCheckpoint`` keeps blocks only on
+      executors — lose one and the job dies — so it needs the explicit
+      ``unsafe_local_checkpoint=True``.  Checkpointing also re-anchors
+      determinism: each segment replans from materialized ranks.
+    * ``tol`` — L1-delta convergence: every ``check_every`` iterations,
+      ``sum(abs(pr - prev_pr))`` via a self-join on the node key; stop
+      when below ``tol``.  The delta is ONE double collected per check
+      (a scalar action, same class as the z-order stats collect), not a
+      per-row driver loop; checking every k-th step amortizes it.
+    """
+    if checkpoint_every is not None:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif not unsafe_local_checkpoint:
+            raise ValueError(
+                "checkpoint_every needs checkpoint_dir (reliable) or "
+                "unsafe_local_checkpoint=True (executor-local blocks)"
+            )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -1644,7 +1662,9 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = base.select(
         "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
     )
-    for _ in range(_PR_ITERS):
+    iters_run, last_delta = 0, None
+    for i in range(1, iters + 1):
+        prev = ranks
         contribs = (
             edges_w.join(ranks, edges_w.src == ranks.node)
             .groupBy("dst")
@@ -1656,11 +1676,50 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.round(
                     F.lit(0.15) / F.col("n")
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0)),
                     6,
                 ).alias("pr"),
             )
         )
+        iters_run = i
+        if checkpoint_every is not None and i % checkpoint_every == 0 and i < iters:
+            ranks = (
+                ranks.localCheckpoint(eager=True)
+                if checkpoint_dir is None
+                else ranks.checkpoint(eager=True)
+            )
+        if tol is not None and i % check_every == 0:
+            delta_df = prev.select("node", F.col("pr").alias("pr_prev")).join(
+                ranks, "node"
+            )
+            last_delta = delta_df.agg(
+                F.sum(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
+            ).collect()[0]["d"]
+            if last_delta is not None and last_delta < tol:
+                break
+    return ranks, iters_run, last_delta
+
+
+@_register("pagerank_customer_supplier", _pagerank_oracle_sql())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (5 damped iterations, d=0.85) on the
+    bidirectional customer-supplier transaction graph (edge = customer
+    bought from supplier; both directions added so no node dangles).
+
+    The iterative-algorithm pattern on DataFrames: each iteration is one
+    join (ranks onto out-edges) + one aggregation (sum of contributions
+    per destination) + one left join back onto the node set — all
+    shuffling on the same node key, so AQE coalesces the exchanges.  The
+    node count enters as a broadcast 1-row aggregate (the Q15/Q22
+    scalar-threshold pattern), never a driver-side ``collect``.  Ranks
+    round to 6 digits at each iteration BOUNDARY so both engines iterate
+    from identical inputs regardless of per-group summation order.
+
+    The oracle-paired query runs the fixed 5 unrolled iterations its
+    DuckDB twin replays; real-depth runs go through :func:`pagerank_run`,
+    which adds periodic reliable checkpointing (bounded lineage) and
+    L1-delta convergence detection."""
+    ranks, _, _ = pagerank_run(spark, sf_dir, iters=_PR_ITERS)
     return ranks
 
 

@@ -136,3 +136,35 @@ def test_ivf_sampled_fit_recall_at_sf001(spark):
         for r in ivf_topk(q, e, k=10, n_cells=8, nprobe=4).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_lsh_recall_against_exact_baseline(spark):
+    """LSH quality contract, parallel to the IVF one: the multi-table
+    configuration the registered query ships (4 planes x 8 tables) must
+    clear recall@10 >= 0.6 vs brute force, and OR-amplification must be
+    real — more tables never lowers recall (each table only ADDS
+    candidates), and the 3-plane x 8-table setting (coarser buckets,
+    more collisions) clears 0.8."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, e, k=10).collect()
+    }
+
+    def recall(num_planes, n_tables):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucketed_topk(
+                q, e, k=10, num_planes=num_planes, n_tables=n_tables
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    shipped = recall(4, 8)
+    assert shipped >= 0.6, shipped
+    assert recall(4, 12) >= shipped  # more tables = superset of candidates
+    assert recall(3, 8) >= 0.8  # coarser buckets, higher collision prob

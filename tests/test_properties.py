@@ -284,3 +284,59 @@ def test_png_decode_inverts_any_filtered_encoding(w, h, rgba, filters, seed):
     else:
         expect = pixels
     assert rgb == expect
+
+
+def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
+    """The scale controls of pagerank_run are executable, not narrative:
+    25 iterations with reliable checkpointing every 5 must keep the
+    final plan's depth bounded by ONE segment (plans re-root at the
+    checkpointed RDD instead of accumulating 25 join layers), and the
+    L1-delta convergence check must stop the loop early with a delta
+    below tolerance."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        pagerank_run,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # lineage bound: a 25-iteration checkpointed run's final plan must
+    # be no deeper than an uncheckpointed 6-iteration plan
+    ranks, iters_run, _ = pagerank_run(
+        spark,
+        SF_SMOKE,
+        iters=25,
+        checkpoint_every=5,
+        checkpoint_dir=str(tmp_path / "pr_ckpt"),
+    )
+    deep_plan = ranks._jdf.queryExecution().analyzed().toString()
+    ref6, _, _ = pagerank_run(spark, SF_SMOKE, iters=6)
+    ref_plan = ref6._jdf.queryExecution().analyzed().toString()
+    assert iters_run == 25
+    assert deep_plan.count("Join") <= ref_plan.count("Join")
+    assert len(deep_plan) <= len(ref_plan)
+
+    # the checkpointed deep run still satisfies the mass invariant
+    rows = ranks.collect()
+    total = sum(r.pr for r in rows)
+    assert abs(total - 1.0) <= 25 * len(rows) * 5e-7 + 1e-6, total
+
+    # convergence: the damped update contracts the L1 error by ~0.85 per
+    # iteration (measured: delta ~2.7e-3 at iter 40 on this fixture), so
+    # a 0.01 tolerance must trip the every-5th-iteration check well
+    # before the 50-iteration cap
+    _, conv_iters, delta = pagerank_run(
+        spark,
+        SF_SMOKE,
+        iters=50,
+        checkpoint_every=5,
+        checkpoint_dir=str(tmp_path / "pr_ckpt2"),
+        tol=0.01,
+        check_every=5,
+    )
+    assert conv_iters < 50
+    assert delta is not None and delta < 0.01
+
+    # guard: checkpointing without a reliable dir must be explicit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsafe_local_checkpoint"):
+        pagerank_run(spark, SF_SMOKE, iters=10, checkpoint_every=5)
