@@ -17,7 +17,7 @@ Two table families:
 
 from __future__ import annotations
 
-from functools import lru_cache
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,10 +144,35 @@ def _nanos_ts_cols(path: str, schema: T.StructType) -> tuple[str, ...]:
     return _footer_nanos_cols(path, tuple(ts_cols))
 
 
+_REMOTE_SCHEMES_WARNED: set[str] = set()
+
+
 def _resolve_parquet_file(path: str) -> str | None:
     import glob
     import os
 
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme == "file":
+            path = path.split("://", 1)[1]
+        else:
+            # s3://, hdfs://, ...: os.path/glob can't see these, so the
+            # nanos-unit and column-drift guards CANNOT run.  Degrading
+            # silently would reintroduce the round-4 failure mode for
+            # remote tables, so say it loudly (once per scheme); the
+            # remote path would route through pyarrow.fs when needed.
+            if scheme not in _REMOTE_SCHEMES_WARNED:
+                _REMOTE_SCHEMES_WARNED.add(scheme)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "parquet footer inspection skipped for %s:// path %s: "
+                    "nanos-timestamp detection and schema-drift guards are "
+                    "INACTIVE for tables on this filesystem",
+                    scheme,
+                    path,
+                )
+            return None
     if os.path.isfile(path):
         return path
     if os.path.isdir(path):
@@ -161,19 +186,31 @@ def _resolve_parquet_file(path: str) -> str | None:
     return None
 
 
-@lru_cache(maxsize=256)
+_FOOTER_CACHE: dict[str, object] = {}
+
+
 def _footer_schema(path: str):
-    """Cached parquet-footer schema at ``path`` (None when unreadable).
-    Footer-only — no data pages touched."""
+    """Parquet-footer schema at ``path`` (None when unreadable).
+    Footer-only — no data pages touched.  Only SUCCESSFUL reads are
+    cached: a missing file or transient read error must be re-inspected
+    on the next load (a stream defined before its first file lands, a
+    retried load), not leave the drift/nanos guards permanently no-op
+    for that path."""
+    if path in _FOOTER_CACHE:
+        return _FOOTER_CACHE[path]
     import pyarrow.parquet as pq
 
     target = _resolve_parquet_file(path)
     if target is None:
         return None
     try:
-        return pq.read_schema(target)
+        schema = pq.read_schema(target)
     except Exception:
         return None
+    if len(_FOOTER_CACHE) >= 256:  # bound like the lru it replaces
+        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+    _FOOTER_CACHE[path] = schema
+    return schema
 
 
 def _footer_nanos_cols(path: str, ts_cols: tuple[str, ...]) -> tuple[str, ...]:

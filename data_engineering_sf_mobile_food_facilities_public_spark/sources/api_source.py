@@ -253,9 +253,16 @@ class JsonlAuditReader(DataSourceReader):
                 n += 1
                 yield tuple(rec.get(name) for name in names)
         if n != partition.expected_rows:
+            # name the actual corruption mode: short = data loss after
+            # publish; long = rows appended/orphaned past the commit
+            mode = (
+                "truncated after publish"
+                if n < partition.expected_rows
+                else "rows appended after publish (uncommitted writer?)"
+            )
             raise IOError(
                 f"{partition.path}: manifest promises {partition.expected_rows} "
-                f"rows, file has {n} — truncated after publish?"
+                f"rows, file has {n} — {mode}"
             )
 
 

@@ -74,15 +74,19 @@ def render_pie_png(
     Slice order (and therefore color assignment) follows input order, so
     output bytes are fully deterministic for a sorted input.
     """
-    total = float(sum(v for _, v in slices))
+    # clamp BEFORE summing: a negative slice in the total but not the
+    # per-slice fractions would push cumulative bounds past 1 mid-list,
+    # making the bounds non-monotonic and silently distorting slices
+    clamped = [max(0.0, float(v)) for _, v in slices]
+    total = sum(clamped)
     if total <= 0 or not slices:
         raise ValueError("pie chart needs at least one positive-valued slice")
     import math
 
     bounds = []
     acc = 0.0
-    for i, (_, v) in enumerate(slices):
-        acc += max(0.0, float(v)) / total
+    for v in clamped:
+        acc += v / total
         bounds.append(acc)
     bounds[-1] = 1.0 + 1e-9  # float-sum slack: the last slice owns the seam
 

@@ -145,9 +145,15 @@ def enrich_with_yelp(
     **fetch_kwargs,
 ) -> DataFrame:
     """End-to-end S3: (term, location) rows -> batched executor GETs ->
-    declarative flatten to the reference's 8 yelp columns, keyed by the
-    term that produced each hit.  Rows whose fetch failed or whose JSON
-    has no businesses drop out in the explode, exactly like the
+    declarative flatten to the reference's 8 yelp columns, keyed by BOTH
+    request columns — an applicant can appear at multiple addresses, so
+    keeping only the term would make those rows indistinguishable and a
+    join-back on applicant would cross-match; (term, location) is the
+    request's natural key.  The location key is emitted as
+    ``request_<location_col>`` because the flattened yelp schema already
+    contains an ``Address`` business column and parquet writes resolve
+    column names case-insensitively.  Rows whose fetch failed or whose
+    JSON has no businesses drop out in the explode, exactly like the
     reference's skipped-on-error rows (airflow.py:101-105)."""
     from .json_flatten import flatten_yelp
 
@@ -158,8 +164,11 @@ def enrich_with_yelp(
         "url", yelp_search_url(base_url, F.col(term_col), F.col(location_col))
     )
     fetched = fetch_json(with_url, headers=headers, **fetch_kwargs)
+    req_loc = f"request_{location_col}"
     flat = flatten_yelp(
-        fetched.filter(F.col("http_status") == 200).select(term_col, "raw_json"),
-        keep_cols=(term_col,),
+        fetched.filter(F.col("http_status") == 200).select(
+            term_col, F.col(location_col).alias(req_loc), "raw_json"
+        ),
+        keep_cols=(term_col, req_loc),
     )
     return flat

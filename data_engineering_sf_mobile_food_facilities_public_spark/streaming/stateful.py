@@ -36,6 +36,14 @@ except ImportError:  # pragma: no cover - environment-dependent
     StatefulProcessor = object  # type: ignore[assignment,misc]
     StatefulProcessorHandle = object  # type: ignore[assignment,misc]
     HAS_TRANSFORM_WITH_STATE = False
+    # one visible line instead of a silent capability hole: otherwise
+    # the gate only surfaces as a pytest skip count
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "transformWithState disabled: google.protobuf not importable; "
+        "applyInPandasWithState remains available"
+    )
 
 OUTPUT_SCHEMA = T.StructType(
     [

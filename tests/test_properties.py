@@ -340,3 +340,153 @@ def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsafe_local_checkpoint"):
         pagerank_run(spark, SF_SMOKE, iters=10, checkpoint_every=5)
+
+
+def test_grouped_running_sum_skewed_group_spans_partitions(spark):
+    """Zipf-skew stress for the two-pass cumulative sum: with one
+    language owning 90% of a 20k-row corpus, (a) the result is exactly
+    the single-window semantics, and (b) the range partitioning that
+    carries the big data really SPREADS the giant group — many
+    partitions hold 'en' rows and no partition exceeds ~2x the even
+    share, which is precisely the property the per-group window lacks
+    (it would put all 18k 'en' rows through one task)."""
+    from pyspark.sql import Window
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        grouped_running_sum,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 10).cast("string")))
+        .alias("lang"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    )
+
+    out = grouped_running_sum(df, "lang", ["h", "doc_id"], "n_tokens", "cum")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = df.withColumn("cum", F.sum("n_tokens").over(w))
+    cols = ["doc_id", "lang", "n_tokens", "cum"]
+    assert out.select(cols).exceptAll(ref.select(cols)).count() == 0
+    assert ref.select(cols).exceptAll(out.select(cols)).count() == 0
+
+    # partition-shape evidence on the same keys the operator ranges on
+    sizes = (
+        df.repartitionByRange(8, "lang", "h", "doc_id")
+        .groupBy(F.spark_partition_id().alias("pid"), "lang")
+        .count()
+        .collect()
+    )
+    per_pid: dict[int, int] = {}
+    en_pids = set()
+    for r in sizes:
+        per_pid[r.pid] = per_pid.get(r.pid, 0) + r["count"]
+        if r.lang == "en":
+            en_pids.add(r.pid)
+    assert len(en_pids) >= 4, en_pids  # the giant group spans partitions
+    assert max(per_pid.values()) <= 2.0 * (n / 8), per_pid
+
+
+def test_exact_dedup_bounds_lsh_candidates_on_duplicate_heavy_corpus(spark):
+    """Duplicate-skew stress for the dedup pipeline: 500 byte-identical
+    copies in one LSH band bucket would mean ~125k candidate pairs —
+    quadratic blowup in the bucket join.  The pipeline's mitigation is
+    ordering: exact dedup (hash groupBy on the fingerprint) runs FIRST,
+    so the LSH stage sees one survivor per distinct text and candidate
+    counts stay bounded by distinct-text pairs, not copy-count pairs."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.functions import (
+        text as TX,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.dedup import (
+        dedup_first,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark range partitioning",
+        "yet another unrelated text mentioning tokens and languages",
+    ]
+    rows = [(i, texts[0] if i < 500 else texts[i % 3]) for i in range(520)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    fp = docs.select("doc_id", "text", TX.fingerprint("text").alias("fp"))
+    survivors = dedup_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text")
+    assert survivors.count() == 3  # one per distinct text
+
+    cands = candidate_pairs(lsh_bands(minhash_signatures(shingles(survivors))))
+    # 3 distinct texts -> at most 3 pairs ever; without the dedup-first
+    # ordering the same corpus yields >=124,750 candidate pairs
+    assert cands.count() <= 3
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    sof=st.sampled_from([0xC0, 0xC1, 0xC2]),  # baseline / ext. seq. / progressive
+    pre=st.lists(
+        st.tuples(
+            st.sampled_from([0xE0, 0xE1, 0xDB, 0xC4, 0xFE]),  # APPn/DQT/DHT/COM
+            st.binary(min_size=0, max_size=24),
+        ),
+        max_size=4,
+    ),
+    fills=st.lists(st.integers(0, 3), min_size=5, max_size=5),
+    rst=st.booleans(),
+)
+def test_jpeg_header_dims_parse_any_segment_layout(w, h, sof, pre, fills, rst):
+    """The JPEG dimension walker must find the first SOF0/1/2 under any
+    legal header layout: arbitrary APPn/DQT/DHT/COM segments (random
+    payloads, including 0xFF bytes inside payloads), runs of 0xFF fill
+    bytes between segments, standalone RST markers, baseline AND
+    progressive frames — and must read dims from the marker's fixed
+    offsets (big-endian height at +5, width at +7)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+    )
+
+    data = bytearray(b"\xff\xd8")  # SOI
+    for (marker, payload), f in zip(pre, fills):
+        data += b"\xff" * f
+        data += bytes([0xFF, marker])
+        data += (len(payload) + 2).to_bytes(2, "big") + payload
+    if rst:
+        data += bytes([0xFF, 0xD0])  # standalone restart marker, no length
+    data += b"\xff" * fills[-1]
+    sof_payload = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    data += bytes([0xFF, sof]) + (len(sof_payload) + 2).to_bytes(2, "big") + sof_payload
+    # entropy-coded tail after SOS: the walker must never scan past SOS
+    data += b"\xff\xda" + (4).to_bytes(2, "big") + b"\x01\x00" + b"\x12\x34\xff\x00\x56"
+    assert decode_image(bytes(data)) == (w, h)
+
+
+def test_jpeg_header_without_sof_refuses():
+    """SOS or EOI before any SOF means no dimensions exist in the
+    header: the parser must raise, not fabricate."""
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+    )
+
+    sos_first = b"\xff\xd8\xff\xda" + (4).to_bytes(2, "big") + b"\x01\x00" + b"\xab"
+    with _pytest.raises(ValueError, match="no SOF"):
+        decode_image(sos_first)
+    eoi_only = b"\xff\xd8\xff\xd9"
+    with _pytest.raises(ValueError, match="no SOF"):
+        decode_image(eoi_only)
+    # the fake path still yields a plausible shape for plumbing tests
+    assert decode_image(sos_first, deterministic_fake=True)[0] >= 64

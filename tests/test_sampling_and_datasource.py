@@ -239,3 +239,16 @@ def test_jsonl_audit_reader_trusts_manifest(spark, tmp_path):
             .load()
             .collect()
         )
+
+    # the OTHER corruption mode: rows appended past the committed count
+    # must be named as such, not misreported as truncation
+    with open(os.path.join(out, first), "a") as f:
+        f.write('{"id": 777, "tripled": 0}\n{"id": 778, "tripled": 0}\n')
+    with _pytest.raises(Exception, match="appended after publish"):
+        (
+            spark.read.format("jsonl_audit")
+            .schema("id long, tripled long")
+            .option("path", out)
+            .load()
+            .collect()
+        )

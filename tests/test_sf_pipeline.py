@@ -224,3 +224,41 @@ def test_run_pipeline_with_live_enrichment(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_pie_chart_negative_slice_clamps_consistently():
+    """A negative slice value must clamp to zero in BOTH the total and
+    the per-slice fractions — clamping only the fractions would push the
+    cumulative bounds past 1 mid-list (non-monotonic) and silently
+    distort neighboring slices.  Pixel-identical to the explicit-zero
+    rendering, and the all-non-positive case still refuses."""
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.sources.charts import (
+        render_pie_png,
+    )
+
+    neg = render_pie_png([("a", 5.0), ("b", -3.0), ("c", 5.0)], size=60)
+    zero = render_pie_png([("a", 5.0), ("b", 0.0), ("c", 5.0)], size=60)
+    assert neg == zero
+    with _pytest.raises(ValueError, match="positive-valued"):
+        render_pie_png([("a", -1.0), ("b", 0.0)], size=60)
+
+
+def test_footer_schema_retries_after_transient_failure(tmp_path):
+    """A missing parquet file must NOT be cached as permanently
+    unreadable: a table defined before its first file lands (stream,
+    retried load) must become visible to the nanos/drift guards once the
+    file exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import (
+        _footer_schema,
+    )
+
+    path = str(tmp_path / "late.parquet")
+    assert _footer_schema(path) is None  # not there yet
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), path)
+    footer = _footer_schema(path)  # same path, file landed in between
+    assert footer is not None and footer.names == ["x"]

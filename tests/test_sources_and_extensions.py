@@ -683,6 +683,7 @@ def test_http_enrichment_end_to_end_with_stub_server(spark):
         targets = spark.createDataFrame(
             [
                 ("A1", "1 Mission St"),
+                ("A1", "9 Market St"),  # same applicant, second address
                 ("A2", "2 Howard St"),
                 ("A500", "3 Folsom St"),  # 500 once -> retry succeeds
                 ("A404", "4 Harrison St"),  # permanent 404 -> row drops
@@ -693,14 +694,22 @@ def test_http_enrichment_end_to_end_with_stub_server(spark):
         enriched = enrich_with_yelp(
             targets, base_url=f"http://127.0.0.1:{port}", retries=2
         )
-        # join the enrichment back to its request rows (sf_yelp_info's
-        # semi-join shape: only enriched applicants survive)
-        joined = targets.join(enriched, "applicant", "inner")
-        rows = {r.applicant: r for r in joined.collect()}
+        # join the enrichment back on BOTH request keys: an applicant at
+        # multiple addresses must stay two distinguishable rows, never a
+        # cross-match (the location key comes back as request_address so
+        # it cannot case-collide with the yelp Address business column)
+        joined = targets.join(
+            enriched,
+            (targets.applicant == enriched.applicant)
+            & (targets.address == enriched.request_address),
+            "inner",
+        ).select(enriched["*"])
+        assert joined.count() == 4  # A1 x2 + A2 + A500; no cross-match rows
+        rows = {(r.applicant, r.request_address): r for r in joined.collect()}
 
-        assert set(rows) == {"A1", "A2", "A500"}  # A404 dropped
+        assert {a for a, _ in rows} == {"A1", "A2", "A500"}  # A404 dropped
         assert flaky_hits["n"] >= 2  # the 500 really was retried
-        a1 = rows["A1"]
+        a1 = rows[("A1", "1 Mission St")]
         assert a1.Yelp_id == "y-A1"
         assert a1.Name == "A1"
         assert a1.Review == 6
@@ -708,6 +717,9 @@ def test_http_enrichment_end_to_end_with_stub_server(spark):
         assert a1.Address == "1 Mission St"  # display_address[0] round-trip
         assert a1.Phone == "555-A1"
         assert a1.Latitude == 37.7 and a1.Longitude == -122.4
+        # the second address enriched as its own row, not a copy of the
+        # first (the stub echoes the request location back)
+        assert rows[("A1", "9 Market St")].Address == "9 Market St"
 
         # transport-failure path: unroutable port -> status 0, empty body,
         # every input row still present (errors poison rows, not the job)
@@ -719,7 +731,7 @@ def test_http_enrichment_end_to_end_with_stub_server(spark):
             retries=0,
         )
         dead_rows = dead.collect()
-        assert len(dead_rows) == 4
+        assert len(dead_rows) == 5  # one per target row, none dropped
         assert all(r.http_status == 0 and r.raw_json == "" for r in dead_rows)
     finally:
         srv.shutdown()
