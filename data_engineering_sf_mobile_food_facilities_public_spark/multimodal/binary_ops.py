@@ -12,10 +12,11 @@ container-format headers are public byte layouts — so ``sniff_mime``
 (magic numbers) and ``decode_image`` (PNG/GIF/BMP/JPEG/WAV header
 parsing) are REAL: they read actual widths/heights/sample-rates from
 the fixed header offsets each format specifies.  Pixel-level decode and
-resize are also REAL for three formats: 24-bit BMP and P6 PPM (raw
-pixel arrays at header offsets) and 8-bit RGB/RGBA PNG (stdlib ``zlib``
-inflate + the public five-filter scanline prediction,
-``decode_png_pixels``).  Only entropy-coded codecs (JPEG DCT, GIF LZW)
+resize are also REAL for four formats: 24-bit BMP and P6 PPM (raw pixel
+arrays at header offsets), 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate
++ the public five-filter scanline prediction, ``decode_png_pixels``),
+and GIF (pure-Python LZW table decode incl. interlace + local color
+tables, ``decode_gif_pixels``).  Only JPEG's entropy-coded DCT pixels
 remain stubbed behind ``deterministic_fake=True`` — the Spark-side
 plumbing (schemas, batch iteration, partitioning) is real and tested
 either way.
@@ -413,6 +414,218 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def _gif_lzw_decode(mcs: int, data: bytes, max_pixels: int) -> list[int]:
+    """GIF-variant LZW decode: variable code width starting at mcs+1,
+    LSB-first bit packing, CLEAR/END control codes, width growing as the
+    string table fills (cap 12 bits).  Public algorithm from the GIF89a
+    specification appendix."""
+    clear = 1 << mcs
+    end = clear + 1
+    table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    code_size = mcs + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    pos = 0
+    nbits = len(data) * 8
+    while pos + code_size <= nbits and len(out) < max_pixels:
+        byte_i = pos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (chunk >> (pos & 7)) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"gif: invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_deinterlace(indices: list[int], w: int, h: int) -> list[int]:
+    """Undo GIF's 4-pass row interlacing (rows stored in pass order
+    0,8,16,... / 4,12,... / 2,6,... / 1,3,...)."""
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = [0] * (w * h)
+    for stored, y in enumerate(order):
+        out[y * w : (y + 1) * w] = indices[stored * w : (stored + 1) * w]
+    return out
+
+
+def _gif_decode_indexed(data: bytes) -> tuple[int, int, list[int], bytes]:
+    """(width, height, palette indices top-down, RGB palette bytes) for
+    the FIRST image frame of a GIF87a/89a stream.  Walks the block
+    structure (extensions skipped via their length-prefixed sub-blocks),
+    honors local color tables and interlacing.  Real decode, stdlib
+    only — GIF's compression is LZW, a table-building byte algorithm,
+    not an entropy codec."""
+    if sniff_mime(data) != "image/gif":
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("gif: truncated header")
+    packed = data[10]
+    gct_size = 2 << (packed & 0x07)
+    i = 13
+    palette = b""
+    if packed & 0x80:
+        palette = data[i : i + 3 * gct_size]
+        i += 3 * gct_size
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(data):
+                raise ValueError("gif: truncated image descriptor")
+            w = int.from_bytes(data[i + 5 : i + 7], "little")
+            h = int.from_bytes(data[i + 7 : i + 9], "little")
+            ipacked = data[i + 9]
+            i += 10
+            if ipacked & 0x80:  # local color table wins for this frame
+                lct_size = 2 << (ipacked & 0x07)
+                palette = data[i : i + 3 * lct_size]
+                i += 3 * lct_size
+            if not palette:
+                raise ValueError("gif: no color table for frame")
+            if w <= 0 or h <= 0:
+                raise ValueError("gif: non-positive frame dimensions")
+            mcs = data[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(data) and data[i] != 0:
+                n = data[i]
+                lzw += data[i + 1 : i + 1 + n]
+                i += 1 + n
+            if not (2 <= mcs <= 11):
+                raise ValueError(f"gif: bad LZW min code size {mcs}")
+            indices = _gif_lzw_decode(mcs, bytes(lzw), w * h)
+            if len(indices) < w * h:
+                raise ValueError("gif: pixel data truncated")
+            indices = indices[: w * h]
+            if ipacked & 0x40:
+                indices = _gif_deinterlace(indices, w, h)
+            return w, h, indices, palette
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{b:02x}")
+    raise ValueError("gif: no image frame found")
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB bytes) for the first GIF frame:
+    real LZW decode + palette lookup, zero dependencies."""
+    w, h, indices, palette = _gif_decode_indexed(data)
+    npal = len(palette) // 3
+    out = bytearray(w * h * 3)
+    for j, idx in enumerate(indices):
+        if idx >= npal:
+            raise ValueError(f"gif: palette index {idx} out of range")
+        out[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
+    return w, h, bytes(out)
+
+
+def encode_gif(w: int, h: int, indices: list[int], palette: bytes) -> bytes:
+    """Minimal GIF87a writer: global color table + one non-interlaced
+    frame.  The LZW stream uses the classic no-compression trick — each
+    pixel emitted as its literal code with a CLEAR every 2^mcs - 2
+    pixels so the code width never grows.  Larger than a compressing
+    encoder, but spec-valid and dependency-free (the decode side is the
+    real test partner)."""
+    npal = len(palette) // 3
+    if npal < 2 or npal > 256 or len(palette) % 3:
+        raise ValueError("palette must be 2..256 RGB triples")
+    if len(indices) != w * h:
+        raise ValueError("indices must be w*h entries")
+    pal_bits = max(1, (max(npal - 1, 1)).bit_length())
+    table_size = 1 << pal_bits
+    full_pal = bytes(palette) + bytes(3 * (table_size - npal))
+    mcs = max(2, pal_bits)
+    clear = 1 << mcs
+    end = clear + 1
+    code_size = mcs + 1
+
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    for j, idx in enumerate(indices):
+        if idx >= npal:
+            raise ValueError(f"palette index {idx} out of range")
+        if j and j % (clear - 2) == 0:
+            emit(clear)  # reset before the decoder's table would widen
+        emit(idx)
+    emit(end)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    return (
+        b"GIF87a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | ((pal_bits - 1) & 0x07), 0, 0])
+        + full_pal
+        + b"\x2c"
+        + bytes(4)
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def resize_indexed_nearest(
+    indices: list[int], w: int, h: int, new_w: int, new_h: int
+) -> list[int]:
+    """Nearest-neighbor resample in palette-INDEX space: picking source
+    pixels can never leave the palette, so a resized GIF reuses its
+    source color table unchanged."""
+    out = []
+    for y in range(new_h):
+        sy = (y * h) // new_h
+        row = indices[sy * w : (sy + 1) * w]
+        out.extend(row[(x * w) // new_w] for x in range(new_w))
+    return out
+
+
 def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, top-down RGB bytes) from an 8-bit RGB or RGBA
     non-interlaced PNG.
@@ -597,10 +810,18 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             return png_encode(w, h, rows)
         except ValueError:
             pass  # header-only/palette/interlaced PNG: stub path
+    if mime == "image/gif":
+        try:
+            sw, sh, indices, palette = _gif_decode_indexed(data)
+            # nearest-neighbor in INDEX space: the source palette is
+            # reused verbatim, no quantization step needed
+            return encode_gif(w, h, resize_indexed_nearest(indices, sw, sh, w, h), palette)
+        except ValueError:
+            pass  # header-only/truncated GIF: stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "only BMP (24-bit BI_RGB), P6 PPM, and 8-bit RGB/RGBA PNG "
-            "resize without an imaging library; pass "
+            "only BMP (24-bit BI_RGB), P6 PPM, 8-bit RGB/RGBA PNG, and "
+            "GIF resize without an imaging library; pass "
             "deterministic_fake=True for the plumbing-test resizer"
         )
     n = max(1, (w * h) // 64)

@@ -490,3 +490,29 @@ def test_jpeg_header_without_sof_refuses():
         decode_image(eoi_only)
     # the fake path still yields a plausible shape for plumbing tests
     assert decode_image(sos_first, deterministic_fake=True)[0] >= 64
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    npal=st.integers(2, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_roundtrip_any_palette_and_shape(w, h, npal, seed):
+    """GIF LZW decode inverts the no-compression encoder for every
+    image shape and palette size 2..256 (the code-width edge cases:
+    mcs floor at 2, CLEAR cadence, 255-byte sub-block splits)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _gif_decode_indexed,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    palette = bytes((seed + 7 * i) % 256 for i in range(3 * npal))
+    indices = [(seed * 31 + j * 13 + (j * j) % 97) % npal for j in range(w * h)]
+    gif = encode_gif(w, h, indices, palette)
+    dw, dh, got, _ = _gif_decode_indexed(gif)
+    assert (dw, dh, got) == (w, h, indices)
+    _, _, rgb = decode_gif_pixels(gif)
+    assert rgb == b"".join(palette[3 * i : 3 * i + 3] for i in indices)
