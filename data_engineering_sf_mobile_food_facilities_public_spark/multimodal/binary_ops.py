@@ -12,14 +12,15 @@ container-format headers are public byte layouts — so ``sniff_mime``
 (magic numbers) and ``decode_image`` (PNG/GIF/BMP/JPEG/WAV header
 parsing) are REAL: they read actual widths/heights/sample-rates from
 the fixed header offsets each format specifies.  Pixel-level decode and
-resize are also REAL for four formats: 24-bit BMP and P6 PPM (raw pixel
-arrays at header offsets), 8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate
-+ the public five-filter scanline prediction, ``decode_png_pixels``),
-and GIF (pure-Python LZW table decode incl. interlace + local color
-tables, ``decode_gif_pixels``).  Only JPEG's entropy-coded DCT pixels
-remain stubbed behind ``deterministic_fake=True`` — the Spark-side
-plumbing (schemas, batch iteration, partitioning) is real and tested
-either way.
+resize are REAL for all five image formats: 24-bit BMP and P6 PPM (raw
+pixel arrays at header offsets), 8-bit RGB/RGBA PNG (stdlib ``zlib``
+inflate + the public five-filter scanline prediction,
+``decode_png_pixels``), GIF (pure-Python LZW table decode incl.
+interlace + local color tables, ``decode_gif_pixels``), and baseline
+JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``, sampling
+factors to 4:2:0, restart markers).  ``deterministic_fake=True``
+remains only for variants outside the decodable set (progressive JPEG,
+palette PNG) so plumbing tests never depend on content.
 """
 
 from __future__ import annotations
@@ -778,15 +779,15 @@ def resize_rgb_nearest(rgb: bytes, w: int, h: int, new_w: int, new_h: int) -> by
 def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) -> bytes:
     """Resize a media blob to (w, h).
 
-    REAL for 24-bit uncompressed BMP, binary P6 PPM, and 8-bit RGB/RGBA
-    non-interlaced PNG: pixel decode (header offsets for BMP/PPM, zlib
-    inflate + scanline unfilter for PNG) -> vectorized nearest-neighbor
-    resample -> re-encode in the same format, all stdlib + numpy.  The
-    remaining compressed codecs (JPEG DCT, GIF LZW) need libraries not
-    installed here, so those formats raise ``NotImplementedError``
-    unless ``deterministic_fake=True``, which produces a deterministic
-    (w*h//64)-byte blob so batch shapes stay realistic in plumbing
-    tests."""
+    REAL for all five image formats: pixel decode (header offsets for
+    BMP/PPM, zlib inflate + scanline unfilter for PNG, LZW for GIF, the
+    T.81 Huffman/DCT pipeline for baseline JPEG) -> nearest-neighbor
+    resample (index-space for GIF, RGB otherwise) -> re-encode in the
+    same format, all stdlib + numpy.  Variants outside the decodable
+    set (progressive JPEG, palette/16-bit PNG, truncated headers) raise
+    ``NotImplementedError`` unless ``deterministic_fake=True``, which
+    produces a deterministic (w*h//64)-byte blob so batch shapes stay
+    realistic in plumbing tests."""
     mime = sniff_mime(data)
     if mime == "image/bmp":
         try:
@@ -818,10 +819,19 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             return encode_gif(w, h, resize_indexed_nearest(indices, sw, sh, w, h), palette)
         except ValueError:
             pass  # header-only/truncated GIF: stub path
+    if mime == "image/jpeg":
+        try:
+            from .jpeg_codec import decode_jpeg_pixels, encode_jpeg
+
+            sw, sh, rgb = decode_jpeg_pixels(data)
+            return encode_jpeg(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
+        except ValueError:
+            pass  # progressive/truncated JPEG: stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "only BMP (24-bit BI_RGB), P6 PPM, 8-bit RGB/RGBA PNG, and "
-            "GIF resize without an imaging library; pass "
+            "pixel resize supports BMP (24-bit BI_RGB), P6 PPM, 8-bit "
+            "RGB/RGBA PNG, GIF, and baseline JPEG; this blob is a "
+            "format/variant outside that set — pass "
             "deterministic_fake=True for the plumbing-test resizer"
         )
     n = max(1, (w * h) // 64)

@@ -516,3 +516,42 @@ def test_gif_lzw_roundtrip_any_palette_and_shape(w, h, npal, seed):
     assert (dw, dh, got) == (w, h, indices)
     _, _, rgb = decode_gif_pixels(gif)
     assert rgb == b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    quality=st.sampled_from([70, 85, 95]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_error_bounded_by_quality(w, h, quality, seed):
+    """Baseline JPEG round-trip on arbitrary shapes (incl. non-8-multiple
+    dims hitting the edge-replication pad): dims always exact, and the
+    per-pixel error stays within a bound that shrinks as quality rises —
+    lossy, but boundedly and deterministically so."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    # smooth-ish content (random low-res upsampled): realistic for JPEG,
+    # keeps the error bound meaningful (pure noise is the codec's
+    # documented worst case)
+    small = rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8, 3))
+    arr = np.clip(
+        np.kron(small, np.ones((8, 8, 1)))[:h, :w], 0, 255
+    ).astype(np.uint8)
+    jpg = encode_jpeg(w, h, arr.tobytes(), quality=quality)
+    dw, dh, out = decode_jpeg_pixels(jpg)
+    assert (dw, dh) == (w, h)
+    err = np.abs(
+        arr.astype(int) - np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    )
+    bound = {70: 40, 85: 25, 95: 15}[quality]
+    assert err.max() <= bound, (err.max(), quality)
+    # determinism: same input -> same bytes
+    assert encode_jpeg(w, h, arr.tobytes(), quality=quality) == jpg

@@ -1078,3 +1078,179 @@ def test_gif_interlaced_frame_straightens():
     inter[desc + 9] |= 0x40  # interlace flag
     _, _, got = decode_gif_pixels(bytes(inter))
     assert got == want
+
+
+def test_jpeg_codec_roundtrip_and_resize():
+    """Baseline JPEG is now a real codec: encode -> decode bounds the
+    per-pixel error by the quantization the quality level implies
+    (solid blocks exact, gradients tight), dims agree with the header
+    walker, resize_image round-trips through the real DCT path, and
+    progressive streams refuse loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_image,
+        resize_image,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = 21, 13  # deliberately not 8-multiples: edge-replication pad
+    y, x = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [x * 255 // (w - 1), y * 255 // (h - 1), (x + y) * 127 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    jpg = encode_jpeg(w, h, arr.tobytes(), quality=95)
+    assert sniff_mime(jpg) == "image/jpeg"
+    assert decode_image(jpg) == (w, h)  # header walker agrees
+    dw, dh, out = decode_jpeg_pixels(jpg)
+    assert (dw, dh) == (w, h)
+    err = np.abs(
+        arr.astype(int) - np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    )
+    assert err.max() <= 8, err.max()
+
+    solid = np.full((8, 8, 3), 130, dtype=np.uint8)
+    sj = encode_jpeg(8, 8, solid.tobytes(), quality=75)
+    assert decode_jpeg_pixels(sj)[2] == solid.tobytes()  # flat blocks exact
+
+    out = resize_image(jpg, 16, 16)  # real path: decode -> NN -> re-encode
+    assert sniff_mime(out) == "image/jpeg"
+    assert decode_image(out) == (16, 16)
+
+    prog = bytearray(jpg)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # flip to progressive
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_pixels(bytes(prog))
+    # resize falls back to the honest stub rather than decoding wrong
+    with _pytest.raises(NotImplementedError):
+        resize_image(bytes(prog), 8, 8)
+
+
+def _build_dc_only_jpeg(
+    dcs_per_mcu: list[list[list[int]]],
+    comps_hv: list[tuple[int, int]],
+    width: int,
+    height: int,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """Hand-assemble a baseline JPEG whose blocks are DC-only: each MCU
+    entry lists, per component, the quantized DC value of each of its
+    h*v blocks (in vy,vx order).  Lets tests exercise 4:2:0/4:2:2
+    layouts and restart markers that the 4:4:4 encoder never emits."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        AC_CHROM_BITS, AC_CHROM_VALS, AC_LUM_BITS, AC_LUM_VALS,
+        DC_CHROM_BITS, DC_CHROM_VALS, DC_LUM_BITS, DC_LUM_VALS,
+        QT_CHROM, QT_LUM, ZIGZAG, _BitWriter, _canonical_codes, _magnitude,
+        _marker, _scaled_qt,
+    )
+
+    qt_l, qt_c = _scaled_qt(QT_LUM, quality), _scaled_qt(QT_CHROM, quality)
+    dc_codes = [
+        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    ncomp = len(comps_hv)
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += _marker(0xDB, bytes([tid]) + bytes(int(v) for v in qt.flatten()[ZIGZAG]))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for c, (hs, vs) in enumerate(comps_hv):
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
+    out += _marker(0xC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+        (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    ):
+        out += _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += _marker(0xDA, sos + bytes([0, 63, 0]))
+
+    w = _BitWriter()
+    dc_prev = [0] * ncomp
+    for m, mcu in enumerate(dcs_per_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            out += bytes(w.out)
+            w = _BitWriter()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            dc_prev = [0] * ncomp
+        for c in range(ncomp):
+            tbl = 0 if c == 0 else 1
+            for dc in mcu[c]:
+                diff = dc - dc_prev[c]
+                dc_prev[c] = dc
+                size, amp = _magnitude(diff)
+                code, ln = dc_codes[tbl][size]
+                w.write(code, ln)
+                if size:
+                    w.write(amp, size)
+                code, ln = ac_codes[tbl][0x00]  # EOB: DC-only block
+                w.write(code, ln)
+    w.flush()
+    out += bytes(w.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_420_subsampling_and_restart_markers():
+    """Decoder-side coverage the 4:4:4 encoder cannot produce: a 4:2:0
+    stream (4 Y blocks + 1 Cb + 1 Cr per MCU) whose Y quadrants differ,
+    and a restart-marker stream with per-interval DC prediction reset."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        QT_LUM, _scaled_qt, decode_jpeg_pixels,
+    )
+
+    qt0 = int(_scaled_qt(QT_LUM, 90)[0])
+    dc_a, dc_b = 6, -6  # two distinct quantized DC values
+    # one 16x16 MCU: Y quadrants [a, b / b, a], flat chroma (128)
+    jpg = _build_dc_only_jpeg(
+        [[[dc_a, dc_b, dc_b, dc_a], [0], [0]]],
+        comps_hv=[(2, 2), (1, 1), (1, 1)],
+        width=16,
+        height=16,
+    )
+    w, h, rgb = decode_jpeg_pixels(jpg)
+    assert (w, h) == (16, 16)
+    img = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3).astype(int)
+    # flat chroma = greyscale; Y = 128 + dc*qt0/8 per quadrant
+    ya = round(128 + dc_a * qt0 / 8)
+    yb = round(128 + dc_b * qt0 / 8)
+    assert abs(int(img[0, 0, 0]) - ya) <= 1 and abs(int(img[0, 15, 0]) - yb) <= 1
+    assert abs(int(img[15, 0, 0]) - yb) <= 1 and abs(int(img[15, 15, 0]) - ya) <= 1
+    # greyscale: channels equal up to YCbCr rounding
+    assert np.abs(img[..., 0] - img[..., 1]).max() <= 1
+
+    # restart markers: 2 MCUs (16x8, 4:4:4), interval 1, distinct DCs —
+    # the second MCU's DC must decode from a RESET predictor
+    jpg2 = _build_dc_only_jpeg(
+        [[[dc_a], [0], [0]], [[dc_b], [0], [0]]],
+        comps_hv=[(1, 1), (1, 1), (1, 1)],
+        width=16,
+        height=8,
+        restart_interval=1,
+    )
+    w2, h2, rgb2 = decode_jpeg_pixels(jpg2)
+    assert (w2, h2) == (16, 8)
+    img2 = np.frombuffer(rgb2, np.uint8).reshape(8, 16, 3).astype(int)
+    assert abs(int(img2[0, 0, 0]) - ya) <= 1
+    assert abs(int(img2[0, 15, 0]) - yb) <= 1
