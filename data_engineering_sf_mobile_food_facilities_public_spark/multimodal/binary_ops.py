@@ -247,6 +247,88 @@ def _synth_blob(text: str) -> bytes:
     )
 
 
+def _synth_pixel_blob(text: str) -> bytes:
+    """A COMPLETE, pixel-decodable 4x4 image for a document: the 48 RGB
+    bytes are the 16 md5 bytes tiled (byte i = md5[i % 16]) — pure
+    md5-lane arithmetic a SQL oracle replays exactly — wrapped in one of
+    the four lossless containers picked by md5[0] % 4 (PPM, PNG, BMP,
+    GIF).  Unlike ``_synth_blob`` (header-only), these blobs round-trip
+    through the real pixel codecs."""
+    import hashlib
+
+    h = hashlib.md5(text.encode()).digest()
+    rgb = bytes(h[i % 16] for i in range(48))
+    fmt = h[0] % 4
+    if fmt == 0:
+        return encode_ppm(4, 4, rgb)
+    if fmt == 1:
+        from ..sources.charts import png_encode
+
+        return png_encode(4, 4, [rgb[12 * y : 12 * (y + 1)] for y in range(4)])
+    if fmt == 2:
+        return encode_bmp(4, 4, rgb)
+    # GIF: palette = distinct pixels in first-appearance order
+    pixels = [rgb[3 * p : 3 * p + 3] for p in range(16)]
+    palette_list: list[bytes] = []
+    indices = []
+    for px in pixels:
+        if px not in palette_list:
+            palette_list.append(px)
+        indices.append(palette_list.index(px))
+    while len(palette_list) < 2:  # GIF needs >=2 palette entries
+        palette_list.append(bytes(3))
+    return encode_gif(4, 4, indices, b"".join(palette_list))
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def decode_pixel_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """documents -> synthesize REAL 4x4 images (mixed PPM/PNG/BMP/GIF)
+    -> real pixel decode -> real nearest-neighbor resize to 2x2 -> per-
+    image byte sums, all in one Arrow ``mapInPandas`` pass (narrow, no
+    shuffle).  Every byte of the decoded pixels is md5-derived, so a SQL
+    oracle can verify the full encode -> decode -> resample -> re-encode
+    -> decode chain is EXACT across all four containers."""
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, widths, heights, sums, rsums = [], [], [], [], []
+            for text in pdf["_t"]:
+                blob = _synth_pixel_blob(text)
+                mimes.append(sniff_mime(blob))
+                w, h, rgb = decode_pixels(blob)
+                widths.append(w)
+                heights.append(h)
+                sums.append(sum(rgb))
+                _, _, rrgb = decode_pixels(resize_image(blob, 2, 2))
+                rsums.append(sum(rrgb))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "mime": mimes,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "resized_sum": pd.Series(rsums, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
 def synthesize_image_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """documents -> MEDIA_SCHEMA rows with real (header-valid) image
     blobs.  Arrow-batched mapInPandas, narrow (no shuffle); at scale
@@ -763,6 +845,27 @@ def decode_ppm_pixels(data: bytes) -> tuple[int, int, bytes]:
     if off + w * h * 3 > len(data):
         raise ValueError("ppm: pixel data truncated")
     return w, h, bytes(data[off : off + w * h * 3])
+
+
+def decode_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """Format-dispatching REAL pixel decode: (width, height, top-down
+    RGB bytes) for any of the five decodable containers.  The single
+    entry point executor stages use — swap individual decoders for
+    library-backed ones without touching callers."""
+    mime = sniff_mime(data)
+    if mime == "image/bmp":
+        return decode_bmp_pixels(data)
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm_pixels(data)
+    if mime == "image/png":
+        return decode_png_pixels(data)
+    if mime == "image/gif":
+        return decode_gif_pixels(data)
+    if mime == "image/jpeg":
+        from .jpeg_codec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
+    raise ValueError(f"no pixel decoder for {mime}")
 
 
 def resize_rgb_nearest(rgb: bytes, w: int, h: int, new_w: int, new_h: int) -> bytes:

@@ -172,6 +172,51 @@ def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte i (0-based) of md5(text) as a BIGINT — the oracle's view of the
+# synthesized pixel content.
+def _md5_byte(i: int) -> str:
+    return f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+
+
+# The 2x2 nearest-neighbor resample of a 4x4 image picks source pixels
+# (0,0),(0,2),(2,0),(2,2) = flat pixel indices {0,2,8,10}; pixel p's RGB
+# bytes are md5[(3p+j) % 16], j=0..2 — so the resized byte-sum is this
+# fixed multiset of md5 lanes.
+_RESIZED_LANES = sorted((3 * p + j) % 16 for p in (0, 2, 8, 10) for j in range(3))
+
+_IMAGE_PIXEL_ORACLE = f"""
+    SELECT doc_id AS item_id,
+           CASE ({_md5_byte(0)} % 4)
+             WHEN 0 THEN 'image/x-portable-pixmap' WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/bmp' ELSE 'image/gif' END AS mime,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(3 * ({' + '.join(_md5_byte(i) for i in range(16))}) AS BIGINT)
+             AS pixel_sum,
+           CAST({' + '.join(_md5_byte(i) for i in _RESIZED_LANES)} AS BIGINT)
+             AS resized_sum
+    FROM documents
+"""
+
+
+@_register("image_pixel_decode", _IMAGE_PIXEL_ORACLE)
+def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level codec chain, oracle-verified end-to-end: per
+    document, synthesize a complete 4x4 image (pixels = md5 bytes tiled,
+    container = PPM/PNG/BMP/GIF by md5 lane), decode the pixels with the
+    real codecs (zlib+unfilter for PNG, LZW for GIF, raw arrays for
+    BMP/PPM), nearest-neighbor resize to 2x2, re-encode, decode again,
+    and emit both byte sums.  The DuckDB oracle recomputes every value
+    from md5 hex arithmetic alone — a hash match proves the entire
+    encode -> decode -> resample -> re-encode -> decode chain is exact
+    for all four containers.  One Arrow ``mapInPandas`` stage: narrow,
+    no shuffle, scan-speed at any corpus size."""
+    from ..multimodal.binary_ops import decode_pixel_stats
+
+    d = load(spark, sf_dir, "documents")
+    return decode_pixel_stats(d, "doc_id", "text")
+
+
 @_register(
     "streaming_running_user_counts",
     """
