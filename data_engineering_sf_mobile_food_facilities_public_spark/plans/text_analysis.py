@@ -345,7 +345,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = F.when(F.col("lang") == "en", F.lit(6000)).otherwise(F.lit(2000))
     return (
         grouped_running_sum(
-            sized, "lang", ["h", "doc_id"], "n_tokens", out_col="cum_tokens"
+            sized,
+            "lang",
+            ["h", "doc_id"],
+            "n_tokens",
+            out_col="cum_tokens",
+            persist_input=True,  # tokenize/HOF upstream: sampled + shuffled
         )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
@@ -821,7 +826,12 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = F.when(F.col("lang") == "en", F.lit(8000)).otherwise(F.lit(3000))
     return (
         grouped_running_sum(
-            sized, "lang", ["h", "doc_id"], "n_tokens", out_col="cum_tokens"
+            sized,
+            "lang",
+            ["h", "doc_id"],
+            "n_tokens",
+            out_col="cum_tokens",
+            persist_input=True,  # tokenize/HOF upstream: sampled + shuffled
         )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")

@@ -505,19 +505,19 @@ def test_mixture_cumsum_has_no_per_group_sequential_window(spark, name):
     assert "EvalPython" not in plan
 
 
-def test_curation_pipeline_fuses_filter_and_reuses_exchange(spark):
+def test_curation_pipeline_fuses_filter_and_caches_stats(spark):
     """The composed repetition-filter -> token-budget pipeline must fuse
     the filter into the mixture's scan (per-row HOF stats, no join
-    between the stages), and the two-pass cumsum's offsets branch must
-    REUSE the range exchange at runtime rather than re-scanning
-    documents: after execution the AQE final plan carries a
-    ReusedExchange, so the corpus is scanned and range-shuffled exactly
-    once."""
+    between the stages), and the expensive HOF/tokenize projection must
+    feed the two-pass cumsum through a CACHE (persist_input): the range
+    partitioner samples its input and the offsets branch reads it again,
+    so without the InMemoryTableScan the stats would be computed three
+    times per run."""
     from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
 
     df = relational.QUERIES["corpus_curation_pipeline"](spark, SF_SMOKE)
-    df.collect()  # AQE finalizes reuse at runtime
+    df.collect()  # materialize: AQE finalizes, cache fills
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
+    assert "InMemoryTableScan" in plan
     assert "EvalPython" not in plan
