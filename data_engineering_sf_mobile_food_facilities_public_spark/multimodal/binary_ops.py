@@ -185,6 +185,67 @@ def decode_wav_meta(data: bytes) -> tuple[int, int, int]:
     raise ValueError("wav: no fmt chunk found")
 
 
+def decode_wav_samples(data: bytes) -> tuple[int, int, int, list[int]]:
+    """(channels, sample_rate, bits_per_sample, interleaved samples) from
+    a PCM WAV — REAL sample decode: PCM data is raw little-endian
+    integers in the ``data`` chunk, no codec needed.  8-bit samples are
+    unsigned per the spec and returned as-is (0..255); 16-bit are signed.
+    Compressed WAV variants (format tag != 1) raise."""
+    channels, rate, bits = decode_wav_meta(data)
+    fmt_tag = int.from_bytes(data[20:22], "little")
+    if fmt_tag != 1:
+        raise ValueError(f"wav: only PCM (format 1) decodable, got {fmt_tag}")
+    if bits not in (8, 16):
+        raise ValueError(f"wav: unsupported bits_per_sample {bits}")
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"data":
+            body = data[i + 8 : i + 8 + size]
+            if len(body) < size:
+                raise ValueError("wav: data chunk truncated")
+            if bits == 8:
+                return channels, rate, bits, list(body)
+            return (
+                channels,
+                rate,
+                bits,
+                [
+                    int.from_bytes(body[j : j + 2], "little", signed=True)
+                    for j in range(0, len(body) - 1, 2)
+                ],
+            )
+        i += 8 + size + (size % 2)
+    raise ValueError("wav: no data chunk found")
+
+
+def encode_wav(
+    samples: list[int], channels: int = 1, rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Minimal PCM WAV writer (the decoder's test partner)."""
+    if bits == 8:
+        body = bytes(s & 0xFF for s in samples)
+    elif bits == 16:
+        body = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+    else:
+        raise ValueError(f"wav: unsupported bits {bits}")
+    block = channels * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data_chunk
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
 def byte_entropy(data: bytes) -> float:
     """Shannon entropy of the byte histogram (bits/byte, 0..8) — the
     cheap compressibility proxy multimodal pipelines use to drop
@@ -327,6 +388,54 @@ def decode_pixel_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return cols.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """documents -> synthesize REAL 16-bit PCM WAVs (32 samples, sample
+    i = (md5[i%16] - 128) * 256) -> real sample decode -> per-clip sum
+    and peak, one Arrow ``mapInPandas`` pass.  Same oracle philosophy as
+    :func:`decode_pixel_stats`: every decoded sample is md5-derived, so
+    SQL replays the full encode -> parse -> decode chain exactly."""
+    import hashlib
+
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, sums, peaks = [], [], [], []
+            for text in pdf["_t"]:
+                h = hashlib.md5(text.encode()).digest()
+                samples = [(h[i % 16] - 128) * 256 for i in range(32)]
+                blob = encode_wav(samples, channels=1, rate=8000, bits=16)
+                _, rate, _, back = decode_wav_samples(blob)
+                rates.append(rate)
+                counts.append(len(back))
+                sums.append(sum(back))
+                peaks.append(max(abs(s) for s in back))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
 def synthesize_image_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

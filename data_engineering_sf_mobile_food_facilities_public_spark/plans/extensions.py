@@ -199,6 +199,34 @@ _IMAGE_PIXEL_ORACLE = f"""
 """
 
 
+# WAV twin of the pixel oracle: sample i = (md5[i%16] - 128) * 256,
+# 32 samples -> each lane contributes twice to the sum.
+_AUDIO_ORACLE = f"""
+    SELECT doc_id AS item_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(32 AS BIGINT) AS n_samples,
+           CAST(2 * 256 * (({' + '.join(_md5_byte(i) for i in range(16))})
+                           - 16 * 128) AS BIGINT) AS sample_sum,
+           CAST(256 * greatest({', '.join(f'abs({_md5_byte(i)} - 128)' for i in range(16))})
+                AS INTEGER) AS peak
+    FROM documents
+"""
+
+
+@_register("audio_sample_decode", _AUDIO_ORACLE)
+def audio_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample decode, oracle-verified: synthesize 16-bit PCM
+    WAVs whose samples are md5-derived, parse the RIFF/fmt/data chunks
+    and decode the PCM integers back (``decode_wav_samples``), emit
+    per-clip sum and peak.  DuckDB replays the arithmetic from md5 hex —
+    the audio twin of ``image_pixel_decode``.  Narrow mapInPandas, no
+    shuffle."""
+    from ..multimodal.binary_ops import decode_audio_stats
+
+    d = load(spark, sf_dir, "documents")
+    return decode_audio_stats(d, "doc_id", "text")
+
+
 @_register("image_pixel_decode", _IMAGE_PIXEL_ORACLE)
 def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level codec chain, oracle-verified end-to-end: per

@@ -1254,3 +1254,36 @@ def test_jpeg_decode_420_subsampling_and_restart_markers():
     img2 = np.frombuffer(rgb2, np.uint8).reshape(8, 16, 3).astype(int)
     assert abs(int(img2[0, 0, 0]) - ya) <= 1
     assert abs(int(img2[0, 15, 0]) - yb) <= 1
+
+
+def test_wav_pcm_sample_codec():
+    """WAV PCM samples decode for real (raw LE integers in the data
+    chunk): 16-bit signed and 8-bit unsigned round-trip exactly, and
+    compressed format tags refuse."""
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_wav_meta,
+        decode_wav_samples,
+        encode_wav,
+        sniff_mime,
+    )
+
+    s16 = [0, 1, -1, 32767, -32768, 12345, -12345]
+    wav = encode_wav(s16, channels=1, rate=44100, bits=16)
+    assert sniff_mime(wav) == "audio/wav"
+    assert decode_wav_meta(wav) == (1, 44100, 16)
+    assert decode_wav_samples(wav) == (1, 44100, 16, s16)
+
+    s8 = [0, 1, 127, 128, 255]
+    wav8 = encode_wav(s8, channels=2, rate=8000, bits=8)
+    assert decode_wav_samples(wav8) == (2, 8000, 8, s8)
+
+    # compressed (format tag != 1) must refuse, not misdecode
+    mulaw = bytearray(wav)
+    mulaw[20:22] = (7).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="only PCM"):
+        decode_wav_samples(bytes(mulaw))
+    # truncated data chunk
+    with _pytest.raises(ValueError, match="truncated|no data chunk"):
+        decode_wav_samples(wav[:-3])
