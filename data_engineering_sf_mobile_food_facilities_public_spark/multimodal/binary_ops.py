@@ -390,6 +390,176 @@ def decode_pixel_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return cols.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
+def encode_mjpeg_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal Motion-JPEG AVI writer: RIFF('AVI ') with an hdrl LIST
+    (avih + one video strl) and a movi LIST of '00dc' chunks, one per
+    JPEG frame.  MJPEG is the one mainstream video codec a JPEG decoder
+    makes fully decodable without a media library — each frame is an
+    independent baseline JPEG."""
+    if not frames:
+        raise ValueError("avi: need at least one frame")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    avih = chunk(
+        b"avih",
+        usec_per_frame.to_bytes(4, "little")
+        + bytes(12)
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off, flags minimal
+        + len(frames).to_bytes(4, "little")
+        + bytes(4)
+        + (1).to_bytes(4, "little")  # one stream
+        + bytes(4)
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + bytes(16),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + bytes(12)
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + bytes(4)
+        + len(frames).to_bytes(4, "little")
+        + bytes(16),
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + bytes(20),
+    )
+    movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + lst(b"hdrl", avih + lst(b"strl", strh + strf)) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def extract_mjpeg_frames(data: bytes) -> list[bytes]:
+    """JPEG frame payloads from an MJPEG AVI: walk the RIFF chunk tree
+    to the movi LIST and collect '00dc'/'00db' video chunks.  Real
+    container parsing — sizes from the chunk headers, word alignment per
+    the RIFF spec."""
+    if sniff_mime(data) != "video/avi":
+        raise ValueError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = buf[i : i + 4]
+            size = int.from_bytes(buf[i + 4 : i + 8], "little")
+            body_start = i + 8
+            if cid == b"LIST":
+                ltype = buf[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(buf, body_start + 4, body_start + size)
+            elif cid in (b"00dc", b"00db"):
+                frames.append(bytes(buf[body_start : body_start + size]))
+            i = body_start + size + (size % 2)
+
+    walk(data, 12, len(data))
+    if not frames:
+        raise ValueError("avi: no video frames found")
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_k: int = 1, id_col: str = "item_id", data_col: str = "data"
+) -> DataFrame:
+    """1:N REAL video frame sampling: parse the AVI container, take
+    every k-th MJPEG frame, and read each frame's dimensions from its
+    JPEG header — the row-expanding mapInPandas shape video pipelines
+    need, now backed by actual container + codec parsing instead of the
+    byte-slicing stand-in (:func:`sample_frames`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, ws, hs = [], [], [], []
+            for item_id, data in zip(pdf[id_col], pdf[data_col]):
+                for no, frame in enumerate(extract_mjpeg_frames(bytes(data))):
+                    if no % every_k:
+                        continue
+                    w, h = decode_image(frame)
+                    ids.append(item_id)
+                    nos.append(no)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+def synthesize_video_frames(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """documents -> real MJPEG AVIs -> real frame extraction, one Arrow
+    ``mapInPandas`` pass.  Per document: n = 1 + md5[1] % 3 solid-color
+    JPEG frames of (8*(1+md5[2]%2)) x 8 pixels inside a RIFF AVI; the
+    sampler then re-parses the container and each frame's JPEG header.  All
+    emitted values are md5-lane arithmetic, so the SQL oracle replays
+    the container write -> parse -> frame decode chain exactly."""
+    import hashlib
+
+    from .jpeg_codec import encode_jpeg
+
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas, mimes, sizes = [], [], [], []
+            for item_id, text in zip(pdf["item_id"], pdf["_t"]):
+                h = hashlib.md5(text.encode()).digest()
+                n = 1 + h[1] % 3
+                w = 8 * (1 + h[2] % 2)
+                frames = [
+                    encode_jpeg(w, 8, bytes([h[(4 + f) % 16]]) * (w * 8 * 3))
+                    for f in range(n)
+                ]
+                blob = encode_mjpeg_avi(frames, w, 8)
+                ids.append(item_id)
+                datas.append(blob)
+                mimes.append(sniff_mime(blob))
+                sizes.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "data": datas,
+                    "mime": mimes,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, MEDIA_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType()),

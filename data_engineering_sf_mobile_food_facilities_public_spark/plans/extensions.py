@@ -199,6 +199,40 @@ _IMAGE_PIXEL_ORACLE = f"""
 """
 
 
+# Video twin: n_frames = 1 + md5[1] % 3, width = 8 * (1 + md5[2] % 2),
+# height fixed 8 — one row per extracted frame.
+_VIDEO_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id,
+               1 + {_md5_byte(1)} % 3 AS n_frames,
+               CAST(8 * (1 + {_md5_byte(2)} % 2) AS INTEGER) AS width
+        FROM documents
+    )
+    SELECT doc_id AS item_id,
+           CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER) AS frame_no,
+           width,
+           CAST(8 AS INTEGER) AS height
+    FROM v
+"""
+
+
+@_register("video_frame_sample", _VIDEO_ORACLE)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-verified: synthesize a Motion-
+    JPEG AVI per document (1-3 solid-color baseline-JPEG frames, dims
+    from md5 lanes), then re-parse the RIFF container, extract every
+    '00dc' frame chunk, and read each frame's dimensions from its JPEG
+    header (``multimodal/binary_ops.py: encode_mjpeg_avi,
+    extract_mjpeg_frames, sample_video_frames``).  The 1:N row-expanding
+    mapInPandas shape video pipelines need — container write -> parse ->
+    per-frame codec, all real, all md5-replayable in SQL.  Two narrow
+    Arrow stages, no shuffle."""
+    from ..multimodal.binary_ops import sample_video_frames, synthesize_video_frames
+
+    d = load(spark, sf_dir, "documents")
+    return sample_video_frames(synthesize_video_frames(d, "doc_id", "text"))
+
+
 # WAV twin of the pixel oracle: sample i = (md5[i%16] - 128) * 256,
 # 32 samples -> each lane contributes twice to the sum.
 _AUDIO_ORACLE = f"""

@@ -1287,3 +1287,46 @@ def test_wav_pcm_sample_codec():
     # truncated data chunk
     with _pytest.raises(ValueError, match="truncated|no data chunk"):
         decode_wav_samples(wav[:-3])
+
+
+def test_mjpeg_avi_container_and_frame_sampling(spark):
+    """MJPEG AVI is a fully real video path now: the RIFF writer's
+    chunks parse back (incl. odd-size word padding), every frame decodes
+    as an independent baseline JPEG with the right pixels, and the
+    distributed sampler honors every_k."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        encode_mjpeg_avi,
+        extract_mjpeg_frames,
+        sample_video_frames,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    colors = [40, 120, 200, 250]
+    frames = [encode_jpeg(16, 8, bytes([c]) * (16 * 8 * 3)) for c in colors]
+    avi = encode_mjpeg_avi(frames, 16, 8, fps=5)
+    assert sniff_mime(avi) == "video/avi"
+    back = extract_mjpeg_frames(avi)
+    assert back == frames  # chunk round-trip exact, order preserved
+    for c, f in zip(colors, back):
+        w, h, rgb = decode_jpeg_pixels(f)
+        arr = np.frombuffer(rgb, np.uint8).astype(int)
+        assert (w, h) == (16, 8)
+        assert np.abs(arr - c).max() <= 2  # solid frames decode ~exact
+
+    media = spark.createDataFrame([Row(item_id=1, data=avi)])
+    rows = sample_video_frames(media, every_k=2).collect()
+    assert sorted(r.frame_no for r in rows) == [0, 2]  # every 2nd frame
+    assert all((r.width, r.height) == (16, 8) for r in rows)
+
+    with _pytest.raises(ValueError, match="no video frames"):
+        extract_mjpeg_frames(avi[:40] + b"\x00" * 8)
+    with _pytest.raises(ValueError, match="not an AVI"):
+        extract_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
