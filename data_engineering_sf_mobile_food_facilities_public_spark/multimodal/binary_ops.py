@@ -97,9 +97,10 @@ def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, in
     REAL for PNG / GIF / BMP / JPEG — these dimensions live at fixed,
     publicly specified header offsets (PNG IHDR big-endian at byte 16;
     GIF little-endian at byte 6; BMP BITMAPINFOHEADER little-endian at
-    byte 18; JPEG in the first SOF0/1/2 marker segment).  No pixel
-    decoding happens, so no codec library is needed; pixel-level ops
-    stay stubbed (see ``resize_image``).
+    byte 18; JPEG in the first SOF0/1/2 marker segment).  Header-only:
+    no pixel decoding happens here — pixel-level ops live in
+    ``decode_pixels`` / ``resize_image``, which are real for all five
+    formats.
 
     For unrecognized formats: raises ``NotImplementedError`` unless
     ``deterministic_fake=True``, which derives a plausible shape from

@@ -132,7 +132,9 @@ _MULTIMODAL_ORACLE = f"""
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach deterministic media bytes to the
     documents table, then Arrow-batched mapInPandas feature extraction
-    (stubbed decoder, real plumbing)."""
+    (opaque 16-byte blobs exercise the deterministic-fake dimension path;
+    the real-codec chains are oracle-checked by ``image_pixel_decode`` /
+    ``audio_sample_decode`` / ``video_frame_sample``)."""
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_fake_binary(d, "doc_id", "text"))
 
