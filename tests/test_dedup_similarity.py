@@ -168,3 +168,36 @@ def test_lsh_recall_against_exact_baseline(spark):
     assert shipped >= 0.6, shipped
     assert recall(4, 12) >= shipped  # more tables = superset of candidates
     assert recall(3, 8) >= 0.8  # coarser buckets, higher collision prob
+
+
+def test_hyperplane_buckets_null_and_ragged_vectors_degrade(spark):
+    """Bad embedding rows (null / wrong dimension) must emit null
+    buckets in the multi-table path — dropping out of the candidate
+    equi-join — instead of crashing the Arrow batch matmul."""
+    from pyspark.sql import Row
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    dim = 4
+    rows = [
+        Row(vec_id=1, embedding=[0.5, -0.25, 1.0, 0.75]),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[1.0, 2.0]),  # wrong dim
+        Row(vec_id=4, embedding=[0.5, -0.25, 1.0, 0.75]),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.bks
+        for r in df.select(
+            "vec_id",
+            hyperplane_buckets("embedding", num_planes=3, dim=dim, n_tables=4).alias(
+                "bks"
+            ),
+        ).collect()
+    }
+    assert out[2] is None and out[3] is None  # degraded, not crashed
+    assert out[1] == out[4]  # deterministic per content
+    assert len(out[1]) == 4  # one bucket per table
+    assert all(0 <= b < 8 for b in out[1])  # 3 planes -> 8 buckets
