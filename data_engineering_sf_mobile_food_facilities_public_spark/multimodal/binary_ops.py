@@ -20,7 +20,7 @@ interlace + local color tables, ``decode_gif_pixels``), and baseline
 JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``, sampling
 factors to 4:2:0, restart markers).  ``deterministic_fake=True``
 remains only for variants outside the decodable set (progressive JPEG,
-palette PNG) so plumbing tests never depend on content.
+16-bit or interlaced PNG) so plumbing tests never depend on content.
 """
 
 from __future__ import annotations
@@ -990,16 +990,16 @@ def resize_indexed_nearest(
 
 
 def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, top-down RGB bytes) from an 8-bit RGB or RGBA
-    non-interlaced PNG.
+    """(width, height, top-down RGB bytes) from any 8-bit non-interlaced
+    PNG: grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6).
 
     REAL pixel decoding with zero non-stdlib dependencies: PNG's
     compression is DEFLATE, which stdlib ``zlib`` inflates, and the
     per-scanline prediction filters (None/Sub/Up/Average/Paeth) are a
-    public five-case algorithm over the previous byte/row.  RGBA alpha
-    is dropped after unfiltering (the filters operate on the full pixel
-    stride, so stripping must happen last).  Palette, 16-bit, grayscale
-    and Adam7-interlaced PNGs raise ``ValueError`` — loud, not wrong.
+    public five-case algorithm over the previous byte/row.  Alpha is
+    dropped and palette indices resolved AFTER unfiltering (the filters
+    operate on the raw channel stride).  16-bit and Adam7-interlaced
+    PNGs raise ``ValueError`` — loud, not wrong.
     """
     import struct
     import zlib
@@ -1009,6 +1009,7 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
     w = h = None
     depth = ctype = interlace = None
     idat = bytearray()
+    plte = b""
     i = 8
     while i + 8 <= len(data):
         length = int.from_bytes(data[i : i + 4], "big")
@@ -1019,6 +1020,8 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("png: truncated IHDR")
             w, h = struct.unpack(">II", body[:8])
             depth, ctype, _, _, interlace = body[8:13]
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -1028,12 +1031,14 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("png: no IHDR chunk")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 4, 6) or interlace != 0:
         raise ValueError(
-            "png: only 8-bit RGB/RGBA non-interlaced decodable "
+            "png: only 8-bit non-interlaced decodable "
             f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
-    ch = 3 if ctype == 2 else 4
+    if ctype == 3 and (not plte or len(plte) % 3):
+        raise ValueError("png: palette image without a valid PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -1071,12 +1076,26 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"png: unknown filter type {ftype}")
         out[y * stride : (y + 1) * stride] = row
         prev = bytes(row)
-    if ch == 4:
-        rgb = bytearray(w * h * 3)
+    if ctype == 2:
+        return w, h, bytes(out)
+    rgb = bytearray(w * h * 3)
+    if ctype == 6:  # RGBA: drop alpha
         for px in range(w * h):
             rgb[3 * px : 3 * px + 3] = out[4 * px : 4 * px + 3]
-        return w, h, bytes(rgb)
-    return w, h, bytes(out)
+    elif ctype == 0:  # grayscale: replicate
+        for px in range(w * h):
+            rgb[3 * px] = rgb[3 * px + 1] = rgb[3 * px + 2] = out[px]
+    elif ctype == 4:  # gray+alpha: replicate gray, drop alpha
+        for px in range(w * h):
+            rgb[3 * px] = rgb[3 * px + 1] = rgb[3 * px + 2] = out[2 * px]
+    else:  # palette lookup
+        npal = len(plte) // 3
+        for px in range(w * h):
+            idx = out[px]
+            if idx >= npal:
+                raise ValueError(f"png: palette index {idx} out of range")
+            rgb[3 * px : 3 * px + 3] = plte[3 * idx : 3 * idx + 3]
+    return w, h, bytes(rgb)
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -1167,7 +1186,7 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
     T.81 Huffman/DCT pipeline for baseline JPEG) -> nearest-neighbor
     resample (index-space for GIF, RGB otherwise) -> re-encode in the
     same format, all stdlib + numpy.  Variants outside the decodable
-    set (progressive JPEG, palette/16-bit PNG, truncated headers) raise
+    set (progressive JPEG, 16-bit/interlaced PNG, truncated headers) raise
     ``NotImplementedError`` unless ``deterministic_fake=True``, which
     produces a deterministic (w*h//64)-byte blob so batch shapes stay
     realistic in plumbing tests."""
@@ -1193,7 +1212,7 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             rows = [resized[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
             return png_encode(w, h, rows)
         except ValueError:
-            pass  # header-only/palette/interlaced PNG: stub path
+            pass  # header-only/16-bit/interlaced PNG: stub path
     if mime == "image/gif":
         try:
             sw, sh, indices, palette = _gif_decode_indexed(data)

@@ -978,15 +978,44 @@ def test_png_real_resize_and_unsupported_variants():
     assert (ow, oh) == (8, 6)
     assert orgb[:3] == rgb[:3]  # corner preserved by nearest-neighbor
 
-    # unsupported variants raise ValueError with the variant named
+    # palette image WITH a PLTE resolves through the color table
+    plte = bytes([255, 0, 0, 0, 255, 0])  # red, green
     pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x00\x01\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(pal) == (
+        2,
+        2,
+        bytes([255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0]),
+    )
+    # ...but a palette image with no PLTE chunk refuses
+    no_plte = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="color_type=3"):
-        decode_png_pixels(pal)
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(no_plte)
+    # grayscale and gray+alpha replicate into RGB
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x07\xf0"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(gray) == (2, 1, bytes([7, 7, 7, 240, 240, 240]))
+    ga = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 4, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x42\xff"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(ga) == (1, 1, bytes([0x42, 0x42, 0x42]))
     inter = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
