@@ -20,7 +20,7 @@ interlace + local color tables, ``decode_gif_pixels``), and baseline
 JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``, sampling
 factors to 4:2:0, restart markers).  ``deterministic_fake=True``
 remains only for variants outside the decodable set (progressive JPEG,
-16-bit or interlaced PNG) so plumbing tests never depend on content.
+16-bit PNG) so plumbing tests never depend on content.
 """
 
 from __future__ import annotations
@@ -989,17 +989,61 @@ def resize_indexed_nearest(
     return out
 
 
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> tuple[bytearray, int]:
+    """Undo the five PNG scanline filters over one (sub-)image of
+    ``h`` rows x ``w`` pixels x ``ch`` channels starting at byte ``pos``
+    of the inflated stream; returns (pixels, next_pos).  Shared by the
+    sequential and Adam7 paths — each interlace pass filters its own
+    reduced image independently."""
+    stride = w * ch
+    if len(raw) - pos < h * (1 + stride):
+        raise ValueError("png: pixel data truncated")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub: predict from the pixel to the left
+            for k in range(ch, stride):
+                row[k] = (row[k] + row[k - ch]) & 0xFF
+        elif ftype == 2:  # Up: predict from the row above
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ftype == 3:  # Average of left and above
+            for k in range(stride):
+                a = row[k - ch] if k >= ch else 0
+                row[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth: nearest of left/above/upper-left
+            for k in range(stride):
+                a = row[k - ch] if k >= ch else 0
+                b = prev[k]
+                c = prev[k - ch] if k >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return out, pos
+
+
 def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, top-down RGB bytes) from any 8-bit non-interlaced
-    PNG: grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6).
+    """(width, height, top-down RGB bytes) from any 8-bit PNG:
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6),
+    sequential or Adam7-interlaced.
 
     REAL pixel decoding with zero non-stdlib dependencies: PNG's
     compression is DEFLATE, which stdlib ``zlib`` inflates, and the
     per-scanline prediction filters (None/Sub/Up/Average/Paeth) are a
     public five-case algorithm over the previous byte/row.  Alpha is
     dropped and palette indices resolved AFTER unfiltering (the filters
-    operate on the raw channel stride).  16-bit and Adam7-interlaced
-    PNGs raise ``ValueError`` — loud, not wrong.
+    operate on the raw channel stride); Adam7 passes unfilter as the
+    independent reduced images the spec defines, then reassemble onto
+    the sample grids.  16-bit PNGs raise ``ValueError`` — loud, not
+    wrong.
     """
     import struct
     import zlib
@@ -1031,9 +1075,9 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("png: no IHDR chunk")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
-    if depth != 8 or ctype not in (0, 2, 3, 4, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
         raise ValueError(
-            "png: only 8-bit non-interlaced decodable "
+            "png: only 8-bit images decodable "
             f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
     if ctype == 3 and (not plte or len(plte) % 3):
@@ -1043,39 +1087,29 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from e
-    stride = w * ch
-    if len(raw) < h * (1 + stride):
-        raise ValueError("png: pixel data truncated")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    pos = 0
-    for y in range(h):
-        ftype = raw[pos]
-        row = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub: predict from the pixel to the left
-            for k in range(ch, stride):
-                row[k] = (row[k] + row[k - ch]) & 0xFF
-        elif ftype == 2:  # Up: predict from the row above
-            for k in range(stride):
-                row[k] = (row[k] + prev[k]) & 0xFF
-        elif ftype == 3:  # Average of left and above
-            for k in range(stride):
-                a = row[k - ch] if k >= ch else 0
-                row[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth: nearest of left/above/upper-left
-            for k in range(stride):
-                a = row[k - ch] if k >= ch else 0
-                b = prev[k]
-                c = prev[k - ch] if k >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[k] = (row[k] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"png: unknown filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
+    if interlace == 0:
+        out, pos = _png_unfilter(raw, 0, w, h, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, reassembled
+        # onto the (x0, y0, dx, dy) sample grids the spec defines
+        out = bytearray(h * w * ch)
+        pos = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, ch)
+            for sy in range(ph):
+                y = y0 + sy * dy
+                for sx in range(pw):
+                    x = x0 + sx * dx
+                    out[(y * w + x) * ch : (y * w + x) * ch + ch] = sub[
+                        (sy * pw + sx) * ch : (sy * pw + sx) * ch + ch
+                    ]
     if ctype == 2:
         return w, h, bytes(out)
     rgb = bytearray(w * h * 3)
@@ -1186,7 +1220,7 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
     T.81 Huffman/DCT pipeline for baseline JPEG) -> nearest-neighbor
     resample (index-space for GIF, RGB otherwise) -> re-encode in the
     same format, all stdlib + numpy.  Variants outside the decodable
-    set (progressive JPEG, 16-bit/interlaced PNG, truncated headers) raise
+    set (progressive JPEG, 16-bit PNG, truncated headers) raise
     ``NotImplementedError`` unless ``deterministic_fake=True``, which
     produces a deterministic (w*h//64)-byte blob so batch shapes stay
     realistic in plumbing tests."""
@@ -1212,7 +1246,7 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             rows = [resized[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
             return png_encode(w, h, rows)
         except ValueError:
-            pass  # header-only/16-bit/interlaced PNG: stub path
+            pass  # header-only/16-bit PNG: stub path
     if mime == "image/gif":
         try:
             sw, sh, indices, palette = _gif_decode_indexed(data)

@@ -1016,14 +1016,14 @@ def test_png_real_resize_and_unsupported_variants():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png_pixels(ga) == (1, 1, bytes([0x42, 0x42, 0x42]))
-    inter = (
+    deep = (
         b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-        + _png_chunk(b"IDAT", zlib.compress(bytes(14)))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(26)))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="interlace=1"):
-        decode_png_pixels(inter)
+    with _pytest.raises(ValueError, match="depth=16"):
+        decode_png_pixels(deep)
     with _pytest.raises(ValueError, match="truncated|bad IDAT"):
         decode_png_pixels(
             b"\x89PNG\r\n\x1a\n"
@@ -1359,3 +1359,56 @@ def test_mjpeg_avi_container_and_frame_sampling(spark):
         extract_mjpeg_frames(avi[:40] + b"\x00" * 8)
     with _pytest.raises(ValueError, match="not an AVI"):
         extract_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _make_interlaced_png(w: int, h: int, rgb: bytes, filters: list[int]) -> bytes:
+    """Build an Adam7 PNG from top-down RGB: split into the seven
+    reduced images on the spec's sample grids, filter each pass
+    independently, concatenate, deflate."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * 3)
+        for sy in range(ph):
+            row = bytearray()
+            for sx in range(pw):
+                p = ((y0 + sy * dy) * w + (x0 + sx * dx)) * 3
+                row += rgb[p : p + 3]
+            raw += _png_filter_row(filters[fi % len(filters)], bytes(row), prev, 3)
+            prev = bytes(row)
+            fi += 1
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 streams decode: each of the seven reduced images unfilters
+    independently and lands back on its sample grid — checked on shapes
+    exercising empty passes (tiny), full 8x8 tiling, and non-multiples,
+    with mixed filter types inside passes."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+
+    for w, h in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 10), (16, 4)]:
+        rgb = bytes((i * 29 + 17) % 256 for i in range(w * h * 3))
+        png = _make_interlaced_png(w, h, rgb, filters=[0, 1, 2, 3, 4])
+        assert decode_png_pixels(png) == (w, h, rgb), (w, h)
