@@ -166,10 +166,11 @@ def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, in
     return (64 + data[0] % 64, 64 + data[1] % 64)
 
 
-def decode_wav_meta(data: bytes) -> tuple[int, int, int]:
-    """(channels, sample_rate, bits_per_sample) from a WAV fmt chunk —
-    fixed little-endian offsets after the 12-byte RIFF/WAVE preamble,
-    scanning chunks to find ``fmt ``."""
+def _wav_fmt_fields(data: bytes) -> tuple[int, int, int, int]:
+    """(format_tag, channels, sample_rate, bits_per_sample) from the
+    located ``fmt `` chunk — walks RIFF chunks rather than assuming the
+    fmt chunk sits at a fixed offset, so legal pre-fmt chunks (LIST,
+    bext, …) don't break parsing."""
     if sniff_mime(data) != "audio/wav":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
@@ -178,6 +179,7 @@ def decode_wav_meta(data: bytes) -> tuple[int, int, int]:
         size = int.from_bytes(data[i + 4 : i + 8], "little")
         if cid == b"fmt " and i + 24 <= len(data):
             return (
+                int.from_bytes(data[i + 8 : i + 10], "little"),
                 int.from_bytes(data[i + 10 : i + 12], "little"),
                 int.from_bytes(data[i + 12 : i + 16], "little"),
                 int.from_bytes(data[i + 22 : i + 24], "little"),
@@ -186,14 +188,19 @@ def decode_wav_meta(data: bytes) -> tuple[int, int, int]:
     raise ValueError("wav: no fmt chunk found")
 
 
+def decode_wav_meta(data: bytes) -> tuple[int, int, int]:
+    """(channels, sample_rate, bits_per_sample) from a WAV fmt chunk."""
+    _, channels, rate, bits = _wav_fmt_fields(data)
+    return channels, rate, bits
+
+
 def decode_wav_samples(data: bytes) -> tuple[int, int, int, list[int]]:
     """(channels, sample_rate, bits_per_sample, interleaved samples) from
     a PCM WAV — REAL sample decode: PCM data is raw little-endian
     integers in the ``data`` chunk, no codec needed.  8-bit samples are
     unsigned per the spec and returned as-is (0..255); 16-bit are signed.
     Compressed WAV variants (format tag != 1) raise."""
-    channels, rate, bits = decode_wav_meta(data)
-    fmt_tag = int.from_bytes(data[20:22], "little")
+    fmt_tag, channels, rate, bits = _wav_fmt_fields(data)
     if fmt_tag != 1:
         raise ValueError(f"wav: only PCM (format 1) decodable, got {fmt_tag}")
     if bits not in (8, 16):
@@ -809,7 +816,9 @@ def _gif_lzw_decode(mcs: int, data: bytes, max_pixels: int) -> list[int]:
         else:
             raise ValueError(f"gif: invalid LZW code {code}")
         out.extend(entry)
-        if prev is not None:
+        if prev is not None and len(table) < 4096:
+            # spec decoders stop adding at the 12-bit cap (deferred clear);
+            # capping here bounds table memory on adversarial streams
             table.append(prev + entry[:1])
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1

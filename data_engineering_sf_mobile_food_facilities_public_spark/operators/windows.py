@@ -36,6 +36,7 @@ def grouped_running_sum(
     value: str,
     out_col: str = "running_sum",
     persist_input: bool = False,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-``group`` cumulative sum of ``value`` in ``order_by`` order,
     WITHOUT the single-task-per-group window.
@@ -64,12 +65,29 @@ def grouped_running_sum(
     stats, tokenization) is otherwise evaluated once for the sample and
     again for the shuffle — measured 3.1s -> 2.0s on the curation
     pipeline at sf0.1.  Leave off when the input is a cheap scan.
+
+    pid consistency: the local-sum branch and the offsets branch both
+    consume ``with_pid``, so both must observe the SAME physical
+    partitioning.  With ``persist_input=True`` this is structural — the
+    shuffled/pid-stamped frame is persisted and eagerly materialized,
+    both branches read the one cached copy, and the input cache is
+    released immediately after.  With ``persist_input=False`` it relies
+    on Catalyst's ReuseExchange canonicalizing the two identical range
+    exchanges into one (holds for this plan shape under AQE; plan-pinned
+    by the mixture plan-shape test).  The materialized pid cache belongs
+    to the returned plan; pass ``handles=[]`` to receive it for
+    ``unpersist()`` after your final action.
     """
-    if persist_input:
-        df = df.persist()
     keys = [group, *order_by]
-    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    src = df.persist() if persist_input else df
+    ordered = src.repartitionByRange(*keys).sortWithinPartitions(*keys)
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    if persist_input:
+        with_pid = with_pid.persist()
+        with_pid.count()  # pin partition ids in the cache, then free input
+        src.unpersist()
+        if handles is not None:
+            handles.append(with_pid)
 
     local_w = (
         Window.partitionBy("__pid", group)

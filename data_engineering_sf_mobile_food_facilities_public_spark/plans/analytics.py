@@ -1615,6 +1615,7 @@ def pagerank_run(
     unsafe_local_checkpoint: bool = False,
     tol: float | None = None,
     check_every: int = 5,
+    handles: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, int, float | None]:
     """Parameterized PageRank on the customer-supplier graph; returns
     ``(ranks, iterations_run, last_l1_delta)``.
@@ -1634,6 +1635,14 @@ def pagerank_run(
       when below ``tol``.  The delta is ONE double collected per check
       (a scalar action, same class as the z-order stats collect), not a
       per-row driver loop; checking every k-th step amortizes it.
+
+    Cache ownership: the loop-invariant ``edges_w``/``base`` frames stay
+    persisted because the RETURNED ranks plan still references them —
+    unpersisting here would recompute the graph at the caller's action.
+    Callers that invoke this repeatedly in one session should pass
+    ``handles=[]`` and ``unpersist()`` each handle after their final
+    action; single-shot query paths may leave cleanup to session
+    teardown.  On an exception the invariants are unpersisted here.
     """
     if checkpoint_every is not None:
         if checkpoint_dir is not None:
@@ -1665,44 +1674,51 @@ def pagerank_run(
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = nodes.crossJoin(F.broadcast(nn)).persist()  # (node, n) scalar bcast
+    if handles is not None:
+        handles.extend([edges_w, base])
     ranks = base.select(
         "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
     )
     iters_run, last_delta = 0, None
-    for i in range(1, iters + 1):
-        prev = ranks
-        contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
-        )
-        ranks = (
-            base.join(contribs, base.node == contribs.dst, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0)),
-                    6,
-                ).alias("pr"),
+    try:
+        for i in range(1, iters + 1):
+            prev = ranks
+            contribs = (
+                edges_w.join(ranks, edges_w.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
             )
-        )
-        iters_run = i
-        if checkpoint_every is not None and i % checkpoint_every == 0 and i < iters:
             ranks = (
-                ranks.localCheckpoint(eager=True)
-                if checkpoint_dir is None
-                else ranks.checkpoint(eager=True)
+                base.join(contribs, base.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(0.15) / F.col("n")
+                        + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                        6,
+                    ).alias("pr"),
+                )
             )
-        if tol is not None and i % check_every == 0:
-            delta_df = prev.select("node", F.col("pr").alias("pr_prev")).join(
-                ranks, "node"
-            )
-            last_delta = delta_df.agg(
-                F.sum(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
-            ).collect()[0]["d"]
-            if last_delta is not None and last_delta < tol:
-                break
+            iters_run = i
+            if checkpoint_every is not None and i % checkpoint_every == 0 and i < iters:
+                ranks = (
+                    ranks.localCheckpoint(eager=True)
+                    if checkpoint_dir is None
+                    else ranks.checkpoint(eager=True)
+                )
+            if tol is not None and i % check_every == 0:
+                delta_df = prev.select("node", F.col("pr").alias("pr_prev")).join(
+                    ranks, "node"
+                )
+                last_delta = delta_df.agg(
+                    F.sum(F.abs(F.col("pr") - F.col("pr_prev"))).alias("d")
+                ).collect()[0]["d"]
+                if last_delta is not None and last_delta < tol:
+                    break
+    except Exception:
+        edges_w.unpersist()
+        base.unpersist()
+        raise
     return ranks, iters_run, last_delta
 
 

@@ -299,16 +299,21 @@ def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
     from tests.conftest import SF_SMOKE
 
     # lineage bound: a 25-iteration checkpointed run's final plan must
-    # be no deeper than an uncheckpointed 6-iteration plan
+    # be no deeper than an uncheckpointed 6-iteration plan.  Each call
+    # gets a handles list so the loop-invariant caches are released when
+    # this test's actions are done (cache-ownership contract).
+    h1: list = []
     ranks, iters_run, _ = pagerank_run(
         spark,
         SF_SMOKE,
         iters=25,
         checkpoint_every=5,
         checkpoint_dir=str(tmp_path / "pr_ckpt"),
+        handles=h1,
     )
     deep_plan = ranks._jdf.queryExecution().analyzed().toString()
-    ref6, _, _ = pagerank_run(spark, SF_SMOKE, iters=6)
+    h2: list = []
+    ref6, _, _ = pagerank_run(spark, SF_SMOKE, iters=6, handles=h2)
     ref_plan = ref6._jdf.queryExecution().analyzed().toString()
     assert iters_run == 25
     assert deep_plan.count("Join") <= ref_plan.count("Join")
@@ -318,11 +323,14 @@ def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
     rows = ranks.collect()
     total = sum(r.pr for r in rows)
     assert abs(total - 1.0) <= 25 * len(rows) * 5e-7 + 1e-6, total
+    for df in h1 + h2:
+        df.unpersist()
 
     # convergence: the damped update contracts the L1 error by ~0.85 per
     # iteration (measured: delta ~2.7e-3 at iter 40 on this fixture), so
     # a 0.01 tolerance must trip the every-5th-iteration check well
     # before the 50-iteration cap
+    h3: list = []
     _, conv_iters, delta = pagerank_run(
         spark,
         SF_SMOKE,
@@ -331,9 +339,13 @@ def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "pr_ckpt2"),
         tol=0.01,
         check_every=5,
+        handles=h3,
     )
     assert conv_iters < 50
     assert delta is not None and delta < 0.01
+    assert len(h3) == 2  # the two loop invariants were handed back
+    for df in h3:
+        df.unpersist()
 
     # guard: checkpointing without a reliable dir must be explicit
     import pytest as _pytest

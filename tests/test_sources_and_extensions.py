@@ -1109,6 +1109,74 @@ def test_gif_interlaced_frame_straightens():
     assert got == want
 
 
+def test_gif_lzw_deferred_clear_table_cap():
+    """A spec-valid LZW stream may never re-emit CLEAR ("deferred
+    clear"): the encoder stops assigning codes at the 12-bit / 4096-entry
+    cap and keeps emitting existing codes.  The decoder must (a) decode
+    such a stream exactly and (b) stop growing its own table at 4096 so
+    adversarial streams can't balloon memory."""
+    import hashlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _gif_lzw_decode,
+    )
+
+    mcs = 8
+    clear = 1 << mcs
+
+    # deterministic pseudo-random bytes: md5 chain (no random module seed
+    # drift across Python versions)
+    chunks, state = [], b"lzw-cap-fixture"
+    for _ in range(2000):  # 32 KB — far past 4096 table entries
+        state = hashlib.md5(state).digest()
+        chunks.append(state)
+    data = b"".join(chunks)
+
+    # test-local GIF-LZW compressor with DEFERRED clear: one CLEAR up
+    # front, then never again; stops adding entries at 4096 (mirrors the
+    # decoder's widening rule: bump width when next_code hits 2^size)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = mcs + 1
+    out, acc, nacc = bytearray(), 0, 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder's table lags one code behind the encoder's
+            # (it appends while reading the NEXT code), so widen one
+            # assignment later than the table-size boundary
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(clear + 1)  # END
+    if nacc:
+        out.append(acc & 0xFF)
+    assert next_code == 4096  # the fixture genuinely saturated the table
+
+    decoded = _gif_lzw_decode(mcs, bytes(out), len(data))
+    assert decoded == list(data)
+
+
 def test_jpeg_codec_roundtrip_and_resize():
     """Baseline JPEG is now a real codec: encode -> decode bounds the
     per-pixel error by the quantization the quality level implies
@@ -1316,6 +1384,23 @@ def test_wav_pcm_sample_codec():
     # truncated data chunk
     with _pytest.raises(ValueError, match="truncated|no data chunk"):
         decode_wav_samples(wav[:-3])
+
+    # a legal pre-fmt chunk (LIST/bext may precede fmt) must not break
+    # the format-tag read: the tag comes from the LOCATED fmt chunk, not
+    # a hard-coded offset 20
+    list_chunk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    shifted = bytearray(wav)
+    shifted[12:12] = list_chunk
+    new_riff_size = int.from_bytes(shifted[4:8], "little") + len(list_chunk)
+    shifted[4:8] = new_riff_size.to_bytes(4, "little")
+    assert decode_wav_samples(bytes(shifted)) == (1, 44100, 16, s16)
+    # and a non-PCM tag in the shifted fmt chunk still refuses
+    shifted_mulaw = bytearray(shifted)
+    shifted_mulaw[20 + len(list_chunk) : 22 + len(list_chunk)] = (7).to_bytes(
+        2, "little"
+    )
+    with _pytest.raises(ValueError, match="only PCM"):
+        decode_wav_samples(bytes(shifted_mulaw))
 
 
 def test_mjpeg_avi_container_and_frame_sampling(spark):
