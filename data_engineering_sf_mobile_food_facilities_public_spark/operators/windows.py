@@ -33,13 +33,16 @@ def grouped_running_sum(
     df: DataFrame,
     group: str,
     order_by: Sequence[str],
-    value: str,
-    out_col: str = "running_sum",
+    value: str | Sequence[str],
+    out_col: str | Sequence[str] = "running_sum",
     persist_input: bool = False,
     handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-``group`` cumulative sum of ``value`` in ``order_by`` order,
-    WITHOUT the single-task-per-group window.
+    WITHOUT the single-task-per-group window.  ``value``/``out_col``
+    may be parallel sequences to compute several running sums over the
+    SAME order in one shuffle (e.g. the two-sample KS statistic's pair
+    of CDF counters).
 
     ``Window.partitionBy(group)`` puts each group's entire data through
     one sequential task — at 100 TB a training mix has a handful of
@@ -78,6 +81,10 @@ def grouped_running_sum(
     to the returned plan; pass ``handles=[]`` to receive it for
     ``unpersist()`` after your final action.
     """
+    values = [value] if isinstance(value, str) else list(value)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(values) != len(out_cols):
+        raise ValueError("value and out_col must have the same length")
     keys = [group, *order_by]
     src = df.persist() if persist_input else df
     ordered = src.repartitionByRange(*keys).sortWithinPartitions(*keys)
@@ -101,17 +108,31 @@ def grouped_running_sum(
     )
     offsets = (
         with_pid.groupBy("__pid", group)
-        .agg(F.sum(value).alias("__part_sum"))
-        .withColumn(
-            "__offset", F.coalesce(F.sum("__part_sum").over(offsets_w), F.lit(0))
+        .agg(*[F.sum(v).alias(f"__part_sum_{i}") for i, v in enumerate(values)])
+        .select(
+            "__pid",
+            group,
+            *[
+                F.coalesce(
+                    F.sum(f"__part_sum_{i}").over(offsets_w), F.lit(0)
+                ).alias(f"__offset_{i}")
+                for i in range(len(values))
+            ],
         )
-        .select("__pid", group, "__offset")
     )
-    return (
-        with_pid.withColumn("__local", F.sum(value).over(local_w))
-        .join(F.broadcast(offsets), ["__pid", group])
-        .withColumn(out_col, F.col("__local") + F.col("__offset"))
-        .drop("__pid", "__local", "__offset")
+    out = with_pid.select(
+        "*",
+        *[
+            F.sum(v).over(local_w).alias(f"__local_{i}")
+            for i, v in enumerate(values)
+        ],
+    ).join(F.broadcast(offsets), ["__pid", group])
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"__local_{i}") + F.col(f"__offset_{i}"))
+    return out.drop(
+        "__pid",
+        *[f"__local_{i}" for i in range(len(values))],
+        *[f"__offset_{i}" for i in range(len(values))],
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.windows import grouped_running_sum
 from ..operators.timeseries import (
     asof_join,
     range_join_count,
@@ -2991,9 +2992,15 @@ def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     1996: group by distinct price (ties collapse), running counts per
     sample over the value order, and the max |CDF1 - CDF2| — all
     integer counts until the final exact divisions, so the statistic is
-    bit-stable.  The nonparametric cousin of PSI for drift detection;
-    the global-order window is the scale caveat (sample or bucket
-    first at 100 TB)."""
+    bit-stable.  The nonparametric cousin of PSI for drift detection.
+
+    Scale shape: both cumulative counters run through
+    :func:`grouped_running_sum` with a constant group key — the
+    two-pass range-partition decomposition — so NO single-task global
+    window touches the distinct-value set (at 100 TB the distinct
+    prices alone can be billions of rows).  The sample totals enter as
+    a broadcast 1-row aggregate (the Q15 scalar pattern), not a
+    partition-less window."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -3010,24 +3017,27 @@ def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_x = assigned.groupBy("x").agg(
         F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
     )
-    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    stepped = per_x.select(
-        F.sum("d1").over(cum).alias("c1"),
-        F.sum("d2").over(cum).alias("c2"),
-        F.sum("d1").over(tot).alias("n1"),
-        F.sum("d2").over(tot).alias("n2"),
+    totals = per_x.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["d1", "d2"],
+        out_col=["c1", "c2"],
     )
-    return stepped.agg(
-        F.round(
-            F.max(
-                F.abs(
-                    F.col("c1").cast("double") / F.col("n1")
-                    - F.col("c2").cast("double") / F.col("n2")
-                )
-            ),
-            6,
-        ).alias("ks_stat"),
-        F.first("n1").cast("long").alias("n1"),
-        F.first("n2").cast("long").alias("n2"),
+    return (
+        stepped.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("n1")
+                        - F.col("c2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("n1").cast("long").alias("n1"),
+            F.first("n2").cast("long").alias("n2"),
+        )
     )

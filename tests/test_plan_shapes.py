@@ -121,6 +121,9 @@ _NESTED_LOOP_ALLOWED = {
     # per probe row against a single broadcast row — the right plan for
     # a non-equi scalar subquery at any scale
     "q22_inactive_high_balance",
+    # 1-row sample-totals broadcast (n1, n2) onto the stepped CDF — the
+    # Q22/Q15 scalar pattern replacing the old partition-less window
+    "ks_statistic_price_halves",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate
@@ -502,6 +505,22 @@ def test_mixture_cumsum_has_no_per_group_sequential_window(spark, name):
     assert not re.search(r"\], \[lang#\d+\], \[h#", plan), name
     # the scalable local window: partitioned by (__pid, lang)
     assert re.search(r"\], \[__pid#\d+, lang#\d+\], \[h#", plan), name
+    assert "EvalPython" not in plan
+
+
+def test_ks_statistic_has_no_global_order_window(spark):
+    """The KS statistic's two CDF counters must run as the constant-key
+    two-pass range-partition cumsum, never as a ``Window.orderBy(x)``
+    over the distinct-value set (a single sequential task at scale).
+    The only windows allowed are the per-``(__pid, …)`` local running
+    sum and the #partitions-row offsets aggregate ordered by __pid."""
+    import re
+
+    plan = _plan(spark, "ks_statistic_price_halves")
+    # a window whose spec LEADS with the value order = global cum window
+    assert not re.search(r"windowspecdefinition\(x#\d+ ASC", plan)
+    # the scalable local window: partitioned by __pid, ordered by x
+    assert re.search(r"windowspecdefinition\(__pid#\d+,.*x#\d+ ASC", plan)
     assert "EvalPython" not in plan
 
 
