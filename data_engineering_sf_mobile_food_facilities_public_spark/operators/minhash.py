@@ -8,8 +8,10 @@ Scale design (the whole point of MinHash+LSH):
 - MinHash compresses each doc to ``num_perm`` hashes (one groupBy), LSH
   bands hash those into buckets, and only bucket-mates are compared:
   the candidate join is an equi-join on (band_idx, band_hash) that
-  shuffles signatures, not documents.  Hot buckets can be salted or
-  capped; verification touches only candidate pairs.
+  shuffles signatures, not documents.  Hot buckets are capped via
+  ``candidate_pairs(max_bucket_size=...)`` (with
+  :func:`oversized_buckets` as the audit log); verification touches
+  only candidate pairs.
 
 Determinism: each shingle is hashed ONCE with md5 and split into two
 32-bit integer lanes; the ``num_perm`` permutations are affine combos
@@ -122,9 +124,49 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NU
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
-def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def oversized_buckets(
+    bands_df: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """(band_idx, band_hash, bucket_size) for every LSH bucket larger
+    than ``max_bucket_size`` — the audit companion to
+    :func:`candidate_pairs`' cap, so a curation job can count/log what
+    the cap suppressed (one aggregation, no collect)."""
+    return (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
-    Equi-join on (band_idx, band_hash): only signatures shuffle."""
+    Equi-join on (band_idx, band_hash): only signatures shuffle.
+
+    ``max_bucket_size`` is the hot-bucket cap: a degenerate band hash
+    (boilerplate-heavy corpus, all-identical templates) turns one bucket
+    into C(n,2) candidate pairs — quadratic exactly where LSH was meant
+    to avoid it.  With the cap, buckets larger than ``max_bucket_size``
+    are dropped BEFORE the self-join via an unordered window count over
+    the same (band_idx, band_hash) keys (one extra shuffle that the join
+    then reuses), bounding any bucket's contribution to C(cap, 2).
+    Documents in a dropped bucket still pair through their other,
+    non-degenerate bands — with OR-amplified banding a true near-dup
+    pair rarely shares ONLY the hot bucket.  Use
+    :func:`oversized_buckets` to log what was suppressed.  Default None
+    preserves exact uncapped semantics (the oracle-paired path)."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        bands_df = (
+            bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )

@@ -444,6 +444,45 @@ def test_exact_dedup_bounds_lsh_candidates_on_duplicate_heavy_corpus(spark):
     assert cands.count() <= 3
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial all-identical-band fixture: when exact dedup can't
+    save you (near- but not byte-identical boilerplate hashes into ONE
+    bucket), ``max_bucket_size`` must drop the degenerate bucket before
+    the self-join so candidates stay bounded, while small buckets and
+    pairs reachable through other bands survive untouched."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        candidate_pairs,
+        oversized_buckets,
+    )
+
+    # 200 docs all share band 0's bucket ("HOT"); docs 0 and 1 also share
+    # a small band-1 bucket, docs 2 and 3 another
+    rows = [(i, 0, "HOT") for i in range(200)]
+    rows += [(0, 1, "s1"), (1, 1, "s1"), (2, 1, "s2"), (3, 1, "s2")]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_hash string"
+    )
+
+    uncapped = candidate_pairs(bands).count()
+    assert uncapped == 200 * 199 // 2  # the quadratic blowup, for scale
+
+    capped = candidate_pairs(bands, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # only the small-bucket pairs remain: C(cap,2) bounds any bucket
+    assert got == {(0, 1), (2, 3)}
+
+    audit = oversized_buckets(bands, 10).collect()
+    assert len(audit) == 1
+    assert (audit[0].band_idx, audit[0].band_hash, audit[0].bucket_size) == (
+        0,
+        "HOT",
+        200,
+    )
+
+    # a cap larger than every bucket is the identity
+    assert candidate_pairs(bands, max_bucket_size=500).count() == uncapped
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     w=st.integers(1, 65535),
