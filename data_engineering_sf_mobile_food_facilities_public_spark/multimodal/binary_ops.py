@@ -13,14 +13,15 @@ container-format headers are public byte layouts — so ``sniff_mime``
 parsing) are REAL: they read actual widths/heights/sample-rates from
 the fixed header offsets each format specifies.  Pixel-level decode and
 resize are REAL for all five image formats: 24-bit BMP and P6 PPM (raw
-pixel arrays at header offsets), 8-bit RGB/RGBA PNG (stdlib ``zlib``
-inflate + the public five-filter scanline prediction,
+pixel arrays at header offsets), 8- and 16-bit PNG of every color type
+(stdlib ``zlib`` inflate + the public five-filter scanline prediction,
 ``decode_png_pixels``), GIF (pure-Python LZW table decode incl.
-interlace + local color tables, ``decode_gif_pixels``), and baseline
-JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``, sampling
-factors to 4:2:0, restart markers).  ``deterministic_fake=True``
-remains only for variants outside the decodable set (progressive JPEG,
-16-bit PNG) so plumbing tests never depend on content.
+interlace + local color tables, ``decode_gif_pixels``), and baseline +
+progressive JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``,
+sampling factors to 4:2:0, restart markers, spectral-selection and
+successive-approximation scans).  ``deterministic_fake=True`` remains
+only for variants outside the decodable set (arithmetic-coded JPEG,
+1/2/4-bit PNG) so plumbing tests never depend on content.
 """
 
 from __future__ import annotations
@@ -998,13 +999,18 @@ def resize_indexed_nearest(
     return out
 
 
-def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> tuple[bytearray, int]:
+def _png_unfilter(
+    raw: bytes, pos: int, w: int, h: int, ch: int, sb: int = 1
+) -> tuple[bytearray, int]:
     """Undo the five PNG scanline filters over one (sub-)image of
-    ``h`` rows x ``w`` pixels x ``ch`` channels starting at byte ``pos``
-    of the inflated stream; returns (pixels, next_pos).  Shared by the
-    sequential and Adam7 paths — each interlace pass filters its own
-    reduced image independently."""
-    stride = w * ch
+    ``h`` rows x ``w`` pixels x ``ch`` channels of ``sb``-byte samples
+    starting at byte ``pos`` of the inflated stream; returns
+    (pixels, next_pos).  The filters always operate on BYTES with the
+    "left" neighbor ``bpp = ch*sb`` bytes back (the spec's rule for
+    16-bit depths).  Shared by the sequential and Adam7 paths — each
+    interlace pass filters its own reduced image independently."""
+    bpp = ch * sb
+    stride = w * bpp
     if len(raw) - pos < h * (1 + stride):
         raise ValueError("png: pixel data truncated")
     out = bytearray(h * stride)
@@ -1014,20 +1020,20 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> tuple[bytear
         row = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # Sub: predict from the pixel to the left
-            for k in range(ch, stride):
-                row[k] = (row[k] + row[k - ch]) & 0xFF
+            for k in range(bpp, stride):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
         elif ftype == 2:  # Up: predict from the row above
             for k in range(stride):
                 row[k] = (row[k] + prev[k]) & 0xFF
         elif ftype == 3:  # Average of left and above
             for k in range(stride):
-                a = row[k - ch] if k >= ch else 0
+                a = row[k - bpp] if k >= bpp else 0
                 row[k] = (row[k] + ((a + prev[k]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth: nearest of left/above/upper-left
             for k in range(stride):
-                a = row[k - ch] if k >= ch else 0
+                a = row[k - bpp] if k >= bpp else 0
                 b = prev[k]
-                c = prev[k - ch] if k >= ch else 0
+                c = prev[k - bpp] if k >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -1040,19 +1046,20 @@ def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> tuple[bytear
 
 
 def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, top-down RGB bytes) from any 8-bit PNG:
-    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6),
-    sequential or Adam7-interlaced.
+    """(width, height, top-down RGB bytes) from any 8- or 16-bit PNG:
+    grayscale (0), RGB (2), palette (3, 8-bit only per spec), gray+alpha
+    (4), RGBA (6), sequential or Adam7-interlaced.
 
     REAL pixel decoding with zero non-stdlib dependencies: PNG's
     compression is DEFLATE, which stdlib ``zlib`` inflates, and the
     per-scanline prediction filters (None/Sub/Up/Average/Paeth) are a
-    public five-case algorithm over the previous byte/row.  Alpha is
+    public five-case algorithm over the previous byte/row (operating on
+    bytes with a 2-byte-per-sample "left" offset at depth 16).  Alpha is
     dropped and palette indices resolved AFTER unfiltering (the filters
     operate on the raw channel stride); Adam7 passes unfilter as the
     independent reduced images the spec defines, then reassemble onto
-    the sample grids.  16-bit PNGs raise ``ValueError`` — loud, not
-    wrong.
+    the sample grids.  16-bit samples reduce to their high byte (the
+    spec's sample-depth rescaling to 8 bits) after unfiltering.
     """
     import struct
     import zlib
@@ -1084,24 +1091,28 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("png: no IHDR chunk")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
-    if depth != 8 or ctype not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+    if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
         raise ValueError(
-            "png: only 8-bit images decodable "
+            "png: only 8/16-bit images decodable "
             f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
+    if ctype == 3 and depth == 16:
+        raise ValueError("png: 16-bit palette images are invalid per spec")
     if ctype == 3 and (not plte or len(plte) % 3):
         raise ValueError("png: palette image without a valid PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    sb = depth // 8  # bytes per sample
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from e
     if interlace == 0:
-        out, pos = _png_unfilter(raw, 0, w, h, ch)
+        out, pos = _png_unfilter(raw, 0, w, h, ch, sb)
     else:
         # Adam7: seven independently-filtered sub-images, reassembled
         # onto the (x0, y0, dx, dy) sample grids the spec defines
-        out = bytearray(h * w * ch)
+        bpp = ch * sb
+        out = bytearray(h * w * bpp)
         pos = 0
         for x0, y0, dx, dy in (
             (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -1111,14 +1122,17 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, pos = _png_unfilter(raw, pos, pw, ph, ch)
+            sub, pos = _png_unfilter(raw, pos, pw, ph, ch, sb)
             for sy in range(ph):
                 y = y0 + sy * dy
                 for sx in range(pw):
                     x = x0 + sx * dx
-                    out[(y * w + x) * ch : (y * w + x) * ch + ch] = sub[
-                        (sy * pw + sx) * ch : (sy * pw + sx) * ch + ch
+                    out[(y * w + x) * bpp : (y * w + x) * bpp + bpp] = sub[
+                        (sy * pw + sx) * bpp : (sy * pw + sx) * bpp + bpp
                     ]
+    if sb == 2:
+        # 16 -> 8 bit: each big-endian sample's high byte (spec rescale)
+        out = out[0::2]
     if ctype == 2:
         return w, h, bytes(out)
     rgb = bytearray(w * h * 3)
@@ -1225,11 +1239,12 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
     """Resize a media blob to (w, h).
 
     REAL for all five image formats: pixel decode (header offsets for
-    BMP/PPM, zlib inflate + scanline unfilter for PNG, LZW for GIF, the
-    T.81 Huffman/DCT pipeline for baseline JPEG) -> nearest-neighbor
-    resample (index-space for GIF, RGB otherwise) -> re-encode in the
-    same format, all stdlib + numpy.  Variants outside the decodable
-    set (progressive JPEG, 16-bit PNG, truncated headers) raise
+    BMP/PPM, zlib inflate + scanline unfilter for 8/16-bit PNG, LZW for
+    GIF, the T.81 Huffman/DCT pipeline for baseline and progressive
+    JPEG) -> nearest-neighbor resample (index-space for GIF, RGB
+    otherwise) -> re-encode in the same format, all stdlib + numpy.
+    Variants outside the decodable set (arithmetic-coded JPEG,
+    sub-8-bit PNG, truncated headers) raise
     ``NotImplementedError`` unless ``deterministic_fake=True``, which
     produces a deterministic (w*h//64)-byte blob so batch shapes stay
     realistic in plumbing tests."""
@@ -1255,7 +1270,7 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             rows = [resized[3 * w * y : 3 * w * (y + 1)] for y in range(h)]
             return png_encode(w, h, rows)
         except ValueError:
-            pass  # header-only/16-bit PNG: stub path
+            pass  # synthetic header-only PNG: stub path
     if mime == "image/gif":
         try:
             sw, sh, indices, palette = _gif_decode_indexed(data)
@@ -1271,11 +1286,11 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             sw, sh, rgb = decode_jpeg_pixels(data)
             return encode_jpeg(w, h, resize_rgb_nearest(rgb, sw, sh, w, h))
         except ValueError:
-            pass  # progressive/truncated JPEG: stub path
+            pass  # truncated/arithmetic-coded JPEG: stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "pixel resize supports BMP (24-bit BI_RGB), P6 PPM, 8-bit "
-            "RGB/RGBA PNG, GIF, and baseline JPEG; this blob is a "
+            "pixel resize supports BMP (24-bit BI_RGB), P6 PPM, 8/16-bit "
+            "PNG, GIF, and baseline + progressive JPEG; this blob is a "
             "format/variant outside that set — pass "
             "deterministic_fake=True for the plumbing-test resizer"
         )

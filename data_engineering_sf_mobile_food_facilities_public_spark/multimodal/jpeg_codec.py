@@ -1,20 +1,23 @@
-"""Pure-Python baseline JPEG codec (stdlib + numpy).
+"""Pure-Python baseline + progressive JPEG codec (stdlib + numpy).
 
 Completes the multimodal pixel surface: with BMP/PPM (raw), PNG
 (DEFLATE + filters) and GIF (LZW) already real, JPEG's entropy-coded
 DCT pixels were the last stub.  Everything here is from the public
 ITU-T T.81 specification: the 8x8 DCT-II, Annex-K quantization and
 Huffman tables, zigzag ordering, DC prediction, AC run-length with
-ZRL/EOB, byte stuffing, and restart markers.
+ZRL/EOB, byte stuffing, restart markers, and the Annex-G progressive
+modes (spectral selection, successive approximation, EOB runs).
 
 Scope (stated honestly):
 
-* encode: baseline sequential, 8-bit, YCbCr 4:4:4 (no subsampling),
-  interleaved single scan — every decoder reads it.
-* decode: baseline sequential (SOF0) with per-component sampling
-  factors 1 or 2 (so 4:4:4, 4:2:2 and 4:2:0 streams all decode),
-  restart markers honored.  Progressive (SOF2) and arithmetic coding
-  raise ``ValueError`` — loud, not wrong.
+* encode: baseline sequential (``encode_jpeg``) and progressive
+  (``encode_jpeg_progressive``, libjpeg's default 10-scan script),
+  8-bit YCbCr 4:4:4, one block interleave — every decoder reads both.
+* decode: baseline sequential (SOF0/SOF1) AND progressive (SOF2), with
+  per-component sampling factors 1 or 2 (so 4:4:4, 4:2:2 and 4:2:0
+  streams all decode), restart markers honored, multi-scan coefficient
+  accumulation with EOBn runs.  Arithmetic coding and hierarchical
+  modes raise ``ValueError`` — loud, not wrong.
 
 The transform runs as numpy matrix products per 8x8 block; this codec
 exists for correctness (oracle fixtures, round-trip property tests) and
@@ -291,6 +294,218 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
     )
 
 
+def _quantized_blocks(
+    width: int, height: int, rgb: bytes, quality: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, int, int]:
+    """Shared encoder front-end: (per-component (hb, wb, 64) zigzag
+    coefficient grids, luma QT, chroma QT, hb, wb) for 8-bit YCbCr
+    4:4:4 input."""
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    ycc = rgb_to_ycbcr(img)
+    qt_l = _scaled_qt(QT_LUM, quality)
+    qt_c = _scaled_qt(QT_CHROM, quality)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.empty((ph, pw, 3))
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1 : height, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    hb, wb = ph // 8, pw // 8
+    out = []
+    qts = [qt_l, qt_c, qt_c]
+    for comp in range(3):
+        grid = np.zeros((hb, wb, 64), dtype=np.int64)
+        for by in range(hb):
+            for bx in range(wb):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
+                q = np.round(
+                    _dct2(block).flatten() / qts[comp].reshape(8, 8).flatten()
+                ).astype(np.int64)
+                grid[by, bx] = q[ZIGZAG]
+        out.append(grid)
+    return out, qt_l, qt_c, hb, wb
+
+
+# libjpeg's default progressive scan script for 3-component YCbCr
+# (jcparam.c, public): spectral selection + two successive-approximation
+# levels for luma AC, one for chroma, split DC first/refine.
+_PROG_SCRIPT = (
+    ([0, 1, 2], 0, 0, 0, 1),  # DC first, Al=1
+    ([0], 1, 5, 0, 2),  # luma AC 1-5 first, Al=2
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),  # luma AC 6-63 first, Al=2
+    ([0], 1, 63, 2, 1),  # luma AC refine Al 2->1
+    ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+    ([0], 1, 63, 1, 0),  # luma AC refine Al 1->0
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+)
+
+
+def _emit_ac_first(w: _BitWriter, codes, block, ss: int, se: int, al: int) -> None:
+    """AC first-pass scan for one block band (point transform Al),
+    per-block EOB0 (no EOBn accumulation, so Annex-K tables suffice)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        vals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+    last_nz = -1
+    for j, v in enumerate(vals):
+        if v:
+            last_nz = j
+    run = 0
+    for j in range(last_nz + 1):
+        v = vals[j]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = codes[0xF0]
+            w.write(c, ln)
+            run -= 16
+        size, amp = _magnitude(v)
+        c, ln = codes[(run << 4) | size]
+        w.write(c, ln)
+        w.write(amp, size)
+        run = 0
+    if last_nz < se - ss:
+        c, ln = codes[0x00]
+        w.write(c, ln)
+
+
+def _emit_ac_refine(w: _BitWriter, codes, block, ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block band (T.81 G.1.2.3): each
+    newly-significant coefficient (magnitude exactly 1 at this
+    precision) codes (zero_run<<4)|1 plus a sign bit; history
+    coefficients crossed contribute one correction bit each, emitted
+    POSITIONALLY — interleaved exactly where the decoder's walk reads
+    them (after the symbol whose run crosses the coefficient);
+    trailing band content closes with a per-block EOB0 followed by the
+    remaining history corrections."""
+    temps = [abs(int(block[p])) >> al for p in range(ss, se + 1)]
+
+    def t(pos: int) -> int:
+        return temps[pos - ss]
+
+    newly = [p for p in range(ss, se + 1) if t(p) == 1]
+    k = ss
+    for j in newly:
+        run = sum(1 for p in range(k, j) if t(p) == 0)
+        while run > 15:
+            c, ln = codes[0xF0]
+            w.write(c, ln)
+            zeros = 0  # mirror the decoder: cross history coefficients
+            while zeros < 16:  # until the 16th zero is consumed
+                if t(k) == 0:
+                    zeros += 1
+                else:
+                    w.write(t(k) & 1, 1)
+                k += 1
+            run -= 16
+        c, ln = codes[(run << 4) | 1]
+        w.write(c, ln)
+        w.write(1 if int(block[j]) > 0 else 0, 1)
+        for p in range(k, j):
+            if t(p) > 1:
+                w.write(t(p) & 1, 1)
+        k = j + 1
+    if k <= se:  # the decoder will read one more symbol: close the band
+        c, ln = codes[0x00]
+        w.write(c, ln)
+        for p in range(k, se + 1):
+            if t(p) > 1:
+                w.write(t(p) & 1, 1)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 90
+) -> bytes:
+    """Progressive JFIF encoder (SOF2): 8-bit YCbCr 4:4:4, Annex-K
+    tables, libjpeg's default 10-scan script — spectral selection plus
+    successive approximation on both DC and AC.  Emits the SAME
+    quantized coefficients as :func:`encode_jpeg`, so decoding both
+    must produce bit-identical pixels (the round-trip oracle)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    if width <= 0 or height <= 0 or width > 65535 or height > 65535:
+        raise ValueError("jpeg: dimensions out of range")
+    grids, qt_l, qt_c, hb, wb = _quantized_blocks(width, height, rgb, quality)
+    dc_codes = [
+        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+        _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS),
+        _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS),
+    ]
+
+    scans = []
+    for comp_list, ss, se, ah, al in _PROG_SCRIPT:
+        w = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first: interleaved over comps
+            dc_prev = [0, 0, 0]
+            for by in range(hb):
+                for bx in range(wb):
+                    for comp in comp_list:
+                        tbl = 0 if comp == 0 else 1
+                        v = int(grids[comp][by, bx, 0]) >> al  # arithmetic
+                        diff = v - dc_prev[comp]
+                        dc_prev[comp] = v
+                        size, amp = _magnitude(diff)
+                        c, ln = dc_codes[tbl][size]
+                        w.write(c, ln)
+                        if size:
+                            w.write(amp, size)
+        elif ss == 0:  # DC refine: one bit per block per comp
+            for by in range(hb):
+                for bx in range(wb):
+                    for comp in comp_list:
+                        w.write((int(grids[comp][by, bx, 0]) >> al) & 1, 1)
+        else:
+            comp = comp_list[0]
+            tbl = 0 if comp == 0 else 1
+            for by in range(hb):
+                for bx in range(wb):
+                    block = grids[comp][by, bx]
+                    if ah == 0:
+                        _emit_ac_first(w, ac_codes[tbl], block, ss, se, al)
+                    else:
+                        _emit_ac_refine(w, ac_codes[tbl], block, ss, se, al)
+        w.flush()
+        ns = len(comp_list)
+        hdr = bytes([ns])
+        for comp in comp_list:
+            dc_tid = 0 if comp == 0 else 1
+            ac_tid = 0 if comp == 0 else 1
+            hdr += bytes([comp + 1, (dc_tid << 4) | ac_tid])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        scans.append(_marker(0xDA, hdr) + bytes(w.out))
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return _marker(0xDB, bytes([tid]) + bytes(int(x) for x in qt.flatten()[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals))
+
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + _marker(0xC2, sof)
+        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with byte-stuffing
     removal; stops at any non-RST marker."""
@@ -355,10 +570,109 @@ def _read_huff_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("jpeg: invalid Huffman code")
 
 
+def _decode_seq_block(r, huff, dc_tid: int, ac_tid: int, block, dc_prev: list, ci: int) -> None:
+    """Baseline sequential DC+AC for one block into zigzag array ``block``."""
+    size = _read_huff_symbol(r, huff[(0, dc_tid)])
+    diff = _extend(r.read_bits(size), size)
+    dc_prev[ci] += diff
+    block[0] = dc_prev[ci]
+    k = 1
+    while k < 64:
+        rs = _read_huff_symbol(r, huff[(1, ac_tid)])
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        block[k] = _extend(r.read_bits(rs & 0xF), rs & 0xF)
+        k += 1
+
+
+def _decode_ac_first(r, table, block, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first pass (T.81 G.2.2) for one block; returns the
+    updated end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff_symbol(r, table)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr < 15:  # EOBn: run of 2^rr + extra bits blocks
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.read_bits(rr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: AC index overflow in progressive scan")
+        block[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(r, table, block, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.2.3; the stb_image walk): each
+    history coefficient crossed reads one correction bit; zero-history
+    positions count toward the run; returns the updated EOB run."""
+    bit = 1 << al
+
+    def refine(k: int) -> None:
+        if r.read_bit() and (block[k] & bit) == 0:
+            block[k] += bit if block[k] > 0 else -bit
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if block[k] != 0:
+                refine(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff_symbol(r, table)
+        rr, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if rr < 15:  # EOBn: refine the rest of this band, then run
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.read_bits(rr)
+                rr = 64  # walk to band end refining history coefficients
+            # rr == 15 (ZRL): skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("jpeg: refinement magnitude must be 1")
+            newval = bit if r.read_bit() else -bit
+        while k <= se:
+            if block[k] != 0:
+                refine(k)
+            else:
+                if rr == 0:
+                    if newval:
+                        block[k] = newval
+                    k += 1
+                    break
+                rr -= 1
+            k += 1
+    return eobrun
+
+
 def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, top-down RGB bytes) from a baseline sequential
-    JPEG.  Sampling factors 1-2 per component (4:4:4 / 4:2:2 / 4:2:0),
-    restart markers honored; progressive and arithmetic streams raise."""
+    (SOF0/SOF1) or progressive (SOF2) JPEG.  Sampling factors 1-2 per
+    component (4:4:4 / 4:2:2 / 4:2:0), restart markers honored,
+    progressive spectral-selection and successive-approximation scans
+    (DC first/refine, AC first/refine with EOB runs) fully decoded;
+    arithmetic-coded and hierarchical streams raise.
+
+    Architecture: every scan decodes into per-component zigzag
+    COEFFICIENT grids; dequantization + one vectorized IDCT over all
+    blocks happens once at EOI (so baseline is just the one-scan
+    special case of the multi-scan engine)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qts: dict[int, np.ndarray] = {}
@@ -366,10 +680,13 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qt_id)
     restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] = []  # per comp: (bh, bw, 64) zigzag coefficients
+    geom: list[tuple[int, int]] = []  # per comp: non-interleaved (hb, wb)
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     i = 2
-    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
-    sos_pos = None
-    while i + 4 <= len(data):
+    while i + 2 <= len(data):
         if data[i] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = data[i + 1]
@@ -378,13 +695,14 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
             continue
         if marker == 0xD9:
             break
+        if i + 4 > len(data):
+            raise ValueError("jpeg: truncated segment")
         seglen = int.from_bytes(data[i + 2 : i + 4], "big")
         body = data[i + 4 : i + 2 + seglen]
-        if marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) not supported")
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg: unsupported SOF marker 0x{marker:02x}")
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             n = body[5]
@@ -392,6 +710,19 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
             for c in range(n):
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
+            if any(not (1 <= h <= 2 and 1 <= v <= 2) for _, h, v, _ in comps):
+                raise ValueError("jpeg: sampling factors beyond 2 not supported")
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            coef = []
+            geom = []
+            for _, h, v, _ in comps:
+                coef.append(np.zeros((mcuy * v, mcux * h, 64), dtype=np.int64))
+                cw = (width * h + hmax - 1) // hmax
+                chh = (height * v + vmax - 1) // vmax
+                geom.append(((chh + 7) // 8, (cw + 7) // 8))
         elif marker == 0xDB:
             j = 0
             while j < len(body):
@@ -418,66 +749,117 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
             byid = {c[0]: k for k, c in enumerate(comps)}
+            scan_comps = []  # (comp_idx, dc_tid, ac_tid)
             for s in range(ns):
                 cid, tids = body[1 + 2 * s], body[2 + 2 * s]
                 scan_comps.append((byid[cid], tids >> 4, tids & 0xF))
-            sos_pos = i + 2 + seglen
-            break
-        i += 2 + seglen
-    if width is None or sos_pos is None or not comps:
-        raise ValueError("jpeg: missing SOF/SOS")
-    if any(not (1 <= h <= 2 and 1 <= v <= 2) for _, h, v, _ in comps):
-        raise ValueError("jpeg: sampling factors beyond 2 not supported")
-
-    hmax = max(h for _, h, _, _ in comps)
-    vmax = max(v for _, _, v, _ in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
-    planes = []
-    for _, h, v, _ in comps:
-        planes.append(np.zeros((mcuy * v * 8, mcux * h * 8)))
-
-    r = _BitReader(data, sos_pos)
-    dc_prev = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.skip_restart()
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("jpeg: progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("jpeg: progressive AC scan must be single-component")
+                if se > 63 or ss > se:
+                    raise ValueError("jpeg: invalid spectral band")
+            r = _BitReader(data, i + 2 + seglen)
+            if ns > 1:
+                # interleaved MCU walk: baseline full-band, or
+                # progressive DC (first or refine) over all scan comps
                 dc_prev = [0] * len(comps)
-            for ci, dc_tid, ac_tid in scan_comps:
-                _, h, v, qid = comps[ci]
-                qt = qts[qid]
-                for vy in range(v):
-                    for vx in range(h):
-                        size = _read_huff_symbol(r, huff[(0, dc_tid)])
-                        diff = _extend(r.read_bits(size), size)
-                        dc_prev[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = dc_prev[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huff_symbol(r, huff[(1, ac_tid)])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _extend(r.read_bits(rs & 0xF), rs & 0xF)
-                            k += 1
-                        coefs = np.zeros(64)
-                        coefs[ZIGZAG] = zz * qt[ZIGZAG]
-                        block = _idct2(coefs.reshape(8, 8)) + 128.0
-                        y0 = (my * v + vy) * 8
-                        x0 = (mx * h + vx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+                count = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and count and count % restart_interval == 0:
+                            r.skip_restart()
+                            dc_prev = [0] * len(comps)
+                        for ci, dc_tid, ac_tid in scan_comps:
+                            _, h, v, _ = comps[ci]
+                            for vy in range(v):
+                                for vx in range(h):
+                                    block = coef[ci][my * v + vy, mx * h + vx]
+                                    if not progressive:
+                                        _decode_seq_block(
+                                            r, huff, dc_tid, ac_tid, block, dc_prev, ci
+                                        )
+                                    elif ah == 0:
+                                        size = _read_huff_symbol(r, huff[(0, dc_tid)])
+                                        dc_prev[ci] += _extend(r.read_bits(size), size)
+                                        block[0] = dc_prev[ci] << al
+                                    else:
+                                        if r.read_bit():
+                                            block[0] += 1 << al
+                        count += 1
+            else:
+                # non-interleaved walk over ONE component's block grid
+                # (progressive AC scans; also single-component DC scans)
+                ci, dc_tid, ac_tid = scan_comps[0]
+                hb, wb = geom[ci]
+                dc_prev = [0] * len(comps)
+                eobrun = 0
+                count = 0
+                for by in range(hb):
+                    for bx in range(wb):
+                        if restart_interval and count and count % restart_interval == 0:
+                            r.skip_restart()
+                            dc_prev = [0] * len(comps)
+                            eobrun = 0
+                        block = coef[ci][by, bx]
+                        if not progressive:
+                            _decode_seq_block(
+                                r, huff, dc_tid, ac_tid, block, dc_prev, ci
+                            )
+                        elif ss == 0:
+                            if ah == 0:
+                                size = _read_huff_symbol(r, huff[(0, dc_tid)])
+                                dc_prev[ci] += _extend(r.read_bits(size), size)
+                                block[0] = dc_prev[ci] << al
+                            else:
+                                if r.read_bit():
+                                    block[0] += 1 << al
+                        elif ah == 0:
+                            eobrun = _decode_ac_first(
+                                r, huff[(1, ac_tid)], block, ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _decode_ac_refine(
+                                r, huff[(1, ac_tid)], block, ss, se, al, eobrun
+                            )
+                        count += 1
+            saw_scan = True
+            # resync the parser at the next marker after the entropy data
+            p = r.pos
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF
+                and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)
+            ):
+                p += 1
+            i = p
+            continue
+        i += 2 + seglen
+    if width is None or not saw_scan:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    # one dequantize + vectorized IDCT pass over every block, per comp
+    planes = []
+    for ci, (_, h, v, qid) in enumerate(comps):
+        qt = qts[qid]
+        bh, bw = coef[ci].shape[:2]
+        zz = coef[ci].reshape(-1, 64)
+        nat = np.zeros((zz.shape[0], 64))
+        nat[:, ZIGZAG] = zz * qt[ZIGZAG]
+        blocks = np.einsum(
+            "ij,njk,kl->nil", _D.T, nat.reshape(-1, 8, 8), _D
+        ) + 128.0
+        plane = (
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane)
 
     # upsample subsampled chroma planes to full resolution and crop
     full = []

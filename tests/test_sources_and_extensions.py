@@ -1016,14 +1016,33 @@ def test_png_real_resize_and_unsupported_variants():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png_pixels(ga) == (1, 1, bytes([0x42, 0x42, 0x42]))
+    # 16-bit now decodes for real (high byte of each BE sample)
     deep = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
         + _png_chunk(b"IDAT", zlib.compress(bytes(26)))
         + _png_chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="depth=16"):
-        decode_png_pixels(deep)
+    assert decode_png_pixels(deep) == (2, 2, bytes(12))
+    # sub-8-bit depths stay loud
+    shallow = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="depth=4"):
+        decode_png_pixels(shallow)
+    # 16-bit palette is invalid per spec and refuses
+    pal16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(10)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="16-bit palette"):
+        decode_png_pixels(pal16)
     with _pytest.raises(ValueError, match="truncated|bad IDAT"):
         decode_png_pixels(
             b"\x89PNG\r\n\x1a\n"
@@ -1109,6 +1128,253 @@ def test_gif_interlaced_frame_straightens():
     assert got == want
 
 
+def _png_forward_filter(ftype: int, raw_row: bytes, prev_row: bytes, bpp: int) -> bytes:
+    """Test-side forward filter (the inverse of the decoder's unfilter)."""
+    out = bytearray([ftype])
+    for k, x in enumerate(raw_row):
+        a = raw_row[k - bpp] if k >= bpp else 0
+        b = prev_row[k]
+        c = prev_row[k - bpp] if k >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((x - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_png_16bit_all_color_types_and_filters():
+    """16-bit PNG pixel decode is real: every non-palette color type
+    (gray, RGB, gray+alpha, RGBA), all five scanline filters operating
+    on bytes with the 2-byte-per-sample left offset, and Adam7
+    interlace — each reduced to the high byte of the BE sample."""
+    import hashlib
+    import struct
+    import zlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+
+    def build(w, h, ctype, ch, samples, filters, interlace=0, scanlines=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, interlace)
+        if scanlines is None:
+            bpp = ch * 2
+            rows = []
+            prev = bytes(w * bpp)
+            for y in range(h):
+                raw = b"".join(
+                    struct.pack(">H", samples[(y * w + x) * ch + c])
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                rows.append(_png_forward_filter(filters[y % len(filters)], raw, prev, bpp))
+                prev = raw
+            payload = b"".join(rows)
+        else:
+            payload = scanlines
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(payload))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # deterministic 16-bit samples from an md5 chain
+    state, samples = b"png16", []
+    while len(samples) < 6 * 7 * 4:
+        state = hashlib.md5(state).digest()
+        samples.extend(
+            int.from_bytes(state[i : i + 2], "big") for i in range(0, 16, 2)
+        )
+
+    w, h = 6, 7
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        vals = samples[: w * h * ch]
+        png = build(w, h, ctype, ch, vals, filters=[0, 1, 2, 3, 4])
+        dw, dh, rgb = decode_png_pixels(png)
+        assert (dw, dh) == (w, h)
+        hi = [v >> 8 for v in vals]  # expected 8-bit samples
+        exp = bytearray()
+        for px in range(w * h):
+            if ctype == 0:
+                exp += bytes([hi[px]] * 3)
+            elif ctype == 2:
+                exp += bytes(hi[3 * px : 3 * px + 3])
+            elif ctype == 4:
+                exp += bytes([hi[2 * px]] * 3)
+            else:
+                exp += bytes(hi[4 * px : 4 * px + 3])
+        assert rgb == bytes(exp), f"ctype {ctype}"
+
+    # Adam7 16-bit grayscale: interlaced must equal the sequential decode
+    w = h = 9
+    vals = samples[: w * h]
+    seq = build(w, h, 0, 1, vals, filters=[0])
+    _, _, want = decode_png_pixels(seq)
+    passes = []
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * 2)
+        for sy in range(ph):
+            raw = b"".join(
+                struct.pack(">H", vals[(y0 + sy * dy) * w + (x0 + sx * dx)])
+                for sx in range(pw)
+            )
+            passes.append(_png_forward_filter(sy % 5, raw, prev, 2))
+            prev = raw
+    inter = build(w, h, 0, 1, [], filters=[], interlace=1, scanlines=b"".join(passes))
+    assert decode_png_pixels(inter) == (w, h, want)
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """The progressive encoder emits the same quantized coefficients as
+    the baseline encoder, so the multi-scan decode (spectral selection +
+    successive approximation, DC and AC refinement) must reproduce the
+    baseline decode BIT-IDENTICALLY — on a noise image (dense spectra:
+    ZRL-in-refinement, history-coefficient correction bits) and on
+    gradients (sparse spectra: EOB paths), at several qualities."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        resize_image,
+        sniff_mime,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(20260814)
+    cases = []
+    noise = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    cases.append((17, 24, noise))
+    y, x = np.mgrid[0:16, 0:16]
+    grad = np.stack([x * 16, y * 16, (x + y) * 8], axis=-1).astype(np.uint8)
+    cases.append((16, 16, grad))
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    cases.append((8, 8, solid))
+
+    for w, h, arr in cases:
+        for q in (30, 75, 95):
+            base = encode_jpeg(w, h, arr.tobytes(), quality=q)
+            prog = encode_jpeg_progressive(w, h, arr.tobytes(), quality=q)
+            assert sniff_mime(prog) == "image/jpeg"
+            assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+            assert prog.count(b"\xff\xda") == 10  # the 10-scan script
+            assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base), (w, h, q)
+
+    # resize_image handles progressive streams through the real path now
+    out = resize_image(prog, 12, 12)
+    assert sniff_mime(out) == "image/jpeg"
+    assert decode_jpeg_pixels(out)[:2] == (12, 12)
+
+
+def test_jpeg_progressive_eobn_run_decode():
+    """EOBn codes with n>0 (end-of-band RUNS spanning blocks) decode
+    correctly: a hand-built single-component progressive stream whose AC
+    first scan covers two 8x8 blocks with one EOB2 code (custom DHT —
+    the Annex-K tables lack EOBn symbols).  Block 1 gets one AC coef
+    then EOB2 ends both blocks' bands."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.jpeg_codec import (
+        decode_jpeg_pixels,
+        _marker,
+    )
+
+    def dht(cls, tid, bits, vals):
+        return _marker(0xC4, bytes([(cls << 4) | tid]) + bytes(bits[1:]) + bytes(vals))
+
+    # canonical 2-bit codes: symbols get codes 00,01,10 at length 2
+    dc_bits = [0, 0, 3] + [0] * 14  # sizes 0,1,2
+    dc_vals = [0, 1, 2]
+    ac_bits = [0, 0, 3] + [0] * 14  # EOB0 (0x00), EOB1 (0x10), size-1 (0x01)
+    ac_vals = [0x00, 0x10, 0x01]
+    # flat quant table of 16s: DC=2 -> 32 (pixel offset +4), AC=1 -> 16
+    # (visible ±2-3 swing) — big enough to survive uint8 rounding
+    dqt = _marker(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = _marker(
+        0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    )
+
+    class BW:
+        def __init__(self):
+            self.out, self.acc, self.n = bytearray(), 0, 0
+
+        def w(self, code, ln):
+            self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+            self.n += ln
+            while self.n >= 8:
+                b = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0)
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self):
+            if self.n:
+                self.w((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    # scan 1: DC first (Ss=0 Se=0 Ah=0 Al=0), two blocks, both DC=+2
+    s1 = BW()
+    s1.w(0b10, 2)  # DC size 2
+    s1.w(0b10, 2)  # amplitude bits for +2
+    s1.w(0b00, 2)  # size 0 (diff 0) for block 2
+    s1.flush()
+    sos1 = _marker(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(s1.out)
+    # scan 2: AC first (Ss=1 Se=63 Ah=0 Al=0): block 1 codes coef k=1
+    # value +1 (run 0, size 1) then EOB1 = run of 2 blocks -> ends block
+    # 1's band AND all of block 2's
+    s2 = BW()
+    s2.w(0b10, 2)  # symbol 0x01: run 0, size 1
+    s2.w(1, 1)  # amplitude +1
+    s2.w(0b01, 2)  # symbol 0x10: EOB1, 1 extra bit
+    s2.w(1, 1)  # extra bit -> eobrun = 2^1 - 1 + 1 = 2
+    s2.flush()
+    sos2 = _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(s2.out)
+
+    jpg = (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0, 0, dc_bits, dc_vals)
+        + dht(1, 0, ac_bits, ac_vals)
+        + sos1
+        + sos2
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg_pixels(jpg)
+    assert (w, h) == (16, 8)
+    img = np.frombuffer(rgb, np.uint8).reshape(8, 16, 3)
+    # grayscale: all three channels equal
+    assert (img[..., 0] == img[..., 1]).all() and (img[..., 1] == img[..., 2]).all()
+    left, right = img[:, :8, 0].astype(float), img[:, 8:, 0].astype(float)
+    # both blocks carry DC=2*16=32 (pixel offset +4 -> mean 132);
+    # block 1 additionally has AC(0,1)=16 -> horizontal variation
+    assert abs(right.mean() - 132.0) < 0.51
+    assert np.ptp(right) == 0  # block 2: flat (EOB run zeroed its band)
+    assert abs(left.mean() - 132.0) < 0.6
+    assert np.ptp(left) > 0  # block 1: the AC coefficient shows up
+    assert left[0, 0] > left[0, 7]  # cosine k=1 falls across x
+
+
 def test_gif_lzw_deferred_clear_table_cap():
     """A spec-valid LZW stream may never re-emit CLEAR ("deferred
     clear"): the encoder stops assigning codes at the 12-bit / 4096-entry
@@ -1178,11 +1444,12 @@ def test_gif_lzw_deferred_clear_table_cap():
 
 
 def test_jpeg_codec_roundtrip_and_resize():
-    """Baseline JPEG is now a real codec: encode -> decode bounds the
+    """Baseline JPEG is a real codec: encode -> decode bounds the
     per-pixel error by the quantization the quality level implies
     (solid blocks exact, gradients tight), dims agree with the header
     walker, resize_image round-trips through the real DCT path, and
-    progressive streams refuse loudly."""
+    MALFORMED progressive streams (baseline 0..63 scan under an SOF2
+    header) refuse loudly rather than misdecoding."""
     import numpy as np
     import pytest as _pytest
 
@@ -1222,8 +1489,8 @@ def test_jpeg_codec_roundtrip_and_resize():
 
     prog = bytearray(jpg)
     sof = prog.index(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # flip to progressive
-    with _pytest.raises(ValueError, match="progressive"):
+    prog[sof + 1] = 0xC2  # SOF2 header over a baseline scan = malformed
+    with _pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg_pixels(bytes(prog))
     # resize falls back to the honest stub rather than decoding wrong
     with _pytest.raises(NotImplementedError):
