@@ -1617,6 +1617,7 @@ def pagerank_run(
     tol: float | None = None,
     check_every: int = 5,
     handles: list[DataFrame] | None = None,
+    broadcast_ranks: bool = False,
 ) -> tuple[DataFrame, int, float | None]:
     """Parameterized PageRank on the customer-supplier graph; returns
     ``(ranks, iterations_run, last_l1_delta)``.
@@ -1636,6 +1637,18 @@ def pagerank_run(
       when below ``tol``.  The delta is ONE double collected per check
       (a scalar action, same class as the z-order stats collect), not a
       per-row driver loop; checking every k-th step amortizes it.
+
+    ``broadcast_ranks=True`` switches the inner loop from three shuffles
+    per iteration to ONE: the rank vector (one row per node) and the
+    contribution vector are broadcast-hash-joined against the persisted
+    edge partitions, so only the per-destination partial aggregate
+    exchanges — node-count rows, not edge-count.  Valid whenever the rank
+    vector fits the broadcast threshold (dimension-sized graphs: the
+    customer-supplier graph here).  The default (False) keeps every join
+    a key-partitioned shuffle, which is the only shape that survives a
+    billion-node web-scale graph; AQE's dynamic join-strategy switch
+    recovers most of the gap there at runtime when a side turns out
+    small.
 
     Cache ownership: the loop-invariant ``edges_w``/``base`` frames stay
     persisted because the RETURNED ranks plan still references them —
@@ -1684,13 +1697,15 @@ def pagerank_run(
     try:
         for i in range(1, iters + 1):
             prev = ranks
+            r_in = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
-                edges_w.join(ranks, edges_w.src == ranks.node)
+                edges_w.join(r_in, edges_w.src == r_in.node)
                 .groupBy("dst")
                 .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
             )
+            c_in = F.broadcast(contribs) if broadcast_ranks else contribs
             ranks = (
-                base.join(contribs, base.node == contribs.dst, "left")
+                base.join(c_in, base.node == c_in.dst, "left")
                 .select(
                     "node",
                     F.round(
@@ -1741,7 +1756,15 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle-paired query runs the fixed 5 unrolled iterations its
     DuckDB twin replays; real-depth runs go through :func:`pagerank_run`,
     which adds periodic reliable checkpointing (bounded lineage) and
-    L1-delta convergence detection."""
+    L1-delta convergence detection.
+
+    Mode choice, measured: ``broadcast_ranks=True`` was A/B-timed at
+    sf0.1 (interleaved best-of-3 each) — 2.98s vs 2.67s for the default
+    shuffle path.  Locally the sequential blocking broadcast builds cost
+    more than the small in-process shuffles they remove, so the query
+    keeps the default; on a real cluster, where each removed exchange is
+    a network shuffle of the edge relation, the broadcast mode is the
+    right pick for dimension-sized rank vectors."""
     ranks, _, _ = pagerank_run(spark, sf_dir, iters=_PR_ITERS)
     return ranks
 

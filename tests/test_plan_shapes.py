@@ -540,3 +540,18 @@ def test_curation_pipeline_fuses_filter_and_caches_stats(spark):
     assert "isFinalPlan=true" in plan
     assert "InMemoryTableScan" in plan
     assert "EvalPython" not in plan
+
+
+def test_bitmap_distinct_two_level_merge_shape(spark):
+    """The mergeable-bitmap distinct must keep its two-level shape: a
+    partial bitmap_construct_agg per (flag, bucket) BEFORE the exchange
+    (map-side combine — at 100 TB the shuffle carries one bitmap per
+    bucket per task, never raw part keys), then one final merge + count.
+    Exactly two exchanges: (flag,bucket) then (flag).  Pinned after the
+    r01->r06 0.41s->0.54s bench drift was adjudicated as machine noise —
+    this asserts the plan itself cannot silently regress."""
+    plan = _plan(spark, "bitmap_distinct_parts_by_flag")
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_bitmap_construct_agg") >= 1  # map-side combine
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan

@@ -354,6 +354,27 @@ def test_pagerank_deep_run_bounded_lineage_and_convergence(spark, tmp_path):
         pagerank_run(spark, SF_SMOKE, iters=10, checkpoint_every=5)
 
 
+def test_pagerank_broadcast_mode_matches_shuffle_mode(spark):
+    """broadcast_ranks=True (one node-sized exchange per iteration, for
+    dimension-sized rank vectors on real clusters) must be a pure
+    physical-strategy change: identical ranks to the default
+    key-partitioned shuffle path, to the 6-digit iteration rounding."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        pagerank_run,
+    )
+    from tests.conftest import SF_SMOKE
+
+    h1: list = []
+    h2: list = []
+    a, _, _ = pagerank_run(spark, SF_SMOKE, iters=3, handles=h1)
+    b, _, _ = pagerank_run(spark, SF_SMOKE, iters=3, broadcast_ranks=True, handles=h2)
+    ra = {r.node: r.pr for r in a.collect()}
+    rb = {r.node: r.pr for r in b.collect()}
+    for df in h1 + h2:
+        df.unpersist()
+    assert ra == rb
+
+
 def test_grouped_running_sum_skewed_group_spans_partitions(spark):
     """Zipf-skew stress for the two-pass cumulative sum: with one
     language owning 90% of a 20k-row corpus, (a) the result is exactly
