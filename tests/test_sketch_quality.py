@@ -1,0 +1,137 @@
+"""Error-bound tests for the approximate/sketch tier.
+
+These queries are rows-only in the driver contract (approximate results
+have no DuckDB hash twin), so "runs and returns rows" was their only
+check.  That is too weak: each sketch publishes a mathematical
+guarantee, and these tests assert it against the exact counterpart on
+the same data.
+
+- HLL++ (``approx_count_distinct``, rsd=0.01): relative standard error
+  is the rsd parameter; we allow 5 sigma, far beyond any plausible
+  realization for a deterministic hash on fixed data.
+- DataSketches HLL (``hll_sketch_agg``, default lgConfigK=12): published
+  RSE is about 1.04/sqrt(2^12) ~ 1.6%; we allow 5x.
+- Count-Min (eps=1%, conf=99%): estimates NEVER undercount, and
+  overcount by at most eps*N with probability 1-delta.  We assert the
+  one-sided bound exactly and the width bound at its published value.
+- GK percentile sketch (``percentile_approx``, accuracy=10000): the
+  returned value is an actual data point whose rank differs from the
+  target rank by at most n/accuracy (+1 for discreteness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+from tests.conftest import SF_SMOKE
+
+_HLL_TOL = 0.05  # 5x the ~1% published RSE of both HLL variants
+
+
+def _lineitem(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+
+
+def test_approx_count_distinct_within_published_rsd(spark):
+    est = {
+        r["l_returnflag"]: r["approx_distinct_parts"]
+        for r in relational.QUERIES["approx_count_distinct_parts"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in _lineitem(spark)
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, d in exact.items():
+        assert abs(est[flag] - d) <= _HLL_TOL * d + 1, (flag, est[flag], d)
+
+
+def test_hll_native_union_within_published_rse(spark):
+    rows = {
+        r["l_returnflag"]: r["distinct_parts"]
+        for r in relational.QUERIES["hll_native_union_distinct"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    l = _lineitem(spark)
+    exact = {
+        r["l_returnflag"]: r["d"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = l.select("l_partkey").distinct().count()
+    assert set(rows) == set(exact)
+    for key, d in exact.items():
+        assert abs(rows[key] - d) <= _HLL_TOL * d + 1, (key, rows[key], d)
+    # a union can never estimate below its largest input sketch
+    assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
+
+
+def test_hll_sketch_grand_total_within_published_rse(spark):
+    est = relational.QUERIES["hll_sketch_distinct_parts"](spark, SF_SMOKE).collect()[
+        0
+    ]["approx_total_parts"]
+    exact = _lineitem(spark).select("l_partkey").distinct().count()
+    assert abs(est - exact) <= _HLL_TOL * exact + 1, (est, exact)
+
+
+def test_count_min_sketch_overestimate_only_and_width_bound(spark):
+    """Replays the registered query's exact sketch parameters
+    (eps=0.01, conf=0.99, seed=42), deserializes the sketch bytes
+    through the same JVM class the aggregate serialized with, and
+    checks the CMS contract per key: exact <= estimate <= exact+eps*N."""
+    eps = 0.01
+    l = _lineitem(spark)
+    row = l.agg(
+        F.count_min_sketch(
+            "l_returnflag", F.lit(eps), F.lit(0.99), F.lit(42)
+        ).alias("cms"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["cms"])
+    )
+    exact = {
+        r["l_returnflag"]: r["c"]
+        for r in l.groupBy("l_returnflag").agg(F.count("*").alias("c")).collect()
+    }
+    for flag, c in exact.items():
+        est = sk.estimateCount(flag)
+        assert c <= est <= c + eps * row["n"], (flag, c, est)
+    # the registered query itself: one row, sketch bytes present
+    out = relational.QUERIES["count_min_sketch_flag_freq"](spark, SF_SMOKE).collect()
+    assert len(out) == 1 and out[0]["sketch_bytes"] > 0
+    assert out[0]["n_rows"] == row["n"]
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """GK sketch guarantee: each returned quantile is a real data value
+    whose rank is within n/accuracy of the target rank."""
+    accuracy = 10000  # must match approx_percentiles_price
+    got = {
+        float(r["q"]): r["value"]
+        for r in relational.QUERIES["approx_percentiles_price"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    vals = sorted(
+        r["o_totalprice"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    slack = n / accuracy + 1
+    for q, v in got.items():
+        assert v in vals, (q, v)  # an actual data point, not an interpolation
+        lo = sum(1 for x in vals if x < v)  # min rank of v (0-based)
+        hi = sum(1 for x in vals if x <= v)  # max rank of v
+        target = q * (n - 1)
+        assert lo - slack <= target <= hi + slack, (q, v, lo, hi, target)
