@@ -54,6 +54,11 @@ HEADLINE = [
     "token_budget_mixture",
     "corpus_curation_pipeline",
     "pagerank_customer_supplier",
+    # round-7 additions: the TPC-H suite is now complete (22/22); the
+    # two new shapes worth tracking are the correlated-MIN decorrelation
+    # and the semi+anti "kept waiting" pair
+    "q2_min_cost_supplier",
+    "q21_suppliers_kept_waiting",
 ]
 
 

@@ -1,12 +1,13 @@
-"""Extended TPC-H query-shape suite (Q5-Q22 adaptations).
+"""Extended TPC-H query-shape suite — all 22 classic shapes.
 
 The reference's single Catalyst query (airflow.py:654-660) is a
 join+count+top-5; ``relational.py`` already carries Q1/Q3-shaped twins
-and ``modern_sql.py`` Q13/Q18.  This module rounds out the classic
+and ``modern_sql.py`` Q13/Q18.  This module rounds out the remaining 18
 decision-support shapes the 100 TB engine must execute well — multi-way
 star joins, conditional aggregation over joins, correlated scalar
-subqueries, view-over-aggregate with a MAX scalar, and anti-join
-"inactive entity" reports.
+subqueries (Q2/Q11/Q15/Q17), EXISTS/NOT-EXISTS semi/anti pairs
+(Q4/Q21/Q22), nested-IN chains (Q20), and blacklist NOT-IN reports
+(Q16) — so the full TPC-H 22 runs end to end against the DuckDB oracle.
 
 Shapes are **adapted** to the driver's test schema: there is no
 ``partsupp`` table and no ship-mode / commit-date / phone columns, so
@@ -724,3 +725,370 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rev").cast("double") > F.col("threshold"))
         .select("l_partkey", F.col("rev").cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted) — minimum-cost supplier: correlated MIN subquery per part.
+# No partsupp table in the driver schema, so the supply relation derives
+# from lineitem: cost(part, supplier) = MIN(l_extendedprice) among that
+# supplier's lines for the part (exact DECIMAL; no division, so both
+# engines agree bit-for-bit).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey,
+           CAST(cost AS DOUBLE) AS cost
+    FROM part, costs, supplier, nation, region
+    WHERE p_partkey = partkey AND s_suppkey = suppkey
+      AND p_size = 15 AND p_type = 'PROMO'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND cost = (
+          SELECT MIN(c2.cost)
+          FROM costs c2, supplier s2, nation n2, region r2
+          WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region achieving the minimum supply cost — the classic correlated
+    scalar-MIN subquery.  Decorrelated the way Catalyst (and every
+    planner since Starburst) does it: aggregate the per-(part, supplier)
+    cost relation once, re-aggregate it per part for the regional MIN,
+    and equi-join the two — the correlation becomes a join key, never a
+    per-row re-scan.  Supplier/nation/region collapse to one broadcast
+    dim; the only fact-sized shuffle is the cost groupBy."""
+    from ..operators.topk import top_k
+
+    region_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    parts = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    costs_q = costs.join(
+        F.broadcast(parts.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    min_cost = costs_q.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    winners = costs_q.join(
+        min_cost,
+        (F.col("p_partkey") == F.col("mk")) & (F.col("cost") == F.col("min_cost")),
+    ).select(
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        "p_partkey",
+        F.col("cost").cast("double").alias("cost"),
+    )
+    return top_k(
+        winners, [F.desc("s_acctbal"), F.col("p_partkey"), F.col("s_name")], 100
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted) — order priority checking: EXISTS semi-join with a cross-
+# relation lateness predicate.  No commit/receipt dates in the driver
+# schema, so "late" is l_shipdate more than 60 days after o_orderdate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority where at least one line
+    shipped late.  The EXISTS plans as a LEFT SEMI join — each order
+    emits at most once no matter how many late lines it has, and the
+    mixed-side predicate (l_shipdate vs o_orderdate) rides on the join
+    condition so Spark evaluates it during the hash probe, never as a
+    post-join filter over the multiplied rows."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late_exists.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted) — parts/supplier relationship: distinct-supplier counts per
+# (brand, type, size) with a NOT-IN supplier blacklist.  No supplier
+# comments in the driver schema, so the "complaints" exclusion is the
+# low-balance book (s_acctbal < 1000).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q16_parts_supplier_relationship",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM ps, part
+    WHERE p_partkey = partkey
+      AND p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding a blacklist.  NOT IN over a
+    non-nullable key is exactly a LEFT ANTI join (the null-trap doesn't
+    apply; s_suppkey is a PK on both sides), and the blacklist is a
+    broadcast.  The part↔supplier relation is the deduplicated
+    (l_partkey, l_suppkey) projection — at 100 TB that distinct is the
+    one fact shuffle, and the count-distinct re-shuffles only the
+    already-deduplicated pairs."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    blacklist = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    return (
+        ps.join(F.broadcast(blacklist), ps.suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted) — potential part promotion: nested-IN chain with a share
+# threshold.  No partsupp availqty, so "excess stock" is: this supplier
+# shipped more than 30% of the part's total 1996 volume.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q20_potential_promotion",
+    """
+    WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ), part_total AS (
+        SELECT partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT suppkey
+        FROM shipped
+        JOIN part_total pt ON shipped.partkey = pt.partkey
+        JOIN part ON p_partkey = shipped.partkey
+        WHERE p_name LIKE 'large%'
+          AND CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE)
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-IN chain (suppliers -> qualifying
+    (part, supplier) volumes -> name-filtered parts) with a per-part
+    share threshold.  Both aggregation levels reuse ONE scan: the
+    per-part total re-aggregates the (part, supplier) rollup, never the
+    raw table, and joins back on the part key — the same
+    aggregate-then-rejoin decorrelation as Q2/Q11.  The final IN is a
+    LEFT SEMI join on the distinct supplier set."""
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    big_share = (
+        shipped.join(part_total, F.col("partkey") == F.col("tk"))
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "part")
+                .filter(F.col("p_name").like("large%"))
+                .select("p_partkey")
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double")
+        )
+        .select("suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(big_share, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting: the semi + anti join
+# pair over the same fact.  "Late" is l_shipdate more than 60 days after
+# o_orderdate (no commit/receipt dates in the driver schema).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH ll AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late,
+               o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM ll
+          WHERE is_late AND o_orderstatus = 'F') l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM ll l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM ll l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.is_late
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order — the canonical EXISTS + NOT EXISTS
+    pair, planned as a LEFT SEMI then LEFT ANTI join on the order key
+    with a supplier-inequality residual.  The lateness flag needs
+    o_orderdate, so lines and orders join ONCE into a slim
+    (orderkey, suppkey, is_late) relation that all three legs reuse;
+    each leg is a distinct projection of it, so at 100 TB the semi/anti
+    probes carry two ints and a boolean, not the fact row.  One
+    (orderkey, suppkey) dedup before counting keeps multi-line supplier
+    participations from inflating numwait."""
+    from ..operators.topk import top_k
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    ll = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+            "o_orderstatus",
+        )
+    )
+    l1 = (
+        ll.filter(F.col("is_late") & (F.col("o_orderstatus") == "F"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = ll.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = ll.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    counted = (
+        sole_late.join(
+            F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(counted, [F.desc("numwait"), F.col("s_name")], 100)

@@ -555,3 +555,46 @@ def test_bitmap_distinct_two_level_merge_shape(spark):
     assert plan.count("partial_bitmap_construct_agg") >= 1  # map-side combine
     assert plan.count("lineitem.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_q4_exists_plans_as_single_semi_join_one_scan(spark):
+    """Q4's EXISTS must be ONE left-semi probe over one lineitem scan —
+    never a join-then-distinct (which multiplies rows before collapsing
+    them) — and the cross-relation lateness predicate must ride the
+    join, not a post-join filter."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_q16_not_in_plans_as_broadcast_anti_join(spark):
+    """Q16's NOT-IN blacklist (non-nullable PK both sides) must plan as
+    a broadcast LEFT ANTI join, never a null-aware nested loop."""
+    plan = _plan(spark, "q16_parts_supplier_relationship")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q21_semi_anti_pair_and_heap_topk(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as exactly one LeftSemi
+    and one LeftAnti, and the final ORDER BY..LIMIT as a per-partition
+    heap (TakeOrderedAndProject), never a global sort."""
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q2_correlated_min_decorrelates_to_joins(spark):
+    """Q2's correlated scalar-MIN must decorrelate: the per-part minimum
+    re-aggregates the grouped cost relation and equi-joins back — no
+    nested-loop re-scan per part, dims broadcast, top-100 as a heap."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EvalPython" not in plan
