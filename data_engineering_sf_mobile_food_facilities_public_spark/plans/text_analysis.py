@@ -1281,3 +1281,84 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — assign documents to fixed-token context windows
+# (the "pack the corpus into 512-token training sequences" step).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@_register(
+    "sequence_packing_bins",
+    _TOKENS_CTE
+    + f"""
+    , sized AS (
+        SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               md5('pack' || CAST(doc_id AS VARCHAR)) AS h
+        FROM tok
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(cum_tokens - n_tokens) AS BIGINT) AS bin_start_offset,
+           CAST(MAX(cum_tokens) > ((cum_tokens - n_tokens) // {_PACK_BUDGET} + 1)
+                                   * {_PACK_BUDGET} AS INT) AS straddles_next
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: shuffle the corpus into a
+    deterministic salted-hash order, run a GLOBAL token running sum, and
+    assign each document to the context window its starting offset
+    falls in (``start div budget``) — documents may straddle a window
+    boundary, exactly as LLM pretraining packers concatenate-then-split.
+    Emits per-bin occupancy (docs, tokens, start offset, straddle flag).
+
+    Scale shape: the global cumulative sum is the classic sequential
+    trap, and here it runs through :func:`grouped_running_sum` with a
+    constant group key — range-partition on the hash order, per-range
+    local sums, broadcast per-range offsets — so no single task ever
+    sees more than one range of the corpus (the same decomposition the
+    token-budget mixture and KS statistic use).  The bin assignment and
+    rollup after it are ordinary hash aggregation.  Determinism: the
+    pack order is md5(doc_id), so the same corpus packs identically on
+    any engine, partitioning, or cluster size."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("pack"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    cum = grouped_running_sum(
+        sized.withColumn("__one", F.lit(1)),
+        "__one",
+        ["h", "doc_id"],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    binned = cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min(F.col("cum_tokens") - F.col("n_tokens")).alias("bin_start_offset"),
+        (
+            F.max("cum_tokens") > (F.col("bin_id") + 1) * F.lit(_PACK_BUDGET)
+        )
+        .cast("int")
+        .alias("straddles_next"),
+    )

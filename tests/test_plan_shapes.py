@@ -598,3 +598,18 @@ def test_q2_correlated_min_decorrelates_to_joins(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "EvalPython" not in plan
+
+
+def test_sequence_packing_has_no_global_order_window(spark):
+    """The packer's global token running sum must be the constant-key
+    two-pass range-partition cumsum, never a partition-less
+    ``Window.orderBy`` (one sequential task over the whole corpus).
+    Same contract as the KS statistic: the only windows allowed are the
+    per-(__pid, …) local running sum and the tiny per-range offsets
+    aggregate."""
+    import re
+
+    plan = _plan(spark, "sequence_packing_bins")
+    assert not re.search(r"windowspecdefinition\(h#\d+ ASC", plan)
+    assert re.search(r"windowspecdefinition\(__pid#\d+,", plan)
+    assert "EvalPython" not in plan
