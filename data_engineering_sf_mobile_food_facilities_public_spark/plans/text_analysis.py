@@ -1362,3 +1362,132 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("straddles_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 60-bit SimHash near-dup pair generation — banded candidate join, never
+# all-pairs.  The 16-bit `simhash_signatures` demo is too coarse to band
+# (16 buckets/band degenerates toward all-pairs); this variant uses the
+# full 60 md5-derived bits so each of the 4 bands has 2^15 buckets, and
+# pigeonhole guarantees any pair with hamming <= 3 collides in at least
+# one band.
+# ---------------------------------------------------------------------------
+
+_SH64_BITS = 60
+_SH64_BANDS = 4  # 4 bands x 15 bits; finds every pair with hamming <= 3
+_SH64_HAMMING_MAX = 3
+
+_SH64_VOTES_SQL = ",\n               ".join(
+    f"SUM(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SH64_BITS)
+)
+_SH64_ASSEMBLE_SQL = " + ".join(
+    f"(CASE WHEN COALESCE(b{b}, 0) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_SH64_BITS)
+)
+
+
+@_register(
+    "simhash64_near_dup_pairs",
+    f"""
+    WITH sigs AS (
+        WITH tok AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM tok, unnest(tokens) AS u(t)
+        ),
+        sig AS (
+            SELECT doc_id,
+               {_SH64_VOTES_SQL}
+            FROM ex GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST({_SH64_ASSEMBLE_SQL} AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sig USING (doc_id)
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band_idx,
+               (simhash >> (band_idx * 15)) & 32767 AS band_val
+        FROM sigs, (VALUES (0), (1), (2), (3)) b(band_idx)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+               a.simhash AS sa, c.simhash AS sb
+        FROM bands a JOIN bands c
+          ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH64_HAMMING_MAX}
+    """,
+)
+def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate candidate pairs at corpus scale: 60-bit
+    signatures (one md5 per token, +1/-1 bit votes in a single hash
+    aggregate), banded into 4 x 15-bit keys, candidates generated by an
+    equi-join on (band_idx, band_val) — signatures shuffle, never
+    documents, and never all-pairs — then exact Hamming distance
+    (xor + bit_count, one codegen'd expression) keeps pairs within 3
+    bits.  Pigeonhole: hamming <= 3 over 4 bands forces at least one
+    identical band, so the banding loses nothing the threshold keeps.
+    The 100 TB shape is identical to the MinHash LSH path
+    (operators/minhash.py); only the signature arithmetic differs."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    ex = d.select("doc_id", F.explode(TX.tokens("text")).alias("t")).select(
+        "doc_id", h.alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SH64_BITS)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(_SH64_BITS):
+        sim = sim + F.when(
+            F.coalesce(F.col(f"b{b}"), F.lit(0)) > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    sigs = (
+        d.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .select("doc_id", sim.alias("simhash"))
+    )
+    band_idx = F.explode(F.array(*[F.lit(i) for i in range(_SH64_BANDS)])).alias(
+        "band_idx"
+    )
+    bands = sigs.select("doc_id", "simhash", band_idx).select(
+        "doc_id",
+        "simhash",
+        "band_idx",
+        F.expr("shiftright(simhash, band_idx * 15) & 32767").alias("band_val"),
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sb"),
+        F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (F.col("band_idx") == F.col("bi"))
+            & (F.col("band_val") == F.col("bv"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .select(
+            F.col("doc_id").alias("id_a"), "id_b", F.col("simhash").alias("sa"), "sb"
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _SH64_HAMMING_MAX)
