@@ -613,3 +613,14 @@ def test_sequence_packing_has_no_global_order_window(spark):
     assert not re.search(r"windowspecdefinition\(h#\d+ ASC", plan)
     assert re.search(r"windowspecdefinition\(__pid#\d+,", plan)
     assert "EvalPython" not in plan
+
+
+def test_simhash64_candidates_are_banded_equi_join(spark):
+    """SimHash near-dup candidates must come from an equi-join on the
+    (band_idx, band_val) keys — a hash-partitioned shuffle of signature
+    rows — never an all-pairs nested loop over documents, and the
+    Hamming filter must be codegen'd bit arithmetic, not Python."""
+    plan = _plan(spark, "simhash64_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
