@@ -617,6 +617,66 @@ def decode_audio_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return cols.mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_window_features(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> DataFrame:
+    """Windowed DSP features over REAL decoded PCM: synthesize the same
+    md5-derived 32-sample WAVs as :func:`decode_audio_stats`, parse the
+    container and decode the samples back, then per fixed-size window
+    emit the energy (exact integer sum of squares — bit-stable, unlike a
+    float RMS) and the strict zero-crossing count (s[j]*s[j+1] < 0
+    within the window).  One 1:N Arrow ``mapInPandas`` pass (N = windows
+    per clip) — the same fan-out shape as video frame sampling; at scale
+    the window loop runs vectorized per Arrow batch and the stage stays
+    narrow (no shuffle)."""
+    import hashlib
+
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, sums, zcs = [], [], [], []
+            for item_id, text in zip(pdf["item_id"], pdf["_t"]):
+                h = hashlib.md5(text.encode()).digest()
+                samples = [(h[i % 16] - 128) * 256 for i in range(32)]
+                blob = encode_wav(samples, channels=1, rate=8000, bits=16)
+                _, _, _, back = decode_wav_samples(blob)
+                for w in range(len(back) // window):
+                    seg = back[w * window : (w + 1) * window]
+                    ids.append(item_id)
+                    widx.append(w)
+                    sums.append(sum(s * s for s in seg))
+                    zcs.append(
+                        sum(
+                            1
+                            for j in range(len(seg) - 1)
+                            if seg[j] * seg[j + 1] < 0
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
 def synthesize_image_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """documents -> MEDIA_SCHEMA rows with real (header-valid) image
     blobs.  Arrow-batched mapInPandas, narrow (no shuffle); at scale

@@ -263,6 +263,48 @@ def audio_sample_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_stats(d, "doc_id", "text")
 
 
+# Windowed-DSP twin of the audio oracle: the 32 samples are md5-derived
+# (sample i = (md5[i%16]-128)*256), so each 8-sample window's integer
+# energy and strict zero-crossing count replay in SQL from md5 hex alone.
+_AUDIO_WINDOW_ORACLE = """
+    SELECT doc_id AS item_id, CAST(0 AS INTEGER) AS window_idx,
+           CAST((((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256) AS BIGINT) AS sum_sq,
+           CAST((CASE WHEN (((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS item_id, CAST(1 AS INTEGER) AS window_idx,
+           CAST((((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256) AS BIGINT) AS sum_sq,
+           CAST((CASE WHEN (((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS item_id, CAST(2 AS INTEGER) AS window_idx,
+           CAST((((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256) AS BIGINT) AS sum_sq,
+           CAST((CASE WHEN (((CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 11, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 13, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS item_id, CAST(3 AS INTEGER) AS window_idx,
+           CAST((((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256) + (((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256) AS BIGINT) AS sum_sq,
+           CAST((CASE WHEN (((CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 19, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 21, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 23, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 27, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) + (CASE WHEN (((CAST(('0x' || substr(md5(text), 29, 2)) AS BIGINT)) - 128) * 256)*(((CAST(('0x' || substr(md5(text), 31, 2)) AS BIGINT)) - 128) * 256) < 0 THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+    FROM documents
+"""
+
+
+@_register("audio_window_features", _AUDIO_WINDOW_ORACLE)
+def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL windowed audio DSP, oracle-verified: decode the synthesized
+    PCM WAVs and emit per-8-sample-window energy (exact integer sum of
+    squares, bit-stable across engines) and strict zero-crossing count
+    (``multimodal/binary_ops.py: decode_audio_window_features``).  The
+    1:N mapInPandas fan-out (4 windows per clip) is the same stage shape
+    as video frame sampling; DuckDB replays every window from md5 hex
+    arithmetic, proving container parse + PCM decode + windowing agree
+    end to end."""
+    from ..multimodal.binary_ops import decode_audio_window_features
+
+    d = load(spark, sf_dir, "documents")
+    return decode_audio_window_features(d, "doc_id", "text")
+
+
 @_register("image_pixel_decode", _IMAGE_PIXEL_ORACLE)
 def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level codec chain, oracle-verified end-to-end: per
