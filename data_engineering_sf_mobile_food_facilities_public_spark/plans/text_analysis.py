@@ -1491,3 +1491,61 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= _SH64_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet — the per-language / per-source rollup a dataset card
+# reports, in one Expand + one shuffle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "corpus_statistics_report",
+    _TOKENS_CTE
+    + """
+    , sized AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               CAST(len(tokens) AS BIGINT) AS n_tokens
+        FROM documents d JOIN tok ON d.doc_id = tok.doc_id
+    )
+    SELECT lang, source,
+           CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+    FROM sized
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def corpus_statistics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup: document counts, token/char totals, max
+    and mean document length, broken out per language, per source, and
+    corpus-wide — one GROUPING SETS pass (a single Expand + one
+    shuffle), not three scans.  Averages compute from exact integer
+    sums divided at the edge, so the report is bit-stable at any
+    partitioning.  At 100 TB this is the nightly corpus telemetry
+    query: expression-only per-row work fused into the scan, and the
+    aggregate output is bounded by |langs| + |sources| + 1 rows."""
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    ).createOrReplaceTempView("corpus_sized")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               MAX(n_tokens) AS max_tokens,
+               ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+        FROM corpus_sized
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )

@@ -627,3 +627,39 @@ def test_jpeg_roundtrip_error_bounded_by_quality(w, h, quality, seed):
     assert err.max() <= bound, (err.max(), quality)
     # determinism: same input -> same bytes
     assert encode_jpeg(w, h, arr.tobytes(), quality=quality) == jpg
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing must tile the corpus exactly: bins are contiguous from 0,
+    every token is assigned to exactly one bin (bin token sums equal the
+    corpus total), each bin starts inside its own window, and a bin is
+    marked straddling iff its last document's tokens cross the next
+    window boundary."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+    from data_engineering_sf_mobile_food_facilities_public_spark.functions import text as TX
+    from tests.conftest import SF_SMOKE
+
+    budget = 512
+    rows = {
+        r.bin_id: r
+        for r in relational.QUERIES["sequence_packing_bins"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    bins = sorted(rows)
+    assert bins == list(range(len(bins)))  # contiguous, zero-based
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total_tokens = docs.select(
+        F.sum(TX.token_count("text").cast("long")).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r.bin_tokens for r in rows.values()) == total_tokens
+    for b in bins:
+        assert b * budget <= rows[b].bin_start_offset < (b + 1) * budget
+    for b in bins[:-1]:
+        nxt = rows[b + 1]
+        # the next bin's first doc starts at the end of this bin's span
+        assert nxt.bin_start_offset >= (b + 1) * budget
+        ends_past_boundary = (
+            rows[b].bin_start_offset + rows[b].bin_tokens > (b + 1) * budget
+        )
+        assert bool(rows[b].straddles_next) == ends_past_boundary
