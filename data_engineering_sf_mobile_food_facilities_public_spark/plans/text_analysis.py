@@ -1549,3 +1549,56 @@ def corpus_statistics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang), (source), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep — the similarity histogram an operator reads
+# before choosing the dedup cutoff.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "near_dup_threshold_histogram",
+    _MINHASH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+        SELECT CAST(cm.n_common AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - cm.n_common) AS jaccard
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+    )
+    SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs,
+           ROUND(MIN(jaccard), 6) AS min_jaccard,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM jac
+    GROUP BY 1
+    """,
+)
+def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of exact Jaccard over the LSH candidate pairs —
+    the threshold-sweep report you read BEFORE committing to a dedup
+    cutoff (a bimodal histogram says 0.5 is safe; a smear says tighten
+    the bands).  Reuses the whole MinHash->LSH->verify chain unchanged;
+    the added cost over the near-dup query is one decile aggregation of
+    the already-scored pairs, so at 100 TB the sweep is free relative
+    to the dedup itself.  Identical integer arithmetic feeds both
+    engines' doubles, so bucket edges cannot disagree."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    scored = jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
