@@ -1602,3 +1602,86 @@ def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("jaccard"), 6).alias("min_jaccard"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup — dedup a NEW ingestion batch against the existing
+# corpus without re-pairing the corpus with itself.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_near_dup_new_batch",
+    _MINHASH_CTE.replace(
+        """cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)""",
+        """cand AS (
+    SELECT DISTINCT b.doc_id AS id_a, a.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)""",
+    )
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+        SELECT cm.id_b AS new_doc,
+               CAST(cm.n_common AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - cm.n_common) AS jaccard
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+    )
+    SELECT new_doc, COUNT(*) AS n_corpus_matches,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM jac
+    WHERE jaccard >= 0.5
+    GROUP BY new_doc
+    """,
+)
+def incremental_near_dup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup: treat doc_id % 10 == 0 as the incoming
+    batch and the rest as the standing corpus, and find each new
+    document's near-duplicates IN THE CORPUS — the candidate join is
+    batch-bands against corpus-bands, so the corpus is never re-paired
+    with itself.  This is the production incremental flow at 100 TB:
+    the corpus band index is a materialized table keyed by
+    (band_idx, band_hash); each ingestion batch computes only its own
+    signatures and probes the index with an equi-join whose cost scales
+    with the BATCH, not the corpus.  Per new doc, emits how many corpus
+    near-dups it has (jaccard >= 0.5) and the closest score — the
+    keep/drop signal."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    bands = lsh_bands(minhash_signatures(sh))
+    corpus_b = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_hash"
+    )
+    batch_b = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        batch_b.join(corpus_b, ["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = jaccard(cands, sh)
+    return (
+        scored.filter(F.col("jaccard") >= 0.5)
+        .groupBy(F.col("id_b").alias("new_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

@@ -35,3 +35,19 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_panel_prefix_is_stable_and_complete():
+    """The driver samples a fixed-size prefix of queries() for its
+    CORRECTNESS panel; the curated prefix must stay exactly the
+    declared list (a stray registration must not silently displace a
+    panel member) and every name must resolve."""
+    qs = entrymod.queries()
+    names = list(qs)
+    assert names[: len(entrymod._PANEL_FIRST)] == entrymod._PANEL_FIRST
+    assert len(set(names)) == len(names)
+    # the panel keeps full §2 + sf_* + one-per-family coverage
+    assert [n for n in entrymod._PANEL_FIRST if n.startswith("sf_")] == [
+        n for n in names[:50] if n.startswith("sf_")
+    ]
+    assert len(entrymod._PANEL_FIRST) == 50
