@@ -157,3 +157,76 @@ def binary_quantize_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@_register(
+    "int8_quantized_dot_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(floor(
+                         127 * x / list_max(list_transform(v, y -> abs(y)))
+                         + 0.5) AS BIGINT))
+               END AS qv
+        FROM e
+    ),
+    q AS (SELECT vec_id, qv FROM qz WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        FROM q JOIN qz c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, dot_q, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """,
+)
+def int8_quantized_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization + integer dot-product top-10 — the
+    middle tier of the ANN cascade between the 1-bit Hamming prefilter
+    and the exact-double rerank: per-vector symmetric max-abs scale,
+    ``floor(127*x/maxabs + 0.5)`` quantization (explicit floor+0.5 so
+    both engines round identically), and an all-integer dot product —
+    8x less state than doubles to broadcast/shuffle and an exact,
+    engine-portable score (no float fold order anywhere).  Zero vectors
+    quantize to zeros rather than dividing by zero.  All expressions are
+    codegen'd array HOFs; the query side broadcasts, the corpus never
+    shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "CASE WHEN aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+        " (a, x) -> greatest(a, abs(x))) = 0D"
+        " THEN transform(CAST(embedding AS ARRAY<DOUBLE>), x -> 0L)"
+        " ELSE transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
+        "   127 * x / aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+        "   (a, y) -> greatest(a, abs(y))) + 0.5D) AS BIGINT)) END"
+    )
+    qz = e.select("vec_id", qv.alias("qv"))
+    q = qz.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    scored = (
+        qz.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 10
+    )

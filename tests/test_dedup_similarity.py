@@ -201,3 +201,25 @@ def test_hyperplane_buckets_null_and_ragged_vectors_degrade(spark):
     assert out[1] == out[4]  # deterministic per content
     assert len(out[1]) == 4  # one bucket per table
     assert all(0 <= b < 8 for b in out[1])  # 3 planes -> 8 buckets
+
+
+def test_int8_quantized_dot_recall_against_exact_baseline(spark):
+    """The int8 middle tier keeps nearly all the exact cosine signal:
+    recall@10 vs the brute-force double baseline must clear 0.8 on the
+    test corpus (1-bit Hamming is the coarse tier; int8 should be much
+    closer to exact)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, e, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in relational.QUERIES["int8_quantized_dot_topk"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
