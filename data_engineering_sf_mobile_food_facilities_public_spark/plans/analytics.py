@@ -3064,3 +3064,65 @@ def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n2").cast("long").alias("n2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC hypertable rollup — open/high/low/close per (event_type, hour).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ohlc_hourly_by_type",
+    """
+    WITH keyed AS (
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                 AS bucket,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY event_type, bucket
+    """,
+)
+def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup — the hypertable continuous-aggregate shape:
+    one hash aggregate computes open (``min_by`` over a total-order
+    key), high, low, close (``max_by``) and count per (type, hour).
+    The order key is a lexicographic ``unix_micros || event_id`` string,
+    so first/last are DETERMINISTIC under any partitioning even with
+    timestamp ties (event_id breaks them) — the classic first-row
+    hazard, solved the same way as dedup_first's named total order.
+    min_by/max_by are single-pass mergeable aggregates: partials combine
+    across partitions like MIN/MAX, so at 100 TB the candles roll up
+    per partition/day and merge, never re-scanning raw ticks.  Values
+    pass through untouched (no float arithmetic), so both engines emit
+    identical bits."""
+    e = load(spark, sf_dir, "events")
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = e.select(
+        "event_type",
+        F.date_format(time_bucket("ts", "1 hour"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+        "value",
+        k.alias("k"),
+    )
+    return keyed.groupBy("event_type", "bucket").agg(
+        F.expr("min_by(value, k)").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, k)").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
