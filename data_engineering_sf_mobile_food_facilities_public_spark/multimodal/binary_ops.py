@@ -79,6 +79,8 @@ def sniff_mime(data: bytes) -> str:
         return "image/bmp"
     if data[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if data[:2] == b"P6" and (len(data) > 2 and data[2:3].isspace()):
         return "image/x-portable-pixmap"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -133,6 +135,13 @@ def decode_image(data: bytes, deterministic_fake: bool = False) -> tuple[int, in
             return (w, abs(h))
         if not deterministic_fake:
             raise ValueError("bmp: non-positive width in header")
+    if mime == "image/tiff":
+        try:
+            w, h = _tiff_dimensions(data)
+            return (w, h)
+        except ValueError:
+            if not deterministic_fake:
+                raise
     if mime == "image/jpeg":
         # walk marker segments to the first start-of-frame (SOF0/1/2)
         i = 2
@@ -268,6 +277,113 @@ def byte_entropy(data: bytes) -> float:
         counts[b] = counts.get(b, 0) + 1
     n = len(data)
     return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+def _tiff_dimensions(data: bytes) -> tuple[int, int]:
+    """Parse (width, height) from a TIFF's first IFD (TIFF 6.0 spec):
+    byte-order mark at 0 (II little / MM big), magic 42, IFD offset at
+    byte 4; each 12-byte IFD entry is tag(2) type(2) count(4) value(4)
+    with SHORT(3)/LONG(4) values left-justified in the value field.
+    Tags 256/257 are ImageWidth/ImageLength."""
+    if len(data) < 8:
+        raise ValueError("tiff: truncated header")
+    order = "little" if data[:2] == b"II" else "big"
+    ifd = int.from_bytes(data[4:8], order)
+    if ifd + 2 > len(data):
+        raise ValueError("tiff: IFD offset out of range")
+    n = int.from_bytes(data[ifd : ifd + 2], order)
+    w = h = None
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(data):
+            raise ValueError("tiff: truncated IFD entry")
+        tag = int.from_bytes(data[off : off + 2], order)
+        typ = int.from_bytes(data[off + 2 : off + 4], order)
+        if typ == 3:  # SHORT: first 2 bytes of the value field
+            val = int.from_bytes(data[off + 8 : off + 10], order)
+        elif typ == 4:  # LONG
+            val = int.from_bytes(data[off + 8 : off + 12], order)
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("tiff: missing ImageWidth/ImageLength")
+    return (w, h)
+
+
+def _synth_tiff_blob(text: str) -> bytes:
+    """Minimal VALID TIFF for a document: endianness = md5[0] % 2,
+    width = 1 + h[2:6] % 1024, height = 1 + h[6:10] % 1024 (the same md5
+    lanes the image synthesizer uses, so a SQL oracle replays them) —
+    header, one IFD with SHORT ImageWidth/ImageLength entries, zero next
+    -IFD pointer, then the 16 md5 bytes as payload."""
+    import hashlib
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    order = "little" if int(hx[0:2], 16) % 2 == 0 else "big"
+    w = 1 + int(hx[2:6], 16) % 1024
+    hgt = 1 + int(hx[6:10], 16) % 1024
+    bom = b"II" if order == "little" else b"MM"
+    head = bom + (42).to_bytes(2, order) + (8).to_bytes(4, order)
+
+    def entry(tag: int, val: int) -> bytes:
+        return (
+            tag.to_bytes(2, order)
+            + (3).to_bytes(2, order)  # SHORT
+            + (1).to_bytes(4, order)
+            + val.to_bytes(2, order)
+            + bytes(2)
+        )
+
+    ifd = (2).to_bytes(2, order) + entry(256, w) + entry(257, hgt) + bytes(4)
+    return head + ifd + bytes.fromhex(hx)
+
+
+TIFF_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_tiff_header_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """documents -> synthesize real TIFFs (both endiannesses, md5-derived
+    dims) -> parse the IFD back with :func:`_tiff_dimensions` -> emit
+    byte order and dimensions.  One narrow Arrow ``mapInPandas`` pass;
+    the oracle replays every value from md5 hex."""
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            orders, ws, hs, nb = [], [], [], []
+            for text in pdf["_t"]:
+                blob = _synth_tiff_blob(text)
+                assert sniff_mime(blob) == "image/tiff"
+                w, h = _tiff_dimensions(blob)
+                orders.append("II" if blob[:2] == b"II" else "MM")
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(blob))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "byte_order": orders,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, TIFF_HEADER_SCHEMA)
 
 
 def _synth_blob(text: str) -> bytes:

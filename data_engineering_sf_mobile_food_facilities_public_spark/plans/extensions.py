@@ -305,6 +305,37 @@ def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_window_features(d, "doc_id", "text")
 
 
+# TIFF twin of the image-header oracle: endianness and dims replay from
+# the same md5 lanes the synthesizer reads; blob = 8 header + 2 count +
+# 2*12 entries + 4 next-IFD + 16 payload = 54 bytes always.
+_TIFF_HEADER_ORACLE = """
+    SELECT doc_id AS item_id,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 2 = 0
+                THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + CAST(('0x' || substr(md5(text), 3, 4)) AS BIGINT) % 1024
+                AS INTEGER) AS width,
+           CAST(1 + CAST(('0x' || substr(md5(text), 7, 4)) AS BIGINT) % 1024
+                AS INTEGER) AS height,
+           CAST(54 AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+@_register("tiff_header_decode", _TIFF_HEADER_ORACLE)
+def tiff_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF IFD decode, oracle-verified: synthesize valid TIFFs in
+    BOTH byte orders (II and MM, md5-selected), walk the IFD entries per
+    the TIFF 6.0 spec (tags 256/257, SHORT values left-justified in the
+    value field), and emit byte order + dimensions
+    (``multimodal/binary_ops.py: _tiff_dimensions``).  DuckDB replays
+    endianness and dims from md5 hex — a hash match proves the writer's
+    and parser's byte-order handling agree for both encodings."""
+    from ..multimodal.binary_ops import decode_tiff_header_stats
+
+    d = load(spark, sf_dir, "documents")
+    return decode_tiff_header_stats(d, "doc_id", "text")
+
+
 @_register("image_pixel_decode", _IMAGE_PIXEL_ORACLE)
 def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-level codec chain, oracle-verified end-to-end: per
