@@ -128,6 +128,22 @@ _MULTIMODAL_ORACLE = f"""
 """
 
 
+@_register("ml_logreg_embedding_classifier")  # rows-only: MLlib model
+def ml_logreg_embedding_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-predictability probe: multinomial logistic regression
+    predicting ``label`` from the 64-dim embedding, reporting train vs
+    held-out accuracy — the "does this metadata leak into embedding
+    space?" curation diagnostic (classification twin of
+    ``ml_linreg_metrics``).  On this corpus the labels are geometric
+    noise, so the probe must show chance-level held-out accuracy while
+    the model still fits its training fold — both asserted in
+    ``tests/test_sketch_quality.py``."""
+    from ..ml.regression import logreg_embedding_pipeline
+
+    e = load(spark, sf_dir, "embeddings")
+    return logreg_embedding_pipeline(e, "embedding", "label")
+
+
 @_register("multimodal_byte_features", _MULTIMODAL_ORACLE)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach deterministic media bytes to the

@@ -135,3 +135,21 @@ def test_percentile_approx_rank_error_bound(spark):
         hi = sum(1 for x in vals if x <= v)  # max rank of v
         target = q * (n - 1)
         assert lo - slack <= target <= hi + slack, (q, v, lo, hi, target)
+
+
+def test_logreg_label_probe_shows_no_geometric_leakage(spark):
+    """The label-predictability probe's contract on this corpus: the
+    synthetic labels are independent of embedding geometry, so held-out
+    accuracy must sit at chance (within a generous band) while the
+    model still fits its training fold well above chance — i.e. the
+    probe has capacity AND correctly reports 'no leakage'."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+    r = relational.QUERIES["ml_logreg_embedding_classifier"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    chance = 1.0 / r.n_classes
+    assert r.n_classes == 10
+    assert r.n_train + r.n_test == 500
+    assert r.train_accuracy > 2 * chance  # capacity: fits its own fold
+    assert r.test_accuracy < 3 * chance  # no geometric signal leaks
