@@ -112,6 +112,9 @@ _NESTED_LOOP_ALLOWED = {
     # binary prefilter tier: same deliberate broadcast query x corpus
     # scan as the other brute-force ANN tiers (64x smaller state)
     "binary_quantize_hamming_topk",
+    # int8 middle tier: same deliberate broadcast query x corpus scan
+    # (8x smaller state than doubles, exact integer score)
+    "int8_quantized_dot_topk",
     # dim x dim dense grid: a deliberate tiny cartesian (5 regions x
     # |statuses|) — the fact side is pre-aggregated before the grid join
     "cross_join_region_status_grid",
