@@ -371,6 +371,48 @@ def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_ohlc_hourly",
+    """
+    WITH keyed AS (
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                 AS bucket,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT event_type, bucket,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           COUNT(*) AS n_events
+    FROM keyed
+    GROUP BY event_type, bucket
+    """,
+)
+def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC candle rollup as a genuine stream (AvailableNow +
+    complete mode): watermarked hourly windows whose min_by/max_by
+    open/close state merges incrementally per micro-batch.  Because
+    every aggregate is mergeable and the order key is total, the
+    streamed candles are IDENTICAL to the batch rollup — the oracle is
+    the same SQL, and the hash match proves stream/batch parity, not
+    just 'runs'."""
+    from ..streaming.events_stream import (
+        ohlc_hourly_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    _stream_run_counter[0] += 1
+    name = f"ohlc_hourly_{_stream_run_counter[0]}"
+    stream = ohlc_hourly_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, name)
+
+
+@_register(
     "streaming_running_user_counts",
     """
     SELECT user_id, COUNT(*) AS n_events

@@ -213,3 +213,39 @@ def interval_join_streams(
         ),
         how,
     )
+
+
+def ohlc_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC candles: watermarked tumbling 1-hour windows per
+    event_type with open/close via ``min_by``/``max_by`` over the same
+    lexicographic ``unix_micros || event_id`` total-order key the batch
+    rollup uses — all five aggregates are single-pass and MERGEABLE, so
+    incremental state updates are exactly the partial-merge the batch
+    plan does per partition.  The watermark bounds candle state; late
+    ticks inside the horizon still revise their candle (the correction
+    policy a market-data pipeline needs spelled out, not implied)."""
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("event_type", "ts", "value", k.alias("k"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, k)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, k)").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
