@@ -230,3 +230,49 @@ def int8_quantized_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 10
     )
+
+
+@_register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+        SELECT i - 1 AS dim, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+           ROUND(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                   * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 6) AS var_pop,
+           ROUND(CAST(MIN(x) AS DOUBLE), 6) AS min_x,
+           ROUND(CAST(MAX(x) AS DOUBLE), 6) AS max_x
+    FROM ex
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding table — the vector-column
+    data-quality report (dead dimensions show var 0, scale drift shows
+    in per-dim min/max, a broken encoder shows as outlier means).
+    ``posexplode`` unrolls each vector at the scan into (dim, value)
+    with partial aggregation before the 64-group shuffle, so the
+    exchange carries 64 x n_partitions partials, never corpus-size
+    rows.  Moments accumulate in DECIMAL (order-independent) and the
+    mean/variance divisions happen once at the edge in double — the
+    same bit-stability discipline as every statistic in the engine."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x0")
+    ).select("dim", F.col("x0").cast("decimal(18,9)").alias("x"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    return ex.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(sx / n, 6).alias("mean"),
+        F.round(sxx / n - (sx / n) * (sx / n), 6).alias("var_pop"),
+        F.round(F.min("x").cast("double"), 6).alias("min_x"),
+        F.round(F.max("x").cast("double"), 6).alias("max_x"),
+    )
