@@ -627,3 +627,24 @@ def test_simhash64_candidates_are_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ohlc_rollup_is_single_mergeable_aggregate(spark):
+    """All five OHLC aggregates (min_by/max/min/max_by/count) must run
+    in ONE hash aggregate with map-side partials — exactly one exchange,
+    one events scan, no window, no Python."""
+    plan = _plan(spark, "ohlc_hourly_by_type")
+    assert plan.count("Exchange") == 1
+    assert plan.count("events.parquet") == 1
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_corpus_report_is_one_expand_one_shuffle(spark):
+    """The GROUPING SETS datasheet must be a single Expand feeding one
+    aggregate exchange — never three scans or three shuffles."""
+    plan = _plan(spark, "corpus_statistics_report")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
