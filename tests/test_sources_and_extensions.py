@@ -1764,3 +1764,50 @@ def test_png_adam7_interlaced_decode():
         rgb = bytes((i * 29 + 17) % 256 for i in range(w * h * 3))
         png = _make_interlaced_png(w, h, rgb, filters=[0, 1, 2, 3, 4])
         assert decode_png_pixels(png) == (w, h, rgb), (w, h)
+
+
+def test_tiff_dimensions_long_entries_truncation_and_both_orders():
+    """_tiff_dimensions must read SHORT and LONG IFD entries in either
+    byte order and fail loud on truncation — the malformed-blob policy
+    every decoder in the module follows."""
+    import pytest as _pytest
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _synth_tiff_blob,
+        _tiff_dimensions,
+        sniff_mime,
+    )
+
+    def build(order: str, typ: int, w: int, h: int) -> bytes:
+        bom = b"II" if order == "little" else b"MM"
+        head = bom + (42).to_bytes(2, order) + (8).to_bytes(4, order)
+
+        def entry(tag, val):
+            if typ == 3:
+                v = val.to_bytes(2, order) + bytes(2)
+            else:
+                v = val.to_bytes(4, order)
+            return (
+                tag.to_bytes(2, order)
+                + typ.to_bytes(2, order)
+                + (1).to_bytes(4, order)
+                + v
+            )
+
+        return head + (2).to_bytes(2, order) + entry(256, w) + entry(257, h) + bytes(4)
+
+    for order in ("little", "big"):
+        for typ in (3, 4):  # SHORT and LONG ImageWidth/Length entries
+            blob = build(order, typ, 800, 600)
+            assert sniff_mime(blob) == "image/tiff"
+            assert _tiff_dimensions(blob) == (800, 600), (order, typ)
+
+    # truncated IFD: offset past the end must raise, not mis-read
+    with _pytest.raises(ValueError):
+        _tiff_dimensions(b"II*\x00\xff\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        _tiff_dimensions(build("little", 3, 800, 600)[:20])
+
+    # synthesizer round-trip hits both endiannesses across texts
+    orders = {_synth_tiff_blob(t)[:2] for t in ("a", "b", "c", "d", "e", "f")}
+    assert orders == {b"II", b"MM"}
