@@ -1081,6 +1081,159 @@ def _gif_decode_indexed(data: bytes) -> tuple[int, int, list[int], bytes]:
     raise ValueError("gif: no image frame found")
 
 
+def _gif_decode_all_frames(
+    data: bytes, max_frames: int = 64
+) -> list[tuple[int, int, list[int], bytes]]:
+    """All image frames of a GIF stream as (w, h, indices, palette)
+    tuples.  Same block walk as :func:`_gif_decode_indexed`, but a local
+    color table applies only to ITS frame (the global table resumes
+    afterwards — per the GIF89a spec) and every image descriptor is
+    decoded instead of returning at the first."""
+    if sniff_mime(data) != "image/gif":
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("gif: truncated header")
+    packed = data[10]
+    gct_size = 2 << (packed & 0x07)
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        gct = data[i : i + 3 * gct_size]
+        i += 3 * gct_size
+    frames: list[tuple[int, int, list[int], bytes]] = []
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:
+            if i + 10 > len(data):
+                raise ValueError("gif: truncated image descriptor")
+            w = int.from_bytes(data[i + 5 : i + 7], "little")
+            h = int.from_bytes(data[i + 7 : i + 9], "little")
+            ipacked = data[i + 9]
+            i += 10
+            palette = gct
+            if ipacked & 0x80:
+                lct_size = 2 << (ipacked & 0x07)
+                palette = data[i : i + 3 * lct_size]
+                i += 3 * lct_size
+            if not palette:
+                raise ValueError("gif: no color table for frame")
+            if w <= 0 or h <= 0:
+                raise ValueError("gif: non-positive frame dimensions")
+            mcs = data[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(data) and data[i] != 0:
+                n = data[i]
+                lzw += data[i + 1 : i + 1 + n]
+                i += 1 + n
+            i += 1  # block terminator
+            if not (2 <= mcs <= 11):
+                raise ValueError(f"gif: bad LZW min code size {mcs}")
+            indices = _gif_lzw_decode(mcs, bytes(lzw), w * h)
+            if len(indices) < w * h:
+                raise ValueError("gif: pixel data truncated")
+            idx = indices[: w * h]
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx, w, h)
+            frames.append((w, h, idx, palette))
+            if len(frames) >= max_frames:
+                raise ValueError(f"gif: more than {max_frames} frames")
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{b:02x}")
+    if not frames:
+        raise ValueError("gif: no image frame found")
+    return frames
+
+
+def encode_animated_gif(
+    w: int, h: int, frames: list[list[int]], palette: bytes
+) -> bytes:
+    """GIF89a with one image frame per entry in ``frames``: shared
+    global color table, a graphic-control extension (10 cs delay) before
+    each frame, frame bodies produced by the same spec-valid
+    no-compression LZW writer as :func:`encode_gif` (each single-frame
+    encoding is spliced between its header/GCT prefix and trailer)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    npal = len(palette) // 3
+    pal_bits = max(1, (max(npal - 1, 1)).bit_length())
+    prefix_len = 13 + 3 * (1 << pal_bits)
+    first = encode_gif(w, h, frames[0], palette)
+    out = bytearray(b"GIF89a" + first[6:prefix_len])
+    for fr in frames:
+        body = encode_gif(w, h, fr, palette)[prefix_len:-1]
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += body
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_gif_frame_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """documents -> synthesize ANIMATED GIFs (1-3 md5-derived 4x4 frames
+    over a 16-gray global palette) -> real multi-frame LZW decode ->
+    one row per frame with its RGB byte sum.  The animated twin of the
+    MJPEG AVI sampler: a 1:N Arrow ``mapInPandas`` fan-out whose every
+    output value a SQL oracle replays from md5 hex (frame f, pixel j has
+    palette index md5[(f + 3j) % 16] % 16; gray k is (16k,16k,16k), so
+    the frame sum is 48 * sum(indices))."""
+    import hashlib
+
+    palette = b"".join(bytes([k * 16] * 3) for k in range(16))
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fi, ws, hs, sums = [], [], [], [], []
+            for item_id, text in zip(pdf["item_id"], pdf["_t"]):
+                hd = hashlib.md5(text.encode()).digest()
+                n_frames = 1 + hd[1] % 3
+                frames = [
+                    [hd[(f + 3 * j) % 16] % 16 for j in range(16)]
+                    for f in range(n_frames)
+                ]
+                blob = encode_animated_gif(4, 4, frames, palette)
+                decoded = _gif_decode_all_frames(blob)
+                assert len(decoded) == n_frames
+                for f, (w, h, idx, pal) in enumerate(decoded):
+                    rgb = b"".join(pal[3 * x : 3 * x + 3] for x in idx)
+                    ids.append(item_id)
+                    fi.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(sum(rgb))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fi, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
 def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, top-down RGB bytes) for the first GIF frame:
     real LZW decode + palette lookup, zero dependencies."""

@@ -251,6 +251,46 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(synthesize_video_frames(d, "doc_id", "text"))
 
 
+# Animated-GIF twin of the video oracle: frame f pixel j has palette
+# index md5[(f + 3j) % 16] % 16 over a 16-gray table (gray k = 16k per
+# channel), so each frame's RGB byte sum is 48 * sum(indices).
+_GIF_FRAMES_ORACLE = """
+    WITH g AS (
+        SELECT doc_id, text,
+               1 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 3
+                 AS n_frames
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(0, n_frames - 1)) AS INTEGER)
+                 AS frame_idx
+        FROM g
+    )
+    SELECT doc_id AS item_id, frame_idx,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(48 * ((CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 0) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 3) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 6) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 9) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 12) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 15) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 18) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 21) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 24) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 27) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 30) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 33) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 36) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 39) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 42) % 16) + 1, 2)) AS BIGINT) % 16) + (CAST(('0x' || substr(md5(text), 2 * ((frame_idx + 45) % 16) + 1, 2)) AS BIGINT) % 16)) AS BIGINT) AS pixel_sum
+    FROM f
+"""
+
+
+@_register("gif_frame_sample", _GIF_FRAMES_ORACLE)
+def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling, oracle-verified: synthesize a
+    GIF89a with 1-3 md5-derived frames per document (graphic-control
+    extensions, shared global color table), walk ALL image descriptors
+    with the real LZW decoder, and emit each frame's dimensions and RGB
+    byte sum (``multimodal/binary_ops.py: encode_animated_gif,
+    _gif_decode_all_frames``).  The animated twin of
+    ``video_frame_sample`` — web-scrape corpora are full of animated
+    GIFs, and the 1:N mapInPandas fan-out is identical.  One narrow
+    Arrow stage, md5-replayable end to end."""
+    from ..multimodal.binary_ops import decode_gif_frame_stats
+
+    d = load(spark, sf_dir, "documents")
+    return decode_gif_frame_stats(d, "doc_id", "text")
+
+
 # WAV twin of the pixel oracle: sample i = (md5[i%16] - 128) * 256,
 # 32 samples -> each lane contributes twice to the sum.
 _AUDIO_ORACLE = f"""

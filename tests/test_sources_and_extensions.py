@@ -1811,3 +1811,56 @@ def test_tiff_dimensions_long_entries_truncation_and_both_orders():
     # synthesizer round-trip hits both endiannesses across texts
     orders = {_synth_tiff_blob(t)[:2] for t in ("a", "b", "c", "d", "e", "f")}
     assert orders == {b"II", b"MM"}
+
+
+def test_animated_gif_roundtrip_and_local_palette_scope():
+    """encode_animated_gif -> _gif_decode_all_frames must round-trip
+    every frame bit-exactly, and a local color table must apply only to
+    its own frame (the global table resumes afterwards, per GIF89a)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _gif_decode_all_frames,
+        encode_animated_gif,
+        encode_gif,
+        sniff_mime,
+    )
+
+    palette = b"".join(bytes([k * 16] * 3) for k in range(16))
+    frames = [[(f * 5 + j) % 16 for j in range(16)] for f in range(3)]
+    blob = encode_animated_gif(4, 4, frames, palette)
+    assert sniff_mime(blob) == "image/gif"
+    decoded = _gif_decode_all_frames(blob)
+    assert len(decoded) == 3
+    for f, (w, h, idx, pal) in enumerate(decoded):
+        assert (w, h) == (4, 4)
+        assert idx == frames[f]
+        assert pal[: len(palette)] == palette
+
+    # single-frame animated == plain encoder's pixels
+    one = _gif_decode_all_frames(encode_animated_gif(4, 4, frames[:1], palette))
+    plain = _gif_decode_all_frames(encode_gif(4, 4, frames[0], palette))
+    assert one[0][2] == plain[0][2]
+
+    # local-palette scope: splice frame 2 with a local color table and
+    # check frames 1 and 3 still resolve through the global table
+    import re as _re
+
+    lct = b"".join(bytes([255 - k * 16] * 3) for k in range(16))
+    # build manually: header+GCT from the animated blob, then frame
+    # bodies with the middle one given a local table (descriptor packed
+    # byte 0x84 = LCT present, 16 entries)
+    pal_bits = 4
+    prefix_len = 13 + 3 * (1 << pal_bits)
+    header = blob[:prefix_len]
+    bodies = []
+    for fr in frames:
+        b = encode_gif(4, 4, fr, palette)[prefix_len:-1]
+        bodies.append(b)
+    mid = bytearray(bodies[1])
+    assert mid[0] == 0x2C
+    mid[9] = 0x83  # LCT flag + size bits (2 << 3 = 16 entries)
+    mid[10:10] = lct  # insert local table after the 10-byte descriptor
+    spliced = header + bodies[0] + bytes(mid) + bodies[2] + b"\x3b"
+    d2 = _gif_decode_all_frames(spliced)
+    assert d2[0][3][: len(palette)] == palette
+    assert d2[1][3] == lct
+    assert d2[2][3][: len(palette)] == palette
