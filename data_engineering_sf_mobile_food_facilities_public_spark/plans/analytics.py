@@ -3126,3 +3126,79 @@ def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(value, k)").alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity — part co-purchase lift within orders.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "part_affinity_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    pc AS (SELECT p, COUNT(*) AS n_p FROM op GROUP BY p),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * n_orders / (ca.n_p * cb.n_p), 6) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.p = part_a
+    JOIN pc cb ON cb.p = part_b
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift: for part pairs co-purchased in >= 2 orders,
+    lift = P(a,b) / (P(a) P(b)) — the classic association-rule score,
+    computed entirely from integer counts with ONE double division
+    rounded at the edge.  Plan shape: the basket self-join keys on the
+    order (fan-out bounded by basket size, the same orientation trick
+    as triangle counting), per-part supports re-aggregate the deduped
+    (order, part) relation, the order total enters as a 1-row broadcast
+    (Q15 scalar pattern), and the top-20 is a per-partition heap.  The
+    PMI collocation twin for transactions instead of text."""
+    from ..operators.topk import top_k
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = op.agg(F.countDistinct("o").alias("n_orders"))
+    pc = op.groupBy(F.col("p")).agg(F.count(F.lit(1)).alias("n_p"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("part_b"))
+    pairs = (
+        op.join(b, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("part_b")))
+        .groupBy(F.col("p").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    scored = (
+        pairs.join(
+            pc.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a")), "part_a"
+        )
+        .join(
+            pc.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b")), "part_b"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return top_k(scored, [F.desc("lift"), F.col("part_a"), F.col("part_b")], 20)

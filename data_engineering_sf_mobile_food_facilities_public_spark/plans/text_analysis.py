@@ -1693,3 +1693,50 @@ def incremental_near_dup_new_batch(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — detected language vs metadata label.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lang_id_confusion_matrix",
+    _TOKENS_CTE
+    + """
+    , hits AS (
+        SELECT doc_id,
+           length(list_filter(tokens, t -> list_contains(['der','die','und','ist'], t))) AS h_de,
+           length(list_filter(tokens, t -> list_contains(['the','a','and','is'], t))) AS h_en,
+           length(list_filter(tokens, t -> list_contains(['el','los','y','es'], t))) AS h_es,
+           length(list_filter(tokens, t -> list_contains(['le','la','et','est'], t))) AS h_fr
+        FROM tok
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits
+    )
+    SELECT d.lang AS lang_label, p.lang_pred, COUNT(*) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's METADATA language labels
+    and the engine's detected language — the disagreement report a
+    curation pipeline reads before trusting either signal (a heavy
+    off-diagonal row means mislabeled ingest or a weak detector; 'und'
+    volume measures detector coverage).  One narrow lang-id projection
+    fused into the scan plus one small aggregate; at 100 TB the output
+    is |langs|^2 rows regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("lang_label"), TX.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
