@@ -1740,3 +1740,59 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_label", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report — near-dup cluster size distribution.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "near_dup_cluster_sizes",
+    _MINHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _VERIFIED_PAIRS_TAIL
+    + """
+    , und AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM walk GROUP BY a
+    ),
+    csizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM csizes
+    GROUP BY cluster_size
+    """,
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup IMPACT report: distribution of near-dup cluster sizes
+    plus, per size, how many documents keep-one-per-cluster dedup would
+    remove — the number an operator quotes when asked 'what does dedup
+    buy us?'.  Two small re-aggregations of the connected-components
+    output (cluster sizes are bounded by duplication, not corpus size);
+    everything upstream reuses the verified-pair + min-label machinery
+    unchanged."""
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    verified = (
+        jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
+    )
