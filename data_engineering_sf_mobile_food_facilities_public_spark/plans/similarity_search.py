@@ -276,3 +276,69 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x").cast("double"), 6).alias("min_x"),
         F.round(F.max("x").cast("double"), 6).alias("max_x"),
     )
+
+
+@_register(
+    "embedding_norm_outliers",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    norms AS (
+        SELECT vec_id, ROUND(sqrt(CAST(SUM(x * x) AS DOUBLE)), 6) AS nrm
+        FROM ex GROUP BY vec_id
+    ),
+    med AS (SELECT median(nrm) AS med_norm FROM norms),
+    mad AS (
+        SELECT med_norm, median(abs(nrm - med_norm)) AS mad_norm
+        FROM norms CROSS JOIN med GROUP BY med_norm
+    )
+    SELECT COUNT(*) AS n_vectors,
+           ROUND(ANY_VALUE(med_norm), 6) AS median_norm,
+           ROUND(ANY_VALUE(mad_norm), 6) AS mad_norm,
+           CAST(COUNT(*) FILTER (
+               WHERE abs(nrm - med_norm) > 3 * mad_norm) AS BIGINT) AS n_outliers
+    FROM norms CROSS JOIN mad
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm sanity report: L2 norms from EXACT decimal sums of
+    squares (explode + group — order-independent; at extreme scale swap
+    in the fixed-order array fold, same numbers), then the robust
+    median/MAD gate: vectors whose norm sits more than 3 MADs from the
+    median are encoder anomalies (truncated writes, fp16 overflow, dead
+    models emit near-zero norms).  The median/MAD scalars enter as a
+    1-row broadcast (Q15 pattern), so the outlier count is one more
+    pass over the small norms relation, never the vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x0")
+    ).select("vec_id", F.col("x0").cast("decimal(18,9)").alias("x"))
+    norms = ex.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x")).cast("double")), 6).alias("nrm")
+    )
+    med = norms.agg(F.median("nrm").alias("med_norm"))
+    mad = (
+        norms.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("med_norm").alias("med_norm"),
+            F.median(F.abs(F.col("nrm") - F.col("med_norm"))).alias("mad_norm"),
+        )
+    )
+    return (
+        norms.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.first("med_norm"), 6).alias("median_norm"),
+            F.round(F.first("mad_norm"), 6).alias("mad_norm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("med_norm"))
+                    > 3 * F.col("mad_norm"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
