@@ -223,3 +223,31 @@ def test_int8_quantized_dot_recall_against_exact_baseline(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_incremental_near_dup_consistent_with_full_lsh(spark):
+    """The batch-vs-corpus probe must agree with the full self-join
+    dedup: every (new_doc, corpus match) it reports corresponds to a
+    cross-boundary pair in minhash_lsh_near_dup at the same threshold,
+    and it reports EVERY such pair (same bands, same verification — the
+    only difference is which side of the join each doc sits on)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+    full = relational.QUERIES["minhash_lsh_near_dup"](spark, SF_SMOKE).collect()
+    cross = {}
+    for r in full:
+        if r.jaccard >= 0.5:
+            a, b = r.id_a, r.id_b
+            for new, old in ((a, b), (b, a)):
+                if new % 10 == 0 and old % 10 != 0:
+                    cross.setdefault(new, []).append(r.jaccard)
+    want = {
+        d: (len(js), round(max(js), 6)) for d, js in cross.items()
+    }
+    got = {
+        r.new_doc: (r.n_corpus_matches, r.max_jaccard)
+        for r in relational.QUERIES["incremental_near_dup_new_batch"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
