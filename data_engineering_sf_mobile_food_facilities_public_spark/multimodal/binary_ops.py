@@ -9,18 +9,22 @@ never touches the JVM.
 
 No image/audio *codec* library is installed in this environment, but
 container-format headers are public byte layouts — so ``sniff_mime``
-(magic numbers) and ``decode_image`` (PNG/GIF/BMP/JPEG/WAV header
-parsing) are REAL: they read actual widths/heights/sample-rates from
-the fixed header offsets each format specifies.  Pixel-level decode and
-resize are REAL for all five image formats: 24-bit BMP and P6 PPM (raw
-pixel arrays at header offsets), 8- and 16-bit PNG of every color type
-(stdlib ``zlib`` inflate + the public five-filter scanline prediction,
-``decode_png_pixels``), GIF (pure-Python LZW table decode incl.
-interlace + local color tables, ``decode_gif_pixels``), and baseline +
-progressive JPEG (full T.81 DCT/Huffman codec in ``jpeg_codec.py``,
-sampling factors to 4:2:0, restart markers, spectral-selection and
-successive-approximation scans).  ``deterministic_fake=True`` remains
-only for variants outside the decodable set (arithmetic-coded JPEG,
+(magic numbers) and ``decode_image`` (PNG/GIF/BMP/JPEG/TIFF/WAV header
+parsing, incl. the TIFF IFD walk in both byte orders) are REAL: they
+read actual widths/heights/sample-rates from the offsets each format
+specifies.  Pixel-level decode and resize are REAL for all five image
+formats: 24-bit BMP and P6 PPM (raw pixel arrays at header offsets),
+8- and 16-bit PNG of every color type (stdlib ``zlib`` inflate + the
+public five-filter scanline prediction, ``decode_png_pixels``), GIF
+(pure-Python LZW table decode incl. interlace, local color tables, and
+multi-frame animations, ``decode_gif_pixels`` /
+``_gif_decode_all_frames``), and baseline + progressive JPEG (full
+T.81 DCT/Huffman codec in ``jpeg_codec.py``, sampling factors to
+4:2:0, restart markers, spectral-selection and
+successive-approximation scans).  Audio is real 16-bit PCM WAV decode
+plus windowed DSP (energy / zero-crossings); video is MJPEG AVI and
+animated-GIF frame sampling.  ``deterministic_fake=True`` remains only
+for variants outside the decodable set (arithmetic-coded JPEG,
 1/2/4-bit PNG) so plumbing tests never depend on content.
 """
 
