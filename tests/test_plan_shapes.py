@@ -127,6 +127,10 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row sample-totals broadcast (n1, n2) onto the stepped CDF — the
     # Q22/Q15 scalar pattern replacing the old partition-less window
     "ks_statistic_price_halves",
+    # 1-row median/MAD scalar broadcast onto the norms relation
+    "embedding_norm_outliers",
+    # 1-row order-count scalar broadcast into the lift expression
+    "part_affinity_lift",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate
