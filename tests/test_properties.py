@@ -663,3 +663,64 @@ def test_sequence_packing_invariants(spark):
             rows[b].bin_start_offset + rows[b].bin_tokens > (b + 1) * budget
         )
         assert bool(rows[b].straddles_next) == ends_past_boundary
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    order=st.sampled_from(["little", "big"]),
+    typ=st.sampled_from([3, 4]),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_ifd_parse_any_dims_any_order(w, h, order, typ):
+    """Generative TIFF check: any (width, height) in either byte order
+    with SHORT or LONG entries parses back exactly."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _tiff_dimensions,
+    )
+
+    def entry(tag, val):
+        if typ == 3 and val <= 0xFFFF:
+            t, v = 3, val.to_bytes(2, order) + bytes(2)
+        else:
+            t, v = 4, val.to_bytes(4, order)
+        return (
+            tag.to_bytes(2, order)
+            + t.to_bytes(2, order)
+            + (1).to_bytes(4, order)
+            + v
+        )
+
+    bom = b"II" if order == "little" else b"MM"
+    blob = (
+        bom
+        + (42).to_bytes(2, order)
+        + (8).to_bytes(4, order)
+        + (2).to_bytes(2, order)
+        + entry(256, w)
+        + entry(257, h)
+        + bytes(4)
+    )
+    assert _tiff_dimensions(blob) == (w, h)
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=20, deadline=None)
+def test_animated_gif_roundtrip_any_frames(n_frames, seed):
+    """Generative animated-GIF check: any frame count with arbitrary
+    16-color 4x4 content round-trips frame-for-frame."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        _gif_decode_all_frames,
+        encode_animated_gif,
+    )
+
+    palette = b"".join(bytes([k * 16] * 3) for k in range(16))
+    frames = [
+        [(seed * 7 + f * 13 + j * 3) % 16 for j in range(16)]
+        for f in range(n_frames)
+    ]
+    decoded = _gif_decode_all_frames(encode_animated_gif(4, 4, frames, palette))
+    assert [d[2] for d in decoded] == frames
