@@ -63,23 +63,24 @@ def grouped_running_sum(
     ``(group, *order_by)`` order; the per-task work is bounded by the
     range-partition size regardless of group skew.
 
-    ``persist_input=True`` caches ``df`` first: the range partitioner
-    SAMPLES its input to pick bounds, so an expensive upstream (HOF
-    stats, tokenization) is otherwise evaluated once for the sample and
-    again for the shuffle — measured 3.1s -> 2.0s on the curation
-    pipeline at sf0.1.  Leave off when the input is a cheap scan.
+    pid consistency is STRUCTURAL: the shuffled/pid-stamped frame is
+    ALWAYS persisted and eagerly materialized, so the local-sum branch
+    and the offsets branch read the one cached copy with one fixed
+    partitioning.  (Relying on ReuseExchange instead is unsound — under
+    AQE the two consumers can execute the range exchange separately,
+    and each execution resamples the boundaries; see
+    :func:`surrogate_key`, where the sf0.1 parity sweep caught the
+    resulting id corruption before the pin existed.)
 
-    pid consistency: the local-sum branch and the offsets branch both
-    consume ``with_pid``, so both must observe the SAME physical
-    partitioning.  With ``persist_input=True`` this is structural — the
-    shuffled/pid-stamped frame is persisted and eagerly materialized,
-    both branches read the one cached copy, and the input cache is
-    released immediately after.  With ``persist_input=False`` it relies
-    on Catalyst's ReuseExchange canonicalizing the two identical range
-    exchanges into one (holds for this plan shape under AQE; plan-pinned
-    by the mixture plan-shape test).  The materialized pid cache belongs
-    to the returned plan; pass ``handles=[]`` to receive it for
-    ``unpersist()`` after your final action.
+    ``persist_input=True`` additionally caches ``df`` itself while the
+    range partitioner SAMPLES it, so an expensive upstream (HOF stats,
+    tokenization) is not evaluated once for the sample and again for
+    the shuffle — measured 3.1s -> 2.0s on the curation pipeline at
+    sf0.1; the input cache is released as soon as the pid frame is
+    materialized.  Leave off when the input is a cheap scan.  The
+    materialized pid cache belongs to the returned plan; pass
+    ``handles=[]`` to receive it for ``unpersist()`` after your final
+    action.
     """
     values = [value] if isinstance(value, str) else list(value)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -88,13 +89,23 @@ def grouped_running_sum(
     keys = [group, *order_by]
     src = df.persist() if persist_input else df
     ordered = src.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    # pid consistency is STRUCTURAL: the pid-stamped frame is ALWAYS
+    # persisted and eagerly materialized, so the local-sum branch and
+    # the offsets branch read the same physical partitioning.  Relying
+    # on Catalyst's ReuseExchange instead is unsound: when AQE plans the
+    # two consumers as separate query stages, each execution RESAMPLES
+    # the range boundaries (sampler seeded per RDD instance) and the
+    # offsets join mismatches — the sf0.1 parity sweep caught the
+    # surrogate_key twin of exactly this failure.  persist_input now
+    # only controls whether the UPSTREAM frame is additionally cached
+    # while the range partitioner samples it (worth it when the
+    # projection above the scan is expensive: HOF stats, tokenize).
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    with_pid.count()  # pin partition ids in the cache
     if persist_input:
-        with_pid = with_pid.persist()
-        with_pid.count()  # pin partition ids in the cache, then free input
         src.unpersist()
-        if handles is not None:
-            handles.append(with_pid)
+    if handles is not None:
+        handles.append(with_pid)
 
     local_w = (
         Window.partitionBy("__pid", group)
@@ -140,6 +151,7 @@ def surrogate_key(
     df: DataFrame,
     order_by: Sequence[str | Column],
     out_col: str = "surrogate_id",
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Contiguous 0..n-1 id in ``order_by`` order (F4).
 
@@ -149,13 +161,33 @@ def surrogate_key(
     row_number by the running total of earlier partitions: two jobs, no
     single-task sort, same contiguous result.  The ``order_by`` columns
     must define a total order (tie-broken) for determinism.
+
+    pid consistency is STRUCTURAL, not assumed: the pid-stamped frame is
+    persisted and eagerly materialized, so the offsets branch and the
+    local-rank branch read the SAME physical partitioning.  Without
+    this, the two consumers rely on Catalyst reusing one range exchange
+    — and when AQE plans them as separate query stages, each execution
+    RESAMPLES the range boundaries (the sampler is seeded per RDD
+    instance), the two branches see different partition sizes, and the
+    ids silently corrupt.  Not theoretical: the sf0.1 parity sweep
+    caught exactly this (a +1-shifted id block and a max id of n instead
+    of n-1) before this pin existed.  The boundaries themselves may
+    differ run to run — harmless: ids follow the total ``order_by``
+    order regardless of where the range splits fall.
+
+    The persisted pid frame belongs to the RETURNED plan; pass
+    ``handles=[]`` to receive it for ``unpersist()`` after your final
+    action (session teardown reclaims it otherwise).
     """
     ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
+    with_pid.count()  # pin partition ids; both consumers read this copy
+    if handles is not None:
+        handles.append(with_pid)
 
     # Local row number within each (already range-partitioned) partition,
     # then add the cumulative size of all earlier partitions.
     part_w = Window.partitionBy("__pid").orderBy(*order_by)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     offsets_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         with_pid.groupBy("__pid")
