@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline queries, then one representative of each beyond-reference
 # family (dedup/LSH, ANN, multimodal codecs, text curation, TPC-H,
 # lakehouse merge, stats, graph).  Every query keeps the same semantics
-# regardless of position; the full 225-entry surface is always returned
+# regardless of position; the full registry is always returned
 # and the local parity suite (tests/test_oracle_parity.py) checks all of
 # it at sf0.01 either way.
 _PANEL_FIRST = [

@@ -68,7 +68,7 @@ def linreg_pipeline(train: DataFrame, feature_cols: list[str], label_col: str) -
 
 
 def logreg_embedding_pipeline(
-    df: DataFrame, vec_col: str, label_col: str, dim: int = 64
+    df: DataFrame, vec_col: str, label_col: str, id_col: str = "vec_id", dim: int = 64
 ) -> DataFrame:
     """Classification twin of :func:`linreg_pipeline`, used as a LABEL-
     PREDICTABILITY PROBE: train multinomial logistic regression to
@@ -98,7 +98,7 @@ def logreg_embedding_pipeline(
         F.col(label_col).cast("double").alias("label"),
         # deterministic split: md5 of the row key, engine-portable
         (
-            F.conv(F.substring(F.md5(F.concat(F.lit("lr"), F.col("vec_id").cast("string"))), 1, 8), 16, 10)
+            F.conv(F.substring(F.md5(F.concat(F.lit("lr"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
             .cast("long") % 5 < 4
         ).alias("is_train"),
     )

@@ -1145,7 +1145,7 @@ def _gif_decode_all_frames(
             if ipacked & 0x40:
                 idx = _gif_deinterlace(idx, w, h)
             frames.append((w, h, idx, palette))
-            if len(frames) >= max_frames:
+            if len(frames) > max_frames:
                 raise ValueError(f"gif: more than {max_frames} frames")
         elif b == 0x3B:
             break

@@ -100,8 +100,9 @@ def grouped_running_sum(
     # only controls whether the UPSTREAM frame is additionally cached
     # while the range partitioner samples it (worth it when the
     # projection above the scan is expensive: HOF stats, tokenize).
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
-    with_pid.count()  # pin partition ids in the cache
+    with_pid = _pin_pid_frame(
+        ordered.withColumn("__pid", F.spark_partition_id())
+    )
     if persist_input:
         src.unpersist()
     if handles is not None:
@@ -147,6 +148,24 @@ def grouped_running_sum(
     )
 
 
+def _pin_pid_frame(with_pid: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize a ``spark_partition_id``-stamped
+    frame so every consumer reads ONE fixed physical partitioning (see
+    the pid-consistency notes on the two callers).
+
+    Spark's CacheManager keys cache entries by the canonicalized plan,
+    so re-building the same query re-USES the existing entry rather
+    than stacking a new one — the set of live caches is bounded by the
+    number of DISTINCT (query, input) plans in the session, not by call
+    count.  We still skip the redundant ``count()`` job when the plan
+    is already cached (repeat builder calls, bench best-of-N)."""
+    if with_pid.storageLevel.useMemory or with_pid.storageLevel.useDisk:
+        return with_pid  # canonicalized plan already cached this session
+    with_pid = with_pid.persist()
+    with_pid.count()  # pin partition ids; all consumers read this copy
+    return with_pid
+
+
 def surrogate_key(
     df: DataFrame,
     order_by: Sequence[str | Column],
@@ -180,8 +199,7 @@ def surrogate_key(
     action (session teardown reclaims it otherwise).
     """
     ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id()).persist()
-    with_pid.count()  # pin partition ids; both consumers read this copy
+    with_pid = _pin_pid_frame(ordered.withColumn("__pid", F.spark_partition_id()))
     if handles is not None:
         handles.append(with_pid)
 

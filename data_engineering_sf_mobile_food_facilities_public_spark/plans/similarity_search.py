@@ -203,15 +203,24 @@ def int8_quantized_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd array HOFs; the query side broadcasts, the corpus never
     shuffles."""
     e = load(spark, sf_dir, "embeddings")
-    qv = F.expr(
-        "CASE WHEN aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
-        " (a, x) -> greatest(a, abs(x))) = 0D"
-        " THEN transform(CAST(embedding AS ARRAY<DOUBLE>), x -> 0L)"
-        " ELSE transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor("
-        "   127 * x / aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
-        "   (a, y) -> greatest(a, abs(y))) + 0.5D) AS BIGINT)) END"
+    # hoist the max-abs fold into its own column first: referenced from
+    # inside the transform lambda it would re-evaluate the d-element
+    # aggregate once PER ELEMENT (O(d^2) per vector — Catalyst does not
+    # CSE an aggregate across lambda invocations)
+    withmax = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(
+            "aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+            " (a, x) -> greatest(a, abs(x)))"
+        ).alias("maxabs"),
     )
-    qz = e.select("vec_id", qv.alias("qv"))
+    qv = F.expr(
+        "CASE WHEN maxabs = 0D THEN transform(v, x -> 0L)"
+        " ELSE transform(v, x -> CAST(floor(127 * x / maxabs + 0.5D)"
+        " AS BIGINT)) END"
+    )
+    qz = withmax.select("vec_id", qv.alias("qv"))
     q = qz.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
     )
