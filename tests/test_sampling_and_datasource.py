@@ -252,3 +252,43 @@ def test_jsonl_audit_reader_trusts_manifest(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """operators/telemetry.observed: stage metrics (rows, nulls, exact
+    DECIMAL total) are measured by the SAME tasks that execute the
+    action — one pass, no re-scan — and must equal an independent
+    aggregation of the same input."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.telemetry import (
+        observed,
+    )
+    from tests.conftest import SF_SMOKE
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    df, obs = observed(
+        o.filter(F.col("o_orderstatus") == "F"),
+        "orders_f_stage",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.col("o_orderpriority").isNull().cast("int")).alias("null_prios"),
+    )
+    df.write.format("noop").mode("overwrite").save()  # the one action
+    got = obs.get
+    want = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.sum(F.col("o_orderpriority").isNull().cast("int")).alias("null_prios"),
+        )
+        .collect()[0]
+    )
+    assert got["rows"] == want["rows"] > 0
+    assert got["total_price"] == want["total_price"]
+    assert got["null_prios"] == want["null_prios"]
