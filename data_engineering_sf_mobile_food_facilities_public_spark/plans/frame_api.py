@@ -12,7 +12,7 @@ names a total order before LIMIT/OFFSET.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -203,3 +203,46 @@ def arrow_grouped_extrema_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     return group_extrema_arrow(orders, "o_orderstatus", "o_totalprice")
+
+
+@_register(
+    "approx_top_k_by_status",
+    """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority AS item, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, item, cnt, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, item) AS rnk
+        FROM counts
+    )
+    WHERE rnk <= 5
+    """,
+)
+def approx_top_k_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP heavy hitters: one ``approx_top_k`` sketch per order
+    status, merged map-side like any aggregate — the per-segment
+    frequent-items report (top URLs per domain, top tokens per language)
+    that at true cardinality replaces a full (group, item) contingency
+    shuffle with bounded sketch state per group.  k covers the whole
+    priority domain here, so counts are exact and the oracle is a plain
+    two-level GROUP BY; the sketch's internal output order is
+    engine-specific, so rows re-rank deterministically (count desc,
+    item) before comparison."""
+    orders = load(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_top_k(o_orderpriority, 5)").alias("entries")
+    )
+    exploded = per_group.select(
+        "o_orderstatus", F.explode("entries").alias("e")
+    ).select(
+        "o_orderstatus",
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("cnt"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "item")
+    return exploded.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
