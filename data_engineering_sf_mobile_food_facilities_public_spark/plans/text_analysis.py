@@ -1796,3 +1796,65 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped sequence packing — one context-window stream PER SOURCE.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sequence_packing_by_source",
+    _TOKENS_CTE
+    + f"""
+    , sized AS (
+        SELECT t.doc_id, d.source,
+               CAST(len(tokens) AS BIGINT) AS n_tokens,
+               md5('packs' || CAST(t.doc_id AS VARCHAR)) AS h
+        FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT source,
+           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def sequence_packing_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sequence packing: each SOURCE gets its own deterministic
+    context-window stream (multi-corpus training runs pack per-dataset
+    so one corpus's windows never interleave with another's), via
+    :func:`grouped_running_sum` with ``source`` as the group key — the
+    same two-pass range-partition cumsum as the global packer, so a
+    giant source spans many bounded partitions instead of one
+    sequential task.  Emits per-(source, window) occupancy."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("packs"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    cum = grouped_running_sum(
+        sized, "source", ["h", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        cum.select(
+            "source",
+            "n_tokens",
+            F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
