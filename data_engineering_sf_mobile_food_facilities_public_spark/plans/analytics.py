@@ -3202,3 +3202,71 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_k(scored, [F.desc("lift"), F.col("part_a"), F.col("part_b")], 20)
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality profile — day-of-week means vs the series mean.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weekday_seasonality_profile",
+    """
+    WITH base AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events
+    ),
+    per_dow AS (
+        SELECT event_type, dow, COUNT(*) AS n_events,
+               SUM(v) AS sum_v
+        FROM base GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type,
+               CAST(SUM(sum_v) AS DOUBLE) / SUM(n_events) AS series_mean
+        FROM per_dow GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_events,
+           ROUND(CAST(p.sum_v AS DOUBLE) / p.n_events, 6) AS dow_mean,
+           ROUND(CAST(p.sum_v AS DOUBLE) / p.n_events - o.series_mean, 6)
+             AS seasonal_delta
+    FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+    """,
+)
+def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality: per (event_type, day-of-week) mean value and
+    its delta from the series mean — the additive seasonal component a
+    monitoring pipeline subtracts before anomaly thresholds.  Both
+    aggregation levels reuse one pass: the overall mean re-aggregates
+    the 7-row-per-type day profile, never the raw events, and joins
+    back per type (dimension-sized).  DECIMAL sums, divisions at the
+    edge — bit-stable at any partitioning.  Day numbering is Spark's
+    1=Sunday..7=Saturday; DuckDB's dayofweek is 0-based, so the oracle
+    adds 1 (cross-engine day-numbering is a classic silent mismatch —
+    the hash compare caught it on the first draft)."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_v")
+    )
+    overall = per_dow.groupBy("event_type").agg(
+        (F.sum("sum_v").cast("double") / F.sum("n_events")).alias("series_mean")
+    )
+    return per_dow.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_events",
+        F.round(F.col("sum_v").cast("double") / F.col("n_events"), 6).alias(
+            "dow_mean"
+        ),
+        F.round(
+            F.col("sum_v").cast("double") / F.col("n_events")
+            - F.col("series_mean"),
+            6,
+        ).alias("seasonal_delta"),
+    )
