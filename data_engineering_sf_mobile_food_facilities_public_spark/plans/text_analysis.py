@@ -1858,3 +1858,47 @@ def sequence_packing_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-dup rate per source — the datasheet's duplication column.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT f) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT f) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM fp
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate over the same normalized-text
+    fingerprint the dedup operator keys on — the 'how dirty is this
+    feed' number that decides which sources get the expensive near-dup
+    pass.  One scan, one aggregate; the distinct-count re-shuffles
+    16-byte fingerprints, never text.  At 100 TB swap the exact
+    COUNT(DISTINCT) for the per-source HLL sketch when an estimate is
+    acceptable — the rest of the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("f"),
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("f").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
