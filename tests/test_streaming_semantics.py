@@ -337,3 +337,44 @@ def test_event_time_timeout_closes_sessions(spark, tmp_path):
     assert s.last_us == int(_ts("2024-01-01 10:20:00").timestamp() * 1_000_000)
     # user 2's session is still open (inside the watermark horizon)
     assert 2 not in rows
+
+
+def test_streaming_observed_metrics_per_microbatch(spark):
+    """Observation metrics on a STREAMING plan surface through
+    StreamingQueryProgress.observedMetrics each micro-batch — the
+    zero-rescan stage telemetry (operators/telemetry.py) works the same
+    on the streaming side, and the per-batch row counts must total the
+    source's row count."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = read_events_stream(spark, SF_SMOKE)
+    observed = events.observe(
+        "ingest_stage",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_v"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .queryName("obs_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [
+        p["observedMetrics"]["ingest_stage"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("ingest_stage")
+    ]
+    assert metrics, "no observed metrics surfaced in any micro-batch"
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want = batch.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_v"),
+    ).collect()[0]
+    assert sum(m["rows"] for m in metrics) == want["rows"]
+    assert abs(sum(m["total_v"] for m in metrics) - want["total_v"]) < 1e-6
