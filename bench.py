@@ -59,6 +59,7 @@ HEADLINE = [
     # and the semi+anti "kept waiting" pair
     "q2_min_cost_supplier",
     "q21_suppliers_kept_waiting",
+    "sequence_packing_bins",
 ]
 
 
