@@ -3270,3 +3270,78 @@ def weekday_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary buckets per customer.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rfm_segment_counts",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), ANY_VALUE(max_d)) AS rec_days,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS money
+        FROM orders CROSS JOIN anchor
+        GROUP BY o_custkey
+    )
+    SELECT CASE WHEN rec_days <= 180 THEN 3
+                WHEN rec_days <= 540 THEN 2 ELSE 1 END AS r_bucket,
+           CASE WHEN freq >= 20 THEN 3
+                WHEN freq >= 10 THEN 2 ELSE 1 END AS f_bucket,
+           CASE WHEN money >= 500000 THEN 3
+                WHEN money >= 200000 THEN 2 ELSE 1 END AS m_bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(freq) AS BIGINT) AS total_orders
+    FROM per_cust
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with FIXED bucket edges: per-customer recency
+    (days since last order, anchored on the corpus max date — a 1-row
+    broadcast, the Q15 scalar pattern), frequency, and monetary value,
+    each cut at constant thresholds into 27 segments.  Fixed edges, not
+    ntile: quantile bucketing needs a global-order window (one task at
+    scale) and makes every segment boundary data-dependent; production
+    RFM freezes the edges so segments are comparable across runs.  One
+    customer-keyed aggregate, one 27-group rollup; DECIMAL money sums
+    divide nowhere — every bucket decision is exact."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("max_d"), F.max("o_orderdate")).alias("rec_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("money"),
+        )
+    )
+    r = (
+        F.when(F.col("rec_days") <= 180, 3)
+        .when(F.col("rec_days") <= 540, 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("freq") >= 20, 3).when(F.col("freq") >= 10, 2).otherwise(1)
+    m = (
+        F.when(F.col("money") >= 500000, 3)
+        .when(F.col("money") >= 200000, 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.select(
+            r.alias("r_bucket"), f.alias("f_bucket"), m.alias("m_bucket"), "freq"
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("freq").alias("total_orders"),
+        )
+    )
