@@ -3080,7 +3080,7 @@ def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS bucket,
                value,
                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+                 || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
         FROM events
     )
     SELECT event_type, bucket,
@@ -3109,7 +3109,7 @@ def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     keyed = e.select(
         "event_type",

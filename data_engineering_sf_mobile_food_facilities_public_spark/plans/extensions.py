@@ -419,7 +419,7 @@ def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS bucket,
                value,
                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+                 || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
         FROM events
     )
     SELECT event_type, bucket,

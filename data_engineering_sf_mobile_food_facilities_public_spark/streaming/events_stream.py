@@ -226,7 +226,7 @@ def ohlc_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     policy a market-data pipeline needs spelled out, not implied)."""
     k = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return (
         events.withWatermark("ts", watermark)
