@@ -647,8 +647,17 @@ def test_sequence_packing_invariants(spark):
         ).collect()
     }
     bins = sorted(rows)
-    assert bins == list(range(len(bins)))  # contiguous, zero-based
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # precondition of the contiguity assertion below: no single document
+    # exceeds the window budget (a >budget doc spans whole windows that
+    # then contain no STARTING doc — correct packing, but bin ids would
+    # legitimately skip).  Made explicit so a corpus regen that adds
+    # giant docs fails here with a clear message, not at the assertion.
+    max_doc = docs.select(
+        F.max(TX.token_count("text").cast("long")).alias("m")
+    ).collect()[0]["m"]
+    assert max_doc < budget, "fixture changed: adjust contiguity expectations"
+    assert bins == list(range(len(bins)))  # contiguous, zero-based
     total_tokens = docs.select(
         F.sum(TX.token_count("text").cast("long")).alias("t")
     ).collect()[0]["t"]
