@@ -1902,3 +1902,59 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("f").cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — chars/token and BPE-vs-whitespace ratios per lang.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tokenizer_fertility_by_lang",
+    _TOKENS_CTE
+    + """
+    , sized AS (
+        SELECT d.lang,
+               CAST(len(tokens) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+'))
+                    AS BIGINT) AS n_bpe,
+               CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws), 6)
+             AS chars_per_ws_token,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility
+    FROM sized
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer diagnostics per language: characters per whitespace
+    token and BPE-ish fertility (subword pieces per word) — the numbers
+    that decide whether a vocabulary under-serves a language (high
+    fertility means more compute per document for the same text).
+    Integer token/char counts aggregate exactly; the two ratios divide
+    once at the edge.  All tokenization is JVM regexp fused into the
+    scan — the report costs one aggregate over corpus-wide counts."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        TX.token_count("text").cast("long").alias("n_ws"),
+        F.size(TX.bpe_ish_tokens("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return sized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_ws"), 6
+        ).alias("chars_per_ws_token"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6).alias(
+            "fertility"
+        ),
+    )
