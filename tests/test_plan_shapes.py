@@ -131,6 +131,8 @@ _NESTED_LOOP_ALLOWED = {
     "embedding_norm_outliers",
     # 1-row order-count scalar broadcast into the lift expression
     "part_affinity_lift",
+    # 1-row recency-anchor (MAX date) broadcast onto the orders scan
+    "rfm_segment_counts",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate
