@@ -3345,3 +3345,102 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").alias("total_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — distributed resampling without materializing samples.
+# ---------------------------------------------------------------------------
+
+# Cumulative Poisson(1) probabilities; a row appears k times in a replica
+# when its uniform falls in the k-th band.  P(k>6) ~ 1e-4 truncated.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_REPLICAS = 16
+
+
+def _pois_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {whens} ELSE {len(_POIS1_CDF)} END"
+
+
+@_register(
+    "poisson_bootstrap_mean_price",
+    f"""
+    WITH reps AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, r
+        FROM orders, unnest(generate_series(0, {_BOOT_REPLICAS - 1})) AS t(r)
+    ),
+    weighted AS (
+        SELECT r, price,
+               {_pois_case_sql(
+                   "CAST(('0x' || substr(md5('bs' || CAST(r AS VARCHAR) || '_'"
+                   " || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)"
+                   " / 4503599627370496.0"
+               )} AS k
+        FROM reps
+    )
+    SELECT CAST(r AS INT) AS replica,
+           CAST(SUM(k) AS BIGINT) AS n_eff,
+           ROUND(CAST(SUM(k * price) AS DOUBLE) / SUM(k), 6) AS boot_mean
+    FROM weighted
+    GROUP BY r
+    """,
+)
+def poisson_bootstrap_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: the distributed answer to resampling.  A
+    classic bootstrap draws n rows WITH replacement — impossible to do
+    independently per partition — but multinomial(n, 1/n) counts
+    converge to iid Poisson(1) weights, which ARE per-row independent:
+    each (row, replica) pair derives an md5 uniform, maps it through
+    the Poisson(1) CDF bands, and contributes its value k times.  The
+    16 replica means' spread estimates the sampling error of the mean
+    with two narrow per-row expressions and ONE 16-group aggregate —
+    no shuffle carries more than the replica partials, and the same
+    md5 arithmetic replays in any engine (no rand() anywhere).  The
+    per-replica weighted sums run in DECIMAL; the single division
+    lands at the edge."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    reps = o.select(
+        "o_orderkey",
+        "price",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("r").cast("string"),
+                        F.lit("_"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    k = F.lit(len(_POIS1_CDF))
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POIS1_CDF[kk]), F.lit(kk)).otherwise(k)
+    weighted = reps.select("r", "price", k.alias("k"))
+    return weighted.groupBy("r").agg(
+        F.sum("k").cast("long").alias("n_eff"),
+        F.round(
+            F.sum(F.col("k") * F.col("price")).cast("double") / F.sum("k"), 6
+        ).alias("boot_mean"),
+    ).select(F.col("r").cast("int").alias("replica"), "n_eff", "boot_mean")
