@@ -3444,3 +3444,89 @@ def poisson_bootstrap_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("price")).cast("double") / F.sum("k"), 6
         ).alias("boot_mean"),
     ).select(F.col("r").cast("int").alias("replica"), "n_eff", "boot_mean")
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomalies — composition of the seasonality profile
+# and the z-score monitor.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_adjusted_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               dayofweek(date_trunc('day', ts)) + 1 AS dow,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    dow_mean AS (
+        SELECT event_type, dow,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu_dow
+        FROM daily GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT d.event_type, d.day, d.n,
+               CAST(d.n - m.mu_dow AS DECIMAL(28,12)) AS r
+        FROM daily d JOIN dow_mean m
+          ON d.event_type = m.event_type AND d.dow = m.dow
+    ),
+    spread AS (
+        SELECT event_type,
+               sqrt(CAST(SUM(r * r) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(r) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(r) AS DOUBLE) / COUNT(*))) AS sigma
+        FROM resid GROUP BY 1
+    )
+    SELECT r.event_type, r.day, r.n,
+           ROUND(CAST(r.r AS DOUBLE) / s.sigma, 6) AS z
+    FROM resid r JOIN spread s ON r.event_type = s.event_type
+    WHERE abs(CAST(r.r AS DOUBLE) / s.sigma) > 2
+    """,
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection AFTER removing weekly seasonality: daily counts
+    per event type, minus that type's day-of-week mean, z-scored against
+    the residual spread — so a quiet Sunday doesn't page anyone and a
+    loud Sunday does (the raw-count monitor `daily_event_anomalies`
+    flags every weekend instead).  Three tiny re-aggregations of the
+    per-day profile (days x types rows, never raw events); the residual
+    moments are plain sums over that small relation, divisions and the
+    sqrt land at the edge.  Day numbering aligned as in the seasonality
+    profile (DuckDB dayofweek is 0-based)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.date_trunc("day", "ts")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow_mean = daily.groupBy("event_type", "dow").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu_dow")
+    )
+    # the per-row residual takes ONE double rounding (deterministic per
+    # row); the MOMENT sums run in DECIMAL so partition order can't move
+    # the spread, per the engine-wide discipline
+    resid = daily.join(F.broadcast(dow_mean), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.col("mu_dow")).cast("decimal(28,12)").alias("r"),
+    )
+    spread = resid.groupBy("event_type").agg(
+        F.sqrt(
+            F.sum(F.col("r") * F.col("r")).cast("double") / F.count(F.lit(1))
+            - (F.sum("r").cast("double") / F.count(F.lit(1)))
+            * (F.sum("r").cast("double") / F.count(F.lit(1)))
+        ).alias("sigma")
+    )
+    return (
+        resid.join(F.broadcast(spread), "event_type")
+        .filter(F.abs(F.col("r").cast("double") / F.col("sigma")) > 2)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(F.col("r").cast("double") / F.col("sigma"), 6).alias("z"),
+        )
+    )
