@@ -411,6 +411,47 @@ def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_token_counts_by_lang",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens
+    FROM tok GROUP BY lang
+    """,
+)
+def streaming_token_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-ingestion monitoring as a genuine stream: documents arrive
+    per micro-batch, tokenization runs as the same JVM regexp projection
+    the batch queries use, and per-language doc/token totals aggregate in
+    complete mode — the throughput dashboard a streaming curation
+    pipeline watches.  AvailableNow + hash-matching the batch oracle
+    proves stream/batch parity for the text path, exactly as the OHLC
+    twin proves it for the numeric path."""
+    from ..functions import text as _TX
+    from ..streaming.events_stream import (
+        read_documents_stream,
+        run_available_now,
+    )
+
+    _stream_run_counter[0] += 1
+    name = f"token_counts_lang_{_stream_run_counter[0]}"
+    docs = read_documents_stream(spark, sf_dir)
+    agg = (
+        docs.select("lang", _TX.token_count("text").cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    return run_available_now(agg, name)
+
+
+@_register(
     "streaming_ohlc_hourly",
     """
     WITH keyed AS (

@@ -249,3 +249,15 @@ def ohlc_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
             "n_events",
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents parquet (fixed schema; glob keeps
+    sibling tables invisible) — the corpus-ingestion side of the
+    streaming surface: new document files land, the stream picks them
+    up per micro-batch."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
