@@ -3530,3 +3530,64 @@ def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r").cast("double") / F.col("sigma"), 6).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Box-plot report — quartiles, whiskers and outlier counts per nation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "acctbal_boxplot_by_nation",
+    """
+    WITH q AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.50) AS med,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT q.c_nationkey,
+           ANY_VALUE(n_customers) AS n_customers,
+           ROUND(ANY_VALUE(q1), 6) AS q1,
+           ROUND(ANY_VALUE(med), 6) AS median,
+           ROUND(ANY_VALUE(q3), 6) AS q3,
+           CAST(COUNT(*) FILTER (
+               WHERE c.c_acctbal < q1 - 1.5 * (q3 - q1)
+                  OR c.c_acctbal > q3 + 1.5 * (q3 - q1)) AS BIGINT)
+             AS n_outliers
+    FROM q JOIN customer c ON c.c_nationkey = q.c_nationkey
+    GROUP BY q.c_nationkey
+    """,
+)
+def acctbal_boxplot_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot summary per nation: exact interpolated quartiles, the
+    Tukey 1.5-IQR fences, and how many customers fall outside them —
+    the distribution report behind every per-segment box chart.  Two
+    passes over the customer table (quartiles, then fence counts with
+    the 25-row quartile table broadcast back); the exact per-group
+    percentile is a sort-aggregate bounded by the group's rows, the
+    same machinery the median family already uses.  Stored doubles pass
+    through percentile interpolation identically in both engines;
+    fence comparisons use the raw values, rounding only the reported
+    quartiles."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.50)).alias("med"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    fenced = c.join(F.broadcast(q), "c_nationkey")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("c_acctbal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("c_acctbal") > F.col("q3") + 1.5 * iqr
+    )
+    return fenced.groupBy("c_nationkey").agg(
+        F.first("n_customers").alias("n_customers"),
+        F.round(F.first("q1"), 6).alias("q1"),
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.first("q3"), 6).alias("q3"),
+        F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
+    )
