@@ -654,3 +654,15 @@ def test_corpus_report_is_one_expand_one_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("documents.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_poisson_bootstrap_is_expand_plus_one_aggregate(spark):
+    """The bootstrap's claim — 16 replicas from two narrow expressions
+    and ONE aggregate — must hold in the plan: the replica explode is a
+    Generate over the scan (no join, no extra shuffle) and the replica
+    means cost exactly one exchange."""
+    plan = _plan(spark, "poisson_bootstrap_mean_price")
+    assert "Generate" in plan  # explode(sequence(...)) fused over the scan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
