@@ -1958,3 +1958,85 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling — rebalance language shares like multilingual
+# pretraining mixes do (share^(1/T), T>1 upweights tail languages).
+# ---------------------------------------------------------------------------
+
+_MIX_T = 2.0
+
+
+@_register(
+    "temperature_resample_mixture",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_l) AS n FROM counts),
+    ratios AS (
+        SELECT lang, n_l,
+               pow(CAST(n_l AS DOUBLE) / n, 1.0 / {_MIX_T})
+                 / (CAST(n_l AS DOUBLE) / n) AS ratio
+        FROM counts CROSS JOIN tot
+    ),
+    keep AS (
+        SELECT lang, n_l,
+               ROUND(ratio / (SELECT MAX(ratio) FROM ratios), 6) AS p_keep
+        FROM ratios
+    )
+    SELECT d.lang, ANY_VALUE(k.n_l) AS n_docs, ANY_VALUE(k.p_keep) AS p_keep,
+           CAST(COUNT(*) FILTER (
+               WHERE CAST(('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)),
+                           1, 13)) AS BIGINT) / 4503599627370496.0
+                     < k.p_keep) AS BIGINT) AS n_selected
+    FROM documents d JOIN keep k ON d.lang = k.lang
+    GROUP BY d.lang
+    """,
+)
+def temperature_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing: per-language keep
+    probabilities proportional to share^(1/T) / share (T=2 here), the
+    standard multilingual-pretraining trick that upweights tail
+    languages without a hard budget.  Probabilities normalize against
+    the maximum ratio (so the rarest language keeps everything) and are
+    ROUNDED to 6 digits BEFORE the acceptance comparison — pow() may
+    differ in the last ulp across math libraries, and the rounding makes
+    the selection threshold, and therefore every accept/reject decision,
+    bit-identical on any engine.  Acceptance itself is the engine-wide
+    md5-uniform pattern: a pure row function, no rand(), reproducible
+    under any partitioning.  Two dimension-sized aggregates + one
+    broadcast join; the corpus is scanned once."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"))
+    share = F.col("n_l").cast("double") / F.col("n")
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        (F.pow(share, F.lit(1.0 / _MIX_T)) / share).alias("ratio"),
+    )
+    mx = ratios.agg(F.max("ratio").alias("mx"))
+    keep = ratios.crossJoin(F.broadcast(mx)).select(
+        "lang", "n_l", F.round(F.col("ratio") / F.col("mx"), 6).alias("p_keep")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    return (
+        d.join(F.broadcast(keep), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_l").alias("n_docs"),
+            F.first("p_keep").alias("p_keep"),
+            F.sum((u < F.col("p_keep")).cast("int")).cast("long").alias("n_selected"),
+        )
+    )
