@@ -133,6 +133,9 @@ _NESTED_LOOP_ALLOWED = {
     "part_affinity_lift",
     # 1-row recency-anchor (MAX date) broadcast onto the orders scan
     "rfm_segment_counts",
+    # 1-row corpus-total and max-ratio scalar broadcasts into the
+    # per-language keep probabilities
+    "temperature_resample_mixture",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate
