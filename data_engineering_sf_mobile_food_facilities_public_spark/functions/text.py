@@ -20,6 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Portable whitespace class. Java regex (Spark) and RE2 (DuckDB) DISAGREE
+# on the shorthand ``\s``: Java's is ``[ \t\n\x0B\f\r]`` (includes U+000B,
+# vertical tab) while RE2's is ``[\t\n\f\r ]`` (excludes it).  A corpus
+# containing U+000B therefore tokenizes differently in the two engines,
+# which silently breaks every oracle comparison downstream of a token
+# count or a whitespace-normalized fingerprint.  Spelling the class out
+# with explicit escapes is interpreted identically by both engines
+# (proven by tests/test_hostile_whitespace.py), so ``\s`` MUST NOT appear
+# in any oracle-paired expression — use these constants instead.
+WS_REGEX = r"[ \t\n\x0B\f\r]+"
+# The same pattern for embedding inside a *Spark SQL* string literal:
+# Spark's default (non-ANSI) parser unescapes backslashes once, so each
+# backslash must be doubled there (DuckDB's plain '…' literals do NOT
+# unescape, so WS_REGEX embeds into oracle SQL as-is).
+WS_REGEX_SPARK_SQL = WS_REGEX.replace("\\", "\\\\")
+
 # language -> stopword vote list (tiny on purpose; deterministic)
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "ist"),
@@ -30,9 +46,11 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization: split on runs of whitespace after trim."""
+    """Whitespace tokenization: split on runs of whitespace after trim.
+    Uses the explicit :data:`WS_REGEX` class, not ``\\s`` — see the
+    portability note above."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_REGEX)
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
@@ -69,7 +87,12 @@ def quality_score(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(c).cast("double")
     stop_ratio = stopword_hits(c, "en").cast("double") / n_tok
-    punct_ratio = punct_count(c).cast("double") / F.length(c).cast("double")
+    # empty document: punct_ratio is 0 by definition (ANSI mode would
+    # otherwise raise DIVIDE_BY_ZERO; the DuckDB oracle twin guards the
+    # same way with nullif/coalesce)
+    punct_ratio = F.when(
+        F.length(c) > 0, punct_count(c).cast("double") / F.length(c).cast("double")
+    ).otherwise(F.lit(0.0))
     len_bonus = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
     return stop_ratio - F.lit(0.5) * punct_ratio + F.lit(0.1) * len_bonus
 
@@ -90,7 +113,7 @@ def lang_id(col: Column | str) -> Column:
 def normalized_text(col: Column | str) -> Column:
     """Lowercase + collapse whitespace — the canonical form for exact dedup."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), WS_REGEX, " ")
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -930,7 +930,7 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT)
                AS total_chars,
            list_aggregate(list_transform(tokens, t -> length(t)), 'max') AS max_len
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
           FROM documents)
     """,
 )
@@ -2153,7 +2153,7 @@ def keyset_page_after_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH arr AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t = 'vector') AS hits
         FROM documents
     ),

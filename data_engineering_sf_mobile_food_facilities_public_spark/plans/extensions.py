@@ -415,7 +415,7 @@ def image_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
         SELECT doc_id, lang,
-               regexp_split_to_array(trim(text), '\\s+') AS tokens
+               regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
         FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,

@@ -29,7 +29,7 @@ from .relational import _register
 # Shared DuckDB CTEs mirroring functions/text.py + operators/minhash.py.
 _TOKENS_CTE = """
 WITH tok AS (
-    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tokens
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
     FROM documents
 )
 """
@@ -133,8 +133,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(list_filter(tokens,
                     t -> list_contains(['the','a','and','is'], t))) AS DOUBLE)
                / len(tokens)
-             - 0.5 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                           AS DOUBLE) / length(text))
+             - 0.5 * coalesce(
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                        AS DOUBLE) / nullif(length(text), 0), 0.0)
              + 0.1 * (least(CAST(len(tokens) AS DOUBLE), 100.0) / 100.0)
                AS quality_score
     FROM tok
@@ -259,7 +260,7 @@ def _repetition_raw_cols() -> list:
     """The four per-document integer stats as Catalyst array-HOF columns
     over ``text`` — shared by the standalone stats query and the
     composed curation pipeline so both fuse into a single scan."""
-    toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
     bigrams = (
         f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
         f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
@@ -361,7 +362,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprints",
     """
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
     FROM documents
     """,
 )
@@ -374,10 +375,10 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "exact_dedup_documents",
     """
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
     FROM documents
     QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
         ORDER BY doc_id) = 1
     """,
 )
@@ -474,7 +475,7 @@ _SIMHASH_ASSEMBLE_SQL = " + ".join(
 )
 _SIMHASH_ORACLE = f"""
     WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
         FROM documents
     ),
     ex AS (
@@ -639,7 +640,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_data_pipeline",
     """
     WITH tok AS (
-        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
         FROM documents
     ),
     scored AS (
@@ -647,8 +648,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(list_filter(tokens,
                         t -> list_contains(['the','a','and','is'], t))) AS DOUBLE)
                    / len(tokens)
-                 - 0.5 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
-                               AS DOUBLE) / length(text))
+                 - 0.5 * coalesce(
+                       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                            AS DOUBLE) / nullif(length(text), 0), 0.0)
                  + 0.1 * (least(CAST(len(tokens) AS DOUBLE), 100.0) / 100.0) AS q,
                length(list_filter(tokens, t -> list_contains(['der','die','und','ist'], t))) AS h_de,
                length(list_filter(tokens, t -> list_contains(['the','a','and','is'], t))) AS h_en,
@@ -665,14 +667,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ex AS (
         SELECT doc_id, text,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+               md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS f
         FROM kept
         QUALIFY ROW_NUMBER() OVER (
-            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
             ORDER BY doc_id) = 1
     ),
     ktok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens FROM ex
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens FROM ex
     ),
     pos AS (
         SELECT doc_id, tokens,
@@ -714,7 +716,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (na.n_sh + nb.n_sh - cm.n_common) >= 0.5
     )
     SELECT e.doc_id,
-           CAST(len(regexp_split_to_array(trim(e.text), '\\s+')) AS BIGINT)
+           CAST(len(regexp_split_to_array(trim(e.text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                AS n_tokens
     FROM ex e
     WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.doc_id = e.doc_id)
@@ -905,7 +907,7 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition_scores",
     """
     WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
         FROM documents
     ),
     counts AS (
@@ -1392,7 +1394,7 @@ _SH64_ASSEMBLE_SQL = " + ".join(
     f"""
     WITH sigs AS (
         WITH tok AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+            SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
             FROM documents
         ),
         ex AS (
@@ -1870,7 +1872,7 @@ def sequence_packing_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (
         SELECT source,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+               md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS f
         FROM documents
     )
     SELECT source,

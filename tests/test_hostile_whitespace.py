@@ -1,0 +1,155 @@
+"""Cross-engine whitespace-portability parity on a hostile corpus.
+
+Round-7 post-mortem: the driver's corpus contained U+000B (vertical tab),
+on which Java regex ``\\s`` (Spark) and RE2 ``\\s`` (DuckDB) disagree —
+Java's class includes it, RE2's does not — so two oracle-paired queries
+hash-FAILed at the driver while every local replay stayed green.  The fix
+(``functions/text.py:WS_REGEX``) spells the whitespace class explicitly.
+
+These tests make the portability contract TESTED rather than assumed:
+a synthetic ``documents`` table stuffed with hostile whitespace (U+000B,
+NBSP, U+2028/U+2029, leading/trailing tabs, empty and whitespace-only
+documents) is materialized as parquet, and the real registered
+queries + their DuckDB oracles run over it through the same comparator
+the driver uses.  If either engine ever tokenizes, normalizes or
+fingerprints any of these documents differently, these tests fail before
+the driver does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from data_engineering_sf_mobile_food_facilities_public_spark.functions import text as TX
+from tests.conftest import SF_SMOKE
+from tests.parity import TESTDATA_TABLES, compare
+
+from pyspark.sql import functions as F
+
+# Every way whitespace can be hostile: the r7 driver killer (U+000B),
+# Unicode spaces neither engine's \s matches (both engines must AGREE to
+# not split on them), boundary whitespace (leading/trailing empty-token
+# behavior), and degenerate documents.
+HOSTILE_DOCS = [
+    ("vertical tab between words", "alpha\x0bbeta"),
+    ("vertical tab run", "alpha\x0b\x0b\x0bbeta"),
+    ("leading + trailing vertical tab", "\x0balpha beta\x0b"),
+    ("nbsp between words", "alpha\xa0beta"),
+    ("line separator u2028", "alpha beta"),
+    ("paragraph separator u2029", "alpha beta"),
+    ("leading tab", "\talpha beta"),
+    ("trailing tab", "alpha beta\t"),
+    ("leading newline", "\nalpha beta"),
+    ("crlf between words", "alpha\r\nbeta"),
+    ("form feed", "alpha\fbeta"),
+    ("empty document", ""),
+    ("whitespace-only spaces", "   "),
+    ("whitespace-only mixed", " \t\x0b\f\r\n "),
+    ("mixed everything", "\x0b the\tquick brown\xa0fox \x0b jumps \r\n"),
+    ("normal control", "the quick brown fox jumps over the lazy dog"),
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(spark, tmp_path_factory):
+    """A testdata-shaped dir whose ``documents`` table is the hostile
+    corpus; all other tables symlink to the sf0.001 fixtures so every
+    registered query / oracle pair can run against it unchanged."""
+    root = tmp_path_factory.mktemp("hostile_sf")
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    rows = [
+        (i, text, ["en", "de", "es", "fr"][i % 4], f"src{i % 3}", len(text))
+        for i, (_, text) in enumerate(HOSTILE_DOCS)
+    ]
+    (
+        spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(root / "_documents_dir"))
+    )
+    # single plain parquet file, like the driver fixtures
+    part = next((root / "_documents_dir").glob("part-*.parquet"))
+    os.rename(part, root / "documents.parquet")
+    return str(root)
+
+
+def test_spark_duckdb_agree_on_hostile_token_counts(spark):
+    """Regression for the r7 root cause: per-document token counts must be
+    identical in Spark (Java regex) and DuckDB (RE2) for every hostile
+    case — including U+000B, where the two engines' \\s shorthands are
+    PROVEN divergent (Java splits, RE2 does not)."""
+    df = spark.createDataFrame(
+        [(n, t) for n, t in HOSTILE_DOCS], "name: string, text: string"
+    )
+    got = {
+        r["name"]: (r["n_tok"], r["fp"])
+        for r in df.select(
+            "name",
+            TX.token_count("text").alias("n_tok"),
+            TX.fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    ws = TX.WS_REGEX  # DuckDB plain '…' literals do not unescape backslashes
+    for name, text in HOSTILE_DOCS:
+        n_tok, fp = con.execute(
+            f"SELECT len(regexp_split_to_array(trim(?), '{ws}')), "
+            f"md5(regexp_replace(lower(trim(?)), '{ws}', ' ', 'g'))",
+            [text, text],
+        ).fetchone()
+        assert got[name] == (n_tok, fp), (
+            f"{name!r}: spark={got[name]} duckdb={(n_tok, fp)} text={text!r}"
+        )
+    con.close()
+
+
+def test_java_shorthand_ws_would_still_diverge(spark):
+    """Documents WHY WS_REGEX exists: the engines' \\s shorthands really
+    do disagree on U+000B.  If a Spark upgrade ever changes this, the
+    comment in functions/text.py should be revisited — but WS_REGEX stays
+    correct either way."""
+    (n_java,) = spark.createDataFrame([("a\x0bb",)], "text: string").select(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    ).first()
+    con = duckdb.connect()
+    (n_re2,) = con.execute(
+        r"SELECT len(regexp_split_to_array(trim('a' || chr(11) || 'b'), '\s+'))"
+    ).fetchone()
+    con.close()
+    assert n_java == 2 and n_re2 == 1  # the divergence the fix neutralizes
+
+
+# The full oracle-paired text family, replayed on the hostile corpus with
+# the driver's own comparator.  Names are matched by membership in the
+# registry so a rename fails loudly rather than silently skipping.
+_HOSTILE_PANEL = [
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "exact_dedup_documents",
+    "repetition_filter_stats",
+    "corpus_curation_pipeline",
+    "token_budget_mixture",
+    "training_data_pipeline",
+    "minhash_lsh_near_dup",
+    "near_dup_components",
+    "ngram_jaccard_pairs",
+]
+
+
+@pytest.mark.parametrize("name", _HOSTILE_PANEL)
+def test_text_family_parity_on_hostile_corpus(spark, hostile_dir, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert name in queries and name in oracles, f"{name} not registered"
+    problems = compare(queries[name](spark, hostile_dir), oracles[name], hostile_dir)
+    assert not problems, f"{name} on hostile corpus: {problems}"
