@@ -36,15 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The verification driver samples a fixed-size prefix of this dict for
-# its per-round CORRECTNESS panel, so insertion order is curated: first
-# the SURVEY §2 operator checks, then the 12 sf_* reference-parity
-# pipeline queries, then one representative of each beyond-reference
-# family (dedup/LSH, ANN, multimodal codecs, text curation, TPC-H,
-# lakehouse merge, stats, graph).  Every query keeps the same semantics
-# regardless of position; the full registry is always returned
-# and the local parity suite (tests/test_oracle_parity.py) checks all of
-# it at sf0.01 either way.
-_PANEL_FIRST = [
+# its per-round CORRECTNESS panel, so insertion order is curated in two
+# blocks.  _PANEL_CORE is stable: the SURVEY §2 operator checks plus the
+# 12 sf_* reference-parity pipeline queries — the surface a reference
+# user would run, externally re-verified every round.  _PANEL_ROTATING
+# is REFRESHED EACH ROUND: any query that was red in the previous
+# round's CORRECTNESS (kept until proven green externally) plus
+# representatives of the newest query families, so new work always gets
+# independent driver verification rather than only the self-maintained
+# local suite.  Every query keeps the same semantics regardless of
+# position; the full registry is always returned and the local parity
+# suite (tests/test_oracle_parity.py) checks all of it either way.
+_PANEL_CORE = [
     # SURVEY §2 operator checks (reference-derived surface)
     "flagship_top5_customers_by_order_count",
     "projection_filter",
@@ -83,22 +86,35 @@ _PANEL_FIRST = [
     "sf_num_permit_per_business",
     "sf_yelp_info",
     "sf_permit_ml",
-    # beyond-reference family representatives
-    "exact_dedup_documents",
-    "minhash_lsh_near_dup",
-    "near_dup_components",
-    "ann_cosine_topk",
-    "binary_quantize_hamming_topk",
-    "multimodal_byte_features",
-    "image_pixel_decode",
-    "token_budget_mixture",
-    "corpus_curation_pipeline",
-    "training_data_pipeline",
-    "q5_local_supplier_volume",
-    "merge_upsert_orders",
-    "ks_statistic_price_halves",
-    "pagerank_customer_supplier",
 ]
+
+# Round-8 rotation: the two r7 hash-FAIL queries stay until the driver
+# proves them green (root cause: Java-vs-RE2 \s divergence on U+000B,
+# fixed via functions/text.py:WS_REGEX), joined by everything downstream
+# of the changed tokenizer/fingerprint, and by round-7's new families
+# (sequence packing, SimHash64 banding, incremental near-dup, OHLC,
+# TIFF/GIF decode, int8 ANN, Poisson bootstrap, temperature mixture)
+# which until now were only locally verified.  Rotated out (driver-green
+# in r7, still in the local suite): exact-dedup/minhash/components/ANN/
+# multimodal representatives, q5, merge, KS, PageRank.
+_PANEL_ROTATING = [
+    "token_budget_mixture",  # red in r7 — must be proven green externally
+    "corpus_curation_pipeline",  # red in r7 — must be proven green externally
+    "exact_dedup_documents",  # fingerprint normalization changed this round
+    "training_data_pipeline",  # fused consumer of tokenizer + fingerprint
+    "text_quality_scores",  # empty-document punct_ratio guard added this round
+    "tokenizer_fertility_by_lang",
+    "sequence_packing_bins",
+    "simhash64_near_dup_pairs",
+    "incremental_near_dup_new_batch",
+    "temperature_resample_mixture",
+    "int8_quantized_dot_topk",
+    "tiff_header_decode",
+    "gif_frame_sample",
+    "ohlc_hourly_by_type",
+]
+
+_PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

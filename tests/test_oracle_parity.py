@@ -51,3 +51,9 @@ def test_panel_prefix_is_stable_and_complete():
         n for n in names[:50] if n.startswith("sf_")
     ]
     assert len(entrymod._PANEL_FIRST) == 50
+    # the two blocks must stay disjoint, and every rotating member must be
+    # oracle-paired (the rotation exists to get STRONG external checks on
+    # new work, not rows-only ones)
+    assert not set(entrymod._PANEL_CORE) & set(entrymod._PANEL_ROTATING)
+    oracles = entrymod.oracle_sql()
+    assert all(n in oracles for n in entrymod._PANEL_ROTATING)
