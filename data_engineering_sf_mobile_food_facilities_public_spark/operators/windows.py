@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,14 +29,118 @@ def window_count(
     return df.withColumn(out_col, F.count(F.lit(1)).over(w))
 
 
+# cuts memo: (analyzed-plan semantic hash, keys, n_buckets, sample_size)
+# -> cut tuples.  Driver-side Python state only (a few KB), bounded by
+# _CUTS_MEMO_CAP; avoids re-running the sample job when the same plan is
+# rebuilt (bench best-of-N, repeated registry calls).  Safe to reuse even
+# if the underlying data changed: correctness never depends on where the
+# cuts fall, only balance does.
+_CUTS_MEMO: dict[tuple, list[tuple]] = {}
+_CUTS_MEMO_CAP = 128
+
+
+def _range_cuts(
+    sample_from: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int,
+    sample_size: int,
+    seed: int = 7,
+) -> list[tuple]:
+    """Sample ``keys`` tuples and return ≤ ``n_buckets - 1`` strictly
+    increasing cut tuples that split the key space into roughly equal
+    buckets.  ``orderBy(rand).limit(n)`` executes as a per-partition
+    heap (TakeOrdered) — one bounded job, no count pass.  The returned
+    cuts are BROADCAST as plan literals; correctness downstream never
+    depends on where they fall (see :func:`grouped_running_sum`), so
+    sampling noise only affects balance, never results — which is also
+    why memoizing them per analyzed plan is sound."""
+    try:
+        plan_key = (
+            sample_from._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(keys),
+            n_buckets,
+            sample_size,
+        )
+    except Exception:  # pragma: no cover - py4j edge; fall through to sample
+        plan_key = None
+    if plan_key is not None and plan_key in _CUTS_MEMO:
+        return _CUTS_MEMO[plan_key]
+    rows = (
+        sample_from.select(*keys).orderBy(F.rand(seed)).limit(sample_size).collect()
+    )
+    tuples = sorted(tuple(r) for r in rows)
+    cuts: list[tuple] = []
+    if tuples:
+        for i in range(1, n_buckets):
+            c = tuples[min(int(i * len(tuples) / n_buckets), len(tuples) - 1)]
+            if not cuts or c > cuts[-1]:
+                cuts.append(c)
+    if plan_key is not None:
+        if len(_CUTS_MEMO) >= _CUTS_MEMO_CAP:
+            _CUTS_MEMO.pop(next(iter(_CUTS_MEMO)))
+        _CUTS_MEMO[plan_key] = cuts
+    return cuts
+
+
+def _cut_le_key(keys: Sequence[str], cut: tuple, dtypes: dict):
+    """``cut <= (row key tuple)`` lexicographically, as codegen-friendly
+    primitive comparisons (no struct ordering, no higher-order
+    functions): c <= k  ⇔  c1 < k1 ∨ (c1 = k1 ∧ (c2 < k2 ∨ …))."""
+    expr = None
+    for i in range(len(keys) - 1, -1, -1):
+        lit = F.lit(cut[i]).cast(dtypes[keys[i]])
+        col = F.col(keys[i])
+        if expr is None:
+            expr = lit <= col
+        else:
+            expr = (lit < col) | ((lit == col) & expr)
+    return expr
+
+
+def _bucket_expr(df: DataFrame, keys: Sequence[str], cuts: list[tuple]):
+    """``__bucket`` = number of cut tuples ≤ the row's key tuple — a PURE
+    function of the row's own columns compared against broadcast plan
+    literals, so every consumer of the plan derives the identical bucket
+    for a row no matter how the input is physically partitioned.
+    Monotone in the key order by construction: a row with a smaller key
+    can never land in a later bucket, which is the one property the
+    prefix-sum decomposition needs.
+
+    Compiled as a BINARY-SEARCH tree of nested CASE WHENs over plain
+    column comparisons: O(log #cuts) comparisons per row, all inside
+    whole-stage codegen (a higher-order ``filter`` over an array of
+    structs measures ~5x slower — interpreted lambda per element).
+    Keys are assumed non-null (null comparisons would route rows to
+    bucket 0 — deterministic but skewed)."""
+    if not cuts:
+        return F.lit(0)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def search(lo: int, hi: int):
+        # bucket value in [lo, hi]; cuts[i] separates bucket i from i+1
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            _cut_le_key(keys, cuts[mid], dtypes), search(mid + 1, hi)
+        ).otherwise(search(lo, mid))
+
+    return search(0, len(cuts))
+
+
+def _n_buckets(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def grouped_running_sum(
     df: DataFrame,
     group: str,
     order_by: Sequence[str],
     value: str | Sequence[str],
     out_col: str | Sequence[str] = "running_sum",
-    persist_input: bool = False,
-    handles: list[DataFrame] | None = None,
+    cut_source: DataFrame | None = None,
+    n_buckets: int | None = None,
+    sample_size: int | None = None,
 ) -> DataFrame:
     """Per-``group`` cumulative sum of ``value`` in ``order_by`` order,
     WITHOUT the single-task-per-group window.  ``value``/``out_col``
@@ -50,79 +154,75 @@ def grouped_running_sum(
     single reducer.  This is the two-pass decomposition instead (same
     shape as :func:`surrogate_key`):
 
-    1. Range-partition the data on ``(group, *order_by)`` so every
-       partition holds a contiguous slice of the global order and no
-       partition exceeds the planner's target size — a giant group just
-       spans MANY partitions.
-    2. Local per-``(partition, group)`` running sums, plus a tiny
-       per-``(partition, group)`` total aggregate (#partitions × #groups
-       rows) whose per-group prefix sums over partition id give each
+    1. Sample ``(group, *order_by)`` once (bounded TakeOrdered job),
+       derive ≤ ``n_buckets - 1`` range cut points, and broadcast them
+       as plan literals.  Each row's ``__bucket`` is then a PURE
+       FUNCTION of its own key columns — a giant group just spans many
+       buckets.
+    2. Local per-``(bucket, group)`` running sums, plus a tiny
+       per-``(bucket, group)`` total aggregate (#buckets × #groups
+       rows) whose per-group prefix sums over bucket id give each
        slice's starting offset; broadcast-join the offsets back.
 
     Result is identical to the single-window formulation for any total
-    ``(group, *order_by)`` order; the per-task work is bounded by the
-    range-partition size regardless of group skew.
+    ``(group, *order_by)`` order AND for ANY cut set: bucket ids are
+    monotone in the key order by construction, so the offsets
+    prefix-sum is exact no matter where the cuts fall — determinism by
+    algebra, not by pinned physical state.  (The previous formulation
+    derived bucket ids from ``spark_partition_id()`` over a range
+    exchange and had to persist + eagerly materialize the shuffled
+    frame, because under AQE the two consumers re-executed the exchange
+    and RESAMPLED its boundaries — the sf0.1 parity sweep caught the
+    resulting id corruption in :func:`surrogate_key`.  Deriving the
+    bucket from the data itself removes the hazard and the cache.)
 
-    pid consistency is STRUCTURAL: the shuffled/pid-stamped frame is
-    ALWAYS persisted and eagerly materialized, so the local-sum branch
-    and the offsets branch read the one cached copy with one fixed
-    partitioning.  (Relying on ReuseExchange instead is unsound — under
-    AQE the two consumers can execute the range exchange separately,
-    and each execution resamples the boundaries; see
-    :func:`surrogate_key`, where the sf0.1 parity sweep caught the
-    resulting id corruption before the pin existed.)
+    The input is evaluated once for the sample and once per consumer
+    branch (offsets + main) — Catalyst prunes each branch to the
+    columns it needs.  When the projection above the scan is expensive
+    (HOF stats, tokenization), pass ``cut_source`` — any cheap frame
+    with the same key columns (e.g. the un-filtered scan): cuts only
+    affect balance, so an approximate key distribution is fine and the
+    sample pass then skips the expensive projection entirely.
 
-    ``persist_input=True`` additionally caches ``df`` itself while the
-    range partitioner SAMPLES it, so an expensive upstream (HOF stats,
-    tokenization) is not evaluated once for the sample and again for
-    the shuffle — measured 3.1s -> 2.0s on the curation pipeline at
-    sf0.1; the input cache is released as soon as the pid frame is
-    materialized.  Leave off when the input is a cheap scan.  The
-    materialized pid cache belongs to the returned plan; pass
-    ``handles=[]`` to receive it for ``unpersist()`` after your final
-    action.
+    The per-task work is bounded by the bucket size regardless of group
+    skew; no persist, no eager job beyond the one bounded sample.
     """
     values = [value] if isinstance(value, str) else list(value)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(values) != len(out_cols):
         raise ValueError("value and out_col must have the same length")
     keys = [group, *order_by]
-    src = df.persist() if persist_input else df
-    ordered = src.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    # pid consistency is STRUCTURAL: the pid-stamped frame is ALWAYS
-    # persisted and eagerly materialized, so the local-sum branch and
-    # the offsets branch read the same physical partitioning.  Relying
-    # on Catalyst's ReuseExchange instead is unsound: when AQE plans the
-    # two consumers as separate query stages, each execution RESAMPLES
-    # the range boundaries (sampler seeded per RDD instance) and the
-    # offsets join mismatches — the sf0.1 parity sweep caught the
-    # surrogate_key twin of exactly this failure.  persist_input now
-    # only controls whether the UPSTREAM frame is additionally cached
-    # while the range partitioner samples it (worth it when the
-    # projection above the scan is expensive: HOF stats, tokenize).
-    with_pid = _pin_pid_frame(
-        ordered.withColumn("__pid", F.spark_partition_id())
+    nb = n_buckets if n_buckets is not None else _n_buckets(df)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
+    # Explicit hash repartition on (__bucket, group) BEFORE the branch
+    # point: both consumers (local window + offsets aggregate) then
+    # require exactly this distribution, so Catalyst's ReuseExchange
+    # runs the expensive upstream (scan, HOF stats, tokenize) ONCE and
+    # feeds both branches from the one shuffle.  Reusing a HASH exchange
+    # is sound — row routing is a pure function of the row, unlike the
+    # range exchange whose boundary RESAMPLING under AQE caused the r7
+    # id-corruption bug; and even if reuse does not fire, each branch
+    # recomputes the identical deterministic result.
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts)).repartition(
+        "__bucket", group
     )
-    if persist_input:
-        src.unpersist()
-    if handles is not None:
-        handles.append(with_pid)
 
     local_w = (
-        Window.partitionBy("__pid", group)
+        Window.partitionBy("__bucket", group)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets_w = (
         Window.partitionBy(group)
-        .orderBy("__pid")
+        .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        with_pid.groupBy("__pid", group)
+        bucketed.groupBy("__bucket", group)
         .agg(*[F.sum(v).alias(f"__part_sum_{i}") for i, v in enumerate(values)])
         .select(
-            "__pid",
+            "__bucket",
             group,
             *[
                 F.coalesce(
@@ -132,90 +232,77 @@ def grouped_running_sum(
             ],
         )
     )
-    out = with_pid.select(
+    out = bucketed.select(
         "*",
         *[
             F.sum(v).over(local_w).alias(f"__local_{i}")
             for i, v in enumerate(values)
         ],
-    ).join(F.broadcast(offsets), ["__pid", group])
+    ).join(F.broadcast(offsets), ["__bucket", group])
     for i, oc in enumerate(out_cols):
         out = out.withColumn(oc, F.col(f"__local_{i}") + F.col(f"__offset_{i}"))
     return out.drop(
-        "__pid",
+        "__bucket",
         *[f"__local_{i}" for i in range(len(values))],
         *[f"__offset_{i}" for i in range(len(values))],
     )
 
 
-def _pin_pid_frame(with_pid: DataFrame) -> DataFrame:
-    """Persist + eagerly materialize a ``spark_partition_id``-stamped
-    frame so every consumer reads ONE fixed physical partitioning (see
-    the pid-consistency notes on the two callers).
-
-    Spark's CacheManager keys cache entries by the canonicalized plan,
-    so re-building the same query re-USES the existing entry rather
-    than stacking a new one — the set of live caches is bounded by the
-    number of DISTINCT (query, input) plans in the session, not by call
-    count.  We still skip the redundant ``count()`` job when the plan
-    is already cached (repeat builder calls, bench best-of-N)."""
-    if with_pid.storageLevel.useMemory or with_pid.storageLevel.useDisk:
-        return with_pid  # canonicalized plan already cached this session
-    with_pid = with_pid.persist()
-    with_pid.count()  # pin partition ids; all consumers read this copy
-    return with_pid
-
-
 def surrogate_key(
     df: DataFrame,
-    order_by: Sequence[str | Column],
+    order_by: Sequence[str],
     out_col: str = "surrogate_id",
-    handles: list[DataFrame] | None = None,
+    cut_source: DataFrame | None = None,
+    n_buckets: int | None = None,
+    sample_size: int | None = None,
 ) -> DataFrame:
     """Contiguous 0..n-1 id in ``order_by`` order (F4).
 
-    A global ``row_number`` needs a total order, which Spark executes as a
-    single-partition window — correct, but a scale bottleneck.  We instead
-    compute per-partition counts and offset each partition's local
-    row_number by the running total of earlier partitions: two jobs, no
-    single-task sort, same contiguous result.  The ``order_by`` columns
-    must define a total order (tie-broken) for determinism.
+    A global ``row_number`` needs a total order, which Spark executes as
+    a single-partition window — correct, but a scale bottleneck.  We
+    instead derive a data-driven ``__bucket`` for every row (sampled
+    range cut points broadcast as plan literals — a pure function of the
+    row's own ``order_by`` columns, see :func:`_bucket_expr`), compute
+    per-bucket counts, and offset each bucket's local row_number by the
+    running total of earlier buckets: no single-task sort, same
+    contiguous result.  The ``order_by`` columns must define a total
+    order (tie-broken) for determinism.
 
-    pid consistency is STRUCTURAL, not assumed: the pid-stamped frame is
-    persisted and eagerly materialized, so the offsets branch and the
-    local-rank branch read the SAME physical partitioning.  Without
-    this, the two consumers rely on Catalyst reusing one range exchange
-    — and when AQE plans them as separate query stages, each execution
-    RESAMPLES the range boundaries (the sampler is seeded per RDD
-    instance), the two branches see different partition sizes, and the
-    ids silently corrupt.  Not theoretical: the sf0.1 parity sweep
-    caught exactly this (a +1-shifted id block and a max id of n instead
-    of n-1) before this pin existed.  The boundaries themselves may
-    differ run to run — harmless: ids follow the total ``order_by``
-    order regardless of where the range splits fall.
-
-    The persisted pid frame belongs to the RETURNED plan; pass
-    ``handles=[]`` to receive it for ``unpersist()`` after your final
-    action (session teardown reclaims it otherwise).
+    Because the bucket is derived from the data rather than from
+    ``spark_partition_id()`` over a range exchange, every consumer of
+    the plan sees the identical bucket for a row regardless of physical
+    partitioning — the AQE boundary-resampling hazard that the previous
+    formulation had to neutralize with a persist + eager count (the
+    sf0.1 parity sweep caught a +1-shifted id block and a max id of n
+    instead of n-1 before that pin existed) cannot occur by
+    construction, and no cache is held.  Correctness holds for ANY cut
+    set; sampling noise only affects balance.  The offsets prefix runs
+    as an unpartitioned window over the #buckets-row count frame —
+    dim-sized by construction.
     """
-    ordered = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
-    with_pid = _pin_pid_frame(ordered.withColumn("__pid", F.spark_partition_id()))
-    if handles is not None:
-        handles.append(with_pid)
+    order_by = list(order_by)
+    nb = n_buckets if n_buckets is not None else _n_buckets(df)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    cuts = _range_cuts(cut_source if cut_source is not None else df, order_by, nb, ss)
+    # hash repartition on __bucket before the branch point so the local
+    # row_number window and the per-bucket counts share ONE exchange
+    # (ReuseExchange) — see grouped_running_sum for why reusing a hash
+    # exchange is sound where reusing a range exchange was not
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, order_by, cuts)).repartition(
+        "__bucket"
+    )
 
-    # Local row number within each (already range-partitioned) partition,
-    # then add the cumulative size of all earlier partitions.
-    part_w = Window.partitionBy("__pid").orderBy(*order_by)
-    offsets_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    part_w = Window.partitionBy("__bucket").orderBy(*order_by)
+    offsets_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        with_pid.groupBy("__pid")
+        bucketed.groupBy("__bucket")
         .count()
         .withColumn("__offset", F.coalesce(F.sum("count").over(offsets_w), F.lit(0)))
-        .select("__pid", "__offset")
+        .select("__bucket", "__offset")
     )
     return (
-        with_pid.withColumn("__local", F.row_number().over(part_w) - F.lit(1))
-        .join(F.broadcast(offsets), "__pid")
+        bucketed.withColumn("__local", F.row_number().over(part_w) - F.lit(1))
+        .join(F.broadcast(offsets), "__bucket")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local", "__offset")
+        .drop("__bucket", "__local", "__offset")
     )

@@ -344,6 +344,15 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))).alias("h"),
     )
     budget = F.when(F.col("lang") == "en", F.lit(6000)).otherwise(F.lit(2000))
+    # cut_source: the UNFILTERED cheap key projection — the repetition
+    # filter would force the HOF stats to evaluate in the cut-sample
+    # pass, but cuts only affect bucket balance, so sampling the raw
+    # corpus's key distribution is both correct and scan-cheap.
+    cut_src = d.select(
+        "lang",
+        F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))).alias("h"),
+        "doc_id",
+    )
     return (
         grouped_running_sum(
             sized,
@@ -351,7 +360,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["h", "doc_id"],
             "n_tokens",
             out_col="cum_tokens",
-            persist_input=True,  # tokenize/HOF upstream: sampled + shuffled
+            cut_source=cut_src,
         )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
@@ -833,7 +842,8 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["h", "doc_id"],
             "n_tokens",
             out_col="cum_tokens",
-            persist_input=True,  # tokenize/HOF upstream: sampled + shuffled
+            # no cut_source needed: the cut sample projects only
+            # (lang, h, doc_id) and Catalyst prunes the tokenize column
         )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")

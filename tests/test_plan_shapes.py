@@ -508,15 +508,15 @@ def test_mixture_cumsum_has_no_per_group_sequential_window(spark, name):
     ``Window.partitionBy(lang)`` over the corpus — that funnels each
     language through ONE task, a sequential bottleneck at 100 TB.  The
     full-data window (ordered by h, doc_id) must be partitioned by
-    (__pid, lang); the only lang-partitioned window allowed is the tiny
-    per-range offsets aggregate (ordered by __pid)."""
+    (__bucket, lang); the only lang-partitioned window allowed is the
+    tiny per-bucket offsets aggregate (ordered by __bucket)."""
     import re
 
     plan = _plan(spark, name)
     # corpus-sized window partitioned by lang alone = the bottleneck
     assert not re.search(r"\], \[lang#\d+\], \[h#", plan), name
-    # the scalable local window: partitioned by (__pid, lang)
-    assert re.search(r"\], \[__pid#\d+, lang#\d+\], \[h#", plan), name
+    # the scalable local window: partitioned by (__bucket, lang)
+    assert re.search(r"\], \[__bucket#\d+, lang#\d+\], \[h#", plan), name
     assert "EvalPython" not in plan
 
 
@@ -524,33 +524,32 @@ def test_ks_statistic_has_no_global_order_window(spark):
     """The KS statistic's two CDF counters must run as the constant-key
     two-pass range-partition cumsum, never as a ``Window.orderBy(x)``
     over the distinct-value set (a single sequential task at scale).
-    The only windows allowed are the per-``(__pid, …)`` local running
-    sum and the #partitions-row offsets aggregate ordered by __pid."""
+    The only windows allowed are the per-``(__bucket, …)`` local running
+    sum and the #buckets-row offsets aggregate ordered by __bucket."""
     import re
 
     plan = _plan(spark, "ks_statistic_price_halves")
     # a window whose spec LEADS with the value order = global cum window
     assert not re.search(r"windowspecdefinition\(x#\d+ ASC", plan)
-    # the scalable local window: partitioned by __pid, ordered by x
-    assert re.search(r"windowspecdefinition\(__pid#\d+,.*x#\d+ ASC", plan)
+    # the scalable local window: partitioned by __bucket, ordered by x
+    assert re.search(r"windowspecdefinition\(__bucket#\d+,.*x#\d+ ASC", plan)
     assert "EvalPython" not in plan
 
 
-def test_curation_pipeline_fuses_filter_and_caches_stats(spark):
+def test_curation_pipeline_fuses_filter_and_holds_no_cache(spark):
     """The composed repetition-filter -> token-budget pipeline must fuse
     the filter into the mixture's scan (per-row HOF stats, no join
-    between the stages), and the expensive HOF/tokenize projection must
-    feed the two-pass cumsum through a CACHE (persist_input): the range
-    partitioner samples its input and the offsets branch reads it again,
-    so without the InMemoryTableScan the stats would be computed three
-    times per run."""
+    between the stages), and — since the cumsum decomposition derives
+    bucket ids from the data itself (broadcast cut points) — the plan
+    must hold NO cache: determinism is by algebra, not pinned physical
+    state, and at 100 TB caching the corpus is the non-scalable path."""
     from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
 
     df = relational.QUERIES["corpus_curation_pipeline"](spark, SF_SMOKE)
-    df.collect()  # materialize: AQE finalizes, cache fills
+    df.collect()  # materialize: AQE finalizes
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "InMemoryTableScan" in plan
+    assert "InMemoryTableScan" not in plan
     assert "EvalPython" not in plan
 
 
@@ -614,16 +613,15 @@ def test_q2_correlated_min_decorrelates_to_joins(spark):
 
 def test_sequence_packing_has_no_global_order_window(spark):
     """The packer's global token running sum must be the constant-key
-    two-pass range-partition cumsum, never a partition-less
-    ``Window.orderBy`` (one sequential task over the whole corpus).
-    Same contract as the KS statistic: the only windows allowed are the
-    per-(__pid, …) local running sum and the tiny per-range offsets
-    aggregate."""
+    two-pass bucketed cumsum, never a partition-less ``Window.orderBy``
+    (one sequential task over the whole corpus).  Same contract as the
+    KS statistic: the only windows allowed are the per-(__bucket, …)
+    local running sum and the tiny per-bucket offsets aggregate."""
     import re
 
     plan = _plan(spark, "sequence_packing_bins")
     assert not re.search(r"windowspecdefinition\(h#\d+ ASC", plan)
-    assert re.search(r"windowspecdefinition\(__pid#\d+,", plan)
+    assert re.search(r"windowspecdefinition\(__bucket#\d+,", plan)
     assert "EvalPython" not in plan
 
 
