@@ -93,6 +93,11 @@ def logreg_embedding_pipeline(
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.functions import array_to_vector
 
+    # validate the embedding width up front: a ragged or mis-declared
+    # vector column would otherwise surface as an opaque L-BFGS shape
+    # error mid-train (fail-fast beats fail-deep on a 100 TB input)
+    df = df.filter(F.size(F.col(vec_col)) == dim)
+
     feat = df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
         F.col(label_col).cast("double").alias("label"),

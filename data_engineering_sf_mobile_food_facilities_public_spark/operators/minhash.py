@@ -24,7 +24,7 @@ so 64-bit signed arithmetic never overflows in either engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -122,6 +122,40 @@ def lsh_bands(sig: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NU
     return sig.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def probe_candidates(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    batch_id: str = "id_b",
+    corpus_id: str = "id_a",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental LSH probe: distinct (corpus doc, batch doc) candidate
+    pairs sharing at least one band bucket — the ingestion-time flow
+    where a small batch probes a standing corpus band index and the
+    join cost scales with the BATCH, not the corpus.
+
+    ``max_bucket_size`` applies the same hot-bucket cap as
+    :func:`candidate_pairs`, to the CORPUS side of the index: a
+    degenerate band hash (boilerplate corpus) would otherwise pair
+    every batch doc with every member of the hot bucket — the quadratic
+    blow-up the cap exists to prevent — and, worse, make the
+    incremental path diverge from a capped full-dedup run.  Capping the
+    corpus index with the identical window-count rule keeps the two
+    paths consistent: a bucket dropped from the full self-join is also
+    invisible to probes.  Default None preserves exact uncapped
+    semantics (the oracle-paired path)."""
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        corpus_bands = (
+            corpus_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = corpus_bands.select(F.col(corpus_id).alias("id_a"), "band_idx", "band_hash")
+    b = batch_bands.select(F.col(batch_id).alias("id_b"), "band_idx", "band_hash")
+    return b.join(a, ["band_idx", "band_hash"]).select("id_a", "id_b").distinct()
 
 
 def oversized_buckets(

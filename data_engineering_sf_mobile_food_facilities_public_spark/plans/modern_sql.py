@@ -1309,12 +1309,14 @@ def pivot_multi_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def broadcast_dict_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sc.broadcast of a driver-built lookup dict consumed inside an
-    Arrow pandas_udf — how model weights / vocab / label maps ship to
-    executors (one copy per executor, not per task).  The oracle proves
-    the lookup equals the equivalent dimension join; for RELATIONAL
-    lookups prefer the join (Catalyst can't see through a UDF) — the
-    broadcast pattern is for objects joins can't express."""
+    """For RELATIONAL lookups, PREFER THE DIMENSION JOIN — Catalyst
+    can't see through a UDF, and the collect() below is only sound
+    because `nation x region` is dim-sized (25 rows).  This entry
+    demonstrates the one case the join can't express: sc.broadcast of a
+    driver-built Python object (model weights, vocab, label maps)
+    consumed inside an Arrow pandas_udf — one copy per executor, not
+    per task.  The oracle proves the lookup equals the equivalent
+    dimension join."""
     from pyspark.sql.functions import pandas_udf
 
     n = load(spark, sf_dir, "nation")

@@ -21,6 +21,7 @@ from ..operators.minhash import (
     jaccard,
     lsh_bands,
     minhash_signatures,
+    probe_candidates,
     shared_shingle_pairs,
     shingles,
 )
@@ -1691,11 +1692,11 @@ def incremental_near_dup_new_batch(spark: SparkSession, sf_dir: str) -> DataFram
     batch_b = bands.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_b"), "band_idx", "band_hash"
     )
-    cands = (
-        batch_b.join(corpus_b, ["band_idx", "band_hash"])
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # probe_candidates carries the same hot-bucket cap as the full
+    # self-join path (None here = exact, the oracle-paired contract;
+    # production ingestion passes max_bucket_size to stay consistent
+    # with a capped full-dedup run)
+    cands = probe_candidates(batch_b, corpus_b, max_bucket_size=None)
     scored = jaccard(cands, sh)
     return (
         scored.filter(F.col("jaccard") >= 0.5)

@@ -504,6 +504,36 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert candidate_pairs(bands, max_bucket_size=500).count() == uncapped
 
 
+def test_incremental_probe_applies_same_hot_bucket_cap(spark):
+    """The batch-vs-corpus probe must honor the SAME hot-bucket cap as
+    the full self-join path: a degenerate corpus bucket would otherwise
+    pair every batch doc with the whole bucket (re-creating the
+    quadratic blow-up) AND make incremental results diverge from a
+    capped full-dedup run.  With the cap, only the small corpus buckets
+    are probe-able; uncapped stays exact."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        probe_candidates,
+    )
+
+    # corpus: 200 docs share band 0's "HOT" bucket; docs 2, 4 sit in a
+    # small band-1 bucket.  batch: docs 1001, 1003 probe both buckets.
+    corpus = [(i, 0, "HOT") for i in range(200)] + [(2, 1, "s1"), (4, 1, "s1")]
+    batch = [(1001, 0, "HOT"), (1001, 1, "s1"), (1003, 0, "HOT")]
+    cb = spark.createDataFrame(corpus, "id_a long, band_idx int, band_hash string")
+    bb = spark.createDataFrame(batch, "id_b long, band_idx int, band_hash string")
+
+    uncapped = probe_candidates(bb, cb)
+    # every batch doc pairs with the whole hot bucket (the s1 pairs are
+    # subsumed: corpus docs 2 and 4 are hot-bucket members too)
+    assert uncapped.count() == 200 * 2
+
+    capped = {(r.id_a, r.id_b) for r in probe_candidates(bb, cb, max_bucket_size=10).collect()}
+    assert capped == {(2, 1001), (4, 1001)}  # only the small bucket probes
+
+    # a cap larger than every bucket is the identity
+    assert probe_candidates(bb, cb, max_bucket_size=500).count() == uncapped.count()
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     w=st.integers(1, 65535),
