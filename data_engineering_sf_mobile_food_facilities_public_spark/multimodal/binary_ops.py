@@ -1333,17 +1333,19 @@ def resize_indexed_nearest(
 
 
 def _png_unfilter(
-    raw: bytes, pos: int, w: int, h: int, ch: int, sb: int = 1
+    raw: bytes, pos: int, w: int, h: int, ch: int, depth: int = 8
 ) -> tuple[bytearray, int]:
     """Undo the five PNG scanline filters over one (sub-)image of
-    ``h`` rows x ``w`` pixels x ``ch`` channels of ``sb``-byte samples
+    ``h`` rows x ``w`` pixels x ``ch`` channels of ``depth``-bit samples
     starting at byte ``pos`` of the inflated stream; returns
-    (pixels, next_pos).  The filters always operate on BYTES with the
-    "left" neighbor ``bpp = ch*sb`` bytes back (the spec's rule for
-    16-bit depths).  Shared by the sequential and Adam7 paths — each
-    interlace pass filters its own reduced image independently."""
-    bpp = ch * sb
-    stride = w * bpp
+    (packed scanline bytes, next_pos).  The filters always operate on
+    BYTES: the "left" neighbor is ``bpp = max(1, ch*depth//8)`` bytes
+    back — 2-byte samples at depth 16, and a single byte holding several
+    packed samples at depths 1/2/4 (the spec's sub-byte rule).  Shared
+    by the sequential and Adam7 paths — each interlace pass filters its
+    own reduced image independently."""
+    bpp = max(1, ch * depth // 8)
+    stride = (w * ch * depth + 7) // 8
     if len(raw) - pos < h * (1 + stride):
         raise ValueError("png: pixel data truncated")
     out = bytearray(h * stride)
@@ -1378,21 +1380,40 @@ def _png_unfilter(
     return out, pos
 
 
+def _unpack_subbyte(rows: bytes, w: int, h: int, depth: int) -> bytearray:
+    """Unpack MSB-first packed 1/2/4-bit samples (single channel — the
+    only sub-byte layouts PNG allows) to one byte per sample, dropping
+    each scanline's unused trailing padding bits."""
+    stride = (w * depth + 7) // 8
+    out = bytearray(w * h)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for y in range(h):
+        base = y * stride
+        for x in range(w):
+            shift = 8 - depth * (x % per + 1)
+            out[y * w + x] = (rows[base + x // per] >> shift) & mask
+    return out
+
+
 def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, top-down RGB bytes) from any 8- or 16-bit PNG:
-    grayscale (0), RGB (2), palette (3, 8-bit only per spec), gray+alpha
-    (4), RGBA (6), sequential or Adam7-interlaced.
+    """(width, height, top-down RGB bytes) from any PNG the spec allows:
+    grayscale (0, depths 1/2/4/8/16), RGB (2, 8/16), palette
+    (3, 1/2/4/8), gray+alpha (4, 8/16), RGBA (6, 8/16), sequential or
+    Adam7-interlaced.
 
     REAL pixel decoding with zero non-stdlib dependencies: PNG's
     compression is DEFLATE, which stdlib ``zlib`` inflates, and the
     per-scanline prediction filters (None/Sub/Up/Average/Paeth) are a
     public five-case algorithm over the previous byte/row (operating on
-    bytes with a 2-byte-per-sample "left" offset at depth 16).  Alpha is
-    dropped and palette indices resolved AFTER unfiltering (the filters
-    operate on the raw channel stride); Adam7 passes unfilter as the
-    independent reduced images the spec defines, then reassemble onto
-    the sample grids.  16-bit samples reduce to their high byte (the
-    spec's sample-depth rescaling to 8 bits) after unfiltering.
+    bytes with a 2-byte-per-sample "left" offset at depth 16 and a
+    packed-byte offset at depths 1/2/4).  Alpha is dropped and palette
+    indices resolved AFTER unfiltering (the filters operate on the raw
+    channel stride); Adam7 passes unfilter as the independent reduced
+    images the spec defines, then reassemble onto the sample grids.
+    16-bit samples reduce to their high byte and 1/2/4-bit grays rescale
+    by bit replication (x255 / x85 / x17) — both the spec's sample-depth
+    rescaling rules.
     """
     import struct
     import zlib
@@ -1424,9 +1445,14 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("png: no IHDR chunk")
     if w <= 0 or h <= 0:
         raise ValueError("png: non-positive dimensions")
-    if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or ctype not in (0, 2, 3, 4, 6)
+        or interlace not in (0, 1)
+        or (depth in (1, 2, 4) and ctype not in (0, 3))
+    ):
         raise ValueError(
-            "png: only 8/16-bit images decodable "
+            "png: depth/color-type combination outside the spec "
             f"(depth={depth}, color_type={ctype}, interlace={interlace})"
         )
     if ctype == 3 and depth == 16:
@@ -1434,17 +1460,21 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
     if ctype == 3 and (not plte or len(plte) % 3):
         raise ValueError("png: palette image without a valid PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    sb = depth // 8  # bytes per sample
+    sb = depth // 8  # bytes per sample (0 for packed sub-byte depths)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"png: bad IDAT stream ({e})") from e
     if interlace == 0:
-        out, pos = _png_unfilter(raw, 0, w, h, ch, sb)
+        out, pos = _png_unfilter(raw, 0, w, h, ch, depth)
+        if depth < 8:
+            out = _unpack_subbyte(out, w, h, depth)
     else:
         # Adam7: seven independently-filtered sub-images, reassembled
         # onto the (x0, y0, dx, dy) sample grids the spec defines
-        bpp = ch * sb
+        # (sub-byte depths unpack to one byte per sample first — each
+        # reduced image has its own scanline padding)
+        bpp = ch * sb if depth >= 8 else 1
         out = bytearray(h * w * bpp)
         pos = 0
         for x0, y0, dx, dy in (
@@ -1455,7 +1485,9 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, pos = _png_unfilter(raw, pos, pw, ph, ch, sb)
+            sub, pos = _png_unfilter(raw, pos, pw, ph, ch, depth)
+            if depth < 8:
+                sub = _unpack_subbyte(sub, pw, ph, depth)
             for sy in range(ph):
                 y = y0 + sy * dy
                 for sx in range(pw):
@@ -1468,13 +1500,14 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
         out = out[0::2]
     if ctype == 2:
         return w, h, bytes(out)
+    scale = 255 // ((1 << depth) - 1) if depth < 8 else 1  # bit replication
     rgb = bytearray(w * h * 3)
     if ctype == 6:  # RGBA: drop alpha
         for px in range(w * h):
             rgb[3 * px : 3 * px + 3] = out[4 * px : 4 * px + 3]
-    elif ctype == 0:  # grayscale: replicate
+    elif ctype == 0:  # grayscale: replicate (sub-byte grays rescale)
         for px in range(w * h):
-            rgb[3 * px] = rgb[3 * px + 1] = rgb[3 * px + 2] = out[px]
+            rgb[3 * px] = rgb[3 * px + 1] = rgb[3 * px + 2] = out[px] * scale
     elif ctype == 4:  # gray+alpha: replicate gray, drop alpha
         for px in range(w * h):
             rgb[3 * px] = rgb[3 * px + 1] = rgb[3 * px + 2] = out[2 * px]
@@ -1622,10 +1655,11 @@ def resize_image(data: bytes, w: int, h: int, deterministic_fake: bool = False) 
             pass  # truncated/arithmetic-coded JPEG: stub path
     if not deterministic_fake:
         raise NotImplementedError(
-            "pixel resize supports BMP (24-bit BI_RGB), P6 PPM, 8/16-bit "
-            "PNG, GIF, and baseline + progressive JPEG; this blob is a "
-            "format/variant outside that set — pass "
-            "deterministic_fake=True for the plumbing-test resizer"
+            "pixel resize supports BMP (24-bit BI_RGB), P6 PPM, PNG (all "
+            "spec-legal depths incl. 1/2/4-bit), GIF, and baseline + "
+            "progressive JPEG; this blob is a format/variant outside "
+            "that set — pass deterministic_fake=True for the "
+            "plumbing-test resizer"
         )
     n = max(1, (w * h) // 64)
     reps = (n // max(1, len(data))) + 1

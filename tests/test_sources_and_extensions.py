@@ -953,8 +953,9 @@ def test_png_unfilter_all_five_filter_types():
 
 def test_png_real_resize_and_unsupported_variants():
     """PNG joins BMP/PPM as a fully real pixel codec: real nearest-
-    neighbor resize re-encoded as PNG; palette/16-bit/interlaced PNGs
-    refuse loudly instead of decoding wrong."""
+    neighbor resize re-encoded as PNG; every spec-legal depth/color-type
+    decodes (8/16-bit all types, 1/2/4-bit gray+palette) while
+    spec-INVALID combinations refuse loudly instead of decoding wrong."""
     import struct
     import zlib
 
@@ -1024,15 +1025,28 @@ def test_png_real_resize_and_unsupported_variants():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png_pixels(deep) == (2, 2, bytes(12))
-    # sub-8-bit depths stay loud
+    # sub-8-bit depths decode for real now (4-bit gray, x17 rescale):
+    # rows are packed two samples per byte, 0x0F -> (0, 255) after rescale
     shallow = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(bytes(4)))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x0f\x00\xf0"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(shallow) == (
+        2,
+        2,
+        bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0]),
+    )
+    # ...but a sub-byte TRUECOLOR depth is outside the spec and refuses
+    bad_combo = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(8)))
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(ValueError, match="depth=4"):
-        decode_png_pixels(shallow)
+        decode_png_pixels(bad_combo)
     # 16-bit palette is invalid per spec and refuses
     pal16 = (
         b"\x89PNG\r\n\x1a\n"
@@ -1238,6 +1252,100 @@ def test_png_16bit_all_color_types_and_filters():
             passes.append(_png_forward_filter(sy % 5, raw, prev, 2))
             prev = raw
     inter = build(w, h, 0, 1, [], filters=[], interlace=1, scanlines=b"".join(passes))
+    assert decode_png_pixels(inter) == (w, h, want)
+
+
+def _pack_subbyte_row(samples: list[int], depth: int) -> bytes:
+    """MSB-first sub-byte packing of one scanline, zero-padded to a byte
+    boundary — the encoder side of the spec's packed layouts."""
+    row = bytearray((len(samples) * depth + 7) // 8)
+    per = 8 // depth
+    for x, v in enumerate(samples):
+        row[x // per] |= v << (8 - depth * (x % per + 1))
+    return bytes(row)
+
+
+def test_png_sub_byte_depths_gray_palette_filters_adam7():
+    """1/2/4-bit PNG decode is real: packed-sample scanlines with
+    non-byte-aligned widths (trailing padding bits), all five filters
+    operating on the packed BYTES with a 1-byte left offset, grayscale
+    rescale by bit replication (x255/x85/x17), palette lookup on raw
+    indices, and Adam7 (each reduced image has its own padding)."""
+    import hashlib
+    import struct
+    import zlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_png_pixels,
+    )
+
+    def build(w, h, depth, ctype, samples, filters, plte=b"", interlace=0, scanlines=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        if scanlines is None:
+            rows, prev = [], bytes((w * depth + 7) // 8)
+            for y in range(h):
+                raw = _pack_subbyte_row(samples[y * w : (y + 1) * w], depth)
+                rows.append(_png_forward_filter(filters[y % len(filters)], raw, prev, 1))
+                prev = raw
+            payload = b"".join(rows)
+        else:
+            payload = scanlines
+        out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        if plte:
+            out += _png_chunk(b"PLTE", plte)
+        return out + _png_chunk(b"IDAT", zlib.compress(payload)) + _png_chunk(b"IEND", b"")
+
+    # deterministic sample stream from an md5 chain
+    state, stream = b"pngsub", []
+    while len(stream) < 11 * 9:
+        state = hashlib.md5(state).digest()
+        stream.extend(state)
+
+    # grayscale at every sub-byte depth, widths that leave padding bits
+    for depth, w, h in ((1, 11, 7), (2, 9, 6), (4, 5, 9)):
+        scale = 255 // ((1 << depth) - 1)
+        vals = [v % (1 << depth) for v in stream[: w * h]]
+        png = build(w, h, depth, 0, vals, filters=[0, 1, 2, 3, 4])
+        exp = b"".join(bytes([v * scale] * 3) for v in vals)
+        assert decode_png_pixels(png) == (w, h, exp), f"gray depth {depth}"
+
+    # 4-bit palette: indices resolve through PLTE (no rescale)
+    plte = b"".join(bytes([i * 16, 255 - i * 16, i * 7]) for i in range(16))
+    w, h = 7, 5
+    idx = [v % 16 for v in stream[: w * h]]
+    png = build(w, h, 4, 3, idx, filters=[4, 3, 2, 1, 0], plte=plte)
+    exp = b"".join(plte[3 * i : 3 * i + 3] for i in idx)
+    assert decode_png_pixels(png) == (w, h, exp)
+
+    # 2-bit palette out-of-range index refuses (PLTE of 3 entries, idx 3)
+    import pytest as _pytest
+
+    short_plte = bytes(9)
+    bad = build(2, 1, 2, 3, [3, 0], filters=[0], plte=short_plte)
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(bad)
+
+    # Adam7 1-bit gray must equal the sequential decode
+    w = h = 10
+    vals = [v & 1 for v in stream[: w * h]]
+    _, _, want = decode_png_pixels(build(w, h, 1, 0, vals, filters=[0]))
+    passes = []
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes((pw + 7) // 8)
+        for sy in range(ph):
+            raw = _pack_subbyte_row(
+                [vals[(y0 + sy * dy) * w + (x0 + sx * dx)] for sx in range(pw)], 1
+            )
+            passes.append(_png_forward_filter(sy % 5, raw, prev, 1))
+            prev = raw
+    inter = build(w, h, 1, 0, [], filters=[], interlace=1, scanlines=b"".join(passes))
     assert decode_png_pixels(inter) == (w, h, want)
 
 
