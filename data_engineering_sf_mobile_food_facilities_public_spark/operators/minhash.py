@@ -77,6 +77,29 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
+def positioned_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(id, pos, shingle) — like :func:`shingles` but KEEPING positions
+    and duplicates: the input to span-level analyses (longest shared
+    run, exact-substring decontamination) where WHERE a shingle occurs
+    matters, not just whether it does.  Same codegen-friendly
+    slice/concat_ws construction; ``pos`` is 1-based."""
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__tk")).filter(
+        F.size("__tk") >= k
+    )
+    return base.select(
+        id_col,
+        "__tk",
+        F.explode(F.sequence(F.lit(1), F.size("__tk") - (k - 1))).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(" ", F.slice("__tk", F.col("pos"), k)).alias("shingle"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
     """One row per doc with columns h0..h{num_perm-1}: min over the
     doc's shingles of the s-th affine permutation of the shingle's md5

@@ -351,3 +351,81 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@_register(
+    "embedding_label_centroids",
+    """
+    WITH ex AS (
+        SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(x) AS DOUBLE) AS s,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(ANY_VALUE(a.n) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(b.n) AS BIGINT) AS n_b,
+           ROUND(SUM(a.s * b.s)
+                 / sqrt(SUM(a.s * a.s) * SUM(b.s * b.s)), 6) AS centroid_cos
+    FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    geometry probe that tells a curation owner whether two labels
+    occupy the same region of embedding space (centroid_cos near 1:
+    labels indistinguishable to a linear probe; near 0/negative:
+    well-separated clusters).  Complements the logreg
+    label-predictability probe with a model-free signal.
+
+    Numeric discipline: the many-row reduction (per-(label, dim) sums)
+    accumulates in DECIMAL — exact, order-independent — and cosine is
+    computed between the SUM vectors (cosine is scale-invariant, so
+    sum and centroid give the identical value and the n-division
+    disappears entirely); only the final 64-term dot/norm arithmetic
+    runs in double, rounded to 6 at the edge.  Scale shape: posexplode
+    with map-side partial aggregation shuffles (#labels x dim)
+    partials; the pairwise stage joins two dim-sized frames (#labels x
+    dim rows) — nothing pairwise ever touches corpus-sized data."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x0"),
+    ).select("label", "pos", F.col("x0").cast("decimal(18,9)").alias("x"))
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum("x").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        "pos",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.first("na").cast("long").alias("n_a"),
+            F.first("nb").cast("long").alias("n_b"),
+            F.round(
+                F.sum(F.col("sa") * F.col("sb"))
+                / F.sqrt(
+                    F.sum(F.col("sa") * F.col("sa"))
+                    * F.sum(F.col("sb") * F.col("sb"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )

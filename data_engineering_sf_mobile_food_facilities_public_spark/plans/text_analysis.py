@@ -21,6 +21,7 @@ from ..operators.minhash import (
     jaccard,
     lsh_bands,
     minhash_signatures,
+    positioned_shingles,
     probe_candidates,
     shared_shingle_pairs,
     shingles,
@@ -2052,4 +2053,173 @@ def temperature_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("p_keep").alias("p_keep"),
             F.sum((u < F.col("p_keep")).cast("int")).cast("long").alias("n_selected"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary affinity per source — does each sub-corpus speak the same
+# language as the whole mix?  Pure integer ranks, no float distance.
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 25
+
+
+@_register(
+    "vocab_topk_overlap_by_source",
+    _TOKENS_CTE
+    + f"""
+    , tw AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+    words AS (
+        SELECT d.source, tw.token
+        FROM tw JOIN documents d ON d.doc_id = tw.doc_id
+        WHERE tw.token <> ''
+    ),
+    src_top AS (
+        SELECT source, token
+        FROM (SELECT source, token, COUNT(*) AS c FROM words GROUP BY 1, 2)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY c DESC, token) <= {_VOCAB_TOPK}
+    ),
+    glob_top AS (
+        SELECT token FROM (SELECT token, COUNT(*) AS c FROM words GROUP BY 1)
+        ORDER BY c DESC, token LIMIT {_VOCAB_TOPK}
+    )
+    SELECT s.source,
+           CAST(COUNT(g.token) AS BIGINT) AS n_shared,
+           ROUND(CAST(COUNT(g.token) AS DOUBLE)
+                 / ({2 * _VOCAB_TOPK} - COUNT(g.token)), 6) AS overlap_jaccard
+    FROM src_top s LEFT JOIN glob_top g ON g.token = s.token
+    GROUP BY s.source
+    """,
+)
+def vocab_topk_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary affinity: Jaccard overlap between each
+    source's top-25 tokens (by count, token-tiebroken) and the whole
+    corpus's top-25 — the "is this feed drifting off-distribution"
+    report a mixture owner reads before re-weighting.  Integer ranks
+    with a deterministic tiebreak, so the comparison is exact on any
+    engine — no float distance, no sampling.
+
+    Scale shape: the explode shuffles (source, token) pairs with
+    map-side partial counts (vocab-sized, not corpus-sized); per-source
+    top-k is a rank window over the aggregated counts partitioned by
+    source; the GLOBAL top-k is a TakeOrdered heap (orderBy+limit),
+    never an unpartitioned rank window; the final overlap joins two
+    k-row-per-source frames."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    src_counts = words.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "token")
+    src_top = (
+        src_counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= _VOCAB_TOPK)
+        .select("source", "token")
+    )
+    glob_top = (
+        words.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(_VOCAB_TOPK)
+        .select("token", F.lit(1).alias("__hit"))
+    )
+    shared = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        src_top.join(F.broadcast(glob_top), "token", "left")
+        .groupBy("source")
+        .agg(
+            shared.cast("long").alias("n_shared"),
+            F.round(
+                shared.cast("double") / (F.lit(2 * _VOCAB_TOPK) - shared), 6
+            ).alias("overlap_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination — longest EXACT shared token run between a
+# corpus document and any benchmark document (Lee et al.-style substring
+# contamination, expressed as consecutive shared shingle positions).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "benchmark_span_decontamination",
+    _TOKENS_CTE
+    + """
+    , posed AS (
+        SELECT doc_id, i AS pos, array_to_string(tokens[i:i+4], ' ') AS shingle
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM posed WHERE doc_id % 17 = 0
+    ),
+    hits AS (
+        SELECT DISTINCT p.doc_id, p.pos
+        FROM posed p JOIN bench b ON b.shingle = p.shingle
+        WHERE p.doc_id % 17 <> 0
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, COUNT(*) AS run_len
+        FROM runs GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(MAX(run_len) + 4 AS BIGINT) AS longest_shared_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM spans
+    GROUP BY doc_id
+    HAVING MAX(run_len) >= 3
+    """,
+)
+def benchmark_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination report: for every corpus document
+    (doc_id % 17 != 0), the longest run of consecutive 5-token shingle
+    positions whose shingles ALL appear in some benchmark document
+    (doc_id % 17 == 0) — i.e. the longest token span that is verbatim
+    benchmark material — plus how many maximal shared spans the doc has.
+    Docs whose longest span is below 7 tokens (run < 3) are dropped as
+    incidental overlap; everything reported is a removal candidate.
+
+    Scale shape: position-keeping shingles explode at the scan; the
+    contamination probe is a hash equi-join against the DISTINCT
+    benchmark shingle set (benchmark-sized, broadcastable in the common
+    case); runs compress via the gaps-and-islands trick — a window
+    partitioned BY DOCUMENT ordered by position, bounded by document
+    length, never corpus-wide.  Cited: the reference has no dedup
+    tooling; this extends SURVEY §2's dedup family
+    (Lee et al. 2022-style exact-substring decontamination)."""
+    d = load(spark, sf_dir, "documents")
+    posed = positioned_shingles(d)
+    bench = (
+        posed.filter(F.col("doc_id") % 17 == 0).select("shingle").distinct()
+    )
+    hits = (
+        posed.filter(F.col("doc_id") % 17 != 0)
+        .join(bench, "shingle")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("island", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            (F.max("run_len") + F.lit(4)).cast("long").alias("longest_shared_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_spans"),
+        )
+        .filter(F.col("longest_shared_tokens") >= 7)
     )

@@ -667,3 +667,41 @@ def test_poisson_bootstrap_is_expand_plus_one_aggregate(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_vocab_overlap_global_topk_is_heap_not_window(spark):
+    """The corpus-wide top-25 vocabulary must plan as a TakeOrdered
+    heap (per-partition top-k then merge), never an unpartitioned rank
+    window over the vocabulary; the per-source ranks stay partitioned
+    by source; no Python eval."""
+    plan = _plan(spark, "vocab_topk_overlap_by_source")
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    # no windowspec that lacks a partition key (global rank)
+    assert not re.search(r"windowspecdefinition\(c#\d+", plan)
+    assert "EvalPython" not in plan
+
+
+def test_span_decontamination_window_is_per_document(spark):
+    """The gaps-and-islands run compression must window PER DOCUMENT
+    (bounded by doc length) — never corpus-wide — and the benchmark
+    probe must be an equi-join on the shingle, not a nested loop."""
+    import re
+
+    plan = _plan(spark, "benchmark_span_decontamination")
+    assert re.search(r"windowspecdefinition\(doc_id#\d+", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_label_centroids_pairwise_touches_only_dim_frames(spark):
+    """The centroid pairwise stage must join the (#labels x dim)
+    aggregates, never corpus rows: exactly one embeddings scan per
+    branch feeding a partial-agg exchange, and the pair join carries no
+    corpus-sized side."""
+    plan = _plan(spark, "embedding_label_centroids")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
