@@ -429,3 +429,71 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+@_register(
+    "hard_negative_mining_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               e.vec_id AS negative_id, e.label AS negative_label,
+               round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+        FROM q JOIN e ON q.label <> e.label
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cos_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, negative_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id % 100 == 0), the top-5 most-similar vectors with a
+    DIFFERENT label — the near-miss negatives that make an embedding
+    model actually learn boundaries (random negatives are trivially
+    easy; the hardest ones sit closest in cosine space).
+
+    Same scale shape as the exact ANN tier: broadcast the query subset,
+    hoist norms out of the pairwise fold, per-query rank with a
+    deterministic (cos desc, id) tiebreak; the label-inequality
+    predicate rides the broadcast join, and at production scale the
+    same mining runs on top of the IVF/LSH bucketed tiers by swapping
+    the corpus frame."""
+    from ..functions.vectors import as_double, dot, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double("embedding").alias("qv"),
+    ).withColumn("qnorm", norm(F.col("qv")))
+    cv = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        as_double("embedding").alias("cv"),
+    ).withColumn("cnorm", norm(F.col("cv")))
+    pairs = cv.join(
+        F.broadcast(qv), F.col("query_label") != F.col("negative_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "negative_id",
+        "negative_label",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -2223,3 +2223,156 @@ def benchmark_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("longest_shared_tokens") >= 7)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration — how well does the 8-perm signature
+# estimate true Jaccard on the pairs LSH actually surfaces?
+# ---------------------------------------------------------------------------
+
+_CALIB_SIG_EQ_SQL = " + ".join(
+    f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+)
+
+
+@_register(
+    "minhash_estimate_calibration",
+    _MINHASH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT cm.id_a, cm.id_b,
+               CAST(cm.n_common AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - cm.n_common) AS true_j,
+               ("""
+    + _CALIB_SIG_EQ_SQL
+    + """) AS n_eq
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+        JOIN sig sa ON sa.doc_id = cm.id_a
+        JOIN sig sb ON sb.doc_id = cm.id_b
+    )
+    SELECT n_eq,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(true_j), 6) AS mean_true_jaccard,
+           ROUND(AVG(abs(n_eq / 8.0 - true_j)), 6) AS mean_abs_err
+    FROM scored
+    GROUP BY n_eq
+    """,
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality report for the MinHash estimator itself: for every
+    LSH-surfaced candidate pair, compare the signature-agreement
+    estimate (matching components / 8) against the exact shingle-set
+    Jaccard, grouped by agreement count — the calibration table that
+    tells a dedup owner what threshold a given signature width can
+    actually enforce (8 perms quantize estimates to eighths; more perms
+    narrow the error at linear signature cost).
+
+    Exactness: the estimate is integer component-agreement and the true
+    Jaccard an exact ratio; only the final averages run in double,
+    rounded at the edge.  Scale shape: signatures join per-pair (two
+    dim-width rows per pair), the shingle-intersection join is the same
+    bounded candidate verification as minhash_lsh_near_dup."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sig = minhash_signatures(sh)
+    cands = candidate_pairs(lsh_bands(sig))
+    true_j = jaccard(cands, sh).withColumnRenamed("jaccard", "true_j")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(8)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"ha{s}") == F.col(f"hb{s}"), 1).otherwise(0)
+        for s in range(8)
+    )
+    scored = (
+        true_j.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("true_j", n_eq.alias("n_eq"))
+    )
+    return scored.groupBy("n_eq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("true_j"), 6).alias("mean_true_jaccard"),
+        F.round(
+            F.avg(F.abs(F.col("n_eq") / F.lit(8.0) - F.col("true_j"))), 6
+        ).alias("mean_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking — fixed-size token windows with overlap.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@_register(
+    "chunk_documents_overlapping",
+    _TOKENS_CTE
+    + f"""
+    , chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               least(len(tokens) - i + 1, {_CHUNK_SIZE}) AS n_tokens,
+               array_to_string(tokens[i:i+{_CHUNK_SIZE - 1}], ' ') AS chunk_text
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(tokens), 1),
+                                          {_CHUNK_STRIDE})) AS i
+        )
+        WHERE len(tokens) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(chunk_text) AS chunk_fp
+    FROM chunks
+    """,
+)
+def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: split every document into fixed 64-token
+    windows advancing 48 tokens per step (16-token overlap so no
+    sentence is orphaned at a boundary) — the 1:N row expansion every
+    retrieval index build runs.  Emits (doc_id, chunk_idx, n_tokens,
+    chunk_fp) with the fingerprint standing in for the chunk text so the
+    oracle hash-checks content without hauling strings.
+
+    Scale shape: explode(sequence(1, len, stride)) expands at the scan
+    with plain slice/concat_ws (codegen'd, no HOF lambdas) — no shuffle
+    at all; chunk count per doc is len/stride, so output size tracks
+    corpus token count, and the md5 keeps the comparison narrow."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.tokens("text").alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    return base.select(
+        "doc_id",
+        "__tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__tk"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        ((F.col("i") - 1) / F.lit(_CHUNK_STRIDE)).cast("long").alias("chunk_idx"),
+        F.least(
+            F.size("__tk") - F.col("i") + 1, F.lit(_CHUNK_SIZE)
+        ).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("__tk", F.col("i"), _CHUNK_SIZE))).alias(
+            "chunk_fp"
+        ),
+    )

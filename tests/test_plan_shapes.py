@@ -115,6 +115,9 @@ _NESTED_LOOP_ALLOWED = {
     # int8 middle tier: same deliberate broadcast query x corpus scan
     # (8x smaller state than doubles, exact integer score)
     "int8_quantized_dot_topk",
+    # hard-negative mining: same deliberate broadcast query x corpus
+    # scan with a label-inequality predicate riding the join
+    "hard_negative_mining_topk",
     # dim x dim dense grid: a deliberate tiny cartesian (5 regions x
     # |statuses|) — the fact side is pre-aggregated before the grid join
     "cross_join_region_status_grid",
