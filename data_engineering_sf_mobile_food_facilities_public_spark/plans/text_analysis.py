@@ -1632,8 +1632,7 @@ def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register(
-    "incremental_near_dup_new_batch",
+_INCR_NEAR_DUP_ORACLE = (
     _MINHASH_CTE.replace(
         """cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1670,8 +1669,11 @@ def near_dup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM jac
     WHERE jaccard >= 0.5
     GROUP BY new_doc
-    """,
+    """
 )
+
+
+@_register("incremental_near_dup_new_batch", _INCR_NEAR_DUP_ORACLE)
 def incremental_near_dup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dup: treat doc_id % 10 == 0 as the incoming
     batch and the rest as the standing corpus, and find each new
@@ -2376,3 +2378,32 @@ def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the incremental near-dup probe — same oracle, so the
+# driver row asserts stream/batch parity for the ingestion flow.
+# ---------------------------------------------------------------------------
+
+_stream_neardup_counter = [0]
+
+
+@_register("streaming_incremental_near_dup", _INCR_NEAR_DUP_ORACLE)
+def streaming_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup probe as a genuine stream: incoming
+    documents arrive per micro-batch and probe the standing corpus band
+    index inside ``foreachBatch`` (see
+    ``streaming/events_stream.incremental_near_dup_stream``).  Shares
+    the batch query's DuckDB oracle, so a green driver row proves the
+    streaming path emits byte-identical keep/drop signals to the batch
+    path — the same stream/batch-parity discipline as the OHLC and
+    token-monitor twins."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events_stream import incremental_near_dup_stream
+
+    _stream_neardup_counter[0] += 1
+    out_dir = tempfile.mkdtemp(prefix=f"neardup_stream_{_stream_neardup_counter[0]}_")
+    shutil.rmtree(out_dir)  # parquet sink wants to create it
+    return incremental_near_dup_stream(spark, sf_dir, out_dir)
