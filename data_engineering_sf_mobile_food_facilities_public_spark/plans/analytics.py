@@ -3591,3 +3591,115 @@ def acctbal_boxplot_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("q3"), 6).alias("q3"),
         F.sum(is_out.cast("int")).cast("long").alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map: per-user as-of attribution joining two event streams
+# inside one pandas function — the cogroup().applyInPandas surface.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cogrouped_asof_attribution",
+    """
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1
+    )
+    SELECT p.user_id, p.purchase_id,
+           ROUND(p.purchase_value, 6) AS purchase_value,
+           c.click_id AS attributed_click_id,
+           ROUND(c.click_value, 6) AS attributed_click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def cogrouped_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution via ``cogroup().applyInPandas``: for every
+    purchase, the most recent click by the same user at-or-before the
+    purchase (ties on timestamp broken by highest event_id — the oracle
+    dedups to the same representative so ASOF is unambiguous), with the
+    click-to-purchase gap in microseconds.
+
+    This is the COGROUPED Arrow surface — two keyed frames meet inside
+    one pandas function per key, the shape for per-key logic that needs
+    BOTH sides at once (custom as-of rules, interval matching,
+    trajectory alignment) and that a join + window can't express when
+    the pairing rule is imperative.  Scale: both sides hash-shuffle on
+    user_id once; per-key pandas work is bounded by that user's events;
+    at 100 TB the group is the unit of memory, exactly like any
+    aggregation.  (This particular rule IS also SQL-expressible — which
+    is what makes it oracle-checkable; the surface is the point.)"""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts",
+        F.col("value").alias("click_value"),
+    )
+
+    schema = (
+        "user_id long, purchase_id long, purchase_value double,"
+        " attributed_click_id long, attributed_click_value double, gap_us long"
+    )
+
+    def attribute(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "purchase_id", "purchase_value",
+                    "attributed_click_id", "attributed_click_value", "gap_us",
+                ]
+            )
+        # dedupe same-ts clicks to the highest event_id (oracle's rule)
+        ck = (
+            clicks.sort_values(["ts", "click_id"])
+            .drop_duplicates(subset=["ts"], keep="last")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for r in purchases.itertuples(index=False):
+            prior = ck[ck["ts"] <= r.ts] if not ck.empty else ck
+            if prior is not None and len(prior):
+                last = prior.iloc[-1]
+                rows.append(
+                    (
+                        r.user_id, r.purchase_id, round(r.purchase_value, 6),
+                        int(last["click_id"]), round(float(last["click_value"]), 6),
+                        int(
+                            (r.ts - last["ts"]).value // 1000
+                            if hasattr((r.ts - last["ts"]), "value")
+                            else np.timedelta64(r.ts - last["ts"], "us").astype("int64")
+                        ),
+                    )
+                )
+            else:
+                rows.append(
+                    (r.user_id, r.purchase_id, round(r.purchase_value, 6),
+                     None, None, None)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "purchase_id", "purchase_value",
+                "attributed_click_id", "attributed_click_value", "gap_us",
+            ],
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(attribute, schema=schema)
+    )
