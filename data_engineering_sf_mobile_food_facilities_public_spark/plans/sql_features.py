@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with siblings)
 
-from ..catalog import register_views
+from ..catalog import load, register_views
 from .relational import _register
 
 _DISC_PRICE_SQL = (
@@ -609,4 +609,53 @@ def filter_clause_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY o_orderstatus
         """
+    )
+
+
+@_register(
+    "xml_parse_roundtrip_orders",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def xml_parse_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_xml`` (native XML support, Spark 4): render each order as
+    an XML fragment — attributes AND nested elements — then parse it
+    back with a declared schema and emit the extracted fields.  The
+    oracle selects the source columns directly, so a hash match proves
+    render -> parse is the identity: attribute extraction (``_``-prefixed
+    in the parsed struct), element extraction, and numeric casts all
+    survive.  Money rides as integer cents (doubles re-rendered as
+    strings would hit engine formatting differences — the usual reason
+    to keep exact types at serialization boundaries).
+
+    Scale: both render and parse are per-row JVM expressions fused into
+    the scan — no shuffle, no Python."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><cents>'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</cents><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority></order>"),
+    )
+    parsed = o.select(
+        F.from_xml(
+            xml, "_id BIGINT, _status STRING, cents BIGINT, priority STRING"
+        ).alias("x")
+    )
+    return parsed.select(
+        F.col("x._id").alias("o_orderkey"),
+        F.col("x._status").alias("status"),
+        F.col("x.cents").alias("total_cents"),
+        F.col("x.priority").alias("priority"),
     )
