@@ -2407,3 +2407,98 @@ def streaming_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     out_dir = tempfile.mkdtemp(prefix=f"neardup_stream_{_stream_neardup_counter[0]}_")
     shutil.rmtree(out_dir)  # parquet sink wants to create it
     return incremental_near_dup_stream(spark, sf_dir, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-guarded train/test split — the benchmark-integrity guard every
+# training-data pipeline needs: near-duplicates of held-out documents
+# must not remain in train.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "leakage_guarded_split",
+    _MINHASH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    near AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes na ON na.doc_id = cm.id_a
+        JOIN sizes nb ON nb.doc_id = cm.id_b
+        WHERE CAST(cm.n_common AS DOUBLE)
+              / (na.n_sh + nb.n_sh - cm.n_common) >= 0.5
+    ),
+    tst AS (
+        SELECT doc_id FROM documents
+        WHERE substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    ),
+    leaky AS (
+        SELECT n.id_a AS doc_id FROM near n JOIN tst t ON n.id_b = t.doc_id
+        UNION
+        SELECT n.id_b FROM near n JOIN tst t ON n.id_a = t.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN t.doc_id IS NOT NULL THEN 'test'
+                WHEN l.doc_id IS NOT NULL THEN 'train_excluded_leak'
+                ELSE 'train' END AS split
+    FROM documents d
+    LEFT JOIN tst t ON t.doc_id = d.doc_id
+    LEFT JOIN leaky l ON l.doc_id = d.doc_id
+    """,
+)
+def leakage_guarded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/test split: ~12% of documents hold out
+    as test (md5-prefix split, the engine-wide no-rand() rule), and any
+    TRAIN document that is an LSH-verified near-duplicate (Jaccard >=
+    0.5) of a test document is EXCLUDED from train — the leakage guard
+    without which held-out evaluation silently measures memorized
+    near-copies.  Every document gets a label: test /
+    train_excluded_leak / train.
+
+    Scale shape: the near-dup pair set is the same banded-LSH
+    candidate + exact-verify machinery as the dedup family (signatures
+    shuffle, never documents); the guard itself is two broadcastable
+    semi-join probes of the pair list against the test ids.  The same
+    query with ``near_dup_components`` instead of direct pairs would
+    harden the guard to transitive leaks — at higher cost — when the
+    eval set is adversarial."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    cands = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    near = jaccard(cands, sh).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    tst = d.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 4
+        )
+        < "1999"
+    ).select("doc_id")
+    leaky = (
+        near.join(tst.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .select(F.col("id_a").alias("doc_id"))
+        .union(
+            near.join(tst.withColumnRenamed("doc_id", "id_a"), "id_a").select(
+                F.col("id_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return (
+        d.select("doc_id")
+        .join(tst.withColumn("__t", F.lit(1)), "doc_id", "left")
+        .join(leaky.withColumn("__l", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__t").isNotNull(), F.lit("test"))
+            .when(F.col("__l").isNotNull(), F.lit("train_excluded_leak"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
