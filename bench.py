@@ -60,6 +60,12 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q21_suppliers_kept_waiting",
     "sequence_packing_bins",
+    # round-8 additions: the RAG chunker (pure scan-side row expansion),
+    # span-level decontamination (positioned-shingle join + per-doc
+    # islands window), and the leakage-guarded split (LSH composition)
+    "chunk_documents_overlapping",
+    "benchmark_span_decontamination",
+    "leakage_guarded_split",
 ]
 
 
