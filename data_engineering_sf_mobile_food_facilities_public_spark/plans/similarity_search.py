@@ -497,3 +497,139 @@ def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@_register(
+    "embedding_covariance_matrix",
+    """
+    WITH ex AS (
+        SELECT vec_id, i - 1 AS dim, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    pairs AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j,
+               SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY a.dim, b.dim
+    ),
+    means AS (
+        SELECT dim, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu FROM ex GROUP BY dim
+    )
+    SELECT p.dim_i, p.dim_j,
+           ROUND(CAST(p.sxy AS DOUBLE) / p.n - ma.mu * mb.mu, 6) + 0.0 AS cov
+    FROM pairs p
+    JOIN means ma ON ma.dim = p.dim_i
+    JOIN means mb ON mb.dim = p.dim_j
+    """,
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding table (upper triangle,
+    2,080 rows at dim 64) — the one distributed pass PCA/whitening
+    needs: everything after it (eigendecomposition, projection) is
+    driver-side math on a dim x dim frame.
+
+    Numeric discipline: cross-moments and means accumulate in DECIMAL
+    (exact, order-independent); the divisions and the mu_i*mu_j
+    correction run once per output cell in double, rounded at the edge.
+    Scale shape: the self-join on vec_id pairs each vector's dims
+    WITHIN the row's own explode output (row-local fan-out of
+    dim*(dim+1)/2 cells), then hash-aggregates with map-side combine —
+    the shuffle carries (#dims^2/2 x partials), never vectors.  At very
+    wide dims swap the explode-join for a mapInPandas X^T X per batch
+    (numpy reassociates float adds, so that tier trades the exact
+    oracle for throughput)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x0"),
+    ).select("vec_id", "dim", F.col("x0").cast("decimal(18,9)").alias("x"))
+    a = ex.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    means = ex.groupBy("dim").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    return (
+        pairs.join(
+            F.broadcast(means.select(F.col("dim").alias("dim_i"), F.col("mu").alias("mu_i"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("dim").alias("dim_j"), F.col("mu").alias("mu_j"))),
+            "dim_j",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.round(
+                    F.col("sxy").cast("double") / F.col("n")
+                    - F.col("mu_i") * F.col("mu_j"),
+                    6,
+                )
+                + 0.0  # normalize -0.0 (repo convention, see grouped_zscore)
+            ).alias("cov"),
+        )
+    )
+
+
+@_register("embedding_pca_projection")  # rows-only: eigendecomposition has no SQL twin
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-2 principal
+    components — the whitening/visualization step after
+    ``embedding_covariance_matrix``.  Division of labor at 100 TB: the
+    covariance matrix is the ONE distributed pass (exact DECIMAL
+    moments, dim x dim output); the eigendecomposition happens on the
+    driver over that 64x64 frame (numpy ``eigh`` — symmetric, stable);
+    the top components broadcast back as plan literals and the
+    projection is a per-row dot fold at scan speed.  Registered
+    rows-only (an eigensolver has no ANSI-SQL twin); component-sign
+    ambiguity is fixed by forcing each eigenvector's
+    largest-magnitude entry positive, so output is deterministic.
+    Quality contract (tests/test_dedup_similarity.py): projected
+    variances match the top eigenvalues and the components are
+    orthonormal."""
+    import numpy as np
+
+    cov_rows = embedding_covariance_matrix(spark, sf_dir).collect()
+    dim = max(r.dim_j for r in cov_rows) + 1
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.dim_i, r.dim_j] = C[r.dim_j, r.dim_i] = r.cov
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if abs(v.min()) > abs(v.max()):  # sign convention: dominant entry > 0
+            v = -v
+        comps.append(v)
+
+    e = load(spark, sf_dir, "embeddings")
+    proj_cols = []
+    for c_i, v in enumerate(comps):
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        proj_cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        arr,
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias(f"pc{c_i + 1}")
+        )
+    return e.select("vec_id", "label", *proj_cols)

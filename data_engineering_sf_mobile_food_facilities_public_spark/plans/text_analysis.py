@@ -2502,3 +2502,110 @@ def leakage_guarded_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-and-pack: the full context-window assembly — long documents split
+# into window-sized pieces FIRST, then all pieces pack greedily, so no
+# single row ever exceeds the window and any piece crosses at most one
+# boundary (whole-doc packing can drag a 10k-token doc across dozens).
+# ---------------------------------------------------------------------------
+
+_SP_WINDOW = 64
+
+
+@_register(
+    "split_and_pack_bins",
+    _TOKENS_CTE
+    + f"""
+    , pieces AS (
+        SELECT doc_id,
+               CAST((i - 1) // {_SP_WINDOW} AS BIGINT) AS piece_idx,
+               CAST(least(len(tokens) - i + 1, {_SP_WINDOW}) AS BIGINT)
+                   AS n_tokens,
+               md5('sp' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST((i - 1) // {_SP_WINDOW} AS VARCHAR)) AS h
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(tokens), 1),
+                                          {_SP_WINDOW})) AS i
+        )
+        WHERE len(tokens) > 0
+    ),
+    cum AS (
+        SELECT doc_id, piece_idx, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY h, doc_id, piece_idx
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM pieces
+    )
+    SELECT (cum_tokens - n_tokens) // {_SP_WINDOW} AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def split_and_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window assembly done the way pretraining loaders actually
+    do it: documents longer than the 64-token window SPLIT into
+    window-sized pieces first (the chunker without overlap), then every
+    piece packs greedily in deterministic md5 order.  Since no piece
+    exceeds the window, every piece crosses AT MOST one bin boundary
+    and a loader can pad-align bins with bounded waste — whole-doc
+    packing (``sequence_packing_bins``) can drag one long document
+    across arbitrarily many windows.  Emits per-bin piece/doc occupancy
+    and token fill.
+
+    Scale shape: the split is the chunker's explode(sequence) at the
+    scan; the global pack order cumsum runs through
+    :func:`grouped_running_sum` with a constant group key (bucketed
+    two-pass, no sequential task); the rollup is ordinary hash
+    aggregation."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.tokens("text").alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    pieces = base.select(
+        "doc_id",
+        "__tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__tk"), F.lit(1)), F.lit(_SP_WINDOW)
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        ((F.col("i") - 1) / F.lit(_SP_WINDOW)).cast("long").alias("piece_idx"),
+        F.least(F.size("__tk") - F.col("i") + 1, F.lit(_SP_WINDOW))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat(
+                F.lit("sp"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                ((F.col("i") - 1) / F.lit(_SP_WINDOW)).cast("long").cast("string"),
+            )
+        ).alias("h"),
+    )
+    cum = grouped_running_sum(
+        pieces.withColumn("__one", F.lit(1)),
+        "__one",
+        ["h", "doc_id", "piece_idx"],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum_tokens - n_tokens) div {_SP_WINDOW}").alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )

