@@ -2609,3 +2609,101 @@ def split_and_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection — WHICH copy to keep matters:
+# keep each near-dup cluster's highest-quality member, not its lowest id.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "near_dup_quality_survivors",
+    _MINHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _VERIFIED_PAIRS_TAIL
+    + """
+    , und AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+             FROM walk GROUP BY a),
+    allc AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               ROUND(
+                 CAST(length(list_filter(tokens,
+                          t -> list_contains(['the','a','and','is'], t))) AS DOUBLE)
+                     / len(tokens)
+                   - 0.5 * coalesce(
+                         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                              AS DOUBLE) / nullif(length(text), 0), 0.0)
+                   + 0.1 * (least(CAST(len(tokens) AS DOUBLE), 100.0) / 100.0),
+                 6) AS q
+        FROM tok
+    )
+    SELECT component, doc_id AS kept_doc_id, q AS quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+        SELECT ac.component, ac.doc_id, qual.q,
+               COUNT(*) OVER (PARTITION BY ac.component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY ac.component
+                                  ORDER BY qual.q DESC, ac.doc_id) AS rn
+        FROM allc ac JOIN qual ON qual.doc_id = ac.doc_id
+    )
+    WHERE rn = 1
+    """,
+)
+def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor selection done the way a curation pipeline should:
+    within every near-dup cluster (LSH-verified components, Jaccard >=
+    0.5), keep the HIGHEST-QUALITY member — min-doc-id keep-first
+    throws away the cleanest copy whenever the boilerplate-laden one
+    ingested earlier.  Singletons keep themselves, so the output IS the
+    post-dedup corpus: (component, kept_doc_id, quality, n_members).
+
+    Determinism across engines: members rank on the ROUNDED quality
+    (6 digits, the engine-wide edge convention) with a doc_id tiebreak,
+    so an unrounded last-ulp difference can never flip the survivor.
+    Scale shape: components from the iterative min-label operator
+    (signatures shuffle, not documents); the rank window partitions BY
+    COMPONENT — cluster-sized, the same bounded shape as every per-doc
+    window in the dedup family."""
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    verified = (
+        jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    allc = (
+        d.select("doc_id", F.round(TX.quality_score("text"), 6).alias("q"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", "q", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("q"), "doc_id")
+    return (
+        allc.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("q").alias("quality"),
+            "n_members",
+        )
+    )
