@@ -143,6 +143,14 @@ _HOSTILE_PANEL = [
     "minhash_lsh_near_dup",
     "near_dup_components",
     "ngram_jaccard_pairs",
+    # round-8 additions — every new tokenizer consumer joins the panel
+    "vocab_topk_overlap_by_source",
+    "benchmark_span_decontamination",
+    "chunk_documents_overlapping",
+    "split_and_pack_bins",
+    "leakage_guarded_split",
+    "near_dup_quality_survivors",
+    "minhash_estimate_calibration",
 ]
 
 
