@@ -91,27 +91,29 @@ _PANEL_CORE = [
 # Round-8 rotation: the two r7 hash-FAIL queries stay until the driver
 # proves them green (root cause: Java-vs-RE2 \s divergence on U+000B,
 # fixed via functions/text.py:WS_REGEX), joined by everything downstream
-# of the changed tokenizer/fingerprint, and by round-7's new families
-# (sequence packing, SimHash64 banding, incremental near-dup, OHLC,
-# TIFF/GIF decode, int8 ANN, Poisson bootstrap, temperature mixture)
-# which until now were only locally verified.  Rotated out (driver-green
-# in r7, still in the local suite): exact-dedup/minhash/components/ANN/
-# multimodal representatives, q5, merge, KS, PageRank.
+# of the changed tokenizer/fingerprint/cumsum, round-7 families that
+# were never externally verified (SimHash64, temperature mixture, TIFF
+# decode, OHLC stream/batch parity), and representatives of round-8's
+# new families (leakage-guarded split, span decontamination, DECIMAL
+# covariance, cogrouped-map).  Rotated out (driver-green in r7, still
+# in the local suite): exact-dedup/minhash/components/ANN/multimodal
+# representatives, q5, merge, KS, PageRank, int8/GIF/fertility/
+# incremental-near-dup (all green in the 274-query local sweep).
 _PANEL_ROTATING = [
     "token_budget_mixture",  # red in r7 — must be proven green externally
     "corpus_curation_pipeline",  # red in r7 — must be proven green externally
     "exact_dedup_documents",  # fingerprint normalization changed this round
     "training_data_pipeline",  # fused consumer of tokenizer + fingerprint
     "text_quality_scores",  # empty-document punct_ratio guard added this round
-    "tokenizer_fertility_by_lang",
-    "sequence_packing_bins",
+    "sequence_packing_bins",  # bucketed-cumsum representative (rewritten r8)
     "simhash64_near_dup_pairs",
-    "incremental_near_dup_new_batch",
     "temperature_resample_mixture",
-    "int8_quantized_dot_topk",
     "tiff_header_decode",
-    "gif_frame_sample",
     "ohlc_hourly_by_type",
+    "leakage_guarded_split",  # r8: LSH + split composition
+    "benchmark_span_decontamination",  # r8: positioned shingles + islands
+    "embedding_covariance_matrix",  # r8: DECIMAL moment family
+    "cogrouped_asof_attribution",  # r8: cogrouped Arrow surface
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING
