@@ -2707,3 +2707,124 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal — the classic "too compressible =
+# boilerplate, too incompressible = noise" filter (used by Gopher/
+# MassiveText-style curation).  zlib lives in Python, so this is the
+# text family's one Arrow mapInPandas operator.
+# ---------------------------------------------------------------------------
+
+
+@_register("compression_ratio_filter")  # rows-only: no zlib in the SQL oracle
+def compression_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes, level 6) plus a keep flag for the [0.2, 0.8] band —
+    highly compressible documents are templated boilerplate, nearly
+    incompressible ones are binary junk or high-entropy noise; natural
+    prose sits in between.  Registered rows-only: DuckDB has no zlib,
+    and re-implementing DEFLATE in SQL would test the oracle, not the
+    operator.  Determinism: zlib with a fixed level is a pure function
+    of the bytes (same library everywhere in this deployment), and the
+    quality contract is pinned by ordering tests
+    (tests/test_properties.py::test_compression_ratio_orders_text_regimes).
+
+    Scale shape: Arrow-batched ``mapInPandas`` — the same 1:1
+    scan-parallel shape as the media codecs; no shuffle, no state, and
+    the UTF-8 encode + deflate cost rides the scan exactly like
+    tokenization does JVM-side."""
+    import pandas as pd
+    import zlib
+
+    d = load(spark, sf_dir, "documents")
+
+    def score(batches):
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: len(t.encode("utf-8")))
+            comp = pdf["text"].map(
+                lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            )
+            ratio = (comp / raw.clip(lower=1)).round(6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": raw.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "compression_ratio": ratio,
+                    "keep": (ratio >= 0.2) & (ratio <= 0.8) & (raw > 0),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        score,
+        "doc_id long, n_bytes long, n_compressed long,"
+        " compression_ratio double, keep boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch schedule per source — when a uniform mixture wants more tokens
+# from a source than it has, the source repeats (multi-epoch); cap the
+# repetition and report the shortfall.
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4.0
+
+
+@_register(
+    "epochs_per_source_schedule",
+    _TOKENS_CTE
+    + f"""
+    , avail AS (
+        SELECT d.source, CAST(SUM(len(t.tokens)) AS BIGINT) AS available_tokens
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY d.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(available_tokens) AS BIGINT) AS budget,
+               COUNT(*) AS n_sources
+        FROM avail
+    )
+    SELECT a.source, a.available_tokens,
+           CAST(t.budget // t.n_sources AS BIGINT) AS target_tokens,
+           ROUND(least(CAST(t.budget // t.n_sources AS DOUBLE)
+                       / a.available_tokens, {_EPOCH_CAP}), 6) AS epochs,
+           CAST(CAST(t.budget // t.n_sources AS DOUBLE)
+                / a.available_tokens > {_EPOCH_CAP} AS BOOLEAN) AS capped
+    FROM avail a CROSS JOIN tot t
+    """,
+)
+def epochs_per_source_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture schedule: give every source an equal share of
+    the total token budget; a source with fewer tokens than its share
+    REPEATS (epochs > 1) up to the standard 4-epoch repetition cap
+    (beyond which memorization outweighs coverage), and the capped flag
+    names the sources that cannot fill their share — the report that
+    drives re-weighting or sourcing decisions.
+
+    All counts are exact integers; the single epochs division runs once
+    per source in double and rounds at the edge.  Scale shape: one
+    corpus scan into a per-source token aggregate (map-side combined),
+    one 1-row totals aggregate broadcast back — the Q15/Q22 scalar
+    pattern; nothing after the first aggregate touches corpus-sized
+    data."""
+    d = load(spark, sf_dir, "documents")
+    avail = (
+        d.select("source", TX.token_count("text").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("available_tokens"))
+    )
+    tot = avail.agg(
+        F.sum("available_tokens").alias("budget"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    target = F.floor(F.col("budget") / F.col("n_sources")).cast("long")
+    raw_epochs = target.cast("double") / F.col("available_tokens")
+    return avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(F.least(raw_epochs, F.lit(_EPOCH_CAP)), 6).alias("epochs"),
+        (raw_epochs > F.lit(_EPOCH_CAP)).alias("capped"),
+    )

@@ -139,6 +139,8 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row corpus-total and max-ratio scalar broadcasts into the
     # per-language keep probabilities
     "temperature_resample_mixture",
+    # 1-row budget/n_sources scalar broadcast onto the per-source frame
+    "epochs_per_source_schedule",
     # 1-row global-stats broadcast (mean/stddev) joined over the series
     "daily_event_anomalies",
     # 1-row grand-total threshold broadcast over the grouped aggregate

@@ -763,3 +763,62 @@ def test_animated_gif_roundtrip_any_frames(n_frames, seed):
     ]
     decoded = _gif_decode_all_frames(encode_animated_gif(4, 4, frames, palette))
     assert [d[2] for d in decoded] == frames
+
+
+def test_compression_ratio_orders_text_regimes(spark):
+    """The compression-ratio signal must separate the three text
+    regimes it exists to separate: templated boilerplate (highly
+    compressible) < natural prose < high-entropy noise (incompressible),
+    with the keep band admitting prose and rejecting both extremes; and
+    the scores must be deterministic across runs."""
+    import hashlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis import (
+        compression_ratio_filter,
+    )
+
+    boiler = "click here to subscribe now " * 60
+    words = [
+        "committee", "reviewed", "proposal", "selected", "evidence",
+        "community", "benefit", "budget", "constraint", "delay",
+        "implementation", "year", "quarter", "report", "analysis",
+        "finding", "measure", "impact", "region", "school", "hospital",
+        "road", "bridge", "water", "energy", "market", "price",
+        "supply", "demand", "growth",
+    ]
+    prose = " ".join(
+        "the "
+        + " ".join(
+            words[b % len(words)]
+            for b in hashlib.md5(f"p{i}".encode()).digest()[:9]
+        )
+        + "."
+        for i in range(40)
+    )
+    noise = "".join(
+        chr(33 + (b % 94))
+        for i in range(40)
+        for b in hashlib.md5(f"q{i}".encode()).digest()
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, t, "en", "src0", len(t))
+            for i, t in enumerate([boiler, prose, noise])
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "_d"))
+    part = next(
+        f for f in os.listdir(os.path.join(tmp, "_d")) if f.startswith("part-")
+    )
+    os.rename(os.path.join(tmp, "_d", part), os.path.join(tmp, "documents.parquet"))
+
+    out = {r.doc_id: r for r in compression_ratio_filter(spark, tmp).collect()}
+    assert out[0].compression_ratio < out[1].compression_ratio < out[2].compression_ratio
+    assert not out[0].keep and out[1].keep and not out[2].keep
+    out2 = {r.doc_id: r for r in compression_ratio_filter(spark, tmp).collect()}
+    assert all(out[k].compression_ratio == out2[k].compression_ratio for k in out)
