@@ -822,3 +822,59 @@ def test_compression_ratio_orders_text_regimes(spark):
     assert not out[0].keep and out[1].keep and not out[2].keep
     out2 = {r.doc_id: r for r in compression_ratio_filter(spark, tmp).collect()}
     assert all(out[k].compression_ratio == out2[k].compression_ratio for k in out)
+
+
+@given(
+    keys=st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=0, max_size=3),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_cuts=st.integers(min_value=0, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_bucket_expr_matches_python_bisect(spark, keys, n_cuts):
+    """The data-derived bucket id (binary-search CASE tree) must equal
+    bisect_right over the sorted cut tuples for EVERY row — the pure
+    algebraic property the partitioning-independent cumsum rests on —
+    and must be monotone in the key order."""
+    import bisect
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        _bucket_expr,
+    )
+
+    uniq = sorted(set(keys))
+    cuts = uniq[:: max(1, len(uniq) // (n_cuts + 1))][:n_cuts]
+    df = spark.createDataFrame(keys, "s string, v int")
+    got = {
+        (r.s, r.v): r.b
+        for r in df.withColumn(
+            "b", _bucket_expr(df, ["s", "v"], cuts)
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == bisect.bisect_right(cuts, k), (k, cuts)
+    ordered = sorted(keys)
+    buckets = [got[k] for k in ordered]
+    assert buckets == sorted(buckets)  # monotone in key order
+
+
+@given(
+    rows=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+    nb=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_range_cuts_strictly_increasing_and_bounded(spark, rows, nb):
+    """_range_cuts returns at most n_buckets - 1 strictly increasing
+    tuples drawn from the data."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        _range_cuts,
+    )
+
+    df = spark.createDataFrame([(v,) for v in rows], "v int")
+    cuts = _range_cuts(df, ["v"], nb, sample_size=1000, seed=3)
+    assert len(cuts) <= max(nb - 1, 0)
+    assert all(cuts[i] < cuts[i + 1] for i in range(len(cuts) - 1))
+    assert all(c[0] in rows for c in cuts)
