@@ -189,3 +189,86 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", zorder_key(F.col("o_custkey"), day).alias("zkey")
     )
+
+
+@_register(
+    "forget_customers_cascade",
+    """
+    WITH forget AS (
+        SELECT c_custkey FROM customer
+        WHERE substr(md5('forget' || CAST(c_custkey AS VARCHAR)), 1, 2) < '10'
+    ),
+    o_kept AS (
+        SELECT o.o_orderkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.c_custkey = o.o_custkey)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_before,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget)
+               AS n_after,
+           (SELECT COUNT(*) FROM forget) AS n_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM o_kept),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM o_kept)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE EXISTS (SELECT 1 FROM o_kept k
+                           WHERE k.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+             - (SELECT COUNT(*) FROM lineitem l
+                 WHERE EXISTS (SELECT 1 FROM o_kept k
+                               WHERE k.o_orderkey = l.l_orderkey))
+    """,
+)
+def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: a deterministic ~6% of customers
+    (md5-prefix selection standing in for an erasure-request table)
+    cascade-delete through orders and lineitem via FK anti-joins, and
+    the report shows per-table before/after/deleted counts — the
+    compliance artifact a deletion job must produce BEFORE rewriting
+    any files.
+
+    Scale shape: the erasure set broadcasts (requests are always tiny
+    relative to facts); orders prunes with one broadcast anti-join;
+    lineitem prunes with a semi-join against surviving orders — at
+    100 TB that semi-join is the shuffle, and a real deletion would
+    push the same predicates into a MERGE/rewrite (see
+    merge_upsert_orders) rather than materialize new tables.  No fact
+    table is scanned more than once per count pair."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def erased(key):  # pure row predicate: this key is in the erasure set
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit("forget"), key.cast("string"))), 1, 2
+            )
+            < "10"
+        )
+
+    # ONE lazy plan, no driver-side counts: each table reduces to a
+    # 1-row (before, deleted) aggregate; the three rows union at the end
+    def report(df, name, deleted_flag):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_before"),
+            (F.count(F.lit(1)) - F.sum(deleted_flag.cast("long"))).alias("n_after"),
+            F.sum(deleted_flag.cast("long")).alias("n_deleted"),
+        )
+
+    cust = report(c, "customer", erased(F.col("c_custkey")))
+    ords = report(o, "orders", erased(F.col("o_custkey")))
+    # a lineitem dies iff its order's customer is erased: one join
+    # carries the order's custkey to the line (orders are not
+    # broadcastable at scale; the equi-join shuffles on orderkey)
+    li_flagged = li.select("l_orderkey").join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == o.o_orderkey,
+    )
+    lines = report(li_flagged, "lineitem", erased(F.col("o_custkey")))
+    return cust.unionByName(ords).unionByName(lines)
