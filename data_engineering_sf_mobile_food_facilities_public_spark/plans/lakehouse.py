@@ -272,3 +272,67 @@ def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = report(li_flagged, "lineitem", erased(F.col("o_custkey")))
     return cust.unionByName(ords).unionByName(lines)
+
+
+@_register(
+    "scd2_as_of_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island,
+               MIN(ts) AS valid_from, COUNT(*) AS n_changes
+        FROM ordered GROUP BY user_id, event_type, island
+    ),
+    hist AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               n_changes
+        FROM runs
+    )
+    SELECT user_id, event_type AS state_at_t,
+           CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF probe over the SCD2 history: each user's state
+    row valid at 2024-01-15T00:00 (half-open [valid_from, valid_to)
+    interval, open current row included) — the "what did the table say
+    on date X" query every slowly-changing dimension exists to answer,
+    and the read-side proof that the SCD2 compaction's interval edges
+    are consistent (exactly one row per user can satisfy the predicate;
+    a duplicate or gap here means the history is corrupt).
+
+    Scale shape: the same single user_id exchange as the history build
+    (both row_numbers, the run aggregate and the lead window share the
+    partitioning); the as-of filter is a per-row predicate on the
+    result — no extra shuffle, prunable by partition at the storage
+    layer when the history is written partitioned on valid_from."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_compact(e, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        hist.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_t"),
+            (F.unix_micros(F.col("valid_from"))).cast("long").alias("valid_from_us"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
