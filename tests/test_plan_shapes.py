@@ -710,3 +710,13 @@ def test_label_centroids_pairwise_touches_only_dim_frames(spark):
     assert "partial_sum" in plan  # map-side combine before the shuffle
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunker_is_pure_scan_side_no_shuffle(spark):
+    """The RAG chunker must be a pure scan-side row expansion: zero
+    exchanges, one documents scan, no Python eval — the shape that makes
+    it free to fuse under any downstream index build."""
+    plan = _plan(spark, "chunk_documents_overlapping")
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
