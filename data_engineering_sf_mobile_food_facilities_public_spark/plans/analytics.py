@@ -451,14 +451,14 @@ def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+                      / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0)), 6)
                AS stddev_qty,
            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)
                AS corr_qty_price
     FROM m
     """,
@@ -483,15 +483,22 @@ def stats_from_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    # nullif guards (hostile-numerics corpus): a singleton group makes
+    # the stddev denominator 0 and a zero-variance group makes the corr
+    # denominator 0 — both are undefined-statistic cases that must be
+    # NULL, not an ANSI DIVIDE_BY_ZERO crash, identically in both engines
     return m.select(
         "l_returnflag",
         "n",
-        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))), 6).alias(
-            "stddev_qty"
-        ),
+        F.round(
+            F.sqrt((n * sxx - sx * sx) / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))),
+            6,
+        ).alias("stddev_qty"),
         F.round(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            / F.nullif(
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
+            ),
             6,
         ).alias("corr_qty_price"),
     )
@@ -2871,7 +2878,7 @@ def pareto_customers_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "benford_first_digit_prices",
     """
-    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+    SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100, 0) AS BIGINT)
                             AS VARCHAR), 1, 1) AS INTEGER) AS first_digit,
            COUNT(*) AS n,
            round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
@@ -2881,12 +2888,15 @@ def pareto_customers_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def benford_first_digit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of order values: leading digit taken from
-    the INTEGER CENTS rendering (round to cents, cast, first char) — no
-    log10 on doubles, whose boundary ulps (log10(1000) != 3.0 in some
-    libms) would flap digits between engines.  Fraud/anomaly screening
-    as one grouped count plus a share window."""
+    the INTEGER CENTS rendering of the MAGNITUDE (abs -> round to
+    cents -> cast -> first char; Benford concerns magnitudes, and
+    without the abs a negative value's '-' crashes the digit cast —
+    caught by the hostile-numerics parity corpus) — no log10 on
+    doubles, whose boundary ulps (log10(1000) != 3.0 in some libms)
+    would flap digits between engines.  Fraud/anomaly screening as one
+    grouped count plus a share window."""
     o = load(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = F.round(F.abs(F.col("o_totalprice")) * 100, 0).cast("long")
     first_digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = o.groupBy(first_digit.alias("first_digit")).agg(
         F.count(F.lit(1)).alias("n")

@@ -632,7 +632,9 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dispersion_stats_by_flag",
     """
     SELECT l_returnflag,
-           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity)
+                 / nullif(stddev_samp(l_extendedprice)
+                          * stddev_samp(l_quantity), 0.0), 6) AS price_qty_corr,
            ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_s,
            ROUND(covar_pop(l_extendedprice, l_quantity), 6) AS covar_p,
            ROUND(stddev_samp(l_extendedprice), 6) AS price_sd,
@@ -643,11 +645,20 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dispersion_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corr / covar_samp / covar_pop / stddev / variance — single-pass
     co-moment aggregates, all map-side combinable; round(6) for the
-    engines' accumulation-order ulp (same note as regr_*)."""
+    engines' accumulation-order ulp (same note as regr_*).  The
+    correlation is spelled covar/(sd*sd) with a nullif guard on BOTH
+    sides: a zero-variance group makes correlation undefined, and the
+    engines disagree on what the builtin does there (Spark's corr
+    raises ANSI DIVIDE_BY_ZERO, DuckDB's returns NULL — caught by the
+    hostile-numerics parity corpus)."""
     l = load(spark, sf_dir, "lineitem")
     y, x = "l_extendedprice", "l_quantity"
     return l.groupBy("l_returnflag").agg(
-        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(
+            F.covar_samp(y, x)
+            / F.nullif(F.stddev_samp(y) * F.stddev_samp(x), F.lit(0.0)),
+            6,
+        ).alias("price_qty_corr"),
         F.round(F.covar_samp(y, x), 6).alias("covar_s"),
         F.round(F.covar_pop(y, x), 6).alias("covar_p"),
         F.round(F.stddev_samp(y), 6).alias("price_sd"),

@@ -1,0 +1,133 @@
+"""Cross-engine parity on a hostile NUMERIC corpus.
+
+The whitespace twin of this file (test_hostile_whitespace.py) caught a
+real divergence class (Java-vs-RE2 \\s) plus a real crash (ANSI
+DIVIDE_BY_ZERO on empty documents).  This file aims the same weapon at
+the numeric/relational family: synthetic ``orders`` and ``lineitem``
+tables stuffed with the inputs that historically break aggregate
+parity — all-equal values (total ties), zeros (division/variance
+degeneracy), negatives, a single dominant group (skew), groups of size
+one, and values at the DECIMAL edge — replayed through the real
+registered query/oracle pairs with the driver's comparator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tests.parity import TESTDATA_TABLES, compare
+
+# (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+_TS = "2024-01-{d:02d} 00:00:00"
+HOSTILE_ORDERS = (
+    # all-equal prices: every rank/percentile/median is a pure tiebreak test
+    [(i, 1, "O", 100.0, _TS.format(d=1 + i % 28), "1-URGENT") for i in range(10)]
+    # zero prices: sums/shares/ratios hit 0 numerators and denominators
+    + [(100 + i, 2, "F", 0.0, _TS.format(d=1 + i % 28), "2-HIGH") for i in range(5)]
+    # negative prices: abs/variance/Gini sign handling
+    + [(200 + i, 3, "P", -50.0 * (i + 1), _TS.format(d=1 + i), "3-MEDIUM") for i in range(4)]
+    # one dominant customer: 90% skew into a single group
+    + [(300 + i, 4, "O", float(i), _TS.format(d=1 + i % 28), "4-NOT SPECIFIED") for i in range(50)]
+    # singleton groups: stddev/ntile over n=1
+    + [(400, 5, "X", 123.45, _TS.format(d=7), "5-LOW")]
+    # large-magnitude values near the DECIMAL(18,2) edge
+    + [(500 + i, 6, "O", 9.99e12 + i, _TS.format(d=9), "1-URGENT") for i in range(3)]
+)
+
+# (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+#  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+HOSTILE_LINEITEM = (
+    # zero quantity/price, full discount, zero tax
+    [(i, 1, 1, 1, 0.0, 0.0, 1.0, 0.0, "R", "F", _TS.format(d=2)) for i in range(5)]
+    # all-tied rows within one order
+    + [(100, 2, 1, n, 5.0, 10.0, 0.1, 0.05, "N", "O", _TS.format(d=3)) for n in range(1, 8)]
+    # negative quantity (a return), discount edge 0 and 1
+    + [(200, 3, 2, 1, -4.0, 100.0, 0.0, 0.08, "A", "F", _TS.format(d=4)),
+       (200, 3, 2, 2, 4.0, 100.0, 1.0, 0.0, "A", "F", _TS.format(d=5))]
+    # dominant part: skewed join/group key
+    + [(300 + i, 9, 3, 1, float(i % 7), 50.0, 0.05, 0.04, "N", "O", _TS.format(d=6)) for i in range(40)]
+)
+
+# Numeric-family queries that read ONLY orders / lineitem (plus dims we
+# symlink verbatim).  Each is a place where tie order, zero division,
+# zero variance, or negative values could diverge between engines.
+_NUMERIC_PANEL = [
+    "pricing_summary",
+    "round_prices",
+    "conditional_aggregation",
+    "percentiles_by_status",
+    "histogram_order_prices",
+    "weighted_median_price",
+    "mad_outliers_by_status",
+    "regr_price_vs_quantity",
+    "try_divide_return_rates",
+    "ntile_price_quartiles",
+    "top2_prices_with_ties",
+    "benford_first_digit_prices",
+    "psi_price_drift",
+    "ks_statistic_price_halves",
+    "dispersion_stats_by_flag",
+    "percentile_disc_by_status",
+    "mode_median_by_flag",
+    "stats_from_moments",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_num_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("hostile_num")
+    for t in TESTDATA_TABLES:
+        if t not in ("orders", "lineitem"):
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+
+    def write(name, rows, ddl, ts_cols):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, ddl)
+        for c in ts_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        # match the driver fixtures' INT64-micros timestamps (the test
+        # session may default to INT96, which neither the engine's
+        # readers nor DuckDB should be fed)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(str(root / f"_{name}"))
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        part = next((root / f"_{name}").glob("part-*.parquet"))
+        os.rename(part, root / f"{name}.parquet")
+
+    write(
+        "orders",
+        HOSTILE_ORDERS,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+        ["o_orderdate"],
+    )
+    write(
+        "lineitem",
+        HOSTILE_LINEITEM,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+        ["l_shipdate"],
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _NUMERIC_PANEL)
+def test_numeric_family_parity_on_hostile_tables(spark, hostile_num_dir, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert name in queries and name in oracles, f"{name} not registered"
+    problems = compare(
+        queries[name](spark, hostile_num_dir), oracles[name], hostile_num_dir
+    )
+    assert not problems, f"{name} on hostile numerics: {problems}"
