@@ -72,6 +72,14 @@ def scd2_compact(
     and distinct across runs.  Both row_numbers share the (key) hash
     partitioning, so this is one exchange, one sort, one aggregate,
     one lead-window — no self-join.
+
+    The interval chain (lead over valid_from) orders runs by the run's
+    FIRST POSITION in the (ts, tiebreak) sequence (min row_number), not
+    by valid_from alone: when several same-instant events form multiple
+    runs, their valid_from values TIE and valid_from-only ordering is
+    engine-dependent — the hostile-events parity corpus caught exactly
+    that divergence.  Min-rn is strictly increasing across a key's runs
+    by construction, so the chain is total.
     """
     w_all = Window.partitionBy(key).orderBy(ts, tiebreak)
     w_attr = Window.partitionBy(key, attr).orderBy(ts, tiebreak)
@@ -80,14 +88,15 @@ def scd2_compact(
         attr,
         ts,
         tiebreak,
+        F.row_number().over(w_all).alias("__rn"),
         (F.row_number().over(w_all) - F.row_number().over(w_attr)).alias("__island"),
     )
     runs = islands.groupBy(key, attr, "__island").agg(
         F.min(ts).alias("valid_from"),
-        F.max(ts).alias("__last_ts"),
+        F.min("__rn").alias("__seq"),
         F.count(F.lit(1)).alias("n_changes"),
     )
-    w_next = Window.partitionBy(key).orderBy("valid_from")
+    w_next = Window.partitionBy(key).orderBy("__seq")
     return runs.select(
         key,
         attr,

@@ -74,6 +74,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, ts,
                ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id)
              - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts, event_id) AS island
@@ -81,13 +83,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
         SELECT user_id, event_type, island,
-               MIN(ts) AS valid_from, COUNT(*) AS n_changes
+               MIN(ts) AS valid_from, MIN(rn) AS seq, COUNT(*) AS n_changes
         FROM ordered GROUP BY user_id, event_type, island
     )
     SELECT user_id, event_type,
            CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
            CAST(epoch_us(LEAD(valid_from) OVER (
-               PARTITION BY user_id ORDER BY valid_from)) AS BIGINT)
+               PARTITION BY user_id ORDER BY seq)) AS BIGINT)
                AS valid_to_us,
            n_changes
     FROM runs
@@ -96,9 +98,11 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 compaction of the event stream: one row per maximal run of a
     user's consecutive equal event_type, with [valid_from, valid_to)
-    bounds (gaps-and-islands, operators/merge.py scd2_compact).
-    (user_id, ts) is unique in the dataset, so the lead over valid_from
-    is deterministic."""
+    bounds (gaps-and-islands, operators/merge.py scd2_compact).  The
+    interval chain orders runs by their first (ts, event_id) position
+    (min row_number), so same-instant runs chain identically on every
+    engine — the hostile-events corpus caught the valid_from-tie
+    ambiguity this removes."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     out = scd2_compact(e, key="user_id", attr="event_type", ts="ts", tiebreak="event_id")
     return out.select(
@@ -280,6 +284,8 @@ def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, ts,
                ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id)
              - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts, event_id) AS island
@@ -287,13 +293,13 @@ def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
         SELECT user_id, event_type, island,
-               MIN(ts) AS valid_from, COUNT(*) AS n_changes
+               MIN(ts) AS valid_from, MIN(rn) AS seq, COUNT(*) AS n_changes
         FROM ordered GROUP BY user_id, event_type, island
     ),
     hist AS (
         SELECT user_id, event_type, valid_from,
                LEAD(valid_from) OVER (
-                   PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                   PARTITION BY user_id ORDER BY seq) AS valid_to,
                n_changes
         FROM runs
     )

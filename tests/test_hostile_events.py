@@ -1,0 +1,96 @@
+"""Cross-engine parity on a hostile EVENTS corpus.
+
+Third member of the hostile-fixture family (whitespace -> text,
+numerics -> orders/lineitem, this file -> events): synthetic event
+streams with the shapes that break time-series logic — exact timestamp
+TIES (tiebreak order), a purchase BEFORE its user's signup (funnel edge),
+single-event users, one user owning most of the stream (skew),
+same-instant duplicate events (dedup/debounce edges), zero and negative
+values — replayed through the registered event-family query/oracle pairs
+with the driver's comparator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tests.parity import TESTDATA_TABLES, compare
+
+_T = "2024-01-{d:02d} {h:02d}:00:00"
+
+# (event_id, ts, user_id, event_type, value, props)
+HOSTILE_EVENTS = (
+    # user 1: five events at the SAME instant — every per-user order is
+    # a pure event_id tiebreak; includes duplicate event types
+    [(i, _T.format(d=1, h=9), 1, t, 10.0, '{"k": 1}')
+     for i, t in enumerate(["click", "click", "view", "purchase", "signup"])]
+    # user 2: purchase BEFORE signup — the funnel's temporal edge
+    + [(10, _T.format(d=2, h=8), 2, "purchase", 50.0, '{"k": 2}'),
+       (11, _T.format(d=2, h=12), 2, "signup", 0.0, '{"k": 3}'),
+       (12, _T.format(d=2, h=13), 2, "purchase", 70.0, '{"k": 4}')]
+    # user 3: a single event ever (singleton group)
+    + [(20, _T.format(d=3, h=10), 3, "error", -5.0, '{"k": 5}')]
+    # user 4: dominant user, alternating types across days (SCD2 runs),
+    # zero values
+    + [(100 + i, _T.format(d=4 + i % 20, h=i % 24), 4,
+        ["click", "view"][i % 2], float(i % 3), '{"k": 6}')
+       for i in range(60)]
+    # user 5: strictly decreasing values, duplicate (user, type, ts)
+    # triple with different event ids
+    + [(200, _T.format(d=5, h=5), 5, "view", 9.0, '{"k": 7}'),
+       (201, _T.format(d=5, h=5), 5, "view", 8.0, '{"k": 8}'),
+       (202, _T.format(d=5, h=6), 5, "signup", 7.0, '{"k": 9}')]
+)
+
+_EVENT_PANEL = [
+    "ohlc_hourly_by_type",
+    "funnel_signup_to_purchase",
+    "scd2_user_event_history",
+    "scd2_as_of_snapshot",
+    "sessionization_stats",
+    "event_type_transitions",
+    "debounce_user_events",
+    "ema_customer_spend",
+    "time_bucket_rollup_15min",
+    "event_type_daily_values",
+    "session_window_user_activity",
+    "incremental_daily_event_counts",
+    "daily_event_anomalies",
+    "cohort_retention_daily",
+    "timezone_conversion_events",
+    "funnel_time_to_convert",
+    "cogrouped_asof_attribution",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_events_dir(spark, tmp_path_factory):
+    from tests.fixture_io import write_naive_parquet
+
+    root = tmp_path_factory.mktemp("hostile_events")
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    write_naive_parquet(
+        str(root / "events.parquet"),
+        HOSTILE_EVENTS,
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ts_cols=["ts"],
+        int_cols=["event_id", "user_id"],
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _EVENT_PANEL)
+def test_event_family_parity_on_hostile_stream(spark, hostile_events_dir, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert name in queries and name in oracles, f"{name} not registered"
+    problems = compare(
+        queries[name](spark, hostile_events_dir), oracles[name], hostile_events_dir
+    )
+    assert not problems, f"{name} on hostile events: {problems}"

@@ -84,40 +84,29 @@ def hostile_num_dir(spark, tmp_path_factory):
         if t not in ("orders", "lineitem"):
             os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
 
-    def write(name, rows, ddl, ts_cols):
-        from pyspark.sql import functions as F
+    from tests.fixture_io import write_naive_parquet
 
-        df = spark.createDataFrame(rows, ddl)
-        for c in ts_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-        # match the driver fixtures' INT64-micros timestamps (the test
-        # session may default to INT96, which neither the engine's
-        # readers nor DuckDB should be fed)
-        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        try:
-            df.coalesce(1).write.mode("overwrite").parquet(str(root / f"_{name}"))
-        finally:
-            if prev is not None:
-                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
-        part = next((root / f"_{name}").glob("part-*.parquet"))
-        os.rename(part, root / f"{name}.parquet")
-
-    write(
-        "orders",
+    write_naive_parquet(
+        str(root / "orders.parquet"),
         HOSTILE_ORDERS,
-        "o_orderkey long, o_custkey long, o_orderstatus string,"
-        " o_totalprice double, o_orderdate string, o_orderpriority string",
-        ["o_orderdate"],
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+        ts_cols=["o_orderdate"],
+        int_cols=["o_orderkey", "o_custkey"],
     )
-    write(
-        "lineitem",
+    write_naive_parquet(
+        str(root / "lineitem.parquet"),
         HOSTILE_LINEITEM,
-        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
-        " l_quantity double, l_extendedprice double, l_discount double,"
-        " l_tax double, l_returnflag string, l_linestatus string,"
-        " l_shipdate string",
-        ["l_shipdate"],
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+        ts_cols=["l_shipdate"],
+        int_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        int32_cols=["l_linenumber"],
     )
     return str(root)
 
