@@ -42,13 +42,27 @@ def brute_force_topk(
     Norms are computed ONCE per row before the join (cosine = dot /
     (qnorm * cnorm)); inside the |Q| x |corpus| cross space only the dot
     fold remains — same bits as folding cosine per pair (the norm
-    subexpressions are identical), a third of the per-pair work."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qnorm", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cnorm", norm(F.col("cv")))
+    subexpressions are identical), a third of the per-pair work.
+
+    Zero-norm vectors are EXCLUDED from both sides before scoring:
+    cosine is undefined for them, and without the filter the division
+    raises ANSI DIVIDE_BY_ZERO (caught by the hostile-embeddings
+    parity corpus).  The oracle carries the identical norm > 0
+    predicate."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        )
+        .withColumn("qnorm", norm(F.col("qv")))
+        .filter(F.col("qnorm") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .filter(F.col("cnorm") > 0)
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -79,16 +93,24 @@ def blocked_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs within each block: equi-join on the block key,
     id_a < id_b, cosine >= threshold."""
-    a = corpus.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        as_double(vec_col).alias("va"),
-    ).withColumn("na", norm(F.col("va")))
-    b = corpus.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        as_double(vec_col).alias("vb"),
-    ).withColumn("nb", norm(F.col("vb")))
+    a = (
+        corpus.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_a"),
+            as_double(vec_col).alias("va"),
+        )
+        .withColumn("na", norm(F.col("va")))
+        .filter(F.col("na") > 0)  # cosine undefined for zero vectors
+    )
+    b = (
+        corpus.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_b"),
+            as_double(vec_col).alias("vb"),
+        )
+        .withColumn("nb", norm(F.col("vb")))
+        .filter(F.col("nb") > 0)
+    )
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -19,8 +19,12 @@ from .relational import _register
 @_register(
     "ann_cosine_topk",
     """
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (  -- zero-norm vectors excluded: cosine undefined
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
     scored AS (
@@ -51,8 +55,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "embedding_near_dup_blocked",
     """
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (  -- zero-norm vectors excluded: cosine undefined
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
@@ -370,7 +378,8 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ANY_VALUE(a.n) AS BIGINT) AS n_a,
            CAST(ANY_VALUE(b.n) AS BIGINT) AS n_b,
            ROUND(SUM(a.s * b.s)
-                 / sqrt(SUM(a.s * a.s) * SUM(b.s * b.s)), 6) AS centroid_cos
+                 / nullif(sqrt(SUM(a.s * a.s) * SUM(b.s * b.s)), 0.0), 6) + 0.0
+               AS centroid_cos
     FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
     GROUP BY a.label, b.label
     """,
@@ -419,13 +428,22 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("na").cast("long").alias("n_a"),
             F.first("nb").cast("long").alias("n_b"),
-            F.round(
-                F.sum(F.col("sa") * F.col("sb"))
-                / F.sqrt(
-                    F.sum(F.col("sa") * F.col("sa"))
-                    * F.sum(F.col("sb") * F.col("sb"))
-                ),
-                6,
+            # nullif guard: a label whose members cancel exactly has a
+            # zero centroid and an UNDEFINED cosine (NULL, not an ANSI
+            # crash) — caught by the hostile-embeddings corpus
+            (
+                F.round(
+                    F.sum(F.col("sa") * F.col("sb"))
+                    / F.nullif(
+                        F.sqrt(
+                            F.sum(F.col("sa") * F.col("sa"))
+                            * F.sum(F.col("sb") * F.col("sb"))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                )
+                + 0.0  # normalize -0.0 (repo convention)
             ).alias("centroid_cos"),
         )
     )
@@ -434,8 +452,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "hard_negative_mining_topk",
     """
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (  -- zero-norm vectors excluded: cosine undefined
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
     ),
     q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 100 = 0),
     scored AS (
@@ -471,16 +493,24 @@ def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    qv = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        as_double("embedding").alias("qv"),
-    ).withColumn("qnorm", norm(F.col("qv")))
-    cv = e.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("negative_label"),
-        as_double("embedding").alias("cv"),
-    ).withColumn("cnorm", norm(F.col("cv")))
+    qv = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            as_double("embedding").alias("qv"),
+        )
+        .withColumn("qnorm", norm(F.col("qv")))
+        .filter(F.col("qnorm") > 0)  # cosine undefined for zero vectors
+    )
+    cv = (
+        e.select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            as_double("embedding").alias("cv"),
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .filter(F.col("cnorm") > 0)
+    )
     pairs = cv.join(
         F.broadcast(qv), F.col("query_label") != F.col("negative_label")
     ).select(

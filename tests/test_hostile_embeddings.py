@@ -1,0 +1,96 @@
+"""Cross-engine parity on a hostile EMBEDDINGS corpus.
+
+Fourth member of the hostile-fixture family: vectors that stress the
+similarity stack — the ZERO VECTOR (undefined cosine: every norm product
+is 0), exactly identical vectors (cos 1 ties everywhere), exact
+opposites (cos -1), one-hot axes, tiny (1e-30) and huge (1e30)
+magnitudes (the engine's DECIMAL(18,9) moment pipelines document a
+|x| <= ~1e6 input contract — values beyond it fail LOUD under ANSI
+rather than silently corrupting, which is the intended behavior), and a
+constant dimension (zero variance for the covariance/PCA family) —
+replayed through the registered similarity query/oracle pairs with the
+driver's comparator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+from tests.parity import TESTDATA_TABLES, compare
+
+DIM = 64
+
+
+def _vec(fill=0.0, **at):
+    v = [fill] * DIM
+    for idx, val in at.items():
+        v[int(idx[1:])] = val
+    return [float(x) for x in v]
+
+
+# (vec_id, embedding, label) — vec_id 0 and 100 are query ids (% 100 == 0)
+HOSTILE_EMBEDDINGS = [
+    (0, _vec(d0=1.0, d1=2.0, d2=-1.0), 1),      # a query vector
+    (1, _vec(), 1),                              # THE zero vector
+    (2, _vec(d0=1.0, d1=2.0, d2=-1.0), 2),      # identical to the query
+    (3, _vec(d0=-1.0, d1=-2.0, d2=1.0), 2),     # exact opposite
+    (4, _vec(d5=1.0), 3),                        # one-hot
+    (5, _vec(d5=1e-30), 3),                      # tiny magnitude
+    (6, _vec(d5=1e6), 4),                        # huge magnitude (contract cap)
+    (7, _vec(fill=0.5), 4),                      # constant vector
+    (8, _vec(fill=0.5), 5),                      # duplicate of 7, other label
+    (9, _vec(d9=3.0, d10=4.0), 5),
+    (100, _vec(d9=3.0, d10=4.0), 6),             # second query, dup of 9
+    (101, _vec(d0=1e6, d1=1e6), 6),              # huge two-axis
+    (102, _vec(), 7),                            # second zero vector
+    (103, _vec(d63=-2.5), 7),                    # last-dimension only
+]
+
+_EMBED_PANEL = [
+    "ann_cosine_topk",
+    "embedding_near_dup_blocked",
+    "binary_quantize_hamming_topk",
+    "int8_quantized_dot_topk",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "embedding_label_centroids",
+    "embedding_covariance_matrix",
+    "hard_negative_mining_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_embed_dir(spark, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("hostile_embed")
+    for t in TESTDATA_TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in HOSTILE_EMBEDDINGS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in HOSTILE_EMBEDDINGS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in HOSTILE_EMBEDDINGS], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, root / "embeddings.parquet")
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _EMBED_PANEL)
+def test_similarity_family_parity_on_hostile_vectors(spark, hostile_embed_dir, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert name in queries and name in oracles, f"{name} not registered"
+    problems = compare(
+        queries[name](spark, hostile_embed_dir), oracles[name], hostile_embed_dir
+    )
+    assert not problems, f"{name} on hostile vectors: {problems}"
