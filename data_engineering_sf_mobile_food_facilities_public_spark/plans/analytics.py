@@ -721,30 +721,38 @@ def exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "orders_above_customer_avg",
     """
-    WITH avgs AS (
+    WITH sums AS (
         SELECT o_custkey,
-               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,6))
-                   AS avg_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                   AS sum_price,
+               COUNT(*) AS n
         FROM orders GROUP BY o_custkey
     )
     SELECT o.o_orderkey, o.o_custkey
-    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
-    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > a.avg_price
+    FROM orders o JOIN sums a ON o.o_custkey = a.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * a.n > a.sum_price
     """,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (each order vs its customer's average),
     decorrelated the way Catalyst rewrites it: aggregate-then-join.  The
-    avg is exact DECIMAL so the > comparison can't flap on ulp noise."""
+    comparison is CROSS-MULTIPLIED (price * n > sum, all exact DECIMAL)
+    instead of price > avg: DuckDB's AVG over DECIMAL routes through
+    DOUBLE internally, so at large magnitudes the 'exact' average
+    silently loses integer cents and the > comparison flaps between
+    engines — caught by the hostile-numerics corpus at 9.99e12."""
     o = load(spark, sf_dir, "orders")
-    avgs = (
+    sums = (
         o.groupBy("o_custkey")
-        .agg(F.avg(_dec("o_totalprice")).cast("decimal(22,6)").alias("avg_price"))
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(28,2)").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .withColumnRenamed("o_custkey", "a_custkey")
     )
     return (
-        o.join(avgs, o.o_custkey == avgs.a_custkey)
-        .filter(_dec("o_totalprice") > F.col("avg_price"))
+        o.join(sums, o.o_custkey == sums.a_custkey)
+        .filter(_dec("o_totalprice") * F.col("n") > F.col("sum_price"))
         .select("o_orderkey", "o_custkey")
     )
 
@@ -1852,6 +1860,7 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS BIGINT) / 4503599627370496.0,
                          1.0 / o_totalprice), 6) AS k
         FROM orders
+        WHERE o_totalprice > 0
     )
     SELECT o_orderkey, total
     FROM keyed
@@ -1870,8 +1879,10 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak to absorb last-ulp pow() differences between libm's).  The
     top-100 runs as TakeOrderedAndProject — per-partition heaps, no
     global sort, no driver-side state: the distributed weighted
-    reservoir."""
-    orders = load(spark, sf_dir, "orders")
+    reservoir.  Non-positive weights are excluded on both sides: A-Res
+    is defined for w > 0, and 1/0 would raise ANSI DIVIDE_BY_ZERO
+    (hostile-numerics corpus)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     u = F.conv(
         F.substring(F.md5(F.concat(F.lit("ws42"), F.col("o_orderkey").cast("string"))), 1, 13),
         16,

@@ -74,6 +74,34 @@ _NUMERIC_PANEL = [
     "percentile_disc_by_status",
     "mode_median_by_flag",
     "stats_from_moments",
+    # TPC-H-shaped consumers of the same hostile facts (dims symlinked):
+    # ties and zero/negative revenue stress their ranks and ratios
+    "flagship_top5_customers_by_order_count",
+    "top_revenue_orders",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "q4_order_priority",
+    "rolling_7day_spend",
+    "mom_revenue_change",
+    "pareto_customers_80pct",
+    "rfm_segment_counts",
+    "weekday_seasonality_profile",
+    "calendar_fill_monthly_revenue",
+    "revenue_share_by_nation",
+    "merge_upsert_orders",
+    # sampling / window / subquery shapes: total-order tiebreaks and
+    # per-group degeneracy under the same hostile facts
+    "deterministic_sample_orders",
+    "weighted_sample_orders",
+    "grouped_zscore_sample",
+    "lag_gap_days_per_customer",
+    "keyset_page_after_cursor",
+    "first_last_nth_order",
+    "moving_sum_3_orders",
+    "ranking_windows",
+    "customers_every_order_above_10k",
+    "orders_above_customer_avg",
+    "exists_big_spenders",
 ]
 
 
