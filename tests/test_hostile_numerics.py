@@ -102,6 +102,15 @@ _NUMERIC_PANEL = [
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
     "exists_big_spenders",
+    # the reference's own SF pipeline derives its staging frames from
+    # these same facts — run the whole 11-table build on hostile inputs
+    "sf_details",
+    "sf_location",
+    "sf_food_type",
+    "sf_num_permit_per_business",
+    "sf_applicant_details",
+    "sf_yelp_info",
+    "sf_permit_ml",
 ]
 
 
