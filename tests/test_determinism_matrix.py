@@ -60,6 +60,19 @@ CELLS: dict[str, dict] = {
             "spark.sql.files.maxPartitionBytes": "1m",
         },
     },
+    # ANSI off: error-vs-NULL semantics must not change any VALUE the
+    # panel produces (queries are crash-free on driver-shaped data, so
+    # the only legal difference would be a bug)
+    "ansi_off_local8": {
+        "master": "local[8]",
+        "conf": {"spark.sql.ansi.enabled": "false"},
+    },
+    # Arrow off: the pandas interchange fallback must be value-identical
+    # for every cogrouped/mapInPandas operator in the panel
+    "arrow_off_local8": {
+        "master": "local[8]",
+        "conf": {"spark.sql.execution.arrow.pyspark.enabled": "false"},
+    },
 }
 
 
