@@ -2828,3 +2828,191 @@ def epochs_per_source_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(raw_epochs, F.lit(_EPOCH_CAP)), 6).alias("epochs"),
         (raw_epochs > F.lit(_EPOCH_CAP)).alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — interleaved training order: rank every document
+# within its language by quality, then emit rank-1 docs of every language
+# first, then rank-2, and so on.  The standard anti-clumping prep before
+# sharding a multilingual corpus into a training run.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "curriculum_interleave_order",
+    _TOKENS_CTE
+    + """
+    , qual AS (
+        SELECT t.doc_id, d.lang,
+               ROUND(
+                 CAST(length(list_filter(t.tokens,
+                          x -> list_contains(['the','a','and','is'], x))) AS DOUBLE)
+                     / len(t.tokens)
+                   - 0.5 * coalesce(
+                         CAST(length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))
+                              AS DOUBLE) / nullif(length(t.text), 0), 0.0)
+                   + 0.1 * (least(CAST(len(t.tokens) AS DOUBLE), 100.0) / 100.0),
+                 6) AS q
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    r AS (
+        SELECT doc_id, lang, q,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY q DESC, doc_id) AS lang_rank
+        FROM qual
+    )
+    SELECT doc_id, lang, q, lang_rank,
+           ROW_NUMBER() OVER (ORDER BY lang_rank, lang, doc_id) - 1 AS global_pos
+    FROM r
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order with language interleaving:
+    per-language quality rank (best first, 6-digit rounded quality with
+    doc_id tiebreak — the engine-wide edge convention, so an unrounded
+    last-ulp difference can never flip an order), then a GLOBAL position
+    that cycles through the languages rank-by-rank, so no early shard of
+    the training run is dominated by one language.
+
+    Scale shape — the oracle's two windows would both be scale traps and
+    neither runs here:
+
+    - the per-language rank is ``ROW_NUMBER() OVER (PARTITION BY lang)``
+      in the oracle, i.e. one sequential task per language ("en" alone is
+      tens of TB at 100 TB).  The engine computes it as a running count
+      of 1 through :func:`~..operators.windows.grouped_running_sum` —
+      the bucketed two-pass cumsum, bounded per-task work for any skew;
+    - the global interleave position is a GLOBAL ``ROW_NUMBER()`` in the
+      oracle (single-task total sort).  The engine derives it
+      ALGEBRAICALLY from the per-language doc counts: for a doc at rank
+      r in language g, ``global_pos = sum_l min(n_l, r-1) + |{l < g :
+      n_l >= r}|`` — every rank below r contributes one doc per language
+      that has one, and within rank r earlier languages go first.  The
+      counts are a languages-sized dim aggregated once and broadcast as
+      ONE array row (the Q15/Q22 scalar pattern); the positions are then
+      per-row HOF arithmetic over that array — no second bucketed pass,
+      no total sort, nothing corpus-sized past the rank stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score("text"), 6).alias("q"),
+    ).select("*", (-F.col("q")).alias("negq"), F.lit(1).alias("one"))
+    ranked = grouped_running_sum(
+        q,
+        "lang",
+        ["negq", "doc_id"],
+        "one",
+        out_col="lang_rank",
+        # cuts only affect bucket balance: sample the cheap key projection
+        # (lang + rounded quality), not the full ranked plan
+        cut_source=q.select("lang", "negq", "doc_id"),
+    ).drop("negq", "one")
+    lang_counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    lc = lang_counts.agg(
+        F.array_sort(F.collect_list(F.struct("lang", "n"))).alias("lc")
+    )
+    rank = F.col("lang_rank")
+    before_rounds = F.aggregate(
+        "lc",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.least(x["n"], rank - F.lit(1)),
+    )
+    before_ties = F.size(
+        F.filter("lc", lambda x: (x["n"] >= rank) & (x["lang"] < F.col("lang")))
+    ).cast("long")
+    return ranked.crossJoin(F.broadcast(lc)).select(
+        "doc_id",
+        "lang",
+        "q",
+        rank.cast("long").alias("lang_rank"),
+        (before_rounds + before_ties).alias("global_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet — the per-(source, language) composition report every
+# corpus release ships ("Datasheets for Datasets"): volume, token mass,
+# quality, and exact-duplication rate in ONE aggregation pass.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dataset_datasheet_by_source",
+    _TOKENS_CTE
+    + """
+    , base AS (
+        SELECT d.source, d.lang,
+               CAST(len(t.tokens) AS BIGINT) AS nt,
+               ROUND(
+                 CAST(length(list_filter(t.tokens,
+                          x -> list_contains(['the','a','and','is'], x))) AS DOUBLE)
+                     / len(t.tokens)
+                   - 0.5 * coalesce(
+                         CAST(length(t.text) - length(regexp_replace(t.text, '[.,;:!?]', '', 'g'))
+                              AS DOUBLE) / nullif(length(t.text), 0), 0.0)
+                   + 0.1 * (least(CAST(len(t.tokens) AS DOUBLE), 100.0) / 100.0),
+                 6) AS q,
+               md5(regexp_replace(lower(trim(t.text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(nt) AS total_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           MAX(nt) AS max_tokens,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_quality,
+           COUNT(DISTINCT fp) AS n_unique_docs,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate
+    FROM base
+    GROUP BY source, lang
+    """,
+)
+def dataset_datasheet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) datasheet: document count, exact token
+    mass, mean/max tokens, mean quality, and the exact-duplicate rate
+    (1 - distinct fingerprints / docs) — the composition table a corpus
+    release publishes and a mixture designer reads first.  Complements
+    :func:`corpus_statistics_report` (the volume-only GROUPING SETS
+    rollup): this is the full-crossing cell table with the two metrics
+    that need more than integer sums — a float-exact quality mean and a
+    distinct-count dup rate.
+
+    Determinism across engines: the only float accumulation is the
+    quality mean, and floating addition is order-sensitive — so the
+    6-digit-rounded qualities are summed EXACTLY as DECIMAL(12,6) and
+    only the final single division runs in double (one IEEE op, then the
+    6-digit edge round; same on both sides).  Token sums are exact
+    BIGINTs; the two rates are single double divisions of exact
+    integers.
+
+    Scale shape: one corpus scan into one (source, lang)-keyed
+    aggregate — dim-sized output, map-side partial aggregation for every
+    column; COUNT(DISTINCT fp) expands to the standard two-phase
+    expand/merge, keyed on (source, lang, fp), so the shuffle carries
+    fingerprints, never text.  No windows, no joins, no second pass."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        TX.token_count("text").cast("long").alias("nt"),
+        F.round(TX.quality_score("text"), 6).alias("q"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("source", "lang").agg(
+        n.alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.sum("nt").cast("double") / n, 6).alias("avg_tokens"),
+        F.max("nt").alias("max_tokens"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(12,6)")).cast("double") / n, 6
+        ).alias("avg_quality"),
+        F.count_distinct(F.col("fp")).alias("n_unique_docs"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(F.col("fp")).cast("double") / n, 6
+        ).alias("dup_rate"),
+    )

@@ -151,6 +151,8 @@ _HOSTILE_PANEL = [
     "leakage_guarded_split",
     "near_dup_quality_survivors",
     "minhash_estimate_calibration",
+    "curriculum_interleave_order",
+    "dataset_datasheet_by_source",
 ]
 
 

@@ -152,6 +152,9 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row node-count broadcast into every rank update (Q15/Q22 scalar
     # pattern); the per-iteration rank/contribution joins are equi-joins
     "pagerank_customer_supplier",
+    # 1-row language-counts array broadcast: the interleave position is
+    # HOF arithmetic over that array instead of a global-sort window
+    "curriculum_interleave_order",
 }
 
 
@@ -719,4 +722,37 @@ def test_chunker_is_pure_scan_side_no_shuffle(spark):
     plan = _plan(spark, "chunk_documents_overlapping")
     assert "Exchange" not in plan
     assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_curriculum_interleave_avoids_both_oracle_windows(spark):
+    """The curriculum order's oracle uses two scale-trap windows: a
+    per-language ROW_NUMBER (one sequential task per language) and a
+    global ROW_NUMBER (single-task total sort).  The engine must run
+    NEITHER: the rank comes from the bucketed running-count (windows
+    partitioned by (__bucket, lang), bounded per task), and the global
+    position is HOF arithmetic over a 1-row broadcast language-counts
+    array — the plan's only nested-loop join."""
+    import re
+
+    plan = _plan(spark, "curriculum_interleave_order")
+    assert "row_number" not in plan  # both oracle windows replaced
+    # corpus-sized windows must lead with __bucket, never lang alone
+    assert re.search(r"windowspecdefinition\(__bucket#\d+", plan)
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row array
+    assert "aggregate(" in plan  # HOF position arithmetic
+    assert "EvalPython" not in plan
+
+
+def test_datasheet_single_pass_no_windows(spark):
+    """The per-(source, lang) datasheet must be ONE aggregation pass over
+    ONE documents scan: partial agg -> exchange on the distinct key ->
+    merge -> exchange on the group key -> final.  No windows, no joins,
+    no second scan — at 100 TB this is a nightly telemetry query whose
+    whole cost is the scan."""
+    plan = _plan(spark, "dataset_datasheet_by_source")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange") == 2  # two-phase distinct aggregate
+    assert "Window" not in plan
+    assert "Join" not in plan
     assert "EvalPython" not in plan
