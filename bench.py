@@ -66,6 +66,10 @@ HEADLINE = [
     "chunk_documents_overlapping",
     "benchmark_span_decontamination",
     "leakage_guarded_split",
+    # late round-8 additions: the curriculum interleave (bucketed rank +
+    # broadcast-counts position algebra) and the one-pass datasheet
+    "curriculum_interleave_order",
+    "dataset_datasheet_by_source",
 ]
 
 
