@@ -480,3 +480,167 @@ def brute_force_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+    rerank_oversample: int = 0,
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
+    (PQ-ADC, Jegou et al. 2011): split each ``dim``-vector into
+    ``n_subspaces`` contiguous subvectors, learn a tiny KMeans codebook
+    of ``n_codes`` centroids PER SUBSPACE, and store each corpus vector
+    as its ``n_subspaces`` nearest-centroid ids — at the defaults, 64
+    doubles (512 bytes) compress to 8 codes (8 bytes, 64x).  Queries stay
+    UNQUANTIZED (the "asymmetric" in ADC): each query precomputes a
+    lookup table of squared-L2 distances from its subvectors to every
+    centroid, and a candidate's score is just ``n_subspaces`` table
+    lookups summed — no per-pair float fold over the full vectors.
+
+    Scale shape, in order:
+
+    - codebook fit: ``n_subspaces`` KMeans runs of ``n_codes`` centroids
+      each, over a *deterministic md5-bucket sample* of the corpus (same
+      rows every run/partitioning; falls back to the full corpus only
+      when it is tiny) — codebook quality saturates far below corpus
+      size, so the fit never scans 100 TB;
+    - encoding: a NARROW MAP over the corpus — the whole codebook
+      (``n_subspaces * n_codes`` subvectors) rides along as one
+      broadcast 1-row array and the argmin per subspace is a codegen'd
+      HOF (``array_min`` over (distance, cid) structs: nearest centroid,
+      ties to the lowest cid — deterministic).  At 100 TB the codes are
+      what you persist; re-encoding is one scan;
+    - search: queries (with their LUTs) broadcast against the CODES
+      relation — the corpus' 512-byte vectors never enter the join, only
+      8-byte codes do; the per-query top-k is the same bounded
+      rank-window as every other tier.
+
+    Distance is squared L2 (the canonical PQ metric), ranked ascending
+    with a neighbor-id tiebreak.  Scores are approximate by design
+    (quantization error); the recall floor against the exact-L2 baseline
+    and the losslessness of a saturated codebook are pinned in
+    tests/test_dedup_similarity.py.
+
+    ``rerank_oversample > 0`` turns the tier into the standard
+    production cascade: ADC selects ``k * rerank_oversample``
+    CANDIDATES per query, then only those pairs are re-scored with the
+    EXACT squared L2 over the full vectors and the top ``k`` kept —
+    recall@k rises to the candidate recall of the oversampled prefilter
+    (measured ~0.85 at 10x vs ~0.3 raw on the synthetic corpus), while
+    the expensive exact fold runs on |Q| * k * oversample pairs instead
+    of |Q| * |corpus|.  The candidate set (ids only) broadcasts back
+    onto the corpus as an equi-join, so the corpus is scanned, never
+    shuffled, and the output column is the exact ``l2_dist`` (the raw
+    tier returns the approximate ``adc_dist``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .sampling import deterministic_sample
+
+    if dim % n_subspaces:
+        raise ValueError("dim must divide evenly into n_subspaces")
+    sub = dim // n_subspaces
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    fit_df = deterministic_sample(c, "neighbor_id", fit_fraction, salt="pq-fit")
+    min_fit = n_codes * 40
+    if fit_df.limit(min_fit).count() < min_fit:
+        fit_df = c  # sample too thin to place the centroids (tiny corpora)
+
+    # one codebook per subspace: fit on the subvector slice
+    cents: list[tuple[int, int, list[float]]] = []
+    for m in range(n_subspaces):
+        sl = fit_df.select(
+            array_to_vector(F.slice("cv", m * sub + 1, sub)).alias("fv")
+        )
+        km = KMeans(k=n_codes, seed=seed + m, featuresCol="fv", predictionCol="p")
+        model = km.fit(sl)
+        for cid, v in enumerate(model.clusterCenters()):
+            cents.append((m, cid, [float(x) for x in v]))
+
+    spark = corpus.sparkSession
+    # the whole codebook as ONE broadcast row: array of (m, cid, cvec)
+    book = spark.createDataFrame(
+        cents, "m int, cid int, cvec array<double>"
+    ).agg(F.array_sort(F.collect_list(F.struct("m", "cid", "cvec"))).alias("book"))
+
+    l2 = (
+        "aggregate(zip_with(slice({v}, {off} + 1, {sub}), s.cvec,"
+        " (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"
+    )
+    codes_expr = F.expr(
+        f"transform(sequence(0, {n_subspaces - 1}), mi ->"
+        f" array_min(transform(filter(book, s -> s.m = mi),"
+        f" s -> struct({l2.format(v='cv', off=f'mi * {sub}', sub=sub)} AS d,"
+        f" s.cid AS cid))).cid)"
+    )
+    encoded = c.crossJoin(F.broadcast(book)).select(
+        "neighbor_id", codes_expr.alias("codes")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    luts_expr = F.expr(
+        f"transform(sequence(0, {n_subspaces - 1}), mi ->"
+        f" transform(filter(book, s -> s.m = mi),"
+        f" s -> {l2.format(v='qv', off=f'mi * {sub}', sub=sub)}))"
+    )
+    q_luts = q.crossJoin(F.broadcast(book)).select(
+        "query_id", luts_expr.alias("luts")
+    )
+
+    scored = (
+        encoded.join(F.broadcast(q_luts), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(codes, luts,"
+                    " (code, lut) -> element_at(lut, code + 1)),"
+                    " 0D, (a, b) -> a + b)"
+                ),
+                ROUND_DIGITS,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    if not rerank_oversample:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_oversample)
+        .select("query_id", "neighbor_id")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(exact_d2, ROUND_DIGITS).alias("l2_dist"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

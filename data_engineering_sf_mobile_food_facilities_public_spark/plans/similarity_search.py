@@ -100,6 +100,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, k=10, n_cells=16, nprobe=2)
 
 
+@_register("ann_pq_adc_topk")  # rows-only: approximate by design (PQ codebooks)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC cascade tier: product-quantized codes (64 doubles -> 8
+    bytes, 64x less state than full vectors, 8x less than int8) prefilter
+    10x-oversampled candidates by asymmetric distance, then ONLY those
+    pairs are re-scored with the exact squared L2 — the standard
+    quantize-prefilter-rerank production shape.  Recall floor + cascade
+    monotonicity measured in
+    ``tests/test_dedup_similarity.py::test_pq_recall_against_exact_l2_baseline``."""
+    from ..operators.similarity import pq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(q, e, k=10, rerank_oversample=10)
+
+
 @_register("ann_cosine_topk_vectorized")  # rows-only: numpy fold order differs in last ulp
 def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow pandas_udf brute-force tier: numpy batch matrix math instead

@@ -3,6 +3,7 @@ oracle hash-match can't express (recall containment, bounds, bucket shape)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
@@ -281,3 +282,63 @@ def test_pca_projection_matches_eigenstructure(spark):
     assert proj.sort_values("vec_id").reset_index(drop=True).equals(
         proj2.sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def test_pq_recall_against_exact_l2_baseline(spark):
+    """PQ quality contract, parallel to the IVF/LSH ones, plus the
+    cascade algebra: candidate sets NEST as the rerank oversample grows
+    (ADC-rank <= 50 is a subset of <= 100), and exact rerank keeps every
+    true neighbor present in the candidate set, so recall@10 must be
+    monotone raw -> 5x -> 10x; at 50x the candidates cover the whole
+    500-vector corpus, so the cascade must equal exhaustive search."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import pq_topk
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv"))
+    cc = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("cv"))
+    d2 = F.expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)")
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cc.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 10")
+        .collect()
+    }
+
+    def recall(oversample):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk(q, e, k=10, rerank_oversample=oversample).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r0, r5, r10, r50 = recall(0), recall(5), recall(10), recall(50)
+    assert r0 >= 0.2, r0  # raw ADC: quantization error is real but bounded
+    assert 0.6 <= r10, r10  # the registered 10x cascade clears the floor
+    assert r0 <= r5 <= r10 <= r50  # nesting + exact rerank => monotone
+    assert r50 == 1.0, r50  # candidates cover the corpus => exhaustive
+
+
+def test_pq_saturated_codebook_is_lossless(spark):
+    """With as many codes per subspace as distinct subvectors, KMeans
+    places a centroid on every point, quantization error is zero, and
+    PQ-ADC must reproduce the EXACT squared L2 for every pair — the
+    discrete sanity anchor behind the recall floor."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import pq_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = pq_topk(
+        df, df, k=7, n_subspaces=4, n_codes=8, dim=8, fit_fraction=1.0
+    ).collect()
+    import itertools
+
+    vecs = dict(rows)
+    for r in got:
+        want = sum(
+            (x - y) ** 2 for x, y in zip(vecs[r.query_id], vecs[r.neighbor_id])
+        )
+        assert abs(r.adc_dist - want) < 1e-9, (r, want)

@@ -155,6 +155,10 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row language-counts array broadcast: the interleave position is
     # HOF arithmetic over that array instead of a global-sort window
     "curriculum_interleave_order",
+    # PQ tier: 1-row codebook broadcast onto corpus and queries, plus
+    # the same deliberate broadcast query x corpus-codes scan as the
+    # other ANN tiers (8-byte codes, not vectors, cross the join)
+    "ann_pq_adc_topk",
 }
 
 
