@@ -556,13 +556,29 @@ def pq_topk(
     if fit_df.limit(min_fit).count() < min_fit:
         fit_df = c  # sample too thin to place the centroids (tiny corpora)
 
-    # one codebook per subspace: fit on the subvector slice
+    # one codebook per subspace: fit on the subvector slice.  KMeans
+    # ABORTS when k exceeds the number of distinct points (distinct-
+    # center init yields fewer centers than k, then the aggregator
+    # indexes past them), so clamp k per subspace via a CAPPED distinct
+    # probe — distinct().limit(n_codes) only has to establish whether
+    # n_codes distinct subvectors exist, it never counts the corpus.
+    # A degenerate subspace (constant column) gets a 1-centroid book;
+    # an empty corpus gets no book and falls through to an empty result.
     cents: list[tuple[int, int, list[float]]] = []
     for m in range(n_subspaces):
         sl = fit_df.select(
             array_to_vector(F.slice("cv", m * sub + 1, sub)).alias("fv")
         )
-        km = KMeans(k=n_codes, seed=seed + m, featuresCol="fv", predictionCol="p")
+        distinct_rows = sl.distinct().limit(n_codes).collect()
+        k_m = min(n_codes, len(distinct_rows))
+        if k_m == 0:
+            break  # empty corpus: no codebook, empty join below
+        if k_m == 1:
+            # constant subspace: KMeans rejects k < 2; the codebook IS
+            # the single distinct subvector (zero quantization error)
+            cents.append((m, 0, [float(x) for x in distinct_rows[0]["fv"]]))
+            continue
+        km = KMeans(k=k_m, seed=seed + m, featuresCol="fv", predictionCol="p")
         model = km.fit(sl)
         for cid, v in enumerate(model.clusterCenters()):
             cents.append((m, cid, [float(x) for x in v]))

@@ -342,3 +342,27 @@ def test_pq_saturated_codebook_is_lossless(spark):
             (x - y) ** 2 for x, y in zip(vecs[r.query_id], vecs[r.neighbor_id])
         )
         assert abs(r.adc_dist - want) < 1e-9, (r, want)
+
+
+def test_pq_survives_degenerate_corpora(spark):
+    """KMeans aborts outright when k exceeds the number of distinct
+    points (distinct-center init yields fewer centers than k), so a
+    tiny or constant-column corpus must clamp each subspace's codebook
+    instead of crashing — the hostile-vectors regression for the PQ
+    tier (zero vectors score fine under L2; it is the CODEBOOK FIT that
+    breaks on degenerate input)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import pq_topk
+
+    # 6 vectors sharing many duplicate subvectors: distinct points < 16
+    rows = [(i, [float(x % 3) for x in range(i, i + 64)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = pq_topk(df.filter("vec_id = 0"), df, k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+
+    # constant corpus: every subspace collapses to ONE centroid
+    const = spark.createDataFrame(
+        [(i, [0.5] * 64) for i in range(4)], "vec_id: long, embedding: array<double>"
+    )
+    out = pq_topk(const.filter("vec_id = 0"), const, k=2).collect()
+    assert len(out) == 2 and all(r.adc_dist == 0.0 for r in out)
