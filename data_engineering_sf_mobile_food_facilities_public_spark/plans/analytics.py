@@ -2675,6 +2675,46 @@ def part_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+@_register("lpa_communities_part_graph")  # rows-only: iterative fixpoint, no SQL twin
+def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the parts-bought-together graph via
+    deterministic synchronous label propagation
+    (``operators/graph.label_propagation``) — the density-based
+    complement to connected components: bridge edges between dense part
+    clusters do NOT merge their communities, so the labels expose
+    merchandising clusters rather than mere reachability.  Iterative
+    (join + two keyed aggregates per round, lineage checkpointed), so
+    registered rows-only; the discriminating semantics (bridged cliques
+    stay separate, disjoint cliques match components, result invariant
+    to partitioning) are pinned in tests/test_properties.py.
+
+    Edges carry a SUPPORT THRESHOLD (co-occurrence in >= 2 orders, the
+    standard market-basket support cut): the raw shared-an-order graph
+    at TPC-H density is near-complete, where majority voting correctly
+    but uselessly converges to one global community — the threshold is
+    what makes the graph's density structure (and thus LPA) meaningful,
+    and at 100 TB it also bounds the edge list to pairs with repeated
+    evidence."""
+    from ..operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("id_a", "id_b")
+    )
+    return label_propagation(edges, max_iter=5)
+
+
 # ---------------------------------------------------------------------------
 # NULL semantics breadth — three-valued logic, null-safe compare, coalesce.
 # ---------------------------------------------------------------------------

@@ -878,3 +878,52 @@ def test_range_cuts_strictly_increasing_and_bounded(spark, rows, nb):
     assert len(cuts) <= max(nb - 1, 0)
     assert all(cuts[i] < cuts[i + 1] for i in range(len(cuts) - 1))
     assert all(c[0] in rows for c in cuts)
+
+
+def test_lpa_bridged_cliques_split_but_components_merge(spark):
+    """The LPA-vs-components discriminator: two 4-cliques joined by ONE
+    bridge edge are a single connected component but must resolve to TWO
+    communities — the bridge's single vote loses to each clique's
+    internal majority.  On DISJOINT cliques LPA and components agree
+    exactly."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+    import itertools
+
+    def clique(ids):
+        return [(a, b) for a, b in itertools.combinations(ids, 2)]
+
+    bridged = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    e = spark.createDataFrame(bridged, "id_a: long, id_b: long")
+    comp = {r.id: r.component for r in connected_components(e).collect()}
+    lpa = {r.id: r.community for r in label_propagation(e).collect()}
+    assert len(set(comp.values())) == 1  # one component (the bridge)
+    assert len(set(lpa.values())) == 2  # two communities (density wins)
+    assert {frozenset(k for k, v in lpa.items() if v == c) for c in set(lpa.values())} == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({10, 11, 12, 13}),
+    }
+
+    disjoint = clique([0, 1, 2]) + clique([20, 21, 22, 23])
+    e2 = spark.createDataFrame(disjoint, "id_a: long, id_b: long")
+    comp2 = {r.id: r.component for r in connected_components(e2).collect()}
+    lpa2 = {r.id: r.community for r in label_propagation(e2).collect()}
+    assert comp2 == lpa2  # no bridges: communities == components
+
+
+def test_lpa_is_partitioning_invariant(spark):
+    """LPA's classic failure mode is update-order dependence; the
+    synchronous min-tie formulation must be a pure function of the edge
+    set — identical labels no matter how the input is partitioned."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + [(i, i + 1) for i in range(0, 38, 2)]
+    edges = [(int(a), int(b)) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    r1 = {r.id: r.community for r in label_propagation(e.repartition(1)).collect()}
+    r7 = {r.id: r.community for r in label_propagation(e.repartition(7)).collect()}
+    assert r1 == r7
