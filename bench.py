@@ -67,9 +67,11 @@ HEADLINE = [
     "benchmark_span_decontamination",
     "leakage_guarded_split",
     # late round-8 additions: the curriculum interleave (bucketed rank +
-    # broadcast-counts position algebra) and the one-pass datasheet
+    # broadcast-counts position algebra), the one-pass datasheet, and
+    # the sliding-distinct-users bitmap re-aggregation
     "curriculum_interleave_order",
     "dataset_datasheet_by_source",
+    "rolling_7day_active_users",
 ]
 
 

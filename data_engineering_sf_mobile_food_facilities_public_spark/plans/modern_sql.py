@@ -61,6 +61,79 @@ def bitmap_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "rolling_7day_active_users",
+    """
+    WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM e),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day)
+    SELECT d.day, dau.dau, COUNT(DISTINCT e.user_id) AS users_7d
+    FROM days d
+    JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    JOIN dau ON dau.day = d.day
+    GROUP BY d.day, dau.dau
+    """,
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + exact 7-day rolling distinct users per active day — the
+    telemetry query where naive sliding COUNT(DISTINCT) re-scans every
+    event 7 times (or worse, holds a 7-day distinct window in one task
+    per day).
+
+    Scale shape — ONE linear consumer chain, so events are scanned
+    exactly once (a branched formulation with separate day-spine and
+    DAU consumers of the daily partials re-scanned events six times —
+    identical subtrees do NOT get reused once per-branch column pruning
+    diverges, the same Catalyst reality the cumsum family documents):
+    raw events aggregate ONCE into per-(day, bucket) bitmap partials
+    (map-side combined — the same mergeable-bitmap pattern as
+    ``bitmap_distinct_parts_by_flag``, stored per day in a real
+    deployment); each partial then explodes to the <=7 output days it
+    contributes to (a x7 expansion of #days x #buckets rows, not of
+    events) carrying an is-self flag, and one (output day, bucket)
+    OR-merge feeds one final per-day SUM — buckets partition the
+    user-id space, so cardinalities add.  DAU rides the SAME merge as
+    the OR of self-flagged bitmaps only, and output days restrict to
+    real event days because only they have a self contribution (the
+    HAVING dau IS NOT NULL below) — no day-spine join, no second
+    consumer, nothing after the first aggregate ever touches events.
+    The oracle pays the 7x self-join over raw events instead.  Windows
+    at the corpus edge are partial by definition."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    contrib = daily.select(
+        "day",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("out_day"),
+        "bucket",
+        "bm",
+    )
+    merged = contrib.groupBy("out_day", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm_all"),
+        F.bitmap_or_agg(F.when(F.col("out_day") == F.col("day"), F.col("bm"))).alias(
+            "bm_self"
+        ),
+        # bitmap_or_agg over an all-NULL group returns an EMPTY bitmap,
+        # not NULL, so "did this out_day really occur" needs an explicit
+        # self-row count — phantom trailing days (last day + 1..6) have
+        # contributions but no self row and must not emit
+        F.count(F.when(F.col("out_day") == F.col("day"), 1)).alias("n_self"),
+    )
+    return (
+        merged.groupBy("out_day")
+        .agg(
+            F.sum(F.bitmap_count("bm_self")).alias("dau"),
+            F.sum(F.bitmap_count("bm_all")).alias("users_7d"),
+            F.sum("n_self").alias("n_self"),
+        )
+        .filter(F.col("n_self") > 0)  # only real event days emit
+        .select(F.col("out_day").alias("day"), "dau", "users_7d")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates: mode / median / regr_*
 # ---------------------------------------------------------------------------

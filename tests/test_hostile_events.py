@@ -64,6 +64,7 @@ _EVENT_PANEL = [
     "timezone_conversion_events",
     "funnel_time_to_convert",
     "cogrouped_asof_attribution",
+    "rolling_7day_active_users",
 ]
 
 

@@ -760,3 +760,20 @@ def test_datasheet_single_pass_no_windows(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_rolling_distinct_users_linear_single_scan(spark):
+    """The 7-day rolling distinct must be ONE linear chain: events
+    aggregate once into per-(day, bucket) bitmap partials (map-side
+    combined), the x7 explode runs on that day-sized relation, and DAU
+    rides the same OR-merge as self-flagged bitmaps — no day-spine
+    join, no second events scan (the branched formulation re-scanned
+    events six times), exactly three exchanges, every one dim-sized
+    after the first."""
+    plan = _plan(spark, "rolling_7day_active_users")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("Exchange") == 3
+    assert "Join" not in plan
+    assert "partial_bitmap_construct_agg" in plan  # map-side combine
+    assert "partial_bitmap_or_agg" in plan  # merge is also two-phase
+    assert "EvalPython" not in plan
