@@ -72,6 +72,9 @@ HEADLINE = [
     "curriculum_interleave_order",
     "dataset_datasheet_by_source",
     "rolling_7day_active_users",
+    # sweep-line concurrency: session windows + the constant-key
+    # bucketed global cumsum on the endpoint relation
+    "max_concurrent_sessions_daily",
 ]
 
 

@@ -3764,3 +3764,92 @@ def cogrouped_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(c.groupBy("user_id"))
         .applyInPandas(attribute, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap counting: sweep-line max concurrency per day.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "max_concurrent_sessions_daily",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    ), sess AS (
+        SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+        FROM tagged GROUP BY user_id, session_seq
+    ), pts AS (
+        SELECT st AS ts, 1 AS delta, user_id, session_seq FROM sess
+        UNION ALL
+        SELECT en AS ts, -1 AS delta, user_id, session_seq FROM sess
+    ), run AS (
+        SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id, session_seq
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY CAST(ts AS DATE)
+    """,
+)
+def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day, by sweep line: sessionize
+    (30-min gap, as :func:`sessionization_stats`), explode each session
+    interval to a +1 endpoint at its start and a -1 at its end, and
+    take the per-day MAX of the endpoint-ordered running sum.  The
+    capacity-planning query ("how many users were on at once?") that a
+    naive interval self-join answers in O(sessions^2).
+
+    Tie rule, identical on both engines: endpoints order by
+    (ts, delta, user_id, session_seq), so at equal timestamps a close
+    (-1) processes before an open (+1) — back-to-back sessions that
+    touch do not overlap, and the order is total so the running sum is
+    everywhere deterministic, not just at its max.  Concurrency carries
+    across midnight because the running sum is GLOBAL; a day's row
+    reports the max over the endpoints falling in it (concurrency only
+    changes at endpoints; a session wholly spanning a day with no
+    endpoint inside it cannot occur under a 30-minute inactivity gap
+    with sub-day activity).
+
+    Scale shape: the global ordered cumulative sum is the classic
+    single-task window trap — at 100 TB the endpoint relation is 2x
+    sessions, far beyond one reducer.  It runs through
+    :func:`grouped_running_sum` with a constant group key (the KS/CDF
+    pattern): sample-derived broadcast range cuts bucket the endpoint
+    order, local per-bucket sums plus a tiny bucket-offset prefix
+    reconstruct the exact global running sum — determinism by algebra,
+    no partition-count dependence.  Everything before it is one
+    user_id exchange (sessionize + session agg share the key)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = (
+        sessionize(e, "user_id", "ts", "30 minutes", tiebreak=["event_id"])
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    pts = sess.select(
+        F.col("st").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_seq"
+    ).unionAll(
+        sess.select(
+            F.col("en").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_seq"
+        )
+    )
+    run = grouped_running_sum(
+        pts.withColumn("__one", F.lit(1)),
+        "__one",
+        ["ts", "delta", "user_id", "session_seq"],
+        "delta",
+        out_col="conc",
+    )
+    return run.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )

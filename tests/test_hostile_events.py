@@ -65,6 +65,8 @@ _EVENT_PANEL = [
     "funnel_time_to_convert",
     "cogrouped_asof_attribution",
     "rolling_7day_active_users",
+    "max_concurrent_sessions_daily",
+    "snapshot_diff_user_state",
 ]
 
 
