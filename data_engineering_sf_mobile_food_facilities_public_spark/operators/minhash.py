@@ -280,3 +280,54 @@ def jaccard(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFram
             ).alias("jaccard"),
         )
     )
+
+
+def prefix_filter_pairs(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """LOSSLESS candidate pruning for exact Jaccard >= ``threshold``:
+    the prefix-filtering principle of the AllPairs / PPJoin family
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+
+    Order all shingles by a global total order — ascending document
+    frequency, ties by shingle text, so the RAREST shingles come first
+    — and keep, per document of set size n, only the first
+    ``n - ceil(t*n) + 1`` shingles (its *prefix*).  Any pair with
+    Jaccard >= t shares at least one prefix shingle: J >= t implies
+    overlap O >= ceil(t*max(|A|,|B|)), and if the order-smallest common
+    shingle were outside A's prefix then ALL common shingles would sit
+    in A's suffix of size ceil(t*|A|) - 1 < O — contradiction, and
+    symmetrically for B.  So the inverted-index self-join over prefixes
+    alone loses no qualifying pair, while candidates concentrate on
+    RARE shingles: the boilerplate shingle shared by half the corpus —
+    the quadratic hot bucket :func:`candidate_pairs` has to cap — lands
+    at the END of the order and never generates a candidate unless a
+    document consists of almost nothing else.
+
+    Shapes: one aggregate for document frequencies, one broadcast-or-
+    shuffle join of df onto the shingle relation, one per-document
+    window (doc-sized partitions) for the rank and set size, then the
+    same equi-self-join as the uncapped index but over the pruned
+    relation.  The df join keys on the shingle — the same distribution
+    the self-join needs.  Exactness (unlike the LSH/SimHash tiers, no
+    recall loss) makes this the verification-grade similarity join."""
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    wn = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    wp = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(dfc, "shingle")
+        .withColumn("__rn", F.row_number().over(wn))
+        .withColumn("__n", F.count(F.lit(1)).over(wp))
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -366,3 +366,67 @@ def test_pq_survives_degenerate_corpora(spark):
     )
     out = pq_topk(const.filter("vec_id = 0"), const, k=2).collect()
     assert len(out) == 2 and all(r.adc_dist == 0.0 for r in out)
+
+
+def test_prefix_filter_lossless_and_actually_prunes(spark):
+    # prefix filtering must (a) be a subset of the unpruned inverted-index
+    # candidates, (b) strictly shrink them (rare-first prefixes skip the
+    # common shingles that dominate the full index), and (c) lose NO pair
+    # with exact Jaccard >= t — cross-validated against the unpruned join
+    # scored by the same jaccard() at the same threshold
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        prefix_filter_pairs,
+    )
+
+    t = 0.6
+    d = load(spark, SF_SMOKE, "documents")
+    sh = shingles(d)
+    pruned = {(r.id_a, r.id_b) for r in prefix_filter_pairs(sh, t).collect()}
+    full = {(r.id_a, r.id_b) for r in shared_shingle_pairs(sh).collect()}
+    assert pruned <= full
+    assert len(pruned) < len(full)
+    want = {
+        (r.id_a, r.id_b)
+        for r in jaccard(shared_shingle_pairs(sh), sh)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard(prefix_filter_pairs(sh, t), sh)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0  # generator plants near-dups
+
+
+def test_prefix_filter_threshold_one_keeps_exact_duplicates(spark):
+    # at t = 1.0 the prefix is exactly ONE shingle per document (n - n + 1),
+    # yet identical shingle sets share their order-smallest shingle, so
+    # full-duplicate pairs must still surface
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.minhash import (
+        prefix_filter_pairs,
+    )
+
+    d = load(spark, SF_SMOKE, "documents")
+    sh = shingles(d)
+    prefix_sizes = (
+        sh.join(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert prefix_sizes.count() > 0
+    dup_pairs = {
+        (r.id_a, r.id_b)
+        for r in jaccard(prefix_filter_pairs(sh, 1.0), sh)
+        .filter(F.col("jaccard") >= 1.0)
+        .collect()
+    }
+    exact_dups = {
+        (r.id_a, r.id_b)
+        for r in jaccard(shared_shingle_pairs(sh), sh)
+        .filter(F.col("jaccard") >= 1.0)
+        .collect()
+    }
+    assert dup_pairs == exact_dups
