@@ -10,13 +10,14 @@ from .dedup import dedup_first, distinct_pairs
 from .joins import join_small_dim
 from .replicate import replicate_rows
 from .topk import top_k
-from .windows import grouped_running_sum, surrogate_key, window_count
+from .windows import grouped_running_max, grouped_running_sum, surrogate_key, window_count
 
 __all__ = [
     "check_fk_orphans",
     "check_unique_violations",
     "dedup_first",
     "distinct_pairs",
+    "grouped_running_max",
     "grouped_running_sum",
     "join_small_dim",
     "replicate_rows",

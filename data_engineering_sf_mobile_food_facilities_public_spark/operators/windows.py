@@ -306,3 +306,63 @@ def surrogate_key(
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
         .drop("__bucket", "__local", "__offset")
     )
+
+
+def grouped_running_max(
+    df: DataFrame,
+    group: str,
+    order_by: Sequence[str],
+    value: str,
+    out_col: str = "running_max",
+    exclusive: bool = False,
+    cut_source: DataFrame | None = None,
+    n_buckets: int | None = None,
+    sample_size: int | None = None,
+) -> DataFrame:
+    """Per-``group`` running MAX of ``value`` in ``order_by`` order —
+    the extrema sibling of :func:`grouped_running_sum`, same two-pass
+    bucketed decomposition (sampled broadcast range cuts, local
+    per-(bucket, group) window, tiny per-bucket offsets frame), because
+    MAX is associative exactly like ``+``: the global prefix max is
+    ``greatest(local prefix max, max over all earlier buckets)``.
+
+    ``exclusive=True`` yields the strict-predecessor max (the value at
+    row i covers rows < i only; NULL when no predecessor exists) — the
+    form a sort-based skyline sweep needs.  Exclusivity composes
+    cleanly across the decomposition: the local window excludes the
+    current row, and the offsets frame excludes the current bucket
+    entirely, so their ``greatest`` (null-skipping in both engines) is
+    exactly the max over all strictly earlier rows."""
+    keys = [group, *order_by]
+    nb = n_buckets if n_buckets is not None else _n_buckets(df)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts)).repartition(
+        "__bucket", group
+    )
+    upper = -1 if exclusive else Window.currentRow
+    local_w = (
+        Window.partitionBy("__bucket", group)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    offsets_w = (
+        Window.partitionBy(group)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__bucket", group)
+        .agg(F.max(value).alias("__part_max"))
+        .select(
+            "__bucket",
+            group,
+            F.max("__part_max").over(offsets_w).alias("__offset_max"),
+        )
+    )
+    out = (
+        bucketed.select("*", F.max(value).over(local_w).alias("__local_max"))
+        .join(F.broadcast(offsets), ["__bucket", group])
+        .withColumn(out_col, F.greatest("__local_max", "__offset_max"))
+    )
+    return out.drop("__bucket", "__local_max", "__offset_max")

