@@ -106,8 +106,14 @@ _PANEL_ROTATING = [
     "training_data_pipeline",  # fused consumer of tokenizer + fingerprint
     "text_quality_scores",  # empty-document punct_ratio guard added this round
     "sequence_packing_bins",  # bucketed-cumsum representative (rewritten r8)
-    "simhash64_near_dup_pairs",
-    "temperature_resample_mixture",
+    # late-r8 additions displace two members whose families keep other
+    # panel reps (simhash64 banding -> leakage_guarded_split; temperature
+    # mixture -> the three tokenizer/cumsum consumers above): the sweep-
+    # line concurrency exercises sessionize + the constant-key bucketed
+    # cumsum, and the prefix-filter join exercises shingles/jaccard plus
+    # the new lossless pruning operator
+    "max_concurrent_sessions_daily",
+    "prefix_filtered_jaccard_pairs",
     "tiff_header_decode",
     "ohlc_hourly_by_type",
     "leakage_guarded_split",  # r8: LSH + split composition
