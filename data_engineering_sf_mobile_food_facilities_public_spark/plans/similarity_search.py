@@ -679,3 +679,158 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"pc{c_i + 1}")
         )
     return e.select("vec_id", "label", *proj_cols)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion of dense + sparse retrievers.
+# ---------------------------------------------------------------------------
+
+_HYBRID_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens
+    FROM documents
+),
+tl AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+tld AS (SELECT DISTINCT doc_id, token FROM tl),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT token, COUNT(*) AS n_df FROM tld GROUP BY token),
+idf AS (
+    SELECT token,
+           CAST(round(ln((n.n_docs + 1.0) / (dfreq.n_df + 1.0)), 6)
+                AS DECIMAL(18,6)) AS idf
+    FROM dfreq CROSS JOIN n
+),
+qt AS (SELECT doc_id AS query_id, token FROM tld WHERE doc_id % 100 = 0),
+sscore AS (
+    SELECT qt.query_id, tld.doc_id, SUM(idf.idf) AS score
+    FROM qt
+    JOIN tld ON tld.token = qt.token AND tld.doc_id <> qt.query_id
+    JOIN idf ON idf.token = qt.token
+    GROUP BY qt.query_id, tld.doc_id
+),
+sparse AS (
+    SELECT query_id, doc_id, rnk AS rank_sparse FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rnk
+        FROM sscore) WHERE rnk <= 20
+),
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0
+      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+dscored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+           round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+    FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+dense AS (
+    SELECT query_id, doc_id, rnk AS rank_dense FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, doc_id) AS rnk
+        FROM dscored) WHERE rnk <= 20
+),
+fused AS (
+    SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+           COALESCE(d.doc_id, s.doc_id) AS doc_id,
+           d.rank_dense, s.rank_sparse,
+           round(COALESCE(1.0 / (60 + d.rank_dense), 0.0)
+                 + COALESCE(1.0 / (60 + s.rank_sparse), 0.0), 6) AS rrf_score
+    FROM dense d
+    FULL OUTER JOIN sparse s
+      ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(rank_dense AS BIGINT) AS rank_dense,
+       CAST(rank_sparse AS BIGINT) AS rank_sparse,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= 10
+"""
+
+
+@_register("hybrid_search_rrf", _HYBRID_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion (RRF, k=60): fuse an
+    exact dense retriever (cosine top-20, :func:`brute_force_topk`) with
+    a sparse lexical retriever (summed IDF of shared distinct tokens,
+    top-20) — the standard two-tower RAG recall stack, where RRF needs
+    only RANKS so the two retrievers' incomparable score scales never
+    have to be calibrated.
+
+    Portability: each per-token IDF rounds to 6 digits THEN casts to
+    DECIMAL(18,6) before the per-(query, doc) SUM, so the sparse score
+    is summation-order-exact on both engines (the float-sum-order rule
+    from plans/relational); the RRF score is a two-term sum of exact
+    divisions, rounded at the edge; every rank order carries a doc_id
+    tiebreak.
+
+    Scale shape: the sparse side is an inverted-index equi-join on
+    token (query tokens are a broadcast-sized relation — #queries x
+    avg doc length), with IDF joined on the same token key; the dense
+    side broadcasts queries through one corpus scan.  Fusion is a
+    full-outer join of two top-k relations (bounded: #queries x k
+    each) — trivially broadcastable; nothing in the fusion touches the
+    corpus again."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    from ..functions import text as TX
+
+    dense = (
+        brute_force_topk(e.filter(F.col("vec_id") % 100 == 0), e, k=20)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rank_dense"),
+        )
+    )
+    tld = d.select("doc_id", F.explode(TX.tokens("text")).alias("token")).distinct()
+    n_docs = d.count()
+    idf = (
+        tld.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_df"))
+        .select(
+            "token",
+            F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("n_df") + 1.0)), 6)
+            .cast("decimal(18,6)")
+            .alias("idf"),
+        )
+    )
+    qt = tld.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    sscore = (
+        qt.join(tld, "token")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .join(idf, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("idf").alias("score"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    sparse = (
+        sscore.withColumn("rank_sparse", F.row_number().over(ws))
+        .filter(F.col("rank_sparse") <= 20)
+        .select("query_id", "doc_id", "rank_sparse")
+    )
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_dense")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_sparse")), F.lit(0.0)),
+            6,
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.col("rank_dense").cast("long").alias("rank_dense"),
+            F.col("rank_sparse").cast("long").alias("rank_sparse"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

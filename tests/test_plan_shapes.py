@@ -159,6 +159,10 @@ _NESTED_LOOP_ALLOWED = {
     # the same deliberate broadcast query x corpus-codes scan as the
     # other ANN tiers (8-byte codes, not vectors, cross the join)
     "ann_pq_adc_topk",
+    # RRF fusion: the dense leg is brute_force_topk's deliberate
+    # broadcast query x corpus scan (as ann_cosine_topk); the sparse
+    # leg and the fusion itself are pure equi-joins
+    "hybrid_search_rrf",
 }
 
 
