@@ -735,3 +735,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"session_windows_{_stream_run_counter[0]}"
     stream = session_window_counts_stream(read_events_stream(spark, sf_dir))
     return run_available_now(stream, name)
+
+
+@_register(
+    "streaming_latest_user_state",
+    """
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_id, event_type, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC latest-state maintenance (applyInPandasWithState):
+    per-user argmax of (event_type, value) by the (ts, event_id) total
+    order, kept as one tuple of state per key and emitted in update
+    mode.  The emitted state is monotone in that order across
+    micro-batches, so reducing all emissions by the same argmax equals
+    the batch last-state exactly — proving the streaming path maintains
+    precisely the table :func:`snapshot_diff_user_state` snapshots.
+    State store is O(distinct users), independent of event volume."""
+    from ..streaming.events_stream import read_events_stream
+    from ..streaming.stateful import latest_user_state, run_latest_stream
+
+    _stream_run_counter[0] += 1
+    name = f"latest_user_state_{_stream_run_counter[0]}"
+    return run_latest_stream(latest_user_state(read_events_stream(spark, sf_dir)), name)

@@ -226,3 +226,106 @@ def session_close_on_timeout(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-state maintenance (streaming CDC): per-key argmax by event time.
+# ---------------------------------------------------------------------------
+
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _update_latest(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    cur = state.get if state.exists else None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        b = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+        cand = (
+            int(b["ts_us"]),
+            int(b["event_id"]),
+            str(b["event_type"]),
+            float(b["value"]),
+        )
+        if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+            cur = cand
+    state.update(cur)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts_us": [cur[0]],
+            "event_id": [cur[1]],
+            "event_type": [cur[2]],
+            "value": [cur[3]],
+        }
+    )
+
+
+def latest_user_state(events: DataFrame) -> DataFrame:
+    """Per-user latest (event_type, value) by (ts, event_id) as an
+    update-mode stream — the streaming CDC "latest-state table"
+    maintenance that :func:`snapshot_diff_user_state`'s batch snapshots
+    come from in a real deployment.  State per key is one tiny tuple;
+    the emitted state is MONOTONE in the (ts_us, event_id) total order
+    across micro-batches, so the (ts_us, event_id)-argmax over all
+    update emissions equals the batch last-state no matter how the
+    file set splits into batches — the exact-oracle contract."""
+    prepared = events.withColumn("ts_us", F.unix_micros("ts")).select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_latest,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_latest_stream(result: DataFrame, query_name: str) -> DataFrame:
+    """Drain (AvailableNow) and reduce update emissions to the final
+    state per key: lexicographic struct-max on the (ts_us, event_id)
+    unique prefix — the same argmax-by-total-order reduction the batch
+    snapshot uses, so partial emissions from earlier batches collapse
+    to exactly the last one."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("s")
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(s)
+        .select(
+            "user_id",
+            F.col("s.ts_us").alias("ts_us"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )

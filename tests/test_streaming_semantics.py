@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -378,3 +379,59 @@ def test_streaming_observed_metrics_per_microbatch(spark):
     ).collect()[0]
     assert sum(m["rows"] for m in metrics) == want["rows"]
     assert abs(sum(m["total_v"] for m in metrics) - want["total_v"]) < 1e-6
+
+
+def test_latest_state_multi_batch_equals_batch_argmax(spark, tmp_path):
+    """The CDC latest-state operator's batch-split invariance contract,
+    actually stressed: 3 files drain as 3 micro-batches (checked via
+    maxBatchId), partial per-batch emissions accumulate in the sink,
+    and the argmax reduction still equals the batch last-state —
+    including keys whose latest event arrives in an EARLIER file than
+    older events (files split by repartition, not time)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.stateful import (
+        latest_user_state,
+        run_latest_stream,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.streaming.state_inspect import (
+        state_metadata,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    result = latest_user_state(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("latest_state_multibatch")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("s")
+    got = {
+        r.user_id: (r.s.ts_us, r.s.event_id, r.s.event_type, r.s.value)
+        for r in spark.table("latest_state_multibatch").groupBy("user_id").agg(s).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r.user_id: (r.ts_us, r.event_id, r.event_type, r.value)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .collect()
+    }
+    assert got == want
+    meta = state_metadata(spark, ckpt).collect()
+    assert meta[0].maxBatchId >= 2  # multiple micro-batches really ran
