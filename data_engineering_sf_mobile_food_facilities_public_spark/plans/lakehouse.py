@@ -440,3 +440,63 @@ def snapshot_diff_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2.event_type").alias("new_type"),
         F.col("s2.value").alias("new_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy: order-insensitive, re-aggregatable content checksums.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "replication_checksum_orders",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               COALESCE(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' ||
+               COALESCE(o_orderstatus, '') || '|' ||
+               COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '')), 1, 15)) AS BIGINT)) AS checksum
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def replication_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content checksum of the orders table: XOR of a 60-bit
+    md5 lane over each row's canonical rendering, plus the row count —
+    the anti-entropy primitive for replica/migration verification ("do
+    the two copies hold the same rows?") that a full sort-and-diff
+    cannot afford at 100 TB.
+
+    XOR is commutative, associative and self-inverse, so the checksum
+    is ORDER-INSENSITIVE (no sort anywhere), computes with map-side
+    partial aggregation in one pass, and RE-AGGREGATES: per-partition
+    checksums stored with the data roll up to any coarser grain by
+    further XOR, and a divergent replica localizes to the exact
+    partition whose (n_rows, checksum) differs — then to the rows, by
+    re-walking only that partition.  The count guards the XOR's one
+    blind spot (a row duplicated an even number of times cancels out).
+    Keyed columns render canonically (ints, strings, dates as
+    yyyy-MM-dd) so the hash is engine-portable; doubles are excluded
+    by design — checksum the DECIMAL rendering at a declared scale
+    instead when money columns must participate."""
+    o = load(spark, sf_dir, "orders")
+    # explicit NULL canonicalization (COALESCE to '') on BOTH sides:
+    # concat_ws would SKIP a null (shifting separators) while SQL ||
+    # would PROPAGATE it (dropping the row from the XOR) — either way a
+    # silent cross-engine or null-content blind spot
+    canon = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("")),
+    )
+    lane = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(lane).alias("checksum"),
+        )
+    )

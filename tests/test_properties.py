@@ -985,3 +985,71 @@ def test_skyline_is_mutually_non_dominating(spark):
             if i != j:
                 dominated = pb <= pa and sb >= sa and (pb < pa or sb > sa)
                 assert not dominated, (pts[i], pts[j])
+
+
+def test_replication_checksum_detects_mutation_and_reaggregates(spark):
+    """The anti-entropy contract: (a) partitioning/row-order-insensitive
+    — a shuffled single-file rewrite yields identical per-month
+    checksums; (b) one mutated row flips exactly its month's checksum
+    and no other, with counts unchanged (content diff, not loss);
+    (c) month partials XOR to the same total a direct whole-table XOR
+    gives (re-aggregation property)."""
+    import tempfile
+    from functools import reduce
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.relational import (
+        QUERIES,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.fixture_io import write_naive_parquet
+
+    base = {
+        r.month: (r.n_rows, r.checksum)
+        for r in QUERIES["replication_checksum_orders"](spark, SF_SMOKE).collect()
+    }
+    assert len(base) > 1
+
+    o = load(spark, SF_SMOKE, "orders")
+    cols = o.columns
+    rows = [tuple(r) for r in o.collect()]
+    int_cols = ["o_orderkey", "o_custkey"]
+
+    def rewrite(rows_out):
+        tmp = tempfile.mkdtemp()
+        write_naive_parquet(
+            f"{tmp}/orders.parquet", rows_out, cols,
+            ts_cols=["o_orderdate"], int_cols=int_cols,
+        )
+        return {
+            r.month: (r.n_rows, r.checksum)
+            for r in QUERIES["replication_checksum_orders"](spark, tmp).collect()
+        }
+
+    # (a) reversed row order in a fresh file: identical checksums
+    assert rewrite(list(reversed(rows))) == base
+
+    # (b) mutate one row's status: only that month's checksum moves
+    ik = cols.index("o_orderkey")
+    ist = cols.index("o_orderstatus")
+    idt = cols.index("o_orderdate")
+    victim = min(rows, key=lambda r: r[ik])
+    mutated = [
+        (tuple(v if i != ist else "~" for i, v in enumerate(r))
+         if r[ik] == victim[ik] else r)
+        for r in rows
+    ]
+    diff = rewrite(mutated)
+    vm = victim[idt].strftime("%Y-%m")
+    changed = {m for m in base if base[m] != diff[m]}
+    assert changed == {vm}
+    assert base[vm][0] == diff[vm][0]  # count equal: content diff, not loss
+
+    # (c) partials XOR to the whole-table XOR
+    total = reduce(lambda a, b: a ^ b, (c for _, c in base.values()))
+    whole = (
+        QUERIES["replication_checksum_orders"](spark, SF_SMOKE)
+        .agg(F.bit_xor("checksum"))
+        .collect()[0][0]
+    )
+    assert total == whole
