@@ -3070,3 +3070,25 @@ def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     sh = shingles(d)
     cands = prefix_filter_pairs(sh, 0.6)
     return jaccard(cands, sh).filter(F.col("jaccard") >= 0.6)
+
+
+@_register("bpe_train_merges")  # rows-only: iterative data-dependent argmax loop
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 10 BPE merges on the documents corpus — tokenizer
+    TRAINING (the merge table a byte-pair tokenizer applies), learned
+    with corpus-sized work only in the initial word count; see
+    ``operators/bpe.py`` for the vocab-sized iteration design and the
+    determinism argument.  Rows-only by driver contract (each merge
+    choice depends on the previous merge's application — not
+    SQL-expressible); the strong check is the property test pinning the
+    learned merges equal to a plain-Python BPE reference on the same
+    vocabulary, under any partitioning."""
+    from ..operators.bpe import bpe_train_df, char_vocab
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bpe_train_df(char_vocab(words), 10)

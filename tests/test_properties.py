@@ -1053,3 +1053,60 @@ def test_replication_checksum_detects_mutation_and_reaggregates(spark):
         .collect()[0][0]
     )
     assert total == whole
+
+
+def test_bpe_train_matches_python_reference_any_partitioning(spark):
+    """The learned merge list is a pure function of the word-count
+    vocabulary: equal to a plain-Python BPE reference (same left-to-
+    right non-overlapping merge rule, same (count DESC, left, right)
+    argmax tiebreak), and invariant under input repartitioning."""
+    from collections import Counter
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.bpe import (
+        bpe_train,
+        char_vocab,
+    )
+
+    words = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaa": 4, "aab": 4,  # overlap rule + tie pressure
+        "x": 7,  # single-symbol word: contributes no pairs
+    }
+
+    def py_bpe(vocab: dict, k: int):
+        vocab = {tuple(w): n for w, n in vocab.items()}
+        out = []
+        for rank in range(k):
+            counts = Counter()
+            for seq, n in vocab.items():
+                i = 0
+                while i + 1 < len(seq):
+                    counts[(seq[i], seq[i + 1])] += n
+                    i += 1
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, a, b, cnt))
+            nv = {}
+            for seq, n in vocab.items():
+                res, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                nv[tuple(res)] = nv.get(tuple(res), 0) + n
+            vocab = nv
+        return out
+
+    want = py_bpe(words, 8)
+    for parts in (1, 5):
+        df = spark.createDataFrame(
+            list(words.items()), "word STRING, n LONG"
+        ).repartition(parts)
+        got = bpe_train(char_vocab(df), 8)
+        assert got == want, (got, want)
