@@ -122,3 +122,49 @@ def bpe_train_df(vocab: DataFrame, n_merges: int) -> DataFrame:
         [(r, a, b, a + b, c) for r, a, b, c in merges],
         "rank LONG, left STRING, right STRING, merged STRING, pair_count LONG",
     )
+
+
+def _apply_all_merges(merges: list[tuple[str, str]]):
+    def apply(batches):
+        for pdf in batches:
+            def seg(seq):
+                seq = list(seq)
+                for left, right in merges:
+                    out = []
+                    i = 0
+                    n = len(seq)
+                    while i < n:
+                        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seq = out
+                return seq
+
+            pdf = pdf.copy()
+            pdf["pieces"] = pdf["symbols"].map(seg)
+            yield pdf[["word", "pieces"]]
+
+    return apply
+
+
+def bpe_segment_words(
+    words: DataFrame, merges: list[tuple[int, str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Segment each distinct word with a learned merge table: ONE Arrow
+    pass over the vocab applying all merges in rank order (application
+    is cheap; it is training that needs per-merge recounts).  Returns
+    (word, pieces array<string>).  The corpus-scale pattern: segment
+    the DISTINCT words once, then join the tiny word->pieces map back
+    to the corpus — tokenization cost scales with vocabulary, not
+    corpus volume."""
+    pairs = [(a, b) for _, a, b, _ in merges]
+    base = words.select(
+        F.col(word_col).alias("word"),
+        F.regexp_extract_all(F.col(word_col), F.lit("."), 0).alias("symbols"),
+    ).filter(F.size("symbols") > 0)
+    return base.mapInPandas(
+        _apply_all_merges(pairs), schema="word string, pieces array<string>"
+    )

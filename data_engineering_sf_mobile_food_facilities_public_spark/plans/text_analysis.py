@@ -3092,3 +3092,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return bpe_train_df(char_vocab(words), 10)
+
+
+@_register("bpe_segment_fertility")  # rows-only: consumes the trained merges
+def bpe_segment_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (pieces per word) of the 10-merge learned BPE, per
+    language: train on the corpus vocabulary, segment the DISTINCT
+    words in one Arrow pass, then join the word->n_pieces map back to
+    the exploded corpus — tokenizer application cost scales with the
+    vocabulary while the per-language statistic aggregates the corpus
+    with exact integer sums.  The learned-tokenizer twin of
+    ``tokenizer_fertility_by_lang`` (fixed regex segmentation)."""
+    from ..operators.bpe import bpe_segment_words, bpe_train, char_vocab
+
+    d = load(spark, sf_dir, "documents")
+    tl = d.select("lang", F.explode(TX.tokens("text")).alias("word"))
+    words = tl.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    merges = bpe_train(char_vocab(words), 10)
+    seg = bpe_segment_words(words, merges).select(
+        "word", F.size("pieces").alias("n_pieces")
+    )
+    return (
+        tl.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )

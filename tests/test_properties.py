@@ -1110,3 +1110,31 @@ def test_bpe_train_matches_python_reference_any_partitioning(spark):
         ).repartition(parts)
         got = bpe_train(char_vocab(df), 8)
         assert got == want, (got, want)
+
+
+def test_bpe_segmentation_reconstructs_words(spark):
+    """Segmentation invariants: pieces concatenate back to the exact
+    word, every piece is a learned symbol (an initial character or a
+    merge product), and applying merges in rank order is deterministic
+    across partitionings."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.bpe import (
+        bpe_segment_words,
+        bpe_train,
+        char_vocab,
+    )
+
+    words = ["lowest", "newest", "wider", "aaaab", "x", "queue"]
+    df = spark.createDataFrame([(w, i + 1) for i, w in enumerate(words)], "word STRING, n LONG")
+    merges = bpe_train(char_vocab(df), 6)
+    learned = {a + b for _, a, b, _ in merges}
+    out = {r.word: list(r.pieces) for r in bpe_segment_words(df, merges).collect()}
+    assert set(out) == set(words)
+    for w, pieces in out.items():
+        assert "".join(pieces) == w
+        for p in pieces:
+            assert len(p) == 1 or p in learned
+    out2 = {
+        r.word: list(r.pieces)
+        for r in bpe_segment_words(df.repartition(4), merges).collect()
+    }
+    assert out2 == out
