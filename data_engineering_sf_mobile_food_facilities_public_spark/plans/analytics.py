@@ -3843,12 +3843,24 @@ def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("en").alias("ts"), F.lit(-1).alias("delta"), "user_id", "session_seq"
         )
     )
+    # cut_source: the raw event-ts distribution approximates the endpoint
+    # distribution for FREE (cuts only affect balance, correctness holds
+    # for any cut set) — without it the bounded cut-sample pass would
+    # evaluate the full sessionize+union pipeline a second time
+    cheap = e.select(
+        F.lit(1).alias("__one"),
+        "ts",
+        F.lit(1).alias("delta"),
+        "user_id",
+        F.lit(0).alias("session_seq"),
+    )
     run = grouped_running_sum(
         pts.withColumn("__one", F.lit(1)),
         "__one",
         ["ts", "delta", "user_id", "session_seq"],
         "delta",
         out_col="conc",
+        cut_source=cheap,
     )
     return run.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("conc").cast("long").alias("max_concurrent")
