@@ -98,6 +98,9 @@ _NUMERIC_PANEL = [
     "keyset_page_after_cursor",
     "first_last_nth_order",
     "moving_sum_3_orders",
+    # content checksums must canonicalize hostile rows (NULL-bearing
+    # keys, duplicate rows) identically on both engines
+    "replication_checksum_orders",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",

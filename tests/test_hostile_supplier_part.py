@@ -62,6 +62,10 @@ _SP_PANEL = [
     "part_affinity_lift",
     "part_graph_degree_distribution",
     "triangle_count_part_graph",
+    # skyline dominance under identical-minimum prices, zero prices and
+    # tied sizes: the dominance definition's strictness clause and the
+    # sweep's tie handling must agree with the NOT EXISTS oracle
+    "skyline_parts",
 ]
 
 

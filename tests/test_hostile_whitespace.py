@@ -153,6 +153,10 @@ _HOSTILE_PANEL = [
     "minhash_estimate_calibration",
     "curriculum_interleave_order",
     "dataset_datasheet_by_source",
+    # lossless prefix filtering consumes the same shingle relation: the
+    # hostile corpus (empty docs, whitespace-only docs, exotic spaces)
+    # must prune identically on both engines
+    "prefix_filtered_jaccard_pairs",
 ]
 
 
