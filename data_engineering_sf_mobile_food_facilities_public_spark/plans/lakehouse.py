@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.merge import merge_upsert, scd2_compact
-from .relational import _register
+from .relational import _dec, _register
 
 
 @_register(
@@ -499,4 +499,86 @@ def replication_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor(lane).alias("checksum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance with retractions (signed deltas).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_agg_retractions",
+    """
+    WITH merged AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS p
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS total
+    FROM merged GROUP BY o_custkey
+    """,
+)
+def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-customer (count, revenue)
+    aggregate under a delta batch containing UPDATES — the retraction
+    algebra append-only incremental pipelines can't express: an update
+    arrives as a signed pair (-1 x old row, +1 x new row), a delete as
+    a bare -1.  Using :func:`merge_upsert_orders`'s delta definition
+    (keys %10 updated — here restated +10.00, exact in DECIMAL, where
+    the 1.1x form sits on half-cent boundaries that double->decimal
+    casts round differently across engines — keys %7=3 inserted), the
+    maintained result must equal a full recompute over the merged
+    table — which is exactly what the oracle runs, so the driver hash
+    match proves the retraction algebra.
+
+    Shape: signed contribution rows (sign, sign*price) union base
+    rows, ONE hash aggregate per side (map-side combined; COUNT and
+    DECIMAL SUM are both abelian-group aggregates, so retractions are
+    just negative contributions), then a full-outer join of base
+    partials with delta partials and coalesced addition.  At 100 TB
+    the base partials are the STORED materialized view — maintenance
+    cost scales with the DELTA, never re-reading the base fact; groups
+    whose count retracts to zero drop out (and the count guard is why
+    MIN/MAX — non-group aggregates — need a different, re-scan or
+    heap-per-key, maintenance strategy)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    price = _dec("o_totalprice")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0)
+    ins = o.filter(F.col("o_orderkey") % 7 == 3)
+
+    base_partials = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(price).alias("s0")
+    )
+    new_price = price + F.lit(10).cast("decimal(18,2)")
+    delta = (
+        upd.select("o_custkey", F.lit(-1).alias("sign"), (-price).alias("p"))
+        .unionAll(
+            upd.select("o_custkey", F.lit(1).alias("sign"), new_price.alias("p"))
+        )
+        .unionAll(ins.select("o_custkey", F.lit(1).alias("sign"), price.alias("p")))
+    )
+    delta_partials = delta.groupBy("o_custkey").agg(
+        F.sum("sign").alias("dn"), F.sum("p").alias("ds")
+    )
+    combined = base_partials.join(delta_partials, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("total"),
+    )
+    return combined.filter(F.col("n_orders") > 0).select(
+        "o_custkey", "n_orders", F.col("total").cast("double").alias("total")
     )

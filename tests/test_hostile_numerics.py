@@ -101,6 +101,8 @@ _NUMERIC_PANEL = [
     # content checksums must canonicalize hostile rows (NULL-bearing
     # keys, duplicate rows) identically on both engines
     "replication_checksum_orders",
+    # retraction algebra under all-tied / zero / negative prices
+    "incremental_agg_retractions",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
