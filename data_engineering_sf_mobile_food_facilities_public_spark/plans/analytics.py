@@ -3922,3 +3922,88 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(frontier), ["p_retailprice", "p_size"]).select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS min-hop reachability: iterative frontier expansion, recursive oracle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bfs_hops_part_graph",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    seed AS (SELECT MIN(id_a) AS node FROM edges),
+    reach(node, hop) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT s.v, r.hop + 1 FROM reach r JOIN sym s ON s.u = r.node
+        WHERE r.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop
+    FROM reach GROUP BY node
+    """,
+)
+def bfs_hops_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 3) from the lowest-id node of the
+    support-filtered part co-occurrence graph — BFS as LEVEL-SYNCHRONOUS
+    frontier expansion: each level is one equi-join of the frontier
+    onto the symmetric edge list plus an anti-join against the visited
+    set, so a level costs O(frontier x degree) shuffled on the node
+    key, never touching already-settled nodes again.  The first level
+    a node appears in IS its minimum hop (the BFS invariant), giving
+    min-hop semantics without ever materializing all paths.
+
+    The oracle states the same reachability as a recursive CTE —
+    DuckDB's UNION-distinct recursion bounds the (node, hop) space;
+    Spark 4 recursion allows UNION ALL only, where a cyclic graph
+    enumerates PATHS (combinatorial at any real density), which is
+    exactly why the engine side is the iterative frontier loop: at
+    100 TB the frontier relation is bounded by the node set while a
+    path enumeration is not.  Fixed depth 3 keeps the oracle's
+    replayed recursion identical; unreachable nodes are absent from
+    the result by construction on both sides.  The seed enters as a
+    1-row broadcast aggregate (the Q15/Q22 scalar pattern), not a
+    collected literal."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("id_a", "id_b")
+    )
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    seed = edges.agg(F.min("id_a").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("min_hop")
+    )
+    visited = seed
+    frontier = seed.select("node")
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(
+            nxt.select("node", F.lit(hop).cast("long").alias("min_hop"))
+        )
+        frontier = nxt
+    return visited
