@@ -16,7 +16,7 @@ micros on read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -581,4 +581,70 @@ def incremental_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return combined.filter(F.col("n_orders") > 0).select(
         "o_custkey", "n_orders", F.col("total").cast("double").alias("total")
+    )
+
+
+@_register(
+    "max_maintenance_under_deletes",
+    """
+    SELECT o_custkey,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    GROUP BY o_custkey
+    """,
+)
+def max_maintenance_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintaining a per-group MAX under DELETES — the aggregate
+    :func:`incremental_agg_retractions` explains it cannot handle with
+    signed contributions (MAX is not a group: there is no inverse).
+    The standard strategy: store the top-K runner-ups with the view
+    (K=2 here), answer from the survivors among them, and RECOMPUTE
+    ONLY the groups whose entire stored top-K was deleted.
+
+    Delta: orders with o_orderkey %10 == 0 are deleted; the oracle is
+    the plain recompute over surviving rows, so the driver hash match
+    proves the maintenance algebra, including the fallback branch and
+    the disappearance of fully-deleted groups.
+
+    Shape: the stored view is a per-group top-2 of (price, pk) — a
+    window row_number over the group key, the same exchange the
+    group-by uses.  Maintenance joins the (small) delete-key set onto
+    that top-2 relation (cost scales with K x groups, not facts);
+    groups with a surviving top-2 entry answer instantly (their max
+    survivor bounds all non-top-2 rows by construction).  Only the
+    groups whose BOTH entries died semi-join back into the fact scan —
+    the re-scan cost scales with AFFECTED groups, the expected-rare
+    case, not the table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _dec("o_totalprice").alias("p")
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("p"), "o_orderkey")
+    top2 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "p")
+    )
+    flagged = top2.join(
+        deletes.withColumn("__del", F.lit(1)), "o_orderkey", "left"
+    )
+    survivors = flagged.filter(F.col("__del").isNull())
+    fast = survivors.groupBy("o_custkey").agg(F.max("p").alias("max_price"))
+    # groups whose stored top-2 was wiped out entirely: recompute scope
+    dead = (
+        flagged.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"), F.count("__del").alias("kd"))
+        .filter(F.col("k") == F.col("kd"))
+        .select("o_custkey")
+    )
+    refetch = (
+        o.join(deletes, "o_orderkey", "left_anti")
+        .join(F.broadcast(dead), "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.max("p").alias("max_price"))
+    )
+    return fast.unionAll(refetch).select(
+        "o_custkey", F.col("max_price").cast("double").alias("max_price")
     )

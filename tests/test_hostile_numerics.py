@@ -103,6 +103,9 @@ _NUMERIC_PANEL = [
     "replication_checksum_orders",
     # retraction algebra under all-tied / zero / negative prices
     "incremental_agg_retractions",
+    # top-2 MAX maintenance fallback under all-tied prices and groups
+    # whose entire stored top-k is deleted
+    "max_maintenance_under_deletes",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
