@@ -114,7 +114,11 @@ _PANEL_ROTATING = [
     # the new lossless pruning operator
     "max_concurrent_sessions_daily",
     "prefix_filtered_jaccard_pairs",
-    "tiff_header_decode",
+    # the retraction algebra is a new maintenance MECHANISM (signed
+    # deltas into stored partials) — worth an external check over the
+    # TIFF header parse, whose pixel-decode family is already
+    # driver-green (r07 image_pixel_decode) and generatively tested
+    "incremental_agg_retractions",
     "ohlc_hourly_by_type",
     "leakage_guarded_split",  # r8: LSH + split composition
     "benchmark_span_decontamination",  # r8: positioned shingles + islands
