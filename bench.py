@@ -75,6 +75,9 @@ HEADLINE = [
     # sweep-line concurrency: session windows + the constant-key
     # bucketed global cumsum on the endpoint relation
     "max_concurrent_sessions_daily",
+    # exact similarity join, prefix-filter-pruned (the lossless
+    # counterpart of the benched minhash_lsh_near_dup tier)
+    "prefix_filtered_jaccard_pairs",
 ]
 
 
