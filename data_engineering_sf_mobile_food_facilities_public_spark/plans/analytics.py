@@ -4007,3 +4007,114 @@ def bfs_hops_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = nxt
     return visited
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel) on the part co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2  # minimum in-core degree
+_KCORE_ROUNDS = 4  # bounded peel rounds, identical on both sides
+
+
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded-peel CTE chain (s1..s{rounds}) — recursion-free
+    so the oracle sidesteps engine-specific recursive-CTE restrictions
+    on aggregating over the working table."""
+    ctes = [
+        f"s1 AS (SELECT u AS node FROM sym GROUP BY u HAVING COUNT(*) >= {k})"
+    ]
+    for r in range(2, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS (SELECT s.u AS node FROM sym s"
+            f" JOIN s{p} a ON s.u = a.node JOIN s{p} b ON s.v = b.node"
+            f" GROUP BY s.u HAVING COUNT(*) >= {k})"
+        )
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "kcore_part_graph",
+    f"""
+    WITH edges AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    {_kcore_peel_sql(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT s.u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym s
+    JOIN s{_KCORE_ROUNDS} a ON s.u = a.node
+    JOIN s{_KCORE_ROUNDS} b ON s.v = b.node
+    GROUP BY s.u
+    """,
+)
+def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the support-filtered part co-occurrence graph by
+    BOUNDED ITERATIVE PEELING (k=2, 4 rounds): each round drops nodes
+    whose degree within the current survivor set is below k, then the
+    final survivor-induced degree is reported.  The dense-substructure
+    primitive behind community cores and graph sparsification.
+
+    Peel semantics are monotone — survivor sets only shrink — so a
+    round is two semi-joins of the symmetric edge list against the
+    survivor set plus a count per endpoint, all shuffled on the node
+    key; work per round is bounded by the REMAINING edges, which is
+    why peeling scales where the quadratic "count neighbors of
+    neighbors" formulation does not.  Rounds are FIXED at 4 on both
+    sides (the BFS depth-3 convention, `bfs_hops_part_graph`): the
+    result is exactly "the round-4 peel", and equals the true k-core
+    whenever the peel converges earlier (at sf0.01 it converges at
+    round 3; `tests/test_properties.py` pins fixpoint-at-4 so drift
+    would fail loudly rather than silently change semantics).  The
+    oracle unrolls the same rounds as a recursion-free CTE chain —
+    aggregate-over-working-table restrictions make recursive SQL a
+    poor fit for peeling in either engine.
+
+    At 100 TB: the co-occurrence edge build dominates (same shape the
+    whole graph family shares); each peel round is one shuffle of the
+    shrinking edge relation, and a converged-early round makes later
+    rounds no-ops of the same bounded cost rather than new work."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("id_a", "id_b")
+    )
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    survivors = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= _KCORE_K)
+        .select("node")
+    )
+    for _ in range(_KCORE_ROUNDS - 1):
+        survivors = (
+            sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
+            .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+    return (
+        sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
+        .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -1138,3 +1138,47 @@ def test_bpe_segmentation_reconstructs_words(spark):
         for r in bpe_segment_words(df.repartition(4), merges).collect()
     }
     assert out2 == out
+
+
+def test_kcore_round4_is_fixpoint_and_degrees_bounded(spark):
+    """kcore_part_graph's docstring pins "converges by round 4 at
+    sf0.01"; if data drift ever broke that, the result would silently
+    become "the round-4 peel" instead of the true 2-core.  Pin the
+    fixpoint in DuckDB (milliseconds) and the in-core degree bound on
+    the Spark result."""
+    import duckdb
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _kcore_peel_sql,
+        kcore_part_graph,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+        )
+        n4, n5 = con.execute(
+            f"""
+            WITH edges AS (
+                SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                    UNION ALL SELECT id_b, id_a FROM edges),
+            {_kcore_peel_sql(_KCORE_K, _KCORE_ROUNDS + 1)}
+            SELECT (SELECT COUNT(*) FROM s{_KCORE_ROUNDS}),
+                   (SELECT COUNT(*) FROM s{_KCORE_ROUNDS + 1})
+            """
+        ).fetchone()
+    finally:
+        con.close()
+    assert n4 == n5, f"peel no longer converged by round {_KCORE_ROUNDS}: {n4} != {n5}"
+
+    rows = kcore_part_graph(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.core_degree >= _KCORE_K for r in rows)
