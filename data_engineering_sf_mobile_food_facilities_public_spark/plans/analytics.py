@@ -4118,3 +4118,222 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — U-shaped position credit over the event stream.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multi_touch_attribution",
+    """
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+        SELECT c.conv_id, t.touch_id, t.channel, t.touch_ts
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    pos AS (
+        SELECT conv_id, channel,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS p,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM paired
+    ),
+    w AS (
+        SELECT conv_id, channel,
+               CAST(round(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                               WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                               WHEN p = 1 OR p = n THEN CAST(0.4 AS DOUBLE)
+                               ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6)
+                    AS DECIMAL(18,6)) AS wt
+        FROM pos
+    )
+    SELECT channel,
+           CAST(SUM(wt) AS DECIMAL(18,6)) AS attributed_conversions,
+           CAST(COUNT(*) AS BIGINT) AS touches
+    FROM w GROUP BY channel
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every purchase
+    distributes one unit of conversion credit over the user's view/click
+    touches in the preceding 7 days — 40% to the first touch, 40% to the
+    last, 20% split evenly across the middle (100% / 50-50 for one- and
+    two-touch paths) — then credit rolls up by channel.  The marketing
+    question "which channel earns the conversions?" answered without the
+    last-click bias of :func:`cogrouped_asof_attribution`.
+
+    Portability: position weights are IEEE-double expressions (explicit
+    DOUBLE casts oracle-side — DuckDB parses bare ``0.2`` as DECIMAL,
+    Spark as DOUBLE; division of exact inputs is correctly rounded and
+    engine-identical), rounded to 6 digits and cast to DECIMAL(18,6)
+    per touch BEFORE the channel SUM, so the aggregate is
+    summation-order-exact (the float-sum-order rule from
+    plans/relational).
+
+    Scale shape: one user-keyed equi-join with a bounded 7-day range
+    predicate (conversions x touches per user — bounded by per-user
+    activity, the sessionize cardinality), then one shuffle on conv_id
+    for the position window; the final rollup is a 2-row aggregate.
+    Per-user skew is the same exposure as every user-keyed op here
+    (salting applies unchanged); nothing materializes the cross of all
+    conversions x all touches."""
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    paired = (
+        conv.alias("c")
+        .join(
+            touch.alias("t"),
+            (F.col("c.user_id") == F.col("t.user_id"))
+            & (F.col("t.touch_ts") < F.col("c.conv_ts"))
+            & (F.col("t.touch_ts") >= F.col("c.conv_ts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("conv_id", "touch_id", "channel", "touch_ts")
+    )
+    wpos = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wcnt = Window.partitionBy("conv_id")
+    pos = paired.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wpos).alias("p"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    wt = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("p") == 1) | (F.col("p") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        pos.select("channel", F.round(wt, 6).cast("decimal(18,6)").alias("wt"))
+        .groupBy("channel")
+        .agg(
+            F.sum("wt").cast("decimal(18,6)").alias("attributed_conversions"),
+            F.count(F.lit(1)).cast("long").alias("touches"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering — co-occurrence cosine, top-k neighbors.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "item_item_cosine_recs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, COUNT(*) AS n_orders FROM op GROUP BY p),
+    cooc AS (
+        SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS c
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    sym AS (
+        SELECT p_a AS item, p_b AS neighbor, c FROM cooc
+        UNION ALL SELECT p_b, p_a, c FROM cooc
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.c,
+               round(CAST(s.c AS DOUBLE)
+                     / sqrt(CAST(da.n_orders AS DOUBLE) * db.n_orders),
+                     6) AS cosine
+        FROM sym s
+        JOIN deg da ON da.p = s.item
+        JOIN deg db ON db.p = s.neighbor
+    )
+    SELECT item, neighbor, CAST(c AS BIGINT) AS cooc, cosine,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                       ORDER BY cosine DESC, neighbor) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 neighbors per part by
+    co-occurrence cosine c_ij / sqrt(n_i * n_j) over the order "baskets"
+    — the classic Amazon-style "customers who bought X also bought"
+    precompute (Linden et al. 2003, public), and the batch companion of
+    :func:`part_affinity_lift` (which scores PAIRS; this ranks
+    per-item NEIGHBOR LISTS).
+
+    Ranking runs over the ROUNDED cosine on both sides so a rounding
+    boundary can never order the engines differently; ties break on
+    neighbor id.  sqrt and the division are IEEE correctly-rounded on
+    exact integer inputs (counts are far below 2^53) — identical across
+    engines, the hybrid_search_rrf convention.
+
+    Scale shape: pair generation is the basket self-join — fanout
+    bounded by per-order basket size (TPC-H caps lineitems per order at
+    7), so pairs grow linearly with orders, not quadratically with the
+    catalog; degrees join on the part key (dim-sized, broadcastable);
+    the top-k window shuffles once on item.  A viral basket (one order
+    with thousands of items) is the quadratic hazard; the standard cap
+    — drop or sample oversized baskets — bolts onto the `op` relation
+    exactly like the LSH hot-bucket cap."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = cooc.select(
+        F.col("p_a").alias("item"), F.col("p_b").alias("neighbor"), "c"
+    ).unionAll(cooc.select(F.col("p_b").alias("item"), F.col("p_a").alias("neighbor"), "c"))
+    da = deg.select(F.col("p").alias("item"), F.col("n_orders").alias("n_i"))
+    db = deg.select(F.col("p").alias("neighbor"), F.col("n_orders").alias("n_j"))
+    scored = (
+        sym.join(F.broadcast(da), "item")
+        .join(F.broadcast(db), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "c",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "item",
+            "neighbor",
+            F.col("c").cast("long").alias("cooc"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
