@@ -67,6 +67,10 @@ _EVENT_PANEL = [
     "rolling_7day_active_users",
     "max_concurrent_sessions_daily",
     "snapshot_diff_user_state",
+    # same-instant touch/conversion ties (strict < excludes them) and
+    # equal-ts touches (event_id tiebreak) are exactly what the U-shaped
+    # position weights are sensitive to
+    "multi_touch_attribution",
 ]
 
 

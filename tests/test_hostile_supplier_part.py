@@ -66,6 +66,11 @@ _SP_PANEL = [
     # tied sizes: the dominance definition's strictness clause and the
     # sweep's tie handling must agree with the NOT EXISTS oracle
     "skyline_parts",
+    # the other two part-graph consumers (same co-occurrence edge build
+    # as triangle/degree above): bounded peel and basket cosine must
+    # survive the same dimension hostilities
+    "kcore_part_graph",
+    "item_item_cosine_recs",
 ]
 
 

@@ -157,6 +157,10 @@ _HOSTILE_PANEL = [
     # hostile corpus (empty docs, whitespace-only docs, exotic spaces)
     # must prune identically on both engines
     "prefix_filtered_jaccard_pairs",
+    # conjunctive search explodes the token array into postings: empty
+    # tokens from whitespace-only docs must be dropped identically, and
+    # the top-df selection must tie-break identically on both engines
+    "inverted_index_conjunctive",
 ]
 
 
