@@ -161,7 +161,47 @@ _HOSTILE_PANEL = [
     # tokens from whitespace-only docs must be dropped identically, and
     # the top-df selection must tie-break identically on both engines
     "inverted_index_conjunctive",
+    # winnowing consumes positioned shingles: short/empty/whitespace-only
+    # docs exercise the partial-window single-fingerprint rule
+    "winnowing_fingerprints",
 ]
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_path):
+    """The winnowing property (Schleimer et al. 2003): any shared token
+    run of length >= w + k - 1 (= 4 + 5 - 1 = 8) must contribute at
+    least one identical selected fingerprint to both documents."""
+    import __spark_entry__ as e
+
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7"  # exactly w + k - 1 tokens
+    rows = [
+        (1, f"aa bb cc {shared} dd ee", "en", "src0", 0),
+        (2, f"xx yy {shared} zz ww vv uu", "en", "src1", 0),
+        (3, "totally different words here only once each time", "en", "src2", 0),
+    ]
+    root = tmp_path / "winnow_sf"
+    root.mkdir()
+    import os as _os
+
+    from tests.conftest import SF_SMOKE
+    from tests.parity import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            _os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "_d"))
+    part = next((root / "_d").glob("part-*.parquet"))
+    _os.rename(part, root / "documents.parquet")
+
+    out = e.queries()["winnowing_fingerprints"](spark, str(root)).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 8-token run produced no shared fingerprint"
+    assert not (fps[1] & fps[2]) & fps[3], "unrelated doc shares a fingerprint"
 
 
 @pytest.mark.parametrize("name", _HOSTILE_PANEL)
