@@ -3311,3 +3311,69 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+@_register(
+    "winnowing_overlap_pairs",
+    _TOKENS_CTE
+    + """
+    , posed AS (
+        SELECT doc_id, i AS pos, array_to_string(tokens[i:i+4], ' ') AS shingle
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+        )
+    ),
+    hashed AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM posed
+    ),
+    wmin AS (
+        SELECT doc_id, pos, n,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM hashed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM wmin
+        WHERE pos <= greatest(n - 3, 1)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from winnowing signatures: documents
+    sharing >= 2 selected fingerprints, with the shared count — the
+    detection join of the MOSS pipeline, and the fourth candidate
+    generator next to MinHash-LSH banding, SimHash banding and prefix
+    filtering.  By the winnowing guarantee, any pair sharing a token
+    run of >= 2(w + k - 1) tokens across two windows is caught; the
+    >= 2 threshold discards single-hash coincidences.
+
+    Scale shape: the join key is the FINGERPRINT — signatures shuffle
+    (the contracted ~2/(w+1) relation), never documents, exactly the
+    LSH-band join shape.  A boilerplate fingerprint shared by a huge
+    doc set is the hot-bucket hazard; the cap from
+    ``operators/minhash.candidate_pairs`` (window count per bucket)
+    bolts onto the ``fps`` relation unchanged when a corpus needs it."""
+    d = load(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(spark, sf_dir)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -164,6 +164,7 @@ _HOSTILE_PANEL = [
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 
