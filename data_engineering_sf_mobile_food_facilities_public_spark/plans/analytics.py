@@ -4053,7 +4053,9 @@ def _kcore_peel_sql(k: int, rounds: int) -> str:
     GROUP BY s.u
     """,
 )
-def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kcore_part_graph(
+    spark: SparkSession, sf_dir: str, handles: list | None = None
+) -> DataFrame:
     """2-core of the support-filtered part co-occurrence graph by
     BOUNDED ITERATIVE PEELING (k=2, 4 rounds): each round drops nodes
     whose degree within the current survivor set is below k, then the
@@ -4078,7 +4080,18 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the co-occurrence edge build dominates (same shape the
     whole graph family shares); each peel round is one shuffle of the
     shrinking edge relation, and a converged-early round makes later
-    rounds no-ops of the same bounded cost rather than new work."""
+    rounds no-ops of the same bounded cost rather than new work.
+
+    Cache ownership (the pagerank convention, `_pagerank_ranks`): each
+    round references the PREVIOUS round's survivor plan TWICE (u-side
+    and v-side semi-join), so an unpersisted loop doubles the plan tree
+    per round — 2^rounds copies of the edge build, which alone costs
+    ~5.7s at sf0.1.  ``sym`` (the loop-invariant edge
+    list) and each round's node-sized survivor frame persist
+    MEMORY_AND_DISK; callers needing deterministic release pass
+    ``handles=[]`` and unpersist after their action, single-shot query
+    paths leave cleanup to session teardown.  On an exception the
+    caches are released here."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -4097,27 +4110,40 @@ def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    survivors = (
-        sym.groupBy(F.col("u").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= _KCORE_K)
-        .select("node")
-    )
-    for _ in range(_KCORE_ROUNDS - 1):
+    sym = sym.persist()
+    cached = [sym]
+    if handles is not None:
+        handles.append(sym)
+    try:
         survivors = (
-            sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
-            .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
-            .groupBy(F.col("u").alias("node"))
+            sym.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("node")
         )
-    return (
-        sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
-        .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-    )
+        for _ in range(_KCORE_ROUNDS - 1):
+            survivors = (
+                sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
+                .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _KCORE_K)
+                .select("node")
+                .persist()
+            )
+            cached.append(survivors)
+            if handles is not None:
+                handles.append(survivors)
+        return (
+            sym.join(survivors.withColumnRenamed("node", "u"), "u", "semi")
+            .join(survivors.withColumnRenamed("node", "v"), "v", "semi")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+    except Exception:
+        for c in cached:
+            c.unpersist()
+        raise
 
 
 # ---------------------------------------------------------------------------

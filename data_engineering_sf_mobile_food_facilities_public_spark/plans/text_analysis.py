@@ -3377,3 +3377,62 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between language and source — corpus-composition
+# dependence, same contingency-cell shape as chi_square_status_priority.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mutual_information_lang_source",
+    """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tots AS (
+        SELECT lang, source, c,
+               SUM(c) OVER (PARTITION BY lang) AS n_l,
+               SUM(c) OVER (PARTITION BY source) AS n_s,
+               SUM(c) OVER () AS grand
+        FROM cells
+    )
+    SELECT round(SUM((CAST(c AS DOUBLE) / grand)
+                     * ln(CAST(c AS DOUBLE) * grand
+                          / (CAST(n_l AS DOUBLE) * n_s))), 6) AS mi_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(any_value(grand) AS BIGINT) AS n_docs
+    FROM tots
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between a document's language and its
+    source — the corpus-composition dependence diagnostic: MI 0 means
+    every source has the same language mix, higher values mean sources
+    specialize (the thing a mixture rebalancer needs to know before
+    reweighting by either axis alone).  Same shape as
+    :func:`chi_square_status_priority`: ONE grouped count builds the
+    contingency cells (|langs| x |sources| rows), windowed marginals
+    over the CELLS supply n_l / n_s / N with no rescan, and the
+    cell-count-sized sum of exact-integer-ratio terms rounds to 6dp at
+    the edge.  The windows partition a dim-sized post-aggregation frame
+    (the documented exemption)."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    tots = (
+        cells.withColumn("n_l", F.sum("c").over(Window.partitionBy("lang")))
+        .withColumn("n_s", F.sum("c").over(Window.partitionBy("source")))
+        .withColumn("grand", F.sum("c").over(Window.partitionBy()))
+    )
+    term = (F.col("c").cast("double") / F.col("grand")) * F.log(
+        F.col("c").cast("double")
+        * F.col("grand")
+        / (F.col("n_l").cast("double") * F.col("n_s"))
+    )
+    return tots.agg(
+        F.round(F.sum(term), 6).alias("mi_nats"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.first("grand").cast("long").alias("n_docs"),
+    )
