@@ -126,12 +126,20 @@ _PANEL_ROTATING = [
     "cogrouped_asof_attribution",  # r8: cogrouped Arrow surface
 ]
 
-# Round-9 rotation candidates (added after this round's panel was
-# matrix-verified; locally parity-green at sf0.001/0.01(/0.1 where
-# swept) plus hostile-fixture coverage, awaiting their external check):
-# kcore_part_graph, multi_touch_attribution, item_item_cosine_recs,
-# inverted_index_conjunctive, winnowing_fingerprints,
-# winnowing_overlap_pairs.
+# Round-9 rotation candidates: operators added AFTER this round's panel
+# was matrix-verified — locally parity-green (sf0.001/0.01, sf0.1 where
+# swept) with hostile-fixture coverage, staged for external driver
+# verification next round.  The determinism matrix has an opt-in test
+# that runs exactly this list so candidates arrive pre-stressed.
+_PANEL_NEXT_CANDIDATES = [
+    "kcore_part_graph",
+    "multi_touch_attribution",
+    "item_item_cosine_recs",
+    "inverted_index_conjunctive",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "mutual_information_lang_source",
+]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING
 

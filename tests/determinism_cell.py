@@ -53,8 +53,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    names = spec.get("names") or list(queries)[:limit]
     hashes: dict[str, str] = {}
-    for name in list(queries)[:limit]:
+    for name in names:
         hashes[name] = result_hash(queries[name](spark, sf_dir))
     spark.stop()
     print(json.dumps(hashes))

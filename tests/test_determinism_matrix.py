@@ -104,3 +104,27 @@ def test_panel_hashes_identical_across_config_matrix():
     assert not problems, "non-deterministic under config changes:\n" + "\n".join(
         problems
     )
+
+
+def test_rotation_candidate_hashes_identical_across_config_matrix():
+    """Next round's panel-rotation candidates (__spark_entry__.
+    _PANEL_NEXT_CANDIDATES) get the same 5-cell stress as the live
+    panel, so rotation never promotes a query that hasn't already
+    survived the matrix."""
+    import __spark_entry__ as entrymod
+
+    names = entrymod._PANEL_NEXT_CANDIDATES
+    assert names and all(n in entrymod.queries() for n in names)
+    results = {
+        cell: _run_cell(dict(spec, names=names)) for cell, spec in CELLS.items()
+    }
+    base_name = next(iter(results))
+    base = results[base_name]
+    problems = []
+    for cell, hashes in results.items():
+        for q, h in hashes.items():
+            if h != base[q]:
+                problems.append(f"{q}: {base_name} != {cell}")
+    assert not problems, "non-deterministic rotation candidates:\n" + "\n".join(
+        problems
+    )
