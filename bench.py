@@ -78,6 +78,11 @@ HEADLINE = [
     # exact similarity join, prefix-filter-pruned (the lossless
     # counterpart of the benched minhash_lsh_near_dup tier)
     "prefix_filtered_jaccard_pairs",
+    # basket self-join + per-item top-k (the CF recommend precompute —
+    # pair fanout bounded by basket size, broadcast degree joins)
+    "item_item_cosine_recs",
+    # winnowing candidate join: signatures shuffle, never documents
+    "winnowing_overlap_pairs",
 ]
 
 
