@@ -139,6 +139,7 @@ _PANEL_NEXT_CANDIDATES = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "mutual_information_lang_source",
+    "loo_target_encoding_priority",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4363,3 +4363,61 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — ML feature engineering without leakage.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "loo_target_encoding_priority",
+    """
+    WITH stats AS (
+        SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(CAST(st.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / (st.n - 1), 6) AS loo_mean_price
+    FROM orders o JOIN stats st USING (o_orderpriority)
+    WHERE st.n > 1
+    """,
+)
+def loo_target_encoding_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value: each row's feature is the mean o_totalprice of its category
+    EXCLUDING ITSELF — the standard high-cardinality categorical
+    encoder for gradient-boosted / linear models, where excluding the
+    own row is what prevents target leakage (Micci-Barreca 2001,
+    public).  Singleton categories drop (their LOO mean is undefined).
+
+    Portability: the category sum runs in DECIMAL(18,2) (the
+    float-sum-order rule — a DOUBLE sum would be summation-order
+    dependent across engines), the subtraction stays exact in DECIMAL,
+    and only the final division is IEEE double, rounded at the edge.
+
+    Scale shape: one grouped aggregate (category-sized — 5 rows here,
+    bounded by category cardinality at any scale) broadcast back onto
+    the fact scan; NO window over the fact table and no self-join —
+    the (sum - x) / (n - 1) identity turns leave-one-out from a
+    per-row re-aggregation into one subtraction."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", _dec("o_totalprice").alias("p")
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum("p").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s") - F.col("p")).cast("double") / (F.col("n") - 1), 6
+            ).alias("loo_mean_price"),
+        )
+    )

@@ -106,6 +106,9 @@ _NUMERIC_PANEL = [
     # top-2 MAX maintenance fallback under all-tied prices and groups
     # whose entire stored top-k is deleted
     "max_maintenance_under_deletes",
+    # LOO encoding under singleton categories (dropped) and all-tied
+    # targets: (sum-x)/(n-1) must stay exact through DECIMAL both sides
+    "loo_target_encoding_priority",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
