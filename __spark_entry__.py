@@ -140,6 +140,7 @@ _PANEL_NEXT_CANDIDATES = [
     "winnowing_overlap_pairs",
     "mutual_information_lang_source",
     "loo_target_encoding_priority",
+    "ordered_funnel_three_step",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4421,3 +4421,99 @@ def loo_target_encoding_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_mean_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered three-step funnel with per-step deadlines.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ordered_funnel_three_step",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS cts
+        FROM events e JOIN v ON v.user_id = e.user_id
+          AND e.ts > v.vts AND e.ts <= v.vts + INTERVAL 24 HOUR
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pts
+        FROM events e JOIN c ON c.user_id = e.user_id
+          AND e.ts > c.cts AND e.ts <= c.cts + INTERVAL 24 HOUR
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_purchase,
+           round((SELECT quantile_cont(epoch_us(p.pts - v.vts) / 60000000.0,
+                                       0.5)
+                  FROM p JOIN v USING (user_id)), 6) AS p50_total_minutes
+    """,
+)
+def ordered_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view -> click -> purchase with a 24-hour
+    deadline per step: step 2 is each user's FIRST click AFTER their
+    first view and within 24h of it, step 3 the first purchase after
+    that click under the same deadline — the sequential-pattern funnel
+    (drop-off per ordered step), where the two existing funnel queries
+    measure only a single transition.  One row: per-step user counts
+    and the median view-to-purchase minutes of completers.
+
+    Each step is a user-keyed join of the event scan against the
+    PREVIOUS step's one-row-per-user frame with a bounded time
+    predicate, then a per-user MIN — monotone step frames only shrink,
+    so per-step cost is bounded by the remaining cohort x per-user
+    events (the multi_touch_attribution cardinality).  Strict ``>``
+    makes same-instant chains non-qualifying on both engines; the
+    final medians interpolate exactly (percentile / quantile_cont)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, prev_ts: str, etype: str, out: str) -> DataFrame:
+        step = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            step.alias("e")
+            .join(
+                prev.alias("pv"),
+                (F.col("e.user_id") == F.col("pv.user_id"))
+                & (F.col("e.ts") > F.col(f"pv.{prev_ts}"))
+                & (
+                    F.col("e.ts")
+                    <= F.col(f"pv.{prev_ts}") + F.expr("INTERVAL 24 HOUR")
+                ),
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = first_after(v, "vts", "click", "cts")
+    p = first_after(c, "cts", "purchase", "pts")
+    lag = p.join(v, "user_id").select(
+        ((F.unix_micros("pts") - F.unix_micros("vts")) / 60000000.0).alias(
+            "total_min"
+        )
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("step1_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("step2_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("step3_purchase"))
+        )
+        .crossJoin(
+            lag.agg(
+                F.round(F.expr("percentile(total_min, 0.5)"), 6).alias(
+                    "p50_total_minutes"
+                )
+            )
+        )
+    )
+    return counts

@@ -71,6 +71,10 @@ _EVENT_PANEL = [
     # equal-ts touches (event_id tiebreak) are exactly what the U-shaped
     # position weights are sensitive to
     "multi_touch_attribution",
+    # strict-> ordering with same-instant chains (user 1 has all five
+    # event types at ONE instant: no step may qualify) and the
+    # purchase-before-signup user
+    "ordered_funnel_three_step",
 ]
 
 

@@ -149,6 +149,9 @@ _NESTED_LOOP_ALLOWED = {
     "top_collocations_pmi",
     # 1-row x 1-row arm-stats combine for the t statistic
     "ab_test_t_statistic",
+    # four 1-row step-count/median scalars combined into the single
+    # funnel report row; every per-step join is a user-keyed equi-join
+    "ordered_funnel_three_step",
     # 1-row node-count broadcast into every rank update (Q15/Q22 scalar
     # pattern); the per-iteration rank/contribution joins are equi-joins
     "pagerank_customer_supplier",
