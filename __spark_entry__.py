@@ -141,6 +141,7 @@ _PANEL_NEXT_CANDIDATES = [
     "mutual_information_lang_source",
     "loo_target_encoding_priority",
     "ordered_funnel_three_step",
+    "cf_holdout_hit_rate",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4517,3 +4517,130 @@ def ordered_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts
+
+
+@_register(
+    "cf_holdout_hit_rate",
+    """
+    WITH dated AS (
+        SELECT l.l_orderkey AS o, l.l_partkey AS p, ord.o_orderdate AS d
+        FROM lineitem l JOIN orders ord ON ord.o_orderkey = l.l_orderkey
+    ),
+    train AS (SELECT DISTINCT o, p FROM dated
+              WHERE d < TIMESTAMP '1997-06-01 00:00:00'),
+    test  AS (SELECT DISTINCT o, p FROM dated
+              WHERE d >= TIMESTAMP '1997-06-01 00:00:00'),
+    deg AS (SELECT p, COUNT(*) AS n_orders FROM train GROUP BY p),
+    cooc AS (
+        SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS c
+        FROM train a JOIN train b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    sym AS (SELECT p_a AS item, p_b AS neighbor, c FROM cooc
+            UNION ALL SELECT p_b, p_a, c FROM cooc),
+    recs AS (
+        SELECT item, neighbor FROM (
+            SELECT s.item, s.neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY s.item ORDER BY
+                       round(CAST(s.c AS DOUBLE)
+                             / sqrt(CAST(da.n_orders AS DOUBLE)
+                                    * db.n_orders), 6) DESC,
+                       s.neighbor) AS rnk
+            FROM sym s
+            JOIN deg da ON da.p = s.item
+            JOIN deg db ON db.p = s.neighbor)
+        WHERE rnk <= 5
+    ),
+    test_pairs AS (
+        SELECT a.p AS item, b.p AS other
+        FROM test a JOIN test b ON a.o = b.o AND a.p <> b.p
+    ),
+    hits AS (
+        SELECT t.item, t.other, (r.neighbor IS NOT NULL) AS hit
+        FROM test_pairs t
+        LEFT JOIN recs r ON r.item = t.item AND r.neighbor = t.other
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hit_rate
+    FROM hits
+    """,
+)
+def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout evaluation of the item-item recommender: train
+    the co-occurrence-cosine top-5 (`item_item_cosine_recs`) on baskets
+    BEFORE 1997-06-01 only, then for every directed co-purchase pair in
+    the held-out period report whether the partner item appears in the
+    purchased item's top-5 — the offline hit-rate metric that turns the
+    CF precompute into a measurable model, with the time split
+    preventing the leakage a random split would allow (the
+    `leakage_guarded_split` principle applied to recommendations).
+
+    Scale shape: training pairs inherit the basket-bounded fanout of
+    the CF query; the evaluation is a LEFT equi-join of test pairs
+    against the top-5 relation (5 rows per item — dim-bounded,
+    broadcastable) — no scoring of the full catalog per test item.
+    The split predicate pushes to the orders scan on both engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cut = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    dated = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    )
+    train = dated.filter(F.col("d") < cut).select("o", "p").distinct()
+    test = dated.filter(F.col("d") >= cut).select("o", "p").distinct()
+    deg = train.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = train.alias("a")
+    b = train.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = cooc.select(
+        F.col("p_a").alias("item"), F.col("p_b").alias("neighbor"), "c"
+    ).unionAll(
+        cooc.select(F.col("p_b").alias("item"), F.col("p_a").alias("neighbor"), "c")
+    )
+    da = deg.select(F.col("p").alias("item"), F.col("n_orders").alias("n_i"))
+    db = deg.select(F.col("p").alias("neighbor"), F.col("n_orders").alias("n_j"))
+    scored = (
+        sym.join(F.broadcast(da), "item")
+        .join(F.broadcast(db), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    recs = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item", "neighbor")
+    )
+    ta = test.alias("ta")
+    tb = test.alias("tb")
+    test_pairs = ta.join(
+        tb, (F.col("ta.o") == F.col("tb.o")) & (F.col("ta.p") != F.col("tb.p"))
+    ).select(F.col("ta.p").alias("item"), F.col("tb.p").alias("other"))
+    hits = test_pairs.join(
+        recs.withColumnRenamed("neighbor", "other").withColumn(
+            "hit", F.lit(True)
+        ),
+        ["item", "other"],
+        "left",
+    )
+    n_hits = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_pairs"),
+        n_hits.cast("long").alias("n_hits"),
+        F.round(n_hits.cast("double") / F.count(F.lit(1)), 6).alias("hit_rate"),
+    )
