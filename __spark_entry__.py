@@ -142,6 +142,7 @@ _PANEL_NEXT_CANDIDATES = [
     "loo_target_encoding_priority",
     "ordered_funnel_three_step",
     "cf_holdout_hit_rate",
+    "bounce_rate_daily",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4644,3 +4644,76 @@ def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.cast("long").alias("n_hits"),
         F.round(n_hits.cast("double") / F.count(F.lit(1)), 6).alias("hit_rate"),
     )
+
+
+@_register(
+    "bounce_rate_daily",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    ), sess AS (
+        SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en,
+               COUNT(*) AS n_events
+        FROM tagged GROUP BY user_id, session_seq
+    )
+    SELECT CAST(st AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           round(quantile_cont(CASE WHEN n_events > 1
+                                    THEN epoch_us(en - st) / 60000000.0
+                               END, 0.5), 6) AS p50_engaged_minutes
+    FROM sess GROUP BY CAST(st AS DATE)
+    """,
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate and engaged-session duration: sessionize
+    (30-min gap, the `sessionization_stats` mechanism), bucket sessions
+    by start day, and report the single-event fraction plus the median
+    duration of MULTI-event sessions (bounces have zero duration by
+    definition, so the unconditional median is degenerate — the CASE
+    feeds NULL for bounces and both engines' percentile skips NULLs).
+
+    One user-keyed shuffle for the sessionize windows, one
+    (user, session) aggregate, one day-keyed rollup — all key-partitioned;
+    the ratio divides exact integers, the percentile interpolates over
+    exact microsecond lags, both rounded at the edge."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = (
+        sessionize(e, "user_id", "ts", "30 minutes", tiebreak=["event_id"])
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("st"),
+            F.max("ts").alias("en"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    dur = (F.unix_micros("en") - F.unix_micros("st")) / 60000000.0
+    return (
+        sess.withColumn(
+            "engaged_min", F.when(F.col("n_events") > 1, dur)
+        )
+        .groupBy(F.to_date("st").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounces.cast("long").alias("n_bounces"),
+            F.round(bounces.cast("double") / F.count(F.lit(1)), 6).alias(
+                "bounce_rate"
+            ),
+            F.round(F.expr("percentile(engaged_min, 0.5)"), 6).alias(
+                "p50_engaged_minutes"
+            ),
+        )
+    )

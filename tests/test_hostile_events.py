@@ -75,6 +75,9 @@ _EVENT_PANEL = [
     # event types at ONE instant: no step may qualify) and the
     # purchase-before-signup user
     "ordered_funnel_three_step",
+    # all-same-instant sessions are bounces of zero duration; singleton
+    # users and the dominant user stress the per-day session rollup
+    "bounce_rate_daily",
 ]
 
 
