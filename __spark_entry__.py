@@ -143,6 +143,7 @@ _PANEL_NEXT_CANDIDATES = [
     "ordered_funnel_three_step",
     "cf_holdout_hit_rate",
     "bounce_rate_daily",
+    "containment_pairs",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -3436,3 +3436,59 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.first("grand").cast("long").alias("n_docs"),
     )
+
+
+@_register(
+    "containment_pairs",
+    _SHINGLE_CTE
+    + """
+, cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT cm.id_a, cm.id_b,
+       CAST(cm.n_common AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_a
+JOIN sizes nb ON nb.doc_id = cm.id_b
+WHERE CAST(cm.n_common AS DOUBLE) / least(na.n_sh, nb.n_sh) >= 0.5
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment near-dup pairs: |A n B| / min(|A|, |B|) >= 0.5
+    over distinct 5-shingle sets — the ASYMMETRIC companion of
+    `ngram_jaccard_pairs`.  Jaccard misses a short document embedded
+    verbatim in a long one (the union term swamps the intersection);
+    containment is exactly the quote/excerpt/boilerplate-inclusion
+    detector (Broder 1997's resemblance-vs-containment distinction,
+    public).
+
+    Same machinery as the Jaccard tier — inverted-index candidates,
+    per-doc collect_set, codegen'd array_intersect on candidate rows
+    only — with the division's denominator swapped to the smaller set
+    size; the single IEEE division of exact integers needs no edge
+    rounding (the `_JACCARD_TAIL` convention)."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    pairs = shared_shingle_pairs(sh)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("__shs"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("__shs").alias("__sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("__shs").alias("__sb"))
+    n_common = F.size(F.array_intersect("__sa", "__sb"))
+    containment = n_common.cast("double") / F.least(
+        F.size("__sa"), F.size("__sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.5)
+    )

@@ -165,6 +165,9 @@ _HOSTILE_PANEL = [
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    # containment divides by the SMALLER set: degenerate short docs are
+    # exactly where min(|A|,|B|) goes to 1
+    "containment_pairs",
 ]
 
 
