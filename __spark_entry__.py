@@ -144,6 +144,8 @@ _PANEL_NEXT_CANDIDATES = [
     "cf_holdout_hit_rate",
     "bounce_rate_daily",
     "containment_pairs",
+    "diversified_topk_docs",
+    "quarantine_orders_with_reasons",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

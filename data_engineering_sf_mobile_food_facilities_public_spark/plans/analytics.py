@@ -4717,3 +4717,49 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "quarantine_orders_with_reasons",
+    """
+    SELECT o_orderkey,
+           array_to_string(list_filter([
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+               CASE WHEN o_custkey IS NULL THEN 'null_custkey' END,
+               CASE WHEN o_orderdate > TIMESTAMP '2000-01-01 00:00:00'
+                    THEN 'future_date' END
+           ], x -> x IS NOT NULL), ',') AS reasons
+    FROM orders
+    WHERE o_totalprice <= 0 OR o_custkey IS NULL
+       OR o_orderdate > TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def quarantine_orders_with_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality quarantine with REASON CODES: rows violating any
+    intake rule, each tagged with the array of every rule it broke —
+    the ETL pattern where `expectations_orders` answers "is the batch
+    healthy?" and this answers "which rows do I reroute, and why?".
+    One scan, one narrow projection: each rule is a CASE inside an
+    array literal and a codegen'd HOF filter drops the NULL slots —
+    no per-rule pass, no union of per-rule frames; the disjunctive
+    WHERE pushes to the scan on both engines.  Reason codes serialize
+    to a comma-joined string at the edge (array columns do not hash in
+    the driver's comparator; rule order makes the join order fixed)."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("o_totalprice") <= 0, F.lit("nonpositive_price")),
+            F.when(F.col("o_custkey").isNull(), F.lit("null_custkey")),
+            F.when(F.col("o_orderdate") > cut, F.lit("future_date")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        o.filter(
+            (F.col("o_totalprice") <= 0)
+            | F.col("o_custkey").isNull()
+            | (F.col("o_orderdate") > cut)
+        )
+        .select("o_orderkey", F.concat_ws(",", reasons).alias("reasons"))
+    )

@@ -3492,3 +3492,54 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", containment.alias("containment"))
         .filter(F.col("containment") >= 0.5)
     )
+
+
+@_register(
+    "diversified_topk_docs",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS src_rank
+        FROM documents
+    ),
+    capped AS (SELECT * FROM ranked WHERE src_rank <= 2)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(src_rank AS BIGINT) AS src_rank, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM capped)
+    WHERE rnk <= 10
+    """,
+)
+def diversified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified global top-10 documents by length with AT MOST 2 PER
+    SOURCE — the search/recsys result-diversification pattern (MMR's
+    hard-quota cousin): a plain top-k would let one prolific source
+    fill the whole page.
+
+    Two stages, each scale-shaped: the per-source quota is a
+    source-partitioned row_number (one shuffle, arbitrary source
+    count), which contracts the corpus to <= 2 x n_sources rows; the
+    global ordering then runs on THAT dim-bounded frame (the documented
+    single-window exemption — bounded by source cardinality, never
+    corpus size).  Both ranks tie-break on doc_id so engines cannot
+    disagree on equal lengths."""
+    d = load(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    capped = (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w_src))
+        .filter(F.col("src_rank") <= 2)
+    )
+    w_glob = Window.orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        capped.withColumn("rank", F.row_number().over(w_glob))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("src_rank").cast("long").alias("src_rank"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
