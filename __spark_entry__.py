@@ -146,6 +146,7 @@ _PANEL_NEXT_CANDIDATES = [
     "containment_pairs",
     "diversified_topk_docs",
     "quarantine_orders_with_reasons",
+    "events_analytics_pipeline",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4763,3 +4763,236 @@ def quarantine_orders_with_reasons(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("o_orderkey", F.concat_ws(",", reasons).alias("reasons"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused product-analytics pipeline — the events-family flagship composition.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_analytics_pipeline",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM lagged
+    ), sess AS (
+        SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en,
+               COUNT(*) AS n_events
+        FROM tagged GROUP BY user_id, session_seq
+    ),
+    sessions_daily AS (
+        SELECT CAST(st AS DATE) AS day,
+               COUNT(*) AS n_sessions,
+               SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+        FROM sess GROUP BY CAST(st AS DATE)
+    ),
+    pts AS (
+        SELECT st AS ts, 1 AS delta, user_id, session_seq FROM sess
+        UNION ALL SELECT en, -1, user_id, session_seq FROM sess
+    ),
+    run AS (
+        SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id, session_seq
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+        FROM pts
+    ),
+    conc_daily AS (
+        SELECT CAST(ts AS DATE) AS day, MAX(conc) AS max_concurrent
+        FROM run GROUP BY CAST(ts AS DATE)
+    ),
+    conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+        SELECT c.conv_id, c.conv_ts, t.touch_id, t.channel, t.touch_ts
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id AND t.touch_ts < c.conv_ts
+         AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    pos AS (
+        SELECT conv_id, conv_ts, channel,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS p,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM paired
+    ),
+    w AS (
+        SELECT CAST(conv_ts AS DATE) AS day, channel,
+               CAST(round(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                               WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                               WHEN p = 1 OR p = n THEN CAST(0.4 AS DOUBLE)
+                               ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6)
+                    AS DECIMAL(18,6)) AS wt
+        FROM pos
+    ),
+    credit_daily AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN channel = 'view' THEN wt
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                    AS DECIMAL(18,6)) AS view_credit,
+               CAST(SUM(CASE WHEN channel = 'click' THEN wt
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                    AS DECIMAL(18,6)) AS click_credit
+        FROM w GROUP BY day
+    ),
+    purch_daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    )
+    SELECT s.day,
+           CAST(s.n_sessions AS BIGINT) AS n_sessions,
+           CAST(s.n_bounces AS BIGINT) AS n_bounces,
+           CAST(c.max_concurrent AS BIGINT) AS max_concurrent,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           COALESCE(cr.view_credit, CAST(0 AS DECIMAL(18,6))) AS view_credit,
+           COALESCE(cr.click_credit, CAST(0 AS DECIMAL(18,6))) AS click_credit
+    FROM sessions_daily s
+    JOIN conc_daily c USING (day)
+    LEFT JOIN purch_daily p USING (day)
+    LEFT JOIN credit_daily cr USING (day)
+    """,
+)
+def events_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-family flagship composition, ONE lazy plan: per day —
+    sessions + bounces (`bounce_rate_daily` mechanism), peak concurrency
+    (`max_concurrent_sessions_daily`'s sweep line on the bucketed
+    constant-key cumsum), purchase count, and U-shaped multi-touch
+    credit per channel (`multi_touch_attribution`) — the daily
+    product-analytics dashboard a user would otherwise assemble from
+    four queries, here fused so Catalyst shares the event scan and the
+    per-day frames join post-aggregation (each dim-sized).
+
+    The session relation is built once and feeds BOTH the daily rollup
+    and the concurrency endpoints; days appear when a session starts in
+    them (inner join to concurrency, which shares the same day set
+    unless a session spans midnight — same rule both engines).  Credit
+    columns are the DECIMAL(18,6) order-exact sums; missing days
+    COALESCE to typed zeros."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = (
+        sessionize(
+            e.select("user_id", "ts", "event_id"),
+            "user_id",
+            "ts",
+            "30 minutes",
+            tiebreak=["event_id"],
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("st"),
+            F.max("ts").alias("en"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    sessions_daily = sess.groupBy(F.to_date("st").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+    )
+    pts = sess.select(
+        F.col("st").alias("ts"), F.lit(1).alias("delta"), "user_id", "session_seq"
+    ).unionAll(
+        sess.select(
+            F.col("en").alias("ts"), F.lit(-1).alias("delta"), "user_id",
+            "session_seq",
+        )
+    )
+    cheap = e.select(
+        F.lit(1).alias("__one"), "ts", F.lit(1).alias("delta"), "user_id",
+        F.lit(0).alias("session_seq"),
+    )
+    run = grouped_running_sum(
+        pts.withColumn("__one", F.lit(1)),
+        "__one",
+        ["ts", "delta", "user_id", "session_seq"],
+        "delta",
+        out_col="conc",
+        cut_source=cheap,
+    )
+    conc_daily = run.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("conc").alias("max_concurrent")
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"), "user_id",
+        F.col("ts").alias("touch_ts"), F.col("event_type").alias("channel"),
+    )
+    paired = (
+        conv.alias("c")
+        .join(
+            touch.alias("t"),
+            (F.col("c.user_id") == F.col("t.user_id"))
+            & (F.col("t.touch_ts") < F.col("c.conv_ts"))
+            & (F.col("t.touch_ts") >= F.col("c.conv_ts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("conv_id", "conv_ts", "touch_id", "channel", "touch_ts")
+    )
+    wpos = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    wcnt = Window.partitionBy("conv_id")
+    pos = paired.select(
+        "conv_id",
+        "conv_ts",
+        "channel",
+        F.row_number().over(wpos).alias("p"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    wt = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("p") == 1) | (F.col("p") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    credit_daily = (
+        pos.select(
+            F.to_date("conv_ts").alias("day"),
+            "channel",
+            F.round(wt, 6).cast("decimal(18,6)").alias("wt"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("channel") == "view", F.col("wt")).otherwise(zero6))
+            .cast("decimal(18,6)")
+            .alias("view_credit"),
+            F.sum(F.when(F.col("channel") == "click", F.col("wt")).otherwise(zero6))
+            .cast("decimal(18,6)")
+            .alias("click_credit"),
+        )
+    )
+    purch_daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        sessions_daily.join(conc_daily, "day")
+        .join(purch_daily, "day", "left")
+        .join(credit_daily, "day", "left")
+        .select(
+            "day",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_bounces").cast("long").alias("n_bounces"),
+            F.col("max_concurrent").cast("long").alias("max_concurrent"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long").alias(
+                "n_purchases"
+            ),
+            F.coalesce(F.col("view_credit"), zero6).alias("view_credit"),
+            F.coalesce(F.col("click_credit"), zero6).alias("click_credit"),
+        )
+    )

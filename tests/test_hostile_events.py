@@ -78,6 +78,8 @@ _EVENT_PANEL = [
     # all-same-instant sessions are bounces of zero duration; singleton
     # users and the dominant user stress the per-day session rollup
     "bounce_rate_daily",
+    # the fused composition must inherit every component tie rule at once
+    "events_analytics_pipeline",
 ]
 
 
