@@ -61,8 +61,14 @@ def linreg_pipeline(train: DataFrame, feature_cols: list[str], label_col: str) -
     rmse = RegressionEvaluator(metricName="rmse").evaluate(pred)
     r2 = RegressionEvaluator(metricName="r2").evaluate(pred)
     spark = train.sparkSession
+    # metrics round to 6dp: the normal-equation X^T X accumulates in
+    # partition order, so raw rmse/r2 differ in the ~13th significant
+    # digit across partition counts (measured local[4] vs local[32]) —
+    # the one registry query the full-registry determinism sweep caught.
+    # Reported metrics are not comparison keys; 6dp is the edge-rounding
+    # convention everywhere else.
     return spark.createDataFrame(
-        [(train.count(), float(rmse), float(r2), len(feature_cols))],
+        [(train.count(), round(float(rmse), 6), round(float(r2), 6), len(feature_cols))],
         "n_rows long, rmse double, r2 double, n_features int",
     )
 

@@ -4865,7 +4865,9 @@ def quarantine_orders_with_reasons(spark: SparkSession, sf_dir: str) -> DataFram
     LEFT JOIN credit_daily cr USING (day)
     """,
 )
-def events_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_analytics_pipeline(
+    spark: SparkSession, sf_dir: str, handles: list | None = None
+) -> DataFrame:
     """The events-family flagship composition, ONE lazy plan: per day —
     sessions + bounces (`bounce_rate_daily` mechanism), peak concurrency
     (`max_concurrent_sessions_daily`'s sweep line on the bucketed
@@ -4875,8 +4877,11 @@ def events_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     four queries, here fused so Catalyst shares the event scan and the
     per-day frames join post-aggregation (each dim-sized).
 
-    The session relation is built once and feeds BOTH the daily rollup
-    and the concurrency endpoints; days appear when a session starts in
+    The session relation persists MEMORY_AND_DISK (the kcore/pagerank
+    cache-ownership convention — FOUR consumers reference it: the daily
+    rollup, both cumsum passes over the endpoints, and nothing else
+    re-derives it; ``handles`` for deterministic release) and feeds
+    BOTH the daily rollup and the concurrency endpoints; days appear when a session starts in
     them (inner join to concurrency, which shares the same day set
     unless a session spans midnight — same rule both engines).  Credit
     columns are the DECIMAL(18,6) order-exact sums; missing days
@@ -4898,7 +4903,10 @@ def events_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("en"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .persist()
     )
+    if handles is not None:
+        handles.append(sess)
     sessions_daily = sess.groupBy(F.to_date("st").alias("day")).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
