@@ -147,6 +147,8 @@ _PANEL_NEXT_CANDIDATES = [
     "diversified_topk_docs",
     "quarantine_orders_with_reasons",
     "events_analytics_pipeline",
+    "bloom_pruned_supplier_revenue",
+    "longest_shared_passage_pairs",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -642,6 +642,51 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bloom_pruned_supplier_revenue",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey % 5 = 2
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def bloom_pruned_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier for a ~20% supplier subset, with the
+    lineitem side pruned by an explicit Bloom filter on ``l_suppkey``
+    before any shuffle (``operators/bloom.py``): the filter is built
+    distributed over the selected key set, embedded as a plan literal,
+    and probed with codegen'd bit tests fused into the lineitem scan.
+    The exact join afterwards removes Bloom false positives, so the
+    result is identical to the plain join the oracle runs — the
+    pairing verifies the no-false-negative contract, not just the
+    happy path.
+
+    Scale shape: at 100 TB the unpruned plan shuffles (or at best
+    scans-and-broadcast-probes) every lineitem row into the aggregate;
+    the Bloom probe drops ~80% of them at the scan, and the aggregate's
+    shuffle carries only surviving suppliers' partials."""
+    from ..operators.bloom import bloom_prune
+
+    s = load(spark, sf_dir, "supplier")
+    dim = s.filter(F.col("s_nationkey") % 5 == 2).select("s_suppkey", "s_name")
+    l = load(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(l, "l_suppkey", dim, "s_suppkey")
+    rev = pruned.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return dim.join(
+        rev, dim.s_suppkey == rev.l_suppkey
+    ).select("s_suppkey", "s_name", "revenue", "n_lineitems")
+
+
 # ---------------------------------------------------------------------------
 # Multi-join + subquery shapes (join-reordering / semi-join surface)
 # ---------------------------------------------------------------------------

