@@ -149,6 +149,7 @@ _PANEL_NEXT_CANDIDATES = [
     "events_analytics_pipeline",
     "bloom_pruned_supplier_revenue",
     "longest_shared_passage_pairs",
+    "greedy_coverage_selection",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

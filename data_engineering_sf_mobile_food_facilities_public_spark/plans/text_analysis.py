@@ -3631,3 +3631,131 @@ def diversified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage document selection — the submodular data-curation
+# primitive: pick k documents that together cover the most vocabulary.
+# ---------------------------------------------------------------------------
+
+_COVERAGE_STEPS = 5
+
+
+def _coverage_steps_sql(k: int) -> str:
+    """Unrolled greedy steps p1..p{k} (the k-core recursion-free CTE
+    convention): r{i} is the (doc, token) relation with already-picked
+    docs and already-covered tokens removed; p{i} is that round's
+    argmax pick with deterministic (gain DESC, doc_id ASC) tie-break."""
+    ctes = ["r1 AS (SELECT doc_id, token FROM u)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS (SELECT doc_id, COUNT(*) AS gain FROM r{i}"
+            f" GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"r{i + 1} AS (SELECT r.doc_id, r.token FROM r{i} r"
+                f" WHERE r.doc_id NOT IN (SELECT doc_id FROM p{i})"
+                f" AND r.token NOT IN (SELECT u2.token FROM u u2"
+                f" JOIN p{i} pp ON u2.doc_id = pp.doc_id))"
+            )
+    picks = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, gain FROM p{i}" for i in range(1, k + 1)
+    )
+    return ",\n    ".join(ctes) + f",\n    picks AS (\n        {picks}\n    )"
+
+
+@_register(
+    "greedy_coverage_selection",
+    _SHINGLE_CTE
+    + f"""
+    , u AS (SELECT doc_id, shingle AS token FROM sh),
+    {_coverage_steps_sql(_COVERAGE_STEPS)}
+    SELECT CAST(step AS BIGINT) AS step, doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_tokens
+    FROM picks
+    """,
+)
+def greedy_coverage_selection(
+    spark: SparkSession, sf_dir: str, handles: list | None = None
+) -> DataFrame:
+    """Greedy max-coverage selection of {k} documents: each step picks
+    the document covering the most NOT-YET-COVERED distinct 5-token
+    shingles (ties to the lowest doc_id), reporting the step, the
+    pick, its marginal gain and the cumulative covered-shingle count.
+    This is the classic (1 - 1/e)-approximate submodular maximization
+    — the "smallest representative subset" primitive behind corpus
+    summarization, eval split seeding, and content-coverage curation.
+    (Shingles, not tokens: the synthetic corpus has a ~31-word
+    vocabulary, which one document covers entirely — n-gram coverage
+    is the non-degenerate objective, and the production-realistic one.)
+
+    Fully LAZY driver loop — no collect: each step's argmax is a
+    1-row ``orderBy(gain desc, doc_id).limit(1)`` frame used directly
+    in the next step's anti-joins (dropping the picked doc and its
+    tokens).  The marginal gain IS the newly-covered count, so the
+    cumulative coverage is a running sum over the k-row picks frame
+    (unpartitioned window over k rows — the documented dim-sized
+    exemption).
+
+    Scale shape: the (doc, shingle) universe is the shared
+    ``shingles()`` relation (per-doc distinct, built at the scan — the
+    whole dedup family's input).  Each step is one shuffled
+    aggregate over the REMAINING relation (monotonically shrinking,
+    k-core-style) plus two anti-joins against 1-row / one-doc-sized
+    broadcast frames; picks and remainders persist per round with the
+    ``handles`` release convention since each is referenced by every
+    later step."""
+    d = load(spark, sf_dir, "documents")
+    u = shingles(d).withColumnRenamed("shingle", "token").persist()
+    cached = [u]
+    if handles is not None:
+        handles.append(u)
+    try:
+        remaining = u
+        picks = []
+        for step in range(1, _COVERAGE_STEPS + 1):
+            pick = (
+                remaining.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.col("gain").desc(), "doc_id")
+                .limit(1)
+                .withColumn("step", F.lit(step).cast("long"))
+                .persist()
+            )
+            cached.append(pick)
+            if handles is not None:
+                handles.append(pick)
+            picks.append(pick)
+            if step < _COVERAGE_STEPS:
+                pick_tokens = u.join(
+                    pick.select("doc_id"), "doc_id", "semi"
+                ).select("token")
+                remaining = (
+                    remaining.join(pick.select("doc_id"), "doc_id", "left_anti")
+                    .join(F.broadcast(pick_tokens), "token", "left_anti")
+                    .persist()
+                )
+                cached.append(remaining)
+                if handles is not None:
+                    handles.append(remaining)
+        allp = picks[0]
+        for p in picks[1:]:
+            allp = allp.unionAll(p)
+        w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+        return allp.select(
+            "step",
+            "doc_id",
+            F.col("gain").cast("long").alias("gain"),
+            F.sum("gain").over(w).cast("long").alias("covered_tokens"),
+        )
+    except Exception:
+        for c in cached:
+            c.unpersist()
+        raise
+
+
+greedy_coverage_selection.__doc__ = greedy_coverage_selection.__doc__.format(
+    k=_COVERAGE_STEPS
+)

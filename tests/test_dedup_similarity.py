@@ -474,3 +474,59 @@ def test_longest_shared_passage_exact_lengths(spark, tmp_path):
         str(root),
     )
     assert not problems, problems
+
+
+def test_greedy_coverage_picks_in_submodular_order(spark, tmp_path):
+    """Planted corpus: doc 1 covers a big shingle set, doc 2 is a strict
+    subset of doc 1 plus a little novelty, doc 3 is disjoint and
+    mid-sized.  Greedy must pick 1 first, then 3 (disjoint beats the
+    mostly-covered 2), then 2 with only its NOVEL shingles as gain —
+    and marginal gains must be non-increasing with the cumulative
+    coverage equal to their running sum.  Oracle agreement is checked
+    on the same fixture."""
+    import os as _os
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_SMOKE
+    from tests.parity import TESTDATA_TABLES, compare
+
+    big = " ".join(f"a{i}" for i in range(30))  # 26 shingles
+    novel = " ".join(f"n{i}" for i in range(9))  # appended: adds shingles
+    disjoint = " ".join(f"d{i}" for i in range(20))  # 16 shingles
+    rows = [
+        (1, big, "en", "src0", 0),
+        (2, f"{big} {novel}", "en", "src1", 0),
+        (3, disjoint, "en", "src2", 0),
+    ]
+    root = tmp_path / "cover_sf"
+    root.mkdir()
+    for t in TESTDATA_TABLES:
+        if t != "documents":
+            _os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "_d"))
+    part = next((root / "_d").glob("part-*.parquet"))
+    _os.rename(part, root / "documents.parquet")
+
+    out = sorted(
+        e.queries()["greedy_coverage_selection"](spark, str(root)).collect(),
+        key=lambda r: r.step,
+    )
+    # doc 2 has the largest raw set (big + novel) so greedy takes it
+    # first; doc 1 is then fully covered (gain 0) so disjoint doc 3
+    # must come second; remaining picks have zero gain
+    assert [r.doc_id for r in out[:2]] == [2, 3]
+    gains = [r.gain for r in out]
+    assert gains == sorted(gains, reverse=True), "marginal gains must be non-increasing"
+    cum = 0
+    for r in out:
+        cum += r.gain
+        assert r.covered_tokens == cum
+    problems = compare(
+        e.queries()["greedy_coverage_selection"](spark, str(root)),
+        e.oracle_sql()["greedy_coverage_selection"],
+        str(root),
+    )
+    assert not problems, problems

@@ -172,6 +172,10 @@ _HOSTILE_PANEL = [
     # empty/whitespace-only docs must vanish identically and the island
     # window must see identical positions on both engines
     "longest_shared_passage_pairs",
+    # greedy coverage consumes the shingle relation: short/empty docs
+    # must drop out of the universe identically, and the argmax
+    # tie-break must agree when gains collide on degenerate corpora
+    "greedy_coverage_selection",
 ]
 
 
