@@ -150,6 +150,7 @@ _PANEL_NEXT_CANDIDATES = [
     "bloom_pruned_supplier_revenue",
     "longest_shared_passage_pairs",
     "greedy_coverage_selection",
+    "mmr_rerank_topk",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -834,3 +834,252 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking — greedy relevance-vs-redundancy selection
+# over the exact top-k candidate pool (Carbonell & Goldstein 1998).
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5  # picks per query
+_MMR_POOL = 10  # candidate pool: the exact cosine top-10
+
+
+def _mmr_steps_sql(k: int) -> str:
+    """Unrolled greedy MMR steps (the k-core/coverage recursion-free CTE
+    convention): sel1 is the pure-relevance argmax; each later step
+    scores every remaining candidate as 0.5*rel - 0.5*max(sim to the
+    already-selected set) and takes the per-query argmax with
+    (score DESC, cand) tie-break."""
+    ctes = [
+        "sel1 AS (SELECT query_id, neighbor_id AS cand, cos_sim AS rel,"
+        " 0.5 * cos_sim AS score FROM pool WHERE rnk = 1)",
+        "all1 AS (SELECT query_id, cand, rel, score, 1 AS step FROM sel1)",
+        "rem1 AS (SELECT query_id, neighbor_id AS cand, cos_sim AS rel"
+        " FROM pool WHERE rnk > 1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"sc{i} AS (SELECT r.query_id, r.cand, r.rel,"
+            f" 0.5 * r.rel - 0.5 * MAX(ps.sim) AS score"
+            f" FROM rem{p} r"
+            f" JOIN pairsim ps ON ps.query_id = r.query_id AND ps.cand = r.cand"
+            f" JOIN all{p} s ON s.query_id = ps.query_id AND s.cand = ps.other"
+            f" GROUP BY r.query_id, r.cand, r.rel)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT query_id, cand, rel, score FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id"
+            f" ORDER BY score DESC, cand) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"all{i} AS (SELECT * FROM all{p} UNION ALL"
+            f" SELECT query_id, cand, rel, score, {i} AS step FROM sel{i})"
+        )
+        if i < k:
+            ctes.append(
+                f"rem{i} AS (SELECT r.* FROM rem{p} r WHERE NOT EXISTS ("
+                f"SELECT 1 FROM sel{i} s"
+                f" WHERE s.query_id = r.query_id AND s.cand = r.cand))"
+            )
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "mmr_rerank_topk",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    ),
+    pool AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_MMR_POOL}
+    ),
+    pairsim AS (
+        SELECT p1.query_id, p1.neighbor_id AS cand, p2.neighbor_id AS other,
+               round(list_cosine_similarity(e1.v, e2.v), 6) AS sim
+        FROM pool p1
+        JOIN pool p2 ON p1.query_id = p2.query_id
+                    AND p1.neighbor_id <> p2.neighbor_id
+        JOIN e e1 ON e1.vec_id = p1.neighbor_id
+        JOIN e e2 ON e2.vec_id = p2.neighbor_id
+    ),
+    {_mmr_steps_sql(_MMR_K)}
+    SELECT query_id, cand AS neighbor_id, CAST(step AS BIGINT) AS step,
+           rel AS cos_sim, score
+    FROM all{_MMR_K}
+    """,
+)
+def mmr_rerank_topk(
+    spark: SparkSession, sf_dir: str, handles: list | None = None
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking: from each query's EXACT
+    cosine top-10 pool, greedily select 5 results balancing relevance
+    against redundancy — step score = 0.5*rel - 0.5*max(sim to the
+    already-selected set), ties to the lower neighbor id.  The
+    embedding-space diversifier next to the quota-based
+    ``diversified_topk_docs``: quota diversifies by a metadata column,
+    MMR by the geometry itself (two near-identical top hits can't both
+    be shown).
+
+    Fully LAZY grouped greedy — no collect, all queries advance in the
+    same step: the per-query argmax is a row_number-over-window pick
+    (the same 1-row-per-group shape every step), and each step's
+    anti-join drops that pick from the remaining pool.  Candidate
+    pairwise sims are computed ONCE over the pooled pairs (<= 90 per
+    query) and persisted for the k - 1 scoring steps; picks and
+    remainders persist per round with the ``handles`` release
+    convention since later steps re-reference them.
+
+    Scale shape: the only corpus-sized work is the pool build (the
+    broadcast brute-force tier — swap in the LSH/IVF tier for the
+    100 TB pool and everything downstream is unchanged); MMR itself
+    touches pool-sized relations only: pairsim is |Q| x pool^2 rows,
+    each step one pool-sized shuffle.  Cosines round to 6dp at the
+    edge (module convention); the MMR score itself is left UNROUNDED —
+    0.5*rel - 0.5*maxsim over already-rounded inputs is the same single
+    IEEE op on both engines (bit-identical), whereas re-rounding a
+    computed double hits half-boundary disagreements (observed at
+    sf0.01: ...4745 rounding differently), so both engines score and
+    therefore pick identically."""
+    from ..functions.vectors import as_double, dot, norm
+
+    e0 = load(spark, sf_dir, "embeddings")
+    q = e0.filter(F.col("vec_id") % 100 == 0)
+    pool = brute_force_topk(q, e0, k=_MMR_POOL).persist()
+    cached = [pool]
+    if handles is not None:
+        handles.append(pool)
+    try:
+        ev = (
+            e0.select("vec_id", as_double("embedding").alias("v"))
+            .withColumn("n", norm(F.col("v")))
+            .filter(F.col("n") > 0)
+        )
+        pa, pb = pool.alias("pa"), pool.alias("pb")
+        pairsim = (
+            pa.join(
+                pb,
+                (F.col("pa.query_id") == F.col("pb.query_id"))
+                & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
+            )
+            .select(
+                F.col("pa.query_id").alias("query_id"),
+                F.col("pa.neighbor_id").alias("cand"),
+                F.col("pb.neighbor_id").alias("other"),
+            )
+            .join(
+                ev.select(
+                    F.col("vec_id").alias("cand"),
+                    F.col("v").alias("va"),
+                    F.col("n").alias("na"),
+                ),
+                "cand",
+            )
+            .join(
+                ev.select(
+                    F.col("vec_id").alias("other"),
+                    F.col("v").alias("vb"),
+                    F.col("n").alias("nb"),
+                ),
+                "other",
+            )
+            .select(
+                "query_id",
+                "cand",
+                "other",
+                F.round(
+                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                ).alias("sim"),
+            )
+            .persist()
+        )
+        cached.append(pairsim)
+        if handles is not None:
+            handles.append(pairsim)
+
+        all_sel = pool.filter(F.col("rank") == 1).select(
+            "query_id",
+            F.col("neighbor_id").alias("cand"),
+            F.col("cos_sim").alias("rel"),
+            (F.lit(0.5) * F.col("cos_sim")).alias("score"),
+            F.lit(1).cast("long").alias("step"),
+        )
+        remaining = pool.filter(F.col("rank") > 1).select(
+            "query_id",
+            F.col("neighbor_id").alias("cand"),
+            F.col("cos_sim").alias("rel"),
+        )
+        for step in range(2, _MMR_K + 1):
+            sc = (
+                remaining.join(pairsim, ["query_id", "cand"])
+                .join(
+                    all_sel.select(
+                        "query_id", F.col("cand").alias("other")
+                    ),
+                    ["query_id", "other"],
+                )
+                .groupBy("query_id", "cand", "rel")
+                .agg(F.max("sim").alias("maxsim"))
+                .select(
+                    "query_id",
+                    "cand",
+                    "rel",
+                    (
+                        F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+                    ).alias("score"),
+                )
+            )
+            wpick = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), "cand"
+            )
+            pick = (
+                sc.withColumn("rn", F.row_number().over(wpick))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "query_id",
+                    "cand",
+                    "rel",
+                    "score",
+                    F.lit(step).cast("long").alias("step"),
+                )
+                .persist()
+            )
+            cached.append(pick)
+            if handles is not None:
+                handles.append(pick)
+            all_sel = all_sel.unionByName(pick)
+            if step < _MMR_K:
+                remaining = remaining.join(
+                    pick.select("query_id", "cand"),
+                    ["query_id", "cand"],
+                    "left_anti",
+                ).persist()
+                cached.append(remaining)
+                if handles is not None:
+                    handles.append(remaining)
+        return all_sel.select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            "step",
+            F.col("rel").alias("cos_sim"),
+            "score",
+        )
+    except Exception:
+        for c in cached:
+            c.unpersist()
+        raise

@@ -530,3 +530,49 @@ def test_greedy_coverage_picks_in_submodular_order(spark, tmp_path):
         str(root),
     )
     assert not problems, problems
+
+
+def test_mmr_demotes_redundant_near_duplicate(spark, tmp_path):
+    """Planted geometry: the two most relevant candidates are near-
+    identical; a less relevant but orthogonal candidate exists.  Pure
+    relevance ranks (dup1, dup2, ortho); MMR must pick dup1 first and
+    then the ORTHOGONAL candidate, demoting the redundant twin — the
+    defining behavior of the operator.  Oracle agreement on the same
+    fixture."""
+    import os as _os
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_SMOKE
+    from tests.parity import TESTDATA_TABLES, compare
+
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0], 0),  # the query (vec_id % 100 == 0)
+        (1, [0.9, 0.1, 0.0, 0.0], 0),  # dup1: most relevant
+        (2, [0.9, 0.100001, 0.0, 0.0], 0),  # dup2: near-identical to dup1
+        (3, [0.5, 0.0, 0.8, 0.0], 0),  # ortho-ish: less relevant, diverse
+    ]
+    root = tmp_path / "mmr_sf"
+    root.mkdir()
+    for t in TESTDATA_TABLES:
+        if t != "embeddings":
+            _os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "_e"))
+    part = next((root / "_e").glob("part-*.parquet"))
+    _os.rename(part, root / "embeddings.parquet")
+
+    out = sorted(
+        e.queries()["mmr_rerank_topk"](spark, str(root)).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.neighbor_id for r in out[:3]] == [1, 3, 2], (
+        "MMR must demote the redundant twin: " + str(out)
+    )
+    problems = compare(
+        e.queries()["mmr_rerank_topk"](spark, str(root)),
+        e.oracle_sql()["mmr_rerank_topk"],
+        str(root),
+    )
+    assert not problems, problems

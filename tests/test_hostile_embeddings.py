@@ -60,6 +60,10 @@ _EMBED_PANEL = [
     "embedding_label_centroids",
     "embedding_covariance_matrix",
     "hard_negative_mining_topk",
+    # MMR consumes the exact-top-k pool + pairwise candidate cosines:
+    # zero vectors must drop identically and duplicate vectors (sim
+    # 1.0) are exactly the redundancy the greedy must handle
+    "mmr_rerank_topk",
 ]
 
 
