@@ -151,6 +151,7 @@ _PANEL_NEXT_CANDIDATES = [
     "longest_shared_passage_pairs",
     "greedy_coverage_selection",
     "mmr_rerank_topk",
+    "rendezvous_shard_counts",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -114,3 +114,43 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
     return len(list(Path(dst_dir).glob("*.parquet")))
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) hashing — stable shard placement.
+# ---------------------------------------------------------------------------
+
+
+def rendezvous_weight(key: Column, shard: str) -> Column:
+    """HRW weight of ``key`` on ``shard``: the first 32-bit md5 lane of
+    ``key || ':' || shard`` (the engine-portable hash convention from
+    ``operators/minhash.py`` — DuckDB reproduces it exactly, unlike
+    xxhash64 which only Spark has)."""
+    md = F.md5(F.concat(key.cast("string"), F.lit(":" + shard)))
+    return F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, shards: list[str], out_col: str = "shard"
+) -> DataFrame:
+    """Assign each row to the shard with the HIGHEST weight for its key
+    (ties — md5-lane collisions — break to the greatest shard name).
+
+    The property that makes HRW the placement scheme for elastic
+    clusters: removing one shard reassigns ONLY that shard's keys
+    (every other key's argmax is untouched), and adding one steals only
+    the keys the newcomer now wins — 1/n expected movement, vs ~all
+    keys for ``hash(key) % n``.  Pure per-row Catalyst expressions
+    (|shards| md5s + an array_max over structs, codegen'd, no shuffle);
+    struct ordering compares (weight, shard) lexicographically, which
+    the oracle mirrors as ORDER BY w DESC, shard DESC."""
+    key = F.col(key_col)
+    entries = [
+        F.struct(
+            rendezvous_weight(key, s).alias("w"), F.lit(s).alias("shard")
+        )
+        for s in shards
+    ]
+    return df.withColumn(
+        out_col, F.array_max(F.array(*entries)).getField("shard")
+    )

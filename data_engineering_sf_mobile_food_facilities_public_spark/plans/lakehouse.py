@@ -648,3 +648,55 @@ def max_maintenance_under_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     return fast.unionAll(refetch).select(
         "o_custkey", F.col("max_price").cast("double").alias("max_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous-hash shard placement — stable distribution layout.
+# ---------------------------------------------------------------------------
+
+_RV_SHARDS = [f"shard-{i}" for i in range(8)]
+_RV_VALUES = ", ".join(f"('{s}')" for s in _RV_SHARDS)
+
+
+@_register(
+    "rendezvous_shard_counts",
+    f"""
+    WITH shards AS (SELECT * FROM (VALUES {_RV_VALUES}) t(shard)),
+    w AS (
+        SELECT d.doc_id, s.shard,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || s.shard), 1, 8)) AS BIGINT) AS w
+        FROM documents d CROSS JOIN shards s
+    ),
+    a AS (
+        SELECT doc_id, shard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY w DESC, shard DESC) AS rn
+            FROM w
+        ) WHERE rn = 1
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM a GROUP BY shard
+    """,
+)
+def rendezvous_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard document counts under rendezvous (highest-random-
+    weight) placement over 8 shards (``operators/layout.py``) — the
+    stable-assignment layout for elastic ingestion fleets: removing a
+    shard moves ONLY its own keys, adding one steals ~1/n
+    (property-pinned in ``tests/test_skew_and_bucketing.py``).
+
+    Scale shape: assignment is |shards| md5s + one array_max per row,
+    all codegen'd at the scan with NO shuffle; only the per-shard
+    rollup shuffles (8 groups).  The oracle computes the identical
+    md5-lane weights and mirrors struct-max ordering as
+    (w DESC, shard DESC)."""
+    from ..operators.layout import rendezvous_assign
+
+    d = load(spark, sf_dir, "documents")
+    assigned = rendezvous_assign(d.select("doc_id"), "doc_id", _RV_SHARDS)
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -132,3 +132,59 @@ def test_bloom_build_word_array_matches_python_model(spark):
         .count()
     )
     assert misses <= 2  # 3 keys in 1024 bits: FP rate ~ 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous hashing (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_removal_moves_only_the_removed_shards_keys(spark):
+    """THE HRW property: dropping one shard reassigns exactly the keys
+    that lived on it — every other key's argmax is unchanged.  (With
+    hash(key) % n, removing a shard moves ~all keys.)"""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id")
+    shards = [f"shard-{i}" for i in range(8)]
+    full = {
+        r.doc_id: r.shard for r in rendezvous_assign(d, "doc_id", shards).collect()
+    }
+    removed = "shard-3"
+    reduced = {
+        r.doc_id: r.shard
+        for r in rendezvous_assign(
+            d, "doc_id", [s for s in shards if s != removed]
+        ).collect()
+    }
+    assert set(full) == set(reduced)
+    for k, s in full.items():
+        if s == removed:
+            assert reduced[k] != removed
+        else:
+            assert reduced[k] == s, f"key {k} moved off untouched shard {s}"
+    # sanity: the removed shard actually owned some keys
+    assert any(s == removed for s in full.values())
+
+
+def test_rendezvous_spread_is_balanced(spark):
+    """8 shards over 500 docs: expected ~62.5/shard; assert no shard is
+    empty or >2x expected (md5 weights are uniform)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    d = load(spark, SF_SMOKE, "documents").select("doc_id")
+    shards = [f"shard-{i}" for i in range(8)]
+    counts = (
+        rendezvous_assign(d, "doc_id", shards)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    n = {r.shard: r["count"] for r in counts}
+    total = sum(n.values())
+    assert set(n) == set(shards)
+    assert all(v > 0 and v < 2 * total / len(shards) for v in n.values()), n
