@@ -152,6 +152,7 @@ _PANEL_NEXT_CANDIDATES = [
     "greedy_coverage_selection",
     "mmr_rerank_topk",
     "rendezvous_shard_counts",
+    "link_prediction_part_graph",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -5049,3 +5049,114 @@ def events_analytics_pipeline(
             F.coalesce(F.col("click_credit"), zero6).alias("click_credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the part co-occurrence graph — Resource Allocation
+# index over common neighbors (Zhou, Lu, Zhang 2009).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "link_prediction_part_graph",
+    """
+    WITH edges AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    wedge AS (
+        SELECT e1.v AS x, e2.v AS y, e1.u AS z
+        FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    cand AS (
+        SELECT w.x, w.y, w.z FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.id_a = w.x AND e.id_b = w.y
+        )
+    ),
+    scored AS (
+        SELECT c.x, c.y,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               SUM(CAST(round(1.0 / d.d, 6) AS DECIMAL(18,6))) AS ra
+        FROM cand c JOIN deg d ON d.node = c.z
+        GROUP BY c.x, c.y
+    )
+    SELECT x, y, n_common, CAST(ra AS DOUBLE) AS ra_score
+    FROM scored
+    ORDER BY ra DESC, x, y
+    LIMIT 20
+    """,
+)
+def link_prediction_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 NOT-YET-CONNECTED part pairs most likely to co-occur next,
+    by the Resource Allocation index: score(x,y) = sum over common
+    neighbors z of 1/deg(z) — common neighbors weighted so that
+    promiscuous hubs contribute little.  The link-prediction member of
+    the graph family (degree distribution, triangles, k-core, LPA,
+    PageRank, BFS are descriptive; this one is predictive — the
+    "customers who bought X also ended up buying Y" primitive).
+
+    RA over Adamic-Adar deliberately: 1/deg is a single correctly-
+    rounded IEEE division — identical bits on both engines — while
+    1/ln(deg) goes through libm, whose last-ulp platform drift could
+    flip a 6dp rounding.  Each term is rounded to 6dp then summed as
+    DECIMAL(18,6): the sum is EXACT and order-independent, so the
+    top-20 ranking cannot depend on aggregation order on either
+    engine (ties then break on the pair ids).
+
+    Scale shape: one wedge join through the common neighbor (each
+    side's fan-out bounded by the support-filtered degree), an anti
+    join against existing edges (x < y orientation matches the edge
+    table, so one directed probe suffices), one grouped sum.  Hub
+    wedge explosion is the usual hazard — at 100 TB cap or sample hub
+    adjacency first (same mitigation family as the LSH hot-bucket
+    cap)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("id_a", "id_b")
+    )
+    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedge = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v"))
+    ).select(
+        F.col("e1.v").alias("x"), F.col("e2.v").alias("y"), F.col("e1.u").alias("z")
+    )
+    cand = wedge.join(
+        edges,
+        (wedge.x == edges.id_a) & (wedge.y == edges.id_b),
+        "left_anti",
+    )
+    term = F.round(F.lit(1.0) / F.col("d"), 6).cast("decimal(18,6)")
+    scored = (
+        cand.join(deg, cand.z == deg.node)
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(term).alias("ra"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ra").desc(), "x", "y")
+        .limit(20)
+        .select("x", "y", "n_common", F.col("ra").cast("double").alias("ra_score"))
+    )

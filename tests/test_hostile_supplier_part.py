@@ -71,6 +71,10 @@ _SP_PANEL = [
     # survive the same dimension hostilities
     "kcore_part_graph",
     "item_item_cosine_recs",
+    # link prediction shares the edge build AND divides by neighbor
+    # degree: degenerate graphs (no support-2 edges, single-edge
+    # components) must produce identical empty/short top-20s
+    "link_prediction_part_graph",
 ]
 
 
