@@ -3677,9 +3677,7 @@ def _coverage_steps_sql(k: int) -> str:
     FROM picks
     """,
 )
-def greedy_coverage_selection(
-    spark: SparkSession, sf_dir: str, handles: list | None = None
-) -> DataFrame:
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy max-coverage selection of {k} documents: each step picks
     the document covering the most NOT-YET-COVERED distinct 5-token
     shingles (ties to the lowest doc_id), reporting the step, the
@@ -3691,69 +3689,63 @@ def greedy_coverage_selection(
     vocabulary, which one document covers entirely — n-gram coverage
     is the non-degenerate objective, and the production-realistic one.)
 
-    Fully LAZY driver loop — no collect: each step's argmax is a
-    1-row ``orderBy(gain desc, doc_id).limit(1)`` frame used directly
-    in the next step's anti-joins (dropping the picked doc and its
-    tokens).  The marginal gain IS the newly-covered count, so the
-    cumulative coverage is a running sum over the k-row picks frame
+    Iterative driver loop with the repo's k-core/PageRank lineage
+    convention: every per-round frame is ``localCheckpoint(eager=True)``
+    so the plan tree stays CONSTANT-SIZE across steps.  (The first cut
+    only ``persist()``-ed the rounds; each round's plan then embedded
+    every earlier round's, and at sf0.1 the compounded tree OOM'd the
+    JVM inside AQE's plan-string build — plan growth, not data growth,
+    was the killer.)  Each step's argmax is a 1-row
+    ``orderBy(gain desc, doc_id).limit(1)`` frame used directly in the
+    next step's anti-joins (dropping the picked doc and its tokens).
+    The marginal gain IS the newly-covered count, so the cumulative
+    coverage is a running sum over the k-row picks frame
     (unpartitioned window over k rows — the documented dim-sized
     exemption).
 
     Scale shape: the (doc, shingle) universe is the shared
     ``shingles()`` relation (per-doc distinct, built at the scan — the
-    whole dedup family's input).  Each step is one shuffled
-    aggregate over the REMAINING relation (monotonically shrinking,
-    k-core-style) plus two anti-joins against 1-row / one-doc-sized
-    broadcast frames; picks and remainders persist per round with the
-    ``handles`` release convention since each is referenced by every
-    later step."""
+    whole dedup family's input), checkpointed once and probed by every
+    step.  Each step is one shuffled aggregate over the REMAINING
+    relation (monotonically shrinking, k-core-style) plus two
+    anti-joins against 1-row / one-doc-sized broadcast frames."""
     d = load(spark, sf_dir, "documents")
-    u = shingles(d).withColumnRenamed("shingle", "token").persist()
-    cached = [u]
-    if handles is not None:
-        handles.append(u)
-    try:
-        remaining = u
-        picks = []
-        for step in range(1, _COVERAGE_STEPS + 1):
-            pick = (
-                remaining.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("gain"))
-                .orderBy(F.col("gain").desc(), "doc_id")
-                .limit(1)
-                .withColumn("step", F.lit(step).cast("long"))
-                .persist()
-            )
-            cached.append(pick)
-            if handles is not None:
-                handles.append(pick)
-            picks.append(pick)
-            if step < _COVERAGE_STEPS:
-                pick_tokens = u.join(
-                    pick.select("doc_id"), "doc_id", "semi"
-                ).select("token")
-                remaining = (
-                    remaining.join(pick.select("doc_id"), "doc_id", "left_anti")
-                    .join(F.broadcast(pick_tokens), "token", "left_anti")
-                    .persist()
-                )
-                cached.append(remaining)
-                if handles is not None:
-                    handles.append(remaining)
-        allp = picks[0]
-        for p in picks[1:]:
-            allp = allp.unionAll(p)
-        w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
-        return allp.select(
-            "step",
-            "doc_id",
-            F.col("gain").cast("long").alias("gain"),
-            F.sum("gain").over(w).cast("long").alias("covered_tokens"),
+    u = (
+        shingles(d)
+        .withColumnRenamed("shingle", "token")
+        .localCheckpoint(eager=True)
+    )
+    remaining = u
+    picks = []
+    for step in range(1, _COVERAGE_STEPS + 1):
+        pick = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .withColumn("step", F.lit(step).cast("long"))
+            .localCheckpoint(eager=True)
         )
-    except Exception:
-        for c in cached:
-            c.unpersist()
-        raise
+        picks.append(pick)
+        if step < _COVERAGE_STEPS:
+            pick_tokens = u.join(
+                pick.select("doc_id"), "doc_id", "semi"
+            ).select("token")
+            remaining = (
+                remaining.join(pick.select("doc_id"), "doc_id", "left_anti")
+                .join(F.broadcast(pick_tokens), "token", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+    allp = picks[0]
+    for p in picks[1:]:
+        allp = allp.unionAll(p)
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return allp.select(
+        "step",
+        "doc_id",
+        F.col("gain").cast("long").alias("gain"),
+        F.sum("gain").over(w).cast("long").alias("covered_tokens"),
+    )
 
 
 greedy_coverage_selection.__doc__ = greedy_coverage_selection.__doc__.format(
