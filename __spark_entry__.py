@@ -153,6 +153,11 @@ _PANEL_NEXT_CANDIDATES = [
     "mmr_rerank_topk",
     "rendezvous_shard_counts",
     "link_prediction_part_graph",
+    "acf_daily_revenue",
+    "sssp_weighted_part_graph",
+    "heaps_law_vocab_growth",
+    "zipf_rank_frequency_curve",
+    "l_diversity_audit",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -5160,3 +5160,234 @@ def link_prediction_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("x", "y", "n_common", F.col("ra").cast("double").alias("ra_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series — the time-series
+# diagnostics primitive (is there weekly periodicity? does yesterday
+# predict today?) behind seasonality detection and forecast residuals.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+               CAST(rev AS DECIMAL(18,2)) AS rev
+        FROM daily
+    ),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.rn = a.rn - l.lag
+    ),
+    m AS (
+        -- products go through DECIMAL(19,2) operands: width 19 forces
+        -- DuckDB onto int128 (plain 18,2 x 18,2 overflows its int64
+        -- fast path at the decimal-edge fixture values) while 19+19=38
+        -- stays inside both engines' maximum precision
+        SELECT lag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS sxy,
+               SUM(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS acf
+    FROM m
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation (Pearson) of the daily-revenue series —
+    lag 7 reads out weekly seasonality, lag 1 short-range momentum.
+
+    Exactness: the series values are exact DECIMAL(18,2) day sums, and
+    each lag's Pearson r comes from DECIMAL moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) converted to DOUBLE only in the final closed-form
+    expression (the ``ols_price_vs_quantity`` convention) — every
+    intermediate is partition-order-independent, so the result is
+    bit-identical across engines and configs, then rounded to 6dp at
+    the edge.
+
+    Scale shape: one shuffled day aggregate contracts the fact table to
+    a ~2.4k-row series; the row_number spine and the 7-lag self-join
+    both run on that dim-sized frame (the documented single-window
+    exemption).  Output is exactly 7 rows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    )
+    ser = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "rev"
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = ser.alias("a")
+    b = ser.alias("b")
+    pairs = lags.join(a).join(
+        b, F.col("b.rn") == F.col("a.rn") - F.col("lag")
+    ).select("lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    var_prod = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    # zero-variance series (all-tied values) have no defined correlation:
+    # NULL, never a NaN/Inf whose rendering engines could disagree on
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(var_prod > 0, F.round(num / F.sqrt(var_prod), 6)).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest path on the weighted part graph — bounded
+# Bellman-Ford relaxation, the weighted companion of bfs_hops_part_graph.
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    """Unrolled relaxation rounds d0..d{rounds} (the greedy-coverage /
+    k-core recursion-free convention): d{i} is the tentative-distance
+    relation after i rounds of min-plus relaxation over the symmetric
+    weighted edge list."""
+    ctes = [
+        """edges AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+               MIN(CAST(a.l_extendedprice AS DECIMAL(18,2))
+                   + CAST(b.l_extendedprice AS DECIMAL(18,2))) AS w,
+               COUNT(*) AS n_orders
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )""",
+        """sym AS (SELECT id_a AS u, id_b AS v, w FROM edges
+            UNION ALL SELECT id_b, id_a, w FROM edges)""",
+        """d0 AS (SELECT MIN(id_a) AS node, CAST(0 AS DECIMAL(38,2)) AS dist
+              FROM edges)""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT s.v AS node, CAST(p.dist + s.w AS DECIMAL(38,2)) AS dist
+            FROM d{i - 1} p JOIN sym s ON s.u = p.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(dist AS DOUBLE) AS dist
+    FROM d{rounds}"""
+    )
+
+
+@_register("sssp_weighted_part_graph", _sssp_oracle_sql(_SSSP_ROUNDS))
+def sssp_weighted_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (<= {rounds} hops) from the
+    lowest-id node of the support-filtered part co-occurrence graph,
+    edge weight = the cheapest combined extended price the pair ever
+    co-occurred at — Bellman-Ford as bounded min-plus relaxation, the
+    weighted companion of ``bfs_hops_part_graph``.
+
+    Each round is one equi-join of the tentative-distance relation onto
+    the symmetric edge list plus a grouped MIN — the frontier never
+    exceeds the node set, so a round costs O(|settled| x degree)
+    shuffled on the node key (the scalable SSSP shape; path enumeration
+    would be combinatorial).  Weights and distances stay DECIMAL end to
+    end, so min-plus is exact and engine-independent; the bounded round
+    count makes the oracle an unrolled 4-step CTE chain rather than a
+    recursion (Spark 4 recursive CTEs are UNION ALL-only, which
+    enumerates paths on cyclic graphs).  Per-round
+    ``localCheckpoint(eager=True)`` keeps the plan tree constant-size
+    (the greedy-coverage lesson).  The seed enters as a 1-row
+    aggregate, not a collected literal."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+            (
+                _dec("a.l_extendedprice") + _dec("b.l_extendedprice")
+            ).alias("pair_w"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("pair_w").alias("w"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select("id_a", "id_b", "w")
+    )
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "w"
+    ).unionAll(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), "w"))
+    dist = edges.agg(F.min("id_a").alias("node")).select(
+        "node", F.lit(0).cast("decimal(38,2)").alias("dist")
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).cast("decimal(38,2)").alias("dist"),
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("double").alias("dist"))
+
+
+sssp_weighted_part_graph.__doc__ = sssp_weighted_part_graph.__doc__.format(
+    rounds=_SSSP_ROUNDS
+)

@@ -3751,3 +3751,267 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 greedy_coverage_selection.__doc__ = greedy_coverage_selection.__doc__.format(
     k=_COVERAGE_STEPS
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary growth — distinct-type count vs cumulative token
+# count along the corpus, the curve a tokenizer-budget planner reads to
+# decide whether more data still buys new vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "heaps_law_vocab_growth",
+    _TOKENS_CTE
+    + """
+    , docs AS (
+        SELECT d.source, d.doc_id, len(t.tokens) AS n_tokens
+        FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+    ),
+    rng AS (
+        SELECT source, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        FROM docs GROUP BY source
+    ),
+    db AS (
+        SELECT docs.source, docs.doc_id, docs.n_tokens,
+               CAST(FLOOR((docs.doc_id - rng.mn) * 10.0
+                          / (rng.mx - rng.mn + 1)) AS BIGINT) + 1 AS bucket
+        FROM docs JOIN rng ON rng.source = docs.source
+    ),
+    spine AS (
+        SELECT source, bucket,
+               COUNT(*) AS n_docs, SUM(n_tokens) AS bucket_tokens
+        FROM db GROUP BY source, bucket
+    ),
+    typ AS (
+        SELECT db.source, u.token, MIN(db.bucket) AS first_bucket
+        FROM db
+        JOIN (SELECT doc_id, unnest(tokens) AS token FROM tok) u
+          ON u.doc_id = db.doc_id
+        GROUP BY db.source, u.token
+    ),
+    newv AS (
+        SELECT source, first_bucket AS bucket, COUNT(*) AS new_types
+        FROM typ GROUP BY source, first_bucket
+    )
+    SELECT s.source, s.bucket,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(s.bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM spine s LEFT JOIN newv n
+      ON n.source = s.source AND n.bucket = s.bucket
+    WINDOW w AS (PARTITION BY s.source ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law curve per source: cumulative token count vs cumulative
+    distinct-type (vocabulary) count at ten equal doc-id checkpoints —
+    the "does more data still buy new vocabulary?" diagnostic behind
+    corpus-size planning and dedup ROI estimates.
+
+    The checkpoint buckets derive from the doc_id RANGE (an explicit
+    floor formula spelled identically on both sides — no engine
+    width_bucket semantics in play), NOT from a row-ordering window, so
+    bucket assignment is a scan-side scalar expression: zero shuffles
+    until the two grouped aggregates.  A type's first appearance is
+    ``min(bucket) per (source, token)`` (one shuffle on the exploded
+    token relation — the vocabulary contraction), new-type counts then
+    join the doc-stats spine so buckets whose tokens are all old still
+    appear.  The cumulative window runs on the <= 10 x n_sources spine
+    (the documented dim-sized exemption).  Empty docs contribute their
+    single empty-string token identically in both engines (the
+    hostile-whitespace contract)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "source", "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    rng = docs.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bucket = (
+        F.floor(
+            (F.col("doc_id") - F.col("mn"))
+            * F.lit(10.0)
+            / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long")
+        + 1
+    )
+    db = docs.join(F.broadcast(rng), "source").select(
+        "source", "doc_id", "n_tokens", bucket.alias("bucket")
+    )
+    spine = db.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    typ = (
+        db.select("source", "doc_id", "bucket")
+        .join(toks, "doc_id")
+        .groupBy("source", "token")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    newv = typ.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(newv, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency checkpoints — the distribution-shape read on the
+# shingle vocabulary, reported as exact integers (no cross-engine float
+# log fits; the r8 tokenizer lesson applied to math.log).
+# ---------------------------------------------------------------------------
+
+_ZIPF_RANKS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+@_register(
+    "zipf_rank_frequency_curve",
+    _SHINGLE_CTE
+    + f"""
+    , freq AS (
+        SELECT shingle, COUNT(*) AS doc_freq
+        FROM sh GROUP BY shingle
+    ),
+    top AS (
+        SELECT shingle, doc_freq
+        FROM freq ORDER BY doc_freq DESC, shingle LIMIT 512
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY doc_freq DESC, shingle) AS rank,
+               shingle, doc_freq
+        FROM top
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, shingle,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(rank * doc_freq AS BIGINT) AS freq_times_rank
+    FROM ranked
+    WHERE rank IN ({', '.join(str(r) for r in _ZIPF_RANKS)})
+    """,
+)
+def zipf_rank_frequency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency checkpoints of the 5-token shingle
+    vocabulary: document frequency at ranks 1, 2, 4, ... 512, with the
+    ``rank x frequency`` product — constant under an ideal Zipf law, so
+    the checkpoint row set IS the distribution-shape read (a boilerplate
+    -heavy corpus shows a flat head; an over-deduped one decays fast).
+
+    Exact integers only: no log-log regression, because ``log`` is
+    libm-dependent (Java Math.log10 is 1-ulp, not correctly rounded)
+    and cross-engine float fits are exactly the portability trap the
+    round-8 whitespace contract exists to prevent.
+
+    Scale shape: frequencies are one shuffled count over the shared
+    per-doc-distinct shingle relation; the head is a
+    TakeOrderedAndProject top-512 with a unique (freq DESC, shingle)
+    tie-break, and the rank window runs on those 512 rows only (the
+    dim-sized exemption)."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        shingles(d)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    top = freq.orderBy(F.col("doc_freq").desc(), "shingle").limit(512)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("doc_freq").desc(), "shingle"))
+        .alias("rank"),
+        "shingle",
+        "doc_freq",
+    )
+    return ranked.filter(F.col("rank").isin(*_ZIPF_RANKS)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "shingle",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        (F.col("rank") * F.col("doc_freq"))
+        .cast("long")
+        .alias("freq_times_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the sensitive-attribute companion of
+# k_anonymity_audit: class sizes alone don't stop attribute disclosure.
+# ---------------------------------------------------------------------------
+
+_ACCTBAL_BAND_SQL = """CASE WHEN c_acctbal < 0 THEN 'negative'
+                 WHEN c_acctbal < 3000 THEN 'low'
+                 WHEN c_acctbal < 7000 THEN 'mid'
+                 ELSE 'high' END"""
+
+
+@_register(
+    "l_diversity_audit",
+    f"""
+    WITH eq AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT {_ACCTBAL_BAND_SQL}) AS l_distinct
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_2,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM eq
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity of the (nation, market-segment) quasi-identifier over
+    the account-balance band as the sensitive attribute: the dataset's
+    l is the class with the FEWEST distinct sensitive values — a class
+    can be k-anonymous (large) yet still disclose the attribute if
+    every member shares one band.  The governance gate reads this
+    NEXT TO ``k_anonymity_audit`` before releasing any extract.
+
+    One grouped count-distinct (band cardinality is 4, so the distinct
+    state per group is bounded) plus a 1-row summary — the same
+    two-level contraction as the k-anonymity audit, exact integers
+    throughout."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    eq = c.select("c_nationkey", "c_mktsegment", band.alias("band")).groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("band").alias("l_distinct"),
+    )
+    return eq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_2"),
+        F.sum(F.when(F.col("l_distinct") < 2, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

@@ -55,6 +55,10 @@ _DIM_PANEL = [
     "train_test_split_counts",
     "pareto_customers_80pct",
     "fuzzy_name_match",
+    # l-diversity divides classes by sensitive-band cardinality:
+    # all-tied balances, singleton classes and NULL-ish names are
+    # exactly where min-distinct degenerates to 1 on both engines
+    "l_diversity_audit",
 ]
 
 

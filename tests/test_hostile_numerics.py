@@ -122,6 +122,10 @@ _NUMERIC_PANEL = [
     "sf_applicant_details",
     "sf_yelp_info",
     "sf_permit_ml",
+    # lag-k autocorrelation under all-tied days (zero variance ->
+    # NULL guard), negative revenue, and a series shorter than the
+    # longest lag (empty moment groups must vanish identically)
+    "acf_daily_revenue",
 ]
 
 

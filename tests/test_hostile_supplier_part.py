@@ -75,6 +75,10 @@ _SP_PANEL = [
     # degree: degenerate graphs (no support-2 edges, single-edge
     # components) must produce identical empty/short top-20s
     "link_prediction_part_graph",
+    # weighted SSSP shares the support-2 edge build; negative
+    # hostile prices make negative edge weights, which bounded
+    # min-plus relaxation must handle identically on both engines
+    "sssp_weighted_part_graph",
 ]
 
 

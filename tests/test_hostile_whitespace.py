@@ -176,6 +176,11 @@ _HOSTILE_PANEL = [
     # must drop out of the universe identically, and the argmax
     # tie-break must agree when gains collide on degenerate corpora
     "greedy_coverage_selection",
+    # Heaps/Zipf consume the tokenizer and the shingle relation:
+    # empty and whitespace-only docs must contribute identical
+    # empty-string types and vanish from shingles identically
+    "heaps_law_vocab_growth",
+    "zipf_rank_frequency_curve",
 ]
 
 
