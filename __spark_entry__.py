@@ -158,6 +158,9 @@ _PANEL_NEXT_CANDIDATES = [
     "heaps_law_vocab_growth",
     "zipf_rank_frequency_curve",
     "l_diversity_audit",
+    "mann_whitney_u_price_halves",
+    "anova_f_price_by_priority",
+    "trimmed_mean_price_by_status",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -5391,3 +5391,377 @@ def sssp_weighted_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 sssp_weighted_part_graph.__doc__ = sssp_weighted_part_graph.__doc__.format(
     rounds=_SSSP_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — the rank-based two-sample test, nonparametric cousin
+# of ab_test_t_statistic and the tie-aware companion of the KS statistic.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mann_whitney_u_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, SUM(is1) AS d1, SUM(is2) AS d2, COUNT(*) AS t
+        FROM assigned GROUP BY x
+    ),
+    stepped AS (
+        SELECT d1, t,
+               SUM(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        FROM per_x
+    ),
+    m AS (
+        SELECT SUM(CAST(d1 AS DECIMAL(19,0))
+                   * (2 * CAST(ct AS DECIMAL(19,0)) - t + 1)) AS twice_r1,
+               SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                   * CAST(t AS DECIMAL(12,0)) - t) AS tie_t,
+               SUM(d1) AS n1, SUM(t) - SUM(d1) AS n2, SUM(t) AS n
+        FROM stepped
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(twice_r1 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS DOUBLE) / 2
+             AS u1,
+           CAST(2 * CAST(n1 AS DECIMAL(19,0)) * n2
+                - (twice_r1 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1))
+                AS DOUBLE) / 2 AS u2,
+           CASE WHEN n > 1 AND
+                     CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                     * ((CAST(n AS DOUBLE) + 1)
+                        - CAST(tie_t AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) > 0
+                THEN round((CAST(twice_r1 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1)
+                                 AS DOUBLE) / 2
+                            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+                           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+                                  * ((CAST(n AS DOUBLE) + 1)
+                                     - CAST(tie_t AS DOUBLE)
+                                       / (CAST(n AS DOUBLE)
+                                          * (CAST(n AS DOUBLE) - 1)))), 6)
+                ELSE NULL END AS z
+    FROM m
+    """,
+)
+def mann_whitney_u_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the two halves of 1996 on order price —
+    the rank-based two-sample location test (the nonparametric cousin
+    of ``ab_test_t_statistic``, robust to the heavy-tailed revenue
+    distributions a t-test mis-models), with the normal-approximation
+    z including the tie correction.
+
+    Rank sums NEVER materialize per-row ranks: ties collapse into the
+    distinct-value relation (one shuffled count), the running total
+    count ``ct`` comes from :func:`grouped_running_sum`'s two-pass
+    range decomposition (no single-task global window over the distinct
+    values), and the average tied rank enters as the INTEGER identity
+    2·R1 = Σ d1·(2·ct − t + 1), so R1, U1, U2 and the tie term
+    Σ(t³ − t) are all exact DECIMAL integers on both engines.  Doubles
+    appear only in the final z expression — an identical fixed tree on
+    both sides, halving by /2 exact in binary, rounded to 6dp, with a
+    NULL guard for the all-tied zero-variance case."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("d1"), F.count(F.lit(1)).alias("t")
+    )
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["t"],
+        out_col=["ct"],
+    )
+    d1_19 = F.col("d1").cast("decimal(19,0)")
+    t12 = F.col("t").cast("decimal(12,0)")
+    m = stepped.agg(
+        F.sum(d1_19 * (2 * F.col("ct").cast("decimal(19,0)") - F.col("t") + 1)).alias(
+            "twice_r1"
+        ),
+        F.sum(t12 * t12 * t12 - F.col("t")).alias("tie_t"),
+        F.sum("d1").alias("n1"),
+        (F.sum("t") - F.sum("d1")).alias("n2"),
+        F.sum("t").alias("n"),
+    )
+    n1_19 = F.col("n1").cast("decimal(19,0)")
+    u1t2 = F.col("twice_r1") - n1_19 * (F.col("n1") + 1)
+    u1 = u1t2.cast("double") / 2
+    u2 = (2 * n1_19 * F.col("n2") - u1t2).cast("double") / 2
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    var = (
+        n1d * n2d / 12
+        * ((nd + 1) - F.col("tie_t").cast("double") / (nd * (nd - 1)))
+    )
+    z = F.when(
+        (F.col("n") > 1) & (var > 0),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1.alias("u1"),
+        u2.alias("u2"),
+        z.alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F — does order priority explain price variance?  The
+# k-group generalization of the two-sample t-test.
+# ---------------------------------------------------------------------------
+
+_ANOVA_GROUPS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def _anova_oracle_sql() -> str:
+    """Moments pivoted into fixed columns per priority so the
+    between-group sum of squares is a LITERAL left-to-right chain —
+    identical expression tree on both engines (a SUM over per-group
+    doubles would accumulate in engine-dependent order)."""
+    cols = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{g}' THEN 1 ELSE 0 END) AS n{i}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{g}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(18,2))"
+            f" ELSE CAST(0 AS DECIMAL(18,2)) END) AS s{i}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN o_orderpriority = '{g}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(19,2))"
+            f"      * CAST(o_totalprice AS DECIMAL(19,2))"
+            f" ELSE CAST(0 AS DECIMAL(38,4)) END) AS q{i}"
+        )
+    idx = range(len(_ANOVA_GROUPS))
+    k = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in idx)
+    ntot = " + ".join(f"n{i}" for i in idx)
+    stot = " + ".join(f"s{i}" for i in idx)
+    qtot = " + ".join(f"q{i}" for i in idx)
+    ssb_terms = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+        f" / n{i} ELSE 0 END)"
+        for i in idx
+    )
+    return f"""
+    WITH piv AS (SELECT {', '.join(cols)} FROM orders),
+    tot AS (
+        SELECT ({k}) AS k, ({ntot}) AS n,
+               ({stot}) AS s, ({qtot}) AS q,
+               ({ssb_terms}) AS ssb_raw
+        FROM piv
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CASE WHEN n > 0 AND
+                     CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0
+                THEN round((ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                           / (CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6)
+                ELSE NULL END AS eta_squared,
+           CASE WHEN k > 1 AND n > k AND
+                     (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                     - (ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0
+                THEN round(((ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            / (k - 1))
+                           / (((CAST(q AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                               - (ssb_raw
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n))
+                              / (n - k)), 6)
+                ELSE NULL END AS f_stat
+    FROM tot
+    """
+
+
+@_register("anova_f_price_by_priority", _anova_oracle_sql())
+def anova_f_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for order price across the five order
+    priorities — the k-group generalization of ``ab_test_t_statistic``
+    (does the priority label explain any price variance?).
+
+    Exactness discipline: per-group moments (n, Σx, Σx²) pivot into
+    FIXED columns via conditional aggregation over the known 5-value
+    priority domain, all DECIMAL (Σx² through DECIMAL(19,2) operands —
+    the int128 lesson from ``acf_daily_revenue``).  The between-group
+    sum of squares Σ sᵢ²/nᵢ is then a literal left-to-right 5-term
+    chain over those columns, NOT a SUM over a per-group relation —
+    summing doubles across groups would accumulate in engine- and
+    partition-dependent order.  k counts only non-empty groups, and
+    degenerate cases (k <= 1, n <= k, zero within-variance) yield NULL,
+    never a NaN/Inf.  Reported statistics are RATIO-VALUED only (F and
+    the eta-squared effect size): the hostile decimal-edge fixture
+    showed that raw sums of squares near 1e26 differ across engines by
+    one ulp of decimal->double conversion, so fixed-decimal rounding
+    cannot bound their relative error — ratios stay O(1) where 6dp
+    rounding is a real equality contract.  One scan, one 1-row
+    aggregate, no shuffle beyond the partial-agg combine."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        is_g = F.col("o_orderpriority") == g
+        aggs.append(F.sum(F.when(is_g, 1).otherwise(0)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(
+                F.when(is_g, _dec("o_totalprice")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias(f"s{i}")
+        )
+        x19 = F.col("o_totalprice").cast("decimal(19,2)")
+        aggs.append(
+            F.sum(
+                F.when(is_g, x19 * x19).otherwise(F.lit(0).cast("decimal(38,4)"))
+            ).alias(f"q{i}")
+        )
+    piv = o.agg(*aggs)
+    idx = range(len(_ANOVA_GROUPS))
+    k = sum(
+        (F.when(F.col(f"n{i}") > 0, 1).otherwise(0) for i in idx), F.lit(0)
+    )
+    n = sum((F.col(f"n{i}") for i in idx), F.lit(0))
+    s = sum((F.col(f"s{i}") for i in idx), F.lit(0).cast("decimal(18,2)"))
+    q = sum((F.col(f"q{i}") for i in idx), F.lit(0).cast("decimal(38,4)"))
+    ssb_raw = sum(
+        (
+            F.when(
+                F.col(f"n{i}") > 0,
+                F.col(f"s{i}").cast("double")
+                * F.col(f"s{i}").cast("double")
+                / F.col(f"n{i}"),
+            ).otherwise(F.lit(0.0))
+            for i in idx
+        ),
+        F.lit(0.0),
+    )
+    tot = piv.select(
+        k.alias("k"), n.alias("n"), s.alias("s"), q.alias("q"),
+        ssb_raw.alias("ssb_raw"),
+    )
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ssb = F.col("ssb_raw") - corr
+    sstot = F.col("q").cast("double") - corr
+    ssw = sstot - ssb
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.when((F.col("n") > 0) & (sstot > 0), F.round(ssb / sstot, 6)).alias(
+            "eta_squared"
+        ),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6),
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean — the robust location estimate: average AFTER discarding
+# the tails, immune to the outliers that poison a plain mean.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "trimmed_mean_price_by_status",
+    """
+    WITH bounds AS (
+        SELECT o_orderstatus,
+               quantile_disc(o_totalprice, 0.05) AS p05,
+               quantile_disc(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY o_orderstatus
+    ),
+    trimmed AS (
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_kept,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders o JOIN bounds b ON b.o_orderstatus = o.o_orderstatus
+        WHERE o.o_totalprice >= b.p05 AND o.o_totalprice <= b.p95
+        GROUP BY o.o_orderstatus
+    ),
+    full_m AS (
+        SELECT o_orderstatus, COUNT(*) AS n_all,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_all
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT t.o_orderstatus,
+           CAST(f.n_all AS BIGINT) AS n_all,
+           CAST(t.n_kept AS BIGINT) AS n_kept,
+           round(CAST(f.s_all AS DOUBLE) / f.n_all, 6) AS mean_all,
+           round(CAST(t.s AS DOUBLE) / t.n_kept, 6) AS trimmed_mean
+    FROM trimmed t JOIN full_m f ON f.o_orderstatus = t.o_orderstatus
+    """,
+)
+def trimmed_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order price per status next to the plain mean
+    — the robust location estimate (a single corrupt 1e12 row moves the
+    mean arbitrarily but not the trimmed mean), the aggregation a data-
+    quality dashboard should be plotting.
+
+    Trim bounds are ``percentile_disc`` values — ACTUAL observed data
+    points, so the in-range predicate is exact on both engines (an
+    interpolated percentile would inject a float boundary).  Two scans:
+    the per-status bounds contract to a dim-sized frame that joins back
+    BROADCAST, so the second pass is scan + filter + partial agg with
+    no extra shuffle; sums stay DECIMAL with the double division and
+    6dp rounding only at the edge.  n_kept >= 1 always (bounds are
+    observed values), so no zero-division guard is needed."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p95"),
+    )
+    trimmed = (
+        o.join(F.broadcast(bounds), "o_orderstatus")
+        .filter(
+            (F.col("o_totalprice") >= F.col("p05"))
+            & (F.col("o_totalprice") <= F.col("p95"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(_dec("o_totalprice")).alias("s"),
+        )
+    )
+    full_m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(_dec("o_totalprice")).alias("s_all"),
+    )
+    return trimmed.join(full_m, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("n_all").cast("long").alias("n_all"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(F.col("s_all").cast("double") / F.col("n_all"), 6).alias(
+            "mean_all"
+        ),
+        F.round(F.col("s").cast("double") / F.col("n_kept"), 6).alias(
+            "trimmed_mean"
+        ),
+    )

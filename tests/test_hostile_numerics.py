@@ -126,6 +126,11 @@ _NUMERIC_PANEL = [
     # NULL guard), negative revenue, and a series shorter than the
     # longest lag (empty moment groups must vanish identically)
     "acf_daily_revenue",
+    # rank / moment statistics under all-tied prices (zero variance
+    # -> NULL guards), empty 1996 windows, and the DECIMAL edge
+    "mann_whitney_u_price_halves",
+    "anova_f_price_by_priority",
+    "trimmed_mean_price_by_status",
 ]
 
 
