@@ -161,6 +161,9 @@ _PANEL_NEXT_CANDIDATES = [
     "mann_whitney_u_price_halves",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
+    "int8_recall_vs_exact",
+    "ccf_click_vs_purchase",
+    "lorenz_curve_revenue_deciles",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

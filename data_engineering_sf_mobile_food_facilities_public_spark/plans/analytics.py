@@ -5765,3 +5765,209 @@ def trimmed_mean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between two event series — does "click" volume lead
+# "purchase" volume?  The lead/lag diagnostic behind attribution windows
+# and campaign-effect lag estimation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ccf_click_vs_purchase",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x, y FROM daily
+    ),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM (SELECT unnest(generate_series(-3, 3)) AS lag) l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.rn = a.rn + l.lag
+    ),
+    m AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+               SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+               SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS ccf
+    FROM m
+    """,
+)
+def ccf_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily click volume against purchase volume
+    at lags -3..+3 — a positive peak at lag +1 reads "clicks lead
+    purchases by a day", the lead/lag diagnostic behind attribution
+    window sizing.  Same exactness discipline as
+    :func:`acf_daily_revenue`: exact integer day counts, DECIMAL moment
+    sums, one fixed double expression at the edge (6dp, NULL on zero
+    variance).  The day aggregate contracts the event stream in one
+    shuffle; the 7-lag self-join runs on the dim-sized series."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    ser = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "x", "y"
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a, b = ser.alias("a"), ser.alias("b")
+    x19 = F.col("a.x").cast("decimal(19,0)")
+    y19 = F.col("b.y").cast("decimal(19,0)")
+    pairs = lags.join(a).join(
+        b, F.col("b.rn") == F.col("a.rn") + F.col("lag")
+    ).select("lag", x19.alias("x"), y19.alias("y"))
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    var_prod = (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * (
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(var_prod > 0, F.round(num / F.sqrt(var_prod), 6)).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve checkpoints — revenue concentration at customer deciles,
+# the curve behind the Gini coefficient and the 80/20 Pareto read.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lorenz_curve_revenue_deciles",
+    """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    stepped AS (
+        SELECT o_custkey, r,
+               ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS cum_n,
+               SUM(r) OVER (ORDER BY r, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        FROM rev
+    ),
+    tot AS (SELECT COUNT(*) AS n_cust, SUM(r) AS total_r FROM rev),
+    targets AS (
+        SELECT p.p AS decile, (p.p * t.n_cust) // 10 AS target_n,
+               t.n_cust, t.total_r
+        FROM (SELECT unnest(generate_series(1, 10)) AS p) p, tot t
+    )
+    SELECT CAST(tg.decile AS BIGINT) AS decile,
+           CAST(s.cum_n AS BIGINT) AS cum_customers,
+           CASE WHEN tg.total_r <> 0
+                -- + 0 normalizes IEEE negative zero (tiny negative
+                -- cumulative revenue rounds to -0.0 on one engine only)
+                THEN round(CAST(s.cum_r AS DOUBLE) / CAST(tg.total_r AS DOUBLE), 6) + 0
+                ELSE NULL END AS cum_revenue_share
+    FROM targets tg JOIN stepped s ON s.cum_n = tg.target_n
+    """,
+)
+def lorenz_curve_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: at each customer decile
+    (ascending by spend), the cumulative share of total revenue — the
+    curve whose area doubles into the Gini coefficient
+    (``gini_revenue_by_nation``) and whose 8th-decile point is the
+    Pareto 80/20 read.
+
+    Per-customer revenue contracts the fact table in one shuffle; the
+    running count and running revenue both come from
+    :func:`grouped_running_sum`'s two-pass range decomposition over
+    (r, custkey) order — at 100 TB the customer relation alone is
+    billions of rows, so no single-task global window may touch it.
+    Decile boundary rows are selected by an equi-join against the ten
+    exact integer targets floor(p·N/10) (row counts increment by one,
+    so every target <= N is hit exactly once); totals enter broadcast.
+    The only double is the final bounded-share division, rounded 6dp,
+    NULL-guarded for zero total."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("r"))
+    )
+    stepped = grouped_running_sum(
+        rev.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+        "__one",
+        ["r", "o_custkey"],
+        ["__cnt", "r"],
+        out_col=["cum_n", "cum_r"],
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("r").alias("total_r")
+    )
+    targets = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.expr("CAST(decile * n_cust AS BIGINT) DIV 10").alias("target_n"),
+            "total_r",
+        )
+    )
+    return (
+        stepped.join(
+            F.broadcast(targets), F.col("cum_n") == F.col("target_n")
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("cum_n").cast("long").alias("cum_customers"),
+            F.when(
+                F.col("total_r") != 0,
+                F.round(
+                    F.col("cum_r").cast("double")
+                    / F.col("total_r").cast("double"),
+                    6,
+                )
+                + 0,  # normalize -0.0 (see oracle comment)
+            ).alias("cum_revenue_share"),
+        )
+    )

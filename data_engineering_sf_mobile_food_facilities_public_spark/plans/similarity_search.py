@@ -1083,3 +1083,128 @@ def mmr_rerank_topk(
         for c in cached:
             c.unpersist()
         raise
+
+
+# ---------------------------------------------------------------------------
+# Quantization quality gate — recall@10 of the int8 tier against the
+# exact baseline, as an oracle-paired query (both tiers are exact
+# deterministic math, so the EVALUATION is itself exactly checkable).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "int8_recall_vs_exact",
+    """
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    qz AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(floor(
+                         127 * x / list_max(list_transform(v, y -> abs(y)))
+                         + 0.5) AS BIGINT))
+               END AS qv
+        FROM e0
+    ),
+    qq AS (SELECT vec_id, qv FROM qz WHERE vec_id % 100 = 0),
+    int8_scored AS (
+        SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(list_zip(qq.qv, c.qv),
+                    p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        FROM qq JOIN qz c ON qq.vec_id <> c.vec_id
+    ),
+    int8_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot_q DESC, neighbor_id) AS rnk
+            FROM int8_scored
+        ) WHERE rnk <= 10
+    ),
+    per_q AS (
+        SELECT x.query_id,
+               COUNT(*) AS n_exact,
+               SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_overlap
+        FROM exact_top x
+        LEFT JOIN int8_top i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_exact), 6)
+             AS mean_recall_at_10,
+           CAST(MIN(n_overlap) AS BIGINT) AS min_overlap,
+           CAST(SUM(CASE WHEN n_overlap = n_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM per_q
+    """,
+)
+def int8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8 scalar-quantized tier against the exact
+    cosine baseline — the quantization quality gate a vector platform
+    runs before switching traffic to a cheaper tier.  Because BOTH
+    tiers are deterministic exact arithmetic (integer dots; cosine
+    rounded at the edge), the evaluation itself is oracle-checkable —
+    unlike the LSH/IVF tiers, whose float-matmul bucket boundaries are
+    the documented reason they stay rows-only with recall asserted in
+    tests instead.
+
+    Pure composition: the two registered top-10 queries joined on
+    (query, neighbor), micro-averaged recall = Σ overlap / Σ |exact|
+    (one exact integer division at the edge).  Queries whose exact
+    baseline excludes them (zero-norm) are absent from both sides; the
+    int8 candidate set intentionally includes zero vectors (they
+    quantize to zeros and rank last), matching each tier's registered
+    semantics exactly."""
+    exact_top = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    i8_top = int8_quantized_dot_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("i8_neighbor")
+    )
+    per_q = (
+        exact_top.join(
+            i8_top,
+            (exact_top["query_id"] == i8_top["query_id"])
+            & (exact_top["neighbor_id"] == i8_top["i8_neighbor"]),
+            "left",
+        )
+        .select(
+            exact_top["query_id"].alias("qid"),
+            F.col("i8_neighbor").isNotNull().cast("int").alias("hit"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("hit").alias("n_overlap"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("n_overlap").cast("double") / F.sum("n_exact"), 6
+        ).alias("mean_recall_at_10"),
+        F.min("n_overlap").cast("long").alias("min_overlap"),
+        F.sum(
+            F.when(F.col("n_overlap") == F.col("n_exact"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_perfect"),
+    )

@@ -64,6 +64,9 @@ _EMBED_PANEL = [
     # zero vectors must drop identically and duplicate vectors (sim
     # 1.0) are exactly the redundancy the greedy must handle
     "mmr_rerank_topk",
+    # the recall eval composes the exact and int8 tiers: zero-norm
+    # query exclusion and all-tied dot products must agree exactly
+    "int8_recall_vs_exact",
 ]
 
 

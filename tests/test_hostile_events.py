@@ -80,6 +80,9 @@ _EVENT_PANEL = [
     "bounce_rate_daily",
     # the fused composition must inherit every component tie rule at once
     "events_analytics_pipeline",
+    # cross-correlation under missing event types (zero series ->
+    # NULL guard) and a single-day corpus (no lagged pairs)
+    "ccf_click_vs_purchase",
 ]
 
 

@@ -131,6 +131,10 @@ _NUMERIC_PANEL = [
     "mann_whitney_u_price_halves",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
+    # Lorenz shares under negative revenue (shares outside [0,1]),
+    # all-tied spend (pure custkey tiebreak) and tiny N (< 10
+    # customers: zero-target deciles absent identically)
+    "lorenz_curve_revenue_deciles",
 ]
 
 
