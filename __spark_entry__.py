@@ -164,6 +164,8 @@ _PANEL_NEXT_CANDIDATES = [
     "int8_recall_vs_exact",
     "ccf_click_vs_purchase",
     "lorenz_curve_revenue_deciles",
+    "orderkey_sequence_gaps",
+    "hhi_supplier_concentration",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

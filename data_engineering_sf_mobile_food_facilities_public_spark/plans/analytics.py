@@ -5971,3 +5971,135 @@ def lorenz_curve_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap audit — where does the orderkey sequence break?  The
+# completeness check an ingestion pipeline runs against monotonically
+# assigned upstream ids.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "orderkey_sequence_gaps",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+    gap_starts AS (
+        SELECT a.key AS gap_after
+        FROM k a
+        LEFT JOIN k b ON b.key = a.key + 1
+        WHERE b.key IS NULL
+          AND a.key < (SELECT MAX(key) FROM k)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_keys,
+           CAST((SELECT MAX(key) - MIN(key) + 1 FROM k) AS BIGINT) AS span,
+           CAST((SELECT COUNT(*) FROM gap_starts) AS BIGINT) AS n_gaps,
+           CAST((SELECT MIN(gap_after) FROM gap_starts) AS BIGINT)
+             AS first_gap_after
+    """,
+)
+def orderkey_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit of the orderkey sequence: how many points
+    does a dense id assignment skip (n_gaps = places where key+1 is
+    absent below the max), over what span — the "did ingestion drop a
+    batch?" check for monotonically assigned upstream ids.
+
+    Gap detection is an ANTI-JOIN of the key set against itself shifted
+    by one (``b.key = a.key + 1``) — a shuffled equi-join that scales
+    to any key count, where the textbook lag-window formulation would
+    drag every key through one global sort task.  The max-key bound and
+    the three summary counts enter as 1-row scalar aggregates (the
+    Q15/Q22 broadcast pattern)."""
+    k = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    ).distinct()
+    kb = k.select((F.col("key") - 1).alias("key"))
+    mx = k.agg(F.max("key").alias("mx"))
+    gap_starts = (
+        k.join(kb, "key", "left_anti")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("key") < F.col("mx"))
+        .select(F.col("key").alias("gap_after"))
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.max("key") - F.min("key") + 1).cast("long").alias("span"),
+    )
+    gaps = gap_starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_after").cast("long").alias("first_gap_after"),
+    )
+    return stats.crossJoin(F.broadcast(gaps))
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index — supplier concentration per
+# nation, the antitrust-style companion of the Gini coefficient.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hhi_supplier_concentration",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    nat AS (
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               SUM(r) AS total_r,
+               SUM(CAST(r AS DECIMAL(19,2)) * CAST(r AS DECIMAL(19,2))) AS ssq
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT s_nationkey,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CASE WHEN total_r <> 0
+                THEN round(CAST(ssq AS DOUBLE)
+                           / (CAST(total_r AS DOUBLE) * CAST(total_r AS DOUBLE)),
+                           6) + 0
+                ELSE NULL END AS hhi
+    FROM nat
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: HHI = Σ shareᵢ² ∈ (0, 1], 1 = monopoly — the antitrust-style
+    concentration read next to ``gini_revenue_by_nation``.
+
+    The share squares never materialize: Σ (rᵢ/T)² = (Σ rᵢ²)/T², so
+    per-supplier revenues contract in one shuffle, the per-nation sum
+    of DECIMAL squares (19,2 operands — the int128 lesson) in a second
+    dim-sized one, and the single division happens at the edge in
+    double (6dp, -0.0-normalized, NULL on zero total)."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("r"))
+    )
+    r19 = F.col("r").cast("decimal(19,2)")
+    nat = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total_r"),
+        F.sum(r19 * r19).alias("ssq"),
+    )
+    return nat.select(
+        "s_nationkey",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.when(
+            F.col("total_r") != 0,
+            F.round(
+                F.col("ssq").cast("double")
+                / (
+                    F.col("total_r").cast("double")
+                    * F.col("total_r").cast("double")
+                ),
+                6,
+            )
+            + 0,
+        ).alias("hhi"),
+    )

@@ -135,6 +135,9 @@ _NUMERIC_PANEL = [
     # all-tied spend (pure custkey tiebreak) and tiny N (< 10
     # customers: zero-target deciles absent identically)
     "lorenz_curve_revenue_deciles",
+    # dense-vs-gappy key audit: the hostile orderkeys are four
+    # disjoint ranges, so every range boundary is a gap start
+    "orderkey_sequence_gaps",
 ]
 
 

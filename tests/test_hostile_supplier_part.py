@@ -79,6 +79,9 @@ _SP_PANEL = [
     # hostile prices make negative edge weights, which bounded
     # min-plus relaxation must handle identically on both engines
     "sssp_weighted_part_graph",
+    # HHI shares under zero and negative revenue: zero totals must
+    # NULL identically, negative revenue makes shares unbounded
+    "hhi_supplier_concentration",
 ]
 
 
