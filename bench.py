@@ -83,6 +83,16 @@ HEADLINE = [
     "item_item_cosine_recs",
     # winnowing candidate join: signatures shuffle, never documents
     "winnowing_overlap_pairs",
+    # final round-8 additions: the corpus-wide token explode + two
+    # grouped contractions behind the Heaps curve; the rank-sum
+    # statistic through the bucketed running count; the exact-vs-int8
+    # recall composition; and the two-level HHI contraction (the graph
+    # queries — sssp/kcore/triangles — share the quadratic-within-order
+    # edge build and would dominate the suite; they stay sweep-only)
+    "heaps_law_vocab_growth",
+    "mann_whitney_u_price_halves",
+    "int8_recall_vs_exact",
+    "hhi_supplier_concentration",
 ]
 
 

@@ -166,6 +166,24 @@ _NESTED_LOOP_ALLOWED = {
     # broadcast query x corpus scan (as ann_cosine_topk); the sparse
     # leg and the fusion itself are pure equi-joins
     "hybrid_search_rrf",
+    # 7-row lag spine crossed onto the dim-sized day series (the day
+    # aggregate contracts the fact table first); the lagged pairing
+    # itself is an equi-join on rn +/- lag
+    "acf_daily_revenue",
+    "ccf_click_vs_purchase",
+    # 1-row totals broadcast into the 10-row decile-target spine; the
+    # boundary selection is an equi-join on the exact integer targets
+    "lorenz_curve_revenue_deciles",
+    # 1-row max-key bound + 1-row x 1-row summary combine (Q15/Q22
+    # scalar pattern); gap detection itself is the shifted-key anti-join
+    "orderkey_sequence_gaps",
+    # composes the int8 tier, inheriting its deliberate broadcast
+    # query x corpus scan; the recall overlap is a pure equi-join
+    "int8_recall_vs_exact",
+    # MMR reranks the exact top-k pool: inherits brute_force_topk's
+    # deliberate broadcast query x corpus scan; each greedy step's
+    # anti-joins are equi-joins on (query_id, cand)
+    "mmr_rerank_topk",
 }
 
 
