@@ -166,6 +166,10 @@ _PANEL_NEXT_CANDIDATES = [
     "lorenz_curve_revenue_deciles",
     "orderkey_sequence_gaps",
     "hhi_supplier_concentration",
+    "cusum_changepoint_daily_revenue",
+    "top_event_paths_trigram",
+    "fano_burstiness_by_event_type",
+    "matryoshka_truncation_recall",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -6110,3 +6110,210 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0,
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection — where did the daily revenue level shift?
+# The classic offline single-changepoint locator.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cusum_changepoint_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(rev) AS s FROM daily),
+    stepped AS (
+        SELECT d, rev,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               SUM(rev) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM daily
+    ),
+    dev AS (
+        -- CUSUM_i = cum_i - i*mean = (n*cum_i - i*s) / n: keep the
+        -- NUMERATOR as the exact integer-scaled decimal and compare on
+        -- it (same argmax, no division inside the scan)
+        SELECT s.d, s.i,
+               CAST(t.n AS DECIMAL(19,0)) * s.cum
+                 - CAST(s.i AS DECIMAL(19,0)) * t.s AS num,
+               t.n, t.s
+        FROM stepped s, tot t
+    )
+    SELECT CAST(d AS VARCHAR) AS changepoint_day,
+           CAST(i AS BIGINT) AS day_index,
+           CAST(n AS BIGINT) AS n_days,
+           round(CAST(abs(num) AS DOUBLE) / n, 4) AS max_abs_cusum
+    FROM dev
+    ORDER BY abs(num) DESC, d
+    LIMIT 1
+    """,
+)
+def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint locator on the daily revenue series:
+    the day maximizing |Σ_{t<=i} (rev_t − mean)| — where the level
+    shift most plausibly happened (the AMOC / binary-segmentation
+    primitive behind revenue-regression alerts).
+
+    Exactness: CUSUM_i = cum_i − i·mean has an exact integer-scaled
+    form n·cum_i − i·S (all DECIMAL), so the ARGMAX compares exact
+    decimals — engines cannot disagree on the winning day even when two
+    CUSUM values are close; ties break on the day itself.  The single
+    division happens once, on the 1-row result.  The cumulative
+    revenue runs through :func:`grouped_running_sum`'s bucketed
+    two-pass decomposition; totals enter broadcast (Q15 pattern);
+    argmax is a TakeOrderedAndProject over the day-level frame.
+
+    (max_abs_cusum is rounded to 4dp: its magnitude is day-revenue
+    scale, bounded by the corpus — not the 1e26 class the ANOVA lesson
+    bars from fixed-decimal rounding.)"""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    stepped = grouped_running_sum(
+        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+        "__one",
+        ["d"],
+        ["__cnt", "rev"],
+        out_col=["i", "cum"],
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("s"))
+    dev = stepped.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "i",
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("cum")
+            - F.col("i").cast("decimal(19,0)") * F.col("s")
+        ).alias("num"),
+        "n",
+    )
+    return (
+        dev.orderBy(F.abs(F.col("num")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").cast("string").alias("changepoint_day"),
+            F.col("i").cast("long").alias("day_index"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.abs(F.col("num")).cast("double") / F.col("n"), 4).alias(
+                "max_abs_cusum"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining — the most common ordered 3-event paths, the
+# "what do users actually do" read behind funnel design.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_event_paths_trigram",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type AS t1, t2, t3, COUNT(*) AS n
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n
+    FROM paths
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 10
+    """,
+)
+def top_event_paths_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent ordered 3-event paths across user journeys
+    (LEAD twice over each user's (ts, event_id)-ordered stream) — the
+    empirical path read a funnel designer consults before hard-coding
+    step definitions like ``ordered_funnel_three_step``'s.
+
+    The trigram window partitions by user (each user's events through
+    one task — the per-entity window the engine's scale rules allow),
+    the path space contracts to |event_types|³ rows in one shuffled
+    count, and the top-10 is TakeOrderedAndProject with a full-path
+    tie-break."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    paths = seq.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        paths.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(10)
+        .select("t1", "t2", "t3", F.col("n").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) — is event arrival Poisson-like or bursty?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fano_burstiness_by_event_type",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(c AS DECIMAL(19,0))) AS s,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sq
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+           CASE WHEN s <> 0
+                THEN round((CAST(sq AS DOUBLE) / n
+                            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                           / (CAST(s AS DOUBLE) / n), 6) + 0
+                ELSE NULL END AS fano_factor
+    FROM m
+    """,
+)
+def fano_burstiness_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of daily counts) per event
+    type: ~1 for Poisson-like arrivals, >1 for bursty traffic, <1 for
+    regular — the dispersion diagnostic behind anomaly-threshold
+    sizing (a z-score monitor mis-fires on bursty types if it assumes
+    Poisson).  Two grouped integer counts; DECIMAL moments; the
+    variance/mean ratio is one fixed double expression at the edge
+    (6dp, -0.0-normalized, NULL for all-zero counts)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    c19 = F.col("c").cast("decimal(19,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c19).alias("s"),
+        F.sum(c19 * c19).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("sq").cast("double") / nd - mean * mean
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.when(F.col("s") != 0, F.round(var / mean, 6) + 0).alias(
+            "fano_factor"
+        ),
+    )

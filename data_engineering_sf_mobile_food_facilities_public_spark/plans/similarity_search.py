@@ -1208,3 +1208,171 @@ def int8_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation gate — how much recall does searching on the
+# first 16 of 64 dimensions keep?  The dimension-reduction twin of the
+# int8 quantization gate.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+
+@_register(
+    "matryoshka_truncation_recall",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+            )
+        ) WHERE rnk <= 10
+    ),
+    t0 AS (
+        SELECT vec_id, v[1:{_MRL_DIMS}] AS tv FROM e0
+    ),
+    t AS (
+        SELECT vec_id, tv FROM t0
+        WHERE list_sum(list_transform(tv, x -> x * x)) > 0
+    ),
+    tq AS (SELECT vec_id, tv FROM t WHERE vec_id % 100 = 0),
+    trunc_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT tq.vec_id AS query_id, t.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(tq.tv, t.tv), 6) AS cos_sim
+                FROM tq JOIN t ON tq.vec_id <> t.vec_id
+            )
+        ) WHERE rnk <= 10
+    ),
+    per_q AS (
+        SELECT x.query_id,
+               COUNT(*) AS n_exact,
+               SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_overlap
+        FROM exact_top x
+        LEFT JOIN trunc_top i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_exact), 6)
+             AS mean_recall_at_10,
+           CAST(MIN(n_overlap) AS BIGINT) AS min_overlap,
+           CAST(SUM(CASE WHEN n_overlap = n_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM per_q
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact cosine search on the FIRST {d} of 64
+    dimensions against full-dimension exact search — the
+    Matryoshka-style truncation gate (4x less vector state to
+    broadcast/scan) a platform evaluates next to the int8 gate
+    (``int8_recall_vs_exact``): quantize the values, or drop the tail
+    dims?  Both tiers here are exact deterministic arithmetic
+    (edge-rounded cosine), so the evaluation is oracle-checkable.
+
+    The truncation is a scan-side ``slice``; each side carries its OWN
+    zero-norm exclusion (a vector can be zero in its first {d} dims yet
+    nonzero overall — such corpus rows simply cannot be truncated-tier
+    candidates, on both engines identically); the overlap join and
+    micro-averaged recall follow the int8 gate's exact pattern."""
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq_norm = "aggregate({c}, 0D, (a, x) -> a + x * x)"
+    e = e0.filter(F.expr(sq_norm.format(c="v")) > 0)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        " / (sqrt(aggregate({a}, 0D, (a, x) -> a + x * x))"
+        "    * sqrt(aggregate({b}, 0D, (a, x) -> a + x * x)))"
+    )
+    exact_scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cos.format(a="qv", b="cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    exact_top = (
+        exact_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    t0 = e0.select("vec_id", F.slice("v", 1, _MRL_DIMS).alias("tv"))
+    t = t0.filter(F.expr(sq_norm.format(c="tv")) > 0)
+    tq = t.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("tv").alias("qtv")
+    )
+    trunc_scored = (
+        t.select(F.col("vec_id").alias("neighbor_id"), F.col("tv").alias("ctv"))
+        .join(F.broadcast(tq), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cos.format(a="qtv", b="ctv")), 6).alias("cos_sim"),
+        )
+    )
+    trunc_top = (
+        trunc_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    )
+    per_q = (
+        exact_top.join(
+            trunc_top,
+            (exact_top["query_id"] == trunc_top["query_id"])
+            & (exact_top["neighbor_id"] == trunc_top["t_neighbor"]),
+            "left",
+        )
+        .select(
+            exact_top["query_id"].alias("qid"),
+            F.col("t_neighbor").isNotNull().cast("int").alias("hit"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("hit").alias("n_overlap"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("n_overlap").cast("double") / F.sum("n_exact"), 6
+        ).alias("mean_recall_at_10"),
+        F.min("n_overlap").cast("long").alias("min_overlap"),
+        F.sum(
+            F.when(F.col("n_overlap") == F.col("n_exact"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_perfect"),
+    )
+
+
+matryoshka_truncation_recall.__doc__ = matryoshka_truncation_recall.__doc__.format(
+    d=_MRL_DIMS
+)

@@ -67,6 +67,9 @@ _EMBED_PANEL = [
     # the recall eval composes the exact and int8 tiers: zero-norm
     # query exclusion and all-tied dot products must agree exactly
     "int8_recall_vs_exact",
+    # truncation gate: vectors zero in the first 16 dims but nonzero
+    # overall must drop from the truncated tier identically
+    "matryoshka_truncation_recall",
 ]
 
 

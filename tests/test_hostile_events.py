@@ -83,6 +83,11 @@ _EVENT_PANEL = [
     # cross-correlation under missing event types (zero series ->
     # NULL guard) and a single-day corpus (no lagged pairs)
     "ccf_click_vs_purchase",
+    # trigram paths under same-instant chains (event_id tiebreak IS
+    # the path order) and users with < 3 events (no trigram rows)
+    "top_event_paths_trigram",
+    # Fano under single-day types (zero variance) and zero counts
+    "fano_burstiness_by_event_type",
 ]
 
 

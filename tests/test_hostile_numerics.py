@@ -138,6 +138,9 @@ _NUMERIC_PANEL = [
     # dense-vs-gappy key audit: the hostile orderkeys are four
     # disjoint ranges, so every range boundary is a gap start
     "orderkey_sequence_gaps",
+    # CUSUM argmax under all-tied days (numerator identically 0 ->
+    # pure day tiebreak) and single-day series
+    "cusum_changepoint_daily_revenue",
 ]
 
 

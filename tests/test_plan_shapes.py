@@ -184,6 +184,11 @@ _NESTED_LOOP_ALLOWED = {
     # deliberate broadcast query x corpus scan; each greedy step's
     # anti-joins are equi-joins on (query_id, cand)
     "mmr_rerank_topk",
+    # 1-row (n, S) totals broadcast into the exact CUSUM numerator
+    "cusum_changepoint_daily_revenue",
+    # truncation gate: two deliberate broadcast query x corpus scans
+    # (full-dim and 16-dim), like the other exact ANN tiers
+    "matryoshka_truncation_recall",
 }
 
 
