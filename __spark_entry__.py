@@ -170,6 +170,8 @@ _PANEL_NEXT_CANDIDATES = [
     "top_event_paths_trigram",
     "fano_burstiness_by_event_type",
     "matryoshka_truncation_recall",
+    "encoding_quality_audit",
+    "twap_value_by_user",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -6317,3 +6317,82 @@ def fano_burstiness_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame
             "fano_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — the metric that weights each observed
+# value by how long it was current, not by how often it was sampled.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "twap_value_by_user",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dur
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    agg AS (
+        SELECT user_id,
+               COUNT(dur) AS n_intervals,
+               SUM(CASE WHEN dur IS NOT NULL THEN dur ELSE 0 END) AS total_dur,
+               SUM(CASE WHEN dur IS NOT NULL THEN v * dur
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS wsum
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(total_dur AS BIGINT) AS total_micros,
+           CASE WHEN total_dur > 0
+                THEN round(CAST(wsum AS DOUBLE) / total_dur, 6) + 0
+                ELSE NULL END AS twap
+    FROM agg
+    """,
+)
+def twap_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event ``value``: every
+    observation is weighted by the seconds until the NEXT observation
+    (the last one carries no weight — its duration is unknown), the
+    estimator a metrics platform uses when samples arrive irregularly
+    and a plain mean over-counts bursts.
+
+    The interval durations come from one LEAD over the per-user
+    (ts, event_id) order (per-entity window — the allowed shape) in
+    exact integer MICROSECONDS (epoch_us / unix_micros: second-level
+    epoch() rounds sub-second timestamps differently across engines —
+    caught by parity at first run); weighted sums are DECIMAL(18,6) x
+    integer micros, exact on both engines; the single division happens
+    at the edge (6dp, -0.0-normalized), NULL for users whose events are
+    all simultaneous or singular (zero covered time)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).cast("long").alias("dur"),
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.count("dur").alias("n_intervals"),
+        F.sum(
+            F.when(F.col("dur").isNotNull(), F.col("dur")).otherwise(0)
+        ).alias("total_dur"),
+        F.sum(
+            F.when(
+                F.col("dur").isNotNull(), F.col("v") * F.col("dur")
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        ).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("total_dur").cast("long").alias("total_micros"),
+        F.when(
+            F.col("total_dur") > 0,
+            F.round(F.col("wsum").cast("double") / F.col("total_dur"), 6) + 0,
+        ).alias("twap"),
+    )

@@ -4015,3 +4015,80 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-quality audit — mojibake and control-character screening, the
+# "was this corpus decoded correctly?" gate that runs before any text op.
+# ---------------------------------------------------------------------------
+
+# Explicit textual escapes, interpreted identically by Java regex and
+# RE2 (the WS_REGEX portability contract applied to control characters):
+# C0 controls minus the whitespace class members (\t\n\x0B\f\r), plus DEL.
+_CTRL_CLASS = r"[\x00-\x08\x0E-\x1F\x7F]"
+_REPLACEMENT_CHAR = r"\x{FFFD}"
+_INVISIBLE_CLASS = r"[\x{00A0}\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+
+@_register(
+    "encoding_quality_audit",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               length(text) - length(regexp_replace(text, '{_CTRL_CLASS}', '', 'g'))
+                 AS n_ctrl,
+               length(text) - length(regexp_replace(text, '{_REPLACEMENT_CHAR}', '', 'g'))
+                 AS n_repl,
+               length(text) - length(regexp_replace(text, '{_INVISIBLE_CLASS}', '', 'g'))
+                 AS n_invis
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_control,
+           CAST(SUM(n_ctrl) AS BIGINT) AS total_control_chars,
+           CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_replacement,
+           CAST(SUM(CASE WHEN n_invis > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_invisibles
+    FROM scored GROUP BY source
+    """,
+)
+def encoding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-quality screen: documents carrying C0
+    control characters (decoder artifacts; the whitespace class members
+    are excluded — they're legitimate), U+FFFD replacement characters
+    (the definitive mojibake tell: some byte sequence failed to
+    decode), and invisible formatting characters (NBSP, zero-width
+    joiners, BOM) that silently corrupt tokenization and dedup
+    fingerprints downstream.
+
+    Counting is the replace-diff identity (length minus length after
+    class removal) over EXPLICIT textual escape classes — interpreted
+    identically by Java regex and RE2, the same portability contract
+    as WS_REGEX.  One scan, one per-source contraction; all integers."""
+    d = load(spark, sf_dir, "documents")
+    def _count(cls: str) -> F.Column:
+        return F.length("text") - F.length(
+            F.regexp_replace(F.col("text"), cls, "")
+        )
+    scored = d.select(
+        "source",
+        _count(_CTRL_CLASS).alias("n_ctrl"),
+        _count(_REPLACEMENT_CHAR).alias("n_repl"),
+        _count(_INVISIBLE_CLASS).alias("n_invis"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_control"),
+        F.sum("n_ctrl").cast("long").alias("total_control_chars"),
+        F.sum(F.when(F.col("n_repl") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_replacement"),
+        F.sum(F.when(F.col("n_invis") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_invisibles"),
+    )

@@ -88,6 +88,9 @@ _EVENT_PANEL = [
     "top_event_paths_trigram",
     # Fano under single-day types (zero variance) and zero counts
     "fano_burstiness_by_event_type",
+    # TWAP under same-instant events (zero durations -> NULL twap),
+    # singleton users, and sub-second timestamp arithmetic
+    "twap_value_by_user",
 ]
 
 

@@ -181,6 +181,9 @@ _HOSTILE_PANEL = [
     # empty-string types and vanish from shingles identically
     "heaps_law_vocab_growth",
     "zipf_rank_frequency_curve",
+    # the encoding audit counts the very characters this corpus is
+    # made of: \x0B (in the WS class, NOT control), NBSP, zero-width
+    "encoding_quality_audit",
 ]
 
 
