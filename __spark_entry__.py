@@ -104,7 +104,11 @@ _PANEL_ROTATING = [
     "corpus_curation_pipeline",  # red in r7 — must be proven green externally
     "exact_dedup_documents",  # fingerprint normalization changed this round
     "training_data_pipeline",  # fused consumer of tokenizer + fingerprint
-    "text_quality_scores",  # empty-document punct_ratio guard added this round
+    # text_quality_scores rotated out late-r8 (its tokenizer-consumer
+    # role stays covered by training_data_pipeline + exact_dedup +
+    # token_budget_mixture above) for the Heaps curve: the same
+    # tokenizer consumption PLUS the new doc-id-range bucket family
+    "heaps_law_vocab_growth",
     "sequence_packing_bins",  # bucketed-cumsum representative (rewritten r8)
     # late-r8 additions displace two members whose families keep other
     # panel reps (simhash64 banding -> leakage_guarded_split; temperature
@@ -122,7 +126,12 @@ _PANEL_ROTATING = [
     "ohlc_hourly_by_type",
     "leakage_guarded_split",  # r8: LSH + split composition
     "benchmark_span_decontamination",  # r8: positioned shingles + islands
-    "embedding_covariance_matrix",  # r8: DECIMAL moment family
+    # embedding_covariance_matrix rotated out late-r8 (DECIMAL moments
+    # stay covered by the int8/exact recall gate below and the cumsum
+    # consumers above) for the quantization recall eval: the int8 tier
+    # and the exact tier were never externally verified, and the gate
+    # composes BOTH in one oracle-paired row
+    "int8_recall_vs_exact",
     "cogrouped_asof_attribution",  # r8: cogrouped Arrow surface
 ]
 
@@ -132,6 +141,8 @@ _PANEL_ROTATING = [
 # verification next round.  The determinism matrix has an opt-in test
 # that runs exactly this list so candidates arrive pre-stressed.
 _PANEL_NEXT_CANDIDATES = [
+    "text_quality_scores",
+    "embedding_covariance_matrix",
     "kcore_part_graph",
     "multi_touch_attribution",
     "item_item_cosine_recs",
@@ -155,13 +166,11 @@ _PANEL_NEXT_CANDIDATES = [
     "link_prediction_part_graph",
     "acf_daily_revenue",
     "sssp_weighted_part_graph",
-    "heaps_law_vocab_growth",
     "zipf_rank_frequency_curve",
     "l_diversity_audit",
     "mann_whitney_u_price_halves",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
-    "int8_recall_vs_exact",
     "ccf_click_vs_purchase",
     "lorenz_curve_revenue_deciles",
     "orderkey_sequence_gaps",
@@ -172,6 +181,7 @@ _PANEL_NEXT_CANDIDATES = [
     "matryoshka_truncation_recall",
     "encoding_quality_audit",
     "twap_value_by_user",
+    "label_noise_centroid_disagreement",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

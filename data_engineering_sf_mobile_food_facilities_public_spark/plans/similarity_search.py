@@ -1376,3 +1376,159 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 matryoshka_truncation_recall.__doc__ = matryoshka_truncation_recall.__doc__.format(
     d=_MRL_DIMS
 )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise screen — vectors closer to ANOTHER label's centroid than
+# to their own (leave-one-out) centroid: the mislabeled-example detector.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "label_noise_centroid_disagreement",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    csums AS (
+        SELECT label, pos, SUM(x) AS s FROM ex GROUP BY label, pos
+    ),
+    cnorm AS (
+        SELECT label, CAST(SUM(s * s) AS DOUBLE) AS s2, n FROM csums
+        JOIN (SELECT label AS l2, COUNT(DISTINCT vec_id) AS n
+              FROM ex GROUP BY 1) ON l2 = label
+        GROUP BY label, n
+    ),
+    vnorm AS (
+        SELECT vec_id, CAST(SUM(x * x) AS DOUBLE) AS v2 FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT e.vec_id, e.label AS own_label, c.label AS cand_label,
+               CAST(SUM(e.x * c.s) AS DOUBLE) AS vd
+        FROM ex e JOIN csums c ON c.pos = e.pos
+        GROUP BY e.vec_id, e.label, c.label
+    ),
+    scored AS (
+        SELECT d.vec_id, d.own_label, d.cand_label,
+               CASE
+                 WHEN d.cand_label = d.own_label THEN
+                   -- leave-one-out: cos(v, S_own - v) without materializing
+                   -- the subtraction: dot = vd - v2, |S-v|^2 = s2 - 2vd + v2
+                   CASE WHEN (c.s2 - 2 * d.vd + w.v2) > 0 AND w.v2 > 0
+                        THEN round((d.vd - w.v2)
+                             / sqrt(w.v2 * (c.s2 - 2 * d.vd + w.v2)), 6)
+                        ELSE NULL END
+                 ELSE
+                   CASE WHEN c.s2 > 0 AND w.v2 > 0
+                        THEN round(d.vd / sqrt(w.v2 * c.s2), 6)
+                        ELSE NULL END
+               END AS cos_c
+        FROM dots d
+        JOIN cnorm c ON c.label = d.cand_label
+        JOIN vnorm w ON w.vec_id = d.vec_id
+    ),
+    per_vec AS (
+        SELECT vec_id, own_label,
+               MAX(CASE WHEN cand_label = own_label THEN cos_c END) AS own_cos,
+               MAX(CASE WHEN cand_label <> own_label THEN cos_c END) AS best_other
+        FROM scored GROUP BY vec_id, own_label
+    )
+    SELECT own_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN own_cos IS NOT NULL AND best_other IS NOT NULL
+                          AND best_other > own_cos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN own_cos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_undefined
+    FROM per_vec GROUP BY own_label
+    """,
+)
+def label_noise_centroid_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example screen: per label, how many vectors sit
+    closer (cosine) to ANOTHER label's centroid than to their own
+    label's LEAVE-ONE-OUT centroid — the cheap model-free noise
+    detector run before training on labeled embeddings (confident-
+    learning's geometric baby sibling).
+
+    The LOO subtraction never materializes: cos(v, S−v) expands to
+    (⟨v,S⟩ − |v|²) / √(|v|²(|S|² − 2⟨v,S⟩ + |v|²)), so the whole
+    computation needs only per-vector dots against the #labels sum
+    vectors, |v|², and per-label |S|² — all accumulated in DECIMAL
+    (exact, order-independent), doubles only in the final rounded
+    formula.  Flag comparison happens on the ROUNDED values so a
+    sub-6dp tie cannot split across engines.  Singleton labels and
+    zero vectors yield NULL own-cosine and are reported in
+    n_undefined, never flagged.
+
+    Scale shape: the dots relation is corpus x #labels rows from ONE
+    broadcast-joined explode (label sums are #labels x dim — tiny);
+    everything after is per-vec/per-label contractions."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x0"),
+    ).select("vec_id", "label", "pos", F.col("x0").cast("decimal(18,9)").alias("x"))
+    csums = ex.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    cnorm = csums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("double").alias("s2")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("v2")
+    )
+    dots = (
+        ex.join(
+            F.broadcast(csums.select(F.col("label").alias("cand_label"), "pos", "s")),
+            "pos",
+        )
+        .groupBy("vec_id", F.col("label").alias("own_label"), "cand_label")
+        .agg(F.sum(F.col("x") * F.col("s")).cast("double").alias("vd"))
+    )
+    loo_den = F.col("s2") - 2 * F.col("vd") + F.col("v2")
+    own_cos = F.when(
+        (loo_den > 0) & (F.col("v2") > 0),
+        F.round((F.col("vd") - F.col("v2")) / F.sqrt(F.col("v2") * loo_den), 6),
+    )
+    other_cos = F.when(
+        (F.col("s2") > 0) & (F.col("v2") > 0),
+        F.round(F.col("vd") / F.sqrt(F.col("v2") * F.col("s2")), 6),
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm), dots["cand_label"] == cnorm["label"])
+        .join(vnorm, "vec_id")  # corpus-sized: a real co-partitioned join
+        .select(
+            "vec_id",
+            "own_label",
+            "cand_label",
+            F.when(F.col("cand_label") == F.col("own_label"), own_cos)
+            .otherwise(other_cos)
+            .alias("cos_c"),
+        )
+    )
+    per_vec = scored.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.when(F.col("cand_label") == F.col("own_label"), F.col("cos_c"))
+        ).alias("own_cos"),
+        F.max(
+            F.when(F.col("cand_label") != F.col("own_label"), F.col("cos_c"))
+        ).alias("best_other"),
+    )
+    return per_vec.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(
+            F.when(
+                F.col("own_cos").isNotNull()
+                & F.col("best_other").isNotNull()
+                & (F.col("best_other") > F.col("own_cos")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("own_cos").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_undefined"),
+    )

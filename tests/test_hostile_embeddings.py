@@ -70,6 +70,9 @@ _EMBED_PANEL = [
     # truncation gate: vectors zero in the first 16 dims but nonzero
     # overall must drop from the truncated tier identically
     "matryoshka_truncation_recall",
+    # LOO centroids under singleton labels (S - v = 0 -> NULL own
+    # cosine -> n_undefined) and zero vectors
+    "label_noise_centroid_disagreement",
 ]
 
 
