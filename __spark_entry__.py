@@ -182,6 +182,8 @@ _PANEL_NEXT_CANDIDATES = [
     "encoding_quality_audit",
     "twap_value_by_user",
     "label_noise_centroid_disagreement",
+    "vocab_psi_between_sources",
+    "near_dup_cluster_source_purity",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -4092,3 +4092,192 @@ def encoding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_with_invisibles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between two sources — PSI over the shared top-K
+# token vocabulary, the "did this source change register?" monitor.
+# ---------------------------------------------------------------------------
+
+_VOCAB_PSI_K = 20
+
+
+@_register(
+    "vocab_psi_between_sources",
+    _TOKENS_CTE
+    + f"""
+    , tk AS (
+        SELECT t.doc_id, d.source, u.token
+        FROM tok t
+        JOIN documents d ON d.doc_id = t.doc_id
+        JOIN (SELECT doc_id, unnest(tokens) AS token FROM tok) u
+          ON u.doc_id = t.doc_id
+        WHERE d.source IN ('src0', 'src1')
+    ),
+    topv AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM tk GROUP BY token
+            ORDER BY c DESC, token LIMIT {_VOCAB_PSI_K}
+        )
+    ),
+    bucketed AS (
+        SELECT CASE WHEN v.token IS NOT NULL THEN tk.token
+                    ELSE '__other__' END AS bucket,
+               tk.source
+        FROM tk LEFT JOIN topv v ON v.token = tk.token
+    ),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n2
+        FROM bucketed GROUP BY bucket
+    ),
+    probs AS (
+        SELECT bucket,
+               (n1 + 0.5) / (SUM(n1) OVER () + 0.5 * COUNT(*) OVER ()) AS p,
+               (n2 + 0.5) / (SUM(n2) OVER () + 0.5 * COUNT(*) OVER ()) AS q
+        FROM counts
+    )
+    SELECT round(SUM((p - q) * ln(p / q)), 6) + 0 AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM probs
+    """,
+)
+def vocab_psi_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of src0's token distribution against
+    src1's, over the combined top-{k} vocabulary plus an ``__other__``
+    tail bucket (0.5 smoothing) — ``psi_price_drift``'s vocabulary
+    twin, the register/topic drift monitor a mixture owner runs between
+    snapshots of the same source.
+
+    Same numeric conventions as the price PSI: the ln() terms run over
+    a BOUNDED bucket count ({k}+1) with O(1) magnitudes, where 6dp edge
+    rounding is a real cross-engine contract; counts and the top-K
+    selection (count DESC, token tiebreak) are exact integers.  Scale
+    shape: one exploded-token count per source (shuffle on token), a
+    TakeOrdered top-K, and a broadcast membership join — corpus-sized
+    data never crosses unaggregated."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tk = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    topv = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(_VOCAB_PSI_K)
+        .select("token", F.lit(1).alias("__in_top"))
+    )
+    bucketed = tk.join(F.broadcast(topv), "token", "left").select(
+        F.when(F.col("__in_top").isNotNull(), F.col("token"))
+        .otherwise(F.lit("__other__"))
+        .alias("bucket"),
+        "source",
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("n2"),
+    )
+    tot = counts.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("n1") + 0.5) / (F.col("t1") + 0.5 * F.col("nb"))
+        ).alias("p"),
+        (
+            (F.col("n2") + 0.5) / (F.col("t2") + 0.5 * F.col("nb"))
+        ).alias("q"),
+    )
+    return probs.agg(
+        (
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            )
+            + 0
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+
+
+vocab_psi_between_sources.__doc__ = vocab_psi_between_sources.__doc__.format(
+    k=_VOCAB_PSI_K
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster source purity — is duplication syndication (cross-
+# source) or reposting (within-source)?  The provenance read on clusters.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "near_dup_cluster_source_purity",
+    _MINHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _VERIFIED_PAIRS_TAIL
+    + """
+    , und AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM walk GROUP BY a
+    ),
+    labeled AS (
+        SELECT c.component, d.source
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    per_source AS (
+        SELECT component, source, COUNT(*) AS n
+        FROM labeled GROUP BY component, source
+    )
+    SELECT component,
+           CAST(SUM(n) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS purity
+    FROM per_source GROUP BY component
+    """,
+)
+def near_dup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of each near-duplicate cluster: the fraction of
+    members contributed by the cluster's dominant source — purity 1.0
+    means within-source reposting (dedup freely), purity near 1/k
+    means cross-source syndication (dedup may collapse provenance a
+    mixture weighting still needs).  The provenance diagnostic next to
+    ``near_dup_cluster_sizes`` and ``dedup_rate_by_source``.
+
+    Same verified-pair + min-label component machinery as
+    ``near_dup_components`` (iterative operator engine-side, recursive
+    CTE oracle-side), then one doc->source join and two dim-sized
+    contractions; the purity ratio is integers until the single edge
+    division (bounded in (0, 1] — rounding is a real contract)."""
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)
+    verified = (
+        jaccard(candidate_pairs(lsh_bands(minhash_signatures(sh))), sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    labeled = comp.join(d.select("doc_id", "source"), "doc_id")
+    per_source = labeled.groupBy("component", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_source.groupBy("component").agg(
+        F.sum("n").cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
+    )

@@ -184,6 +184,10 @@ _HOSTILE_PANEL = [
     # the encoding audit counts the very characters this corpus is
     # made of: \x0B (in the WS class, NOT control), NBSP, zero-width
     "encoding_quality_audit",
+    # vocab PSI and cluster purity consume tokens/shingles: empty
+    # and whitespace-only docs must bucket/cluster identically
+    "vocab_psi_between_sources",
+    "near_dup_cluster_source_purity",
 ]
 
 
