@@ -184,6 +184,7 @@ _PANEL_NEXT_CANDIDATES = [
     "label_noise_centroid_disagreement",
     "vocab_psi_between_sources",
     "near_dup_cluster_source_purity",
+    "cohort_ltv_weekly",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -6396,3 +6396,91 @@ def twap_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wsum").cast("double") / F.col("total_dur"), 6) + 0,
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — cumulative value per user by weeks since first
+# touch, the growth-analytics read behind payback-period decisions.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_ltv_weekly",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    cohorted AS (
+        SELECT f.user_id,
+               date_trunc('week', f.first_day) AS cohort_week,
+               CAST(FLOOR(date_diff('day', f.first_day, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_k,
+               CAST(e.value AS DECIMAL(18,6)) AS v
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    cohort_sizes AS (
+        SELECT date_trunc('week', first_day) AS cohort_week,
+               COUNT(*) AS n_users
+        FROM firsts GROUP BY 1
+    ),
+    wk AS (
+        SELECT cohort_week, week_k, SUM(v) AS wv
+        FROM cohorted GROUP BY cohort_week, week_k
+    )
+    SELECT CAST(w.cohort_week AS VARCHAR) AS cohort_week,
+           w.week_k,
+           CAST(s.n_users AS BIGINT) AS cohort_users,
+           round(CAST(SUM(w.wv) OVER (PARTITION BY w.cohort_week
+                     ORDER BY w.week_k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / s.n_users, 6) AS cum_ltv_per_user
+    FROM wk w JOIN cohort_sizes s ON s.cohort_week = w.cohort_week
+    """,
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per user by (signup-cohort week, weeks
+    since first touch): the LTV curve a growth team reads payback
+    periods from, the value-weighted companion of
+    ``cohort_retention_daily``.
+
+    Users cohort by their first event's week; every later event's
+    ``value`` lands in week k = floor(days-since-first / 7).  Weekly
+    value sums are DECIMAL (exact); the cumulative window runs on the
+    (cohorts x weeks) frame — dim-sized after the grouped contraction,
+    partitioned by cohort (the allowed shape); one division per output
+    row at the edge.  The first-touch frame joins back co-partitioned
+    on user_id."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    cohorted = e.join(firsts, "user_id").select(
+        F.date_trunc("week", "first_day").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7.0
+        ).cast("long").alias("week_k"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cohort_sizes = firsts.groupBy(
+        F.date_trunc("week", "first_day").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    wk = cohorted.groupBy("cohort_week", "week_k").agg(F.sum("v").alias("wv"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            # date_trunc yields TIMESTAMP in Spark, DATE in DuckDB:
+            # render the DATE (both '2024-01-01') at the edge
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            "week_k",
+            F.col("n_users").cast("long").alias("cohort_users"),
+            F.round(
+                F.sum("wv").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+    )

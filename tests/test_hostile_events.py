@@ -91,6 +91,9 @@ _EVENT_PANEL = [
     # TWAP under same-instant events (zero durations -> NULL twap),
     # singleton users, and sub-second timestamp arithmetic
     "twap_value_by_user",
+    # LTV cohorts under single-event users, negative values, and
+    # the dominant user landing everything in week 0
+    "cohort_ltv_weekly",
 ]
 
 
