@@ -924,9 +924,7 @@ def _mmr_steps_sql(k: int) -> str:
     FROM all{_MMR_K}
     """,
 )
-def mmr_rerank_topk(
-    spark: SparkSession, sf_dir: str, handles: list | None = None
-) -> DataFrame:
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance reranking: from each query's EXACT
     cosine top-10 pool, greedily select 5 results balancing relevance
     against redundancy — step score = 0.5*rel - 0.5*max(sim to the
@@ -941,9 +939,10 @@ def mmr_rerank_topk(
     (the same 1-row-per-group shape every step), and each step's
     anti-join drops that pick from the remaining pool.  Candidate
     pairwise sims are computed ONCE over the pooled pairs (<= 90 per
-    query) and persisted for the k - 1 scoring steps; picks and
-    remainders persist per round with the ``handles`` release
-    convention since later steps re-reference them.
+    query) and checkpointed for the k - 1 scoring steps; picks and
+    remainders ``localCheckpoint(eager=True)`` per round (the
+    greedy-coverage / k-core convention) so the plan tree stays
+    constant-size across steps instead of compounding.
 
     Scale shape: the only corpus-sized work is the pool build (the
     broadcast brute-force tier — swap in the LSH/IVF tier for the
@@ -960,129 +959,112 @@ def mmr_rerank_topk(
 
     e0 = load(spark, sf_dir, "embeddings")
     q = e0.filter(F.col("vec_id") % 100 == 0)
-    pool = brute_force_topk(q, e0, k=_MMR_POOL).persist()
-    cached = [pool]
-    if handles is not None:
-        handles.append(pool)
-    try:
-        ev = (
-            e0.select("vec_id", as_double("embedding").alias("v"))
-            .withColumn("n", norm(F.col("v")))
-            .filter(F.col("n") > 0)
+    pool = brute_force_topk(q, e0, k=_MMR_POOL).localCheckpoint(eager=True)
+    ev = (
+        e0.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("n", norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    pairsim = (
+        pa.join(
+            pb,
+            (F.col("pa.query_id") == F.col("pb.query_id"))
+            & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
         )
-        pa, pb = pool.alias("pa"), pool.alias("pb")
-        pairsim = (
-            pa.join(
-                pb,
-                (F.col("pa.query_id") == F.col("pb.query_id"))
-                & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
-            )
-            .select(
-                F.col("pa.query_id").alias("query_id"),
-                F.col("pa.neighbor_id").alias("cand"),
-                F.col("pb.neighbor_id").alias("other"),
-            )
+        .select(
+            F.col("pa.query_id").alias("query_id"),
+            F.col("pa.neighbor_id").alias("cand"),
+            F.col("pb.neighbor_id").alias("other"),
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("cand"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "cand",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("other"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "other",
+        )
+        .select(
+            "query_id",
+            "cand",
+            "other",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    all_sel = pool.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand"),
+        F.col("cos_sim").alias("rel"),
+        (F.lit(0.5) * F.col("cos_sim")).alias("score"),
+        F.lit(1).cast("long").alias("step"),
+    )
+    remaining = pool.filter(F.col("rank") > 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand"),
+        F.col("cos_sim").alias("rel"),
+    )
+    for step in range(2, _MMR_K + 1):
+        sc = (
+            remaining.join(pairsim, ["query_id", "cand"])
             .join(
-                ev.select(
-                    F.col("vec_id").alias("cand"),
-                    F.col("v").alias("va"),
-                    F.col("n").alias("na"),
+                all_sel.select(
+                    "query_id", F.col("cand").alias("other")
                 ),
-                "cand",
+                ["query_id", "other"],
             )
-            .join(
-                ev.select(
-                    F.col("vec_id").alias("other"),
-                    F.col("v").alias("vb"),
-                    F.col("n").alias("nb"),
-                ),
-                "other",
-            )
+            .groupBy("query_id", "cand", "rel")
+            .agg(F.max("sim").alias("maxsim"))
             .select(
                 "query_id",
                 "cand",
-                "other",
-                F.round(
-                    dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-                ).alias("sim"),
+                "rel",
+                (
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+                ).alias("score"),
             )
-            .persist()
         )
-        cached.append(pairsim)
-        if handles is not None:
-            handles.append(pairsim)
-
-        all_sel = pool.filter(F.col("rank") == 1).select(
-            "query_id",
-            F.col("neighbor_id").alias("cand"),
-            F.col("cos_sim").alias("rel"),
-            (F.lit(0.5) * F.col("cos_sim")).alias("score"),
-            F.lit(1).cast("long").alias("step"),
+        wpick = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), "cand"
         )
-        remaining = pool.filter(F.col("rank") > 1).select(
-            "query_id",
-            F.col("neighbor_id").alias("cand"),
-            F.col("cos_sim").alias("rel"),
-        )
-        for step in range(2, _MMR_K + 1):
-            sc = (
-                remaining.join(pairsim, ["query_id", "cand"])
-                .join(
-                    all_sel.select(
-                        "query_id", F.col("cand").alias("other")
-                    ),
-                    ["query_id", "other"],
-                )
-                .groupBy("query_id", "cand", "rel")
-                .agg(F.max("sim").alias("maxsim"))
-                .select(
-                    "query_id",
-                    "cand",
-                    "rel",
-                    (
-                        F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
-                    ).alias("score"),
-                )
+        pick = (
+            sc.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand",
+                "rel",
+                "score",
+                F.lit(step).cast("long").alias("step"),
             )
-            wpick = Window.partitionBy("query_id").orderBy(
-                F.desc("score"), "cand"
-            )
-            pick = (
-                sc.withColumn("rn", F.row_number().over(wpick))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "query_id",
-                    "cand",
-                    "rel",
-                    "score",
-                    F.lit(step).cast("long").alias("step"),
-                )
-                .persist()
-            )
-            cached.append(pick)
-            if handles is not None:
-                handles.append(pick)
-            all_sel = all_sel.unionByName(pick)
-            if step < _MMR_K:
-                remaining = remaining.join(
-                    pick.select("query_id", "cand"),
-                    ["query_id", "cand"],
-                    "left_anti",
-                ).persist()
-                cached.append(remaining)
-                if handles is not None:
-                    handles.append(remaining)
-        return all_sel.select(
-            "query_id",
-            F.col("cand").alias("neighbor_id"),
-            "step",
-            F.col("rel").alias("cos_sim"),
-            "score",
+            .localCheckpoint(eager=True)
         )
-    except Exception:
-        for c in cached:
-            c.unpersist()
-        raise
+        all_sel = all_sel.unionByName(pick)
+        if step < _MMR_K:
+            remaining = remaining.join(
+                pick.select("query_id", "cand"),
+                ["query_id", "cand"],
+                "left_anti",
+            ).localCheckpoint(eager=True)
+    return all_sel.select(
+        "query_id",
+        F.col("cand").alias("neighbor_id"),
+        "step",
+        F.col("rel").alias("cos_sim"),
+        "score",
+    )
 
 
 # ---------------------------------------------------------------------------
