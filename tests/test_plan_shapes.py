@@ -189,6 +189,9 @@ _NESTED_LOOP_ALLOWED = {
     # truncation gate: two deliberate broadcast query x corpus scans
     # (full-dim and 16-dim), like the other exact ANN tiers
     "matryoshka_truncation_recall",
+    # 1-row (t1, t2, n_buckets) totals broadcast into the 21-bucket
+    # smoothing expression (Q15/Q22 scalar pattern)
+    "vocab_psi_between_sources",
 }
 
 
