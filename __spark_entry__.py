@@ -185,6 +185,8 @@ _PANEL_NEXT_CANDIDATES = [
     "vocab_psi_between_sources",
     "near_dup_cluster_source_purity",
     "cohort_ltv_weekly",
+    "seasonal_naive_backtest_wape",
+    "flesch_readability_by_source",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

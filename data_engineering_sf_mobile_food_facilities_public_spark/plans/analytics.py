@@ -6484,3 +6484,68 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — seasonal-naive baseline scored with WAPE, the
+# "beat this before shipping a model" yardstick.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_naive_backtest_wape",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    joined AS (
+        SELECT a.d, a.rev AS actual, f.rev AS forecast
+        FROM daily a JOIN daily f ON f.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CASE WHEN SUM(abs(actual)) <> 0
+                THEN round(CAST(SUM(abs(actual - forecast)) AS DOUBLE)
+                           / CAST(SUM(abs(actual)) AS DOUBLE), 6) + 0
+                ELSE NULL END AS wape,
+           round(CAST(SUM(abs(actual - forecast)) AS DOUBLE) / COUNT(*), 2)
+             AS mae
+    FROM joined
+    """,
+)
+def seasonal_naive_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each day's
+    revenue with the SAME WEEKDAY one week earlier) scored with WAPE =
+    Σ|actual − forecast| / Σ|actual| — the baseline yardstick every
+    shipped forecasting model must beat, and the aggregate-ratio error
+    metric that stays exact where per-day MAPE would sum doubles in
+    engine-dependent order (and explode on near-zero days).
+
+    The forecast join is a self equi-join of the day aggregate on
+    ``d - 7`` (dim-sized after the one fact-table contraction); error
+    sums stay DECIMAL to the edge; WAPE and MAE each divide once
+    (6dp / 2dp — MAE is day-revenue scale, inside the bounded-magnitude
+    rounding convention), NULL-guarded for the all-zero series."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    a = daily.alias("a")
+    f_ = daily.alias("f")
+    joined = a.join(
+        f_, F.col("f.d") == F.date_sub(F.col("a.d"), 7)
+    ).select(
+        F.col("a.rev").alias("actual"), F.col("f.rev").alias("forecast")
+    )
+    abs_err = F.sum(F.abs(F.col("actual") - F.col("forecast")))
+    abs_act = F.sum(F.abs(F.col("actual")))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.when(
+            abs_act != 0,
+            F.round(abs_err.cast("double") / abs_act.cast("double"), 6) + 0,
+        ).alias("wape"),
+        F.round(abs_err.cast("double") / F.count(F.lit(1)), 2).alias("mae"),
+    )

@@ -4281,3 +4281,79 @@ def near_dup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_sources"),
         F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus readability — Flesch reading ease from aggregate counts, the
+# audience-level read a curation owner puts on the datasheet.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "flesch_readability_by_source",
+    _TOKENS_CTE
+    + """
+    , feat AS (
+        SELECT d.source,
+               len(t.tokens) AS n_words,
+               greatest(len(str_split(d.text, '. ')), 1) AS n_sentences,
+               len(regexp_extract_all(lower(d.text), '[aeiouy]+')) AS n_vgroups
+        FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CASE WHEN SUM(n_words) > 0 AND SUM(n_sentences) > 0
+                THEN round(206.835
+                           - 1.015 * (CAST(SUM(n_words) AS DOUBLE)
+                                      / SUM(n_sentences))
+                           - 84.6 * (CAST(SUM(n_vgroups) AS DOUBLE)
+                                     / SUM(n_words)), 4) + 0
+                ELSE NULL END AS flesch_reading_ease
+    FROM feat GROUP BY source
+    """,
+)
+def flesch_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Flesch reading ease per source, with vowel-group
+    runs as the syllable proxy (the standard dictionary-free
+    heuristic): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words) — the audience-level readability line on a dataset
+    datasheet, next to the quality and entropy panels.
+
+    Computed from AGGREGATE integer counts (Σ words, Σ sentences,
+    Σ vowel groups per source), NOT as a mean of per-doc scores — a
+    mean of doubles accumulates in engine- and partition-dependent
+    order, while the aggregate ratios divide exact integers once in a
+    fixed expression (the ANOVA lesson).  Sentence count floors at 1
+    (a doc with no '. ' separator is one sentence); syllable groups
+    come from regexp_extract_all over an explicit lowercase vowel
+    class, portable across Java regex and RE2.  One scan, one
+    per-source contraction."""
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "source",
+        TX.token_count(F.col("text")).alias("n_words"),
+        F.greatest(
+            F.size(F.split(F.col("text"), r"\. ", -1)), F.lit(1)
+        ).alias("n_sentences"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        ).alias("n_vgroups"),
+    )
+    sw = F.sum("n_words")
+    ss = F.sum("n_sentences")
+    sv = F.sum("n_vgroups")
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sw.cast("long").alias("total_words"),
+        F.when(
+            (sw > 0) & (ss > 0),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (sw.cast("double") / ss)
+                - F.lit(84.6) * (sv.cast("double") / sw),
+                4,
+            )
+            + 0,
+        ).alias("flesch_reading_ease"),
+    )

@@ -141,6 +141,9 @@ _NUMERIC_PANEL = [
     # CUSUM argmax under all-tied days (numerator identically 0 ->
     # pure day tiebreak) and single-day series
     "cusum_changepoint_daily_revenue",
+    # WAPE under negative/zero revenue (abs semantics, zero-total
+    # NULL guard) and series shorter than the 7-day season
+    "seasonal_naive_backtest_wape",
 ]
 
 

@@ -188,6 +188,9 @@ _HOSTILE_PANEL = [
     # and whitespace-only docs must bucket/cluster identically
     "vocab_psi_between_sources",
     "near_dup_cluster_source_purity",
+    # readability on empty/whitespace-only docs: token floor and
+    # the 1-sentence floor must degrade identically on both engines
+    "flesch_readability_by_source",
 ]
 
 
