@@ -187,6 +187,9 @@ _PANEL_NEXT_CANDIDATES = [
     "cohort_ltv_weekly",
     "seasonal_naive_backtest_wape",
     "flesch_readability_by_source",
+    "global_clustering_coefficient",
+    "rrf_mrr_vs_dense",
+    "join_key_skew_report",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

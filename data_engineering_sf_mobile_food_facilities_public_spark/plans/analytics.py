@@ -6549,3 +6549,161 @@ def seasonal_naive_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wape"),
         F.round(abs_err.cast("double") / F.count(F.lit(1)), 2).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient — how cliquish is the co-purchase
+# graph?  3*triangles / wedges, the one-number transitivity read.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "global_clustering_coefficient",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (
+        SELECT SUM(d * (d - 1) / 2) AS n_wedges,
+               COUNT(*) AS n_nodes
+        FROM deg
+    )
+    SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST(w.n_nodes AS BIGINT) AS n_nodes,
+           CASE WHEN w.n_wedges > 0
+                THEN round(3.0 * t.n_triangles / w.n_wedges, 6)
+                ELSE NULL END AS clustering_coefficient
+    FROM tri t, wed w
+    """,
+)
+def global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-purchase graph: 3·triangles / wedges, where wedges = Σ d(d−1)/2
+    over node degrees — the one-number "how cliquish" read next to the
+    raw ``triangle_count_part_graph`` (near 0: chain-like co-purchases;
+    near 1: basket cliques).
+
+    Triangles reuse the oriented wedge-pruned join (every triangle once
+    as a u<v<w wedge closure); degrees are one shuffled count over the
+    symmetric endpoints; both contract to 1-row aggregates combined as
+    broadcast scalars, with the single bounded-ratio division at the
+    edge (exact integers until then)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
+        ).alias("clustering_coefficient"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the pre-flight check before any big join: how
+# hot is the hottest key, and would a shuffle partition melt?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "join_key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT 'lineitem.l_partkey' AS key_col, l_partkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', o_custkey FROM orders
+        UNION ALL
+        SELECT 'events.user_id', user_id FROM events
+    ),
+    counts AS (
+        SELECT key_col, k, COUNT(*) AS c FROM per_key GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           round(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6)
+             AS skew_factor
+    FROM counts GROUP BY key_col
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pre-flight for the engine's main join keys: rows, distinct
+    keys, the hottest key's row count, and the skew factor
+    max/mean = max·n_keys/total — the number that decides whether a
+    shuffle join needs salting (``operators/skew.py``) or AQE skew
+    splitting before it melts one reducer at 100 TB.
+
+    One union of narrow key projections, one grouped count per key,
+    one per-column contraction; the skew ratio is exact integers until
+    the single edge division (max·n_keys and total both < 2^53, so the
+    double expression is exact-valued on both engines)."""
+    legs = [
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    per_key = None
+    for name, table, col in legs:
+        leg = load(spark, sf_dir, table).select(
+            F.lit(name).alias("key_col"), F.col(col).alias("k")
+        )
+        per_key = leg if per_key is None else per_key.unionAll(leg)
+    counts = per_key.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("key_col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 6
+        ).alias("skew_factor"),
+    )

@@ -1514,3 +1514,98 @@ def label_noise_centroid_disagreement(spark: SparkSession, sf_dir: str) -> DataF
         .cast("long")
         .alias("n_undefined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fusion quality gate — MRR of the RRF-fused list judged against the
+# exact dense top-10: does adding the sparse leg bury dense-relevant
+# results?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rrf_mrr_vs_dense",
+    f"""
+    WITH fused AS (
+        SELECT query_id, doc_id AS neighbor_id, rank
+        FROM ({_HYBRID_ORACLE})
+    ),
+    e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+            )
+        ) WHERE rnk <= 10
+    ),
+    firsts AS (
+        SELECT x.query_id, MIN(f.rank) AS first_rank
+        FROM exact_top x
+        LEFT JOIN fused f
+          ON f.query_id = x.query_id AND f.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misses,
+           round(CAST(SUM(CASE WHEN first_rank IS NOT NULL
+                               THEN CAST(round(1.0 / first_rank, 12)
+                                         AS DECIMAL(14,12))
+                               ELSE CAST(0 AS DECIMAL(14,12)) END)
+                      AS DOUBLE) / COUNT(*), 6) AS mrr
+    FROM firsts
+    """,
+)
+def rrf_mrr_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the RRF-fused retrieval list judged
+    against the exact dense top-10 as relevance: how quickly does the
+    fused ranking surface a dense-relevant document?  MRR near 1 means
+    fusion preserves the dense head; a drop means the sparse leg buries
+    it — the fusion-regression gate run before shipping a hybrid stack.
+
+    Exactness: each query's reciprocal rank is 1/first_rank ROUNDED TO
+    12 digits then cast DECIMAL(14,12) BEFORE the cross-query sum —
+    1/rank is a deterministic double on both engines, and the decimal
+    sum is order-independent where a plain SUM of doubles would
+    accumulate in engine-dependent order (the repo's mean-of-ratios
+    rule).  Queries whose fused list misses all dense-relevant docs
+    contribute 0 and are counted in n_misses.  Everything upstream is
+    the two registered queries composed on their (query, neighbor)
+    keys."""
+    fused = hybrid_search_rrf(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("f_neighbor"), "rank"
+    )
+    exact_top = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    firsts = (
+        exact_top.join(
+            fused,
+            (exact_top["query_id"] == fused["query_id"])
+            & (exact_top["neighbor_id"] == fused["f_neighbor"]),
+            "left",
+        )
+        .select(exact_top["query_id"].alias("qid"), "rank")
+        .groupBy("qid")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    rr = F.when(
+        F.col("first_rank").isNotNull(),
+        F.round(F.lit(1.0) / F.col("first_rank"), 12).cast("decimal(14,12)"),
+    ).otherwise(F.lit(0).cast("decimal(14,12)"))
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("first_rank").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_misses"),
+        F.round(F.sum(rr).cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
+    )

@@ -73,6 +73,8 @@ _EMBED_PANEL = [
     # LOO centroids under singleton labels (S - v = 0 -> NULL own
     # cosine -> n_undefined) and zero vectors
     "label_noise_centroid_disagreement",
+    # fused-list MRR under zero vectors and duplicate embeddings
+    "rrf_mrr_vs_dense",
 ]
 
 

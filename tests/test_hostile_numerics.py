@@ -144,6 +144,8 @@ _NUMERIC_PANEL = [
     # WAPE under negative/zero revenue (abs semantics, zero-total
     # NULL guard) and series shorter than the 7-day season
     "seasonal_naive_backtest_wape",
+    # skew factors under the 90% dominant customer and singleton keys
+    "join_key_skew_report",
 ]
 
 

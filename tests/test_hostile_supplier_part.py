@@ -82,6 +82,9 @@ _SP_PANEL = [
     # HHI shares under zero and negative revenue: zero totals must
     # NULL identically, negative revenue makes shares unbounded
     "hhi_supplier_concentration",
+    # transitivity under degenerate graphs: no edges (NULL ratio),
+    # wedges with no triangles, and the dominant-part hot node
+    "global_clustering_coefficient",
 ]
 
 

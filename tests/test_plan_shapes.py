@@ -192,6 +192,11 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row (t1, t2, n_buckets) totals broadcast into the 21-bucket
     # smoothing expression (Q15/Q22 scalar pattern)
     "vocab_psi_between_sources",
+    # 1-row triangle total x 1-row wedge total scalar combine
+    "global_clustering_coefficient",
+    # composes hybrid_search_rrf, inheriting its dense leg's deliberate
+    # broadcast query x corpus scan; the MRR join is a pure equi-join
+    "rrf_mrr_vs_dense",
 }
 
 
