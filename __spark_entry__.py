@@ -190,6 +190,7 @@ _PANEL_NEXT_CANDIDATES = [
     "global_clustering_coefficient",
     "rrf_mrr_vs_dense",
     "join_key_skew_report",
+    "unordered_completion_funnel",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

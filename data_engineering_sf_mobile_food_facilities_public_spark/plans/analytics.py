@@ -6707,3 +6707,78 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 6
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unordered completion funnel — did the user do ALL THREE actions within
+# the window, in any order?  The checklist-completion twin of the strict
+# ordered funnel.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unordered_completion_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS t0
+        FROM events GROUP BY user_id
+    ),
+    inwin AS (
+        SELECT e.user_id,
+               MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+               MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.ts < f.t0 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(hv) AS BIGINT) AS did_view,
+           CAST(SUM(hc) AS BIGINT) AS did_click,
+           CAST(SUM(hp) AS BIGINT) AS did_purchase,
+           CAST(SUM(hv * hc * hp) AS BIGINT) AS completed_all3,
+           round(CAST(SUM(hv * hc * hp) AS DOUBLE) / COUNT(*), 6)
+             AS completion_rate
+    FROM inwin
+    """,
+)
+def unordered_completion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checklist-completion funnel: users who performed ALL of view,
+    click and purchase within 7 days of their FIRST event, in ANY order
+    — the activation-milestone metric (``ordered_funnel_three_step``'s
+    order-free twin: onboarding checklists don't care about sequence,
+    only coverage inside the activation window).
+
+    One first-touch aggregate joined back co-partitioned on user_id,
+    one per-user flag contraction (MAX per type — set membership, not
+    counts), exact integers until the single completion-rate division
+    at the edge."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    inwin = (
+        e.join(firsts, "user_id")
+        .filter(F.col("ts") < F.col("t0") + F.expr("INTERVAL 7 DAY"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("hv"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("hc"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("hp"),
+        )
+    )
+    all3 = F.col("hv") * F.col("hc") * F.col("hp")
+    return inwin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("hv").cast("long").alias("did_view"),
+        F.sum("hc").cast("long").alias("did_click"),
+        F.sum("hp").cast("long").alias("did_purchase"),
+        F.sum(all3).cast("long").alias("completed_all3"),
+        F.round(
+            F.sum(all3).cast("double") / F.count(F.lit(1)), 6
+        ).alias("completion_rate"),
+    )

@@ -94,6 +94,9 @@ _EVENT_PANEL = [
     # LTV cohorts under single-event users, negative values, and
     # the dominant user landing everything in week 0
     "cohort_ltv_weekly",
+    # unordered completion under same-instant event bursts and the
+    # strict < window boundary at exactly t0 + 7 days
+    "unordered_completion_funnel",
 ]
 
 
