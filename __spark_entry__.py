@@ -88,51 +88,39 @@ _PANEL_CORE = [
     "sf_permit_ml",
 ]
 
-# Round-8 rotation: the two r7 hash-FAIL queries stay until the driver
-# proves them green (root cause: Java-vs-RE2 \s divergence on U+000B,
-# fixed via functions/text.py:WS_REGEX), joined by everything downstream
-# of the changed tokenizer/fingerprint/cumsum, round-7 families that
-# were never externally verified (SimHash64, temperature mixture, TIFF
-# decode, OHLC stream/batch parity), and representatives of round-8's
-# new families (leakage-guarded split, span decontamination, DECIMAL
-# covariance, cogrouped-map).  Rotated out (driver-green in r7, still
-# in the local suite): exact-dedup/minhash/components/ANN/multimodal
-# representatives, q5, merge, KS, PageRank, int8/GIF/fertility/
-# incremental-near-dup (all green in the 274-query local sweep).
+# Round-9 rotation: the r8 hash-FAIL trio stays until the driver proves
+# it green (root cause per the r8 judge replay: uncast DuckDB HUGEINT
+# output columns — sum() OVER types as HUGEINT -> Arrow decimal128(38,0)
+# -> pandas float64, so the driver's repr-sensitive hash saw 8000.0 vs
+# Spark's 8000 while VALUES matched exactly; fixed by CAST(... AS
+# BIGINT) in the 10 affected oracles and closed as a class by
+# tests/test_oracle_types.py, which LIMIT-0s every oracle through DuckDB
+# and asserts per-column Arrow-kind equality with the Spark schema).
+# The 7 LATENT carriers of the same defect are promoted alongside so
+# the fix is externally verified THIS round instead of discovered by
+# rotation later.  Rotated out (driver-green in r8, still in the local
+# suite): exact_dedup, training_data_pipeline, heaps_law,
+# max_concurrent_sessions_daily, prefix_filtered_jaccard_pairs,
+# incremental_agg_retractions, ohlc, leakage_guarded_split,
+# benchmark_span_decontamination, int8_recall_vs_exact,
+# cogrouped_asof_attribution.
 _PANEL_ROTATING = [
-    "token_budget_mixture",  # red in r7 — must be proven green externally
-    "corpus_curation_pipeline",  # red in r7 — must be proven green externally
-    "exact_dedup_documents",  # fingerprint normalization changed this round
-    "training_data_pipeline",  # fused consumer of tokenizer + fingerprint
-    # text_quality_scores rotated out late-r8 (its tokenizer-consumer
-    # role stays covered by training_data_pipeline + exact_dedup +
-    # token_budget_mixture above) for the Heaps curve: the same
-    # tokenizer consumption PLUS the new doc-id-range bucket family
-    "heaps_law_vocab_growth",
-    "sequence_packing_bins",  # bucketed-cumsum representative (rewritten r8)
-    # late-r8 additions displace two members whose families keep other
-    # panel reps (simhash64 banding -> leakage_guarded_split; temperature
-    # mixture -> the three tokenizer/cumsum consumers above): the sweep-
-    # line concurrency exercises sessionize + the constant-key bucketed
-    # cumsum, and the prefix-filter join exercises shingles/jaccard plus
-    # the new lossless pruning operator
-    "max_concurrent_sessions_daily",
-    "prefix_filtered_jaccard_pairs",
-    # the retraction algebra is a new maintenance MECHANISM (signed
-    # deltas into stored partials) — worth an external check over the
-    # TIFF header parse, whose pixel-decode family is already
-    # driver-green (r07 image_pixel_decode) and generatively tested
-    "incremental_agg_retractions",
-    "ohlc_hourly_by_type",
-    "leakage_guarded_split",  # r8: LSH + split composition
-    "benchmark_span_decontamination",  # r8: positioned shingles + islands
-    # embedding_covariance_matrix rotated out late-r8 (DECIMAL moments
-    # stay covered by the int8/exact recall gate below and the cumsum
-    # consumers above) for the quantization recall eval: the int8 tier
-    # and the exact tier were never externally verified, and the gate
-    # composes BOTH in one oracle-paired row
-    "int8_recall_vs_exact",
-    "cogrouped_asof_attribution",  # r8: cogrouped Arrow surface
+    "token_budget_mixture",  # red r7+r8 — HUGEINT cast landed, verify
+    "corpus_curation_pipeline",  # red r7+r8 — same fix, verify
+    "sequence_packing_bins",  # red r8 — same fix, verify
+    # the 7 latent HUGEINT carriers, now cast (r8 VERDICT #1/#4)
+    "sequence_packing_by_source",
+    "split_and_pack_bins",
+    "null_semantics_breadth",
+    "variant_shred_event_props",
+    "doc_repetition_scores",
+    "dataset_datasheet_by_source",
+    "q12_priority_shipping",
+    # representatives of round-8 families never externally verified
+    "text_quality_scores",
+    "embedding_covariance_matrix",
+    "item_item_cosine_recs",
+    "winnowing_overlap_pairs",
 ]
 
 # Round-9 rotation candidates: operators added AFTER this round's panel
@@ -141,14 +129,10 @@ _PANEL_ROTATING = [
 # verification next round.  The determinism matrix has an opt-in test
 # that runs exactly this list so candidates arrive pre-stressed.
 _PANEL_NEXT_CANDIDATES = [
-    "text_quality_scores",
-    "embedding_covariance_matrix",
     "kcore_part_graph",
     "multi_touch_attribution",
-    "item_item_cosine_recs",
     "inverted_index_conjunctive",
     "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
     "mutual_information_lang_source",
     "loo_target_encoding_priority",
     "ordered_funnel_three_step",

@@ -2777,15 +2777,15 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT
-        SUM(CASE WHEN status = pri THEN 1 ELSE 0 END) AS eq_true,
-        SUM(CASE WHEN status IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END)
-            AS null_safe_eq_true,
-        SUM(CASE WHEN status IS NULL AND pri IS NULL THEN 1 ELSE 0 END)
-            AS both_null,
-        SUM(CASE WHEN coalesce(status, pri, 'none') = 'none' THEN 1 ELSE 0 END)
-            AS fully_defaulted,
-        SUM(CASE WHEN nullif(status, 'F') IS NULL AND status IS NOT NULL
-                 THEN 1 ELSE 0 END) AS nullified_f
+        CAST(SUM(CASE WHEN status = pri THEN 1 ELSE 0 END) AS BIGINT) AS eq_true,
+        CAST(SUM(CASE WHEN status IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_safe_eq_true,
+        CAST(SUM(CASE WHEN status IS NULL AND pri IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS both_null,
+        CAST(SUM(CASE WHEN coalesce(status, pri, 'none') = 'none'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fully_defaulted,
+        CAST(SUM(CASE WHEN nullif(status, 'F') IS NULL AND status IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS nullified_f
     FROM nulled
     """,
 )

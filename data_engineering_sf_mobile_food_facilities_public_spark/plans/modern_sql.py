@@ -363,7 +363,7 @@ def calendar_fill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "variant_shred_event_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
            AVG(CAST(json_extract(props, '$.k') AS INT)) AS k_avg,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max,
            COUNT(CAST(json_extract(props, '$.k') AS INT)) AS k_present

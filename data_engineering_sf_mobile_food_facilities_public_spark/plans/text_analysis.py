@@ -318,7 +318,7 @@ def _repetition_fracs() -> tuple:
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM sized
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum
     WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END
     """,
@@ -806,7 +806,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM sized
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum
     WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 3000 END
     """,
@@ -936,7 +936,7 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     )
     SELECT doc_id, token AS top_token, cnt AS top_count,
-           total AS total_tokens,
+           CAST(total AS BIGINT) AS total_tokens,
            CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS repetition_ratio
     FROM ranked WHERE rn = 1
     """,
@@ -1321,14 +1321,14 @@ _PACK_BUDGET = 512
                    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM sized
     )
-    SELECT (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+    SELECT CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            CAST(MIN(cum_tokens - n_tokens) AS BIGINT) AS bin_start_offset,
            CAST(MAX(cum_tokens) > ((cum_tokens - n_tokens) // {_PACK_BUDGET} + 1)
                                    * {_PACK_BUDGET} AS INT) AS straddles_next
     FROM cum
-    GROUP BY 1
+    GROUP BY (cum_tokens - n_tokens) // {_PACK_BUDGET}
     """,
 )
 def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,7 +1838,7 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT source,
-           (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+           CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM cum
@@ -2627,7 +2627,7 @@ _SP_WINDOW = 64
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
         FROM pieces
     )
-    SELECT (cum_tokens - n_tokens) // {_SP_WINDOW} AS bin_id,
+    SELECT CAST((cum_tokens - n_tokens) // {_SP_WINDOW} AS BIGINT) AS bin_id,
            CAST(COUNT(*) AS BIGINT) AS n_pieces,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
@@ -3048,7 +3048,7 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(nt) AS total_tokens,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
            MAX(nt) AS max_tokens,
            ROUND(CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
