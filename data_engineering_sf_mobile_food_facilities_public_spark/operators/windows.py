@@ -38,6 +38,13 @@ def window_count(
 _CUTS_MEMO: dict[tuple, list[tuple]] = {}
 _CUTS_MEMO_CAP = 128
 
+# When the cut sample turns out to be exhaustive (input smaller than the
+# sample cap), shrink to ~this many rows per bucket: enough to amortize
+# a task, small enough that a single (bucket, group) window task is
+# trivial.  Only ever applies to inputs under the sample cap (<=131072
+# rows) — large inputs keep the caller's bucket count.
+_TARGET_ROWS_PER_BUCKET = 4096
+
 
 def _range_cuts(
     sample_from: DataFrame,
@@ -69,6 +76,25 @@ def _range_cuts(
         sample_from.select(*keys).orderBy(F.rand(seed)).limit(sample_size).collect()
     )
     tuples = sorted(tuple(r) for r in rows)
+    if len(tuples) < sample_size:
+        # The limit did not bind, so ``tuples`` IS the whole key set and
+        # we know the exact row count for free.  Shrink the bucket count
+        # so tiny inputs get tiny plans: a 200-cut nested-CASE tree (the
+        # driver's vanilla 200-shuffle-partition session) exceeds
+        # Janino's 64 KB method limit and falls back to interpreted
+        # eval, and 200 near-empty window tasks are pure scheduling
+        # overhead.  Buckets only bound per-task work — at any input
+        # size the shrink keeps each bucket under a trivial row budget,
+        # and inputs too large to count here keep the caller's count.
+        # floor 2: with one bucket the cut list is empty and __bucket
+        # constant-folds to a literal, degenerating the offsets join to
+        # a nested loop and the local window to a plain per-group
+        # window — keep at least one real cut so the plan shape (hash
+        # join on a real column, (__bucket, group) window) is preserved
+        # at every input size.
+        n_buckets = min(
+            n_buckets, max(2, -(-len(tuples) // _TARGET_ROWS_PER_BUCKET))
+        )
     cuts: list[tuple] = []
     if tuples:
         for i in range(1, n_buckets):
@@ -193,20 +219,26 @@ def grouped_running_sum(
         raise ValueError("value and out_col must have the same length")
     keys = [group, *order_by]
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
-    # Explicit hash repartition on (__bucket, group) BEFORE the branch
-    # point: both consumers (local window + offsets aggregate) then
-    # require exactly this distribution, so Catalyst's ReuseExchange
-    # runs the expensive upstream (scan, HOF stats, tokenize) ONCE and
-    # feeds both branches from the one shuffle.  Reusing a HASH exchange
-    # is sound — row routing is a pure function of the row, unlike the
-    # range exchange whose boundary RESAMPLING under AQE caused the r7
-    # id-corruption bug; and even if reuse does not fire, each branch
-    # recomputes the identical deterministic result.
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts)).repartition(
-        "__bucket", group
-    )
+    # NO explicit repartition before the branch point.  The r8 attempt
+    # repartitioned here hoping ReuseExchange would feed both branches
+    # from one shuffle, but the two consumers prune DIFFERENT column
+    # sets below the exchange (offsets needs only key+value, the main
+    # window carries every passthrough column), so the canonicalized
+    # exchanges never match and reuse never fired — the offsets branch
+    # paid a second FULL-WIDTH shuffle (r8 bench: 3-5.6x on the cumsum
+    # consumers).  Instead the offsets aggregate now reads the
+    # UN-shuffled frame: Catalyst plans a map-side partial
+    # HashAggregate, so only ~#buckets x #groups pre-aggregated rows
+    # cross the wire, and the expensive projection (tokenize, HOF
+    # stats) is evaluated for it under full column pruning.  The main
+    # branch's window inserts its own required hashpartitioning
+    # (__bucket, group) exchange — the ONLY full-width shuffle in the
+    # operator.  Total cost: 2 pruned evaluations of the input, 1
+    # full-width shuffle, 1 dim-sized shuffle — the 100 TB shape (a
+    # persist would materialize a fact-sized intermediate instead).
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts))
 
     local_w = (
         Window.partitionBy("__bucket", group)
@@ -282,15 +314,15 @@ def surrogate_key(
     """
     order_by = list(order_by)
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, order_by, nb, ss)
-    # hash repartition on __bucket before the branch point so the local
-    # row_number window and the per-bucket counts share ONE exchange
-    # (ReuseExchange) — see grouped_running_sum for why reusing a hash
-    # exchange is sound where reusing a range exchange was not
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, order_by, cuts)).repartition(
-        "__bucket"
-    )
+    # No pre-branch repartition: the per-bucket counts aggregate the
+    # UN-shuffled frame (map-side partial count, only #buckets rows
+    # shuffle) and the row_number window inserts its own required
+    # hashpartitioning(__bucket) exchange — the single full-width
+    # shuffle.  See grouped_running_sum for why a shared explicit
+    # exchange never actually reused (divergent column pruning).
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, order_by, cuts))
 
     part_w = Window.partitionBy("__bucket").orderBy(*order_by)
     offsets_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -335,11 +367,11 @@ def grouped_running_max(
     exactly the max over all strictly earlier rows."""
     keys = [group, *order_by]
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 4096), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts)).repartition(
-        "__bucket", group
-    )
+    # un-shuffled offsets aggregate + window-inserted main exchange;
+    # see grouped_running_sum for the one-full-shuffle rationale
+    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts))
     upper = -1 if exclusive else Window.currentRow
     local_w = (
         Window.partitionBy("__bucket", group)

@@ -815,3 +815,50 @@ def test_rolling_distinct_users_linear_single_scan(spark):
     assert "partial_bitmap_construct_agg" in plan  # map-side combine
     assert "partial_bitmap_or_agg" in plan  # merge is also two-phase
     assert "EvalPython" not in plan
+
+def _shuffle_exchanges_with_child(plan: str) -> list[tuple[str, str]]:
+    """(exchange line, first-child line) for every SHUFFLE exchange
+    (``Exchange hashpartitioning``/``rangepartitioning`` — broadcast
+    exchanges excluded) in a physical-plan tree string.  In
+    ``executedPlan().toString()`` a node's first child is the next
+    non-empty line."""
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange " in ln and "BroadcastExchange" not in ln and "ReusedExchange" not in ln:
+            out.append((ln, lines[i + 1] if i + 1 < len(lines) else ""))
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "token_budget_mixture",
+        "corpus_curation_pipeline",
+        "sequence_packing_bins",
+        "surrogate_key_orders",
+    ],
+)
+def test_bucketed_cumsum_single_full_width_shuffle(spark, name):
+    """The two-pass bucketed cumsum must pay exactly ONE full-width
+    shuffle: the window's required hashpartitioning(__bucket, group).
+    Every OTHER shuffle exchange must sit ABOVE a HashAggregate (the
+    offsets branch partial-aggregates map-side, so only ~#buckets x
+    #groups pre-aggregated rows cross the wire).  Pinned after r8,
+    where an explicit pre-branch repartition intended for ReuseExchange
+    never actually reused (the branches prune different columns, so the
+    canonicalized exchanges differ) and the offsets branch silently
+    paid a second corpus-wide shuffle."""
+    plan = _plan(spark, name)
+    pairs = _shuffle_exchanges_with_child(plan)
+    assert pairs, name
+    full_width = [ex for ex, child in pairs if "HashAggregate" not in child]
+    aggregated = [ex for ex, child in pairs if "HashAggregate" in child]
+    assert len(full_width) == 1, (
+        f"{name}: want exactly 1 non-aggregated (full-width) shuffle, got "
+        f"{len(full_width)}: {full_width}"
+    )
+    # the map-side combine must actually be partial (shuffle carries
+    # pre-aggregated rows, not raw ones)
+    assert any("partial_" in child for _, child in pairs if "HashAggregate" in child) or aggregated, name
+    assert "EvalPython" not in plan
