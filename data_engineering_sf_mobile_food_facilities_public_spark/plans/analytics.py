@@ -4362,13 +4362,44 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     7), so pairs grow linearly with orders, not quadratically with the
     catalog; degrees join on the part key (dim-sized, broadcastable);
     the top-k window shuffles once on item.  A viral basket (one order
-    with thousands of items) is the quadratic hazard; the standard cap
-    — drop or sample oversized baskets — bolts onto the `op` relation
-    exactly like the LSH hot-bucket cap."""
+    with thousands of items) is the quadratic hazard; pass
+    ``max_basket_size`` to :func:`item_item_cosine` to drop oversized
+    baskets before the self-join, exactly like the LSH hot-bucket cap
+    (``candidate_pairs(max_bucket_size=...)``) — this oracle-paired
+    entry keeps the exact uncapped semantics (TPC-H's 7-line bound
+    makes the cap vacuous here)."""
     li = load(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    return item_item_cosine(op, k=5, max_basket_size=None)
+
+
+def item_item_cosine(
+    op: DataFrame, k: int = 5, max_basket_size: int | None = None
+) -> DataFrame:
+    """Top-``k`` co-occurrence-cosine neighbors per item over distinct
+    ``(o, p)`` basket membership (see :func:`item_item_cosine_recs`).
+
+    ``max_basket_size`` is the viral-basket cap: one degenerate basket
+    with n items contributes C(n, 2) pairs to the self-join — quadratic
+    exactly where basket-bounded fanout was the design premise (a
+    scraped wishlist, a warehouse restock order).  With the cap,
+    baskets larger than ``max_basket_size`` are dropped BEFORE the
+    self-join via an unordered window count over ``o`` (one shuffle the
+    join then reuses), bounding any basket's contribution to
+    C(cap, 2).  Items in a dropped basket still pair through their
+    other, normal-sized baskets; degrees are computed AFTER the cap so
+    the cosine stays consistent with the pairs actually generated.
+    Default ``None`` preserves exact uncapped semantics — the
+    oracle-paired path."""
+    if max_basket_size is not None:
+        w_cap = Window.partitionBy("o")
+        op = (
+            op.withColumn("__bsz", F.count(F.lit(1)).over(w_cap))
+            .filter(F.col("__bsz") <= max_basket_size)
+            .drop("__bsz")
+        )
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
     a = op.alias("a")
     b = op.alias("b")
@@ -4399,7 +4430,7 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select(
             "item",
             "neighbor",
