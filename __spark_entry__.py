@@ -129,6 +129,13 @@ _PANEL_ROTATING = [
 # verification next round.  The determinism matrix has an opt-in test
 # that runs exactly this list so candidates arrive pre-stressed.
 _PANEL_NEXT_CANDIDATES = [
+    # round-9 additions (Gopher rules, BM25, rank stats, IVF curve)
+    "gopher_dup_trigram_chars",
+    "gopher_quality_rules",
+    "bm25_topk_docs",
+    "spearman_price_vs_quantity",
+    "kendall_tau_quantity_discount",
+    "ivf_label_cells_recall_curve",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

@@ -6813,3 +6813,274 @@ def unordered_completion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(all3).cast("double") / F.count(F.lit(1)), 6
         ).alias("completion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — tie-aware average ranks at scale.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "spearman_price_vs_quantity",
+    """
+    WITH r AS (
+        SELECT l_quantity AS qx, l_extendedprice AS py
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    ranked AS (
+        SELECT 2 * RANK() OVER (ORDER BY qx)
+                   + COUNT(*) OVER (PARTITION BY qx) - 1 AS r2x,
+               2 * RANK() OVER (ORDER BY py)
+                   + COUNT(*) OVER (PARTITION BY py) - 1 AS r2y
+        FROM r
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(r2x) AS sx, SUM(r2y) AS sy,
+               SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
+               SUM(r2x * r2y) AS sxy
+        FROM ranked
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS rho_spearman
+    FROM m
+    """,
+)
+def spearman_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    with TIE-AWARE average ranks (the textbook definition: Pearson on
+    midranks), kept exact end-to-end: the midrank is carried as the
+    integer DOUBLE-rank ``2*rank_lt + count_eq + 1`` (Pearson is
+    affine-invariant, so scaling ranks by 2 leaves rho unchanged), all
+    moment sums run in DECIMAL(38,0) over integer products, and only
+    the final closed form drops to IEEE doubles — the identical
+    operation sequence in both engines, so rho is bit-stable.
+
+    Scale shape: ranks come from DISTINCT-VALUE running counts — one
+    groupBy per variable, then :func:`grouped_running_sum` with a
+    constant group key (the two-pass range-partition cumsum; the oracle
+    window ``RANK() OVER (ORDER BY v)`` is the semantic twin, but as a
+    plan it is the single-task global sort this engine never runs on
+    fact-sized data) — joined back on the value: quantity's 50-row rank
+    table broadcasts, the price rank table shuffle-joins on its key.
+    No global window, no driver collect."""
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").alias("qx"),
+            F.col("l_extendedprice").alias("py"),
+        )
+        .filter(F.col("qx").isNotNull() & F.col("py").isNotNull())
+    )
+
+    def double_ranks(col: str, r2name: str) -> DataFrame:
+        cnt = rows.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        run = grouped_running_sum(
+            cnt.withColumn("__one", F.lit(1)),
+            "__one",
+            [col],
+            "__c",
+            out_col="__run",
+        )
+        # rank_lt = run - c; double-rank = 2*rank_lt + c + 1 = 2*run - c + 1
+        return run.select(
+            col,
+            (2 * F.col("__run") - F.col("__c") + 1).cast("long").alias(r2name),
+        )
+
+    qr = double_ranks("qx", "r2x")
+    pr = double_ranks("py", "r2y")
+    joined = rows.join(F.broadcast(qr), "qx").join(pr, "py")
+    d19 = "decimal(19,0)"
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2x").cast(d19)).alias("sx"),
+        F.sum(F.col("r2y").cast(d19)).alias("sy"),
+        F.sum(F.col("r2x").cast(d19) * F.col("r2x").cast(d19)).alias("sxx"),
+        F.sum(F.col("r2y").cast(d19) * F.col("r2y").cast(d19)).alias("syy"),
+        F.sum(F.col("r2x").cast(d19) * F.col("r2y").cast(d19)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select("n", F.round(rho, 6).alias("rho_spearman"))
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — concordance over the dense contingency grid.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kendall_tau_quantity_discount",
+    """
+    WITH r AS (
+        SELECT l_quantity AS qx, l_discount AS dy FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    cells0 AS (SELECT qx, dy, COUNT(*) AS c FROM r GROUP BY qx, dy),
+    grid AS (
+        SELECT q.qx, d.dy, coalesce(c.c, 0) AS c
+        FROM (SELECT DISTINCT qx FROM r) q
+        CROSS JOIN (SELECT DISTINCT dy FROM r) d
+        LEFT JOIN cells0 c ON c.qx = q.qx AND c.dy = d.dy
+    ),
+    rowsuf AS (
+        SELECT qx, dy, c,
+               coalesce(SUM(c) OVER (PARTITION BY qx ORDER BY dy DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS t_gt,
+               coalesce(SUM(c) OVER (PARTITION BY qx ORDER BY dy ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS t_lt
+        FROM grid
+    ),
+    colsuf AS (
+        SELECT qx, dy, c,
+               coalesce(SUM(t_gt) OVER (PARTITION BY dy ORDER BY qx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_conc,
+               coalesce(SUM(t_lt) OVER (PARTITION BY dy ORDER BY qx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS g_disc
+        FROM rowsuf
+    ),
+    agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(g_conc AS DECIMAL(19,0)))
+                   AS conc,
+               SUM(CAST(c AS DECIMAL(19,0)) * CAST(g_disc AS DECIMAL(19,0)))
+                   AS disc
+        FROM colsuf
+    ),
+    ties AS (
+        SELECT SUM(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0))) / 2
+                   AS n1
+        FROM (SELECT qx, SUM(c) AS t FROM grid GROUP BY qx)
+    ),
+    ties2 AS (
+        SELECT SUM(CAST(u AS DECIMAL(19,0)) * CAST(u - 1 AS DECIMAL(19,0))) / 2
+                   AS n2
+        FROM (SELECT dy, SUM(c) AS u FROM grid GROUP BY dy)
+    )
+    SELECT a.n,
+           CAST(a.conc AS BIGINT) AS concordant,
+           CAST(a.disc AS BIGINT) AS discordant,
+           round((CAST(a.conc AS DOUBLE) - CAST(a.disc AS DOUBLE))
+                 / (sqrt(CAST(a.n AS DOUBLE) * (a.n - 1) / 2
+                         - CAST(t1.n1 AS DOUBLE))
+                    * sqrt(CAST(a.n AS DOUBLE) * (a.n - 1) / 2
+                           - CAST(t2.n2 AS DOUBLE))), 6) AS tau_b
+    FROM agg a CROSS JOIN ties t1 CROSS JOIN ties2 t2
+    """,
+)
+def kendall_tau_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between l_quantity and l_discount, computed from
+    the DENSE contingency grid instead of the O(n^2) pair enumeration:
+    with qx and dy low-cardinality (50 x 11 here), concordant pairs are
+    ``sum_ij n_ij * G_ij`` where ``G_ij`` is the 2-D suffix sum of cells
+    strictly greater in both coordinates — two window passes over the
+    densified grid (row-suffix within qx, then column-suffix within dy)
+    — and the tie terms come from the marginals, the standard tau-b
+    closed form for tied data (Kendall 1945, public).
+
+    Scale shape: the fact table contributes ONE groupBy (the
+    contingency cells); everything after runs on the #qx * #dy grid —
+    dim-sized by construction (the windows partition by grid axes, and
+    the docstring convention marks them dim-bounded).  Products and
+    sums run in DECIMAL(19,0)/(38,0) so pair counts stay exact far past
+    bigint-scale row counts; doubles appear only in the final closed
+    form, identically sequenced in both engines."""
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_quantity").alias("qx"), F.col("l_discount").alias("dy"))
+        .filter(F.col("qx").isNotNull() & F.col("dy").isNotNull())
+    )
+    cells0 = rows.groupBy("qx", "dy").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        rows.select("qx")
+        .distinct()
+        .crossJoin(rows.select("dy").distinct())
+        .join(cells0, ["qx", "dy"], "left")
+        .select("qx", "dy", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_gt = (
+        Window.partitionBy("qx")
+        .orderBy(F.desc("dy"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lt = (
+        Window.partitionBy("qx")
+        .orderBy(F.asc("dy"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rowsuf = grid.select(
+        "qx",
+        "dy",
+        "c",
+        F.coalesce(F.sum("c").over(w_gt), F.lit(0)).alias("t_gt"),
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("t_lt"),
+    )
+    w_col = (
+        Window.partitionBy("dy")
+        .orderBy(F.desc("qx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    colsuf = rowsuf.select(
+        "qx",
+        "dy",
+        "c",
+        F.coalesce(F.sum("t_gt").over(w_col), F.lit(0)).alias("g_conc"),
+        F.coalesce(F.sum("t_lt").over(w_col), F.lit(0)).alias("g_disc"),
+    )
+    d19 = "decimal(19,0)"
+    agg = colsuf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast(d19) * F.col("g_conc").cast(d19)).alias("conc"),
+        F.sum(F.col("c").cast(d19) * F.col("g_disc").cast(d19)).alias("disc"),
+    )
+    n1 = (
+        grid.groupBy("qx")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            (
+                F.sum(F.col("t").cast(d19) * (F.col("t") - 1).cast(d19)) / 2
+            ).alias("n1")
+        )
+    )
+    n2 = (
+        grid.groupBy("dy")
+        .agg(F.sum("c").alias("u"))
+        .agg(
+            (
+                F.sum(F.col("u").cast(d19) * (F.col("u") - 1).cast(d19)) / 2
+            ).alias("n2")
+        )
+    )
+    nd = F.col("n").cast("double")
+    half_pairs = nd * (F.col("n") - 1) / 2
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / (
+        F.sqrt(half_pairs - F.col("n1").cast("double"))
+        * F.sqrt(half_pairs - F.col("n2").cast("double"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n",
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )

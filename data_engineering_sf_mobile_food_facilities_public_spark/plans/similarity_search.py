@@ -1609,3 +1609,208 @@ def rrf_mrr_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_misses"),
         F.round(F.sum(rr).cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-recall curve over DETERMINISTIC label-centroid cells.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ivf_label_cells_recall_curve",
+    """
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v, label FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM exact_scored
+        ) WHERE rnk <= 10
+    ),
+    ex AS (
+        SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM e0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(x) AS DOUBLE) AS s
+        FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS cv
+        FROM sums GROUP BY label
+        HAVING SUM(s * s) > 0
+    ),
+    probes AS (
+        SELECT query_id, qv, label, cell_rank FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.v, c.cv), 6)
+                                DESC, c.label) AS cell_rank
+            FROM q CROSS JOIN cent c
+        ) WHERE cell_rank <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, p.cell_rank, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, e.v), 6) AS cos_sim
+        FROM probes p JOIN e ON e.label = p.label
+        WHERE e.vec_id <> p.query_id
+    ),
+    tops AS (
+        SELECT 1 AS nprobe, query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM cand WHERE cell_rank <= 1
+        ) WHERE rnk <= 10
+        UNION ALL
+        SELECT 2 AS nprobe, query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM cand WHERE cell_rank <= 2
+        ) WHERE rnk <= 10
+    ),
+    per_q AS (
+        SELECT np.nprobe, x.query_id,
+               COUNT(*) AS n_exact,
+               COUNT(t.neighbor_id) AS n_overlap
+        FROM (SELECT 1 AS nprobe UNION ALL SELECT 2) np
+        CROSS JOIN exact_top x
+        LEFT JOIN tops t
+          ON t.nprobe = np.nprobe AND t.query_id = x.query_id
+         AND t.neighbor_id = x.neighbor_id
+        GROUP BY np.nprobe, x.query_id
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_exact), 6)
+               AS mean_recall_at_10,
+           CAST(SUM(CASE WHEN n_overlap = n_exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect
+    FROM per_q
+    GROUP BY nprobe
+    ORDER BY nprobe
+    """,
+)
+def ivf_label_cells_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs number of probed cells for an IVF search whose
+    coarse quantizer is the DETERMINISTIC label-centroid codebook —
+    cells are per-label embedding centroids (exact DECIMAL sums, the
+    ``embedding_label_centroids`` discipline), each query probes its
+    nprobe nearest centroids, and candidates are the members of the
+    probed cells only.  This is the nprobe-tuning curve an ANN platform
+    publishes before picking its latency/recall operating point; unlike
+    the KMeans IVF tier (whose float-matmul training keeps it
+    rows-only), every step here is closed-form, so the WHOLE curve is
+    oracle-checkable end-to-end.
+
+    Scale shape: the codebook is #labels rows (broadcast); centroid
+    sums shuffle (#labels x dim) map-side-combined partials; candidate
+    generation is an equi-join on the cell id so only probed cells'
+    members are scored (the IVF contract); the exact baseline restricts
+    to the 1%% query sample.  Both engines rank on ROUNDED cosines with
+    id tiebreaks at every stage — bucket boundaries cannot drift."""
+    from ..functions.vectors import as_double, cosine, norm
+
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v"), "label"
+    )
+    e = e0.filter(norm(F.col("v")) > 0)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ex = e0.select(
+        "label", F.posexplode("v").alias("pos", "x0")
+    ).select("label", "pos", F.col("x0").cast("decimal(18,9)").alias("x"))
+    sums = ex.groupBy("label", "pos").agg(F.sum("x").cast("double").alias("s"))
+    cent = (
+        sums.groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, s))), t -> t.s)")
+            .alias("cv"),
+            F.sum(F.col("s") * F.col("s")).alias("cn2"),
+        )
+        .filter(F.col("cn2") > 0)
+        .select("label", "cv")
+    )
+    cell_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cscore"),
+        )
+        .withColumn("cell_rank", F.row_number().over(cell_w))
+        .filter(F.col("cell_rank") <= 2)
+        .select("query_id", "qv", "label", "cell_rank")
+    )
+    cand = (
+        probes.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label",
+                     F.col("v").alias("cv2")),
+            "label",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell_rank",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+        )
+    )
+    exact_top = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    top_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+
+    def tier(np_: int) -> DataFrame:
+        top = (
+            cand.filter(F.col("cell_rank") <= np_)
+            .withColumn("rnk", F.row_number().over(top_w))
+            .filter(F.col("rnk") <= 10)
+            .select(
+                "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+            )
+        )
+        per_q = (
+            exact_top.join(
+                top,
+                (exact_top["query_id"] == top["query_id"])
+                & (exact_top["neighbor_id"] == top["ivf_neighbor"]),
+                "left",
+            )
+            .select(
+                exact_top["query_id"].alias("qid"),
+                F.col("ivf_neighbor").isNotNull().cast("int").alias("hit"),
+            )
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_exact"), F.sum("hit").alias("n_overlap"))
+        )
+        return per_q.agg(
+            F.lit(np_).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum("n_overlap").cast("double") / F.sum("n_exact"), 6
+            ).alias("mean_recall_at_10"),
+            F.sum(F.when(F.col("n_overlap") == F.col("n_exact"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_perfect"),
+        ).select("nprobe", "n_queries", "mean_recall_at_10", "n_perfect")
+
+    return tier(1).unionAll(tier(2)).orderBy("nprobe")

@@ -4357,3 +4357,320 @@ def flesch_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0,
         ).alias("flesch_reading_ease"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition: duplicate-trigram CHARACTER fraction.
+# ---------------------------------------------------------------------------
+
+# Filtered-token + positioned-word CTE used by the Gopher metrics: words
+# are the non-empty whitespace tokens with their filtered-sequence
+# adjacency (lead over pos == neighbors in the filtered array).
+_WORDS_CTE = (
+    _TOKENS_CTE
+    + """
+    , idx AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens))) AS i
+        FROM tok
+    ),
+    words AS (
+        SELECT doc_id, tokens[i] AS w, i AS pos
+        FROM idx WHERE tokens[i] <> ''
+    )
+"""
+)
+
+
+@_register(
+    "gopher_dup_trigram_chars",
+    _WORDS_CTE
+    + """
+    , tg AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT)
+                   AS dup_trigram_chars,
+               CAST(SUM(c * length(g)) AS BIGINT) AS total_trigram_chars
+        FROM tgc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_trigrams, 0) AS n_trigrams,
+           coalesce(p.dup_trigram_chars, 0) AS dup_trigram_chars,
+           coalesce(p.total_trigram_chars, 0) AS total_trigram_chars,
+           round(coalesce(CAST(p.dup_trigram_chars AS DOUBLE)
+                          / nullif(p.total_trigram_chars, 0), 0.0), 6)
+               AS dup_trigram_char_frac
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def gopher_dup_trigram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram character fraction (Gopher repetition rules, Rae
+    et al. 2021, public): the share of trigram characters belonging to
+    trigrams that occur more than once WITHIN the document — the
+    char-weighted repetition signal the token-level top-bigram fraction
+    (:func:`doc_repetition_stats`) misses (a long repeated phrase counts
+    by its length, not just its frequency).
+
+    Scale shape: everything is per-row array higher-order functions over
+    the token array — trigram construction by sliced ``zip_with``, the
+    duplicate-char count by ONE fold over the sorted trigram array
+    (longest-equal-run bookkeeping, same trick as the bigram max-count in
+    ``_repetition_raw_cols``) — so the metric fuses into the scan with
+    zero shuffles and no explode; the oracle's unnest/group-by is the
+    cross-engine twin, not the plan."""
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+    tg = (
+        f"zip_with(zip_with(slice({toks}, 1, greatest(size({toks}) - 2, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 2, 0)), "
+        f"(a, b) -> concat(a, ' ', b)), "
+        f"slice({toks}, 3, greatest(size({toks}) - 2, 0)), "
+        f"(ab, c) -> concat(ab, ' ', c))"
+    )
+    dup_chars = (
+        f"aggregate(array_sort({tg}), "
+        f"named_struct('prev', '', 'run', 0L, 'dup', 0L), "
+        f"(acc, x) -> IF(x = acc.prev, "
+        f"named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup), "
+        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup + "
+        f"IF(acc.run > 1L, acc.run * CAST(length(acc.prev) AS BIGINT), 0L))), "
+        f"acc -> acc.dup + IF(acc.run > 1L, "
+        f"acc.run * CAST(length(acc.prev) AS BIGINT), 0L))"
+    )
+    tot_chars = f"aggregate({tg}, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({tg})").cast("long").alias("n_trigrams"),
+        F.expr(dup_chars).alias("dup_trigram_chars"),
+        F.expr(tot_chars).alias("total_trigram_chars"),
+        F.round(
+            F.coalesce(
+                F.expr(dup_chars).cast("double")
+                / F.nullif(F.expr(tot_chars), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_trigram_char_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules: per-document flags + composite keep.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gopher_quality_rules",
+    _TOKENS_CTE
+    + """
+    , base AS (
+        SELECT doc_id,
+               list_filter(tokens, x -> x <> '') AS t
+        FROM tok
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS nw,
+               CAST(len(list_distinct(t)) AS BIGINT) AS ndw,
+               CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT)
+                   AS total_word_chars,
+               (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'is') THEN 1 ELSE 0 END)
+                   AS n_stop_distinct
+        FROM base
+    )
+    SELECT doc_id, nw,
+           round(CAST(total_word_chars AS DOUBLE) / nullif(nw, 0), 6)
+               AS mean_word_len,
+           CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+           round(1.0 - CAST(ndw AS DOUBLE) / nullif(nw, 0), 6)
+               AS dup_word_frac,
+           nw BETWEEN 25 AND 80 AS wc_ok,
+           CAST(total_word_chars AS DOUBLE) / nullif(nw, 0)
+               BETWEEN 4.0 AND 5.0 AS mwl_ok,
+           n_stop_distinct >= 2 AS stop_ok,
+           1.0 - CAST(ndw AS DOUBLE) / nullif(nw, 0) <= 0.5 AS dup_ok,
+           (nw BETWEEN 25 AND 80)
+               AND (CAST(total_word_chars AS DOUBLE) / nullif(nw, 0)
+                    BETWEEN 4.0 AND 5.0)
+               AND n_stop_distinct >= 2
+               AND (1.0 - CAST(ndw AS DOUBLE) / nullif(nw, 0) <= 0.5)
+               AS keep
+    FROM stats
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length bounds, minimum distinct-
+    stopword evidence, and a duplicate-word ceiling, each emitted as a
+    flag plus the composite ``keep`` — the canonical pre-training
+    heuristic filter, with thresholds chosen to BIND on this corpus
+    (every rule rejects some documents, so the flags are exercised, not
+    vacuous).
+
+    All comparisons run on EXACT values (integer counts and exact
+    int/int double divisions — identical IEEE results in both engines);
+    the rounded columns are presentation only, so a rounding boundary
+    can never flip a flag differently across engines.  Zero shuffles:
+    pure array-HOF projections fused into the scan."""
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+    nw = F.expr(f"size({toks})").cast("long")
+    ndw = F.expr(f"size(array_distinct({toks}))").cast("long")
+    twc = F.expr(
+        f"aggregate({toks}, 0L, (a, w) -> a + CAST(length(w) AS BIGINT))"
+    )
+    n_stop = sum(
+        F.expr(f"array_contains({toks}, '{w}')").cast("int")
+        for w in ("the", "a", "and", "is")
+    )
+    mwl = twc.cast("double") / F.nullif(nw, F.lit(0))
+    dupf = F.lit(1.0) - ndw.cast("double") / F.nullif(nw, F.lit(0))
+    wc_ok = nw.between(25, 80)
+    mwl_ok = (mwl >= 4.0) & (mwl <= 5.0)
+    stop_ok = n_stop >= 2
+    dup_ok = dupf <= 0.5
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        nw.alias("nw"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        F.round(dupf, 6).alias("dup_word_frac"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        dup_ok.alias("dup_ok"),
+        (wc_ok & mwl_ok & stop_ok & dup_ok).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def _bm25_oracle_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(tokens, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf_{t} > 0) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = "\n                 + ".join(
+        f"CASE WHEN f.tf_{t} > 0 THEN "
+        f"ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5)) "
+        f"* f.tf_{t} * ({_BM25_K1} + 1.0) "
+        f"/ (f.tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * f.dl / s.avgdl)) "
+        f"ELSE 0.0 END"
+        for t in _BM25_TERMS
+    )
+    return (
+        _TOKENS_CTE
+        + f"""
+    , feat AS (
+        SELECT doc_id,
+               CAST(len(list_filter(tokens, x -> x <> '')) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM tok
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM feat
+    )
+    SELECT f.doc_id,
+           round({score}, 6) AS bm25
+    FROM feat f CROSS JOIN stats s
+    ORDER BY round({score}, 6) DESC, f.doc_id
+    LIMIT {_BM25_TOPK}
+    """
+    )
+
+
+@_register("bm25_topk_docs", _bm25_oracle_sql())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, public) top-{k} documents for a
+    fixed conjunctive-ish query ({terms}): per-term Lucene-style idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and the saturating tf part
+    with k1={k1}, b={b}, summed over matched terms — the lexical
+    ranking companion of :func:`tfidf_top_terms` (which scores TERMS;
+    this ranks DOCUMENTS) and the BM25 leg a production hybrid
+    retriever pairs with dense scores (``hybrid_search_rrf``).
+
+    Scale shape: per-document tf/dl are array-HOF projections fused
+    into the scan (no explode, no posting-list shuffle); the corpus
+    stats (N, avgdl, per-term df) are ONE tiny aggregate row broadcast
+    back; ranking is TakeOrderedAndProject on the rounded score.  Both
+    engines rank on the ROUNDED score with doc_id tiebreak, so a
+    floating-point boundary cannot order them differently.""".format(
+        k=_BM25_TOPK, terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, x -> x = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).cast("long").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = feat.join(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        part = F.when(
+            tf > 0,
+            idf
+            * tf
+            * F.lit(_BM25_K1 + 1.0)
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(_BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

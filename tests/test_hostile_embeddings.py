@@ -70,6 +70,10 @@ _EMBED_PANEL = [
     # truncation gate: vectors zero in the first 16 dims but nonzero
     # overall must drop from the truncated tier identically
     "matryoshka_truncation_recall",
+    # r9 IVF probe curve: zero-norm vectors must drop from queries AND
+    # candidates, zero-sum centroids must drop from the codebook, and
+    # every rank (cells and neighbors) must tie-break identically
+    "ivf_label_cells_recall_curve",
     # LOO centroids under singleton labels (S - v = 0 -> NULL own
     # cosine -> n_undefined) and zero vectors
     "label_noise_centroid_disagreement",

@@ -109,6 +109,11 @@ _NUMERIC_PANEL = [
     # LOO encoding under singleton categories (dropped) and all-tied
     # targets: (sum-x)/(n-1) must stay exact through DECIMAL both sides
     "loo_target_encoding_priority",
+    # r9 rank statistics: all-tied values (midranks collapse, tau-b
+    # denominators shrink toward zero) and negative/zero prices must
+    # produce identical midranks and tie corrections on both engines
+    "spearman_price_vs_quantity",
+    "kendall_tau_quantity_discount",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",

@@ -161,6 +161,13 @@ _HOSTILE_PANEL = [
     # tokens from whitespace-only docs must be dropped identically, and
     # the top-df selection must tie-break identically on both engines
     "inverted_index_conjunctive",
+    # round-9 additions: the Gopher rules and BM25 consume the same
+    # filtered-token relation — empty/whitespace-only docs must yield
+    # zero trigrams, NULL-guarded divisions, and zero-length BM25 docs
+    # identically on both engines
+    "gopher_dup_trigram_chars",
+    "gopher_quality_rules",
+    "bm25_topk_docs",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
