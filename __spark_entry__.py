@@ -136,6 +136,9 @@ _PANEL_NEXT_CANDIDATES = [
     "spearman_price_vs_quantity",
     "kendall_tau_quantity_discount",
     "ivf_label_cells_recall_curve",
+    "entity_resolution_customers",
+    "conformal_calibration_quantile",
+    "zonemap_pruning_by_layout",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

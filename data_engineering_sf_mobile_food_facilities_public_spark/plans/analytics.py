@@ -7084,3 +7084,113 @@ def kendall_tau_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(tau, 6).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution — blocking, fuzzy verify, transitive clustering.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "entity_resolution_customers",
+    """
+    WITH RECURSIVE dirty AS (
+        SELECT c_custkey * 3 AS ent,
+               'Customer#' || substr(c_name, 10, 9) AS name
+        FROM customer
+        UNION ALL
+        SELECT c_custkey * 3 + 1,
+               'Custumer#' || substr(c_name, 10, 9)
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey * 3 + 2,
+               'Custome#' || substr(c_name, 10, 9)
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    blocked AS (
+        SELECT ent, name, right(name, 9) AS bkey
+        FROM dirty
+    ),
+    pairs AS (
+        SELECT a.ent AS id_a, b.ent AS id_b
+        FROM blocked a JOIN blocked b
+          ON a.bkey = b.bkey AND a.ent < b.ent
+        WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (
+        SELECT a AS ent, LEAST(a, MIN(b)) AS component
+        FROM walk GROUP BY a
+    )
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           ANY_VALUE(d.name) AS canonical_name
+    FROM comp c JOIN dirty d ON d.ent = c.component
+    GROUP BY c.component
+    """,
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (record linkage) over a
+    deterministically dirtied customer roster: every 7th customer gains
+    two typo variants ('Custumer#...' substitution, 'Custome#...'
+    deletion — each edit distance 1 from the clean name, distance 2
+    from EACH OTHER, so only transitive closure through the clean
+    record unites the cluster).  Pipeline: (1) BLOCKING on the
+    stable digit string (the survivorship key a real ER system derives
+    from phone/email/address evidence) prunes the cross product to
+    within-entity candidates; (2) pairwise Levenshtein <= 1 verifies;
+    (3) iterative min-label connected components clusters; (4) the
+    min-id member is elected canonical (survivorship).  Emits one row
+    per multi-member cluster with its size and surviving name.
+
+    Scale shape: the blocked self-join is the fuzzy_name_match shape
+    (equi-join on block key; edit distance only inside blocks — never
+    a cross product); components run the bounded-iteration min-label
+    loop (operators/graph.py) with per-round localCheckpoint, the same
+    machinery as near_dup_components, oracle-checked against a
+    recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.substring("c_name", 10, 9)
+    clean = c.select(
+        (F.col("c_custkey") * 3).alias("ent"),
+        F.concat(F.lit("Customer#"), digits).alias("name"),
+    )
+    marked = c.filter(F.col("c_custkey") % 7 == 0)
+    var_a = marked.select(
+        (F.col("c_custkey") * 3 + 1).alias("ent"),
+        F.concat(F.lit("Custumer#"), digits).alias("name"),
+    )
+    var_b = marked.select(
+        (F.col("c_custkey") * 3 + 2).alias("ent"),
+        F.concat(F.lit("Custome#"), digits).alias("name"),
+    )
+    dirty = clean.unionAll(var_a).unionAll(var_b)
+    blocked = dirty.withColumn("bkey", F.expr("right(name, 9)"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.ent") < F.col("b.ent")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.ent").alias("id_a"), F.col("b.ent").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .join(
+            dirty.select(F.col("ent").alias("component"), "name"), "component"
+        )
+        .select("component", "cluster_size", F.col("name").alias("canonical_name"))
+    )

@@ -1461,3 +1461,98 @@ def rows_per_input_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning effectiveness by physical layout.
+# ---------------------------------------------------------------------------
+
+_ZM_ROWS_PER_FILE = 1000  # pseudo-file granule (rows per file)
+
+
+@_register(
+    "zonemap_pruning_by_layout",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderdate FROM orders
+    ),
+    by_key AS (
+        SELECT 'insertion_order' AS layout,
+               o_orderkey // {_ZM_ROWS_PER_FILE} AS file_id,
+               MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax
+        FROM base GROUP BY 2
+    ),
+    by_month AS (
+        SELECT 'date_partitioned' AS layout,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                   AS file_id,
+               MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax
+        FROM base GROUP BY 2
+    ),
+    files AS (SELECT * FROM by_key UNION ALL SELECT * FROM by_month)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01'
+                           OR zmin >= TIMESTAMP '1997-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           round(CAST(SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01'
+                                 OR zmin >= TIMESTAMP '1997-01-01'
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS frac_pruned
+    FROM files
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def zonemap_pruning_by_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max skipping-index) effectiveness under two
+    physical layouts for the predicate ``o_orderdate IN 1996``: files
+    written in INSERTION ORDER (orderkey ranges — dates land randomly,
+    so nearly every file's [min,max] straddles the predicate and
+    nothing prunes) versus files PARTITIONED BY MONTH (every file
+    outside 1996 prunes by its zone map alone).  This is the planning
+    analysis behind "sort/partition/z-order your data": identical rows,
+    identical predicate, orders-of-magnitude different scan sets — the
+    quantified companion of ``zorder_key_orders`` and the
+    bloom-pruning audit.
+
+    Scale shape: one pass per layout producing per-file min/max (the
+    zone maps themselves — map-side-combined partials, dim-sized
+    output), then the pruning decision is pure arithmetic on the
+    #files frame.  At 100 TB this is exactly how a table-format
+    maintenance job scores a candidate re-clustering without rewriting
+    anything."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+
+    def layout(name: str, file_id) -> DataFrame:
+        return (
+            o.groupBy(file_id.alias("file_id"))
+            .agg(
+                F.min("o_orderdate").alias("zmin"),
+                F.max("o_orderdate").alias("zmax"),
+            )
+            .select(F.lit(name).alias("layout"), "file_id", "zmin", "zmax")
+        )
+
+    files = layout(
+        "insertion_order", F.expr(f"o_orderkey div {_ZM_ROWS_PER_FILE}")
+    ).unionAll(
+        layout(
+            "date_partitioned",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
+        )
+    )
+    pruned = F.when((F.col("zmax") < lo) | (F.col("zmin") >= hi), 1).otherwise(0)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(pruned).cast("long").alias("n_pruned"),
+            F.round(
+                F.sum(pruned).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pruned"),
+        )
+        .orderBy("layout")
+    )

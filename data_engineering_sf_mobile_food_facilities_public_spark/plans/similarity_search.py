@@ -1814,3 +1814,121 @@ def ivf_label_cells_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("nprobe", "n_queries", "mean_recall_at_10", "n_perfect")
 
     return tier(1).unionAll(tier(2)).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# Conformal prediction calibration — per-label nonconformity quantile.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@_register(
+    "conformal_calibration_quantile",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v, label FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    ex AS (
+        SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM e0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(x) AS DOUBLE) AS s
+        FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS cv
+        FROM sums GROUP BY label
+        HAVING SUM(s * s) > 0
+    ),
+    scored AS (
+        SELECT e.label, e.vec_id,
+               1.0 - round(list_cosine_similarity(e.v, c.cv), 6) AS score
+        FROM e JOIN cent c ON c.label = e.label
+    ),
+    ranked AS (
+        SELECT label, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY score, vec_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM scored
+    )
+    SELECT label,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_cal,
+           CAST(ANY_VALUE(k) AS BIGINT) AS k_index,
+           MIN(CASE WHEN rnk = k THEN score END) AS qhat
+    FROM (
+        SELECT *, LEAST(CAST(ceil((n + 1) * (1.0 - {_CONF_ALPHA}))
+                             AS BIGINT), n) AS k
+        FROM ranked
+    )
+    GROUP BY label
+    """,
+)
+def conformal_calibration_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial, public): per-label nonconformity scores
+    ``1 - cos(v, centroid_label)`` over the calibration set, and the
+    conformal quantile ``qhat`` = the ceil((n+1)(1-alpha))-th smallest
+    score (clamped to n) — the threshold that guarantees >= 1-alpha
+    marginal coverage for future points under exchangeability.  The
+    eval a production classifier ships alongside its predictions to
+    turn scores into calibrated prediction sets.
+
+    Scale shape: centroids are exact DECIMAL sums (the
+    ``embedding_label_centroids`` discipline, #labels x dim partials);
+    scoring is a broadcast join of the tiny codebook onto the corpus
+    (cosine rounded at the edge); the order statistic is selected by a
+    per-label rank window — partitioned by label, never global.  The
+    k-th element is picked EXACTLY (rnk = k with (score, vec_id) total
+    order), not via an approximate percentile, so both engines select
+    the identical row."""
+    from ..functions.vectors import as_double, cosine, norm
+
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v"), "label"
+    )
+    e = e0.filter(norm(F.col("v")) > 0)
+    ex = e0.select("label", F.posexplode("v").alias("pos", "x0")).select(
+        "label", "pos", F.col("x0").cast("decimal(18,9)").alias("x")
+    )
+    sums = ex.groupBy("label", "pos").agg(F.sum("x").cast("double").alias("s"))
+    cent = (
+        sums.groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, s))), t -> t.s)")
+            .alias("cv"),
+            F.sum(F.col("s") * F.col("s")).alias("cn2"),
+        )
+        .filter(F.col("cn2") > 0)
+        .select("label", "cv")
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (F.lit(1.0) - F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("score"),
+    )
+    w_rank = Window.partitionBy("label").orderBy("score", "vec_id")
+    w_n = Window.partitionBy("label")
+    ranked = scored.select(
+        "label",
+        "score",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).withColumn(
+        "k",
+        F.least(
+            F.ceil((F.col("n") + 1) * F.lit(1.0 - _CONF_ALPHA)).cast("long"),
+            F.col("n"),
+        ),
+    )
+    return ranked.groupBy("label").agg(
+        F.first("n").cast("long").alias("n_cal"),
+        F.first("k").cast("long").alias("k_index"),
+        F.min(F.when(F.col("rnk") == F.col("k"), F.col("score"))).alias("qhat"),
+    )

@@ -55,6 +55,9 @@ _DIM_PANEL = [
     "train_test_split_counts",
     "pareto_customers_80pct",
     "fuzzy_name_match",
+    # r9 entity resolution: duplicate/empty/short names must block and
+    # pair identically (right()-based key, no position arithmetic)
+    "entity_resolution_customers",
     # l-diversity divides classes by sensitive-band cardinality:
     # all-tied balances, singleton classes and NULL-ish names are
     # exactly where min-distinct degenerates to 1 on both engines

@@ -74,6 +74,9 @@ _EMBED_PANEL = [
     # candidates, zero-sum centroids must drop from the codebook, and
     # every rank (cells and neighbors) must tie-break identically
     "ivf_label_cells_recall_curve",
+    # r9 conformal calibration: zero-norm members, zero-sum centroids
+    # and all-tied scores must select the same k-th order statistic
+    "conformal_calibration_quantile",
     # LOO centroids under singleton labels (S - v = 0 -> NULL own
     # cosine -> n_undefined) and zero vectors
     "label_noise_centroid_disagreement",
