@@ -93,6 +93,16 @@ HEADLINE = [
     "mann_whitney_u_price_halves",
     "int8_recall_vs_exact",
     "hhi_supplier_concentration",
+    # round-9 additions: BM25 ranking (broadcast corpus stats +
+    # TakeOrdered), the Gopher repetition fold (zero-shuffle HOF scan),
+    # tie-aware Spearman through the bucketed distinct-value cumsum,
+    # blocked ER with iterative components, and the label-cell IVF
+    # recall curve (codebook broadcast + cell equi-join)
+    "bm25_topk_docs",
+    "gopher_dup_trigram_chars",
+    "spearman_price_vs_quantity",
+    "entity_resolution_customers",
+    "ivf_label_cells_recall_curve",
 ]
 
 
