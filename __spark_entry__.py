@@ -139,6 +139,9 @@ _PANEL_NEXT_CANDIDATES = [
     "entity_resolution_customers",
     "conformal_calibration_quantile",
     "zonemap_pruning_by_layout",
+    "woe_binning_price_returns",
+    "late_event_drop_audit",
+    "local_clustering_part_graph",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

@@ -7194,3 +7194,296 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("component", "cluster_size", F.col("name").alias("canonical_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence binning — credit-scoring feature diagnostics.
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 12
+_WOE_LO = 0.0
+_WOE_HI = 120000.0
+
+
+@_register(
+    "woe_binning_price_returns",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN l_extendedprice < {_WOE_LO} THEN 0
+                    WHEN l_extendedprice >= {_WOE_HI} THEN {_WOE_BINS} + 1
+                    ELSE CAST(floor((l_extendedprice - {_WOE_LO})
+                              / (({_WOE_HI} - {_WOE_LO}) / {_WOE_BINS}))
+                              AS BIGINT) + 1
+               END AS bin,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_bad
+        FROM base GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS t_good,
+               CAST(SUM(n_bad) AS BIGINT) AS t_bad
+        FROM per_bin
+    )
+    SELECT b.bin, b.n_good, b.n_bad,
+           round(ln(((b.n_good + 0.5) / (t.t_good + 0.5))
+                    / ((b.n_bad + 0.5) / (t.t_bad + 0.5))), 6) AS woe,
+           round((CAST(b.n_good AS DOUBLE) / t.t_good
+                  - CAST(b.n_bad AS DOUBLE) / t.t_bad)
+                 * ln(((b.n_good + 0.5) / (t.t_good + 0.5))
+                      / ((b.n_bad + 0.5) / (t.t_bad + 0.5))), 6) AS iv_contrib
+    FROM per_bin b CROSS JOIN tot t
+    """,
+)
+def woe_binning_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning of l_extendedprice against the return
+    flag — the credit-scoring feature diagnostic (per-bin
+    ``ln(good%/bad%)`` with 0.5 smoothing) plus each bin's Information
+    Value contribution, the standard screen for whether a continuous
+    feature separates a binary target and HOW monotonically.  Fixed-
+    width bins with closed-form edges (the ``width_bucket`` convention)
+    so bin membership is pure integer arithmetic — never a data-driven
+    quantile whose boundary could drift between engines.
+
+    Scale shape: one groupBy over the fact table (map-side combined);
+    the totals enter as a broadcast 1-row aggregate (Q15 scalar
+    pattern); WOE/IV are per-bin arithmetic on the dim-sized frame.
+    ln() on identical doubles is the PMI/entropy-family precedent."""
+    price = F.col("l_extendedprice")
+    width = (_WOE_HI - _WOE_LO) / _WOE_BINS
+    bin_ = (
+        F.when(price < _WOE_LO, F.lit(0))
+        .when(price >= _WOE_HI, F.lit(_WOE_BINS + 1))
+        .otherwise(F.floor((price - _WOE_LO) / width).cast("long") + 1)
+    )
+    base = load(spark, sf_dir, "lineitem").select(
+        bin_.alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").cast("long").alias("t_good"),
+        F.sum("n_bad").cast("long").alias("t_bad"),
+    )
+    woe = F.log(
+        ((F.col("n_good") + 0.5) / (F.col("t_good") + 0.5))
+        / ((F.col("n_bad") + 0.5) / (F.col("t_bad") + 0.5))
+    )
+    iv = (
+        F.col("n_good").cast("double") / F.col("t_good")
+        - F.col("n_bad").cast("double") / F.col("t_bad")
+    ) * woe
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round(iv, 6).alias("iv_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-event drop audit — batch planning aid for streaming.
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_US = 120_000_000  # 2-minute watermark delay
+_WM_WINDOW_US = 900_000_000  # 15-minute tumbling event-time windows
+_WM_SKEW_MOD = 600  # deterministic arrival skew: 0..599 seconds
+
+
+@_register(
+    "late_event_drop_audit",
+    f"""
+    WITH arr AS (
+        SELECT event_id, event_type,
+               epoch_us(ts) AS ev_us,
+               epoch_us(ts) + (event_id % {_WM_SKEW_MOD}) * 1000000 AS proc_us
+        FROM events
+    ),
+    marked AS (
+        SELECT event_id, event_type, ev_us, proc_us,
+               MAX(ev_us) OVER (ORDER BY proc_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_ev_before
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN proc_us > ev_us THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delayed,
+           CAST(SUM(CASE WHEN coalesce(max_ev_before - {_WM_DELAY_US}
+                                       > (ev_us // {_WM_WINDOW_US} + 1)
+                                         * {_WM_WINDOW_US}, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(CASE WHEN coalesce(max_ev_before - {_WM_DELAY_US}
+                                       > (ev_us // {_WM_WINDOW_US} + 1)
+                                         * {_WM_WINDOW_US}, FALSE)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS drop_rate
+    FROM marked
+    GROUP BY event_type
+    """,
+)
+def late_event_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop-rate audit: replay the event log in (synthetic,
+    deterministic) ARRIVAL order and count, per event type, how many
+    events a Structured Streaming job with a 2-minute watermark and
+    15-minute tumbling event-time windows would DROP — an event dies
+    when the watermark at its arrival (max event time over all STRICT
+    predecessors minus the delay) has already passed its window's end.
+    This is the batch planning pass a team runs over history to SIZE
+    the watermark before deploying the streaming job
+    (``streaming/``'s windowed aggregations are the runtime twin).
+
+    All comparisons run on exact integer microseconds (the twap
+    lesson: second-level rounding diverges across engines).  Scale
+    shape: the arrival-order running max is
+    :func:`grouped_running_max` with a constant group key and
+    ``exclusive=True`` — the two-pass bucketed decomposition, no
+    single-task global window; the final contraction is one groupBy."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ev_us"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % _WM_SKEW_MOD) * F.lit(1_000_000)
+        ).alias("proc_us"),
+    )
+    marked = grouped_running_max(
+        e.withColumn("__one", F.lit(1)),
+        "__one",
+        ["proc_us", "event_id"],
+        "ev_us",
+        out_col="max_ev_before",
+        exclusive=True,
+    )
+    window_end = (
+        F.floor(F.col("ev_us") / _WM_WINDOW_US).cast("long") + 1
+    ) * F.lit(_WM_WINDOW_US)
+    dropped = F.coalesce(
+        F.col("max_ev_before") - F.lit(_WM_DELAY_US) > window_end, F.lit(False)
+    ).cast("int")
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("proc_us") > F.col("ev_us")).cast("int"))
+        .cast("long")
+        .alias("n_delayed"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.round(
+            F.sum(dropped).cast("double") / F.count(F.lit(1)), 6
+        ).alias("drop_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node (local) clustering coefficient.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "local_clustering_part_graph",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_per_node AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / (d.d * (d.d - 1)), 6) AS local_cc
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    WHERE d.d >= 2
+    """,
+)
+def local_clustering_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE clustering coefficient on the part co-purchase graph:
+    ``2*tri(n) / (d(n)*(d(n)-1))`` — which parts sit inside basket
+    cliques (accessory bundles) versus merely popular hubs whose
+    neighbors never co-occur.  The node-resolved companion of
+    ``global_clustering_coefficient`` (one number) and
+    ``triangle_count_part_graph`` (one number): hub nodes with high
+    degree and near-zero local CC are exactly the skew keys the join
+    planner salts.
+
+    Scale shape: the oriented u<v<w wedge-closure join emits every
+    triangle ONCE; per-node counts come from a 3-way endpoint explode
+    of the (sparse) triangle relation, never a neighborhood cross
+    product; degrees are one shuffled count.  Nodes of degree < 2 have
+    no defined coefficient and are excluded (their wedge count is 0)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"),
+            F.col("e2.v").alias("tc"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+    )

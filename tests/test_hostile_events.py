@@ -97,6 +97,10 @@ _EVENT_PANEL = [
     # unordered completion under same-instant event bursts and the
     # strict < window boundary at exactly t0 + 7 days
     "unordered_completion_funnel",
+    # r9 watermark drop audit: same-instant arrivals (event_id breaks
+    # the arrival order), the strict-predecessor running max on the
+    # first event (NULL -> not dropped), and window-end boundary hits
+    "late_event_drop_audit",
 ]
 
 

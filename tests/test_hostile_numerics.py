@@ -114,6 +114,9 @@ _NUMERIC_PANEL = [
     # produce identical midranks and tie corrections on both engines
     "spearman_price_vs_quantity",
     "kendall_tau_quantity_discount",
+    # r9 WOE binning: empty bins (0.5 smoothing paths), all-good or
+    # all-bad bins, and out-of-range prices must bin identically
+    "woe_binning_price_returns",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
