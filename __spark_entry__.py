@@ -142,6 +142,7 @@ _PANEL_NEXT_CANDIDATES = [
     "woe_binning_price_returns",
     "late_event_drop_audit",
     "local_clustering_part_graph",
+    "gopher_curation_pipeline",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

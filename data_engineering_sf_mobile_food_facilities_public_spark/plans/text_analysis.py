@@ -4674,3 +4674,164 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Gopher curation pipeline — rules + repetition + exact dedup in
+# one lazy plan, reported per source.
+# ---------------------------------------------------------------------------
+
+_GCP_DUP_TRI_MAX = 0.02
+
+
+@_register(
+    "gopher_curation_pipeline",
+    _WORDS_CTE
+    + f"""
+    , tg AS (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    tri AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupc,
+               SUM(c * length(g)) AS totc
+        FROM tgc GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(tokens, x -> x <> '')) AS BIGINT) AS nw,
+               CAST(len(list_distinct(list_filter(tokens, x -> x <> '')))
+                    AS BIGINT) AS ndw,
+               CAST(list_sum(list_transform(list_filter(tokens, x -> x <> ''),
+                                            w -> length(w))) AS BIGINT) AS twc,
+               (CASE WHEN list_contains(tokens, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tokens, 'is') THEN 1 ELSE 0 END)
+                   AS n_stop
+        FROM tok
+    ),
+    flagged AS (
+        SELECT d.doc_id, d.source, s.nw,
+               (s.nw BETWEEN 25 AND 80)
+               AND (CAST(s.twc AS DOUBLE) / nullif(s.nw, 0)
+                    BETWEEN 4.0 AND 5.0)
+               AND s.n_stop >= 2
+               AND (1.0 - CAST(s.ndw AS DOUBLE) / nullif(s.nw, 0) <= 0.5)
+               AND coalesce(CAST(t.dupc AS DOUBLE) / nullif(t.totc, 0), 0.0)
+                   <= {_GCP_DUP_TRI_MAX}
+                   AS keep,
+               md5(regexp_replace(lower(trim(d.text)),
+                                  '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+        FROM documents d
+        JOIN stats s ON s.doc_id = d.doc_id
+        LEFT JOIN tri t ON t.doc_id = d.doc_id
+    ),
+    kept AS (
+        SELECT doc_id, source, nw, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM flagged WHERE keep
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_rules,
+           CAST(coalesce(SUM(CASE WHEN k.rn = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_kept_unique,
+           CAST(coalesce(SUM(CASE WHEN k.rn = 1 THEN k.nw END), 0) AS BIGINT)
+               AS kept_tokens
+    FROM flagged f
+    LEFT JOIN kept k ON k.doc_id = f.doc_id
+    GROUP BY f.source
+    """,
+)
+def gopher_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 curation composition, ONE lazy plan: Gopher quality
+    rules (word count, mean word length, stopword evidence, dup-word
+    ceiling) + the duplicate-trigram character ceiling + exact
+    normalized-fingerprint dedup (keep-first by doc_id), contracted to
+    a per-source yield report (docs -> rule survivors -> unique
+    survivors -> surviving token budget).  This is the datasheet a
+    pretraining-data owner reads to see WHERE each source's tokens die
+    in the funnel.
+
+    Fusion: every per-document signal (token stats, trigram fold,
+    fingerprint) is a scan-side projection — the only shuffles are the
+    per-fingerprint keep-first window and the final per-source
+    contraction.  The trigram fold and the rule flags share the SAME
+    filtered-token array subexpression, so Catalyst computes it once
+    per row (the ``_repetition_raw_cols`` fusion payoff, round 9
+    edition)."""
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+    tg = (
+        f"zip_with(zip_with(slice({toks}, 1, greatest(size({toks}) - 2, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 2, 0)), "
+        f"(a, b) -> concat(a, ' ', b)), "
+        f"slice({toks}, 3, greatest(size({toks}) - 2, 0)), "
+        f"(ab, c) -> concat(ab, ' ', c))"
+    )
+    dup_chars = (
+        f"aggregate(array_sort({tg}), "
+        f"named_struct('prev', '', 'run', 0L, 'dup', 0L), "
+        f"(acc, x) -> IF(x = acc.prev, "
+        f"named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup), "
+        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup + "
+        f"IF(acc.run > 1L, acc.run * CAST(length(acc.prev) AS BIGINT), 0L))), "
+        f"acc -> acc.dup + IF(acc.run > 1L, "
+        f"acc.run * CAST(length(acc.prev) AS BIGINT), 0L))"
+    )
+    tot_chars = f"aggregate({tg}, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
+    nw = F.expr(f"size({toks})").cast("long")
+    ndw = F.expr(f"size(array_distinct({toks}))").cast("long")
+    twc = F.expr(f"aggregate({toks}, 0L, (a, w) -> a + CAST(length(w) AS BIGINT))")
+    n_stop = sum(
+        F.expr(f"array_contains({toks}, '{w}')").cast("int")
+        for w in ("the", "a", "and", "is")
+    )
+    mwl = twc.cast("double") / F.nullif(nw, F.lit(0))
+    dupf = F.lit(1.0) - ndw.cast("double") / F.nullif(nw, F.lit(0))
+    trif = F.coalesce(
+        F.expr(dup_chars).cast("double") / F.nullif(F.expr(tot_chars), F.lit(0)),
+        F.lit(0.0),
+    )
+    keep = (
+        nw.between(25, 80)
+        & (mwl >= 4.0)
+        & (mwl <= 5.0)
+        & (n_stop >= 2)
+        & (dupf <= 0.5)
+        & (trif <= _GCP_DUP_TRI_MAX)
+    )
+    d = load(spark, sf_dir, "documents")
+    flagged = d.select(
+        "doc_id",
+        "source",
+        nw.alias("nw"),
+        keep.alias("keep"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        flagged.filter("keep")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", F.col("rn"), F.col("nw").alias("knw"))
+    )
+    return (
+        flagged.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept_rules"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, 1)), F.lit(0)
+            ).cast("long").alias("n_kept_unique"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, F.col("knw"))), F.lit(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -168,6 +168,7 @@ _HOSTILE_PANEL = [
     "gopher_dup_trigram_chars",
     "gopher_quality_rules",
     "bm25_topk_docs",
+    "gopher_curation_pipeline",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
