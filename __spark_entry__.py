@@ -143,6 +143,8 @@ _PANEL_NEXT_CANDIDATES = [
     "late_event_drop_audit",
     "local_clustering_part_graph",
     "gopher_curation_pipeline",
+    "activity_islands_per_user",
+    "merkle_range_checksums",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

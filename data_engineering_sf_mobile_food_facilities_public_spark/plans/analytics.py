@@ -7487,3 +7487,136 @@ def local_clustering_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — consecutive-day activity runs per user.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "activity_islands_per_user",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    tagged AS (
+        SELECT user_id, d,
+               CAST(d AS DATE) - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS grp
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+               COUNT(*) AS island_days
+        FROM tagged GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(island_days) AS BIGINT) AS longest_streak,
+           CAST(MIN(island_start) AS VARCHAR) AS first_day,
+           CAST(MAX(island_end) AS VARCHAR) AS last_day
+    FROM islands
+    GROUP BY user_id
+    """,
+)
+def activity_islands_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days via
+    the classic date-minus-row_number grouping (consecutive days share
+    the same ``d - row_number`` anchor), contracted to islands and then
+    to per-user streak stats (island count, longest streak, activity
+    span) — the retention/engagement primitive behind "7-day streak"
+    product metrics.
+
+    Scale shape: distinct (user, day) first (the only fact-sized
+    contraction), then the row_number window partitions BY USER — the
+    grouped, bounded-partition window this engine allows (a user's
+    distinct days are bounded by the calendar, never corpus-sized).
+    Dates are compared as DATE arithmetic, rendered as ISO strings at
+    the edge (naive-timestamp convention)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = e.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = tagged.groupBy("user_id", "grp").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count(F.lit(1)).alias("island_days"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("island_days").cast("long").alias("longest_streak"),
+        F.min("island_start").cast("string").alias("first_day"),
+        F.max("island_end").cast("string").alias("last_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style range checksums — replica diffing by key range.
+# ---------------------------------------------------------------------------
+
+_MERKLE_RANGE = 1000  # orderkeys per leaf range
+
+
+@_register(
+    "merkle_range_checksums",
+    f"""
+    WITH leaf AS (
+        SELECT o_orderkey // {_MERKLE_RANGE} AS range_id,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   coalesce(o_orderstatus, '') || '|' ||
+                   coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                        '') || '|' ||
+                   coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '')
+               ), 1, 12)) AS BIGINT) AS row_h
+        FROM orders
+    )
+    SELECT CAST(range_id AS BIGINT) AS range_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_h) AS BIGINT) AS range_checksum
+    FROM leaf
+    GROUP BY range_id
+    """,
+)
+def merkle_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy range checksums (the Merkle-leaf layer of a
+    Dynamo/Cassandra-style replica repair): rows hash to 48-bit
+    integers (md5 prefix — order-insensitive SUM-combinable without
+    overflow until ~2^15 rows per range; ranges hold {_MERKLE_RANGE}),
+    aggregated per orderkey range.  Two replicas compare this frame,
+    and only ranges whose (n_rows, checksum) differ need row-level
+    diffing — the whole-table ``replication_checksum_orders`` zoomed
+    to repair granularity.
+
+    Scale shape: one map-side-combinable groupBy on a pure projection;
+    the range id is integer arithmetic on the key, so the frame
+    partitions and prunes by key range.  The row serialization is the
+    canonical NULL-guarded string contract shared with the whole-table
+    checksum (dates rendered as ISO days, the naive-timestamp edge
+    convention)."""
+    o = load(spark, sf_dir, "orders")
+    row_s = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), F.lit("")
+        ),
+        F.coalesce(F.to_date("o_orderdate").cast("string"), F.lit("")),
+    )
+    row_h = F.conv(F.substring(F.md5(row_s), 1, 12), 16, 10).cast("long")
+    return (
+        o.select(
+            F.expr(f"o_orderkey div {_MERKLE_RANGE}").alias("range_id"),
+            row_h.alias("row_h"),
+        )
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("row_h").cast("long").alias("range_checksum"),
+        )
+    )

@@ -101,6 +101,9 @@ _EVENT_PANEL = [
     # the arrival order), the strict-predecessor running max on the
     # first event (NULL -> not dropped), and window-end boundary hits
     "late_event_drop_audit",
+    # r9 gaps-and-islands: same-instant and same-day event bursts must
+    # collapse to one active day; single-day users are 1-day islands
+    "activity_islands_per_user",
 ]
 
 

@@ -117,6 +117,9 @@ _NUMERIC_PANEL = [
     # r9 WOE binning: empty bins (0.5 smoothing paths), all-good or
     # all-bad bins, and out-of-range prices must bin identically
     "woe_binning_price_returns",
+    # r9 range checksums: NULL statuses/prices hit the coalesce
+    # serialization contract; disjoint key ranges yield sparse leaves
+    "merkle_range_checksums",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",

@@ -197,6 +197,17 @@ _NESTED_LOOP_ALLOWED = {
     # composes hybrid_search_rrf, inheriting its dense leg's deliberate
     # broadcast query x corpus scan; the MRR join is a pure equi-join
     "rrf_mrr_vs_dense",
+    # r9: 1-row corpus stats (N, avgdl, per-term df) broadcast into the
+    # per-document BM25 scoring (Q15/Q22 scalar pattern)
+    "bm25_topk_docs",
+    # r9: query sample x #labels codebook cross is the IVF probe step —
+    # both sides dim-sized, deliberately exhaustive over cells
+    "ivf_label_cells_recall_curve",
+    # r9: 1-row pair totals x 1-row tie corrections scalar combine over
+    # the dense #qx x #dy grid
+    "kendall_tau_quantity_discount",
+    # r9: 1-row (t_good, t_bad) totals broadcast into per-bin WOE/IV
+    "woe_binning_price_returns",
 }
 
 
