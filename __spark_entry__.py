@@ -145,6 +145,9 @@ _PANEL_NEXT_CANDIDATES = [
     "gopher_curation_pipeline",
     "activity_islands_per_user",
     "merkle_range_checksums",
+    "kmv_distinct_estimate",
+    "rolling_7day_median_revenue",
+    "cuped_variance_reduction",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

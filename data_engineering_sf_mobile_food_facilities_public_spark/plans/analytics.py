@@ -7620,3 +7620,299 @@ def merkle_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("row_h").cast("long").alias("range_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — deterministic, mergeable.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = float(2**48)  # hash lane width (48-bit md5 prefix)
+
+
+@_register(
+    "kmv_distinct_estimate",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                              1, 12)) AS BIGINT) AS hv
+        FROM lineitem
+    ),
+    kth AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rnk FROM h
+    ),
+    est AS (
+        SELECT MAX(CASE WHEN rnk = {_KMV_K} THEN hv END) AS h_k,
+               CAST(COUNT(*) AS BIGINT) AS n_hashes
+        FROM kth WHERE rnk <= {_KMV_K}
+    ),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem
+    )
+    SELECT e.n_hashes AS k_used,
+           x.exact_distinct,
+           CASE WHEN e.h_k IS NULL THEN x.exact_distinct
+                ELSE CAST(round(({_KMV_K} - 1)
+                                / (e.h_k / {_KMV_SCALE!r})) AS BIGINT)
+           END AS kmv_estimate
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    public): keep the k smallest distinct hash values; the k-th
+    smallest, scaled to [0,1), estimates distinct count as
+    ``(k-1)/h_k`` — the mergeable sketch family HLL descends from,
+    here with a DETERMINISTIC md5 lane so the whole estimate (not just
+    its error bound) is oracle-checkable, unlike
+    ``approx_count_distinct``'s implementation-defined HLL.  Emitted
+    next to the exact count so the row doubles as a calibration gate.
+
+    Scale shape: distinct hashes contract map-side; the k smallest
+    survive a TakeOrdered-shaped rank (k tiny, never a global sort
+    materialization); merging replicas = union + re-take-k, the same
+    algebra the minhash signatures use.  When the domain has fewer
+    than k members the sketch IS the exact count (h_k NULL -> exact
+    fallback, the standard small-domain rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12), 16, 10
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    kth = h.orderBy("hv").limit(_KMV_K)
+    est = kth.agg(
+        F.max("hv").alias("h_k_candidate"),
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+    ).select(
+        F.when(F.col("n_hashes") == _KMV_K, F.col("h_k_candidate")).alias("h_k"),
+        "n_hashes",
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n_hashes").alias("k_used"),
+        "exact_distinct",
+        F.when(F.col("h_k").isNull(), F.col("exact_distinct"))
+        .otherwise(
+            F.round((_KMV_K - 1) / (F.col("h_k") / F.lit(_KMV_SCALE))).cast("long")
+        )
+        .alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day MEDIAN — exact order statistics over a moving window.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7day_median_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT d, rev,
+               list(rev) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY
+                               PRECEDING AND CURRENT ROW) AS wvals
+        FROM daily
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(len(wvals) AS INT) AS n_days_in_window,
+           round(CASE WHEN len(wvals) % 2 = 1
+                      THEN list_sort(wvals)[(len(wvals) + 1) // 2]
+                      ELSE (list_sort(wvals)[len(wvals) // 2]
+                            + list_sort(wvals)[len(wvals) // 2 + 1]) / 2.0
+                 END, 6) AS median_7d
+    FROM win
+    """,
+)
+def rolling_7day_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily revenue — the robust moving
+    baseline ``rolling_7day_spend``'s mean cannot give (one flash-sale
+    day drags a mean for a week; the median shrugs).  The window
+    collects the (<= 7) daily values into an array and takes the exact
+    order statistic by sort-and-index, with the even/odd midpoint rule
+    — no approximate percentile, so both engines select identical
+    values.
+
+    Scale shape: the fact table contracts to one row per DAY first
+    (DECIMAL sums); the collect_list window then runs on the dim-sized
+    daily spine with a 7-element cap per row — array order never
+    matters because the median sorts it.  A RANGE frame (not ROWS)
+    keeps calendar gaps honest: missing days shrink the window rather
+    than silently stretching it."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    days = F.datediff(F.col("d"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.orderBy(days.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "d", F.collect_list("rev").over(w).alias("wvals")
+    )
+    sorted_w = F.array_sort("wvals")
+    n = F.size("wvals")
+    median = F.when(
+        n % 2 == 1, F.element_at(sorted_w, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(sorted_w, (n / 2).cast("int"))
+            + F.element_at(sorted_w, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return win.select(
+        F.col("d").cast("string").alias("day"),
+        n.cast("int").alias("n_days_in_window"),
+        F.round(median, 6).alias("median_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — controlled experiments at scale.
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period before, experiment after
+
+
+@_register(
+    "cuped_variance_reduction",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                             THEN CAST(value AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                    AS DECIMAL(24,6)) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                             THEN CAST(value AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END)
+                    AS DECIMAL(24,6)) AS y
+        FROM events
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+               SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+               SUM(CASE WHEN arm = 1 THEN x ELSE CAST(0 AS DECIMAL(24,6)) END)
+                   AS sxt,
+               SUM(CASE WHEN arm = 1 THEN y ELSE CAST(0 AS DECIMAL(24,6)) END)
+                   AS syt
+        FROM per_user
+    )
+    SELECT n,
+           CAST(nt AS BIGINT) AS n_treat,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+           round(1.0 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS var_ratio_cuped,
+           round(CAST(syt AS DOUBLE) / nt
+                 - (CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE)) / (n - nt), 6)
+               AS lift_raw,
+           round((CAST(syt AS DOUBLE) / nt
+                  - (CAST(sy AS DOUBLE) - CAST(syt AS DOUBLE)) / (n - nt))
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * (CAST(sxt AS DOUBLE) / nt
+                      - (CAST(sx AS DOUBLE) - CAST(sxt AS DOUBLE)) / (n - nt)),
+                 6) AS lift_cuped
+    FROM m
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM 2013, public): use each user's
+    PRE-period value as a control covariate to shrink experiment
+    variance — ``theta = cov(X,Y)/var(X)``, adjusted metric
+    ``Y - theta*(X - mean(X))``, variance ratio ``1 - corr(X,Y)^2`` —
+    the standard trick that makes small lifts detectable without more
+    traffic.  Arms are a deterministic ``user_id % 2`` assignment;
+    emits theta, the CUPED variance ratio, and the raw vs adjusted
+    lift (the adjusted lift needs only per-arm moment sums: the
+    per-user adjusted values never materialize).
+
+    Exactness: all moment sums run in DECIMAL (order-independent);
+    every double appears only in the final closed forms with the
+    identical expression tree on both engines.  Scale shape: one
+    per-user contraction, then a 1-row moment aggregate — nothing
+    after the groupBy touches row-scale data."""
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < split, F.col("value").cast("decimal(18,6)"))
+                .otherwise(zero)
+            ).cast("decimal(24,6)").alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= split, F.col("value").cast("decimal(18,6)"))
+                .otherwise(zero)
+            ).cast("decimal(24,6)").alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    d38 = "decimal(38,12)"
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(zero)).alias("sxt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(zero)).alias("syt"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    ntd = F.col("nt").cast("double")
+    ncd = (F.col("n") - F.col("nt")).cast("double")
+    sxt, syt = F.col("sxt").cast("double"), F.col("syt").cast("double")
+    cov_n = nd * sxy - sx * sy
+    varx_n = nd * sxx - sx * sx
+    vary_n = nd * syy - sy * sy
+    theta = cov_n / varx_n
+    lift_raw = syt / ntd - (sy - syt) / ncd
+    lift_x = sxt / ntd - (sx - sxt) / ncd
+    return m.select(
+        "n",
+        F.col("nt").cast("long").alias("n_treat"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.lit(1.0) - cov_n * cov_n / (varx_n * vary_n), 6).alias(
+            "var_ratio_cuped"
+        ),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(lift_raw - theta * lift_x, 6).alias("lift_cuped"),
+    )

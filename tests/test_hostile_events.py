@@ -104,6 +104,9 @@ _EVENT_PANEL = [
     # r9 gaps-and-islands: same-instant and same-day event bursts must
     # collapse to one active day; single-day users are 1-day islands
     "activity_islands_per_user",
+    # r9 CUPED: users entirely pre- or post-period (zero covariate or
+    # metric), negative values, and the zero-variance covariate guard
+    "cuped_variance_reduction",
 ]
 
 

@@ -120,6 +120,12 @@ _NUMERIC_PANEL = [
     # r9 range checksums: NULL statuses/prices hit the coalesce
     # serialization contract; disjoint key ranges yield sparse leaves
     "merkle_range_checksums",
+    # r9 KMV sketch: domains smaller than k (exact fallback via NULL
+    # h_k) and hash ties must estimate identically
+    "kmv_distinct_estimate",
+    # r9 rolling median: single-day windows, even/odd midpoints over
+    # all-tied and negative revenue, calendar gaps shrinking the frame
+    "rolling_7day_median_revenue",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
