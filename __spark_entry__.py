@@ -148,6 +148,7 @@ _PANEL_NEXT_CANDIDATES = [
     "kmv_distinct_estimate",
     "rolling_7day_median_revenue",
     "cuped_variance_reduction",
+    "theil_sen_trend_1996",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

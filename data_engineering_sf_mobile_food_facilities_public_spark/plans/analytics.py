@@ -7916,3 +7916,114 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lift_raw, 6).alias("lift_raw"),
         F.round(lift_raw - theta * lift_x, 6).alias("lift_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — median of pairwise slopes.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "theil_sen_trend_1996",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, rev,
+               CAST(d AS DATE) - DATE '1996-01-01' AS t
+        FROM daily
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / (b.t - a.t) AS s
+        FROM idx a JOIN idx b ON a.t < b.t
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_pairs,
+           round(CASE WHEN ANY_VALUE(n) % 2 = 1
+                      THEN MIN(CASE WHEN rnk = (n + 1) // 2 THEN s END)
+                      ELSE (MIN(CASE WHEN rnk = n // 2 THEN s END)
+                            + MIN(CASE WHEN rnk = n // 2 + 1 THEN s END)) / 2.0
+                 END, 6) AS theil_sen_slope
+    FROM ranked
+    """,
+)
+def theil_sen_trend_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Sen 1968, public) of the 1996 daily-revenue
+    trend: the MEDIAN of all pairwise slopes — the robust trend line an
+    OLS fit (``ols_price_vs_quantity``'s sibling) cannot give when a
+    few flash days lever the least squares.  Breakdown point 29%: up to
+    a third of the days can be arbitrarily corrupt before the estimate
+    moves.
+
+    Scale shape: the fact table contracts to ONE row per day first;
+    the pairwise self-join is quadratic ONLY in the bounded day spine
+    (<= 366 rows -> <= 67k slope pairs — dim-sized by construction and
+    documented as such; the fact table never self-joins).  The median
+    is the exact rank-selected order statistic (even/odd midpoint),
+    identical selection both engines; slope division is exact-int-
+    denominator IEEE, identical both engines."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    idx = daily.select(
+        "rev", F.datediff(F.col("d"), F.lit("1996-01-01").cast("date")).alias("t")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "s"
+        )
+    )
+    w = Window.orderBy("s")
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.first("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.when(
+                F.first("n") % 2 == 1,
+                F.min(
+                    F.when(
+                        F.col("rnk") == ((F.col("n") + 1) / 2).cast("long"),
+                        F.col("s"),
+                    )
+                ),
+            ).otherwise(
+                (
+                    F.min(
+                        F.when(
+                            F.col("rnk") == (F.col("n") / 2).cast("long"),
+                            F.col("s"),
+                        )
+                    )
+                    + F.min(
+                        F.when(
+                            F.col("rnk") == (F.col("n") / 2).cast("long") + 1,
+                            F.col("s"),
+                        )
+                    )
+                )
+                / 2.0
+            ),
+            6,
+        ).alias("theil_sen_slope"),
+    )

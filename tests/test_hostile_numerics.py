@@ -126,6 +126,9 @@ _NUMERIC_PANEL = [
     # r9 rolling median: single-day windows, even/odd midpoints over
     # all-tied and negative revenue, calendar gaps shrinking the frame
     "rolling_7day_median_revenue",
+    # r9 Theil-Sen: all-tied days (every slope 0), single-day 1996
+    # (zero pairs -> NULL), negative revenue
+    "theil_sen_trend_1996",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
