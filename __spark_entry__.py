@@ -149,6 +149,7 @@ _PANEL_NEXT_CANDIDATES = [
     "rolling_7day_median_revenue",
     "cuped_variance_reduction",
     "theil_sen_trend_1996",
+    "textrank_keywords",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

@@ -4835,3 +4835,135 @@ def gopher_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction — PageRank over the word adjacency graph.
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 4
+_TR_DAMP = 0.85
+_TR_TOPK = 15
+
+
+def _textrank_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of the Spark TextRank loop —
+    generated from the same constants (the ``_pagerank_oracle_sql``
+    convention), with the identical round-to-6 boundary per step."""
+    iters = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        iters.append(
+            f""",
+    r{k} AS (
+        SELECT b.node,
+               round(CAST(0.15 AS DOUBLE) / b.n
+                     + CAST({_TR_DAMP} AS DOUBLE) * coalesce(c.contrib, 0), 6)
+                   AS pr
+        FROM (SELECT node, n FROM nodes, nn) b
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr / d.outdeg) AS contrib
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) c USING (node)
+    )"""
+        )
+        prev = f"r{k}"
+    return (
+        """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text),
+                           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok
+    ),
+    e0 AS (
+        SELECT DISTINCT LEAST(t[i], t[i + 1]) AS a,
+                        GREATEST(t[i], t[i + 1]) AS b
+        FROM idx WHERE t[i] <> t[i + 1]
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 6) AS pr
+           FROM nodes, nn)
+    """
+        + "".join(iters)
+        + f"""
+    SELECT node AS word, pr AS textrank
+    FROM r{_TR_ITERS}
+    ORDER BY pr DESC, node
+    LIMIT {_TR_TOPK}"""
+    )
+
+
+@_register("textrank_keywords", _textrank_oracle_sql())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+    PageRank over the corpus-wide word ADJACENCY graph (undirected
+    edges between consecutive tokens), {iters} damped iterations, top
+    {k} words by final score — the unsupervised keyword extractor that
+    needs no training data, here run corpus-level (the per-document
+    variant just adds doc_id to every key).
+
+    Scale shape: edges derive from the token arrays by slice-zip (no
+    explode until the DISTINCT pair contraction, which is map-side
+    combinable); the iteration state is VOCABULARY-sized — word graphs
+    grow with vocabulary (Heaps-law sublinear), not corpus size, so the
+    loop's joins are dim-sized at any corpus scale.  Each step rounds
+    to 6 before the next (the pagerank_customer_supplier cross-engine
+    contract, oracle = generated unrolled CTEs).""".format(
+        iters=_TR_ITERS, k=_TR_TOPK
+    )
+    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+    pairs = (
+        f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
+        f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
+        f"(a, b) -> named_struct('a', least(a, b), 'b', greatest(a, b)))"
+    )
+    d = load(spark, sf_dir, "documents")
+    e0 = (
+        d.select(F.explode(F.expr(pairs)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # vocabulary-sized scalar; bounds the loop state
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n_nodes, 6).alias("pr")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(0.15) / n_nodes
+                + F.lit(_TR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                6,
+            ).alias("pr"),
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("pr").alias("textrank"))
+        .orderBy(F.desc("textrank"), "word")
+        .limit(_TR_TOPK)
+    )

@@ -169,6 +169,10 @@ _HOSTILE_PANEL = [
     "gopher_quality_rules",
     "bm25_topk_docs",
     "gopher_curation_pipeline",
+    # r9 TextRank: empty/whitespace-only docs contribute no edges;
+    # single-token docs have no pairs; uniform graphs are pure word
+    # tiebreaks at every rank
+    "textrank_keywords",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
