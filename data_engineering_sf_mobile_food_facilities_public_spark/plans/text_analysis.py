@@ -4382,6 +4382,33 @@ _WORDS_CTE = (
 )
 
 
+# Shared Spark-side expressions for the Gopher trigram metrics.  The
+# trigram chain is expensive and interpreted (HOF), so consumers stage
+# it as a real column (``__tg``) in its own projection — see the
+# docstring of :func:`gopher_dup_trigram_chars`.
+_TOKS_EXPR = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
+# trigrams FROM the staged ``__toks`` column (never inline the token
+# split here — slices/sizes would re-evaluate it five times per row)
+_TG_EXPR = (
+    "zip_with(zip_with(slice(__toks, 1, greatest(size(__toks) - 2, 0)), "
+    "slice(__toks, 2, greatest(size(__toks) - 2, 0)), "
+    "(a, b) -> concat(a, ' ', b)), "
+    "slice(__toks, 3, greatest(size(__toks) - 2, 0)), "
+    "(ab, c) -> concat(ab, ' ', c))"
+)
+_TG_DUP_CHARS = (
+    "aggregate(array_sort(__tg), "
+    "named_struct('prev', '', 'run', 0L, 'dup', 0L), "
+    "(acc, x) -> IF(x = acc.prev, "
+    "named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup), "
+    "named_struct('prev', x, 'run', 1L, 'dup', acc.dup + "
+    "IF(acc.run > 1L, acc.run * CAST(length(acc.prev) AS BIGINT), 0L))), "
+    "acc -> acc.dup + IF(acc.run > 1L, "
+    "acc.run * CAST(length(acc.prev) AS BIGINT), 0L))"
+)
+_TG_TOT_CHARS = "aggregate(__tg, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
+
+
 @_register(
     "gopher_dup_trigram_chars",
     _WORDS_CTE
@@ -4426,37 +4453,27 @@ def gopher_dup_trigram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (longest-equal-run bookkeeping, same trick as the bigram max-count in
     ``_repetition_raw_cols``) — so the metric fuses into the scan with
     zero shuffles and no explode; the oracle's unnest/group-by is the
-    cross-engine twin, not the plan."""
-    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
-    tg = (
-        f"zip_with(zip_with(slice({toks}, 1, greatest(size({toks}) - 2, 0)), "
-        f"slice({toks}, 2, greatest(size({toks}) - 2, 0)), "
-        f"(a, b) -> concat(a, ' ', b)), "
-        f"slice({toks}, 3, greatest(size({toks}) - 2, 0)), "
-        f"(ab, c) -> concat(ab, ' ', c))"
-    )
-    dup_chars = (
-        f"aggregate(array_sort({tg}), "
-        f"named_struct('prev', '', 'run', 0L, 'dup', 0L), "
-        f"(acc, x) -> IF(x = acc.prev, "
-        f"named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup), "
-        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup + "
-        f"IF(acc.run > 1L, acc.run * CAST(length(acc.prev) AS BIGINT), 0L))), "
-        f"acc -> acc.dup + IF(acc.run > 1L, "
-        f"acc.run * CAST(length(acc.prev) AS BIGINT), 0L))"
-    )
-    tot_chars = f"aggregate({tg}, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
+    cross-engine twin, not the plan.  The trigram array MATERIALIZES in
+    its own projection before the three consumers: HOFs never codegen,
+    so whole-stage subexpression elimination cannot deduplicate them —
+    an inline spelling evaluates the zip_with chain three times
+    (measured 2.3x slower at sf0.1) — while CollapseProject refuses to
+    inline a non-cheap expression into multiple uses, so the staged
+    column is computed exactly once."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks")).select(
+        "doc_id", F.expr(_TG_EXPR).alias("__tg")
+    )
+    dup_c = F.expr(_TG_DUP_CHARS)
+    tot_c = F.expr(_TG_TOT_CHARS)
+    return staged.select(
         "doc_id",
-        F.expr(f"size({tg})").cast("long").alias("n_trigrams"),
-        F.expr(dup_chars).alias("dup_trigram_chars"),
-        F.expr(tot_chars).alias("total_trigram_chars"),
+        F.expr("size(__tg)").cast("long").alias("n_trigrams"),
+        dup_c.alias("dup_trigram_chars"),
+        tot_c.alias("total_trigram_chars"),
         F.round(
             F.coalesce(
-                F.expr(dup_chars).cast("double")
-                / F.nullif(F.expr(tot_chars), F.lit(0)),
-                F.lit(0.0),
+                dup_c.cast("double") / F.nullif(tot_c, F.lit(0)), F.lit(0.0)
             ),
             6,
         ).alias("dup_trigram_char_frac"),
@@ -4763,40 +4780,31 @@ def gopher_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fusion: every per-document signal (token stats, trigram fold,
     fingerprint) is a scan-side projection — the only shuffles are the
     per-fingerprint keep-first window and the final per-source
-    contraction.  The trigram fold and the rule flags share the SAME
-    filtered-token array subexpression, so Catalyst computes it once
-    per row (the ``_repetition_raw_cols`` fusion payoff, round 9
-    edition)."""
-    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
-    tg = (
-        f"zip_with(zip_with(slice({toks}, 1, greatest(size({toks}) - 2, 0)), "
-        f"slice({toks}, 2, greatest(size({toks}) - 2, 0)), "
-        f"(a, b) -> concat(a, ' ', b)), "
-        f"slice({toks}, 3, greatest(size({toks}) - 2, 0)), "
-        f"(ab, c) -> concat(ab, ' ', c))"
-    )
-    dup_chars = (
-        f"aggregate(array_sort({tg}), "
-        f"named_struct('prev', '', 'run', 0L, 'dup', 0L), "
-        f"(acc, x) -> IF(x = acc.prev, "
-        f"named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup), "
-        f"named_struct('prev', x, 'run', 1L, 'dup', acc.dup + "
-        f"IF(acc.run > 1L, acc.run * CAST(length(acc.prev) AS BIGINT), 0L))), "
-        f"acc -> acc.dup + IF(acc.run > 1L, "
-        f"acc.run * CAST(length(acc.prev) AS BIGINT), 0L))"
-    )
-    tot_chars = f"aggregate({tg}, 0L, (a, x) -> a + CAST(length(x) AS BIGINT))"
-    nw = F.expr(f"size({toks})").cast("long")
-    ndw = F.expr(f"size(array_distinct({toks}))").cast("long")
-    twc = F.expr(f"aggregate({toks}, 0L, (a, w) -> a + CAST(length(w) AS BIGINT))")
+    contraction.  The token array and the trigram array each stage as
+    a REAL column in their own projection before their many consumers:
+    interpreted HOFs get no codegen subexpression elimination, and
+    CollapseProject refuses to inline non-cheap expressions into
+    multiple uses — so each array computes once per row instead of
+    once per consumer (measured 2.3x on the trigram chain alone)."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        F.expr(_TOKS_EXPR).alias("__toks"),
+        TX.fingerprint("text").alias("fp"),
+    ).select("*", F.expr(_TG_EXPR).alias("__tg"))
+    nw = F.expr("size(__toks)").cast("long")
+    ndw = F.expr("size(array_distinct(__toks))").cast("long")
+    twc = F.expr("aggregate(__toks, 0L, (a, w) -> a + CAST(length(w) AS BIGINT))")
     n_stop = sum(
-        F.expr(f"array_contains({toks}, '{w}')").cast("int")
+        F.expr(f"array_contains(__toks, '{w}')").cast("int")
         for w in ("the", "a", "and", "is")
     )
     mwl = twc.cast("double") / F.nullif(nw, F.lit(0))
     dupf = F.lit(1.0) - ndw.cast("double") / F.nullif(nw, F.lit(0))
     trif = F.coalesce(
-        F.expr(dup_chars).cast("double") / F.nullif(F.expr(tot_chars), F.lit(0)),
+        F.expr(_TG_DUP_CHARS).cast("double")
+        / F.nullif(F.expr(_TG_TOT_CHARS), F.lit(0)),
         F.lit(0.0),
     )
     keep = (
@@ -4807,13 +4815,12 @@ def gopher_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dupf <= 0.5)
         & (trif <= _GCP_DUP_TRI_MAX)
     )
-    d = load(spark, sf_dir, "documents")
-    flagged = d.select(
+    flagged = staged.select(
         "doc_id",
         "source",
         nw.alias("nw"),
         keep.alias("keep"),
-        TX.fingerprint("text").alias("fp"),
+        "fp",
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = (
