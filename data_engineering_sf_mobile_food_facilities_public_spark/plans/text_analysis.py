@@ -247,7 +247,7 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single IEEE divisions of exact integers — bit-identical across
     engines, no rounding convention needed."""
     d = load(spark, sf_dir, "documents")
-    stats = d.select("doc_id", *_repetition_raw_cols()).filter(
+    stats = _with_repetition_raw(d, "doc_id").filter(
         F.col("nw") > 0  # empty docs are absent from the oracle too
     )
     top_frac, dup_frac, keep = _repetition_fracs()
@@ -259,38 +259,50 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _repetition_raw_cols() -> list:
-    """The four per-document integer stats as Catalyst array-HOF columns
-    over ``text`` — shared by the standalone stats query and the
-    composed curation pipeline so both fuse into a single scan."""
+def _with_repetition_raw(df: DataFrame, *keep_cols: str) -> DataFrame:
+    """``keep_cols`` + the four per-document integer repetition stats
+    (nw, ndw, maxc, nbg) as Catalyst array-HOF columns over ``text`` —
+    shared by the standalone stats query and the composed curation
+    pipeline so both fuse into a single scan.  The token and bigram
+    arrays STAGE as real columns in their own projections (single
+    evaluation: interpreted HOFs get no codegen subexpression
+    elimination, and CollapseProject refuses to inline non-cheap
+    expressions into their several consumers — the
+    :func:`gopher_dup_trigram_chars` staging discipline, measured 2.3x
+    on the trigram chain)."""
     toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
     bigrams = (
-        f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
-        f"slice({toks}, 2, greatest(size({toks}) - 1, 0)), "
-        f"(a, b) -> concat(a, ' ', b))"
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
     )
     # longest equal-run in the sorted bigram array == max occurrence
     # count of any single bigram; one fold, no grouping
     maxc = (
-        f"aggregate(array_sort({bigrams}), "
-        f"named_struct('prev', '', 'run', 0L, 'best', 0L), "
-        f"(acc, x) -> IF(x = acc.prev, "
-        f"named_struct('prev', x, 'run', acc.run + 1L, "
-        f"'best', greatest(acc.best, acc.run + 1L)), "
-        f"named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
-        f"acc -> acc.best)"
+        "aggregate(array_sort(__bg), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(acc, x) -> IF(x = acc.prev, "
+        "named_struct('prev', x, 'run', acc.run + 1L, "
+        "'best', greatest(acc.best, acc.run + 1L)), "
+        "named_struct('prev', x, 'run', 1L, 'best', greatest(acc.best, 1L))), "
+        "acc -> acc.best)"
     )
-    return [
-        F.expr(f"size({toks})").cast("long").alias("nw"),
-        F.expr(f"size(array_distinct({toks}))").cast("long").alias("ndw"),
-        F.expr(maxc).alias("maxc"),
-        F.expr(f"size({bigrams})").cast("long").alias("nbg"),
-    ]
+    return (
+        df.select(*keep_cols, F.expr(toks).alias("__toks"))
+        .select(*keep_cols, "__toks", F.expr(bigrams).alias("__bg"))
+        .select(
+            *keep_cols,
+            F.expr("size(__toks)").cast("long").alias("nw"),
+            F.expr("size(array_distinct(__toks))").cast("long").alias("ndw"),
+            F.expr(maxc).alias("maxc"),
+            F.expr("size(__bg)").cast("long").alias("nbg"),
+        )
+    )
 
 
 def _repetition_fracs() -> tuple:
     """(top_bigram_frac, dup_word_frac, keep) expressions over the raw
-    stat columns from :func:`_repetition_raw_cols`."""
+    stat columns from :func:`_with_repetition_raw`."""
     top_frac = F.when(
         F.col("nbg") > 0, F.col("maxc").cast("double") / F.col("nbg")
     ).otherwise(F.lit(0.0))
@@ -328,7 +340,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-budget mixture over the SURVIVORS (en 6k, others 2k — binding
     on the filtered corpus).  Because the repetition stats are per-row
     array-HOF expressions, the filter FUSES into the mixture's scan (no
-    join, no second scan — shared via ``_repetition_raw_cols``); the
+    join, no second scan — shared via ``_with_repetition_raw``); the
     cumulative sum then runs as the same two-pass range-partition
     decomposition as :func:`token_budget_mixture` (``operators/windows.
     grouped_running_sum``), so no stage ever funnels a whole language
@@ -336,7 +348,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals narrow; a groupBy-based filter stage would have forced a
     join here."""
     d = load(spark, sf_dir, "documents")
-    with_stats = d.select("doc_id", "lang", "text", *_repetition_raw_cols()).filter(
+    with_stats = _with_repetition_raw(d, "doc_id", "lang", "text").filter(
         F.col("nw") > 0
     )
     _, _, keep = _repetition_fracs()
@@ -4641,13 +4653,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating-point boundary cannot order them differently.""".format(
         k=_BM25_TOPK, terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
     )
-    toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
     d = load(spark, sf_dir, "documents")
-    feat = d.select(
+    feat = d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks")).select(
         "doc_id",
-        F.expr(f"size({toks})").cast("long").alias("dl"),
+        F.expr("size(__toks)").cast("long").alias("dl"),
         *[
-            F.expr(f"size(filter({toks}, x -> x = '{t}'))")
+            F.expr(f"size(filter(__toks, x -> x = '{t}'))")
             .cast("long")
             .alias(f"tf_{t}")
             for t in _BM25_TERMS
