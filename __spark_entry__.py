@@ -150,6 +150,7 @@ _PANEL_NEXT_CANDIDATES = [
     "cuped_variance_reduction",
     "theil_sen_trend_1996",
     "textrank_keywords",
+    "equi_depth_histogram_price",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

@@ -8027,3 +8027,74 @@ def theil_sen_trend_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — the planner-statistics order-statistic object.
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 10
+
+
+@_register(
+    "equi_depth_histogram_price",
+    f"""
+    WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM lineitem
+    ),
+    tagged AS (
+        SELECT v, n,
+               ((rnk - 1) * {_EQD_BUCKETS}) // n AS bucket
+        FROM ranked
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS depth,
+           MIN(v) AS lo,
+           MAX(v) AS hi,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM tagged
+    GROUP BY bucket
+    """,
+)
+def equi_depth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {b}-bucket EQUI-DEPTH histogram of l_extendedprice — the
+    order-statistic summary a cost-based optimizer keeps per column
+    (``histogram_order_prices`` is the fixed-WIDTH cousin; equi-depth
+    is what planners actually store, because selectivity of any range
+    predicate then reads off as ~buckets-covered/total regardless of
+    skew).  Bucket of a row = ``floor((rank-1) * {b} / n)`` over the
+    (value, orderkey, linenumber) total order, so depths differ by at
+    most one and both engines assign identical buckets; per-bucket
+    bounds and distinct counts ride along (the NDV-per-bucket the
+    planner uses for equality selectivity).
+
+    Scale shape: the global rank is the one scale hazard — at 100 TB
+    this is :func:`surrogate_key`'s bucketed decomposition applied to
+    (value, tiebreak) order; here the plan states the semantics and the
+    oracle checks them (the sort-based physical strategy is the
+    engine's to choose; the contract is the assignment formula)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    from ..operators.windows import surrogate_key
+
+    ranked = surrogate_key(
+        li, ["v", "l_orderkey", "l_linenumber"], out_col="rnk0"
+    )
+    n_total = li.count()  # bounded scalar action: one count for the formula
+    tagged = ranked.select(
+        "v",
+        (F.col("rnk0") * _EQD_BUCKETS / F.lit(n_total))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("depth"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    ).select(F.col("bucket").cast("int").alias("bucket"), "depth", "lo", "hi", "n_distinct")

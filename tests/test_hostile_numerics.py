@@ -129,6 +129,9 @@ _NUMERIC_PANEL = [
     # r9 Theil-Sen: all-tied days (every slope 0), single-day 1996
     # (zero pairs -> NULL), negative revenue
     "theil_sen_trend_1996",
+    # r9 equi-depth histogram: massive ties (all-equal prices make one
+    # value span buckets), zero/negative values, n < buckets
+    "equi_depth_histogram_price",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
