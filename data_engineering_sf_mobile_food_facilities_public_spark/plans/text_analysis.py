@@ -247,8 +247,15 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single IEEE divisions of exact integers — bit-identical across
     engines, no rounding convention needed."""
     d = load(spark, sf_dir, "documents")
-    stats = _with_repetition_raw(d, "doc_id").filter(
-        F.col("nw") > 0  # empty docs are absent from the oracle too
+    # "contains any non-whitespace char" is EXACTLY nw > 0 (nw counts
+    # the non-empty WS_REGEX tokens) and pushes to the scan as a cheap
+    # first-match predicate — filtering on the nw column would push the
+    # substituted token-split HOF down instead (re-evaluating it once
+    # per row just to filter).  NOT trim(text) <> '': trim strips only
+    # 0x20 spaces, so a tab/VT-edged whitespace-only doc would slip
+    # through (the hostile-whitespace fixture caught exactly that).
+    stats = _with_repetition_raw(
+        d.filter(F.col("text").rlike("[^ \t\n\x0B\f\r]")), "doc_id"
     )
     top_frac, dup_frac, keep = _repetition_fracs()
     return stats.select(
@@ -348,9 +355,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals narrow; a groupBy-based filter stage would have forced a
     join here."""
     d = load(spark, sf_dir, "documents")
-    with_stats = _with_repetition_raw(d, "doc_id", "lang", "text").filter(
-        F.col("nw") > 0
-    )
+    with_stats = _with_repetition_raw(
+        d.filter(F.col("text").rlike("[^ \t\n\x0B\f\r]")),
+        "doc_id",
+        "lang",
+        "text",
+    )  # non-ws-char containment == nw > 0, pushed cheap (see above)
     _, _, keep = _repetition_fracs()
     sized = with_stats.filter(keep).select(
         "doc_id",
@@ -4473,19 +4483,28 @@ def gopher_dup_trigram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline a non-cheap expression into multiple uses, so the staged
     column is computed exactly once."""
     d = load(spark, sf_dir, "documents")
-    staged = d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks")).select(
-        "doc_id", F.expr(_TG_EXPR).alias("__tg")
+    staged = (
+        d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks"))
+        .select("doc_id", F.expr(_TG_EXPR).alias("__tg"))
+        # the folds stage too: the frac consumes both, and an inline
+        # spelling would run each interpreted fold twice
+        .select(
+            "doc_id",
+            F.expr("size(__tg)").cast("long").alias("n_trigrams"),
+            F.expr(_TG_DUP_CHARS).alias("dup_trigram_chars"),
+            F.expr(_TG_TOT_CHARS).alias("total_trigram_chars"),
+        )
     )
-    dup_c = F.expr(_TG_DUP_CHARS)
-    tot_c = F.expr(_TG_TOT_CHARS)
     return staged.select(
         "doc_id",
-        F.expr("size(__tg)").cast("long").alias("n_trigrams"),
-        dup_c.alias("dup_trigram_chars"),
-        tot_c.alias("total_trigram_chars"),
+        "n_trigrams",
+        "dup_trigram_chars",
+        "total_trigram_chars",
         F.round(
             F.coalesce(
-                dup_c.cast("double") / F.nullif(tot_c, F.lit(0)), F.lit(0.0)
+                F.col("dup_trigram_chars").cast("double")
+                / F.nullif(F.col("total_trigram_chars"), F.lit(0)),
+                F.lit(0.0),
             ),
             6,
         ).alias("dup_trigram_char_frac"),
