@@ -151,6 +151,7 @@ _PANEL_NEXT_CANDIDATES = [
     "theil_sen_trend_1996",
     "textrank_keywords",
     "equi_depth_histogram_price",
+    "cf_holdout_ndcg",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

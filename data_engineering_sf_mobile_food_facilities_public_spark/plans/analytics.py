@@ -8098,3 +8098,149 @@ def equi_depth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("hi"),
         F.countDistinct("v").cast("long").alias("n_distinct"),
     ).select(F.col("bucket").cast("int").alias("bucket"), "depth", "lo", "hi", "n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 temporal-holdout evaluation of the item-item recommender.
+# ---------------------------------------------------------------------------
+
+# ln(2)/ln(k+1) terms spelled identically on both engines so the ideal
+# DCG is the same engine-computed expression, never a pasted constant.
+_NDCG_GAIN_SQL = "(ln(2.0) / ln(CAST({r} + 1 AS DOUBLE)))"
+_NDCG_IDCG_CASE = "CASE least(rel, 5) " + " ".join(
+    f"WHEN {m} THEN "
+    + " + ".join(_NDCG_GAIN_SQL.format(r=k) for k in range(1, m + 1))
+    for m in range(1, 6)
+) + " END"
+
+
+@_register(
+    "cf_holdout_ndcg",
+    f"""
+    WITH dated AS (
+        SELECT l.l_orderkey AS o, l.l_partkey AS p, ord.o_orderdate AS d
+        FROM lineitem l JOIN orders ord ON ord.o_orderkey = l.l_orderkey
+    ),
+    train AS (SELECT DISTINCT o, p FROM dated
+              WHERE d < TIMESTAMP '1997-06-01 00:00:00'),
+    test  AS (SELECT DISTINCT o, p FROM dated
+              WHERE d >= TIMESTAMP '1997-06-01 00:00:00'),
+    deg AS (SELECT p, COUNT(*) AS n_orders FROM train GROUP BY p),
+    cooc AS (
+        SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS c
+        FROM train a JOIN train b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    sym AS (SELECT p_a AS item, p_b AS neighbor, c FROM cooc
+            UNION ALL SELECT p_b, p_a, c FROM cooc),
+    recs AS (
+        SELECT item, neighbor, rnk FROM (
+            SELECT s.item, s.neighbor,
+                   ROW_NUMBER() OVER (PARTITION BY s.item ORDER BY
+                       round(CAST(s.c AS DOUBLE)
+                             / sqrt(CAST(da.n_orders AS DOUBLE)
+                                    * db.n_orders), 6) DESC,
+                       s.neighbor) AS rnk
+            FROM sym s
+            JOIN deg da ON da.p = s.item
+            JOIN deg db ON db.p = s.neighbor)
+        WHERE rnk <= 5
+    ),
+    test_rel AS (
+        SELECT DISTINCT a.p AS item, b.p AS other
+        FROM test a JOIN test b ON a.o = b.o AND a.p <> b.p
+    ),
+    per_item AS (
+        SELECT t.item,
+               COUNT(*) AS rel,
+               SUM(CASE WHEN r.rnk IS NOT NULL
+                        THEN {_NDCG_GAIN_SQL.format(r="r.rnk")}
+                        ELSE 0.0 END) AS dcg
+        FROM test_rel t
+        LEFT JOIN recs r ON r.item = t.item AND r.neighbor = t.other
+        GROUP BY t.item
+    ),
+    scored AS (
+        SELECT item,
+               CAST(dcg / ({_NDCG_IDCG_CASE}) AS DECIMAL(16,10)) AS ndcg
+        FROM per_item
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           round(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 6) AS mean_ndcg_at_5,
+           CAST(SUM(CASE WHEN ndcg >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect
+    FROM scored
+    """,
+)
+def cf_holdout_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 on the temporal holdout — the RANK-SENSITIVE companion of
+    ``cf_holdout_hit_rate`` (a hit at rank 1 is worth 1.0; at rank 5
+    only ln2/ln6 ~ 0.39), the metric that separates recommenders which
+    merely CONTAIN the right items from ones that put them first.
+    Ideal DCG truncates at min(#relevant, 5), so items with fewer
+    held-out partners than the rec-list length are not penalized for
+    the impossible.
+
+    Cross-engine exactness: every logarithmic gain is the SAME
+    engine-computed expression (``ln(2)/ln(r+1)``) on both sides —
+    including inside the ideal-DCG CASE — and per-item NDCG passes
+    through DECIMAL(16,10) before the mean so the corpus sum is
+    order-independent (the ``dataset_datasheet`` convention).  Scale
+    shape: identical to the hit-rate eval — train-side basket self-join
+    bounded by basket size, dim-sized degree joins, one top-k window,
+    and the holdout join on (item, other)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dated = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    )
+    cut = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    train = dated.filter(F.col("d") < cut).select("o", "p").distinct()
+    test = dated.filter(F.col("d") >= cut).select("o", "p").distinct()
+    recs = item_item_cosine(train, k=5).select("item", "neighbor", "rank")
+    a, b = test.alias("a"), test.alias("b")
+    test_rel = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("item"), F.col("b.p").alias("other"))
+        .distinct()
+    )
+    gain = F.log(F.lit(2.0)) / F.log(F.col("rank").cast("double") + 1)
+    per_item = (
+        test_rel.join(
+            recs,
+            (test_rel["item"] == recs["item"])
+            & (test_rel["other"] == recs["neighbor"]),
+            "left",
+        )
+        .select(
+            test_rel["item"].alias("it"),
+            F.when(recs["rank"].isNotNull(), gain).otherwise(F.lit(0.0)).alias(
+                "g"
+            ),
+        )
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("rel"), F.sum("g").alias("dcg"))
+    )
+    idcg = None
+    acc = None
+    for m in range(1, 6):
+        term = sum(
+            F.log(F.lit(2.0)) / F.log(F.lit(float(k + 1))) for k in range(1, m + 1)
+        )
+        cond = F.least(F.col("rel"), F.lit(5)) == m
+        idcg = F.when(cond, term) if idcg is None else idcg.when(cond, term)
+        acc = term
+    scored = per_item.select(
+        "it", (F.col("dcg") / idcg).cast("decimal(16,10)").alias("ndcg")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.sum("ndcg").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_ndcg_at_5"),
+        F.sum(F.when(F.col("ndcg") >= 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_perfect"),
+    )

@@ -132,6 +132,9 @@ _NUMERIC_PANEL = [
     # r9 equi-depth histogram: massive ties (all-equal prices make one
     # value span buckets), zero/negative values, n < buckets
     "equi_depth_histogram_price",
+    # r9 NDCG: empty holdout windows, items with fewer relevants than
+    # the list (ideal-DCG truncation), and all-tied cosine ranks
+    "cf_holdout_ndcg",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
