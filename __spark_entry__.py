@@ -152,6 +152,7 @@ _PANEL_NEXT_CANDIDATES = [
     "textrank_keywords",
     "equi_depth_histogram_price",
     "cf_holdout_ndcg",
+    "holt_linear_backtest_wape",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

@@ -8244,3 +8244,139 @@ def cf_holdout_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_perfect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing — trend-aware backtest.
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_CUT = "1998-01-01"
+_HOLT_HORIZON = 7
+
+
+@_register(
+    "holt_linear_backtest_wape",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, rev, ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily WHERE d < DATE '{_HOLT_CUT}'
+    ),
+    rec AS (
+        SELECT rn, rev AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn,
+               {_HOLT_ALPHA} * s.rev + {1 - _HOLT_ALPHA} * (r.level + r.trend),
+               {_HOLT_BETA} * (({_HOLT_ALPHA} * s.rev
+                                + {1 - _HOLT_ALPHA} * (r.level + r.trend))
+                               - r.level)
+                   + {1 - _HOLT_BETA} * r.trend
+        FROM rec r JOIN seq s ON s.rn = r.rn + 1
+    ),
+    state AS (
+        SELECT level, trend FROM rec
+        WHERE rn = (SELECT MAX(rn) FROM seq)
+    ),
+    test AS (
+        SELECT d, rev, (d - DATE '{_HOLT_CUT}') + 1 AS h
+        FROM daily
+        WHERE d >= DATE '{_HOLT_CUT}'
+          AND d < DATE '{_HOLT_CUT}' + INTERVAL {_HOLT_HORIZON} DAY
+    ),
+    scored AS (
+        SELECT t.h, t.rev AS actual,
+               s.level + t.h * s.trend AS forecast
+        FROM test t CROSS JOIN state s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CASE WHEN SUM(CAST(abs(actual) AS DECIMAL(18,6))) <> 0
+                THEN round(CAST(SUM(CAST(abs(actual - forecast)
+                                         AS DECIMAL(18,6))) AS DOUBLE)
+                           / CAST(SUM(CAST(abs(actual) AS DECIMAL(18,6)))
+                                  AS DOUBLE), 6) + 0
+                ELSE NULL END AS wape
+    FROM scored
+    """,
+)
+def holt_linear_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing backtest: fit level +
+    trend on the pre-{cut} daily revenue by the standard recursions
+    (alpha={a}, beta={b}), forecast ``level + h*trend`` for the next
+    {hz} calendar days, score with WAPE — the trend-aware model that
+    must beat ``seasonal_naive_backtest_wape`` to earn deployment, run
+    with the same aggregate-ratio error discipline (per-day |err|
+    through DECIMAL(18,6) before the order-independent sums).
+
+    Cross-engine exactness of the RECURSION: Spark runs it as one
+    ``aggregate`` fold over the date-sorted (day, revenue) array —
+    executor-side, dim-sized (the day spine) — with the update spelled
+    as the identical IEEE expression tree the oracle's recursive CTE
+    applies row-by-row, so after any number of steps both engines hold
+    bit-identical (level, trend).  Scale shape: ONE fact-table
+    contraction to the day spine; the fold's array is calendar-bounded
+    (a decade is ~3,653 elements), the canonical dim-sized exception
+    documented at :func:`rolling_7day_median_revenue`.""".format(
+        cut=_HOLT_CUT, a=_HOLT_ALPHA, b=_HOLT_BETA, hz=_HOLT_HORIZON
+    )
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    cut = F.lit(_HOLT_CUT).cast("date")
+    train = daily.filter(F.col("d") < cut)
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    state = train.agg(
+        F.expr(
+            f"""
+            aggregate(
+              array_sort(collect_list(struct(d, rev))),
+              named_struct('level', CAST(0.0 AS DOUBLE),
+                           'trend', CAST(0.0 AS DOUBLE),
+                           'started', false),
+              (acc, x) -> IF(NOT acc.started,
+                named_struct('level', x.rev, 'trend', CAST(0.0 AS DOUBLE),
+                             'started', true),
+                named_struct(
+                  'level', {a} * x.rev + {1 - a} * (acc.level + acc.trend),
+                  'trend', {b} * (({a} * x.rev
+                                   + {1 - a} * (acc.level + acc.trend))
+                                  - acc.level) + {1 - b} * acc.trend,
+                  'started', true)),
+              acc -> named_struct('level', acc.level, 'trend', acc.trend))
+            """
+        ).alias("st")
+    ).select(F.col("st.level").alias("level"), F.col("st.trend").alias("trend"))
+    test = daily.filter(
+        (F.col("d") >= cut) & (F.col("d") < F.date_add(cut, _HOLT_HORIZON))
+    ).select("d", "rev", (F.datediff(F.col("d"), cut) + 1).alias("h"))
+    scored = test.crossJoin(F.broadcast(state)).select(
+        F.col("rev").alias("actual"),
+        (F.col("level") + F.col("h") * F.col("trend")).alias("forecast"),
+    )
+    abs_err = F.abs(F.col("actual") - F.col("forecast")).cast("decimal(18,6)")
+    abs_act = F.abs(F.col("actual")).cast("decimal(18,6)")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.when(
+                F.sum(abs_act) != 0,
+                F.round(
+                    F.sum(abs_err).cast("double") / F.sum(abs_act).cast("double"),
+                    6,
+                )
+                + 0
+            ).otherwise(F.lit(None))
+        ).alias("wape"),
+    )

@@ -135,6 +135,9 @@ _NUMERIC_PANEL = [
     # r9 NDCG: empty holdout windows, items with fewer relevants than
     # the list (ideal-DCG truncation), and all-tied cosine ranks
     "cf_holdout_ndcg",
+    # r9 Holt backtest: single-day training series (trend stays 0),
+    # empty test windows (NULL wape), negative revenue
+    "holt_linear_backtest_wape",
     "ranking_windows",
     "customers_every_order_above_10k",
     "orders_above_customer_avg",
