@@ -153,6 +153,7 @@ _PANEL_NEXT_CANDIDATES = [
     "equi_depth_histogram_price",
     "cf_holdout_ndcg",
     "holt_linear_backtest_wape",
+    "image_ahash_near_dup",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

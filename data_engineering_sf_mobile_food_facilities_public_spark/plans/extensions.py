@@ -765,3 +765,140 @@ def streaming_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stream_run_counter[0] += 1
     name = f"latest_user_state_{_stream_run_counter[0]}"
     return run_latest_stream(latest_user_state(read_events_stream(spark, sf_dir)), name)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup — real decode -> aHash -> banded join.
+# ---------------------------------------------------------------------------
+
+_AHASH_BANDS = 4  # 16-bit hash -> 4 bands of 4 bits
+_AHASH_MAXDIST = 2
+
+
+def _ahash_oracle_sql() -> str:
+    # pixel p's luminance = md5 bytes (3p)%16 + (3p+1)%16 + (3p+2)%16;
+    # each lane appears exactly 3x across the 16 pixels, so the total is
+    # 3 * sum(all lanes).  Bit p set iff 16*lum_p > total (strict).
+    def lum(p: int) -> str:
+        return " + ".join(_md5_byte((3 * p + j) % 16) for j in range(3))
+
+    total = " + ".join(_md5_byte(i) for i in range(16))
+    ahash = " + ".join(
+        f"(CASE WHEN 16 * ({lum(p)}) > 3 * ({total}) THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT item_id, {b} AS band_idx, "
+        f"(ahash // {16 ** b}) % 16 AS band_val FROM hashes"
+        for b in range(_AHASH_BANDS)
+    )
+    return f"""
+    WITH hashes AS (
+        SELECT doc_id AS item_id, CAST({ahash} AS BIGINT) AS ahash
+        FROM documents
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.item_id < b.item_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.item_id = c.id_a
+    JOIN hashes hb ON hb.item_id = c.id_b
+    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {_AHASH_MAXDIST}
+    """
+
+
+@_register("image_ahash_near_dup", _ahash_oracle_sql())
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over REAL decoded pixels: per
+    document synthesize its 4x4 image (mixed PPM/PNG/BMP/GIF containers,
+    md5-derived bytes — the ``image_pixel_decode`` corpus), decode with
+    the real codecs, compute the 16-bit average-hash (aHash: bit p set
+    iff pixel p's luminance exceeds the image mean — integer-exact as
+    ``16*lum_p > total``), then find near-duplicates by LSH-style
+    BANDED Hamming join: 4 bands of 4 bits, candidates share a band,
+    verify ``bit_count(xor) <= {d}``.  Any pair within Hamming distance
+    {d} differs in <= {d} bands and therefore SHARES at least one of
+    the 4 — the banding is lossless at this radius (the pigeonhole
+    guarantee SimHash banding uses), so the output is exactly the
+    all-pairs answer without the quadratic join.
+
+    The oracle recomputes every hash from md5 arithmetic alone while
+    Spark derives it from the REAL decode chain — a hash match proves
+    decode exactness AND the dedup mechanics in one query.  Scale
+    shape: one narrow Arrow ``mapInPandas`` (decode fuses into the
+    scan), then signatures — never images — shuffle through the banded
+    equi-join, the ``minhash_lsh_near_dup`` shape on binary media.""".format(
+        d=_AHASH_MAXDIST
+    )
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import _synth_pixel_blob, decode_pixels
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("item_id"), F.col("text").alias("_t")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for text in pdf["_t"]:
+                _, _, rgb = decode_pixels(_synth_pixel_blob(text))
+                lums = [sum(rgb[3 * p : 3 * p + 3]) for p in range(16)]
+                total = sum(lums)
+                h = 0
+                for p, lum in enumerate(lums):
+                    if 16 * lum > total:
+                        h |= 1 << p
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    hashes = d.mapInPandas(run, schema)
+    bands = None
+    for b in range(_AHASH_BANDS):
+        one = hashes.select(
+            "item_id",
+            F.lit(b).alias("band_idx"),
+            F.expr(f"(ahash div {16 ** b}) % 16").alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a_, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(F.col("a.item_id").alias("id_a"), F.col("b.item_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("item_id").alias("id_a"), F.col("ahash").alias("h_a"))
+    hb = hashes.select(F.col("item_id").alias("id_b"), F.col("ahash").alias("h_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(h_a ^ h_b) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_MAXDIST)
+    )

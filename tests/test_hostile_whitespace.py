@@ -173,6 +173,10 @@ _HOSTILE_PANEL = [
     # single-token docs have no pairs; uniform graphs are pure word
     # tiebreaks at every rank
     "textrank_keywords",
+    # r9 image aHash near-dup: every hostile doc still synthesizes a
+    # decodable image (md5 of empty/whitespace text is defined); flat
+    # images (no pixel above the mean) hash to 0 and all pair up
+    "image_ahash_near_dup",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
