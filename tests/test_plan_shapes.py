@@ -208,6 +208,15 @@ _NESTED_LOOP_ALLOWED = {
     "kendall_tau_quantity_discount",
     # r9: 1-row (t_good, t_bad) totals broadcast into per-bin WOE/IV
     "woe_binning_price_returns",
+    # r9: the pairwise-slope self-join is an INEQUALITY join over the
+    # <=366-row day spine — deliberately dim-sized quadratic (median of
+    # pairwise slopes IS the estimator), documented at the operator
+    "theil_sen_trend_1996",
+    # r9: 1-row sketch state x 1-row exact count scalar combines
+    "kmv_distinct_estimate",
+    # r9: 1-row (level, trend) smoothing state broadcast onto the
+    # 7-row test window (Q15/Q22 scalar pattern)
+    "holt_linear_backtest_wape",
 }
 
 
