@@ -219,7 +219,7 @@ def grouped_running_sum(
         raise ValueError("value and out_col must have the same length")
     keys = [group, *order_by]
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 65536), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
     # NO explicit repartition before the branch point.  The r8 attempt
     # repartitioned here hoping ReuseExchange would feed both branches
@@ -314,7 +314,7 @@ def surrogate_key(
     """
     order_by = list(order_by)
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 65536), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, order_by, nb, ss)
     # No pre-branch repartition: the per-bucket counts aggregate the
     # UN-shuffled frame (map-side partial count, only #buckets rows
@@ -367,7 +367,7 @@ def grouped_running_max(
     exactly the max over all strictly earlier rows."""
     keys = [group, *order_by]
     nb = n_buckets if n_buckets is not None else _n_buckets(df)
-    ss = sample_size if sample_size is not None else min(max(64 * nb, 8192), 131072)
+    ss = sample_size if sample_size is not None else min(max(64 * nb, 65536), 131072)
     cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
     # un-shuffled offsets aggregate + window-inserted main exchange;
     # see grouped_running_sum for the one-full-shuffle rationale
