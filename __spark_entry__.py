@@ -154,6 +154,7 @@ _PANEL_NEXT_CANDIDATES = [
     "cf_holdout_ndcg",
     "holt_linear_backtest_wape",
     "image_ahash_near_dup",
+    "ab_lift_bootstrap_range",
     "kcore_part_graph",
     "multi_touch_attribution",
     "inverted_index_conjunctive",

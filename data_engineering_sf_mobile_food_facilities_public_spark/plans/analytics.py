@@ -8380,3 +8380,154 @@ def holt_linear_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(None))
         ).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster (user-level) Poisson-bootstrap range for the A/B lift.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ab_lift_bootstrap_range",
+    f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS y
+        FROM events GROUP BY user_id
+    ),
+    point AS (
+        SELECT round(
+            CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+              / SUM(CASE WHEN arm = 1 THEN 1 END)
+            - CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+              / SUM(CASE WHEN arm = 0 THEN 1 END), 6) AS lift
+        FROM per_user
+    ),
+    reps AS (
+        SELECT user_id, arm, y, r,
+               {_pois_case_sql(
+                   "CAST(('0x' || substr(md5('ab' || CAST(r AS VARCHAR) || '_'"
+                   " || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+                   " / 4503599627370496.0"
+               )} AS k
+        FROM per_user, unnest(generate_series(0, {_BOOT_REPLICAS - 1})) AS t(r)
+    ),
+    lifts AS (
+        SELECT r,
+               CASE WHEN SUM(CASE WHEN arm = 1 THEN k END) > 0
+                     AND SUM(CASE WHEN arm = 0 THEN k END) > 0
+                    THEN round(
+                      CAST(SUM(CASE WHEN arm = 1 THEN k * y END) AS DOUBLE)
+                        / SUM(CASE WHEN arm = 1 THEN k END)
+                      - CAST(SUM(CASE WHEN arm = 0 THEN k * y END) AS DOUBLE)
+                        / SUM(CASE WHEN arm = 0 THEN k END), 6)
+               END AS lift_r
+        FROM reps GROUP BY r
+    )
+    SELECT CAST({_BOOT_REPLICAS} AS INT) AS n_replicas,
+           p.lift,
+           MIN(l.lift_r) AS boot_min,
+           MAX(l.lift_r) AS boot_max,
+           round(MAX(l.lift_r) - MIN(l.lift_r), 6) AS boot_spread
+    FROM lifts l CROSS JOIN point p
+    GROUP BY p.lift
+    """,
+)
+def ab_lift_bootstrap_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster (user-level) Poisson bootstrap of the A/B lift: resample
+    USERS — the randomization unit — with deterministic md5-derived
+    Poisson(1) weights per (user, replica), recompute the
+    treatment-minus-control mean per replica, and report the point lift
+    with the {n}-replica min/max/spread.  The user-level resample is
+    the one that respects within-user correlation (row-level resampling
+    understates experiment variance); {n} replicas give a coarse
+    stability RANGE, not a formal 95% CI — the honest cheap diagnostic
+    (`poisson_bootstrap_mean_price` documents the weight algebra).
+
+    Scale shape: the fact table contracts to per-user totals once; the
+    replica explode is {n}x a USER-sized frame with map-side-combined
+    DECIMAL sums, one {n}-group aggregate, and a 1-row point-estimate
+    broadcast.  Replicas whose weights zero out an entire arm yield
+    NULL and drop from min/max (the small-corpus guard).""".format(
+        n=_BOOT_REPLICAS
+    )
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(24,6)")
+            .alias("y")
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    point = per_user.agg(
+        F.round(
+            F.sum(F.when(F.col("arm") == 1, F.col("y"))).cast("double")
+            / F.sum(F.when(F.col("arm") == 1, 1))
+            - F.sum(F.when(F.col("arm") == 0, F.col("y"))).cast("double")
+            / F.sum(F.when(F.col("arm") == 0, 1)),
+            6,
+        ).alias("lift")
+    )
+    reps = per_user.select(
+        "user_id",
+        "arm",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ab"),
+                        F.col("r").cast("string"),
+                        F.lit("_"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    k = F.lit(len(_POIS1_CDF))
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POIS1_CDF[kk]), F.lit(kk)).otherwise(k)
+    kt = F.sum(F.when(F.col("arm") == 1, F.col("k")))
+    kc = F.sum(F.when(F.col("arm") == 0, F.col("k")))
+    lifts = (
+        reps.withColumn("k", k)
+        .groupBy("r")
+        .agg(
+            F.when(
+                (kt > 0) & (kc > 0),
+                F.round(
+                    F.sum(
+                        F.when(F.col("arm") == 1, F.col("k") * F.col("y"))
+                    ).cast("double")
+                    / kt
+                    - F.sum(
+                        F.when(F.col("arm") == 0, F.col("k") * F.col("y"))
+                    ).cast("double")
+                    / kc,
+                    6,
+                ),
+            ).alias("lift_r")
+        )
+    )
+    return (
+        lifts.crossJoin(F.broadcast(point))
+        .groupBy("lift")
+        .agg(
+            F.lit(_BOOT_REPLICAS).cast("int").alias("n_replicas"),
+            F.min("lift_r").alias("boot_min"),
+            F.max("lift_r").alias("boot_max"),
+            F.round(F.max("lift_r") - F.min("lift_r"), 6).alias("boot_spread"),
+        )
+        .select("n_replicas", "lift", "boot_min", "boot_max", "boot_spread")
+    )

@@ -107,6 +107,9 @@ _EVENT_PANEL = [
     # r9 CUPED: users entirely pre- or post-period (zero covariate or
     # metric), negative values, and the zero-variance covariate guard
     "cuped_variance_reduction",
+    # r9 cluster bootstrap: singleton arms, replicas that zero out an
+    # arm (NULL lift dropped from min/max), negative values
+    "ab_lift_bootstrap_range",
 ]
 
 
