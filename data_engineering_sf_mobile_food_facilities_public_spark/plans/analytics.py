@@ -8322,9 +8322,7 @@ def holt_linear_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical (level, trend).  Scale shape: ONE fact-table
     contraction to the day spine; the fold's array is calendar-bounded
     (a decade is ~3,653 elements), the canonical dim-sized exception
-    documented at :func:`rolling_7day_median_revenue`.""".format(
-        cut=_HOLT_CUT, a=_HOLT_ALPHA, b=_HOLT_BETA, hz=_HOLT_HORIZON
-    )
+    documented at :func:`rolling_7day_median_revenue`."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
@@ -8380,6 +8378,11 @@ def holt_linear_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(None))
         ).alias("wape"),
     )
+
+
+holt_linear_backtest_wape.__doc__ = holt_linear_backtest_wape.__doc__.format(
+    cut=_HOLT_CUT, a=_HOLT_ALPHA, b=_HOLT_BETA, hz=_HOLT_HORIZON
+)
 
 
 # ---------------------------------------------------------------------------
@@ -8448,9 +8451,7 @@ def ab_lift_bootstrap_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica explode is {n}x a USER-sized frame with map-side-combined
     DECIMAL sums, one {n}-group aggregate, and a 1-row point-estimate
     broadcast.  Replicas whose weights zero out an entire arm yield
-    NULL and drop from min/max (the small-corpus guard).""".format(
-        n=_BOOT_REPLICAS
-    )
+    NULL and drop from min/max (the small-corpus guard)."""
     per_user = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -8531,3 +8532,8 @@ def ab_lift_bootstrap_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_replicas", "lift", "boot_min", "boot_max", "boot_spread")
     )
+
+
+ab_lift_bootstrap_range.__doc__ = ab_lift_bootstrap_range.__doc__.format(
+    n=_BOOT_REPLICAS
+)

@@ -835,9 +835,7 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode exactness AND the dedup mechanics in one query.  Scale
     shape: one narrow Arrow ``mapInPandas`` (decode fuses into the
     scan), then signatures — never images — shuffle through the banded
-    equi-join, the ``minhash_lsh_near_dup`` shape on binary media.""".format(
-        d=_AHASH_MAXDIST
-    )
+    equi-join, the ``minhash_lsh_near_dup`` shape on binary media."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -902,3 +900,8 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _AHASH_MAXDIST)
     )
+
+
+image_ahash_near_dup.__doc__ = image_ahash_near_dup.__doc__.format(
+    d=_AHASH_MAXDIST
+)

@@ -4669,9 +4669,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (N, avgdl, per-term df) are ONE tiny aggregate row broadcast
     back; ranking is TakeOrderedAndProject on the rounded score.  Both
     engines rank on the ROUNDED score with doc_id tiebreak, so a
-    floating-point boundary cannot order them differently.""".format(
-        k=_BM25_TOPK, terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
-    )
+    floating-point boundary cannot order them differently."""
     d = load(spark, sf_dir, "documents")
     feat = d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks")).select(
         "doc_id",
@@ -4721,6 +4719,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+bm25_topk_docs.__doc__ = bm25_topk_docs.__doc__.format(
+    k=_BM25_TOPK, terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+)
 
 
 # ---------------------------------------------------------------------------
@@ -4957,9 +4960,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow with vocabulary (Heaps-law sublinear), not corpus size, so the
     loop's joins are dim-sized at any corpus scale.  Each step rounds
     to 6 before the next (the pagerank_customer_supplier cross-engine
-    contract, oracle = generated unrolled CTEs).""".format(
-        iters=_TR_ITERS, k=_TR_TOPK
-    )
+    contract, oracle = generated unrolled CTEs)."""
     toks = "filter(split(trim(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != '')"
     pairs = (
         f"zip_with(slice({toks}, 1, greatest(size({toks}) - 1, 0)), "
@@ -5004,3 +5005,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("textrank"), "word")
         .limit(_TR_TOPK)
     )
+
+
+textrank_keywords.__doc__ = textrank_keywords.__doc__.format(
+    iters=_TR_ITERS, k=_TR_TOPK
+)

@@ -875,12 +875,18 @@ def test_bucketed_cumsum_single_full_width_shuffle(spark, name):
     pairs = _shuffle_exchanges_with_child(plan)
     assert pairs, name
     full_width = [ex for ex, child in pairs if "HashAggregate" not in child]
-    aggregated = [ex for ex, child in pairs if "HashAggregate" in child]
+    aggregated_pairs = [(ex, child) for ex, child in pairs if "HashAggregate" in child]
     assert len(full_width) == 1, (
         f"{name}: want exactly 1 non-aggregated (full-width) shuffle, got "
         f"{len(full_width)}: {full_width}"
     )
-    # the map-side combine must actually be partial (shuffle carries
-    # pre-aggregated rows, not raw ones)
-    assert any("partial_" in child for _, child in pairs if "HashAggregate" in child) or aggregated, name
+    # the map-side combine must actually be partial (at least one
+    # shuffle carries pre-aggregated rows, not raw ones); the OTHER
+    # aggregated exchange — bucket totals re-shuffled for the running
+    # offset join — is legitimately fed by a FINAL HashAggregate
+    assert aggregated_pairs, name
+    assert any("partial_" in child for _, child in aggregated_pairs), (
+        f"{name}: no aggregated shuffle fed by a map-side partial combine: "
+        f"{aggregated_pairs}"
+    )
     assert "EvalPython" not in plan
