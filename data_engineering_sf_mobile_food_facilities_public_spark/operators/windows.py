@@ -123,6 +123,40 @@ def _cut_le_key(keys: Sequence[str], cut: tuple, dtypes: dict):
     return expr
 
 
+def _search_tree(le, n_cuts: int):
+    """Binary-search tree of nested CASE WHENs over a MONOTONE predicate
+    ``le(i)`` ("cut i <= row key": true on a prefix of i, false after) —
+    O(log n) comparisons per row, all inside whole-stage codegen.
+    Returns the count of true slots, i.e. the bucket index in
+    [0, n_cuts]."""
+
+    def search(lo: int, hi: int):
+        # bucket value in [lo, hi]; cut i separates bucket i from i+1
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(le(mid), search(mid + 1, hi)).otherwise(search(lo, mid))
+
+    return search(0, n_cuts)
+
+
+# Largest cut count compiled as ONE nested-CASE expression.  Janino's
+# 64 KB method limit empirically breaks the tree somewhere above ~150
+# cuts (the driver's vanilla 200-shuffle-partition session was the
+# first to hit it); 127 keeps a 2x margin for multi-column keys and is
+# also the fine-level stride of the two-level path below.
+_FLAT_CUTS_MAX = 127
+# Fine cuts per coarse group in the two-level path: each group
+# contributes its first cut to the coarse tree and carries the
+# remaining <= 126 as broadcast-joined columns.
+_FINE_GROUP = 127
+# Two bounded levels address _FLAT_CUTS_MAX+1 coarse groups x
+# _FINE_GROUP cuts; past that we SUBSAMPLE the cut set evenly — buckets
+# only bound per-task work, so fewer, larger buckets degrade balance
+# gracefully instead of degrading the expression to interpreted eval.
+_MAX_CUTS = (_FLAT_CUTS_MAX + 1) * _FINE_GROUP
+
+
 def _bucket_expr(df: DataFrame, keys: Sequence[str], cuts: list[tuple]):
     """``__bucket`` = number of cut tuples ≤ the row's key tuple — a PURE
     function of the row's own columns compared against broadcast plan
@@ -137,21 +171,102 @@ def _bucket_expr(df: DataFrame, keys: Sequence[str], cuts: list[tuple]):
     whole-stage codegen (a higher-order ``filter`` over an array of
     structs measures ~5x slower — interpreted lambda per element).
     Keys are assumed non-null (null comparisons would route rows to
-    bucket 0 — deterministic but skewed)."""
+    bucket 0 — deterministic but skewed).  Callers must keep
+    ``len(cuts) <= _FLAT_CUTS_MAX`` (the codegen-safe tree size) — past
+    that :func:`_with_bucket` switches to the two-level form."""
     if not cuts:
         return F.lit(0)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    return _search_tree(
+        lambda mid: _cut_le_key(keys, cuts[mid], dtypes), len(cuts)
+    )
 
-    def search(lo: int, hi: int):
-        # bucket value in [lo, hi]; cuts[i] separates bucket i from i+1
-        if lo == hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        return F.when(
-            _cut_le_key(keys, cuts[mid], dtypes), search(mid + 1, hi)
-        ).otherwise(search(lo, mid))
 
-    return search(0, len(cuts))
+def _with_bucket(df: DataFrame, keys: Sequence[str], cuts: list[tuple]) -> DataFrame:
+    """Attach ``__bucket`` for an ARBITRARY cut count without ever
+    emitting an expression past the codegen-safe size.
+
+    ≤ ``_FLAT_CUTS_MAX`` cuts (every current driver/bench workload):
+    the single nested-CASE tree, byte-identical plans to before.
+
+    Past that — the >150-shuffle-partition large-input regime that used
+    to fall back to interpreted eval (SCALE.md round-9 closeout) — a
+    TWO-LEVEL lookup, both levels bounded:
+
+    1. chunk the sorted cuts into groups of ``_FINE_GROUP``; each
+       group's FIRST cut joins a coarse cut set (≤ 127 entries → one
+       bounded CASE tree → ``__b1``);
+    2. broadcast-equi-join ``__b1`` against a ≤128-row lookup frame
+       whose columns are the group's remaining fine cuts (NULL-padded
+       tail = +∞), then a second bounded CASE tree over the JOINED
+       columns gives ``__b2`` ∈ [0, 126];
+    3. ``__bucket = __b1 * 127 + __b2`` — composite ids are sparse but
+       monotone in the key order (coarse dominates, fine is monotone
+       within a group), which is all the offsets prefix-sum algebra
+       needs; contiguity was never required.
+
+    The join is a broadcast HASH join on an equi-key (no nested loop),
+    the lookup frame is dim-sized (≤128 x #keys*126 cells of key
+    scalars), and ``__bucket`` stays a pure deterministic function of
+    the row's own columns — the AQE boundary-resampling hazard cannot
+    reappear.  Cut counts past ``_MAX_CUTS`` (≈16k) are evenly
+    subsampled first: balance degrades gracefully, codegen never does.
+    """
+    if len(cuts) <= _FLAT_CUTS_MAX:
+        return df.withColumn("__bucket", _bucket_expr(df, keys, cuts))
+    if len(cuts) > _MAX_CUTS:
+        step = len(cuts) / _MAX_CUTS
+        cuts = [cuts[int(i * step)] for i in range(_MAX_CUTS)]
+    groups = [cuts[i : i + _FINE_GROUP] for i in range(0, len(cuts), _FINE_GROUP)]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    coarse = [g[0] for g in groups[1:]]
+    b1 = _search_tree(
+        lambda mid: _cut_le_key(keys, coarse[mid], dtypes), len(coarse)
+    )
+    from pyspark.sql import types as T
+
+    n_fine = _FINE_GROUP - 1
+    cut_cols = [f"__cut{i}__{k}" for i in range(n_fine) for k in keys]
+    lut_schema = T.StructType(
+        [T.StructField("__b1", T.IntegerType(), False)]
+        + [
+            T.StructField(f"__cut{i}__{k}", dtypes[k], True)
+            for i in range(n_fine)
+            for k in keys
+        ]
+    )
+    lut_rows = []
+    for j, g in enumerate(groups):
+        fine = g[1:]
+        row = [j]
+        for i in range(n_fine):
+            row.extend(fine[i] if i < len(fine) else [None] * len(keys))
+        lut_rows.append(tuple(row))
+    lut = df.sparkSession.createDataFrame(lut_rows, lut_schema)
+
+    def fine_le(i: int):
+        # lexicographic "fine cut i <= row key" over the JOINED columns;
+        # an all-NULL padding slot compares NULL -> coalesce to False,
+        # i.e. padding acts as +infinity and routes the search low.
+        expr = None
+        for x in range(len(keys) - 1, -1, -1):
+            c = F.col(f"__cut{i}__{keys[x]}")
+            k = F.col(keys[x])
+            if expr is None:
+                expr = c <= k
+            else:
+                expr = (c < k) | ((c == k) & expr)
+        return F.coalesce(expr, F.lit(False))
+
+    b2 = _search_tree(fine_le, n_fine)
+    return (
+        df.withColumn("__b1", b1.cast("int"))
+        .join(F.broadcast(lut), "__b1")
+        .withColumn(
+            "__bucket", F.col("__b1") * F.lit(_FINE_GROUP) + b2.cast("int")
+        )
+        .drop("__b1", *cut_cols)
+    )
 
 
 def _n_buckets(df: DataFrame) -> int:
@@ -238,7 +353,7 @@ def grouped_running_sum(
     # operator.  Total cost: 2 pruned evaluations of the input, 1
     # full-width shuffle, 1 dim-sized shuffle — the 100 TB shape (a
     # persist would materialize a fact-sized intermediate instead).
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts))
+    bucketed = _with_bucket(df, keys, cuts)
 
     local_w = (
         Window.partitionBy("__bucket", group)
@@ -322,7 +437,7 @@ def surrogate_key(
     # hashpartitioning(__bucket) exchange — the single full-width
     # shuffle.  See grouped_running_sum for why a shared explicit
     # exchange never actually reused (divergent column pruning).
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, order_by, cuts))
+    bucketed = _with_bucket(df, order_by, cuts)
 
     part_w = Window.partitionBy("__bucket").orderBy(*order_by)
     offsets_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -371,7 +486,7 @@ def grouped_running_max(
     cuts = _range_cuts(cut_source if cut_source is not None else df, keys, nb, ss)
     # un-shuffled offsets aggregate + window-inserted main exchange;
     # see grouped_running_sum for the one-full-shuffle rationale
-    bucketed = df.withColumn("__bucket", _bucket_expr(df, keys, cuts))
+    bucketed = _with_bucket(df, keys, cuts)
     upper = -1 if exclusive else Window.currentRow
     local_w = (
         Window.partitionBy("__bucket", group)

@@ -890,3 +890,75 @@ def test_bucketed_cumsum_single_full_width_shuffle(spark, name):
         f"{aggregated_pairs}"
     )
     assert "EvalPython" not in plan
+
+
+def test_bucket_lookup_codegen_stable_past_flat_cap(spark):
+    """Large-cut-count regime (driver-vanilla 200+ shuffle partitions on
+    inputs past the sample cap): the bucket lookup must NOT degrade to
+    interpreted eval.  The old single nested-CASE tree at ~400 cuts
+    exceeds Janino's 64 KB method limit; the two-level form (bounded
+    coarse tree + broadcast HASH equi-join to a fine-cut lookup +
+    bounded fine tree) must (a) compile under CODEGEN_ONLY with
+    fallback disabled — a compile failure throws here instead of
+    silently interpreting — (b) produce exactly the single-window
+    semantics, and (c) contain no nested-loop join."""
+    from pyspark.sql import Window
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        _FLAT_CUTS_MAX,
+        _range_cuts,
+        grouped_running_sum,
+        surrogate_key,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    )
+    # sample of 1024 from 20k rows binds exactly -> no bucket shrink ->
+    # ~399 cuts, well past the flat codegen-safe cap
+    cuts = _range_cuts(df, ["lang", "h", "doc_id"], 400, 1024)
+    assert len(cuts) > _FLAT_CUTS_MAX, len(cuts)
+
+    old = {
+        "spark.sql.codegen.fallback": spark.conf.get("spark.sql.codegen.fallback", "true"),
+        "spark.sql.codegen.factoryMode": spark.conf.get(
+            "spark.sql.codegen.factoryMode", "FALLBACK"
+        ),
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        out = grouped_running_sum(
+            df, "lang", ["h", "doc_id"], "n_tokens", "cum",
+            n_buckets=400, sample_size=1024,
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = df.withColumn("cum", F.sum("n_tokens").over(w))
+        cols = ["doc_id", "lang", "n_tokens", "cum"]
+        assert out.select(cols).exceptAll(ref.select(cols)).count() == 0
+        assert ref.select(cols).exceptAll(out.select(cols)).count() == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan  # the fine-cut lookup join
+
+        sk = surrogate_key(
+            df, ["h", "doc_id"], "sid", n_buckets=400, sample_size=1024
+        )
+        refk = df.withColumn(
+            "sid",
+            (F.row_number().over(Window.orderBy("h", "doc_id")) - 1).cast("long"),
+        )
+        skc = ["doc_id", "lang", "n_tokens", "h", "sid"]
+        assert sk.select(skc).exceptAll(refk.select(skc)).count() == 0
+        assert refk.select(skc).exceptAll(sk.select(skc)).count() == 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
