@@ -1605,7 +1605,15 @@ def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 datasketches): per-flag sketches
     built in one pass, then UNIONED into a grand total — the
     re-aggregatable approximate-distinct pattern (store sketch bytes per
-    partition/day, merge on demand; never recount raw data)."""
+    partition/day, merge on demand; never recount raw data).
+
+    Why rows-only: the estimate depends on the Apache DataSketches HLL
+    register layout and its xxHash64-based stochastic averaging —
+    implementation-defined state DuckDB cannot replay, so unlike the
+    pinned-md5-lane sketches (``kmv_distinct_estimate``,
+    ``count_min_sketch_flag_freq``) the VALUE is not oracle-pairable;
+    the estimate is instead tolerance-gated against the exact distinct
+    count in tests/test_sketch_quality.py."""
     l = load(spark, sf_dir, "lineitem")
     per_flag = l.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk")

@@ -391,28 +391,147 @@ def variant_shred_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Count-Min sketch — approximate frequency (rows-only: sketch bytes are
-# engine-specific, like the HLL sketch query)
+# Count-Min sketch — approximate frequency with a DETERMINISTIC md5 hash
+# family, so the whole ESTIMATE (not just its error bound) is
+# oracle-checkable.  The native ``F.count_min_sketch`` aggregate stays
+# exercised in tests/test_sketch_quality.py (deserialized through the
+# JVM sketch class, contract-checked per key), but its serialized
+# register layout is engine-specific — same reason
+# ``hll_sketch_distinct_parts`` stays rows-only.
 # ---------------------------------------------------------------------------
 
+_CMS_D = 4  # hash lanes (depth)
+_CMS_W = 32  # counters per lane (width)
 
-@_register("count_min_sketch_flag_freq")  # rows-only: binary sketch format
+
+def _cms_bucket(col, lane: int):
+    """Lane ``lane``'s counter index for a key: first 8 md5 hex chars of
+    ``'cms{lane}_' || key`` as an integer, mod the lane width — the
+    pairwise-independent-enough family both engines can replay
+    byte-for-byte (the KMV/minhash md5-lane convention)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{lane}_"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+def _cms_bucket_sql(key_expr: str, lane: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{lane}_' || {key_expr}), 1, 8)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@_register(
+    "count_min_sketch_flag_freq",
+    f"""
+    WITH lanes AS (SELECT unnest([0, 1, 2, 3]) AS lane),
+    counters AS (
+        SELECT l.lane,
+               CASE l.lane
+                 WHEN 0 THEN {_cms_bucket_sql('li.l_returnflag', 0)}
+                 WHEN 1 THEN {_cms_bucket_sql('li.l_returnflag', 1)}
+                 WHEN 2 THEN {_cms_bucket_sql('li.l_returnflag', 2)}
+                 ELSE {_cms_bucket_sql('li.l_returnflag', 3)}
+               END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem li CROSS JOIN lanes l
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM lineitem GROUP BY 1
+    ),
+    probe AS (
+        SELECT e.l_returnflag, e.exact_count, l.lane,
+               CASE l.lane
+                 WHEN 0 THEN {_cms_bucket_sql('e.l_returnflag', 0)}
+                 WHEN 1 THEN {_cms_bucket_sql('e.l_returnflag', 1)}
+                 WHEN 2 THEN {_cms_bucket_sql('e.l_returnflag', 2)}
+                 ELSE {_cms_bucket_sql('e.l_returnflag', 3)}
+               END AS bucket
+        FROM exact e CROSS JOIN lanes l
+    )
+    SELECT p.l_returnflag,
+           CAST(MAX(p.exact_count) AS BIGINT) AS exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+    FROM probe p JOIN counters c ON p.lane = c.lane AND p.bucket = c.bucket
+    GROUP BY 1
+    """,
+)
 def count_min_sketch_flag_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch over l_returnflag (eps=1%, conf=99%, fixed seed):
-    sub-linear mergeable frequency summary — the streaming/partitioned
-    answer to 'how often does each key occur' without a full groupBy.
-    Returns the sketch size plus the exact cardinality for context."""
-    l = load(spark, sf_dir, "lineitem")
-    sk = l.agg(
-        F.count_min_sketch("l_returnflag", F.lit(0.01), F.lit(0.99), F.lit(42)).alias(
-            "cms"
-        ),
-        F.count("*").alias("n_rows"),
+    """Count-Min sketch frequency estimates over ``l_returnflag``
+    (Cormode & Muthukrishnan 2005, public), built with the REAL CMS
+    update shape and a deterministic md5 hash family so the estimates
+    themselves are oracle-paired: every row increments one counter per
+    lane (lane explode -> map-side-combined ``groupBy(lane, bucket)``,
+    so only d*w={d}*{w} pre-aggregated counter rows ever shuffle), and
+    a key's estimate is the MIN of its {d} lane counters — an
+    overestimate by construction (collisions only add), asserted
+    against the exact counts emitted alongside.
+
+    Scale shape: the fact scan explodes x{d} but contracts map-side to
+    the {d}x{w} counter grid — the sketch's whole point (sub-linear
+    mergeable state, no per-key shuffle); probes are dim-sized.  The
+    native ``F.count_min_sketch`` aggregate remains the production
+    path for opaque-at-rest sketches and is contract-tested in
+    tests/test_sketch_quality.py; ITS serialized layout is
+    implementation-defined, which is why this md5-lane twin exists
+    (the KMV precedent, ``kmv_distinct_estimate``)."""
+    li = load(spark, sf_dir, "lineitem")
+    flag = F.col("l_returnflag")
+    lanes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("lane"),
+                _cms_bucket(flag, i).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
     )
-    return sk.select(
-        F.length("cms").alias("sketch_bytes"),
-        "n_rows",
+    counters = (
+        li.select(F.explode(lanes_arr).alias("lb"))
+        .select(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .groupBy("lane", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probe = exact.select(
+        "l_returnflag",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("lane"),
+                        _cms_bucket(F.col("l_returnflag"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("lb"),
+    ).select(
+        "l_returnflag",
+        "exact_count",
+        F.col("lb.lane").alias("lane"),
+        F.col("lb.bucket").alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["lane", "bucket"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cnt").alias("cms_estimate"),
+        )
+    )
+
+
+count_min_sketch_flag_freq.__doc__ = count_min_sketch_flag_freq.__doc__.format(
+    d=_CMS_D, w=_CMS_W
+)
 
 
 # ---------------------------------------------------------------------------

@@ -105,10 +105,13 @@ def test_count_min_sketch_overestimate_only_and_width_bound(spark):
     for flag, c in exact.items():
         est = sk.estimateCount(flag)
         assert c <= est <= c + eps * row["n"], (flag, c, est)
-    # the registered query itself: one row, sketch bytes present
+    # the registered query is the md5-lane oracle-paired twin: one row
+    # per flag, estimate >= exact (CMS overcounts only, never under)
     out = relational.QUERIES["count_min_sketch_flag_freq"](spark, SF_SMOKE).collect()
-    assert len(out) == 1 and out[0]["sketch_bytes"] > 0
-    assert out[0]["n_rows"] == row["n"]
+    assert {r["l_returnflag"] for r in out} == set(exact)
+    for r in out:
+        assert r["exact_count"] == exact[r["l_returnflag"]]
+        assert r["cms_estimate"] >= r["exact_count"], r
 
 
 def test_percentile_approx_rank_error_bound(spark):
