@@ -1932,3 +1932,178 @@ def conformal_calibration_quantile(spark: SparkSession, sf_dir: str) -> DataFram
         F.first("k").cast("long").alias("k_index"),
         F.min(F.when(F.col("rnk") == F.col("k"), F.col("score"))).alias("qhat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embedding clusters (Abbas et
+# al. 2023, public): the dedup family's fourth axis (exact hash /
+# lexical MinHash / winnowing fingerprint / SEMANTIC), keyed on the
+# deterministic label-centroid cells so the whole pass — pairs,
+# components, prototype selection — is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# Within-cell cosine ceiling above which two embeddings count as
+# semantic duplicates.  A production run on a real encoder sits near
+# 0.99; this synthetic corpus is geometric noise (within-label cosine
+# p99 ~ 0.30 at sf0.01), so the ceiling sits in its upper tail to
+# exercise non-trivial components at every SF.
+_SEMDEDUP_CEIL = 0.35
+
+
+@_register(
+    "semdedup_embedding_prototypes",
+    f"""
+    WITH RECURSIVE e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pos AS (  -- zero-norm vectors excluded from pairing: cosine undefined
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    edges AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM pos a JOIN pos b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_CEIL}
+    ),
+    und AS (SELECT ia AS a, ib AS b FROM edges
+            UNION SELECT ib, ia FROM edges),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+             FROM walk GROUP BY a),
+    ex AS (
+        SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM e0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(x) AS DOUBLE) AS s
+        FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS cv,
+               list_sum(list_transform(list(s ORDER BY pos), x -> x * x)) AS cn2
+        FROM sums GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               coalesce(c.component, e.vec_id) AS component,
+               CASE WHEN list_sum(list_transform(e.v, x -> x * x)) = 0
+                         OR ct.cn2 = 0 THEN NULL
+                    ELSE round(list_cosine_similarity(e.v, ct.cv), 6) + 0.0
+               END AS cos_cent
+        FROM e0 e
+        JOIN cent ct ON ct.label = e.label
+        LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    ranked AS (
+        SELECT component, vec_id, cos_cent,
+               COUNT(*) OVER (PARTITION BY component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY cos_cent ASC NULLS FIRST, vec_id)
+                   AS rn
+        FROM scored
+    )
+    SELECT component, vec_id AS kept_vec_id,
+           cos_cent AS prototype_centroid_cos,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, public):
+    within each embedding CLUSTER, mark pairs above a cosine ceiling
+    ({ceil}) as semantic duplicates, connect them into components, and
+    keep ONE prototype per component — the member with the LOWEST
+    cosine to its cluster centroid (the paper's keep-the-outlier rule:
+    prototypes preserve diversity, boilerplate collapses).  Clusters
+    are the deterministic label-centroid cells (the
+    ``ivf_label_cells_recall_curve`` codebook), which is what makes the
+    whole pass oracle-checkable end to end — unlike KMeans-cell
+    SemDeDup, no float-matmul training step.  Output is the
+    post-semdedup corpus: one row per component (singletons keep
+    themselves), with the prototype's centroid cosine and the component
+    size.
+
+    Determinism: pairs gate on the ROUNDED cosine ({ceil}); prototypes
+    rank on the ROUNDED centroid cosine ASC NULLS FIRST with vec_id
+    tiebreak (zero-norm vectors and zero centroids yield NULL — the
+    hostile-embeddings guard — and sort first on both engines by the
+    explicit null rule).  Centroid sums accumulate in DECIMAL per
+    (label, dim) — exact and order-independent — with cosine computed
+    against the SUM vector (scale-invariant, so the /n disappears).
+
+    Scale shape: pairing is an equi-join on the cell id — within-cell
+    quadratic is SemDeDup's own contract, bounded by cell size (at
+    100 TB the codebook grows with the corpus, k ~ N/cell_budget, so
+    cells stay bounded; here #labels stands in for k).  Components run
+    on EDGES (dup pairs, not the corpus) through the bounded-iteration
+    min-label operator; centroids are #labels x dim map-side-combined
+    partials; the final rank window partitions by component —
+    cluster-sized, never corpus-wide."""
+    from ..functions.vectors import as_double, cosine, norm
+
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    pos = e0.filter(norm(F.col("v")) > 0)
+    a = pos.select(
+        "label", F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = pos.select(
+        "label", F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= _SEMDEDUP_CEIL
+        )
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    from ..operators.graph import connected_components
+
+    comp = connected_components(edges).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+    ex = e0.select(
+        "label", F.posexplode("v").alias("pos", "x0")
+    ).select("label", "pos", F.col("x0").cast("decimal(18,9)").alias("x"))
+    sums = ex.groupBy("label", "pos").agg(F.sum("x").cast("double").alias("s"))
+    cent = sums.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, s))), t -> t.s)")
+        .alias("cv")
+    )
+    scored = (
+        e0.join(F.broadcast(cent), "label")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("component"),
+            F.when(
+                (norm(F.col("v")) == 0) | (norm(F.col("cv")) == 0), F.lit(None)
+            )
+            .otherwise(F.round(cosine(F.col("v"), F.col("cv")), 6) + 0.0)
+            .alias("cos_cent"),
+        )
+    )
+    w_n = Window.partitionBy("component")
+    w_r = w_n.orderBy(F.asc_nulls_first("cos_cent"), "vec_id")
+    return (
+        scored.withColumn("n_members", F.count(F.lit(1)).over(w_n).cast("long"))
+        .withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("cos_cent").alias("prototype_centroid_cos"),
+            "n_members",
+        )
+    )
+
+
+semdedup_embedding_prototypes.__doc__ = semdedup_embedding_prototypes.__doc__.format(
+    ceil=_SEMDEDUP_CEIL
+)

@@ -82,6 +82,11 @@ _EMBED_PANEL = [
     "label_noise_centroid_disagreement",
     # fused-list MRR under zero vectors and duplicate embeddings
     "rrf_mrr_vs_dense",
+    # r10 SemDeDup: zero-norm vectors must stay singleton prototypes
+    # with NULL centroid cosine (NULLS FIRST rank on both engines),
+    # identical vectors (cos 1.0) must component-merge, and the
+    # keep-lowest-centroid-cosine rule must tie-break identically
+    "semdedup_embedding_prototypes",
 ]
 
 
