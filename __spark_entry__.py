@@ -35,172 +35,232 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.QUERIES["flagship_top5_customers_by_order_count"](spark, SF0001)
 
 
-# The verification driver samples a fixed-size prefix of this dict for
-# its per-round CORRECTNESS panel, so insertion order is curated in two
-# blocks.  _PANEL_CORE is stable: the SURVEY §2 operator checks plus the
-# 12 sf_* reference-parity pipeline queries — the surface a reference
-# user would run, externally re-verified every round.  _PANEL_ROTATING
-# is REFRESHED EACH ROUND: any query that was red in the previous
-# round's CORRECTNESS (kept until proven green externally) plus
-# representatives of the newest query families, so new work always gets
-# independent driver verification rather than only the self-maintained
-# local suite.  Every query keeps the same semantics regardless of
-# position; the full registry is always returned and the local parity
-# suite (tests/test_oracle_parity.py) checks all of it either way.
+# The verification driver samples a fixed-size (50) prefix of this dict
+# for its per-round CORRECTNESS panel, so insertion order is curated in
+# two blocks: _PANEL_CORE (sentinels + anything whose engine changed
+# this round + this round's new operators) and _PANEL_ROTATING
+# (REFRESHED EACH ROUND: any previously-red query until proven green
+# externally, then never-driver-verified queries, oldest families
+# first).  Every query keeps the same semantics regardless of position;
+# the full registry is always returned and the local parity suite
+# (tests/test_oracle_parity.py) checks all of it either way.
+#
+# Round-10 restructure (r9 VERDICT #1): the old 36-slot core had been
+# green for 9 straight rounds while 256 of 352 oracle-paired queries
+# had NEVER seen a driver check — external verification must catch up
+# to the registry.  The core shrinks to SENTINELS: the flagship, one
+# representative per §2 operator family, one row of the 12-query sf_*
+# reference pipeline (all 12 stay in the local parity suite and were
+# driver-green r09; they rotate back in if they ever change), the
+# queries whose ENGINE changed this round (the bucketed-cumsum lookup
+# rewrite: surrogate_key_orders, token_budget_mixture,
+# sequence_packing_bins — re-proving the r9 hashes against the new
+# two-level bucket path), and the two round-10 operators.
 _PANEL_CORE = [
-    # SURVEY §2 operator checks (reference-derived surface)
-    "flagship_top5_customers_by_order_count",
-    "projection_filter",
-    "full_outer_join_composite",
-    "inner_join_orders_customer",
-    "left_join_sparse_dim",
-    "dedup_first_per_order",
-    "distinct_pairs",
-    "window_count_per_customer",
-    "count_distinct_parts_per_flag",
-    "approx_count_distinct_parts",  # rows-only by driver contract (approximate)
-    "date_normalize",
-    "string_concat",
-    "round_prices",
-    "surrogate_key_orders",
-    "replicate_rows_x2",
-    "json_extract_props",
-    "pk_violations_lineitem_orderkey",
-    "fk_orphans_lineitem_supplier",
-    "top_revenue_orders",
-    "struct_pack_roundtrip",
-    "na_fill_defaults",
-    "conditional_aggregation",
-    "api_source_scan",
-    "pricing_summary",
-    # the reference's full 11-table SF pipeline, end to end
-    "sf_details",
-    "sf_premitted_biz_details",
-    "sf_applicant_details",
-    "sf_location",
-    "sf_food_type",
-    "sf_permit_motification_details",
-    "sf_operation_time",
-    "sf_permit_application_details",
-    "sf_operating_day",
-    "sf_num_permit_per_business",
-    "sf_yelp_info",
-    "sf_permit_ml",
+    # flagship + §2 family sentinels
+    "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
+    "projection_filter",  # P1-P3/P6
+    "full_outer_join_composite",  # J1
+    "dedup_first_per_order",  # A1/A2/O1
+    "window_count_per_customer",  # A6
+    "json_extract_props",  # S4/F7
+    "pk_violations_lineitem_orderkey",  # S8 constraint checks
+    "top_revenue_orders",  # O2
+    "api_source_scan",  # S1/S2 Python DataSource
+    "pricing_summary",  # A7 aggregate
+    "sf_location",  # sf_* reference-pipeline sentinel (J1+P5 composite)
+    # engine changed this round: two-level codegen-stable bucket lookup
+    "surrogate_key_orders",  # F4 over the new _with_bucket
+    "token_budget_mixture",  # grouped_running_sum consumer (r9 VERDICT #2 gate)
+    "sequence_packing_bins",  # grouped_running_sum consumer (same gate)
+    # new round-10 operators
+    "count_min_sketch_flag_freq",  # md5-lane CMS, first oracle-paired round
+    "semdedup_embedding_prototypes",  # semantic dedup tier, new
 ]
 
-# Round-9 rotation: the r8 hash-FAIL trio stays until the driver proves
-# it green (root cause per the r8 judge replay: uncast DuckDB HUGEINT
-# output columns — sum() OVER types as HUGEINT -> Arrow decimal128(38,0)
-# -> pandas float64, so the driver's repr-sensitive hash saw 8000.0 vs
-# Spark's 8000 while VALUES matched exactly; fixed by CAST(... AS
-# BIGINT) in the 10 affected oracles and closed as a class by
-# tests/test_oracle_types.py, which LIMIT-0s every oracle through DuckDB
-# and asserts per-column Arrow-kind equality with the Spark schema).
-# The 7 LATENT carriers of the same defect are promoted alongside so
-# the fix is externally verified THIS round instead of discovered by
-# rotation later.  Rotated out (driver-green in r8, still in the local
-# suite): exact_dedup, training_data_pipeline, heaps_law,
-# max_concurrent_sessions_daily, prefix_filtered_jaccard_pairs,
-# incremental_agg_retractions, ohlc, leakage_guarded_split,
-# benchmark_span_decontamination, int8_recall_vs_exact,
-# cogrouped_asof_attribution.
+# Round-10 rotation: 34 slots, ALL drawn from the 256 oracle-paired
+# queries that have never appeared in any driver panel (r9 VERDICT #1),
+# oldest families first — TPC-H suite and lakehouse (r2-4), modern SQL
+# and frame/SQL-feature surfaces (r4-6), text curation (r4-8),
+# similarity (r5-9), analytics (r6-9), streaming/multimodal (r5-8).
+# Every member is locally parity-green at sf0.001+0.01+0.1 (the r9
+# closeout 351/351 sweep) and 5-cell determinism-matrix stressed before
+# this round ends.  Rotated out (driver-green r09, still in the local
+# suite): the r9 HUGEINT cohort, the remaining §2 singles, and 11 of
+# the 12 sf_* pipeline rows.
 _PANEL_ROTATING = [
-    "token_budget_mixture",  # red r7+r8 — HUGEINT cast landed, verify
-    "corpus_curation_pipeline",  # red r7+r8 — same fix, verify
-    "sequence_packing_bins",  # red r8 — same fix, verify
-    # the 7 latent HUGEINT carriers, now cast (r8 VERDICT #1/#4)
-    "sequence_packing_by_source",
-    "split_and_pack_bins",
-    "null_semantics_breadth",
-    "variant_shred_event_props",
-    "doc_repetition_scores",
-    "dataset_datasheet_by_source",
-    "q12_priority_shipping",
-    # representatives of round-8 families never externally verified
-    "text_quality_scores",
-    "embedding_covariance_matrix",
-    "item_item_cosine_recs",
-    "winnowing_overlap_pairs",
+    # TPC-H suite (oldest never-verified family)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    # lakehouse
+    "scd2_user_event_history",
+    "funnel_signup_to_purchase",
+    "snapshot_diff_user_state",
+    "zorder_key_orders",
+    # modern SQL
+    "bitmap_distinct_parts_by_flag",
+    "session_window_user_activity",
+    "rolling_7day_active_users",
+    "pivot_multi_agg_status",
+    "cohort_retention_daily",
+    # frame API
+    "crosstab_status_priority",
+    "union_by_name_evolved_schema",
+    # SQL features
+    "locf_order_price_fill",
+    "width_bucket_quantity_deciles",
+    # text curation
+    "tfidf_top_terms",
+    "minhash_dedup_survivors",
+    "near_dup_quality_survivors",
+    "decontaminate_documents",
+    "temperature_resample_mixture",
+    "lang_id_confusion_matrix",
+    # similarity
+    "embedding_near_dup_blocked",
+    "embedding_label_centroids",
+    "hybrid_search_rrf",
+    # analytics
+    "rolling_7day_spend",
+    "fuzzy_name_match",
+    "revenue_share_by_nation",
+    "kmv_distinct_estimate",
+    # streaming (a REAL AvailableNow stream checked against batch SQL)
+    "streaming_hourly_event_counts",
+    # multimodal (md5-replayable real-codec decode)
+    "image_header_decode",
 ]
 
-# Round-9 rotation candidates: operators added AFTER this round's panel
-# was matrix-verified — locally parity-green (sf0.001/0.01, sf0.1 where
-# swept) with hostile-fixture coverage, staged for external driver
-# verification next round.  The determinism matrix has an opt-in test
-# that runs exactly this list so candidates arrive pre-stressed.
+# Staging pool for the NEXT rounds' rotation (r11+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set, capped at
+# 120 (three more rounds of ~35-slot rotation).  The determinism matrix
+# has an opt-in test that stresses exactly this list so candidates
+# arrive pre-stressed; all are locally parity-green at three SFs.
 _PANEL_NEXT_CANDIDATES = [
-    # round-9 additions (Gopher rules, BM25, rank stats, IVF curve)
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q16_parts_supplier_relationship",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_inactive_high_balance",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "forget_customers_cascade",
+    "max_maintenance_under_deletes",
+    "rendezvous_shard_counts",
+    "replication_checksum_orders",
+    "scd2_as_of_snapshot",
+    "array_set_ops_region_pairs",
+    "bitwise_agg_orderkeys",
+    "broadcast_dict_region_lookup",
+    "calendar_edge_functions",
+    "calendar_fill_monthly_revenue",
+    "cross_join_region_status_grid",
+    "dispersion_stats_by_flag",
+    "distribution_windows",
+    "expectations_orders",
+    "lateral_long_words_per_doc",
+    "listagg_nations_per_region",
+    "map_status_counts_by_priority",
+    "mode_median_by_flag",
+    "mom_revenue_change",
+    "multiset_customer_orders_h1_vs_h2",
+    "parameterized_sql_big_orders",
+    "percentile_disc_by_status",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "range_frame_price_neighbors",
+    "regexp_doc_features",
+    "regr_price_vs_quantity",
+    "rows_per_input_file",
+    "string_scalar_breadth",
+    "to_json_order_documents",
+    "top2_orders_per_customer",
+    "try_divide_return_rates",
+    "udaf_weighted_avg_discount",
+    "zonemap_pruning_by_layout",
+    "approx_top_k_by_status",
+    "approx_top_k_priorities",
+    "arrow_grouped_extrema_status",
+    "pagination_orders_page3",
+    "collated_type_counts",
+    "execute_immediate_status_totals",
+    "filter_clause_aggregates",
+    "group_by_all_status_priority",
+    "identifier_dynamic_rollup",
+    "lateral_column_alias_margins",
+    "pipe_syntax_flag_revenue",
+    "select_except_projection",
+    "sql_scripting_tiered_rollup",
+    "sql_tvf_monthly_spine",
+    "sql_udf_net_revenue",
+    "sql_variables_above_avg_orders",
+    "values_inline_priority_weights",
+    "xml_parse_roundtrip_orders",
+    "bigram_lm_scores",
+    "bm25_topk_docs",
+    "chunk_documents_overlapping",
+    "containment_pairs",
+    "corpus_statistics_report",
+    "curriculum_interleave_order",
+    "dedup_rate_by_source",
+    "diversified_topk_docs",
+    "encoding_quality_audit",
+    "epochs_per_source_schedule",
+    "flesch_readability_by_source",
+    "gopher_curation_pipeline",
     "gopher_dup_trigram_chars",
     "gopher_quality_rules",
-    "bm25_topk_docs",
-    "spearman_price_vs_quantity",
-    "kendall_tau_quantity_discount",
-    "ivf_label_cells_recall_curve",
-    "entity_resolution_customers",
-    "conformal_calibration_quantile",
-    "zonemap_pruning_by_layout",
-    "woe_binning_price_returns",
-    "late_event_drop_audit",
-    "local_clustering_part_graph",
-    "gopher_curation_pipeline",
-    "activity_islands_per_user",
-    "merkle_range_checksums",
-    "kmv_distinct_estimate",
-    "rolling_7day_median_revenue",
-    "cuped_variance_reduction",
-    "theil_sen_trend_1996",
-    "textrank_keywords",
-    "equi_depth_histogram_price",
-    "cf_holdout_ndcg",
-    "holt_linear_backtest_wape",
-    "image_ahash_near_dup",
-    "ab_lift_bootstrap_range",
-    "kcore_part_graph",
-    "multi_touch_attribution",
-    "inverted_index_conjunctive",
-    "winnowing_fingerprints",
-    "mutual_information_lang_source",
-    "loo_target_encoding_priority",
-    "ordered_funnel_three_step",
-    "cf_holdout_hit_rate",
-    "bounce_rate_daily",
-    "containment_pairs",
-    "diversified_topk_docs",
-    "quarantine_orders_with_reasons",
-    "events_analytics_pipeline",
-    "bloom_pruned_supplier_revenue",
-    "longest_shared_passage_pairs",
     "greedy_coverage_selection",
-    "mmr_rerank_topk",
-    "rendezvous_shard_counts",
-    "link_prediction_part_graph",
-    "acf_daily_revenue",
-    "sssp_weighted_part_graph",
-    "zipf_rank_frequency_curve",
+    "incremental_near_dup_new_batch",
+    "inverted_index_conjunctive",
+    "k_anonymity_audit",
     "l_diversity_audit",
-    "mann_whitney_u_price_halves",
-    "anova_f_price_by_priority",
-    "trimmed_mean_price_by_status",
-    "ccf_click_vs_purchase",
-    "lorenz_curve_revenue_deciles",
-    "orderkey_sequence_gaps",
-    "hhi_supplier_concentration",
-    "cusum_changepoint_daily_revenue",
-    "top_event_paths_trigram",
-    "fano_burstiness_by_event_type",
-    "matryoshka_truncation_recall",
-    "encoding_quality_audit",
-    "twap_value_by_user",
-    "label_noise_centroid_disagreement",
-    "vocab_psi_between_sources",
+    "lang_entropy_by_source",
+    "longest_shared_passage_pairs",
+    "minhash_estimate_calibration",
+    "mutual_information_lang_source",
+    "near_dup_cluster_sizes",
     "near_dup_cluster_source_purity",
-    "cohort_ltv_weekly",
-    "seasonal_naive_backtest_wape",
-    "flesch_readability_by_source",
-    "global_clustering_coefficient",
+    "near_dup_threshold_histogram",
+    "ngram_jaccard_pairs",
+    "pii_redact_documents",
+    "pseudonymize_customer_orders",
+    "repetition_filter_stats",
+    "simhash64_near_dup_pairs",
+    "simhash_signatures",
+    "streaming_incremental_near_dup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_token_stats",
+    "textrank_keywords",
+    "tokenizer_fertility_by_lang",
+    "top_collocations_pmi",
+    "vocab_psi_between_sources",
+    "vocab_topk_overlap_by_source",
+    "winnowing_fingerprints",
+    "zipf_rank_frequency_curve",
+    "conformal_calibration_quantile",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "hard_negative_mining_topk",
+    "int8_quantized_dot_topk",
+    "ivf_label_cells_recall_curve",
+    "label_noise_centroid_disagreement",
+    "matryoshka_truncation_recall",
+    "mmr_rerank_topk",
     "rrf_mrr_vs_dense",
-    "join_key_skew_report",
-    "unordered_completion_funnel",
+    "ab_lift_bootstrap_range",
+    "ab_test_t_statistic",
+    "acctbal_boxplot_by_nation",
+    "acf_daily_revenue",
+    "activity_islands_per_user",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -103,6 +103,11 @@ HEADLINE = [
     "spearman_price_vs_quantity",
     "entity_resolution_customers",
     "ivf_label_cells_recall_curve",
+    # round-10 additions: SemDeDup (cell equi-join pairs + min-label
+    # components + centroid-cos prototype rank) and the md5-lane CMS
+    # (lane explode contracting map-side to the d x w counter grid)
+    "semdedup_embedding_prototypes",
+    "count_min_sketch_flag_freq",
 ]
 
 
