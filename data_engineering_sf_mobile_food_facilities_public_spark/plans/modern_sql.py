@@ -405,12 +405,15 @@ _CMS_W = 32  # counters per lane (width)
 
 
 def _cms_bucket(col, lane: int):
-    """Lane ``lane``'s counter index for a key: first 8 md5 hex chars of
-    ``'cms{lane}_' || key`` as an integer, mod the lane width — the
-    pairwise-independent-enough family both engines can replay
-    byte-for-byte (the KMV/minhash md5-lane convention)."""
+    """Lane ``lane``'s counter index for a key: the ``lane``-th disjoint
+    8-hex window of ONE md5 digest of ``'cms_' || key`` as an integer,
+    mod the lane width — four independent-enough 32-bit lanes from a
+    single 128-bit hash (one md5 per row, not four; the KMV/minhash
+    md5-lane convention)."""
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{lane}_"), col)), 1, 8), 16, 10)
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cms_"), col)), 1 + 8 * lane, 8), 16, 10
+        )
         .cast("long")
         % _CMS_W
     )
@@ -418,8 +421,8 @@ def _cms_bucket(col, lane: int):
 
 def _cms_bucket_sql(key_expr: str, lane: int) -> str:
     return (
-        f"CAST(('0x' || substr(md5('cms{lane}_' || {key_expr}), 1, 8)) AS BIGINT)"
-        f" % {_CMS_W}"
+        f"CAST(('0x' || substr(md5('cms_' || {key_expr}), {1 + 8 * lane}, 8))"
+        f" AS BIGINT) % {_CMS_W}"
     )
 
 
@@ -481,17 +484,28 @@ def count_min_sketch_flag_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the KMV precedent, ``kmv_distinct_estimate``)."""
     li = load(spark, sf_dir, "lineitem")
     flag = F.col("l_returnflag")
-    lanes_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("lane"),
-                _cms_bucket(flag, i).alias("bucket"),
-            )
-            for i in range(_CMS_D)
-        ]
-    )
+
+    def lane_slices(h):
+        # 4 disjoint 8-hex windows of one digest column (Catalyst does
+        # NOT common-subexpression-eliminate md5 across array-of-struct
+        # fields — measured 3.2s -> ~1.3s at sf0.1 by hashing once in a
+        # prior projection and slicing here)
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("lane"),
+                    (
+                        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+                        % _CMS_W
+                    ).alias("bucket"),
+                )
+                for i in range(_CMS_D)
+            ]
+        )
+
+    hashed = li.select(F.md5(F.concat(F.lit("cms_"), flag)).alias("__h"))
     counters = (
-        li.select(F.explode(lanes_arr).alias("lb"))
+        hashed.select(F.explode(lane_slices(F.col("__h"))).alias("lb"))
         .select(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
         .groupBy("lane", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
