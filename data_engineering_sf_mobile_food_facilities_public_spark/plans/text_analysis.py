@@ -5010,3 +5010,206 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 textrank_keywords.__doc__ = textrank_keywords.__doc__.format(
     iters=_TR_ITERS, k=_TR_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# public): hashed n-gram bag-of-words importance weights toward a
+# target distribution; the principled "make the corpus look like the
+# target" selector that generalizes hand-written quality rules.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed n-gram buckets
+_DSIR_ALPHA = 0.5  # add-alpha smoothing
+_DSIR_TOPK = 100  # selected budget
+_DSIR_TARGET_LANG = "en"  # the "high-quality target" stand-in
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(text),
+                           '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS tokens
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, lang, tokens[i] AS gram
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tokens))) AS i)
+    ),
+    bi AS (
+        SELECT doc_id, lang, tokens[i] || ' ' || tokens[i + 1] AS gram
+        FROM tok,
+             LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1)) AS i)
+    ),
+    g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir_' || gram), 1, 8)) AS BIGINT)
+                   % {_DSIR_B} AS bucket
+        FROM g
+    ),
+    src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM b
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+    ratio AS (
+        SELECT s.bucket,
+               CAST(round(
+                 ln((coalesce(t.ct, 0) + {_DSIR_ALPHA})
+                    / (SUM(coalesce(t.ct, 0)) OVER ()
+                       + {_DSIR_ALPHA * _DSIR_B}))
+                 - ln((s.cs + {_DSIR_ALPHA})
+                      / (SUM(s.cs) OVER () + {_DSIR_ALPHA * _DSIR_B})),
+                 6) AS DECIMAL(18,6)) AS lr
+        FROM src s LEFT JOIN tgt t USING (bucket)
+    ),
+    w AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               SUM(r.lr) AS lw
+        FROM b JOIN ratio r USING (bucket)
+        GROUP BY 1
+    ),
+    w2 AS (
+        SELECT d.doc_id,
+               coalesce(w.n_grams, 0) AS n_grams,
+               coalesce(w.lw, CAST(0 AS DECIMAL(18,6))) AS lw
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    ),
+    kth AS (
+        SELECT lw AS klw, doc_id AS kdoc FROM w2
+        ORDER BY lw DESC, doc_id LIMIT 1 OFFSET {_DSIR_TOPK - 1}
+    )
+    SELECT w2.doc_id,
+           CAST(w2.n_grams AS BIGINT) AS n_grams,
+           round(CAST(w2.lw AS DOUBLE), 6) + 0.0 AS log_weight,
+           CAST(CASE WHEN k.klw IS NULL THEN 1
+                     WHEN w2.lw > k.klw
+                          OR (w2.lw = k.klw AND w2.doc_id <= k.kdoc) THEN 1
+                     ELSE 0 END AS INTEGER) AS selected
+    FROM w2 LEFT JOIN kth k ON TRUE
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public): score every
+    document by how much more likely its hashed n-gram bag (unigrams +
+    bigrams over the WS_REGEX token contract, md5 -> {b} buckets) is
+    under the TARGET distribution (lang='{tl}' documents — the
+    high-quality-target stand-in) than under the raw-source
+    distribution, with add-{a} smoothing; select the top-{k} by weight.
+    log w(doc) = sum over grams of [ln p_target(bucket) -
+    ln p_source(bucket)] — the hashed-ngram approximation of the
+    importance ratio the paper resamples by.
+
+    Determinism: each BUCKET's log-ratio is rounded to 6 and cast
+    DECIMAL(18,6) once ({b} values), so the per-document sum is an
+    EXACT decimal sum of identical addends on both engines (the 1-ulp
+    libm-vs-Math.log hazard is confined to the pre-round bucket
+    values); selection ranks on the exact decimal with doc_id
+    tiebreak via a 1-row k-th-threshold broadcast (the Q22 scalar
+    pattern — no global rank window over the corpus).
+
+    Scale shape: one corpus scan explodes grams and contracts map-side
+    to {b} source + {b} target bucket counts (two broadcast-sized
+    aggregates; totals via a window over the {b}-row frame — the
+    canonical dim-sized exception); per-doc weights are one
+    gram-explode joined to the broadcast ratio table and contracted by
+    doc_id; the top-k threshold is TakeOrdered, never a sort."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", F.expr(_TOKS_EXPR).alias("__toks"))
+    grams = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(__toks, zip_with("
+                "slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+                "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+                "(a, b) -> concat(a, ' ', b)))"
+            )
+        ).alias("gram"),
+    )
+    b = grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir_"), F.col("gram"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    src = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    tgt = (
+        b.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    denom = float(_DSIR_ALPHA * _DSIR_B)
+    ratio = (
+        src.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(_DSIR_ALPHA))
+                    / (
+                        F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(w_all)
+                        + F.lit(denom)
+                    )
+                )
+                - F.log(
+                    (F.col("cs") + F.lit(_DSIR_ALPHA))
+                    / (F.sum("cs").over(w_all) + F.lit(denom))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    w = (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lr").alias("lw"),
+        )
+    )
+    w2 = d.select("doc_id").join(w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("lw"), F.lit(0).cast("decimal(18,6)")).alias("lw"),
+    )
+    kth = (
+        w2.orderBy(F.desc("lw"), "doc_id")
+        .limit(_DSIR_TOPK)
+        .orderBy(F.asc("lw"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("lw").alias("klw"), F.col("doc_id").alias("kdoc"))
+    )
+    return w2.join(F.broadcast(kth), F.lit(True), "left").select(
+        "doc_id",
+        "n_grams",
+        (F.round(F.col("lw").cast("double"), 6) + 0.0).alias("log_weight"),
+        F.when(
+            F.col("klw").isNull()
+            | (F.col("lw") > F.col("klw"))
+            | ((F.col("lw") == F.col("klw")) & (F.col("doc_id") <= F.col("kdoc"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    b=_DSIR_B, a=_DSIR_ALPHA, k=_DSIR_TOPK, tl=_DSIR_TARGET_LANG
+)

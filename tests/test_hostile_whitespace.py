@@ -181,6 +181,10 @@ _HOSTILE_PANEL = [
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    # r10 DSIR: empty/whitespace-only docs have zero grams -> weight
+    # 0.000000 exactly on both engines, still ranked for selection; the
+    # per-bucket pre-rounded DECIMAL log-ratios must sum identically
+    "dsir_importance_weights",
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",

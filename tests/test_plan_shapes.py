@@ -219,6 +219,9 @@ _NESTED_LOOP_ALLOWED = {
     "holt_linear_backtest_wape",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
+    # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
+    # (the Q22 scalar pattern; weights themselves are equi-joins)
+    "dsir_importance_weights",
 }
 
 
