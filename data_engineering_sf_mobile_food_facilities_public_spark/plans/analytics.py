@@ -8545,3 +8545,156 @@ def ab_lift_bootstrap_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 ab_lift_bootstrap_range.__doc__ = ab_lift_bootstrap_range.__doc__.format(
     n=_BOOT_REPLICAS
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator — time-to-second-order with right
+# censoring (Kaplan & Meier 1958, public).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kaplan_meier_repurchase",
+    """
+    WITH RECURSIVE dd AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    ranked AS (
+        SELECT o_custkey, d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+        FROM dd
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+               MIN(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM ranked WHERE rn <= 2 GROUP BY 1
+    ),
+    sub AS (
+        SELECT CAST(CASE WHEN d2 IS NOT NULL THEN d2 - d1
+                    ELSE (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - d1
+                    END AS INT) AS dur,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM firsts
+    ),
+    km AS (
+        SELECT dur,
+               CAST(SUM(ev) AS BIGINT) AS d_events,
+               CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c_cens
+        FROM sub GROUP BY 1
+    ),
+    km2 AS (
+        SELECT dur, d_events,
+               CAST(SUM(d_events + c_cens)
+                    OVER (ORDER BY dur
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_risk
+        FROM km
+    ),
+    ev AS (
+        SELECT dur, d_events, n_risk, ROW_NUMBER() OVER (ORDER BY dur) AS rn
+        FROM km2 WHERE d_events > 0
+    ),
+    rec AS (
+        SELECT rn, dur, d_events, n_risk,
+               CAST(1.0 AS DOUBLE)
+                 * (1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.rn, e.dur, e.d_events, e.n_risk,
+               r.s * (1.0 - CAST(e.d_events AS DOUBLE) / CAST(e.n_risk AS DOUBLE))
+        FROM rec r JOIN ev e ON e.rn = r.rn + 1
+    )
+    SELECT CAST(dur AS INT) AS dur_days, n_risk, d_events,
+           round(s, 6) + 0.0 AS survival
+    FROM rec
+    """,
+)
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-repurchase: per customer,
+    the gap in days between the first and second DISTINCT order dates
+    (event), or between the first order and the corpus's last order
+    date (right-censored — the customer simply hasn't repurchased YET,
+    which naive "average gap" metrics silently discard).  S(t) steps
+    down by (1 - d_i/n_i) at each event time, with censored subjects
+    leaving the risk set — the product-limit estimator every
+    retention/churn dashboard should use instead of raw gap means.
+
+    Cross-engine exactness: the survival RECURSION folds over the
+    event-time-sorted array executor-side with the identical IEEE
+    expression tree the oracle's recursive CTE applies row-by-row (the
+    ``holt_linear_backtest_wape`` discipline), so every prefix product
+    is bit-identical before the round-6 edge; the risk set is integer
+    arithmetic (a reverse cumulative count over the event-time frame).
+
+    Scale shape: one distinct (customer, date) contraction, a
+    per-customer window (customer-bounded) for the first two dates, a
+    1-row MAX-date broadcast for the censoring horizon (the
+    rfm_segment_counts scalar pattern), then everything runs on the
+    DISTINCT-DURATION frame — calendar-bounded (the dim-sized
+    exception), where the reverse-cumulative window and the fold
+    live."""
+    orders = load(spark, sf_dir, "orders")
+    dd = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w_c = Window.partitionBy("o_custkey").orderBy("d")
+    firsts = (
+        dd.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    sub = firsts.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("dmax"), F.col("d1")))
+        .cast("int")
+        .alias("dur"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    km = sub.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_cens"),
+    )
+    w_rev = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    km2 = km.select(
+        "dur",
+        "d_events",
+        F.sum(F.col("d_events") + F.col("c_cens")).over(w_rev).cast("long")
+        .alias("n_risk"),
+    ).filter(F.col("d_events") > 0)
+    folded = km2.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(dur, n_risk, d_events))),
+              named_struct(
+                's', CAST(1.0 AS DOUBLE),
+                'out', CAST(array() AS
+                    array<struct<dur:int, n_risk:bigint,
+                                 d_events:bigint, s:double>>)),
+              (acc, x) -> named_struct(
+                's', acc.s * (1.0 - CAST(x.d_events AS DOUBLE)
+                                    / CAST(x.n_risk AS DOUBLE)),
+                'out', array_append(acc.out, named_struct(
+                  'dur', x.dur, 'n_risk', x.n_risk, 'd_events', x.d_events,
+                  's', acc.s * (1.0 - CAST(x.d_events AS DOUBLE)
+                                      / CAST(x.n_risk AS DOUBLE))))),
+              acc -> acc.out)
+            """
+        ).alias("rows")
+    ).select(F.explode("rows").alias("r"))
+    return folded.select(
+        F.col("r.dur").alias("dur_days"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.d_events").alias("d_events"),
+        (F.round(F.col("r.s"), 6) + 0.0).alias("survival"),
+    )

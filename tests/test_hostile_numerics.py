@@ -158,6 +158,11 @@ _NUMERIC_PANEL = [
     # rank / moment statistics under all-tied prices (zero variance
     # -> NULL guards), empty 1996 windows, and the DECIMAL edge
     "mann_whitney_u_price_halves",
+    # r10 Kaplan-Meier: customers whose orders all land on ONE distinct
+    # date are pure censoring (dur = horizon gap), the dominant
+    # customer is a single subject despite 50 orders, and tied event
+    # days must merge into one step on both engines
+    "kaplan_meier_repurchase",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
     # Lorenz shares under negative revenue (shares outside [0,1]),

@@ -222,6 +222,9 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
     # (the Q22 scalar pattern; weights themselves are equi-joins)
     "dsir_importance_weights",
+    # r10: 1-row MAX-date censoring-horizon broadcast (the
+    # rfm_segment_counts recency-anchor pattern)
+    "kaplan_meier_repurchase",
 }
 
 
