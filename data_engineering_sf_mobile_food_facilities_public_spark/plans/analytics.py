@@ -8698,3 +8698,211 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.d_events").alias("d_events"),
         (F.round(F.col("r.s"), 6) + 0.0).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-priority Welch z-tests (Benjamini &
+# Hochberg 1995, public).  The BH step-up compares the i-th smallest
+# p-value to i*q/m — CONSTANT thresholds, so instead of evaluating a
+# normal CDF at runtime (no erf in either engine) we invert them ONCE
+# in Python (stdlib statistics.NormalDist) and compare |z| against the
+# embedded z-threshold literals: p_(i) <= i*q/m  <=>  |z|_(i) >= thr_i.
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10  # target false-discovery rate
+_BH_M = 5  # hypotheses = order-priority classes
+
+
+def _bh_z_thresholds() -> list[float]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        round(nd.inv_cdf(1.0 - (i * _BH_Q / _BH_M) / 2.0), 6)
+        for i in range(1, _BH_M + 1)
+    ]
+
+
+_BH_THR = _bh_z_thresholds()
+
+
+@_register(
+    "bh_fdr_priority_price",
+    f"""
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(19,2))) AS s,
+               SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                   * CAST(o_totalprice AS DECIMAL(19,2))) AS ss
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n) OVER () AS nt, SUM(s) OVER () AS st,
+               SUM(ss) OVER () AS sst, m.*
+        FROM m
+    ),
+    z0 AS (
+        -- variance NUMERATORS exactly in decimal (n*ss - s*s): differencing
+        -- ~1e26-scale doubles is catastrophic cancellation at the decimal
+        -- edge (the anova_f int128 lesson); only the already-small exact
+        -- numerator converts to double
+        SELECT priority, n, nt - n AS nr,
+               n * ss - s * s AS vng,
+               (nt - n) * (sst - ss) - (st - s) * (st - s) AS vnr,
+               CAST(s AS DOUBLE) / n
+                 - CAST(st - s AS DOUBLE) / CAST(nt - n AS BIGINT) AS num
+        FROM tot
+        WHERE n >= 2 AND nt - n >= 2
+    ),
+    z AS (
+        SELECT priority, n,
+               round(num / sqrt(
+                   CAST(vng AS DOUBLE) / n / n / (n - 1)
+                   + CAST(vnr AS DOUBLE) / nr / nr / (nr - 1)), 6) + 0.0 AS z
+        FROM z0 WHERE vng > 0 OR vnr > 0
+    ),
+    ranked AS (
+        SELECT priority, n, z, abs(z) AS az,
+               ROW_NUMBER() OVER (ORDER BY abs(z) DESC, priority) AS rnk
+        FROM z
+    ),
+    thr AS (
+        SELECT rnk, az,
+               CASE rnk
+                 {" ".join(f"WHEN {i + 1} THEN {t!r}" for i, t in enumerate(_BH_THR))}
+               END AS zthr,
+               priority, n, z
+        FROM ranked
+    ),
+    kmax AS (
+        SELECT *, MAX(CASE WHEN az >= zthr THEN rnk ELSE 0 END) OVER () AS k
+        FROM thr
+    )
+    SELECT priority, n, z,
+           CAST(rnk AS BIGINT) AS rnk, zthr AS z_threshold,
+           CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INTEGER) AS rejected
+    FROM kmax
+    """,
+)
+def bh_fdr_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-corrected screen: per order-priority class, a
+    Welch two-sample z of its mean price vs ALL OTHER orders (exact
+    DECIMAL moments, double only at the closed-form edge), then the
+    Benjamini-Hochberg step-up at q={q} over the m={m} hypotheses —
+    reject the top-k most significant where k = max{{i : p_(i) <=
+    i*q/m}}.  Without the correction, screening m groups at alpha=q
+    inflates false discoveries ~m-fold — BH is what a metrics platform
+    should run on every "which segment moved?" sweep.
+
+    No CDF at runtime: the BH thresholds are constants, so they are
+    inverted ONCE in Python (stdlib NormalDist.inv_cdf) and embedded as
+    z-scale literals in BOTH engines — p_(i) <= i*q/m iff |z|_(i) >=
+    thr_i.  Ranking and the step-up MAX run on the m-row frame (the
+    dim-sized window exception); rejection compares the ROUNDED |z| so
+    a last-ulp difference cannot flip membership.
+
+    Degenerate groups drop BEFORE the screen on both engines: n < 2 on
+    either side (no variance estimate) or a zero pooled denominator
+    (both variances zero) make the z undefined — they are excluded
+    rather than NaN-ranked.  m stays the DECLARED family size (the
+    priority taxonomy), so dropping a degenerate group only makes the
+    screen more conservative.
+
+    Scale shape: ONE map-side-combined moment contraction of the fact
+    table to m rows; everything after is m-row arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(19,2)")
+    m = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p).alias("s"),
+        F.sum(p * p).alias("ss"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = m.select(
+        "*",
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("s").over(w_all).alias("st"),
+        F.sum("ss").over(w_all).alias("sst"),
+    )
+    n, nt = F.col("n"), F.col("nt")
+    nr = (nt - n).cast("long")
+    sd, std = F.col("s").cast("double"), (F.col("st") - F.col("s")).cast("double")
+    ssd = F.col("ss").cast("double")
+    ssr = (F.col("sst") - F.col("ss")).cast("double")
+    # exact-decimal variance numerators (n*ss - s^2): see the oracle
+    # comment — never difference decimal-edge doubles
+    vng = n * F.col("ss") - F.col("s") * F.col("s")
+    vnr = nr * (F.col("sst") - F.col("ss")) - (F.col("st") - F.col("s")) * (
+        F.col("st") - F.col("s")
+    )
+    num = sd / n - std / nr
+    zf = (
+        tot.filter((n >= 2) & (nt - n >= 2))
+        .select(
+            "priority",
+            "n",
+            F.col("n").alias("ng"),
+            nr.alias("nr2"),
+            vng.alias("vng"),
+            vnr.alias("vnr"),
+            num.alias("num"),
+        )
+        .filter((F.col("vng") > 0) | (F.col("vnr") > 0))
+        .select(
+            "priority",
+            "n",
+            (
+                F.round(
+                    F.col("num")
+                    / F.sqrt(
+                        F.col("vng").cast("double")
+                        / F.col("ng")
+                        / F.col("ng")
+                        / (F.col("ng") - 1)
+                        + F.col("vnr").cast("double")
+                        / F.col("nr2")
+                        / F.col("nr2")
+                        / (F.col("nr2") - 1)
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("z"),
+        )
+    )
+    w_rnk = Window.orderBy(F.desc(F.abs(F.col("z"))), "priority")
+    ranked = zf.select(
+        "*",
+        F.abs(F.col("z")).alias("az"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
+    zthr = None
+    for i, t in enumerate(_BH_THR):
+        cond = F.col("rnk") == (i + 1)
+        zthr = F.when(cond, F.lit(t)) if zthr is None else zthr.when(cond, F.lit(t))
+    ranked = ranked.withColumn("zthr", zthr)
+    kmax = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(F.col("az") >= F.col("zthr"), F.col("rnk")).otherwise(F.lit(0))
+        ).over(w_all),
+    )
+    return kmax.select(
+        "priority",
+        "n",
+        "z",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("zthr").alias("z_threshold"),
+        F.when(F.col("rnk") <= F.col("k"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+bh_fdr_priority_price.__doc__ = bh_fdr_priority_price.__doc__.format(
+    q=_BH_Q, m=_BH_M
+)

@@ -163,6 +163,10 @@ _NUMERIC_PANEL = [
     # customer is a single subject despite 50 orders, and tied event
     # days must merge into one step on both engines
     "kaplan_meier_repurchase",
+    # r10 BH-FDR: singleton priority class (n=1) and an all-zero-price
+    # class must DROP from the screen identically (degenerate-group
+    # guard), and huge-magnitude groups stress the DECIMAL moments
+    "bh_fdr_priority_price",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
     # Lorenz shares under negative revenue (shares outside [0,1]),
