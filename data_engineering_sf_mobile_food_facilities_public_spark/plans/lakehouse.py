@@ -700,3 +700,87 @@ def rendezvous_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_RV9_SHARDS = _RV_SHARDS + ["shard-8"]
+_RV9_VALUES = ", ".join(f"('{s}')" for s in _RV9_SHARDS)
+
+
+@_register(
+    "rendezvous_rebalance_delta",
+    f"""
+    WITH shards8 AS (SELECT * FROM (VALUES {_RV_VALUES}) t(shard)),
+    shards9 AS (SELECT * FROM (VALUES {_RV9_VALUES}) t(shard)),
+    w8 AS (
+        SELECT d.doc_id, s.shard,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || s.shard), 1, 8)) AS BIGINT) AS w
+        FROM documents d CROSS JOIN shards8 s
+    ),
+    a8 AS (
+        SELECT doc_id, shard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY w DESC, shard DESC) AS rn
+            FROM w8
+        ) WHERE rn = 1
+    ),
+    w9 AS (
+        SELECT d.doc_id, s.shard,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || s.shard), 1, 8)) AS BIGINT) AS w
+        FROM documents d CROSS JOIN shards9 s
+    ),
+    a9 AS (
+        SELECT doc_id, shard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY w DESC, shard DESC) AS rn
+            FROM w9
+        ) WHERE rn = 1
+    )
+    SELECT a8.shard AS old_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a9.shard <> a8.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN a9.shard <> a8.shard
+                          AND a9.shard = 'shard-8' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_to_newcomer,
+           round(CAST(SUM(CASE WHEN a9.shard <> a8.shard THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) + 0.0 AS moved_frac
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def rendezvous_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-rebalance audit for rendezvous (HRW) placement: assign
+    every document under the 8-shard ring AND under the ring plus one
+    newcomer, then report per old shard how many keys MOVE and where.
+    The query is a live proof of HRW's selling point — every moved key
+    lands on the NEWCOMER (n_moved = n_to_newcomer row by row; a
+    mod-N ring would reshuffle ~all keys) and the expected movement is
+    1/9 per shard.  This is the number a storage operator checks
+    before scaling an ingestion fleet.
+
+    Scale shape: both assignments are per-row md5 + array_max
+    expressions fused into ONE scan (no shuffle, no join on the fact —
+    the oracle's a8/a9 join is its window formulation; Spark computes
+    both columns in place); only the 8-group rollup shuffles."""
+    from ..operators.layout import rendezvous_assign
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    both = rendezvous_assign(
+        rendezvous_assign(d, "doc_id", _RV_SHARDS, out_col="old_shard"),
+        "doc_id",
+        _RV9_SHARDS,
+        out_col="new_shard",
+    )
+    moved = (F.col("new_shard") != F.col("old_shard")).cast("int")
+    return both.groupBy("old_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.sum(
+            moved * (F.col("new_shard") == "shard-8").cast("int")
+        )
+        .cast("long")
+        .alias("n_to_newcomer"),
+        (
+            F.round(F.sum(moved).cast("double") / F.count(F.lit(1)), 6) + 0.0
+        ).alias("moved_frac"),
+    )

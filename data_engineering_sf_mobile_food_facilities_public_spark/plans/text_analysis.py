@@ -5213,3 +5213,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
     b=_DSIR_B, a=_DSIR_ALPHA, k=_DSIR_TOPK, tl=_DSIR_TARGET_LANG
 )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen-vocabulary mass (Good 1953, public) — per source.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "good_turing_unseen_mass",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text),
+                           '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT source, tokens[i] AS word
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tokens))) AS i)
+    ),
+    wc AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS r
+        FROM w GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(r) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS doubletons,
+           round(CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(r), 6) + 0.0 AS p_unseen,
+           round(1.0 - CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(r), 6) + 0.0 AS coverage
+    FROM wc
+    GROUP BY source
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing estimate of the UNSEEN vocabulary mass per source
+    (Good 1953, public): P0 = N1/N — the total probability a fresh
+    token from the same source is a word never seen in the corpus,
+    estimated from the hapax count.  The curation read: a source whose
+    p_unseen stays high after millions of tokens is open-vocabulary
+    (code, user IDs, noise) and will keep inflating the tokenizer's
+    byte-fallback rate; coverage = 1 - P0 is the sampling-sufficiency
+    gate the Heaps-law curve (``heaps_law_vocab_growth``) trends over
+    time.  Doubletons ship alongside because N1/N2 drives the standard
+    Simple Good-Turing smoothing ratio.
+
+    All integer arithmetic until two final divisions rounded at the
+    edge.  Scale shape: token explode contracts map-side to (source,
+    word) counts — vocabulary-sized, Heaps-sublinear — then one
+    (source)-level fold; no windows, no joins."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.expr(_TOKS_EXPR)).alias("word")
+    )
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    n1 = F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long")
+    return wc.groupBy("source").agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        n1.alias("hapax"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("doubletons"),
+        (
+            F.round(n1.cast("double") / F.sum("r"), 6) + 0.0
+        ).alias("p_unseen"),
+        (
+            F.round(1.0 - n1.cast("double") / F.sum("r"), 6) + 0.0
+        ).alias("coverage"),
+    )

@@ -185,6 +185,10 @@ _HOSTILE_PANEL = [
     # 0.000000 exactly on both engines, still ranked for selection; the
     # per-bucket pre-rounded DECIMAL log-ratios must sum identically
     "dsir_importance_weights",
+    # r10 Good-Turing: empty/whitespace-only docs contribute no words;
+    # a source whose every word is hapax has p_unseen exactly 1.0 and
+    # coverage exactly 0.0 on both engines
+    "good_turing_unseen_mass",
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",
