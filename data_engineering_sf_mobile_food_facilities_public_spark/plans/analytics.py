@@ -8906,3 +8906,174 @@ def bh_fdr_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 bh_fdr_priority_price.__doc__ = bh_fdr_priority_price.__doc__.format(
     q=_BH_Q, m=_BH_M
 )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition (Brier 1950, Murphy 1973, public):
+# calibration audit of a binned probability forecaster on a proper
+# time split.
+# ---------------------------------------------------------------------------
+
+_BRIER_CUT = "1996-01-01"
+
+
+@_register(
+    "brier_decomposition_returns",
+    f"""
+    WITH li AS (
+        SELECT CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_shipdate AS DATE) AS sd,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    train AS (
+        SELECT disc, CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(y) AS BIGINT) AS rt
+        FROM li WHERE sd < DATE '{_BRIER_CUT}' GROUP BY 1
+    ),
+    gl AS (
+        SELECT CAST(SUM(rt) AS DOUBLE) / SUM(nt) AS pg FROM train
+    ),
+    ev AS (
+        SELECT coalesce(CAST(t.rt AS DOUBLE) / t.nt, g.pg) AS p, li.y
+        FROM li
+        LEFT JOIN train t USING (disc)
+        CROSS JOIN gl g
+        WHERE li.sd >= DATE '{_BRIER_CUT}'
+    ),
+    direct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               SUM(CAST((p - y) * (p - y) AS DECIMAL(18,12))) AS bsum
+        FROM ev
+    ),
+    bins AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS syk
+        FROM ev GROUP BY 1
+    ),
+    binstats AS (
+        SELECT p, nk, syk,
+               SUM(nk) OVER () AS n, SUM(syk) OVER () AS sy
+        FROM bins
+    ),
+    decomp AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               SUM(CAST(nk * (p - CAST(syk AS DOUBLE) / nk)
+                           * (p - CAST(syk AS DOUBLE) / nk)
+                        AS DECIMAL(18,12))) AS rel_sum,
+               SUM(CAST(nk * (CAST(syk AS DOUBLE) / nk
+                              - CAST(sy AS DOUBLE) / n)
+                           * (CAST(syk AS DOUBLE) / nk
+                              - CAST(sy AS DOUBLE) / n)
+                        AS DECIMAL(18,12))) AS res_sum,
+               CAST(MAX(CAST(sy AS DOUBLE) / n) AS DOUBLE) AS ybar
+        FROM binstats
+    )
+    SELECT d.n_eval,
+           round(CAST(d.bsum AS DOUBLE) / d.n_eval, 6) + 0.0 AS brier,
+           round(CAST(x.rel_sum AS DOUBLE) / x.n, 6) + 0.0 AS reliability,
+           round(CAST(x.res_sum AS DOUBLE) / x.n, 6) + 0.0 AS resolution,
+           round(x.ybar * (1.0 - x.ybar), 6) + 0.0 AS uncertainty,
+           round(CAST(x.rel_sum AS DOUBLE) / x.n
+                 - CAST(x.res_sum AS DOUBLE) / x.n
+                 + x.ybar * (1.0 - x.ybar), 6) + 0.0 AS decomposition_check
+    FROM direct d CROSS JOIN decomp x
+    """,
+)
+def brier_decomposition_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a binned probability forecaster on a PROPER
+    time split: fit per-discount-bin return rates on shipments before
+    {cut}, predict the return probability of every later shipment
+    (unseen bins fall back to the global train rate), and report the
+    Brier score with its Murphy decomposition — reliability (how far
+    forecasts sit from observed frequencies; lower is better),
+    resolution (how much the bins separate outcomes; higher is
+    better), uncertainty (the outcome's own variance, the no-skill
+    floor).  ``decomposition_check`` recomputes brier as rel - res +
+    unc; matching the direct row-level score is the algebra proving
+    the grouping is exact.  This is the eval a quality-classifier
+    gate should publish, not accuracy alone.
+
+    Determinism: forecasts are integer-ratio doubles (identical trees
+    both engines); every squared-error TERM converts to
+    DECIMAL(18,12) before the order-independent sums; decomposition
+    groups by the ASSIGNED probability so within-bin constancy — the
+    decomposition's premise — holds by construction.  Scale shape:
+    one train contraction (|bins| rows, broadcast), one 1-row global
+    rate, the eval scan aggregates map-side; decomposition runs on
+    the |bins| frame (dim-sized windows); final combine is 1-row x
+    1-row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    cut = F.lit(_BRIER_CUT).cast("date")
+    train = li.filter(F.col("sd") < cut).groupBy("disc").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum("y").cast("long").alias("rt"),
+    )
+    glob = train.agg(
+        (F.sum("rt").cast("double") / F.sum("nt")).alias("pg")
+    )
+    ev = (
+        li.filter(F.col("sd") >= cut)
+        .join(F.broadcast(train), "disc", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.coalesce(
+                F.col("rt").cast("double") / F.col("nt"), F.col("pg")
+            ).alias("p"),
+            "y",
+        )
+    )
+    term = (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+    direct = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(term.cast("decimal(18,12)")).alias("bsum"),
+    )
+    bins = ev.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("syk"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binstats = bins.select(
+        "*",
+        F.sum("nk").over(w_all).alias("n"),
+        F.sum("syk").over(w_all).alias("sy"),
+    )
+    ybar_k = F.col("syk").cast("double") / F.col("nk")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    decomp = binstats.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            (F.col("nk") * (F.col("p") - ybar_k) * (F.col("p") - ybar_k)).cast(
+                "decimal(18,12)"
+            )
+        ).alias("rel_sum"),
+        F.sum(
+            (F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar)).cast(
+                "decimal(18,12)"
+            )
+        ).alias("res_sum"),
+        F.max(ybar).cast("double").alias("ybar"),
+    )
+    rel = F.col("rel_sum").cast("double") / F.col("n")
+    res = F.col("res_sum").cast("double") / F.col("n")
+    unc = F.col("ybar") * (1.0 - F.col("ybar"))
+    return direct.crossJoin(F.broadcast(decomp)).select(
+        "n_eval",
+        (F.round(F.col("bsum").cast("double") / F.col("n_eval"), 6) + 0.0).alias(
+            "brier"
+        ),
+        (F.round(rel, 6) + 0.0).alias("reliability"),
+        (F.round(res, 6) + 0.0).alias("resolution"),
+        (F.round(unc, 6) + 0.0).alias("uncertainty"),
+        (F.round(rel - res + unc, 6) + 0.0).alias("decomposition_check"),
+    )
+
+
+brier_decomposition_returns.__doc__ = brier_decomposition_returns.__doc__.format(
+    cut=_BRIER_CUT
+)

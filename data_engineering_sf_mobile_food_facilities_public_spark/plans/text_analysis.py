@@ -5288,3 +5288,110 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - n1.cast("double") / F.sum("r"), 6) + 0.0
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between the lang-id heuristic and the metadata labels
+# (Cohen 1960, public) — chance-corrected agreement, the scalar the
+# confusion matrix (lang_id_confusion_matrix) summarizes to.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohens_kappa_langid",
+    _TOKENS_CTE
+    + """
+    , hits AS (
+        SELECT doc_id,
+           length(list_filter(tokens, t -> list_contains(['der','die','und','ist'], t))) AS h_de,
+           length(list_filter(tokens, t -> list_contains(['the','a','and','is'], t))) AS h_en,
+           length(list_filter(tokens, t -> list_contains(['el','los','y','es'], t))) AS h_es,
+           length(list_filter(tokens, t -> list_contains(['le','la','et','est'], t))) AS h_fr
+        FROM tok
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits
+    ),
+    cm AS (
+        SELECT d.lang AS y, p.lang_pred AS yhat
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM cm
+    ),
+    rowm AS (SELECT y AS cls, CAST(COUNT(*) AS BIGINT) AS r FROM cm GROUP BY 1),
+    colm AS (SELECT yhat AS cls, CAST(COUNT(*) AS BIGINT) AS c FROM cm GROUP BY 1),
+    pe_num AS (
+        SELECT CAST(coalesce(SUM(r.r * c.c), 0) AS BIGINT) AS pn
+        FROM rowm r JOIN colm c USING (cls)
+    )
+    SELECT t.n AS n_docs,
+           round(CAST(t.agree AS DOUBLE) / t.n, 6) + 0.0 AS po,
+           round(CAST(p.pn AS DOUBLE) / t.n / t.n, 6) + 0.0 AS pe,
+           CASE WHEN CAST(p.pn AS DOUBLE) / t.n / t.n < 1.0
+                THEN round((CAST(t.agree AS DOUBLE) / t.n
+                            - CAST(p.pn AS DOUBLE) / t.n / t.n)
+                           / (1.0 - CAST(p.pn AS DOUBLE) / t.n / t.n), 6) + 0.0
+                ELSE NULL END AS kappa
+    FROM tot t CROSS JOIN pe_num p
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-vote language detector and
+    the corpus's metadata labels: chance-corrected agreement
+    (po - pe)/(1 - pe), where pe is the agreement two INDEPENDENT
+    annotators with these marginals would reach by luck — raw accuracy
+    over-credits any detector on a skewed-language corpus (predicting
+    the majority class alone scores po = its share).  kappa is the one
+    number to trend when deciding whether to trust ingest labels or
+    the detector (the per-cell view is ``lang_id_confusion_matrix``).
+
+    Exactness: all counts integer; po, pe and kappa are ratio-valued
+    doubles computed with the identical expression tree on both
+    engines and rounded at the edge; the degenerate pe = 1 case (a
+    single class on both margins) yields NULL, never a 0/0.
+
+    Scale shape: one lang-id projection fused into the scan, one
+    count contraction, |langs|-sized marginal frames, and a 1-row x
+    1-row combine (the ab_test_t_statistic scalar pattern)."""
+    d = load(spark, sf_dir, "documents")
+    cm = d.select(
+        F.col("lang").alias("y"), TX.lang_id("text").alias("yhat")
+    )
+    tot = cm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("y") == F.col("yhat")).cast("int")).cast("long").alias("agree"),
+    )
+    rowm = cm.groupBy(F.col("y").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    colm = cm.groupBy(F.col("yhat").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pe_num = (
+        rowm.join(colm, "cls")
+        .agg(
+            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("pn")
+        )
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = F.col("pn").cast("double") / F.col("n") / F.col("n")
+    return tot.crossJoin(F.broadcast(pe_num)).select(
+        F.col("n").alias("n_docs"),
+        (F.round(po, 6) + 0.0).alias("po"),
+        (F.round(pe, 6) + 0.0).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6) + 0.0)
+        .otherwise(F.lit(None))
+        .alias("kappa"),
+    )

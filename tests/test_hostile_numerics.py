@@ -167,6 +167,10 @@ _NUMERIC_PANEL = [
     # class must DROP from the screen identically (degenerate-group
     # guard), and huge-magnitude groups stress the DECIMAL moments
     "bh_fdr_priority_price",
+    # r10 Brier: hostile lineitem has no post-cut rows in some shapes
+    # (empty eval -> NULL-safe), all-tied discounts collapse to one
+    # forecast bin, and zero-variance outcomes give uncertainty = 0
+    "brier_decomposition_returns",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
     # Lorenz shares under negative revenue (shares outside [0,1]),

@@ -189,6 +189,10 @@ _HOSTILE_PANEL = [
     # a source whose every word is hapax has p_unseen exactly 1.0 and
     # coverage exactly 0.0 on both engines
     "good_turing_unseen_mass",
+    # r10 Cohen's kappa: empty/whitespace docs predict 'und' (never in
+    # the label margin -> zero product term), and a degenerate
+    # single-class corpus must yield pe=1 -> NULL kappa identically
+    "cohens_kappa_langid",
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",

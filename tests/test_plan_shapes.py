@@ -225,6 +225,12 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row MAX-date censoring-horizon broadcast (the
     # rfm_segment_counts recency-anchor pattern)
     "kaplan_meier_repurchase",
+    # r10: 1-row totals x 1-row chance-agreement combine (the
+    # ab_test_t_statistic scalar pattern)
+    "cohens_kappa_langid",
+    # r10: 1-row global-train-rate broadcast onto the eval scan plus the
+    # final 1-row x 1-row direct-vs-decomposition combine
+    "brier_decomposition_returns",
 }
 
 
