@@ -9077,3 +9077,281 @@ def brier_decomposition_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 brier_decomposition_returns.__doc__ = brier_decomposition_returns.__doc__.format(
     cut=_BRIER_CUT
 )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill over the daily revenue spine — the
+# interpolating sibling of locf_order_price_fill (step-fill).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "linear_interp_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ),
+    j AS (SELECT s.d, daily.rev FROM spine s LEFT JOIN daily USING (d)),
+    ctx AS (
+        SELECT d, rev,
+               MAX(CASE WHEN rev IS NOT NULL THEN d END)
+                   OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pd,
+               MIN(CASE WHEN rev IS NOT NULL THEN d END)
+                   OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    ),
+    vals AS (
+        SELECT c.d, c.rev, c.pd, c.nd, p.rev AS pv, n.rev AS nv
+        FROM ctx c
+        LEFT JOIN daily p ON p.d = c.pd
+        LEFT JOIN daily n ON n.d = c.nd
+    )
+    SELECT d AS day,
+           round(coalesce(rev,
+                 pv + (nv - pv) * (CAST(d - pd AS DOUBLE)
+                                   / CAST(nd - pd AS DOUBLE))), 6) + 0.0
+               AS revenue,
+           CAST(CASE WHEN rev IS NULL AND pd IS NOT NULL AND nd IS NOT NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS interpolated
+    FROM vals
+    WHERE rev IS NOT NULL OR (pd IS NOT NULL AND nd IS NOT NULL)
+    """,
+)
+def linear_interp_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over the daily revenue calendar:
+    missing days take the straight line between the nearest observed
+    days on each side — the interpolating sibling of
+    ``locf_order_price_fill`` (step-fill), and the difference matters
+    for anything integrating the series (TWAP, area-under-curve).  No
+    extrapolation: days outside the observed range stay absent (here
+    the spine is bounded by MIN/MAX observed days so only interior
+    gaps fill).
+
+    Determinism: the anchor dates come from MAX/MIN over ordered
+    frames (exact date arithmetic); anchor VALUES join back from the
+    daily aggregate (exact DECIMAL sums cast once), and the interp
+    expression is the identical tree both engines round at the edge.
+
+    Scale shape: ONE fact contraction to the daily frame; the spine,
+    both anchor windows and the anchor joins are all calendar-bounded
+    (the dim-sized exception) — nothing row-level ever re-enters."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    j = spine.join(daily, "d", "left")
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("d").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ctx = j.select(
+        "d",
+        "rev",
+        F.max(F.when(F.col("rev").isNotNull(), F.col("d"))).over(w_prev).alias("pd"),
+        F.min(F.when(F.col("rev").isNotNull(), F.col("d"))).over(w_next).alias("nd"),
+    )
+    pvals = daily.select(F.col("d").alias("pd"), F.col("rev").alias("pv"))
+    nvals = daily.select(F.col("d").alias("nd"), F.col("rev").alias("nv"))
+    vals = ctx.join(F.broadcast(pvals), "pd", "left").join(
+        F.broadcast(nvals), "nd", "left"
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("d"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    return vals.filter(
+        F.col("rev").isNotNull()
+        | (F.col("pd").isNotNull() & F.col("nd").isNotNull())
+    ).select(
+        F.col("d").alias("day"),
+        (F.round(F.coalesce(F.col("rev"), interp), 6) + 0.0).alias("revenue"),
+        F.when(
+            F.col("rev").isNull()
+            & F.col("pd").isNotNull()
+            & F.col("nd").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("interpolated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for CF / two-tower training pairs —
+# the word2vec/SGNS-style corruption step as a set-level operator.
+# ---------------------------------------------------------------------------
+
+_NEG_M = 2  # negatives per positive
+_NEG_ATTEMPTS = 3  # rejection-sampling retries against the positive set
+_NEG_ENC = 1 << 40  # (attempt, candidate) integer encoding stride
+
+
+@_register(
+    "cf_negative_sampling",
+    f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    pmax AS (SELECT MAX(p_partkey) AS pmax FROM part),
+    att AS (
+        SELECT p.cust, p.part, g.m, g.a,
+               1 + CAST(('0x' || substr(md5('neg' || CAST(g.a AS VARCHAR)
+                        || ':' || CAST(p.cust AS VARCHAR)
+                        || ':' || CAST(p.part AS VARCHAR)
+                        || ':' || CAST(g.m AS VARCHAR)), 1, 12)) AS BIGINT)
+                   % x.pmax AS cand
+        FROM pos p
+        CROSS JOIN pmax x
+        CROSS JOIN (SELECT m, a
+                    FROM unnest(generate_series(0, {_NEG_M - 1})) t1(m),
+                         unnest(generate_series(0, {_NEG_ATTEMPTS - 1})) t2(a)
+                   ) g
+    ),
+    hits AS (
+        SELECT a.cust, a.part, a.m, a.a, a.cand,
+               CASE WHEN q.part IS NULL THEN 0 ELSE 1 END AS hit
+        FROM att a
+        LEFT JOIN pos q ON q.cust = a.cust AND q.part = a.cand
+    ),
+    chosen AS (
+        SELECT cust, part, m,
+               MIN(CASE WHEN hit = 0
+                        THEN a * CAST({_NEG_ENC} AS BIGINT) + cand END) AS enc
+        FROM hits GROUP BY 1, 2, 3
+    )
+    SELECT cust, part AS pos_part, CAST(m AS INT) AS neg_idx,
+           CAST(enc % {_NEG_ENC} AS BIGINT) AS neg_part,
+           CAST(enc // {_NEG_ENC} AS INT) AS attempt
+    FROM chosen
+    """,
+)
+def cf_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    pairs (the SGNS/two-tower corruption step, Mikolov et al. 2013,
+    public): for every distinct (customer, part) positive, draw
+    {m} negatives uniformly over the part vocabulary with md5-keyed
+    draws and up to {att} rejection retries against the customer's OWN
+    positive set; a draw that survives is the negative, a positive
+    whose every retry collides yields NULL (reported, never silently
+    resampled — at real vocabulary sizes the collision chance is
+    negligible, and the NULL rate is itself the audit).  rand()-based
+    corruption changes with partitioning; the hashed draw is a pure
+    row function, so the whole sample is oracle-replayable
+    (the weighted_sample_orders convention; popularity^0.75 weighting
+    would compose via the same cumulative-range lookup the bucketed
+    cumsum provides).
+
+    Determinism: the chosen attempt is the MIN over an integer
+    (attempt, candidate) encoding — pure integer arithmetic both
+    engines.  Scale shape: one distinct contraction of the fact join,
+    a 1-row max-partkey broadcast, a x{m}x{att} literal-grid explode
+    contracted back map-side after ONE membership equi-join against
+    the positive set (never one join per retry)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    pmax = part.agg(F.max("p_partkey").alias("pmax"))
+    grid = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(a).alias("a"))
+            for m in range(_NEG_M)
+            for a in range(_NEG_ATTEMPTS)
+        ]
+    )
+    att = (
+        pos.crossJoin(F.broadcast(pmax))
+        .select("cust", "part", "pmax", F.explode(grid).alias("g"))
+        .select(
+            "cust",
+            "part",
+            F.col("g.m").alias("m"),
+            F.col("g.a").alias("a"),
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg"),
+                                F.col("g.a").cast("string"),
+                                F.lit(":"),
+                                F.col("cust").cast("string"),
+                                F.lit(":"),
+                                F.col("part").cast("string"),
+                                F.lit(":"),
+                                F.col("g.m").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("pmax")
+            ).alias("cand"),
+        )
+    )
+    member = pos.select(
+        F.col("cust").alias("cust"), F.col("part").alias("qpart")
+    )
+    hits = att.join(
+        member,
+        (att["cust"] == member["cust"]) & (att["cand"] == member["qpart"]),
+        "left",
+    ).select(
+        att["cust"],
+        att["part"],
+        "m",
+        "a",
+        "cand",
+        F.col("qpart").isNotNull().cast("int").alias("hit"),
+    )
+    enc = F.min(
+        F.when(
+            F.col("hit") == 0,
+            F.col("a").cast("long") * F.lit(_NEG_ENC) + F.col("cand"),
+        )
+    )
+    return (
+        hits.groupBy("cust", "part", "m")
+        .agg(enc.alias("enc"))
+        .select(
+            "cust",
+            F.col("part").alias("pos_part"),
+            F.col("m").cast("int").alias("neg_idx"),
+            (F.col("enc") % _NEG_ENC).cast("long").alias("neg_part"),
+            F.floor(F.col("enc") / _NEG_ENC).cast("int").alias("attempt"),
+        )
+    )
+
+
+cf_negative_sampling.__doc__ = cf_negative_sampling.__doc__.format(
+    m=_NEG_M, att=_NEG_ATTEMPTS
+)

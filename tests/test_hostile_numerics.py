@@ -171,6 +171,14 @@ _NUMERIC_PANEL = [
     # (empty eval -> NULL-safe), all-tied discounts collapse to one
     # forecast bin, and zero-variance outcomes give uncertainty = 0
     "brier_decomposition_returns",
+    # r10 linear interp: the hostile series is dense-with-holes across
+    # Jan 2024 — interior gaps must interpolate identically and edge
+    # days must never extrapolate
+    "linear_interp_daily_revenue",
+    # r10 negative sampling: skewed positives (one dominant part) and
+    # tiny per-user positive sets — every md5 draw, rejection and the
+    # integer (attempt, candidate) encoding must replay exactly
+    "cf_negative_sampling",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
     # Lorenz shares under negative revenue (shares outside [0,1]),

@@ -231,6 +231,9 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row global-train-rate broadcast onto the eval scan plus the
     # final 1-row x 1-row direct-vs-decomposition combine
     "brier_decomposition_returns",
+    # r10: 1-row max-partkey vocabulary-bound broadcast onto the
+    # positives frame (the rfm recency-anchor pattern)
+    "cf_negative_sampling",
 }
 
 
