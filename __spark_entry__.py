@@ -141,6 +141,20 @@ _PANEL_ROTATING = [
 # has an opt-in test that stresses exactly this list so candidates
 # arrive pre-stressed; all are locally parity-green at three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    # round-10 operators not already in this round's panel — FIRST in
+    # line for the r11 rotation, matrix-stressed via this list
+    "dsir_importance_weights",
+    "kaplan_meier_repurchase",
+    "bh_fdr_priority_price",
+    "good_turing_unseen_mass",
+    "rendezvous_rebalance_delta",
+    "cohens_kappa_langid",
+    "brier_decomposition_returns",
+    "linear_interp_daily_revenue",
+    "cf_negative_sampling",
+    "growth_accounting_monthly",
+    "embedding_isotropy_report",
+    "yules_k_by_source",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

@@ -9355,3 +9355,117 @@ def cf_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 cf_negative_sampling.__doc__ = cf_negative_sampling.__doc__.format(
     m=_NEG_M, att=_NEG_ATTEMPTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — monthly new / retained / resurrected / churned
+# user decomposition (the standard MAU bridge).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "growth_accounting_monthly",
+    """
+    WITH am AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('month', ts) AS DATE) AS m
+        FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(m) AS m0 FROM am GROUP BY 1),
+    months AS (SELECT DISTINCT m FROM am),
+    cur AS (
+        SELECT a.m, a.user_id, f.m0,
+               CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS was_active
+        FROM am a
+        JOIN firsts f USING (user_id)
+        LEFT JOIN am p ON p.user_id = a.user_id
+                      AND p.m = CAST(a.m - INTERVAL 1 MONTH AS DATE)
+    ),
+    churn AS (
+        SELECT CAST(a.m + INTERVAL 1 MONTH AS DATE) AS m,
+               COUNT(*) AS n_churned
+        FROM am a
+        LEFT JOIN am n ON n.user_id = a.user_id
+                      AND n.m = CAST(a.m + INTERVAL 1 MONTH AS DATE)
+        WHERE n.user_id IS NULL
+          AND CAST(a.m + INTERVAL 1 MONTH AS DATE) <= (SELECT MAX(m) FROM months)
+        GROUP BY 1
+    )
+    SELECT strftime(c.m, '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN c.m0 = c.m THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN c.was_active = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN c.m0 < c.m AND c.was_active = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(coalesce(ANY_VALUE(ch.n_churned), 0) AS BIGINT) AS n_churned
+    FROM cur c
+    LEFT JOIN churn ch ON ch.m = c.m
+    GROUP BY c.m
+    """,
+)
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting (the MAU bridge): every active user is
+    exactly one of NEW (first month ever), RETAINED (also active last
+    month) or RESURRECTED (active before, not last month), and churn is
+    last month's actives who did not return — so MAU(m) = MAU(m-1) +
+    new + resurrected - churned, the identity every growth dashboard
+    decomposes.  Churn for months past the corpus horizon is not
+    reported (unknowable, not zero).
+
+    Pure set algebra on distinct (user, month) pairs — no windows over
+    the fact table: previous-month membership and next-month absence
+    are both equi-joins on (user, month+-1).  Scale shape: one distinct
+    contraction of events, two self-equi-joins of the user-month frame
+    (user-bounded), a months-dim max for the horizon, and a
+    months-sized rollup."""
+    e = load(spark, sf_dir, "events")
+    am = e.select(
+        "user_id", F.date_trunc("month", "ts").cast("date").alias("m")
+    ).distinct()
+    firsts = am.groupBy("user_id").agg(F.min("m").alias("m0"))
+    maxm = am.agg(F.max("m").alias("mmax"))
+    prev = am.select(
+        "user_id", F.add_months(F.col("m"), 1).alias("m"), F.lit(1).alias("wa")
+    )
+    cur = (
+        am.join(firsts, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .select(
+            "m",
+            (F.col("m0") == F.col("m")).cast("int").alias("is_new"),
+            F.coalesce("wa", F.lit(0)).alias("was_active"),
+        )
+    )
+    nxt = am.select(
+        "user_id", F.add_months(F.col("m"), -1).alias("mj"), F.lit(1).alias("na")
+    )
+    churn = (
+        am.select("user_id", F.col("m").alias("mj"))
+        .join(nxt, ["user_id", "mj"], "left")
+        .filter(F.col("na").isNull())
+        .select(F.add_months(F.col("mj"), 1).alias("m"))
+        .crossJoin(F.broadcast(maxm))
+        .filter(F.col("m") <= F.col("mmax"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        cur.groupBy("m")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("was_active").cast("long").alias("n_retained"),
+            F.sum(
+                ((F.col("is_new") == 0) & (F.col("was_active") == 0)).cast("int")
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .join(F.broadcast(churn), "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

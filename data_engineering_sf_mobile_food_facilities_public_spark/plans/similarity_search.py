@@ -2099,3 +2099,104 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
 semdedup_embedding_prototypes.__doc__ = semdedup_embedding_prototypes.__doc__.format(
     ceil=_SEMDEDUP_CEIL
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy report (Ethayarajh 2019; Mu & Viswanath 2018,
+# public): mean pairwise cosine of the NORMALIZED vectors in closed
+# form — no pairwise join, because for unit vectors u_i
+#   mean_{i != j} cos(u_i, u_j) = (||sum u||^2 - n) / (n (n - 1)).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "embedding_isotropy_report",
+    """
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_sum(
+                   list_transform(v, y -> y * y)))) AS u
+        FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    ex AS (
+        SELECT i - 1 AS pos, CAST(u[i] AS DECIMAL(18,12)) AS x
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(u))) AS i)
+    ),
+    sums AS (
+        SELECT pos, CAST(SUM(x) AS DOUBLE) AS s FROM ex GROUP BY pos
+    ),
+    norm2 AS (
+        SELECT SUM(CAST(s * s AS DECIMAL(28,12))) AS sn2 FROM sums
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+    SELECT n.n AS n_vectors,
+           round((CAST(sn2 AS DOUBLE) - n.n)
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1)), 6) + 0.0
+               AS mean_pairwise_cos,
+           round(CAST(sn2 AS DOUBLE) / n.n, 6) + 0.0 AS mean_vector_norm2
+    FROM norm2 CROSS JOIN n
+    WHERE n.n >= 2
+    """,
+)
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space: the mean pairwise cosine
+    over all n(n-1) ordered pairs of NORMALIZED vectors, computed in
+    CLOSED FORM as (||Σu||² - n)/(n(n-1)) — the anisotropy statistic of
+    Ethayarajh 2019 / Mu & Viswanath 2018 (a well-spread space sits
+    near 0; contextual-encoder cones sit near 1), plus ||Σu||²/n (the
+    mean-vector energy the all-but-the-top correction would remove).
+    A retrieval platform checks this before trusting raw cosine ranks.
+
+    The algebraic identity removes the quadratic pairwise join
+    entirely: ONE normalized-explode contraction to per-dimension sums
+    (dim-sized, DECIMAL(18,12) addends so the many-row reduction is
+    exact and order-independent), one dim-length fold, one 1-row x
+    1-row combine.  Zero-norm vectors are excluded (cosine undefined);
+    a corpus with fewer than 2 usable vectors reports nothing rather
+    than a 0/0."""
+    from ..functions.vectors import as_double, norm
+
+    e0 = load(spark, sf_dir, "embeddings").select(
+        as_double("embedding").alias("v")
+    )
+    # nullif guard: Catalyst may evaluate the projection for rows the
+    # norm filter later drops (hostile zero vector -> ANSI double/0
+    # error); the guarded rows never survive the filter, so values are
+    # unaffected on both engines
+    e = e0.filter(norm(F.col("v")) > 0).select(
+        F.expr(
+            "transform(v, x -> x / nullif(sqrt(aggregate(transform(v,"
+            " y -> y * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)),"
+            " CAST(0.0 AS DOUBLE)))"
+        ).alias("u")
+    )
+    ex = e.select(F.posexplode("u").alias("pos", "x0")).select(
+        "pos", F.col("x0").cast("decimal(18,12)").alias("x")
+    )
+    sums = ex.groupBy("pos").agg(F.sum("x").cast("double").alias("s"))
+    norm2 = sums.agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(28,12)")).alias("sn2")
+    )
+    nf = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        norm2.crossJoin(F.broadcast(nf))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("n").alias("n_vectors"),
+            (
+                F.round(
+                    (F.col("sn2").cast("double") - F.col("n"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1)),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_pairwise_cos"),
+            (
+                F.round(F.col("sn2").cast("double") / F.col("n"), 6) + 0.0
+            ).alias("mean_vector_norm2"),
+        )
+    )

@@ -5395,3 +5395,78 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K vocabulary-richness characteristic (Yule 1944, public).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "yules_k_by_source",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text),
+                           '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT source, tokens[i] AS word
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(tokens))) AS i)
+    ),
+    wc AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS r
+        FROM w GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(r) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           round(10000.0
+                 * CAST(SUM(CAST(r AS DECIMAL(19,0))
+                            * CAST(r AS DECIMAL(19,0))) - SUM(r) AS DOUBLE)
+                 / (CAST(SUM(r) AS DOUBLE) * SUM(r)), 6) + 0.0 AS yules_k
+    FROM wc
+    GROUP BY source
+    HAVING SUM(r) > 0
+    """,
+)
+def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K vocabulary-richness characteristic per source (Yule
+    1944, public): K = 10^4 (Σ r²N_r − N)/N² over the word frequency
+    spectrum — LENGTH-INVARIANT unlike the raw type-token ratio, which
+    is why stylometry and corpus QA use it to compare sources of very
+    different sizes (high K = repetitive/templated vocabulary; low K =
+    rich).  Completes the frequency-spectrum family next to
+    ``good_turing_unseen_mass`` (same spectrum, the tail end) and
+    ``heaps_law_vocab_growth`` (its growth curve).
+
+    Exactness: word counts integer; Σr² accumulates in DECIMAL(19,0)
+    operands (int128-backed — word counts square past int64 at corpus
+    scale) and only the final K ratio runs in double, rounded at the
+    edge.  Scale shape: one token explode contracting map-side to the
+    vocabulary-sized (source, word) counts, then one source-level
+    fold; no joins, no windows."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("source", F.explode(F.expr(_TOKS_EXPR)).alias("word"))
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    rdec = F.col("r").cast("decimal(19,0)")
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("r").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            (
+                F.round(
+                    F.lit(10000.0)
+                    * (F.sum(rdec * rdec) - F.sum("r")).cast("double")
+                    / (F.sum("r").cast("double") * F.sum("r")),
+                    6,
+                )
+                + 0.0
+            ).alias("yules_k"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

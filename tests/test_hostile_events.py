@@ -47,6 +47,10 @@ HOSTILE_EVENTS = (
 )
 
 _EVENT_PANEL = [
+    # r10 growth accounting: a SINGLE-month corpus — everyone is NEW,
+    # zero retained/resurrected, and churn past the horizon must be
+    # ABSENT (unknowable), not zero
+    "growth_accounting_monthly",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

@@ -193,6 +193,10 @@ _HOSTILE_PANEL = [
     # the label margin -> zero product term), and a degenerate
     # single-class corpus must yield pe=1 -> NULL kappa identically
     "cohens_kappa_langid",
+    # r10 Yule's K: an all-hapax source has K exactly 0; empty and
+    # whitespace-only docs contribute no spectrum mass; sources whose
+    # every doc is empty must vanish via the HAVING guard identically
+    "yules_k_by_source",
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",

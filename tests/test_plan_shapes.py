@@ -234,6 +234,12 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row max-partkey vocabulary-bound broadcast onto the
     # positives frame (the rfm recency-anchor pattern)
     "cf_negative_sampling",
+    # r10: 1-row corpus-horizon (MAX month) broadcast onto the churn
+    # frame (the rfm recency-anchor pattern)
+    "growth_accounting_monthly",
+    # r10: 1-row sum-vector energy x 1-row count combine (closed-form
+    # pairwise mean — no pairwise join exists in this plan at all)
+    "embedding_isotropy_report",
 }
 
 
