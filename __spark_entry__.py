@@ -155,6 +155,7 @@ _PANEL_NEXT_CANDIDATES = [
     "growth_accounting_monthly",
     "embedding_isotropy_report",
     "yules_k_by_source",
+    "markov_stationary_event_types",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

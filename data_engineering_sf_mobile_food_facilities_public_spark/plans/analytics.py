@@ -9469,3 +9469,150 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain — power
+# iteration with the pagerank cross-engine rounding contract.
+# ---------------------------------------------------------------------------
+
+_MKV_STEPS = 10
+
+
+def _markov_oracle_sql() -> str:
+    """Unrolled power-iteration twin of the Spark loop below: p0..pK as
+    generated CTEs applying the identical round-to-6 DECIMAL update, so
+    the two sides cannot drift (the pagerank/textrank convention)."""
+    steps = []
+    prev = "p0"
+    for i in range(1, _MKV_STEPS + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT t.event_type,
+               CAST(round(CAST(coalesce(SUM(CAST({prev}.pi
+                        * (CAST(m.n AS DOUBLE) / m.tot) AS DECIMAL(18,12))), 0)
+                    AS DOUBLE), 6) AS DECIMAL(18,6)) AS pi
+        FROM types t
+        LEFT JOIN mat m ON m.dst = t.event_type
+        LEFT JOIN {prev} ON {prev}.event_type = m.src
+        GROUP BY t.event_type
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dangling AS (
+        SELECT t.event_type AS src, t.event_type AS dst, CAST(1 AS BIGINT) AS n
+        FROM types t LEFT JOIN (SELECT DISTINCT src FROM counts) c
+          ON c.src = t.event_type
+        WHERE c.src IS NULL
+    ),
+    allc AS (SELECT * FROM counts UNION ALL SELECT * FROM dangling),
+    mat AS (
+        SELECT src, dst, n, SUM(n) OVER (PARTITION BY src) AS tot FROM allc
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    p0 AS (
+        SELECT t.event_type,
+               CAST(round(1.0 / k.k, 6) AS DECIMAL(18,6)) AS pi
+        FROM types t CROSS JOIN k
+    ),{",".join(steps)}
+    SELECT t.event_type,
+           CAST({prev}.pi AS DOUBLE) + 0.0 AS pi,
+           CAST({_MKV_STEPS} AS INT) AS n_steps
+    FROM types t JOIN {prev} ON {prev}.event_type = t.event_type
+    """
+
+
+@_register("markov_stationary_event_types", _markov_oracle_sql())
+def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain ({k} unrolled power-iteration steps from uniform): where user
+    behavior SETTLES — the long-run share of each event type if users
+    kept following the observed transition matrix, the summary number
+    behavioral monitoring trends (a rising stationary 'error' share is
+    an incident before error VOLUME moves).  Builds on
+    ``event_type_transitions``' pairing (LEAD per user over (ts,
+    event_id)); types with NO outgoing transitions get a self-loop so
+    the chain stays stochastic (the absorbing convention) instead of
+    leaking mass.
+
+    Cross-engine exactness: each step's mass sums accumulate in
+    DECIMAL(18,12) addends and ROUND to DECIMAL(18,6) before the next
+    step — the pagerank/textrank iteration contract (oracle =
+    generated unrolled CTEs from the same constants).  Scale shape:
+    the per-user LEAD window is user-bounded; everything after the
+    transition-count contraction is |event_types|-sized — the
+    iteration state never touches the fact table again."""
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w_u).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    types = ev.select("event_type").distinct()
+    dangling = (
+        types.join(
+            counts.select("src").distinct(),
+            types["event_type"] == F.col("src"),
+            "left_anti",
+        )
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    allc = counts.unionByName(dangling)
+    w_src = Window.partitionBy("src")
+    mat = allc.select(
+        "src", "dst", "n", F.sum("n").over(w_src).alias("tot")
+    )
+    k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        F.round(1.0 / F.col("k"), 6).cast("decimal(18,6)").alias("pi"),
+    )
+    for _ in range(_MKV_STEPS):
+        contrib = (
+            mat.join(pi, mat["src"] == pi["event_type"])
+            .select(
+                F.col("dst"),
+                (
+                    F.col("pi") * (F.col("n").cast("double") / F.col("tot"))
+                ).cast("decimal(18,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pi = (
+            types.join(contrib, types["event_type"] == contrib["dst"], "left")
+            .select(
+                "event_type",
+                F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double"), 6)
+                .cast("decimal(18,6)")
+                .alias("pi"),
+            )
+        )
+    return pi.select(
+        "event_type",
+        (F.col("pi").cast("double") + 0.0).alias("pi"),
+        F.lit(_MKV_STEPS).cast("int").alias("n_steps"),
+    )
+
+
+markov_stationary_event_types.__doc__ = markov_stationary_event_types.__doc__.format(
+    k=_MKV_STEPS
+)

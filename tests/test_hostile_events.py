@@ -51,6 +51,11 @@ _EVENT_PANEL = [
     # zero retained/resurrected, and churn past the horizon must be
     # ABSENT (unknowable), not zero
     "growth_accounting_monthly",
+    # r10 Markov stationary: the singleton 'error' user creates a
+    # DANGLING type (self-loop convention), same-instant events make
+    # the LEAD order a pure event_id tiebreak, and the decimal-rounded
+    # power steps must agree for all 10 iterations
+    "markov_stationary_event_types",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

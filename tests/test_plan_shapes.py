@@ -240,6 +240,10 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row sum-vector energy x 1-row count combine (closed-form
     # pairwise mean — no pairwise join exists in this plan at all)
     "embedding_isotropy_report",
+    # r10: 1-row type-count broadcast seeding the uniform pi0 (the
+    # pagerank node-count scalar pattern); every iteration join is a
+    # type-keyed equi-join
+    "markov_stationary_event_types",
 }
 
 
