@@ -156,6 +156,7 @@ _PANEL_NEXT_CANDIDATES = [
     "embedding_isotropy_report",
     "yules_k_by_source",
     "markov_stationary_event_types",
+    "lpa_communities_part_graph",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

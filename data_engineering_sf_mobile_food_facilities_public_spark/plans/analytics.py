@@ -2728,7 +2728,58 @@ def part_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
-@_register("lpa_communities_part_graph")  # rows-only: iterative fixpoint, no SQL twin
+_LPA_ITERS = 5
+
+
+def _lpa_oracle_sql() -> str:
+    """Unrolled synchronous-LPA twin of operators/graph.label_propagation
+    for the support-thresholded part graph: l0..lK as generated CTEs
+    applying the identical self-vote + majority + lowest-label-tiebreak
+    update.  Early stopping in the Spark loop only fires at a FIXPOINT,
+    where further synchronous rounds are the identity — so a fixed
+    K-round unroll is value-identical whether or not the loop stopped
+    early."""
+    rounds = []
+    for i in range(_LPA_ITERS):
+        rounds.append(f"""
+    v{i} AS (
+        SELECT a, lbl, COUNT(*) AS votes FROM (
+            SELECT a, lbl FROM l{i}
+            UNION ALL
+            SELECT u.a, p.lbl FROM und u JOIN l{i} p ON p.a = u.b
+        ) GROUP BY 1, 2
+    ),
+    l{i + 1} AS (
+        SELECT a, lbl FROM (
+            SELECT a, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY a
+                                      ORDER BY votes DESC, lbl ASC) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH pe AS (
+        SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    se AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, COUNT(*) AS n FROM pe GROUP BY 1, 2
+        ) WHERE n >= 2
+    ),
+    und AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT id_a AS a, id_b AS b FROM se
+            UNION ALL SELECT id_b, id_a FROM se
+        )
+    ),
+    l0 AS (SELECT DISTINCT a, a AS lbl FROM und),{",".join(rounds)}
+    SELECT a AS id, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ITERS}
+    """
+
+
+@_register("lpa_communities_part_graph", _lpa_oracle_sql())
 def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the parts-bought-together graph via
     deterministic synchronous label propagation
@@ -2736,10 +2787,14 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to connected components: bridge edges between dense part
     clusters do NOT merge their communities, so the labels expose
     merchandising clusters rather than mere reachability.  Iterative
-    (join + two keyed aggregates per round, lineage checkpointed), so
-    registered rows-only; the discriminating semantics (bridged cliques
-    stay separate, disjoint cliques match components, result invariant
-    to partitioning) are pinned in tests/test_properties.py.
+    (join + two keyed aggregates per round, lineage checkpointed);
+    oracle-paired since r10 via GENERATED unrolled CTEs applying the
+    identical update — a fixed-K unroll is value-identical to the
+    early-stopping loop because the stop only fires at a fixpoint,
+    where further synchronous rounds are the identity.  The
+    discriminating semantics (bridged cliques stay separate, disjoint
+    cliques match components, result invariant to partitioning) are
+    pinned in tests/test_properties.py.
 
     Edges carry a SUPPORT THRESHOLD (co-occurrence in >= 2 orders, the
     standard market-basket support cut): the raw shared-an-order graph
@@ -2765,7 +2820,7 @@ def lpa_communities_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .select("id_a", "id_b")
     )
-    return label_propagation(edges, max_iter=5)
+    return label_propagation(edges, max_iter=_LPA_ITERS)
 
 
 # ---------------------------------------------------------------------------
