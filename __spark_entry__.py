@@ -157,6 +157,7 @@ _PANEL_NEXT_CANDIDATES = [
     "yules_k_by_source",
     "markov_stationary_event_types",
     "lpa_communities_part_graph",
+    "isotonic_price_vs_quantity",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

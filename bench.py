@@ -108,6 +108,12 @@ HEADLINE = [
     # (lane explode contracting map-side to the d x w counter grid)
     "semdedup_embedding_prototypes",
     "count_min_sketch_flag_freq",
+    # later round-10 additions worth tracking: the hashed-ngram DSIR
+    # explode, the 10-step Markov iteration, and the set-algebra MAU
+    # bridge
+    "dsir_importance_weights",
+    "markov_stationary_event_types",
+    "growth_accounting_monthly",
 ]
 
 

@@ -9671,3 +9671,109 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
 markov_stationary_event_types.__doc__ = markov_stationary_event_types.__doc__.format(
     k=_MKV_STEPS
 )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (monotone) regression of price on quantity — the minimax
+# characterization of the PAVA fit (Barlow et al. 1972, public).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "isotonic_price_vs_quantity",
+    """
+    WITH pts AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS s
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT x, w, s, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+               SUM(w) OVER (ORDER BY x) AS cw,
+               SUM(s) OVER (ORDER BY x) AS cs
+        FROM pts
+    ),
+    spans AS (  -- weighted mean of every contiguous level set [i..j]
+        SELECT i.rn AS i, j.rn AS j,
+               CAST(j.cs - coalesce(ip.cs, 0) AS DOUBLE)
+                 / CAST(j.cw - coalesce(ip.cw, 0) AS BIGINT) AS avg_y
+        FROM r i
+        JOIN r j ON j.rn >= i.rn
+        LEFT JOIN r ip ON ip.rn = i.rn - 1
+    ),
+    upper_env AS (  -- min over j >= i of the span mean starting at i
+        SELECT i, MIN(avg_y) AS mn FROM spans GROUP BY i
+    ),
+    fit AS (  -- max over i <= k: the PAVA fitted value at position k
+        SELECT k.rn, k.x, k.w,
+               MAX(u.mn) AS yhat
+        FROM r k JOIN upper_env u ON u.i <= k.rn
+        GROUP BY k.rn, k.x, k.w
+    )
+    SELECT CAST(x AS DOUBLE) + 0.0 AS quantity, w AS n_rows,
+           round(yhat, 6) + 0.0 AS fitted_price
+    FROM fit
+    """,
+)
+def isotonic_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of extended price on quantity — the
+    best NON-DECREASING fit in weighted least squares, via the exact
+    minimax characterization of the PAVA solution (Barlow et al. 1972):
+    yhat(k) = max_{i<=k} min_{j>=i} weightedMean(y over [i..j]).  The
+    monotone-fit answer to "does price really rise with quantity?"
+    that a raw per-quantity mean cannot give (it wiggles), and the
+    shape-constrained calibrator (`isotonic calibration`) uses as-is.
+
+    Both engines compute the IDENTICAL closed formula — no sequential
+    pool-adjacent-violators state to replicate: span means come from
+    DECIMAL prefix sums over the distinct-quantity frame (exact), the
+    two envelope folds are keyed aggregates over the span grid, and
+    the fitted value rounds at the edge.  Scale shape: ONE fact
+    contraction to the distinct-x frame (dim-sized: quantities are an
+    enumerated domain); the O(|x|^2) span grid and both envelopes
+    live entirely on that frame — the canonical dim-sized exception,
+    never row-level."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_quantity").cast("decimal(18,2)").alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum(F.col("l_extendedprice").cast("decimal(19,2)")).alias("s"),
+    )
+    w_ord = Window.orderBy("x")
+    r = pts.select(
+        "x",
+        "w",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("w").over(w_ord).alias("cw"),
+        F.sum("s").over(w_ord).alias("cs"),
+    )
+    i = r.select(F.col("rn").alias("i"))
+    ip = r.select((F.col("rn") + 1).alias("i"), F.col("cw").alias("pcw"),
+                  F.col("cs").alias("pcs"))
+    j = r.select(F.col("rn").alias("j"), F.col("cw").alias("jcw"),
+                 F.col("cs").alias("jcs"))
+    spans = (
+        i.join(ip, "i", "left")
+        .join(j, F.col("j") >= F.col("i"))
+        .select(
+            "i",
+            (
+                (F.col("jcs") - F.coalesce(F.col("pcs"), F.lit(0))).cast("double")
+                / (F.col("jcw") - F.coalesce(F.col("pcw"), F.lit(0))).cast("long")
+            ).alias("avg_y"),
+        )
+    )
+    upper_env = spans.groupBy("i").agg(F.min("avg_y").alias("mn"))
+    fit = (
+        r.select("rn", "x", "w")
+        .join(upper_env, F.col("i") <= F.col("rn"))
+        .groupBy("rn", "x", "w")
+        .agg(F.max("mn").alias("yhat"))
+    )
+    return fit.select(
+        (F.col("x").cast("double") + 0.0).alias("quantity"),
+        F.col("w").alias("n_rows"),
+        (F.round(F.col("yhat"), 6) + 0.0).alias("fitted_price"),
+    )

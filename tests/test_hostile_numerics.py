@@ -179,6 +179,9 @@ _NUMERIC_PANEL = [
     # tiny per-user positive sets — every md5 draw, rejection and the
     # integer (attempt, candidate) encoding must replay exactly
     "cf_negative_sampling",
+    # r10 isotonic: negative quantities, all-tied values (flat fit) and
+    # a dominant level set — the minimax envelope must pool identically
+    "isotonic_price_vs_quantity",
     "anova_f_price_by_priority",
     "trimmed_mean_price_by_status",
     # Lorenz shares under negative revenue (shares outside [0,1]),

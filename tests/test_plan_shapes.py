@@ -244,6 +244,10 @@ _NESTED_LOOP_ALLOWED = {
     # pagerank node-count scalar pattern); every iteration join is a
     # type-keyed equi-join
     "markov_stationary_event_types",
+    # r10: deliberate O(|x|^2) span grid over the DISTINCT-QUANTITY dim
+    # frame (the minimax isotonic characterization; fact data contracts
+    # first — the cross_join_region_status_grid dim-grid pattern)
+    "isotonic_price_vs_quantity",
 }
 
 
