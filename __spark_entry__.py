@@ -158,6 +158,7 @@ _PANEL_NEXT_CANDIDATES = [
     "markov_stationary_event_types",
     "lpa_communities_part_graph",
     "isotonic_price_vs_quantity",
+    "covariance_power_iteration",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

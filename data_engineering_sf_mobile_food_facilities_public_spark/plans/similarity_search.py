@@ -2200,3 +2200,189 @@ def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_vector_norm2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration top eigenvector of the embedding covariance matrix —
+# the oracle-checkable bridge to the driver-side eigensolver behind
+# ``embedding_pca_projection``.
+# ---------------------------------------------------------------------------
+
+_PI_STEPS = 5
+
+
+def _power_iter_oracle_sql() -> str:
+    """Unrolled power-iteration twin over the ROUNDED covariance matrix
+    (the registered ``embedding_covariance_matrix`` oracle provides the
+    upper triangle; both engines therefore iterate the IDENTICAL
+    rounded matrix).  Every reduction is an ORDER-PINNED sequential
+    double fold (list_reduce over dim-sorted lists / Spark aggregate
+    over dim-sorted arrays — the holt recursion discipline): no
+    double->decimal casts of intermediate values anywhere, because
+    DuckDB's multiply-based double->DECIMAL conversion and Spark's
+    exact BigDecimal rounding disagree at fine scales."""
+    from .relational import ORACLE_SQL
+
+    cov_sql = ORACLE_SQL["embedding_covariance_matrix"].strip()
+    steps = []
+    prev = "v0"
+    for k in range(_PI_STEPS):
+        steps.append(f"""
+    w{k} AS (
+        SELECT f.dim_i AS dim,
+               list_reduce(list(f.cov * p.val ORDER BY f.dim_j),
+                           (acc, x) -> acc + x) AS s
+        FROM fullm f JOIN {prev} p ON p.dim = f.dim_j
+        GROUP BY f.dim_i
+    ),
+    n{k} AS (
+        SELECT list_reduce(list(s * s ORDER BY dim), (acc, x) -> acc + x) AS n2
+        FROM w{k}
+    ),
+    v{k + 1} AS (
+        SELECT w.dim,
+               CASE WHEN n.n2 <= 0 THEN 0.0
+                    ELSE round(w.s / sqrt(n.n2), 6) + 0.0 END AS val
+        FROM w{k} w CROSS JOIN n{k} n
+    )""")
+        prev = f"v{k + 1}"
+    return f"""
+    WITH cov0 AS MATERIALIZED ({cov_sql}),
+    fullm AS MATERIALIZED (
+        SELECT dim_i, dim_j, cov FROM cov0
+        UNION ALL
+        SELECT dim_j, dim_i, cov FROM cov0 WHERE dim_i <> dim_j
+    ),
+    dims AS (SELECT DISTINCT dim_i AS dim FROM fullm),
+    dcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM dims),
+    v0 AS (
+        SELECT dim, round(1.0 / sqrt(d), 6) + 0.0 AS val
+        FROM dims CROSS JOIN dcount
+    ),{",".join(steps)},
+    wf AS (
+        SELECT f.dim_i AS dim,
+               list_reduce(list(f.cov * p.val ORDER BY f.dim_j),
+                           (acc, x) -> acc + x) AS s
+        FROM fullm f JOIN {prev} p ON p.dim = f.dim_j
+        GROUP BY f.dim_i
+    ),
+    ray AS (
+        SELECT list_reduce(list(v.val * w.s ORDER BY v.dim),
+                           (acc, x) -> acc + x) AS num,
+               list_reduce(list(v.val * v.val ORDER BY v.dim),
+                           (acc, x) -> acc + x) AS den
+        FROM {prev} v JOIN wf w ON w.dim = v.dim
+    )
+    SELECT v.dim AS dim,
+           v.val + 0.0 AS component,
+           CASE WHEN r.den <= 0 THEN NULL
+                ELSE round(r.num / r.den, 6) + 0.0 END AS rayleigh
+    FROM {prev} v CROSS JOIN ray r
+    """
+
+
+@_register("covariance_power_iteration", _power_iter_oracle_sql())
+def covariance_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector of the embedding covariance matrix by {k}
+    unrolled power-iteration steps from the uniform unit vector, with
+    the Rayleigh quotient (the top-eigenvalue estimate) alongside —
+    the ORACLE-CHECKABLE bridge to ``embedding_pca_projection``'s
+    driver-side ``eigh`` (whose eigensolver has no SQL twin).  Runs on
+    the ROUNDED covariance matrix the registered oracle publishes, so
+    both engines iterate the identical operator.  On this synthetic
+    near-isotropic spectrum {k} steps is MID-convergence (the
+    (lambda2/lambda1)^k rate is slow when the spectrum is tight) —
+    deterministic either way; the quality contract is the Rayleigh
+    BOUND (trace/dim <= rayleigh <= lambda_max, monotone in steps),
+    asserted against numpy eigvalsh in tests/test_sketch_quality.py,
+    not full eigenvector agreement.
+
+    Cross-engine exactness: every reduction (matvec, norm, Rayleigh)
+    is an ORDER-PINNED sequential double fold over the dim-sorted
+    terms — the holt/``kaplan_meier`` recursion discipline — and each
+    iterate rounds to 6 before the next step; no double->decimal
+    casts of intermediates (DuckDB's conversion path and Spark's
+    BigDecimal rounding disagree at fine scales — found by this very
+    query's first draft).  An annihilated iterate (n2 = 0) stays at
+    the zero vector on both engines rather than dividing by zero.
+    Scale shape: the distributed work is the covariance pass itself;
+    the iteration is |dim|^2-sized joins and |dim|-length folds —
+    dim-bounded at any corpus size."""
+    cov = embedding_covariance_matrix(spark, sf_dir)
+    fullm = cov.unionByName(
+        cov.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "cov",
+        )
+    )
+    dims = fullm.select(F.col("dim_i").alias("dim")).distinct()
+    dcount = dims.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    v = dims.crossJoin(F.broadcast(dcount)).select(
+        "dim", (F.round(1.0 / F.sqrt(F.col("d")), 6) + 0.0).alias("val")
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(o, t))),"
+        " e -> e.t), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+    def matvec(vec):
+        return (
+            fullm.join(vec, fullm["dim_j"] == vec["dim"])
+            .select(
+                F.col("dim_i").alias("dim"),
+                F.col("dim_j").alias("o"),
+                (F.col("cov") * F.col("val")).alias("t"),
+            )
+            .groupBy("dim")
+            .agg(F.expr(fold).alias("s"))
+        )
+
+    # each step collapses the iterate to ONE dim-sorted array row and
+    # normalizes INSIDE the array expression: a single consumer per
+    # step keeps the unrolled plan linear (a second consumer for the
+    # norm scalar doubled the lineage per step -> 2^K plan blowup,
+    # measured 104s -> ~20s end-to-end)
+    n2_expr = (
+        "aggregate(transform(arr, e -> e.s * e.s),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    for _ in range(_PI_STEPS):
+        arr = matvec(v).agg(
+            F.expr("array_sort(collect_list(struct(dim, s)))").alias("arr")
+        )
+        v = arr.select(
+            F.explode(
+                F.expr(
+                    f"transform(arr, e -> named_struct('dim', e.dim, 'val',"
+                    f" IF({n2_expr} <= 0, CAST(0.0 AS DOUBLE),"
+                    f" round(e.s / sqrt({n2_expr}), 6) + 0.0)))"
+                )
+            ).alias("e")
+        ).select(F.col("e.dim").alias("dim"), F.col("e.val").alias("val"))
+    wf = matvec(v)
+    ray = (
+        v.join(wf, "dim")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(dim, val, s))),"
+                " e -> e.val * e.s), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("num"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(dim, val))),"
+                " e -> e.val * e.val), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("den"),
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        "dim",
+        (F.col("val") + 0.0).alias("component"),
+        F.when(F.col("den") <= 0, F.lit(None))
+        .otherwise(F.round(F.col("num") / F.col("den"), 6) + 0.0)
+        .alias("rayleigh"),
+    )
+
+
+covariance_power_iteration.__doc__ = covariance_power_iteration.__doc__.format(
+    k=_PI_STEPS
+)

@@ -91,6 +91,10 @@ _EMBED_PANEL = [
     # sum vector, huge/tiny magnitudes normalize away — the closed-form
     # pairwise mean must match the oracle on all of it
     "embedding_isotropy_report",
+    # r10 power iteration: the hostile covariance has huge-magnitude
+    # and constant dimensions; the rounded-matrix iterate, the
+    # zero-iterate guard and the Rayleigh ratio must replay exactly
+    "covariance_power_iteration",
 ]
 
 

@@ -248,6 +248,9 @@ _NESTED_LOOP_ALLOWED = {
     # frame (the minimax isotonic characterization; fact data contracts
     # first — the cross_join_region_status_grid dim-grid pattern)
     "isotonic_price_vs_quantity",
+    # r10: 1-row dim-count seed + 1-row Rayleigh combine on the
+    # dim-bounded power iteration
+    "covariance_power_iteration",
 }
 
 

@@ -156,3 +156,29 @@ def test_logreg_label_probe_shows_no_geometric_leakage(spark):
     assert r.n_train + r.n_test == 500
     assert r.train_accuracy > 2 * chance  # capacity: fits its own fold
     assert r.test_accuracy < 3 * chance  # no geometric signal leaks
+
+
+def test_power_iteration_rayleigh_bounds(spark):
+    """The power-iteration Rayleigh quotient must sit inside the true
+    spectrum of the (same, rounded) covariance matrix — above the
+    uniform-start floor (trace/dim minus rounding slack, since the
+    quotient is monotone nondecreasing in steps from v0) and below the
+    top eigenvalue — and the iterate must be unit-norm."""
+    import numpy as np
+
+    rows = relational.QUERIES["covariance_power_iteration"](
+        spark, SF_SMOKE
+    ).collect()
+    v = np.array([r.component for r in sorted(rows, key=lambda r: r.dim)])
+    ray = rows[0].rayleigh
+    cov_rows = relational.QUERIES["embedding_covariance_matrix"](
+        spark, SF_SMOKE
+    ).collect()
+    d = max(r.dim_j for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.dim_i, r.dim_j] = C[r.dim_j, r.dim_i] = r.cov
+    w = np.linalg.eigvalsh(C)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4, np.linalg.norm(v)
+    assert ray <= w[-1] + 1e-6, (ray, w[-1])
+    assert ray >= C.trace() / d - 1e-4, (ray, C.trace() / d)
