@@ -159,6 +159,7 @@ _PANEL_NEXT_CANDIDATES = [
     "lpa_communities_part_graph",
     "isotonic_price_vs_quantity",
     "covariance_power_iteration",
+    "water_filling_token_caps",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

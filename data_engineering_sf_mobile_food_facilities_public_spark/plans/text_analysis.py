@@ -5470,3 +5470,170 @@ def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation — the max-min fair cap solver
+# for a training mixture under a global token budget.
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_FRAC = 0.5  # global budget = 50% of the corpus's tokens
+
+
+@_register(
+    "water_filling_token_caps",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(trim(text),
+                    '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')) AS BIGINT) AS n
+        FROM documents
+    ),
+    avail AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS avail
+        FROM tok GROUP BY 1 HAVING SUM(n) > 0
+    ),
+    tot AS (
+        SELECT CAST(FLOOR(SUM(avail) * {_WF_BUDGET_FRAC}) AS BIGINT) AS budget,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM avail
+    ),
+    r AS (
+        SELECT source, avail,
+               ROW_NUMBER() OVER (ORDER BY avail, source) AS rn,
+               SUM(avail) OVER (ORDER BY avail, source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM avail
+    ),
+    lvl AS (
+        -- the water level: smallest sources saturate in rank order;
+        -- the first rank where capping the REST at this source's avail
+        -- would still exceed the budget marks the level's bracket
+        SELECT MAX(CASE WHEN cum - avail + (t.k - rn + 1) * avail
+                             < t.budget
+                        THEN rn ELSE 0 END) AS sat_rn
+        FROM r CROSS JOIN tot t
+    ),
+    level AS (
+        SELECT CASE WHEN l.sat_rn = 0
+                    THEN CAST(FLOOR(t.budget / t.k) AS BIGINT)
+                    ELSE CAST(FLOOR((t.budget
+                          - coalesce((SELECT cum FROM r WHERE rn = l.sat_rn), 0))
+                         / (t.k - l.sat_rn)) AS BIGINT)
+               END AS c,
+               l.sat_rn
+        FROM lvl l CROSS JOIN tot t
+    )
+    SELECT r.source, r.avail,
+           CAST(CASE WHEN r.rn <= lv.sat_rn THEN r.avail
+                     ELSE LEAST(r.avail, lv.c) END AS BIGINT) AS cap,
+           CAST(CASE WHEN r.rn <= lv.sat_rn OR r.avail <= lv.c
+                     THEN 1 ELSE 0 END AS INTEGER) AS saturated
+    FROM r CROSS JOIN level lv
+    """,
+)
+def water_filling_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) per-source token caps under a
+    global budget of {frac:.0%} of the corpus: pour the budget evenly
+    across sources, letting small sources SATURATE at their available
+    tokens and redistributing their unused share to the rest — the
+    allocation that maximizes the minimum per-source share, which is
+    how a training mix caps dominant sources without starving rare
+    ones (the optimization-flavored sibling of
+    ``token_budget_mixture``'s fixed-proportion sampler).
+
+    Exact integer water level: sources sort by availability; the
+    saturation prefix is found by ONE closed-form scan over the
+    |sources| frame (a source saturates iff giving every LARGER source
+    its own availability as the cap still under-spends the budget),
+    and the final level is integer division of the residual budget
+    over the unsaturated count — no iteration, no floats anywhere, so
+    both engines agree bit-for-bit.  Note Σcaps can undershoot the
+    budget by < k tokens (integer level); the training loop's
+    last-batch rule absorbs it.
+
+    Scale shape: one scan-local token count, one source contraction;
+    everything after lives on the |sources| frame (dim-sized windows +
+    1-row budget/level scalars)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.expr(f"CAST(size({_TOKS_EXPR}) AS LONG)").alias("n")
+    )
+    avail = (
+        tok.groupBy("source")
+        .agg(F.sum("n").cast("long").alias("avail"))
+        .filter(F.col("avail") > 0)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.orderBy("avail", "source")
+    r = avail.select(
+        "source",
+        "avail",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("avail")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.floor(F.sum("avail").over(w_all) * _WF_BUDGET_FRAC)
+        .cast("long")
+        .alias("budget"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+    )
+    sat = r.agg(
+        F.max(
+            F.when(
+                F.col("cum") - F.col("avail")
+                + (F.col("k") - F.col("rn") + 1) * F.col("avail")
+                < F.col("budget"),
+                F.col("rn"),
+            ).otherwise(F.lit(0))
+        ).alias("sat_rn")
+    )
+    sat_cum = (
+        r.join(F.broadcast(sat), r["rn"] == sat["sat_rn"])
+        .select(F.col("cum").alias("sat_cum"))
+    )
+    level = (
+        sat.join(F.broadcast(sat_cum), F.lit(True), "left")
+        .crossJoin(
+            F.broadcast(
+                r.agg(F.max("budget").alias("budget"), F.max("k").alias("k"))
+            )
+        )
+        .select(
+            "sat_rn",
+            F.when(
+                F.col("sat_rn") == 0,
+                F.floor(F.col("budget") / F.col("k")).cast("long"),
+            )
+            .otherwise(
+                F.floor(
+                    (F.col("budget") - F.coalesce(F.col("sat_cum"), F.lit(0)))
+                    / (F.col("k") - F.col("sat_rn"))
+                ).cast("long")
+            )
+            .alias("c"),
+        )
+    )
+    return r.crossJoin(F.broadcast(level)).select(
+        "source",
+        "avail",
+        F.when(F.col("rn") <= F.col("sat_rn"), F.col("avail"))
+        .otherwise(F.least(F.col("avail"), F.col("c")))
+        .cast("long")
+        .alias("cap"),
+        F.when(
+            (F.col("rn") <= F.col("sat_rn")) | (F.col("avail") <= F.col("c")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("saturated"),
+    )
+
+
+water_filling_token_caps.__doc__ = water_filling_token_caps.__doc__.format(
+    frac=_WF_BUDGET_FRAC
+)

@@ -197,6 +197,10 @@ _HOSTILE_PANEL = [
     # whitespace-only docs contribute no spectrum mass; sources whose
     # every doc is empty must vanish via the HAVING guard identically
     "yules_k_by_source",
+    # r10 water filling: empty/whitespace-only sources vanish via the
+    # avail > 0 guard; tiny sources must SATURATE and redistribute
+    # their unused share with bit-identical integer level math
+    "water_filling_token_caps",
     # containment divides by the SMALLER set: degenerate short docs are
     # exactly where min(|A|,|B|) goes to 1
     "containment_pairs",

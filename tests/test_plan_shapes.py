@@ -251,6 +251,8 @@ _NESTED_LOOP_ALLOWED = {
     # r10: 1-row dim-count seed + 1-row Rayleigh combine on the
     # dim-bounded power iteration
     "covariance_power_iteration",
+    # r10: 1-row budget/level scalars broadcast onto the |sources| frame
+    "water_filling_token_caps",
 }
 
 
