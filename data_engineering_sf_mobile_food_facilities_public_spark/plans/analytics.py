@@ -8835,7 +8835,8 @@ _BH_THR = _bh_z_thresholds()
         FROM thr
     )
     SELECT priority, n, z,
-           CAST(rnk AS BIGINT) AS rnk, zthr AS z_threshold,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(zthr AS DOUBLE) + 0.0 AS z_threshold,
            CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INTEGER) AS rejected
     FROM kmax
     """,
