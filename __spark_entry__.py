@@ -160,6 +160,7 @@ _PANEL_NEXT_CANDIDATES = [
     "isotonic_price_vs_quantity",
     "covariance_power_iteration",
     "water_filling_token_caps",
+    "image_phash_near_dup",
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",

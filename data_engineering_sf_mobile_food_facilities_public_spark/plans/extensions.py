@@ -905,3 +905,192 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 image_ahash_near_dup.__doc__ = image_ahash_near_dup.__doc__.format(
     d=_AHASH_MAXDIST
 )
+
+
+# ---------------------------------------------------------------------------
+# pHash (sign-DCT perceptual hash) near-dup over REAL decoded pixels —
+# the frequency-domain sibling of image_ahash_near_dup: aHash compares
+# luminances to their mean (robust to uniform brightness), the DCT sign
+# hash captures the image's low-frequency STRUCTURE (robust to global
+# scaling, the property that makes pHash the industry default).
+# ---------------------------------------------------------------------------
+
+_PHASH_BANDS = 3  # 15 sign bits -> 3 bands x 5 bits
+_PHASH_MAXDIST = 2  # pigeonhole-lossless: dist <= 2 shares >= 1 of 3 bands
+
+
+def _phash_weights() -> list[tuple[int, list[float]]]:
+    """Per AC coefficient (u,v) != (0,0): the 16 flattened 4x4 DCT-II
+    basis weights a(u)a(v)cos((2x+1)u*pi/8)cos((2y+1)v*pi/8), FIXED
+    POINT as round(w * 1e9) INTEGERS.  A double multiply-add chain is
+    NOT bit-stable across engines (a compiled engine may fuse a*b+c
+    into FMA — observed as a sign flip on one sf0.1 document), so the
+    weighted sums run entirely in int64: |sum| <= 16 * 765 * 1e9 ~
+    1.2e13, far inside the int64 range; the 1e-9 basis quantization
+    only moves sign bits of coefficients within ~1e-8 of zero, and
+    does so IDENTICALLY on both engines."""
+    import math
+
+    def alpha(u: int) -> float:
+        return math.sqrt(0.25) if u == 0 else math.sqrt(0.5)
+
+    out = []
+    bit = 0
+    for u in range(4):
+        for v in range(4):
+            if u == 0 and v == 0:
+                continue
+            w = [
+                round(
+                    alpha(u)
+                    * alpha(v)
+                    * math.cos((2 * x + 1) * u * math.pi / 8)
+                    * math.cos((2 * y + 1) * v * math.pi / 8)
+                    * 1_000_000_000
+                )
+                for y in range(4)
+                for x in range(4)
+            ]
+            out.append((bit, w))
+            bit += 1
+    return out
+
+
+_PHASH_W = _phash_weights()
+
+
+def _phash_oracle_sql() -> str:
+    def lum(p: int) -> str:
+        return "(" + " + ".join(_md5_byte((3 * p + j) % 16) for j in range(3)) + ")"
+
+    coeffs = []
+    for bit, w in _PHASH_W:
+        expr = " + ".join(f"{lum(p)} * {w[p]}" for p in range(16))
+        coeffs.append(f"(CASE WHEN ({expr}) > 0 THEN {1 << bit} ELSE 0 END)")
+    phash = " + ".join(coeffs)
+    bands = "\n        UNION ALL ".join(
+        f"SELECT item_id, {b} AS band_idx, "
+        f"(phash // {32 ** b}) % 32 AS band_val FROM hashes"
+        for b in range(_PHASH_BANDS)
+    )
+    return f"""
+    WITH hashes AS MATERIALIZED (
+        SELECT doc_id AS item_id, CAST({phash} AS BIGINT) AS phash
+        FROM documents
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.item_id < b.item_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.item_id = c.id_a
+    JOIN hashes hb ON hb.item_id = c.id_b
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= {_PHASH_MAXDIST}
+    """
+
+
+@_register("image_phash_near_dup", _phash_oracle_sql())
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over REAL decoded
+    pixels: decode each document's synthesized 4x4 image with the real
+    codecs, take the 2D DCT-II of the luminance grid, and set one bit
+    per AC coefficient's SIGN (the sign-DCT pHash variant — no median
+    threshold, so the hash is a pure deterministic function of the
+    pixels) — then the same pigeonhole-lossless banded Hamming join as
+    ``image_ahash_near_dup`` (15 bits -> 3 bands of 5; any pair within
+    distance {d} shares a band).  aHash answers "same brightness
+    pattern"; the DCT signs answer "same low-frequency STRUCTURE" —
+    running both is the standard near-dup defense in image pipelines.
+
+    Cross-engine exactness: the DCT basis is FIXED-POINT (round(w*1e9)
+    integers computed once in Python, embedded in the oracle), so the
+    weighted sums are pure int64 arithmetic — a double multiply-add
+    chain is not bit-stable across engines (FMA fusion flipped one
+    sf0.1 document's sign bit in this query's first draft); the oracle
+    derives luminances from md5
+    arithmetic while Spark decodes REAL containers, so a hash match
+    again proves the codec chain end-to-end.  Scale shape: one narrow
+    Arrow ``mapInPandas`` fused into the scan; only 15-bit signatures
+    shuffle through the banded equi-join."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import _synth_pixel_blob, decode_pixels
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("item_id"), F.col("text").alias("_t")
+    )
+    weights = _PHASH_W
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for text in pdf["_t"]:
+                _, _, rgb = decode_pixels(_synth_pixel_blob(text))
+                lums = [sum(rgb[3 * p : 3 * p + 3]) for p in range(16)]
+                h = 0
+                for bit, w in weights:
+                    c = 0
+                    for p in range(16):
+                        c += lums[p] * w[p]
+                    if c > 0:
+                        h |= 1 << bit
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    hashes = d.mapInPandas(run, schema)
+    bands = None
+    for b in range(_PHASH_BANDS):
+        one = hashes.select(
+            "item_id",
+            F.lit(b).alias("band_idx"),
+            F.expr(f"(phash div {32 ** b}) % 32").alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a_, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(F.col("a.item_id").alias("id_a"), F.col("b.item_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("item_id").alias("id_a"), F.col("phash").alias("h_a"))
+    hb = hashes.select(F.col("item_id").alias("id_b"), F.col("phash").alias("h_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(h_a ^ h_b) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAXDIST)
+    )
+
+
+image_phash_near_dup.__doc__ = image_phash_near_dup.__doc__.format(
+    d=_PHASH_MAXDIST
+)

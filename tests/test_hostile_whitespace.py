@@ -177,6 +177,9 @@ _HOSTILE_PANEL = [
     # decodable image (md5 of empty/whitespace text is defined); flat
     # images (no pixel above the mean) hash to 0 and all pair up
     "image_ahash_near_dup",
+    # r10 pHash twin: same synthesized corpus; flat images have every
+    # AC coefficient exactly 0 -> sign bit 0 -> hash 0 and all pair up
+    "image_phash_near_dup",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
