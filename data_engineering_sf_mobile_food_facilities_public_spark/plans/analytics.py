@@ -9633,9 +9633,16 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     allc = counts.unionByName(dangling)
     w_src = Window.partitionBy("src")
+    # the matrix is |types|^2 rows but its lineage contains the
+    # fact-table LEAD window; materialize the tiny frame once (the
+    # graph-loop convention).  Measured at sf0.1: a modest win (~4.5s
+    # -> ~4.2s warm — ReuseExchange already dedupes the 10 lazy
+    # references; the loop's ~30 dim-sized stages are scheduling-bound)
+    # but load-bearing at scale, where a wide types domain would break
+    # exchange reuse and re-run the fact scan per iteration
     mat = allc.select(
         "src", "dst", "n", F.sum("n").over(w_src).alias("tot")
-    )
+    ).localCheckpoint(eager=True)
     k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
     pi = types.crossJoin(F.broadcast(k)).select(
         "event_type",

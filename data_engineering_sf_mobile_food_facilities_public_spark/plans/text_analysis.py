@@ -5142,18 +5142,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("bucket"),
     )
-    src = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cs"))
-    tgt = (
-        b.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    # ONE pass for both distributions: the gram explode is fact-sized,
+    # so source and target counts come from a single map-side-combined
+    # aggregate instead of two scans (a third scan computes per-doc
+    # weights below — 3 passes -> 2)
+    srctgt = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cs"),
+        F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("int"))
+        .cast("long")
+        .alias("ct"),
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     denom = float(_DSIR_ALPHA * _DSIR_B)
     ratio = (
-        src.join(tgt, "bucket", "left")
+        srctgt
         .select(
             "bucket",
             F.round(
