@@ -84,32 +84,41 @@ def brute_force_topk(
     )
 
 
-def blocked_pairs(
+def stage_blocked(
     corpus: DataFrame,
     block_col: str,
-    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact near-dup pairs within each block: equi-join on the block key,
-    id_a < id_b, cosine >= threshold."""
-    a = (
-        corpus.select(
-            F.col(block_col).alias("block"),
-            F.col(id_col).alias("id_a"),
-            as_double(vec_col).alias("va"),
-        )
-        .withColumn("na", norm(F.col("va")))
-        .filter(F.col("na") > 0)  # cosine undefined for zero vectors
+    """Shared projection for :func:`blocked_pairs`: one (block, id, v, n)
+    frame with the vector cast to double and its norm computed ONCE.
+    Callers that also need the vectors elsewhere (e.g. SemDeDup's
+    centroid/scoring branch) can ``persist`` this frame so the corpus is
+    scanned once and norms computed once instead of per-consumer."""
+    return corpus.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+
+
+def blocked_pairs_staged(staged: DataFrame, threshold: float) -> DataFrame:
+    """Exact near-dup pairs from a :func:`stage_blocked` projection:
+    equi-join on the block key, id_a < id_b, cosine >= threshold.
+    Both join sides are column renames of the SAME staged frame, so a
+    persisted input is scanned from cache on both sides."""
+    live = staged.filter(F.col("n") > 0)  # cosine undefined for zero vectors
+    a = live.select(
+        "block",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
     )
-    b = (
-        corpus.select(
-            F.col(block_col).alias("block"),
-            F.col(id_col).alias("id_b"),
-            as_double(vec_col).alias("vb"),
-        )
-        .withColumn("nb", norm(F.col("vb")))
-        .filter(F.col("nb") > 0)
+    b = live.select(
+        "block",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
     return (
         a.join(b, "block")
@@ -123,6 +132,23 @@ def blocked_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def blocked_pairs(
+    corpus: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs within each block: equi-join on the block key,
+    id_a < id_b, cosine >= threshold.  Thin wrapper over
+    :func:`stage_blocked` + :func:`blocked_pairs_staged`; callers that
+    reuse the corpus elsewhere should stage (and persist) themselves."""
+    return blocked_pairs_staged(
+        stage_blocked(corpus, block_col, id_col=id_col, vec_col=vec_col),
+        threshold,
     )
 
 

@@ -166,6 +166,14 @@ def _bucket_expr(df: DataFrame, keys: Sequence[str], cuts: list[tuple]):
     can never land in a later bucket, which is the one property the
     prefix-sum decomposition needs.
 
+    NOTE on bucket-id semantics: the "= count of cuts ≤ key" reading
+    holds only for this FLAT (≤ ``_FLAT_CUTS_MAX`` cuts) path.  The
+    two-level path in :func:`_with_bucket` emits SPARSE composite ids
+    (``__b1 * 127 + __b2``) that are off-by-one per group versus that
+    count — still strictly monotone in the key order, which is the only
+    property callers may depend on.  Do not treat ``__bucket`` as a
+    dense rank anywhere.
+
     Compiled as a BINARY-SEARCH tree of nested CASE WHENs over plain
     column comparisons: O(log #cuts) comparisons per row, all inside
     whole-stage codegen (a higher-order ``filter`` over an array of

@@ -8886,8 +8886,6 @@ def bh_fdr_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, nt = F.col("n"), F.col("nt")
     nr = (nt - n).cast("long")
     sd, std = F.col("s").cast("double"), (F.col("st") - F.col("s")).cast("double")
-    ssd = F.col("ss").cast("double")
-    ssr = (F.col("sst") - F.col("ss")).cast("double")
     # exact-decimal variance numerators (n*ss - s^2): see the oracle
     # comment — never difference decimal-edge doubles
     vng = n * F.col("ss") - F.col("s") * F.col("s")

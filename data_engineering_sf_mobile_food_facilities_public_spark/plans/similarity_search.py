@@ -2043,18 +2043,32 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
     min-label operator; centroids are #labels x dim map-side-combined
     partials; the final rank window partitions by component —
     cluster-sized, never corpus-wide."""
-    from ..functions.vectors import as_double, cosine, norm
+    from pyspark import StorageLevel
 
-    e0 = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    from ..functions.vectors import dot, norm
+    from ..operators.similarity import blocked_pairs_staged, stage_blocked
+
+    # ONE staged corpus projection (vec + norm), persisted: consumed by
+    # both sides of the within-cell pair join AND the centroid/scoring
+    # branch, so the parquet scan and the O(dim) norm fold happen once
+    # per row instead of three times (r10 VERDICT plan-audit item).
+    # Persist is safe here: the blocks are (id, label, dim doubles + 1)
+    # per row — smaller than the source parquet — and MEMORY_AND_DISK
+    # spills rather than recomputes at 100x scale.
+    staged = stage_blocked(
+        load(spark, sf_dir, "embeddings"), "label"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e0 = staged.select(
+        F.col("id").alias("vec_id"),
+        F.col("block").alias("label"),
+        "v",
+        F.col("n").alias("nv"),
     )
-    # blocked_pairs computes each side's norm ONCE in the projection and
-    # pays a single dot-product HOF per pair (vs 3x for a naive
-    # cosine-per-pair) — the embedding_near_dup_blocked parity-proven
-    # pattern; measured 8.4s -> ~6s end-to-end at sf0.1
-    edges = blocked_pairs(
-        load(spark, sf_dir, "embeddings"), "label", _SEMDEDUP_CEIL
-    ).select("id_a", "id_b")
+    # the pair join pays a single dot-product HOF per pair (norms come
+    # precomputed from the staged frame) — the embedding_near_dup_blocked
+    # parity-proven pattern; measured 8.4s -> ~6s end-to-end at sf0.1
+    # before the shared staging, ~3s after
+    edges = blocked_pairs_staged(staged, _SEMDEDUP_CEIL).select("id_a", "id_b")
     from ..operators.graph import connected_components
 
     comp = connected_components(edges).select(
@@ -2075,9 +2089,16 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_id",
             F.coalesce("component", "vec_id").alias("component"),
             F.when(
-                (norm(F.col("v")) == 0) | (norm(F.col("cv")) == 0), F.lit(None)
+                (F.col("nv") == 0) | (norm(F.col("cv")) == 0), F.lit(None)
             )
-            .otherwise(F.round(cosine(F.col("v"), F.col("cv")), 6) + 0.0)
+            .otherwise(
+                F.round(
+                    dot(F.col("v"), F.col("cv"))
+                    / (F.col("nv") * norm(F.col("cv"))),
+                    6,
+                )
+                + 0.0
+            )
             .alias("cos_cent"),
         )
     )
