@@ -45,17 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-10 restructure (r9 VERDICT #1): the old 36-slot core had been
-# green for 9 straight rounds while 256 of 352 oracle-paired queries
-# had NEVER seen a driver check — external verification must catch up
-# to the registry.  The core shrinks to SENTINELS: the flagship, one
-# representative per §2 operator family, one row of the 12-query sf_*
-# reference pipeline (all 12 stay in the local parity suite and were
-# driver-green r09; they rotate back in if they ever change), the
-# queries whose ENGINE changed this round (the bucketed-cumsum lookup
-# rewrite: surrogate_key_orders, token_budget_mixture,
-# sequence_packing_bins — re-proving the r9 hashes against the new
-# two-level bucket path), and the two round-10 operators.
+# Round-11 panel (r10 VERDICT #1 + #3): core shrinks 16 -> 11 — the
+# three bucket-lookup re-proof slots (surrogate_key_orders,
+# token_budget_mixture, sequence_packing_bins) rotate out now that the
+# r9 hashes are driver-green over the two-level path, the sf_*
+# sentinel drops (all 12 pipeline rows driver-green r09, engine
+# untouched since), and count_min_sketch_flag_freq rotates out
+# (driver-green r10).  semdedup_embedding_prototypes STAYS: its engine
+# changed this round (one shared persisted embeddings projection feeds
+# both the pair join and the centroid/scoring branch) and the r10 hash
+# must be re-proven over the new plan.  New round-11 operators append
+# at the end of the core as they land.
 _PANEL_CORE = [
     # flagship + §2 family sentinels
     "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
@@ -68,81 +68,22 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    "sf_location",  # sf_* reference-pipeline sentinel (J1+P5 composite)
-    # engine changed this round: two-level codegen-stable bucket lookup
-    "surrogate_key_orders",  # F4 over the new _with_bucket
-    "token_budget_mixture",  # grouped_running_sum consumer (r9 VERDICT #2 gate)
-    "sequence_packing_bins",  # grouped_running_sum consumer (same gate)
-    # new round-10 operators
-    "count_min_sketch_flag_freq",  # md5-lane CMS, first oracle-paired round
-    "semdedup_embedding_prototypes",  # semantic dedup tier, new
+    # engine changed this round: shared staged+persisted corpus scan
+    "semdedup_embedding_prototypes",  # re-proving the r10 hash over the new plan
 ]
 
-# Round-10 rotation: 34 slots, ALL drawn from the 256 oracle-paired
-# queries that have never appeared in any driver panel (r9 VERDICT #1),
-# oldest families first — TPC-H suite and lakehouse (r2-4), modern SQL
-# and frame/SQL-feature surfaces (r4-6), text curation (r4-8),
-# similarity (r5-9), analytics (r6-9), streaming/multimodal (r5-8).
-# Every member is locally parity-green at sf0.001+0.01+0.1 (the r9
-# closeout 351/351 sweep) and 5-cell determinism-matrix stressed before
-# this round ends.  Rotated out (driver-green r09, still in the local
-# suite): the r9 HUGEINT cohort, the remaining §2 singles, and 11 of
-# the 12 sf_* pipeline rows.
+# Round-11 rotation: 39 slots, ALL drawn from the 240 oracle-paired
+# queries that have never appeared in any driver panel (r10 VERDICT
+# #1), oldest-first from the staged pool below — the 18 round-10
+# operators lead (matrix-stressed via the opt-in determinism test all
+# round), then the TPC-H remainder (completing driver coverage of the
+# 22-query suite), then lakehouse/ops and the frame/SQL-feature
+# families.  Every member is locally parity-green at three SFs and
+# vanilla-session pre-flighted before this round ends.  Rotated out
+# (driver-green r10, still in the local parity suite): the r10
+# rotation cohort and the bucket-lookup re-proof slots.
 _PANEL_ROTATING = [
-    # TPC-H suite (oldest never-verified family)
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # lakehouse
-    "scd2_user_event_history",
-    "funnel_signup_to_purchase",
-    "snapshot_diff_user_state",
-    "zorder_key_orders",
-    # modern SQL
-    "bitmap_distinct_parts_by_flag",
-    "session_window_user_activity",
-    "rolling_7day_active_users",
-    "pivot_multi_agg_status",
-    "cohort_retention_daily",
-    # frame API
-    "crosstab_status_priority",
-    "union_by_name_evolved_schema",
-    # SQL features
-    "locf_order_price_fill",
-    "width_bucket_quantity_deciles",
-    # text curation
-    "tfidf_top_terms",
-    "minhash_dedup_survivors",
-    "near_dup_quality_survivors",
-    "decontaminate_documents",
-    "temperature_resample_mixture",
-    "lang_id_confusion_matrix",
-    # similarity
-    "embedding_near_dup_blocked",
-    "embedding_label_centroids",
-    "hybrid_search_rrf",
-    # analytics
-    "rolling_7day_spend",
-    "fuzzy_name_match",
-    "revenue_share_by_nation",
-    "kmv_distinct_estimate",
-    # streaming (a REAL AvailableNow stream checked against batch SQL)
-    "streaming_hourly_event_counts",
-    # multimodal (md5-replayable real-codec decode)
-    "image_header_decode",
-]
-
-# Staging pool for the NEXT rounds' rotation (r11+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set, capped at
-# 120 (three more rounds of ~35-slot rotation).  The determinism matrix
-# has an opt-in test that stresses exactly this list so candidates
-# arrive pre-stressed; all are locally parity-green at three SFs.
-_PANEL_NEXT_CANDIDATES = [
-    # round-10 operators not already in this round's panel — FIRST in
-    # line for the r11 rotation, matrix-stressed via this list
+    # round-10 operators (matrix-stressed, first in line)
     "dsir_importance_weights",
     "kaplan_meier_repurchase",
     "bh_fdr_priority_price",
@@ -161,6 +102,7 @@ _PANEL_NEXT_CANDIDATES = [
     "covariance_power_iteration",
     "water_filling_token_caps",
     "image_phash_near_dup",
+    # TPC-H remainder — completes driver coverage of all 22
     "q11_important_parts",
     "q14_promo_revenue",
     "q16_parts_supplier_relationship",
@@ -171,17 +113,29 @@ _PANEL_NEXT_CANDIDATES = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q9_product_type_profit",
+    # lakehouse / operational
     "forget_customers_cascade",
     "max_maintenance_under_deletes",
     "rendezvous_shard_counts",
     "replication_checksum_orders",
     "scd2_as_of_snapshot",
+    # frame / SQL-feature families (oldest-first continuation)
     "array_set_ops_region_pairs",
     "bitwise_agg_orderkeys",
     "broadcast_dict_region_lookup",
     "calendar_edge_functions",
     "calendar_fill_monthly_revenue",
     "cross_join_region_status_grid",
+]
+
+# Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set (99
+# entries = ~3 more rounds of ~39-slot rotation; the tail of the
+# never-verified set joins as this list drains).  The determinism
+# matrix has an opt-in test that stresses exactly this list so
+# candidates arrive pre-stressed; all are locally parity-green at
+# three SFs.
+_PANEL_NEXT_CANDIDATES = [
     "dispersion_stats_by_flag",
     "distribution_windows",
     "expectations_orders",
