@@ -70,6 +70,8 @@ _PANEL_CORE = [
     "pricing_summary",  # A7 aggregate
     # engine changed this round: shared staged+persisted corpus scan
     "semdedup_embedding_prototypes",  # re-proving the r10 hash over the new plan
+    # new round-11 operators
+    "audio_fingerprint_near_dup",  # Haitsma-Kalker PCM fingerprint near-dup
 ]
 
 # Round-11 rotation: 39 slots, ALL drawn from the 240 oracle-paired
@@ -125,7 +127,6 @@ _PANEL_ROTATING = [
     "broadcast_dict_region_lookup",
     "calendar_edge_functions",
     "calendar_fill_monthly_revenue",
-    "cross_join_region_status_grid",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
@@ -136,6 +137,7 @@ _PANEL_ROTATING = [
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "cross_join_region_status_grid",
     "dispersion_stats_by_flag",
     "distribution_windows",
     "expectations_orders",

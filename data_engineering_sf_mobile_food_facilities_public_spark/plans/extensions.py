@@ -1094,3 +1094,223 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 image_phash_near_dup.__doc__ = image_phash_near_dup.__doc__.format(
     d=_PHASH_MAXDIST
 )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup over REAL decoded PCM — the audio member
+# of the multimodal x dedup crossover (aHash/pHash are the image
+# members): a scaled-down Haitsma & Kalker 2002 ("A Highly Robust
+# Audio Fingerprinting System", public) sub-fingerprint — frame the
+# clip, measure per-frame spectral band amplitudes, and set one bit
+# per (band, frame) from the SIGN of the band-energy difference's
+# time derivative — then the same pigeonhole-lossless banded Hamming
+# join as the image tiers.
+# ---------------------------------------------------------------------------
+
+_AFP_FRAME = 8  # samples per analysis frame
+_AFP_HOP = 4  # frame hop (50% overlap, the paper's shape)
+_AFP_NFRAMES = 7  # (32 - _AFP_FRAME) / _AFP_HOP + 1 over the 32-sample clip
+_AFP_NBANDS = 5  # cosine bands 0..4; bits use adjacent-band differences
+_AFP_BITS = (_AFP_NFRAMES - 1) * (_AFP_NBANDS - 1)  # 24-bit fingerprint
+_AFP_BANDS = 3  # 24 bits -> 3 bands x 8 bits for the LSH join
+_AFP_MAXDIST = 2  # pigeonhole-lossless: dist <= 2 shares >= 1 of 3 bands
+
+
+def _afp_weights() -> list[list[int]]:
+    """Integer-cosine analysis bank: band b's weight on frame sample x
+    is round(cos(pi*b*(2x+1)/(2*FRAME)) * 1e9), FIXED POINT for the
+    same reason as the pHash DCT basis (``29fa948``): a double
+    multiply-add chain is not bit-stable across engines (FMA fusion),
+    so band amplitudes are pure int64 — |sum| <= 8 * 32768 * 1e9 ~
+    2.7e14, and the second-order bit differences stay < 1.1e15, both
+    far inside int64."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * b * (2 * x + 1) / (2 * _AFP_FRAME)) * 1_000_000_000)
+            for x in range(_AFP_FRAME)
+        ]
+        for b in range(_AFP_NBANDS)
+    ]
+
+
+_AFP_W = _afp_weights()
+
+
+def _afp_fingerprint(samples: list[int]) -> int:
+    """24-bit Haitsma-Kalker sub-fingerprint of a 32-sample PCM clip,
+    pure integer arithmetic (shared by the Spark mapInPandas body and
+    the test fixtures; the oracle replays the same algebra in SQL)."""
+    e = [
+        [
+            abs(
+                sum(
+                    samples[_AFP_HOP * m + x] * _AFP_W[b][x]
+                    for x in range(_AFP_FRAME)
+                )
+            )
+            for m in range(_AFP_NFRAMES)
+        ]
+        for b in range(_AFP_NBANDS)
+    ]
+    fp = 0
+    for m in range(_AFP_NFRAMES - 1):
+        for b in range(1, _AFP_NBANDS):
+            if (e[b][m] - e[b][m + 1]) - (e[b - 1][m] - e[b - 1][m + 1]) > 0:
+                fp |= 1 << (m * (_AFP_NBANDS - 1) + b - 1)
+    return fp
+
+
+def _afp_oracle_sql() -> str:
+    def sample(i: int) -> str:
+        return f"(({_md5_byte(i % 16)}) - 128) * 256"
+
+    e_cols = []
+    for b in range(_AFP_NBANDS):
+        for m in range(_AFP_NFRAMES):
+            expr = " + ".join(
+                f"({sample(_AFP_HOP * m + x)}) * ({_AFP_W[b][x]})"
+                for x in range(_AFP_FRAME)
+            )
+            e_cols.append(f"abs(CAST({expr} AS BIGINT)) AS e_{b}_{m}")
+    bits = []
+    for m in range(_AFP_NFRAMES - 1):
+        for b in range(1, _AFP_NBANDS):
+            bit = m * (_AFP_NBANDS - 1) + b - 1
+            bits.append(
+                f"(CASE WHEN (e_{b}_{m} - e_{b}_{m + 1})"
+                f" - (e_{b - 1}_{m} - e_{b - 1}_{m + 1}) > 0"
+                f" THEN {1 << bit} ELSE 0 END)"
+            )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT item_id, {b} AS band_idx, "
+        f"(afp // {256 ** b}) % 256 AS band_val FROM hashes"
+        for b in range(_AFP_BANDS)
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT doc_id AS item_id, {', '.join(e_cols)}
+        FROM documents
+    ),
+    hashes AS MATERIALIZED (
+        SELECT item_id, CAST({' + '.join(bits)} AS BIGINT) AS afp FROM e
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.item_id < b.item_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.afp, hb.afp)) AS INT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.item_id = c.id_a
+    JOIN hashes hb ON hb.item_id = c.id_b
+    WHERE bit_count(xor(ha.afp, hb.afp)) <= {_AFP_MAXDIST}
+    """
+
+
+@_register("audio_fingerprint_near_dup", _afp_oracle_sql())
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-duplicate detection over REAL decoded
+    PCM: synthesize each document's md5-derived 32-sample 16-bit WAV,
+    round-trip it through the real container codec
+    (``multimodal/binary_ops.py: encode_wav`` -> ``decode_wav_samples``),
+    then compute a scaled-down Haitsma-Kalker sub-fingerprint — frame
+    the clip ({f}-sample frames, hop {h}), measure {nb} integer-cosine
+    band amplitudes per frame, and set one bit per (band, frame
+    transition) from the sign of the band difference's time derivative
+    (the paper's F(n,m) bit rule) — {bits} bits total, then the same
+    pigeonhole-lossless banded Hamming join as ``image_phash_near_dup``
+    ({bits} bits -> {bands} bands of 8; any pair within distance {d}
+    shares a band).
+
+    Cross-engine exactness: the analysis bank is FIXED-POINT
+    (round(cos * 1e9) integers embedded in both engines), so band
+    amplitudes and the second-order bit differences are pure int64 —
+    no float filterbank anywhere (the pHash FMA lesson).  The oracle
+    derives samples from md5 arithmetic while Spark decodes REAL WAV
+    containers, so a hash match proves the codec chain end to end.
+    Scale shape: one narrow Arrow ``mapInPandas`` fused into the scan;
+    only 24-bit signatures shuffle through the banded equi-join —
+    never audio."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..multimodal.binary_ops import decode_wav_samples, encode_wav
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("item_id"), F.col("text").alias("_t")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            fps = []
+            for text in pdf["_t"]:
+                h = hashlib.md5(text.encode()).digest()
+                samples = [(h[i % 16] - 128) * 256 for i in range(32)]
+                blob = encode_wav(samples, channels=1, rate=8000, bits=16)
+                _, _, _, back = decode_wav_samples(blob)
+                fps.append(_afp_fingerprint(back))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+    hashes = d.mapInPandas(run, schema)
+    bands = None
+    for b in range(_AFP_BANDS):
+        one = hashes.select(
+            "item_id",
+            F.lit(b).alias("band_idx"),
+            F.expr(f"(afp div {256 ** b}) % 256").alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a_, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(F.col("a.item_id").alias("id_a"), F.col("b.item_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("item_id").alias("id_a"), F.col("afp").alias("h_a"))
+    hb = hashes.select(F.col("item_id").alias("id_b"), F.col("afp").alias("h_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(bit_count(h_a ^ h_b) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AFP_MAXDIST)
+    )
+
+
+audio_fingerprint_near_dup.__doc__ = audio_fingerprint_near_dup.__doc__.format(
+    f=_AFP_FRAME,
+    h=_AFP_HOP,
+    nb=_AFP_NBANDS,
+    bits=_AFP_BITS,
+    bands=_AFP_BANDS,
+    d=_AFP_MAXDIST,
+)

@@ -180,6 +180,11 @@ _HOSTILE_PANEL = [
     # r10 pHash twin: same synthesized corpus; flat images have every
     # AC coefficient exactly 0 -> sign bit 0 -> hash 0 and all pair up
     "image_phash_near_dup",
+    # r11 audio member of the crossover: every hostile doc still
+    # synthesizes a decodable WAV (md5 of empty/whitespace text is
+    # defined); clips whose second-order band differences are never
+    # positive fingerprint to 0 and all pair up
+    "audio_fingerprint_near_dup",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",

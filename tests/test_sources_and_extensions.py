@@ -1972,3 +1972,42 @@ def test_animated_gif_roundtrip_and_local_palette_scope():
     assert d2[0][3][: len(palette)] == palette
     assert d2[1][3] == lct
     assert d2[2][3][: len(palette)] == palette
+
+
+def test_audio_fingerprint_pure_int_properties():
+    """The Haitsma-Kalker sub-fingerprint is a pure integer function of
+    the decoded samples: a FLAT clip (constant amplitude) has every
+    band amplitude constant across frames, so all second-order
+    differences are 0 (not > 0) and the fingerprint is exactly 0;
+    amplitude scaling preserves every strict sign and therefore the
+    fingerprint (the paper's robustness property, exact here because
+    the filterbank is fixed-point integer); and the REAL WAV codec
+    round-trip feeds the identical samples into the identical algebra
+    as the oracle's md5-derived view."""
+    import hashlib
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.multimodal.binary_ops import (
+        decode_wav_samples,
+        encode_wav,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.extensions import (
+        _AFP_BITS,
+        _afp_fingerprint,
+    )
+
+    # flat clip -> all-zero fingerprint
+    assert _afp_fingerprint([1000] * 32) == 0
+    assert _afp_fingerprint([0] * 32) == 0
+
+    # md5-shaped clip: nonzero, bounded to _AFP_BITS bits, and invariant
+    # under integer amplitude scaling (signs of strict differences keep)
+    h = hashlib.md5(b"fixture clip").digest()
+    clip = [(h[i % 16] - 128) * 256 for i in range(32)]
+    fp = _afp_fingerprint(clip)
+    assert 0 < fp < (1 << _AFP_BITS)
+    assert _afp_fingerprint([3 * s for s in clip]) == fp
+
+    # codec round-trip feeds identical samples -> identical fingerprint
+    blob = encode_wav(clip, channels=1, rate=8000, bits=16)
+    _, _, _, back = decode_wav_samples(blob)
+    assert back == clip and _afp_fingerprint(back) == fp
