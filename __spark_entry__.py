@@ -70,21 +70,25 @@ _PANEL_CORE = [
     "pricing_summary",  # A7 aggregate
     # engine changed this round: shared staged+persisted corpus scan
     "semdedup_embedding_prototypes",  # re-proving the r10 hash over the new plan
-    # new round-11 operators
-    "audio_fingerprint_near_dup",  # Haitsma-Kalker PCM fingerprint near-dup
 ]
 
-# Round-11 rotation: 39 slots, ALL drawn from the 240 oracle-paired
-# queries that have never appeared in any driver panel (r10 VERDICT
-# #1), oldest-first from the staged pool below — the 18 round-10
-# operators lead (matrix-stressed via the opt-in determinism test all
-# round), then the TPC-H remainder (completing driver coverage of the
-# 22-query suite), then lakehouse/ops and the frame/SQL-feature
-# families.  Every member is locally parity-green at three SFs and
-# vanilla-session pre-flighted before this round ends.  Rotated out
-# (driver-green r10, still in the local parity suite): the r10
-# rotation cohort and the bucket-lookup re-proof slots.
+# Round-11 rotation: 39 slots, ALL never driver-verified (r10 VERDICT
+# #1) — the 5 round-11 operators lead (new this round), then the 18
+# round-10 operators (matrix-stressed via the opt-in determinism test
+# all of round 10), then the TPC-H remainder (completing driver
+# coverage of the 22-query suite), then lakehouse/ops and the first
+# frame/SQL-feature slot.  Every member is locally parity-green at
+# three SFs and vanilla-session pre-flighted before this round ends.
+# Rotated out (driver-green r10, still in the local parity suite): the
+# r10 rotation cohort and the bucket-lookup re-proof slots.
 _PANEL_ROTATING = [
+    # round-11 operators (never-verified by definition; fixture +
+    # matrix covered in their landing commits)
+    "audio_fingerprint_near_dup",  # Haitsma-Kalker PCM fingerprint near-dup
+    "query_likelihood_dirichlet_topk",  # Zhai-Lafferty LM retrieval
+    "kneser_ney_bigram_scores",  # interpolated-KN perplexity filter
+    "kcenter_coreset_embeddings",  # Gonzalez farthest-point coreset
+    "video_scene_change_gif",  # shot-boundary detection over real decode
     # round-10 operators (matrix-stressed, first in line)
     "dsir_importance_weights",
     "kaplan_meier_repurchase",
@@ -121,12 +125,8 @@ _PANEL_ROTATING = [
     "rendezvous_shard_counts",
     "replication_checksum_orders",
     "scd2_as_of_snapshot",
-    # frame / SQL-feature families (oldest-first continuation)
+    # frame / SQL-feature family (oldest-first continuation)
     "array_set_ops_region_pairs",
-    "bitwise_agg_orderkeys",
-    "broadcast_dict_region_lookup",
-    "calendar_edge_functions",
-    "calendar_fill_monthly_revenue",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
@@ -137,6 +137,10 @@ _PANEL_ROTATING = [
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "bitwise_agg_orderkeys",
+    "broadcast_dict_region_lookup",
+    "calendar_edge_functions",
+    "calendar_fill_monthly_revenue",
     "cross_join_region_status_grid",
     "dispersion_stats_by_flag",
     "distribution_windows",

@@ -1238,6 +1238,72 @@ def decode_gif_frame_stats(df: DataFrame, id_col: str, text_col: str) -> DataFra
     return cols.mapInPandas(run, GIF_FRAME_SCHEMA)
 
 
+GIF_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("transition_idx", T.IntegerType()),
+        T.StructField("l1_delta", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def decode_gif_scene_deltas(
+    df: DataFrame, id_col: str, text_col: str, cut_threshold: int
+) -> DataFrame:
+    """documents -> the same synthesized animated GIFs as
+    :func:`decode_gif_frame_stats` -> real multi-frame LZW decode ->
+    one row per consecutive-frame TRANSITION with the exact integer L1
+    pixel delta (sum over RGB bytes of |frame_f - frame_{f+1}|) and the
+    threshold cut flag — shot-boundary detection's classic frame-
+    difference detector, over genuinely decoded frames.  Deltas are
+    computed from the DECODED RGB bytes (palette lookup included), so a
+    hash match proves the whole codec chain; the oracle replays the
+    arithmetic from md5 hex (pixel j of frame f has palette index
+    md5[(f + 3j) % 16] % 16, gray k = (16k,16k,16k), so the per-pixel
+    delta is 48 * |idx_f - idx_{f+1}|).  Single-frame clips emit no
+    transitions.  One 1:N Arrow ``mapInPandas`` pass, no shuffle."""
+    import hashlib
+
+    palette = b"".join(bytes([k * 16] * 3) for k in range(16))
+    cols = df.select(
+        F.col(id_col).alias("item_id").cast("long"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ti, deltas, cuts = [], [], [], []
+            for item_id, text in zip(pdf["item_id"], pdf["_t"]):
+                hd = hashlib.md5(text.encode()).digest()
+                n_frames = 1 + hd[1] % 3
+                frames = [
+                    [hd[(f + 3 * j) % 16] % 16 for j in range(16)]
+                    for f in range(n_frames)
+                ]
+                blob = encode_animated_gif(4, 4, frames, palette)
+                decoded = _gif_decode_all_frames(blob)
+                rgbs = [
+                    b"".join(pal[3 * x : 3 * x + 3] for x in idx)
+                    for (_, _, idx, pal) in decoded
+                ]
+                for f in range(len(rgbs) - 1):
+                    d = sum(abs(a - b) for a, b in zip(rgbs[f], rgbs[f + 1]))
+                    ids.append(item_id)
+                    ti.append(f)
+                    deltas.append(d)
+                    cuts.append(d >= cut_threshold)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "transition_idx": pd.Series(ti, dtype="int32"),
+                    "l1_delta": pd.Series(deltas, dtype="int64"),
+                    "is_cut": pd.Series(cuts, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(run, GIF_SCENE_SCHEMA)
+
+
 def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, top-down RGB bytes) for the first GIF frame:
     real LZW decode + palette lookup, zero dependencies."""

@@ -291,6 +291,58 @@ def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_frame_stats(d, "doc_id", "text")
 
 
+# Scene-change twin of the GIF oracle: the per-pixel L1 delta between
+# consecutive decoded frames is 48 * |idx_f - idx_{f+1}| with idx from
+# md5 lanes, so the whole shot-boundary pass replays in SQL.
+_SCENE_CUT_THRESHOLD = 4000
+
+
+def _scene_change_oracle_sql() -> str:
+    def delta(f: int) -> str:
+        return " + ".join(
+            f"48 * abs(({_md5_byte((f + 3 * j) % 16)}) % 16"
+            f" - ({_md5_byte((f + 1 + 3 * j) % 16)}) % 16)"
+            for j in range(16)
+        )
+
+    rows = []
+    for f in range(2):  # n_frames <= 3 -> at most transitions 0 and 1
+        rows.append(
+            f"""SELECT doc_id AS item_id, CAST({f} AS INTEGER) AS transition_idx,
+           CAST({delta(f)} AS BIGINT) AS l1_delta,
+           ({delta(f)}) >= {_SCENE_CUT_THRESHOLD} AS is_cut
+    FROM v WHERE n_frames >= {f + 2}"""
+        )
+    return (
+        f"""
+    WITH v AS (
+        SELECT doc_id, text, 1 + {_md5_byte(1)} % 3 AS n_frames FROM documents
+    )
+    """
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@_register("video_scene_change_gif", _scene_change_oracle_sql())
+def video_scene_change_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-change) detection over REAL decoded frames:
+    synthesize each document's 1-3 frame animated GIF, decode every
+    frame with the real multi-frame LZW decoder, and emit the exact
+    integer L1 pixel delta for each consecutive-frame transition plus
+    the threshold cut flag (classic frame-difference shot detection —
+    the first pass a video curation pipeline runs to split clips into
+    shots before sampling).  GIF is the LOSSLESS animated container, so
+    the oracle replays every decoded byte from md5 arithmetic — the
+    MJPEG/AVI path (``video_frame_sample``) keeps container+header
+    parity while its JPEG payload is quantized, which is proven by the
+    codec's own round-trip tests instead.  One narrow 1:N Arrow
+    ``mapInPandas`` pass fused into the scan; no shuffle."""
+    from ..multimodal.binary_ops import decode_gif_scene_deltas
+
+    d = load(spark, sf_dir, "documents")
+    return decode_gif_scene_deltas(d, "doc_id", "text", _SCENE_CUT_THRESHOLD)
+
+
 # WAV twin of the pixel oracle: sample i = (md5[i%16] - 128) * 256,
 # 32 samples -> each lane contributes twice to the sum.
 _AUDIO_ORACLE = f"""

@@ -2407,3 +2407,154 @@ def covariance_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 covariance_power_iteration.__doc__ = covariance_power_iteration.__doc__.format(
     k=_PI_STEPS
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+# public; the 2-approximation for the k-center objective) — the
+# diversity-selection primitive training pipelines use to pick a
+# maximally-spread representative subset of an embedding corpus.
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 5
+
+
+def _kcenter_l2sq_sql(a: str, b: str) -> str:
+    # ORDER-PINNED left fold seeded with 0.0 — exactly Spark's
+    # F.aggregate(zip_with(...), 0.0, acc + x), so the raw doubles are
+    # BIT-IDENTICAL across engines and no rounding is applied at all:
+    # DuckDB's multiply-based round() itself perturbs values past 2^53
+    # (observed at 1e12 on the hostile-embeddings fixture — the
+    # SCALE.md round-10 lesson), while identical pinned folds need no
+    # ulp absorption in the first place.
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+
+
+def _kcenter_oracle_sql() -> str:
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x)),
+                   (acc, x) -> acc + x) AS n2
+        FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY n2 DESC NULLS LAST, vec_id LIMIT 1),
+    d1 AS (
+        SELECT e.vec_id, e.v,
+               """
+        + _kcenter_l2sq_sql("e.v", "c1.v")
+        + """ AS dmin
+        FROM e CROSS JOIN c1
+    )"""
+    ]
+    for k in range(2, _KCENTER_K + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+        SELECT vec_id, v, dmin FROM d{k - 1}
+        ORDER BY dmin DESC NULLS LAST, vec_id LIMIT 1
+    )"""
+        )
+        if k < _KCENTER_K:
+            parts.append(
+                f""",
+    d{k} AS (
+        SELECT d.vec_id, d.v,
+               least(d.dmin, {_kcenter_l2sq_sql("d.v", f"c{k}.v")}) AS dmin
+        FROM d{k - 1} d CROSS JOIN c{k}
+    )"""
+            )
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS center_rank, vec_id,"
+        " CAST(NULL AS DOUBLE) AS sel_dist FROM c1"
+    ] + [
+        f"SELECT CAST({k} AS INTEGER), vec_id, CAST(dmin AS DOUBLE) FROM c{k}"
+        for k in range(2, _KCENTER_K + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@_register("kcenter_coreset_embeddings", _kcenter_oracle_sql())
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (Gonzalez 1985
+    farthest-point traversal, the classic 2-approximation): seed with
+    the max-norm vector, then {k}x repeat "pick the point farthest from
+    every chosen center" — the diversity-selection primitive for
+    building a maximally-spread training subset (the geometric
+    complement of SemDeDup, which REMOVES the over-close points).
+    Output: each center's selection rank and its min-distance to the
+    previously chosen set (the Gonzalez radius sequence; NULL for the
+    seed).
+
+    Determinism & parity: every distance is the squared L2 between
+    double-cast arrays computed as an ORDER-PINNED left fold seeded
+    with 0.0 on BOTH engines (bit-identical raw doubles — deliberately
+    UNROUNDED, because DuckDB's multiply-based round() itself perturbs
+    values past 2^53); both engines select with vec_id tiebreak and
+    NULLS LAST (null/ragged vectors yield NULL distances and are never
+    chosen while finite candidates remain).  The oracle unrolls the {k} selection steps as CTEs (the
+    LPA fixed-K precedent); a corpus smaller than K repeats the same
+    algebra on both engines.
+
+    Scale shape: the iteration state is K driver-held vectors
+    (dim-sized — the BPE 1-row-argmax precedent); each of the K-1
+    selection passes is one scan of the persisted (vec_id, v)
+    projection with a K-literal least() of fold distances, contracted
+    by TakeOrderedAndProject — no corpus-sized shuffle, no pairwise
+    join, exactly K passes at any corpus size."""
+    from pyspark import StorageLevel
+
+    from ..functions.vectors import as_double
+
+    def l2sq(v, cvec: list) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn(
+            "n2",
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    schema = "center_rank int, vec_id long, sel_dist double"
+    seed = e.orderBy(F.desc_nulls_last("n2"), "vec_id").select("vec_id", "v").first()
+    if seed is None:
+        return spark.createDataFrame([], schema)
+    centers = [(1, seed.vec_id, None)]
+    cvecs = [list(seed.v)]
+    for k in range(2, _KCENTER_K + 1):
+        dists = [l2sq(F.col("v"), cv) for cv in cvecs]
+        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
+        row = (
+            e.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.desc_nulls_last("dmin"), "vec_id")
+            .first()
+        )
+        centers.append(
+            (k, row.vec_id, None if row.dmin is None else float(row.dmin))
+        )
+        cvecs.append(list(row.v))
+    return spark.createDataFrame(centers, schema)
+
+
+kcenter_coreset_embeddings.__doc__ = kcenter_coreset_embeddings.__doc__.format(
+    k=_KCENTER_K
+)

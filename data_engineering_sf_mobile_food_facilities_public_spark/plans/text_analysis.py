@@ -1117,6 +1117,123 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the smoothing that separates
+# a toy bigram model from the n-gram LMs quality filters actually ship
+# (KenLM-style pipelines are interpolated-KN end to end).
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (Kneser & Ney's standard fixed value)
+
+
+@_register(
+    "kneser_ney_bigram_scores",
+    _TOKENS_CTE
+    + f"""
+    , pos AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM tok
+        WHERE len(tokens) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2 FROM pos
+    ),
+    big AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ),
+    hist AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS nf
+        FROM big GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM big GROUP BY w2
+    ),
+    btypes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(AVG(ln(
+               (CAST(g.c12 AS DOUBLE) - {_KN_D}) / h.c1
+               + ({_KN_D} * CAST(h.nf AS DOUBLE) / h.c1)
+                 * (CAST(c.nb AS DOUBLE) / t.bt)
+           )), 6) AS avg_logprob_kn
+    FROM bigrams b
+    JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+    JOIN hist h ON b.w1 = h.w1
+    JOIN cont c ON b.w2 = c.w2
+    CROSS JOIN btypes t
+    GROUP BY b.doc_id
+    """,
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999, public): P(w2|w1) = (c(w1,w2) - D)/c(w1) +
+    (D * N1+(w1,.)/c(w1)) * N1+(.,w2)/|bigram types|, D={d} — the
+    continuation-probability backoff that fixes the "San Francisco"
+    pathology (frequent-but-unversatile words get low continuation
+    mass), scored as each document's mean bigram log-probability.  The
+    smoothing the production perplexity filters (KenLM-style) actually
+    use, vs :func:`bigram_lm_scores`' unsmoothed MLE.
+
+    Cross-engine exactness: every model quantity (c12, c1, N1+ forward
+    and backward, bigram-type count) is an exact integer; the smoothed
+    probability is built double-op-for-double-op in the same order on
+    both engines, and every corpus bigram has c12 >= 1 > D so the
+    discounted term is strictly positive — no max(.,0) branch to
+    diverge on.  The per-doc mean is rounded to 6dp (the tfidf
+    convention).  Scale shape: the model is three grouped contractions
+    of the bigram-TYPE relation (types, histories, continuations) plus
+    ONE 1-row type-count broadcast; scoring joins the bigram stream
+    back on its keys — no driver-side state, same shuffle framework as
+    the MLE scorer."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens("text").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 2)).alias("i"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        F.col("tk")[F.col("i")].alias("w1"),
+        F.col("tk")[F.col("i") + 1].alias("w2"),
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    btypes = big.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c12").cast("double") - F.lit(_KN_D)) / F.col("c1")
+                + (F.lit(_KN_D) * F.col("nf").cast("double") / F.col("c1"))
+                * (F.col("nb").cast("double") / F.col("bt"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob_kn"),
+    )
+
+
+kneser_ney_bigram_scores.__doc__ = kneser_ney_bigram_scores.__doc__.format(
+    d=_KN_D
+)
+
+
+# ---------------------------------------------------------------------------
 # Shannon entropy profiling — label-balance diagnostics per source.
 # ---------------------------------------------------------------------------
 
@@ -4723,6 +4840,112 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 bm25_topk_docs.__doc__ = bm25_topk_docs.__doc__.format(
     k=_BM25_TOPK, terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+)
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing — the language-
+# modeling companion of BM25 (the other classic lexical scorer a
+# production retriever offers).
+# ---------------------------------------------------------------------------
+
+_QL_MU = 300.0  # Dirichlet pseudo-count (Zhai & Lafferty's effective range)
+
+
+def _ql_oracle_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(tokens, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    cf_cols = ", ".join(
+        f"CAST(SUM(tf_{t}) AS BIGINT) AS cf_{t}" for t in _BM25_TERMS
+    )
+    score = "\n                 + ".join(
+        f"CASE WHEN s.cf_{t} > 0 THEN "
+        f"ln((f.tf_{t} + {_QL_MU} * (CAST(s.cf_{t} AS DOUBLE) / s.ct)) "
+        f"/ (f.dl + {_QL_MU})) ELSE 0.0 END"
+        for t in _BM25_TERMS
+    )
+    return (
+        _TOKENS_CTE
+        + f"""
+    , feat AS (
+        SELECT doc_id,
+               CAST(len(list_filter(tokens, x -> x <> '')) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM tok
+    ),
+    stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS ct, {cf_cols}
+        FROM feat
+    )
+    SELECT f.doc_id,
+           round({score}, 6) AS ql_score
+    FROM feat f CROSS JOIN stats s
+    ORDER BY round({score}, 6) DESC, f.doc_id
+    LIMIT {_BM25_TOPK}
+    """
+    )
+
+
+@_register("query_likelihood_dirichlet_topk", _ql_oracle_sql())
+def query_likelihood_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet prior smoothing (Zhai &
+    Lafferty 2001, public) for the same fixed query as
+    :func:`bm25_topk_docs`: score(d) = sum over query terms of
+    ln((tf + mu * cf/|C|) / (dl + mu)) with mu={mu} — the language-
+    modeling scorer that complements BM25's tf-saturation view (BM25
+    rewards term saturation, QL rewards short documents whose language
+    model concentrates on the query).  Terms absent from the whole
+    corpus contribute 0 rather than -inf (the cf > 0 guard, identical
+    on both engines).
+
+    Cross-engine exactness: tf/dl/cf/|C| are exact integers; the
+    smoothed probability is built double-op-for-double-op in the same
+    order on both engines and both sides rank on the ROUNDED score
+    with doc_id tiebreak (the BM25 discipline).  Scale shape: per-doc
+    tf/dl are array-HOF projections fused into the scan; corpus stats
+    are ONE aggregate row broadcast back; TakeOrderedAndProject on the
+    rounded score."""
+    d = load(spark, sf_dir, "documents")
+    feat = d.select("doc_id", F.expr(_TOKS_EXPR).alias("__toks")).select(
+        "doc_id",
+        F.expr("size(__toks)").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(__toks, x -> x = '{t}'))")
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = feat.agg(
+        F.sum("dl").cast("long").alias("ct"),
+        *[F.sum(f"tf_{t}").cast("long").alias(f"cf_{t}") for t in _BM25_TERMS],
+    )
+    scored = feat.join(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        part = F.when(
+            F.col(f"cf_{t}") > 0,
+            F.log(
+                (
+                    F.col(f"tf_{t}")
+                    + F.lit(_QL_MU)
+                    * (F.col(f"cf_{t}").cast("double") / F.col("ct"))
+                )
+                / (F.col("dl") + F.lit(_QL_MU))
+            ),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("ql_score"))
+        .orderBy(F.desc("ql_score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+query_likelihood_dirichlet_topk.__doc__ = (
+    query_likelihood_dirichlet_topk.__doc__.format(mu=_QL_MU)
 )
 
 

@@ -95,6 +95,12 @@ _EMBED_PANEL = [
     # and constant dimensions; the rounded-matrix iterate, the
     # zero-iterate guard and the Rayleigh ratio must replay exactly
     "covariance_power_iteration",
+    # r11 Gonzalez k-center: null/ragged vectors yield NULL distances
+    # (NULLS LAST on both engines, never chosen while finite candidates
+    # remain), duplicate vectors give dmin exactly 0, huge magnitudes
+    # dominate the max-norm seed — the rounded-distance argmax chain
+    # must replay identically through all five unrolled selections
+    "kcenter_coreset_embeddings",
 ]
 
 

@@ -185,6 +185,19 @@ _HOSTILE_PANEL = [
     # defined); clips whose second-order band differences are never
     # positive fingerprint to 0 and all pair up
     "audio_fingerprint_near_dup",
+    # r11 scene change: every hostile doc synthesizes a decodable
+    # animated GIF; single-frame clips (md5[1] % 3 == 0) must emit
+    # ZERO transitions identically on both engines
+    "video_scene_change_gif",
+    # r11 QL-Dirichlet: empty/whitespace-only docs have dl = 0 and
+    # score from the smoothed collection model alone; query terms
+    # absent from the hostile corpus take the cf > 0 guard to 0
+    # identically on both engines
+    "query_likelihood_dirichlet_topk",
+    # r11 Kneser-Ney: empty and single-token docs contribute no
+    # bigrams and must vanish from the scores; a hostile corpus where
+    # some history has ONE continuation exercises nf = 1 discount mass
+    "kneser_ney_bigram_scores",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
