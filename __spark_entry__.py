@@ -89,6 +89,8 @@ _PANEL_ROTATING = [
     "kneser_ney_bigram_scores",  # interpolated-KN perplexity filter
     "kcenter_coreset_embeddings",  # Gonzalez farthest-point coreset
     "video_scene_change_gif",  # shot-boundary detection over real decode
+    "embedding_decontaminate_split",  # cross-split semantic decontamination
+    "association_rules_part_pairs",  # directed basket rules (conf + lift)
     # round-10 operators (matrix-stressed, first in line)
     "dsir_importance_weights",
     "kaplan_meier_repurchase",
@@ -124,19 +126,18 @@ _PANEL_ROTATING = [
     "max_maintenance_under_deletes",
     "rendezvous_shard_counts",
     "replication_checksum_orders",
-    "scd2_as_of_snapshot",
-    # frame / SQL-feature family (oldest-first continuation)
-    "array_set_ops_region_pairs",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (99
+# continuation of the never-driver-verified oracle-paired set (106
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "scd2_as_of_snapshot",
+    "array_set_ops_region_pairs",
     "bitwise_agg_orderkeys",
     "broadcast_dict_region_lookup",
     "calendar_edge_functions",

@@ -9783,3 +9783,117 @@ def isotonic_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n_rows"),
         (F.round(F.col("yhat"), 6) + 0.0).alias("fitted_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets (Agrawal & Srikant 1994, public)
+# — support / confidence / lift, the classic market-basket mining the
+# item-item cosine recommender (item_item_cosine_recs) complements.
+# ---------------------------------------------------------------------------
+
+_ARULE_MINSUP = 3  # pair-support floor; binds at every test SF
+
+
+@_register(
+    "association_rules_part_pairs",
+    f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp FROM basket
+        GROUP BY l_partkey
+    ),
+    n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM basket
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS supp_pair
+        FROM basket a
+        JOIN basket b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_ARULE_MINSUP}
+    )
+    SELECT p.antecedent, p.consequent, p.supp_pair,
+           round(CAST(p.supp_pair AS DOUBLE) / ia.supp, 6) AS confidence,
+           round(CAST(p.supp_pair AS DOUBLE) * n.n_orders
+                 / (ia.supp * ic.supp), 6) AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.antecedent
+    JOIN item ic ON ic.l_partkey = p.consequent
+    CROSS JOIN n
+    """,
+)
+def association_rules_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules A -> B over order baskets (Agrawal &
+    Srikant 1994): support = co-occurrence count, confidence =
+    supp(A,B)/supp(A), lift = confidence / P(B) — kept where pair
+    support >= {m} (the floor binds at every test SF, so the HAVING is
+    exercised, not vacuous).  Completes the basket-mining family:
+    :func:`part_affinity_lift` scores SYMMETRIC pairs by lift alone;
+    rules are directional and carry the confidence a recommender
+    actually thresholds on (A -> B and B -> A differ whenever the
+    antecedent supports differ).
+
+    Cross-engine exactness: all three metrics are ratios of exact
+    integers (the lift numerator/denominator are pure int64 products),
+    divided in the same order and rounded to 6dp on both engines.
+    Scale shape: the pair fanout is the item_item_cosine_recs shape —
+    bounded by basket size (pairs explode per ORDER, never corpus-
+    wide), contracted by a map-side-combinable count, pruned by the
+    support floor BEFORE the metric joins; item supports and the
+    1-row basket count are broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("supp")
+    )
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("antecedent")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("consequent")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_pair"))
+        .filter(F.col("supp_pair") >= _ARULE_MINSUP)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("supp").alias("supp_a")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("supp").alias("supp_c")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_pair",
+            F.round(
+                F.col("supp_pair").cast("double") / F.col("supp_a"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("supp_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+association_rules_part_pairs.__doc__ = association_rules_part_pairs.__doc__.format(
+    m=_ARULE_MINSUP
+)

@@ -2558,3 +2558,85 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 kcenter_coreset_embeddings.__doc__ = kcenter_coreset_embeddings.__doc__.format(
     k=_KCENTER_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split semantic decontamination — the embedding-space member of
+# the decontamination family (decontaminate_documents is the exact
+# n-gram member): train vectors too close to ANY eval vector are
+# contaminated and must be dropped before training.
+# ---------------------------------------------------------------------------
+
+_XSPLIT_CEIL = 0.35  # binds on this corpus (the SemDeDup ceiling)
+
+
+@_register(
+    "embedding_decontaminate_split",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (  -- zero-norm vectors excluded: cosine undefined
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    hits AS (
+        SELECT t.vec_id,
+               round(list_cosine_similarity(t.v, q.v), 6) AS cos_sim
+        FROM e t JOIN e q ON t.label = q.label
+        WHERE t.vec_id % 17 <> 0 AND q.vec_id % 17 = 0
+          AND round(list_cosine_similarity(t.v, q.v), 6) >= {_XSPLIT_CEIL}
+    )
+    SELECT vec_id AS train_vec_id,
+           COUNT(*) AS n_eval_hits,
+           max(cos_sim) AS max_eval_cos
+    FROM hits GROUP BY vec_id
+    """,
+)
+def embedding_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination between a train split and an
+    eval split (vec_id % 17 == 0 plays the eval suite): flag every
+    TRAIN vector whose cosine to ANY eval vector reaches {ceil} within
+    its label cell, with hit count and max cosine — the semantic
+    complement of the exact 5-gram pass (``decontaminate_documents``),
+    catching paraphrased eval leakage that token matching misses
+    (the published eval-contamination playbook runs both).
+
+    Scale shape: one staged (vector + norm) projection feeds both join
+    sides (the SemDeDup staging pattern); the pair join is a label-cell
+    equi-join whose EVAL side is a small fraction of the corpus (~1/17
+    here — at 100 TB the eval suite side is fixed-size and effectively
+    broadcastable); the per-train-vector rollup contracts on the join
+    key already in hand.  Both engines gate and aggregate on the
+    ROUNDED cosine with identical null/zero-norm exclusions."""
+    from ..operators.similarity import stage_blocked
+
+    staged = stage_blocked(load(spark, sf_dir, "embeddings"), "label")
+    live = staged.filter(F.col("n") > 0)
+    t = live.filter(F.col("id") % 17 != 0).select(
+        "block", F.col("id").alias("train_vec_id"),
+        F.col("v").alias("tv"), F.col("n").alias("tn"),
+    )
+    q = live.filter(F.col("id") % 17 == 0).select(
+        "block", F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    from ..functions.vectors import dot
+
+    cos = F.round(
+        dot(F.col("tv"), F.col("qv")) / (F.col("tn") * F.col("qn")), 6
+    )
+    return (
+        t.join(q, "block")
+        .select("train_vec_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _XSPLIT_CEIL)
+        .groupBy("train_vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_eval_cos"),
+        )
+    )
+
+
+embedding_decontaminate_split.__doc__ = embedding_decontaminate_split.__doc__.format(
+    ceil=_XSPLIT_CEIL
+)

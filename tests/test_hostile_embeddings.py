@@ -95,6 +95,11 @@ _EMBED_PANEL = [
     # and constant dimensions; the rounded-matrix iterate, the
     # zero-iterate guard and the Rayleigh ratio must replay exactly
     "covariance_power_iteration",
+    # r11 cross-split decontamination: zero-norm vectors drop from BOTH
+    # sides, identical train/eval vectors hit at cos exactly 1.0, and
+    # cells whose every member is eval (or every member train) must
+    # produce no hits identically
+    "embedding_decontaminate_split",
     # r11 Gonzalez k-center: null/ragged vectors yield NULL distances
     # (NULLS LAST on both engines, never chosen while finite candidates
     # remain), duplicate vectors give dmin exactly 0, huge magnitudes

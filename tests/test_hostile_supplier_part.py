@@ -71,6 +71,11 @@ _SP_PANEL = [
     # survive the same dimension hostilities
     "kcore_part_graph",
     "item_item_cosine_recs",
+    # r11 directed rules share the basket pair build: degenerate
+    # baskets (single-part orders contribute no pairs), the support
+    # floor under sparse hostile baskets, and the integer-ratio
+    # confidence/lift divisions must replay identically
+    "association_rules_part_pairs",
     # link prediction shares the edge build AND divides by neighbor
     # degree: degenerate graphs (no support-2 edges, single-edge
     # components) must produce identical empty/short top-20s
