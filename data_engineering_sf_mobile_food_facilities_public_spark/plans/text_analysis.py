@@ -5864,3 +5864,177 @@ def water_filling_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 water_filling_token_caps.__doc__ = water_filling_token_caps.__doc__.format(
     frac=_WF_BUDGET_FRAC
 )
+
+
+# ---------------------------------------------------------------------------
+# MTLD lexical diversity (McCarthy & Jarvis 2010, public) — the
+# length-robust diversity measure corpus-quality reports pair with
+# Yule's K; also the engine's showcase that a CUSTOM SEQUENTIAL
+# operator (a stateful left-to-right scan with resets) expresses as an
+# order-pinned HOF fold on BOTH engines, no UDF, no driver state.
+# ---------------------------------------------------------------------------
+
+_MTLD_TTR = 0.72  # the paper's factor threshold
+
+
+def _mtld_spark_state(arr: str) -> str:
+    """Spark SQL aggregate() fold: state = (t tokens-in-segment, k
+    distinct-types-in-segment, ts newline-delimited type set, f full
+    factors).  Tokens are whitespace-split so chr(10) cannot occur in
+    a token — the string encoding is collision-free."""
+    new_k = (
+        "CASE WHEN instr(concat(char(10), acc.ts, char(10)),"
+        " concat(char(10), w, char(10))) > 0 THEN acc.k ELSE acc.k + 1 END"
+    )
+    new_ts = (
+        "CASE WHEN instr(concat(char(10), acc.ts, char(10)),"
+        " concat(char(10), w, char(10))) > 0 THEN acc.ts"
+        " ELSE concat(acc.ts, char(10), w) END"
+    )
+    return f"""aggregate(
+        {arr},
+        named_struct('t', 0, 'k', 0, 'ts', '', 'f', 0),
+        (acc, w) -> CASE
+          WHEN (CAST(({new_k}) AS DOUBLE) / (acc.t + 1)) < {_MTLD_TTR}
+          THEN named_struct('t', 0, 'k', 0, 'ts', '', 'f', acc.f + 1)
+          ELSE named_struct('t', acc.t + 1, 'k', {new_k}, 'ts', {new_ts},
+                            'f', acc.f) END
+    )"""
+
+
+def _mtld_oracle_sql() -> str:
+    """DuckDB oracle as a RECURSIVE CTE walking one token per level —
+    deliberately NOT a list_reduce fold: DuckDB v1.0's list_reduce
+    corrupts VARIABLE-WIDTH accumulators (VARCHAR / LIST / STRUCT
+    containing either) across rows under vectorized execution
+    (observed: ~1% of rows inherit another row's type set; fixed-width
+    scalar accumulators like the kcenter distance fold are unaffected).
+    Recursive-CTE state is ordinary column data, immune by
+    construction.  The partial-factor divisor embeds repr(1.0 - 0.72)
+    so both engines divide by the IDENTICAL double."""
+    div = repr(1.0 - _MTLD_TTR)
+    reset = f"(CAST(nk AS DOUBLE) / (t + 1)) < {_MTLD_TTR}"
+    member = (
+        "position((chr(10) || w[i + 1] || chr(10))"
+        " IN (chr(10) || ts || chr(10))) > 0"
+    )
+
+    def denom(d: str) -> str:
+        return f"max(CASE WHEN dir = '{d}' THEN denom END)"
+
+    return f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')
+                   AS tokens
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n, w FROM (
+            SELECT doc_id, list_filter(tokens, x -> x <> '') AS w FROM tok
+        ) WHERE len(w) >= 1
+    ),
+    walk(doc_id, n, w, dir, i, t, k, ts, f) AS (
+        SELECT doc_id, n, w, 'f', 0, 0, 0, '', 0 FROM base
+        UNION ALL
+        SELECT doc_id, n, list_reverse(w), 'b', 0, 0, 0, '', 0 FROM base
+        UNION ALL
+        SELECT doc_id, n, w, dir, i + 1,
+               CASE WHEN {reset} THEN 0 ELSE t + 1 END,
+               CASE WHEN {reset} THEN 0 ELSE nk END,
+               CASE WHEN {reset} THEN '' ELSE nts END,
+               CASE WHEN {reset} THEN f + 1 ELSE f END
+        FROM (
+            SELECT doc_id, n, w, dir, i, t, f,
+                   CASE WHEN {member} THEN k ELSE k + 1 END AS nk,
+                   CASE WHEN {member} THEN ts
+                        ELSE ts || chr(10) || w[i + 1] END AS nts
+            FROM walk WHERE i < n
+        )
+    ),
+    fin AS (
+        SELECT doc_id, n, dir,
+               f + (CASE WHEN t > 0 THEN
+                         (1.0 - CAST(k AS DOUBLE) / t) / {div}
+                         ELSE 0.0 END) AS denom
+        FROM walk WHERE i = n
+    ),
+    m AS (
+        SELECT doc_id, any_value(n) AS n_tokens,
+               CASE WHEN {denom('f')} > 0
+                    THEN any_value(n) / {denom('f')} END AS fwd,
+               CASE WHEN {denom('b')} > 0
+                    THEN any_value(n) / {denom('b')} END AS bwd
+        FROM fin GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(fwd, 6) AS mtld_fwd,
+           round(bwd, 6) AS mtld_bwd,
+           round((fwd + bwd) / 2.0, 6) AS mtld
+    FROM m
+    """
+
+
+@_register("mtld_lexical_diversity", _mtld_oracle_sql())
+def mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per document (McCarthy & Jarvis 2010):
+    walk the token stream, count a "factor" each time the running
+    type-token ratio of the current segment falls below {thr}, add the
+    proportional partial factor for the remainder, MTLD = n_tokens /
+    factors — averaged over the forward and backward passes as the
+    paper specifies.  Length-robust where raw TTR is not; pairs with
+    Yule's K in a corpus-quality datasheet.
+
+    Engineering point: the scan is a STATEFUL SEQUENTIAL fold with
+    resets — the shape that usually gets written as a Python UDF — but
+    it runs here as a pure order-pinned HOF fold (Spark ``aggregate``
+    / DuckDB ``list_reduce``) with IDENTICAL algebra on both engines:
+    state = (segment length, distinct count, newline-delimited type
+    set, factors); TTR comparisons are exact int/int doubles.  Zero
+    shuffles — fused into the scan.
+
+    Scale shape: per-document state is bounded by segment vocabulary
+    (segments reset at TTR {thr}, so the type-set string stays small);
+    the whole operator is a narrow projection."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            f"filter({_TOKS_EXPR.replace('text', 'text')}, x -> x != '')"
+        ).alias("w"),
+    ).filter(F.size("w") >= 1)
+    st = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(_mtld_spark_state("w")).alias("sf"),
+        F.expr(_mtld_spark_state("reverse(w)")).alias("sb"),
+    )
+
+    def dn(s: str):
+        return F.col(f"{s}.f") + F.when(
+            F.col(f"{s}.t") > 0,
+            (
+                F.lit(1.0)
+                - F.col(f"{s}.k").cast("double") / F.col(f"{s}.t")
+            )
+            / F.lit(1.0 - _MTLD_TTR),
+        ).otherwise(F.lit(0.0))
+
+    m = st.select(
+        "doc_id",
+        "n_tokens",
+        F.when(dn("sf") > 0, F.col("n_tokens") / dn("sf")).alias("fwd"),
+        F.when(dn("sb") > 0, F.col("n_tokens") / dn("sb")).alias("bwd"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("fwd", 6).alias("mtld_fwd"),
+        F.round("bwd", 6).alias("mtld_bwd"),
+        F.round((F.col("fwd") + F.col("bwd")) / 2.0, 6).alias("mtld"),
+    )
+
+
+mtld_lexical_diversity.__doc__ = mtld_lexical_diversity.__doc__.format(
+    thr=_MTLD_TTR
+)

@@ -198,6 +198,11 @@ _HOSTILE_PANEL = [
     # bigrams and must vanish from the scores; a hostile corpus where
     # some history has ONE continuation exercises nf = 1 discount mass
     "kneser_ney_bigram_scores",
+    # r11 MTLD: empty/whitespace-only docs vanish via the token floor;
+    # single-token docs have TTR exactly 1 -> zero factors -> NULL
+    # MTLD identically; all-distinct docs exercise the pure partial
+    # factor on both engines
+    "mtld_lexical_diversity",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
