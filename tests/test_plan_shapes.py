@@ -253,6 +253,16 @@ _NESTED_LOOP_ALLOWED = {
     "covariance_power_iteration",
     # r10: 1-row budget/level scalars broadcast onto the |sources| frame
     "water_filling_token_caps",
+    # r11: 1-row basket-count (n_orders) broadcast onto the support-
+    # floored rule pairs (lift denominator — the pagerank node-count
+    # scalar pattern); both metric joins are broadcast equi-joins
+    "association_rules_part_pairs",
+    # r11: 1-row corpus-stats (|C|, per-term cf) broadcast onto the
+    # per-doc feature scan — the bm25_topk_docs pattern exactly
+    "query_likelihood_dirichlet_topk",
+    # r11: 1-row bigram-type-count broadcast onto the scored stream
+    # (the KN continuation-probability denominator)
+    "kneser_ney_bigram_scores",
 }
 
 
