@@ -73,7 +73,7 @@ _PANEL_CORE = [
 ]
 
 # Round-11 rotation: 39 slots, ALL never driver-verified (r10 VERDICT
-# #1) — the 8 round-11 operators lead (new this round), then the 18
+# #1) — the 9 round-11 operators lead (new this round), then the 18
 # round-10 operators (matrix-stressed via the opt-in determinism test
 # all of round 10), then the TPC-H remainder (completing driver
 # coverage of the 22-query suite), then lakehouse/ops and the first
@@ -92,6 +92,7 @@ _PANEL_ROTATING = [
     "embedding_decontaminate_split",  # cross-split semantic decontamination
     "association_rules_part_pairs",  # directed basket rules (conf + lift)
     "mtld_lexical_diversity",  # stateful HOF fold vs recursive-CTE oracle
+    "hilbert_key_orders",  # Hilbert layout key (locality sibling of zorder)
     # round-10 operators (matrix-stressed, first in line)
     "dsir_importance_weights",
     "kaplan_meier_repurchase",
@@ -125,17 +126,17 @@ _PANEL_ROTATING = [
     # lakehouse / operational
     "forget_customers_cascade",
     "max_maintenance_under_deletes",
-    "rendezvous_shard_counts",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (107
+# continuation of the never-driver-verified oracle-paired set (108
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "rendezvous_shard_counts",
     "replication_checksum_orders",
     "scd2_as_of_snapshot",
     "array_set_ops_region_pairs",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf postponed type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -154,3 +155,52 @@ def rendezvous_assign(
     return df.withColumn(
         out_col, F.array_max(F.array(*entries)).getField("shard")
     )
+
+
+def hilbert_key(col_a: Column | str, col_b: Column | str, bits: int = 16) -> Column:
+    """Hilbert-curve clustering key over two non-negative integer keys
+    (the classic xy->d walk; Hamilton 2006 / the public-domain
+    Wikipedia formulation): like the Z-order key it makes file min/max
+    stats prune on EITHER dimension, but the Hilbert curve has strictly
+    better locality (no Morton "seams" — consecutive keys are always
+    adjacent cells, so range scans touch fewer files; it's what Delta
+    switched to for liquid clustering).  Inputs are masked to the low
+    ``bits`` bits, matching :func:`zorder_key`'s effective domain.
+
+    The per-level rotation makes the unrolled column-expression form
+    grow ~3x per level (each level references BOTH previous coordinates
+    twice) — 16 levels would blow past codegen's method limits the way
+    the >127-cut CASE tree did (operators/windows.py) — so this runs as
+    ONE vectorized Arrow batch over int64 numpy (16 fixed iterations of
+    pure integer ops for the whole batch; bit-exact, no floats
+    anywhere).  The DuckDB oracle walks the same 16 levels as a
+    recursive CTE over integer state — identical algebra, engine-
+    independent."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    mask = (1 << bits) - 1
+
+    @pandas_udf(LongType())
+    def _hkey(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = a.to_numpy(dtype="int64", na_value=0) & mask
+        y = b.to_numpy(dtype="int64", na_value=0) & mask
+        d = np.zeros_like(x)
+        for level in range(bits - 1, -1, -1):
+            s = np.int64(1 << level)
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += (s * s) * ((3 * rx) ^ ry)
+            flip = ry == 0
+            swap_flip = flip & (rx == 1)
+            fx = np.where(swap_flip, s - 1 - x, x)
+            fy = np.where(swap_flip, s - 1 - y, y)
+            x = np.where(flip, fy, x)
+            y = np.where(flip, fx, y)
+        return pd.Series(d, dtype="int64")
+
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("bigint")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("bigint")
+    return _hkey(a, b)

@@ -195,6 +195,64 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILBERT_BITS = 16
+
+
+def _hilbert_oracle_sql(bits: int = _HILBERT_BITS) -> str:
+    mask = (1 << bits) - 1
+    return f"""
+    WITH RECURSIVE src AS (
+        SELECT o_orderkey,
+               CAST(o_custkey & {mask} AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    & {mask} AS BIGINT) AS y
+        FROM orders
+    ),
+    h(o_orderkey, x, y, d, lvl) AS (
+        SELECT o_orderkey, x, y, CAST(0 AS BIGINT), {bits - 1} FROM src
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+                    ELSE x END,
+               CASE WHEN ry = 0 THEN
+                    (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+                    ELSE y END,
+               d + s * s * xor(3 * rx, ry),
+               lvl - 1
+        FROM (
+            SELECT o_orderkey, x, y, d, lvl,
+                   CAST(1 AS BIGINT) << lvl AS s,
+                   CASE WHEN (x & (CAST(1 AS BIGINT) << lvl)) > 0
+                        THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & (CAST(1 AS BIGINT) << lvl)) > 0
+                        THEN 1 ELSE 0 END AS ry
+            FROM h WHERE lvl >= 0
+        )
+    )
+    SELECT o_orderkey, d AS hkey FROM h WHERE lvl = -1
+    """
+
+
+@_register("hilbert_key_orders", _hilbert_oracle_sql())
+def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (customer, order-day) — the
+    locality-superior sibling of ``zorder_key_orders`` (no Morton
+    seams: consecutive keys are always adjacent cells, so range scans
+    touch fewer files; the layout modern lakehouses cluster by).  One
+    vectorized Arrow batch of pure int64 bit arithmetic
+    (operators/layout.py: hilbert_key — the 16-level rotation would
+    blow codegen as a column expression); the oracle walks the same 16
+    levels as a recursive CTE.  Bit-exact on both engines."""
+    from ..operators.layout import hilbert_key
+
+    o = load(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    return o.select(
+        "o_orderkey", hilbert_key(F.col("o_custkey"), day).alias("hkey")
+    )
+
+
 @_register(
     "forget_customers_cascade",
     """

@@ -117,3 +117,58 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
     assert n_out == 1
     assert spark.read.parquet(dst).count() == load(spark, SF_SMOKE, "orders").count()
+
+
+def test_hilbert_key_continuity_and_reference_walk(spark):
+    """The Hilbert key's defining property (and its advantage over
+    Morton): consecutive d values along the curve are ADJACENT cells —
+    every unit step in d moves exactly one coordinate by exactly 1
+    (Manhattan distance 1), where the Z-order curve takes long diagonal
+    seams.  Also pins the vectorized numpy walk to the classic scalar
+    xy2d reference on the engine's own data."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.layout import (
+        hilbert_key,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # continuity on a full small curve: bits=4 -> 256 cells
+    import itertools
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    cells = {xy2d(16, x, y): (x, y) for x, y in itertools.product(range(16), range(16))}
+    assert len(cells) == 256  # bijective
+    for d in range(255):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps, no seams
+
+    # the Spark vectorized walk equals the scalar reference on real keys
+    o = (
+        load(spark, SF_SMOKE, "orders")
+        .select(
+            "o_custkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("day"),
+        )
+        .limit(200)
+    )
+    got = {
+        (r.o_custkey, r.day): r.h
+        for r in o.select(
+            "o_custkey", "day", hilbert_key("o_custkey", "day").alias("h")
+        ).collect()
+    }
+    for (ck, day), h in got.items():
+        assert h == xy2d(1 << 16, ck & 0xFFFF, day & 0xFFFF)
