@@ -73,7 +73,7 @@ _PANEL_CORE = [
 ]
 
 # Round-11 rotation: 39 slots, ALL never driver-verified (r10 VERDICT
-# #1) — the 9 round-11 operators lead (new this round), then the 18
+# #1) — the 10 round-11 operators lead (new this round), then the 18
 # round-10 operators (matrix-stressed via the opt-in determinism test
 # all of round 10), then the TPC-H remainder (completing driver
 # coverage of the 22-query suite), then lakehouse/ops and the first
@@ -93,6 +93,7 @@ _PANEL_ROTATING = [
     "association_rules_part_pairs",  # directed basket rules (conf + lift)
     "mtld_lexical_diversity",  # stateful HOF fold vs recursive-CTE oracle
     "hilbert_key_orders",  # Hilbert layout key (locality sibling of zorder)
+    "t_closeness_audit",  # ordered-EMD release gate (privacy trio complete)
     # round-10 operators (matrix-stressed, first in line)
     "dsir_importance_weights",
     "kaplan_meier_repurchase",
@@ -125,17 +126,17 @@ _PANEL_ROTATING = [
     "q9_product_type_profit",
     # lakehouse / operational
     "forget_customers_cascade",
-    "max_maintenance_under_deletes",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (108
+# continuation of the never-driver-verified oracle-paired set (109
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "max_maintenance_under_deletes",
     "rendezvous_shard_counts",
     "replication_checksum_orders",
     "scd2_as_of_snapshot",

@@ -6038,3 +6038,127 @@ def mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 mtld_lexical_diversity.__doc__ = mtld_lexical_diversity.__doc__.format(
     thr=_MTLD_TTR
 )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the third member of the release-audit trio (Li, Li &
+# Venkatasubramanian 2007): a class can be k-anonymous AND l-diverse
+# yet still leak if its sensitive-value DISTRIBUTION deviates from the
+# global one.
+# ---------------------------------------------------------------------------
+
+_TCLOSE_THRESHOLD = 0.2  # release gate; binds on this corpus
+
+
+@_register(
+    "t_closeness_audit",
+    f"""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment, {_ACCTBAL_BAND_SQL} AS band
+        FROM customer
+    ),
+    eq AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(*) FILTER (band = 'negative') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (band = 'low') AS BIGINT) AS c2,
+               CAST(COUNT(*) FILTER (band = 'mid') AS BIGINT) AS c3
+        FROM b GROUP BY c_nationkey, c_mktsegment
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (band = 'negative') AS BIGINT) AS g1,
+               CAST(COUNT(*) FILTER (band = 'low') AS BIGINT) AS g2,
+               CAST(COUNT(*) FILTER (band = 'mid') AS BIGINT) AS g3
+        FROM b
+    ),
+    emd AS (
+        SELECT class_size,
+               round((
+                   abs(CAST(c1 AS DOUBLE) / class_size - CAST(g1 AS DOUBLE) / n)
+                 + abs((CAST(c1 AS DOUBLE) / class_size - CAST(g1 AS DOUBLE) / n)
+                     + (CAST(c2 AS DOUBLE) / class_size - CAST(g2 AS DOUBLE) / n))
+                 + abs(((CAST(c1 AS DOUBLE) / class_size - CAST(g1 AS DOUBLE) / n)
+                     + (CAST(c2 AS DOUBLE) / class_size - CAST(g2 AS DOUBLE) / n))
+                     + (CAST(c3 AS DOUBLE) / class_size - CAST(g3 AS DOUBLE) / n))
+               ) / 3.0, 6) AS emd
+        FROM eq CROSS JOIN g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           max(emd) AS t_closeness,
+           CAST(SUM(CASE WHEN emd >= {_TCLOSE_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_above_t,
+           CAST(SUM(CASE WHEN emd >= {_TCLOSE_THRESHOLD} THEN class_size
+                         ELSE 0 END) AS BIGINT) AS rows_at_risk
+    FROM emd
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness of the (nation, market-segment) quasi-identifier over
+    the ORDERED account-balance band (negative < low < mid < high):
+    per class, the ordered-EMD between the class's band distribution
+    and the global one — (1/(m-1)) * sum of |running probability
+    deficit| — and the release audit reads the max (the dataset's t)
+    plus the classes at or above {t}.  Completes the governance trio
+    next to ``k_anonymity_audit`` (class size) and
+    ``l_diversity_audit`` (distinct sensitive values): a class can
+    pass both and still leak "everyone here is in the top band".
+
+    Cross-engine exactness: band counts are exact integers; each
+    running deficit is built double-op-for-double-op in the same order
+    on both engines, rounded to 6dp BEFORE the max/threshold so a
+    float boundary cannot flip a class across the gate differently.
+    Scale shape: one grouped conditional-count contraction (4 fixed
+    bands -> fixed-width rows), a 1-row global broadcast, a 1-row
+    summary — the same two-level contraction as its siblings."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    b = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    eq = b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count(F.when(F.col("band") == "negative", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("band") == "low", 1)).cast("long").alias("c2"),
+        F.count(F.when(F.col("band") == "mid", 1)).cast("long").alias("c3"),
+    )
+    g = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("band") == "negative", 1)).cast("long").alias("g1"),
+        F.count(F.when(F.col("band") == "low", 1)).cast("long").alias("g2"),
+        F.count(F.when(F.col("band") == "mid", 1)).cast("long").alias("g3"),
+    )
+
+    def dev(ci: str, gi: str):
+        return (
+            F.col(ci).cast("double") / F.col("class_size")
+            - F.col(gi).cast("double") / F.col("n")
+        )
+
+    d1 = dev("c1", "g1")
+    d2 = d1 + dev("c2", "g2")
+    d3 = d2 + dev("c3", "g3")
+    emd = eq.crossJoin(F.broadcast(g)).select(
+        "class_size",
+        F.round((F.abs(d1) + F.abs(d2) + F.abs(d3)) / F.lit(3.0), 6).alias("emd"),
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("emd").alias("t_closeness"),
+        F.sum(F.when(F.col("emd") >= _TCLOSE_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_above_t"),
+        F.sum(
+            F.when(F.col("emd") >= _TCLOSE_THRESHOLD, F.col("class_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+t_closeness_audit.__doc__ = t_closeness_audit.__doc__.format(
+    t=_TCLOSE_THRESHOLD
+)

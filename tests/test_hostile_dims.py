@@ -62,6 +62,10 @@ _DIM_PANEL = [
     # all-tied balances, singleton classes and NULL-ish names are
     # exactly where min-distinct degenerates to 1 on both engines
     "l_diversity_audit",
+    # r11 t-closeness: singleton classes have a degenerate (one-band)
+    # distribution with maximal ordered-EMD; negative/huge balances
+    # land in the edge bands; the rounded-EMD gate must agree exactly
+    "t_closeness_audit",
 ]
 
 
