@@ -114,6 +114,16 @@ HEADLINE = [
     "dsir_importance_weights",
     "markov_stationary_event_types",
     "growth_accounting_monthly",
+    # round-11 additions worth tracking: the banded PCM-fingerprint
+    # join, the bigram-type contractions behind Kneser-Ney, the basket
+    # pair fanout of the directed rules, the K-pass Gonzalez coreset,
+    # the stateful MTLD HOF fold, and the vectorized Hilbert walk
+    "audio_fingerprint_near_dup",
+    "kneser_ney_bigram_scores",
+    "association_rules_part_pairs",
+    "kcenter_coreset_embeddings",
+    "mtld_lexical_diversity",
+    "hilbert_key_orders",
 ]
 
 
