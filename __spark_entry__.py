@@ -129,13 +129,16 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (109
+# continuation of the never-driver-verified oracle-paired set (111
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
 # candidates arrive pre-stressed; all are locally parity-green at
 # three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    # r11 operators that did not fit the 50-slot panel — first in line
+    "ks_statistic_price_halves",
+    "chi2_independence_status_priority",
     "max_maintenance_under_deletes",
     "rendezvous_shard_counts",
     "replication_checksum_orders",

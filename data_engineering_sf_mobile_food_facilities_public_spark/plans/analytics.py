@@ -9897,3 +9897,216 @@ def association_rules_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 association_rules_part_pairs.__doc__ = association_rules_part_pairs.__doc__.format(
     m=_ARULE_MINSUP
 )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample statistic — the ECDF-distance drift
+# test that complements Mann-Whitney (location) with SHAPE sensitivity;
+# the standard "did this month's distribution drift?" gate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ks_statistic_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, SUM(is1) AS d1, SUM(is2) AS d2 FROM assigned GROUP BY x
+    ),
+    stepped AS (
+        SELECT
+            SUM(d1) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+            SUM(d2) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        FROM per_x
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+        FROM per_x
+    ),
+    m AS (
+        SELECT MAX(abs(CAST(c1 AS DECIMAL(19,0)) * t.n2
+                       - CAST(c2 AS DECIMAL(19,0)) * t.n1)) AS dev,
+               any_value(t.n1) AS n1, any_value(t.n2) AS n2
+        FROM stepped CROSS JOIN tot t
+    )
+    SELECT n1, n2,
+           round(CAST(dev AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+           round((CAST(dev AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+               AS ks_z
+    FROM m
+    """,
+)
+def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the two halves of
+    1996 on order price: D = max ECDF gap, plus the asymptotic scaling
+    z = D * sqrt(n1 n2 / (n1 + n2)) — the SHAPE-sensitive drift test
+    next to ``mann_whitney_u_price_halves``'s location test (a quality
+    gate runs both: MW misses variance/shape drift at equal medians).
+
+    Exactness: the ECDF gap maximum is computed over the INTEGER
+    deviation |c1*n2 - c2*n1| (exact DECIMAL products — no float
+    enters until the final division), so the argmax cannot move across
+    engines; the two divisions/sqrt are then identical double ops,
+    rounded to 6dp.
+
+    Scale shape: ties collapse into the distinct-value relation; BOTH
+    cumulative counters come from one :func:`grouped_running_sum`
+    two-pass range decomposition (no single-task global window); the
+    1-row totals broadcast back onto the stepped relation."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("is2"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
+    )
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["d1", "d2"],
+        out_col=["c1", "c2"],
+    )
+    tot = per_x.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    m = (
+        stepped.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("c1").cast("decimal(19,0)") * F.col("n2")
+                - F.col("c2").cast("decimal(19,0)") * F.col("n1")
+            ).alias("dev"),
+        )
+        .agg(
+            F.max("dev").alias("dev"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d = F.col("dev").cast("double") / (n1d * n2d)
+    return m.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("ks_d"),
+        F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("ks_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test — is order status independent of order
+# priority?  The categorical-association staple (with Cramer's V).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "chi2_independence_status_priority",
+    """
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY s),
+    ct AS (SELECT p, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY p),
+    n AS (
+        SELECT CAST(SUM(obs) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS c
+        FROM cells
+    ),
+    terms AS (
+        SELECT (CAST(obs AS DOUBLE)
+                - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.n)
+               * (CAST(obs AS DOUBLE)
+                - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.n)
+               / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / n.n) AS term,
+               n.n, n.r, n.c
+        FROM cells JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN n
+    )
+    SELECT any_value(n) AS n, any_value(r) AS r, any_value(c) AS c,
+           CAST((any_value(r) - 1) * (any_value(c) - 1) AS BIGINT) AS dof,
+           round(SUM(term), 6) AS chi2,
+           round(sqrt(SUM(term) / (any_value(n)
+                 * least(any_value(r) - 1, any_value(c) - 1))), 6)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def chi2_independence_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between order status and
+    order priority, with Cramer's V effect size — the categorical twin
+    of ``ab_test_t_statistic``; the association check a feature audit
+    runs before treating two categoricals as independent signals (the
+    numeric companion of ``crosstab_status_priority``, which shows the
+    table this statistic summarizes).
+
+    Exactness: observed counts and margins are exact integers; each
+    cell's expected count and term are built double-op-for-double-op in
+    the same order on both engines; the term SUM is over a handful of
+    (status x priority) cells at magnitude ~1e0-1e2, so the 6dp
+    rounding absorbs summation-order ulps (the tfidf convention).
+    Scale shape: one grouped contraction to the cell table (bounded:
+    |status| x |priority|), two margin re-aggregations of THAT table,
+    broadcast joins only — the fact table is touched once."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = cells.groupBy("s").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = cells.groupBy("p").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("s").cast("long").alias("r"),
+        F.countDistinct("p").cast("long").alias("c"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    terms = (
+        cells.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"), "n", "r", "c")
+    )
+    return terms.agg(
+        F.first("n").alias("n"),
+        F.first("r").alias("r"),
+        F.first("c").alias("c"),
+        ((F.first("r") - 1) * (F.first("c") - 1)).cast("long").alias("dof"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum("term")
+                / (F.first("n") * F.least(F.first("r") - 1, F.first("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -158,6 +158,14 @@ _NUMERIC_PANEL = [
     # rank / moment statistics under all-tied prices (zero variance
     # -> NULL guards), empty 1996 windows, and the DECIMAL edge
     "mann_whitney_u_price_halves",
+    # r11 KS: all-tied prices make the ECDF gap (and z) exactly 0;
+    # one-sided halves drive the integer deviation to its c1*n2 /
+    # c2*n1 extremes — the argmax is exact on both engines
+    "ks_statistic_price_halves",
+    # r11 chi2: degenerate single-status (r = 1 -> dof 0, Cramer's V
+    # division by zero -> the least() floor) and sparse cells where
+    # expected counts are tiny must replay identically
+    "chi2_independence_status_priority",
     # r10 Kaplan-Meier: customers whose orders all land on ONE distinct
     # date are pure censoring (dur = horizon gap), the dominant
     # customer is a single subject despite 50 orders, and tied event

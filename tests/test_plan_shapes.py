@@ -263,6 +263,12 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row bigram-type-count broadcast onto the scored stream
     # (the KN continuation-probability denominator)
     "kneser_ney_bigram_scores",
+    # r11: 1-row (N, r, c) margin-totals broadcast onto the bounded
+    # |status| x |priority| cell table
+    "chi2_independence_status_priority",
+    # r11: 1-row (n1, n2) totals broadcast onto the distinct-value
+    # stepped relation (the KS integer-deviation argmax)
+    "ks_statistic_price_halves",
 }
 
 
