@@ -10110,3 +10110,148 @@ def chi2_independence_status_priority(spark: SparkSession, sf_dir: str) -> DataF
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) on the customer-supplier
+# bipartite graph — the mutual-reinforcement companion of PageRank:
+# a customer is a good HUB if it buys from good suppliers; a supplier
+# is a good AUTHORITY if good hubs buy from it.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 4
+
+
+def _hits_oracle_sql(iters: int = _HITS_ITERS) -> str:
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+        SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    h0 AS (
+        SELECT DISTINCT c, CAST(1 AS DECIMAL(18,6)) AS h FROM edges
+    )"""
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i}r AS MATERIALIZED (
+        SELECT e.s, SUM(CAST(e.w AS DECIMAL(18,0)) * p.h) AS raw
+        FROM edges e JOIN {prev_h} p USING (c) GROUP BY e.s
+    ),
+    a{i}m AS (SELECT MAX(raw) AS m FROM a{i}r),
+    a{i} AS MATERIALIZED (
+        SELECT s, CAST(round(CAST(raw AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS a
+        FROM a{i}r CROSS JOIN a{i}m
+    ),
+    h{i}r AS MATERIALIZED (
+        SELECT e.c, SUM(CAST(e.w AS DECIMAL(18,0)) * q.a) AS raw
+        FROM edges e JOIN a{i} q USING (s) GROUP BY e.c
+    ),
+    h{i}m AS (SELECT MAX(raw) AS m FROM h{i}r),
+    h{i} AS MATERIALIZED (
+        SELECT c, CAST(round(CAST(raw AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS h
+        FROM h{i}r CROSS JOIN h{i}m
+    )"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+    SELECT 'supplier' AS node_type, s AS node_id,
+           CAST(a AS DOUBLE) AS score FROM a{iters}
+    UNION ALL
+    SELECT 'customer', c, CAST(h AS DOUBLE) FROM h{iters}"""
+    )
+    return "".join(parts)
+
+
+@_register("hits_customer_supplier", _hits_oracle_sql())
+def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) over the
+    weighted customer-supplier bipartite graph ({k} synchronous
+    iterations, max-normalized): authority(s) = sum of w * hub(c) over
+    buyers, hub(c) = sum of w * authority(s) over sellers — the
+    mutual-reinforcement ranking that complements
+    ``pagerank_customer_supplier`` (PageRank scores global centrality;
+    HITS separates the two bipartite roles).
+
+    Determinism (the markov/DSIR addend discipline): scores live as
+    DECIMAL(18,6), so every per-node reinforcement sum is EXACT and
+    order-independent (integer weight x pre-rounded-decimal score);
+    only the max-normalization ratio passes through doubles — identical
+    casts, one division, round 6 — then back to DECIMAL for the next
+    iteration.  Max-normalization (not L2) keeps the iterate exactly
+    replayable: no sqrt of a sum of squares.
+
+    Scale shape: the edge contraction is one grouped count off the
+    order-lineitem join; EDGES PERSIST across iterations (the pagerank
+    loop-invariant discipline — exchange reuse does not canonicalize
+    across iteration subtrees); each half-step is one equi-join +
+    map-side-combinable aggregate exchanging node-count rows; each raw
+    frame is localCheckpointed before its TWO consumers (the max scalar
+    and the ratio projection — the round-10 one-consumer-per-step
+    lesson).  Iteration state is node-sized everywhere."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    wd = F.col("w").cast("decimal(18,0)")
+    hub = edges.select("c").distinct().select(
+        "c", F.lit(1).cast("decimal(18,6)").alias("h")
+    )
+
+    def normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        raw = raw.localCheckpoint(eager=True)  # one consumer per step
+        m = raw.agg(F.max("raw").alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            key,
+            F.round(
+                F.col("raw").cast("double") / F.col("m").cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias(out),
+        )
+
+    auth = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum(wd * F.col("h")).alias("raw"))
+        )
+        auth = normalize(a_raw, "s", "a")
+        h_raw = (
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum(wd * F.col("a")).alias("raw"))
+        )
+        hub = normalize(h_raw, "c", "h")
+    return (
+        auth.select(
+            F.lit("supplier").alias("node_type"),
+            F.col("s").alias("node_id"),
+            F.col("a").cast("double").alias("score"),
+        )
+    ).unionAll(
+        hub.select(
+            F.lit("customer").alias("node_type"),
+            F.col("c").alias("node_id"),
+            F.col("h").cast("double").alias("score"),
+        )
+    )
+
+
+hits_customer_supplier.__doc__ = hits_customer_supplier.__doc__.format(
+    k=_HITS_ITERS
+)

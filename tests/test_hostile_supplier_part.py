@@ -71,6 +71,11 @@ _SP_PANEL = [
     # survive the same dimension hostilities
     "kcore_part_graph",
     "item_item_cosine_recs",
+    # r11 HITS: hostile graphs with a dominant supplier (max-normalized
+    # to exactly 1.000000), singleton components, and zero-degree
+    # nodes absent from both score lists must iterate identically
+    # through all four DECIMAL-exact reinforcement steps
+    "hits_customer_supplier",
     # r11 directed rules share the basket pair build: degenerate
     # baskets (single-part orders contribute no pairs), the support
     # floor under sparse hostile baskets, and the integer-ratio

@@ -269,6 +269,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row (n1, n2) totals broadcast onto the distinct-value
     # stepped relation (the KS integer-deviation argmax)
     "ks_statistic_price_halves",
+    # r11: 1-row max-normalization scalar broadcast per HITS half-step
+    # (the pagerank node-count scalar pattern, 8 of them)
+    "hits_customer_supplier",
 }
 
 
