@@ -10255,3 +10255,207 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 hits_customer_supplier.__doc__ = hits_customer_supplier.__doc__.format(
     k=_HITS_ITERS
 )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector — per-nation regression slopes whose SIGN
+# disagrees with the pooled slope: the aggregation-bias audit every
+# observational analysis should run before trusting a pooled trend.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "simpsons_paradox_slopes",
+    """
+    WITH j AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(l.l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    grp AS (
+        SELECT nation, CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM j GROUP BY nation
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM j
+    ),
+    m AS (
+        SELECT g.nation, CAST(g.n AS BIGINT) AS n,
+               g.n * g.sxy - g.sx * g.sy AS num_g,
+               g.n * g.sxx - g.sx * g.sx AS den_g,
+               p.n * p.sxy - p.sx * p.sy AS num_p,
+               p.n * p.sxx - p.sx * p.sx AS den_p
+        FROM grp g CROSS JOIN pooled p
+    )
+    SELECT nation, n,
+           CASE WHEN den_g > 0
+                THEN round(CAST(num_g AS DOUBLE) / CAST(den_g AS DOUBLE), 6)
+                END AS slope,
+           CASE WHEN den_p > 0
+                THEN round(CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE), 6)
+                END AS pooled_slope,
+           (CASE WHEN num_g > 0 THEN 1 WHEN num_g < 0 THEN -1 ELSE 0 END)
+           <> (CASE WHEN num_p > 0 THEN 1 WHEN num_p < 0 THEN -1 ELSE 0 END)
+               AS sign_flipped
+    FROM m
+    """,
+)
+def simpsons_paradox_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the closed-form OLS slope of extended
+    price on quantity per CUSTOMER NATION next to the POOLED slope,
+    flagging nations whose slope SIGN disagrees with the pooled sign —
+    the aggregation-bias check (pooled trends can invert inside every
+    stratum) an observational analysis runs before acting on a
+    corpus-wide correlation.
+
+    Exactness: all regression moments are exact DECIMAL sums of the
+    pre-rounded 2dp columns (the ``ols_price_vs_quantity`` discipline),
+    so the slope-sign comparison is INTEGER-EXACT on both engines — no
+    float enters the flag at all; the reported slopes divide the exact
+    numerators as identical doubles, rounded 6dp, NULL-guarded on
+    degenerate (zero-variance) strata.  Scale shape: two grouped
+    moment contractions over one three-table join, a 1-row pooled
+    broadcast, and a |nations|-sized result."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    moments = [
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ]
+    grp = j.groupBy("nation").agg(*moments)
+    pooled = j.agg(*moments).select(
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+        F.col("sxy").alias("psxy"),
+        F.col("sxx").alias("psxx"),
+    )
+    m = grp.crossJoin(F.broadcast(pooled)).select(
+        "nation",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_g"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_g"),
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")).alias("num_p"),
+        (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")).alias("den_p"),
+    )
+
+    def sign(col):
+        return (
+            F.when(F.col(col) > 0, 1).when(F.col(col) < 0, -1).otherwise(0)
+        )
+
+    return m.select(
+        "nation",
+        F.col("n_rows").alias("n"),
+        F.when(
+            F.col("den_g") > 0,
+            F.round(F.col("num_g").cast("double") / F.col("den_g").cast("double"), 6),
+        ).alias("slope"),
+        F.when(
+            F.col("den_p") > 0,
+            F.round(F.col("num_p").cast("double") / F.col("den_p").cast("double"), 6),
+        ).alias("pooled_slope"),
+        (sign("num_g") != sign("num_p")).alias("sign_flipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail — the first check every
+# experimentation platform runs: is the md5 traffic split actually
+# producing the configured ratio?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "srm_check_assignment",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(('0x' || substr(
+                        md5('arm' || CAST(c_custkey AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 100 < 50
+                    THEN 1 ELSE 0 END AS arm1
+        FROM customer
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(arm1) AS BIGINT) AS n1
+        FROM assigned
+    )
+    SELECT n, n1, n - n1 AS n2,
+           round((CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2)
+               + (CAST(n - n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n - n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2), 6) AS chi2_gof,
+           round((CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / sqrt(CAST(n AS DOUBLE) / 4), 6) AS z
+    FROM m
+    """,
+)
+def srm_check_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a deterministic 50/50 md5
+    traffic split over customers: observed arm counts, the 1-dof
+    chi-squared goodness-of-fit against the configured ratio, and the
+    equivalent binomial z — the FIRST alarm every experimentation
+    platform fires (an SRM means assignment or logging is broken and
+    every downstream lift number is void; the companion guardrail to
+    ``ab_test_t_statistic``).
+
+    The md5 arm assignment is the engine's deterministic-hash-split
+    convention (same class as ``cf_negative_sampling``'s draws), so
+    both engines count the IDENTICAL split; the statistics are exact
+    integers pushed through identical double ops, rounded 6dp.  One
+    scan, one 1-row aggregate."""
+    c = load(spark, sf_dir, "customer")
+    arm1 = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arm"), F.col("c_custkey").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < 50,
+            1,
+        ).otherwise(0)
+    )
+    m = c.select(arm1.alias("arm1")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("arm1").cast("long").alias("n1"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    half = nd / 2
+    chi2 = (n1d - half) * (n1d - half) / half + (n2d - half) * (n2d - half) / half
+    return m.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(chi2, 6).alias("chi2_gof"),
+        F.round((n1d - half) / F.sqrt(nd / 4), 6).alias("z"),
+    )

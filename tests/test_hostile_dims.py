@@ -66,6 +66,13 @@ _DIM_PANEL = [
     # distribution with maximal ordered-EMD; negative/huge balances
     # land in the edge bands; the rounded-EMD gate must agree exactly
     "t_closeness_audit",
+    # r11 Simpson audit: hostile nations with zero-variance strata
+    # exercise the NULL slope guard, and the INTEGER-EXACT sign
+    # comparison must agree on every degenerate (zero-numerator) case
+    "simpsons_paradox_slopes",
+    # r11 SRM: the md5 arm split over the tiny hostile customer set
+    # must count identically and push the same integers through chi2/z
+    "srm_check_assignment",
 ]
 
 

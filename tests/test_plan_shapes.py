@@ -272,6 +272,10 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row max-normalization scalar broadcast per HITS half-step
     # (the pagerank node-count scalar pattern, 8 of them)
     "hits_customer_supplier",
+    # r11: 1-row pooled-moments broadcast onto the |nations| strata
+    # frame (the exact-decimal sign comparison needs both sets of
+    # moments on every row)
+    "simpsons_paradox_slopes",
 }
 
 
