@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (114
+# continuation of the never-driver-verified oracle-paired set (115
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -142,6 +142,7 @@ _PANEL_NEXT_CANDIDATES = [
     "hits_customer_supplier",
     "simpsons_paradox_slopes",
     "srm_check_assignment",
+    "burrows_delta_sources",
     "max_maintenance_under_deletes",
     "rendezvous_shard_counts",
     "replication_checksum_orders",

@@ -6162,3 +6162,161 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 t_closeness_audit.__doc__ = t_closeness_audit.__doc__.format(
     t=_TCLOSE_THRESHOLD
 )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta (Burrows 2002, public) — the stylometry standard:
+# distance between sources in z-scored most-frequent-word space.  In a
+# training-data pipeline this is the STYLE-DRIFT matrix between corpus
+# sources (near-zero delta = redundant styling; outlier rows = a source
+# whose register differs from everything else).
+# ---------------------------------------------------------------------------
+
+_DELTA_TOP_WORDS = 20
+
+
+@_register(
+    "burrows_delta_sources",
+    _TOKENS_CTE
+    + f"""
+    , w AS (
+        SELECT doc_id, source, unnest(list_filter(tokens, x -> x <> '')) AS word
+        FROM (SELECT t.doc_id, d.source, t.tokens
+              FROM tok t JOIN documents d USING (doc_id))
+    ),
+    top_words AS (
+        SELECT word FROM (
+            SELECT word, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+            FROM w GROUP BY word
+        ) WHERE rn <= {_DELTA_TOP_WORDS}
+    ),
+    tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM w GROUP BY source
+    ),
+    f AS MATERIALIZED (
+        SELECT s.source, tw.word,
+               CAST(COALESCE(c.cnt, 0) AS DOUBLE) / s.t AS f
+        FROM tot s CROSS JOIN top_words tw
+        LEFT JOIN (
+            SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM w JOIN top_words USING (word) GROUP BY source, word
+        ) c ON c.source = s.source AND c.word = tw.word
+    ),
+    mu AS MATERIALIZED (
+        SELECT word, SUM(f) / COUNT(*) AS mean_f, CAST(COUNT(*) AS BIGINT) AS ns
+        FROM f GROUP BY word
+    ),
+    sd AS MATERIALIZED (
+        SELECT f.word,
+               sqrt(SUM((f.f - mu.mean_f) * (f.f - mu.mean_f)) / mu.ns) AS std_f
+        FROM f JOIN mu USING (word) GROUP BY f.word, mu.ns
+    ),
+    z AS MATERIALIZED (
+        SELECT f.source, f.word, (f.f - mu.mean_f) / sd.std_f AS z
+        FROM f JOIN mu USING (word) JOIN sd USING (word)
+        WHERE sd.std_f > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(SUM(abs(a.z - b.z)) / COUNT(*), 6) AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of document sources: z-score
+    each source's relative frequency of the corpus's {m} most frequent
+    words (deterministic top-{m}: count desc, word tiebreak), then
+    Delta(a, b) = mean |z_a - z_b| over the words with nonzero spread —
+    the stylometry-standard style-drift matrix (a near-zero pair is
+    stylistically redundant; an outlier row is a register shift worth
+    a curation look).
+
+    Cross-engine care: relative frequencies are exact int/int doubles;
+    the per-word mean/std use the TWO-PASS deviation form, so an
+    all-equal word has deviations exactly 0.0 on both engines and the
+    std > 0 gate cannot flip (the variance shortcut's cancellation
+    noise could); remaining summation-order ulps (~20 addends, z-scale
+    magnitudes) are absorbed by the 6dp rounding.  Scale shape: one
+    token explode contracted to (source, word) counts; everything after
+    lives on |sources| x {m} rows — the pair join is over a frame that
+    fits in one broadcast at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.expr(f"filter({_TOKS_EXPR}, x -> x != '')")).alias("word")
+    )
+    top_words = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(_DELTA_TOP_WORDS)
+        .select("word")
+    )
+    tot = w.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cnt = (
+        w.join(F.broadcast(top_words), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    f = (
+        tot.crossJoin(F.broadcast(top_words))
+        .join(cnt, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("t")
+            ).alias("f"),
+        )
+    )
+    mu = f.groupBy("word").agg(
+        (F.sum("f") / F.count(F.lit(1))).alias("mean_f"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    sd = (
+        f.join(F.broadcast(mu), "word")
+        .groupBy("word", "ns")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("f") - F.col("mean_f"))
+                    * (F.col("f") - F.col("mean_f"))
+                )
+                / F.col("ns")
+            ).alias("std_f")
+        )
+        .select("word", "std_f")
+    )
+    z = (
+        f.join(F.broadcast(mu), "word")
+        .join(F.broadcast(sd), "word")
+        .filter(F.col("std_f") > 0)
+        .select(
+            "source",
+            "word",
+            ((F.col("f") - F.col("mean_f")) / F.col("std_f")).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "word", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "word", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb"))) / F.count(F.lit(1)), 6
+            ).alias("delta"),
+        )
+    )
+
+
+burrows_delta_sources.__doc__ = burrows_delta_sources.__doc__.format(
+    m=_DELTA_TOP_WORDS
+)

@@ -203,6 +203,12 @@ _HOSTILE_PANEL = [
     # MTLD identically; all-distinct docs exercise the pure partial
     # factor on both engines
     "mtld_lexical_diversity",
+    # r11 Burrows' Delta: sources whose every doc is empty get t = 0
+    # rows only if they emitted tokens (they vanish from tot
+    # identically); words uniform across all sources have exactly-zero
+    # two-pass deviations and must drop via the std > 0 gate on both
+    # engines; the top-word tiebreak must agree on tied counts
+    "burrows_delta_sources",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",

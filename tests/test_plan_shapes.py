@@ -276,6 +276,10 @@ _NESTED_LOOP_ALLOWED = {
     # frame (the exact-decimal sign comparison needs both sets of
     # moments on every row)
     "simpsons_paradox_slopes",
+    # r11: |sources| x top-20-words dense grid (a deliberate dim-grid
+    # cross join, the cross_join_region_status_grid pattern) so absent
+    # words enter as exact 0 frequencies
+    "burrows_delta_sources",
 }
 
 
