@@ -280,6 +280,9 @@ _NESTED_LOOP_ALLOWED = {
     # cross join, the cross_join_region_status_grid pattern) so absent
     # words enter as exact 0 frequencies
     "burrows_delta_sources",
+    # r11: 1-row global band-distribution broadcast onto the bounded
+    # quasi-identifier class table (the ordered-EMD reference)
+    "t_closeness_audit",
 }
 
 
