@@ -4505,6 +4505,122 @@ def item_item_cosine(
 
 
 # ---------------------------------------------------------------------------
+# Threshold cosine-similarity pair join with the deterministic DIMSUM-style
+# magnitude prune — the designated scale upgrade for the item-item pair
+# fanout (SCALE.md third-decade note on item_item_cosine_recs).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cosine_threshold_pairs_pruned",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    cooc AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT u, v, CAST(c AS BIGINT) AS cooc,
+           round(CAST(c AS DOUBLE) / sqrt(CAST(du.n AS DOUBLE) * dv.n),
+                 6) AS cosine
+    FROM cooc JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+    WHERE CAST(c AS HUGEINT) * c * 100 >= CAST(du.n AS HUGEINT) * dv.n
+    """,
+)
+def cosine_threshold_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All part pairs with co-occurrence cosine >= 0.1 over the order
+    baskets — the THRESHOLD companion of the top-k recommender
+    (:func:`item_item_cosine_recs`), carrying the deterministic
+    magnitude prune that SCALE.md designated as the 100 TB upgrade for
+    the item-item pair fanout.
+
+    The prune is the exact (non-sampling) core of DIMSUM (Zadeh &
+    Goel 2013, "Dimension Independent Similarity Computation", public)
+    specialized to 0/1 basket vectors: cooc(u, v) <= min(n_u, n_v), so
+    cosine >= tau forces the DEGREE RATIO n_min/n_max >= tau^2.  Both
+    membership sides carry their item's degree into the self-join and
+    the ratio bound sits IN the join condition — a (popular, rare)
+    pair is discarded at the mapper before it ever enters the
+    co-occurrence shuffle, which is where DIMSUM's win lives (the
+    sampled version trades exactness for a tighter bound; this one
+    keeps losslessness, pinned by the pruned == unpruned test).
+
+    Portability: the threshold itself never touches floats — cosine >=
+    num/den  <=>  c^2 * den^2 >= num^2 * n_u * n_v, compared in exact
+    wide-integer arithmetic on both engines (DECIMAL(19,0) products
+    here, HUGEINT in the oracle); the displayed cosine is the usual
+    round-at-the-edge double.
+
+    Scale shape: degree attach is a broadcast join (item-dim-sized);
+    the basket self-join's fanout is basket-bounded exactly like
+    :func:`item_item_cosine_recs`, but the ratio predicate drops
+    skew-crossing pairs pre-shuffle, so the aggregation shuffle sees
+    only pairs that can still qualify; the final exact threshold is a
+    post-aggregate filter with no window."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    return cosine_threshold_pairs(op, tau_num=1, tau_den=10)
+
+
+def cosine_threshold_pairs(
+    op: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Exact pairs with co-occurrence cosine >= tau_num/tau_den over
+    distinct ``(o, p)`` basket membership, DIMSUM-degree-ratio pruned
+    (see :func:`cosine_threshold_pairs_pruned`).  The threshold is a
+    rational so every comparison stays in exact integer arithmetic:
+    the pre-shuffle prune is ``num^2 * max_deg <= den^2 * min_deg``
+    and the final gate is ``den^2 * c^2 >= num^2 * n_u * n_v``."""
+    n2 = tau_num * tau_num
+    d2 = tau_den * tau_den
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    opd = op.join(F.broadcast(deg), "p")
+    a = opd.select(
+        F.col("o"), F.col("p").alias("u"), F.col("n").alias("n_u")
+    ).alias("a")
+    b = opd.select(
+        F.col("o"), F.col("p").alias("v"), F.col("n").alias("n_v")
+    ).alias("b")
+    # ratio bound inside the join condition: tau^2 * n_max <= n_min,
+    # cross-multiplied to integers so no float ever decides a pair
+    pruned = a.join(
+        b,
+        (F.col("a.o") == F.col("b.o"))
+        & (F.col("a.u") < F.col("b.v"))
+        & (F.lit(n2) * F.col("b.n_v") <= F.lit(d2) * F.col("a.n_u"))
+        & (F.lit(n2) * F.col("a.n_u") <= F.lit(d2) * F.col("b.n_v")),
+    )
+    cooc = pruned.groupBy(
+        F.col("a.u").alias("u"),
+        F.col("b.v").alias("v"),
+        F.col("a.n_u").alias("n_u"),
+        F.col("b.n_v").alias("n_v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cw = F.col("c").cast("decimal(19,0)")
+    return (
+        cooc.filter(
+            cw * cw * F.lit(d2)
+            >= F.col("n_u").cast("decimal(19,0)")
+            * F.col("n_v").cast("decimal(19,0)")
+            * F.lit(n2)
+        )
+        .select(
+            "u",
+            "v",
+            F.col("c").cast("long").alias("cooc"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_u").cast("double") * F.col("n_v")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leave-one-out target encoding — ML feature engineering without leakage.
 # ---------------------------------------------------------------------------
 

@@ -113,3 +113,98 @@ def test_uncapped_matches_duckdb_oracle(spark):
     want = normalize_rows(cols, cur.fetchall())
     have = normalize_rows(got.columns, [tuple(r) for r in got.collect()])
     assert have == want
+
+
+# ---------------------------------------------------------------------------
+# DIMSUM-style degree-ratio prune on the threshold cosine pair join
+# (r11 — the SCALE.md designated upgrade for the item-item pair fanout).
+# ---------------------------------------------------------------------------
+
+
+def _skewed_baskets(spark):
+    """Hostile degree skew: one mega-popular item (degree 40) crossing
+    many rare items (degree 1-2) — exactly the pairs the ratio bound
+    must discard pre-shuffle — plus an exact-boundary pair (cosine
+    exactly 0.5 under tau = 1/2) and a twin singleton pair (cosine 1)."""
+    rows = []
+    for o in range(40):
+        rows.append((o, 0))  # item 0 in every basket
+        rows.append((o, 100 + o))  # a rare item per basket
+    # boundary pair: items 500/501 each in 2 baskets, co-occur once
+    rows += [(200, 500), (200, 501), (201, 500), (202, 501)]
+    # twin singletons: cosine exactly 1.0
+    rows += [(300, 600), (300, 601)]
+    return spark.createDataFrame(sorted(set(rows)), "o int, p int")
+
+
+def _brute_threshold(spark, op, num, den):
+    """Unpruned brute-force twin: every pair scored, exact integer gate."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE op (o INT, p INT)")
+    con.executemany(
+        "INSERT INTO op VALUES (?, ?)", [(r.o, r.p) for r in op.collect()]
+    )
+    cur = con.execute(
+        f"""
+        WITH deg AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+        cooc AS (
+            SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+        )
+        SELECT u, v, CAST(c AS BIGINT) AS cooc,
+               round(CAST(c AS DOUBLE) / sqrt(CAST(du.n AS DOUBLE) * dv.n),
+                     6) AS cosine
+        FROM cooc JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+        WHERE CAST(c AS HUGEINT) * c * {den * den}
+              >= CAST(du.n AS HUGEINT) * dv.n * {num * num}
+        """
+    )
+    return normalize_rows([d[0] for d in cur.description], cur.fetchall())
+
+
+def test_ratio_prune_is_lossless_under_skew(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        cosine_threshold_pairs,
+    )
+
+    op = _skewed_baskets(spark)
+    for num, den in [(1, 2), (1, 10), (9, 10)]:
+        got = cosine_threshold_pairs(op, tau_num=num, tau_den=den)
+        have = normalize_rows(got.columns, [tuple(r) for r in got.collect()])
+        assert have == _brute_threshold(spark, op, num, den), (num, den)
+
+
+def test_threshold_boundary_pair_is_kept_exactly(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        cosine_threshold_pairs,
+    )
+
+    op = _skewed_baskets(spark)
+    rows = {
+        (r.u, r.v): r.cosine
+        for r in cosine_threshold_pairs(op, tau_num=1, tau_den=2).collect()
+    }
+    # cosine exactly at tau survives the >= gate (integer compare, no
+    # float boundary): 1 / sqrt(2 * 2) = 0.5
+    assert rows[(500, 501)] == 0.5
+    # the twin singletons score exactly 1.0
+    assert rows[(600, 601)] == 1.0
+    # no (mega-popular, rare) pair survives: cosine <= 1/sqrt(40) < 0.5
+    assert all(u != 0 for (u, v) in rows)
+
+
+def test_ratio_prune_drops_skew_pairs_before_the_shuffle(spark):
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        cosine_threshold_pairs,
+    )
+
+    op = _skewed_baskets(spark)
+    # tau = 9/10: only near-twin degree pairs can qualify, so the join
+    # condition itself must carry the integer ratio bound — visible in
+    # the physical plan as a post-join filter/condition on the degree
+    # columns rather than a filter after the aggregate alone
+    plan = cosine_threshold_pairs(
+        op, tau_num=9, tau_den=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "n_u" in plan and "n_v" in plan
