@@ -659,3 +659,65 @@ def xml_parse_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.cents").alias("total_cents"),
         F.col("x.priority").alias("priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTEs (WITH RECURSIVE) — Spark 4's iterative SQL surface.
+# ---------------------------------------------------------------------------
+
+_BOTTLENECK_ROUTES_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS cap
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+),
+routes(src, dst, bottleneck, hops) AS (
+    SELECT src, dst, cap, 1 FROM edges
+    UNION ALL
+    SELECT r.src, e.dst, LEAST(r.bottleneck, e.cap), r.hops + 1
+    FROM routes r JOIN edges e ON e.src = r.dst
+    WHERE r.hops < 3
+)
+SELECT src AS src_nation, dst AS dst_nation,
+       MAX(bottleneck) AS best_bottleneck,
+       CAST(COUNT(*) AS BIGINT) AS n_routes
+FROM routes
+GROUP BY src, dst
+"""
+
+
+@_register("recursive_cte_bottleneck_routes", _BOTTLENECK_ROUTES_SQL)
+def recursive_cte_bottleneck_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest-path (bottleneck) trade routes via a NATIVE ``WITH
+    RECURSIVE`` CTE — the ONE SQL text runs verbatim on both engines
+    (the only registry entry where the Spark query IS its oracle
+    string): edge capacity = distinct orders shipped from a supplier
+    nation to a customer nation; a route's bottleneck is the smallest
+    capacity along it (the LEAST fold in the recursive step); the
+    answer is the best ≤3-hop bottleneck per nation pair, plus the
+    route count the recursion enumerated.
+
+    Spark 4 executes recursive CTEs as a real iterative union (one
+    UnionLoop per level), so this exercises engine surface none of the
+    iterative operators (PageRank/LPA/HITS — hand-unrolled joins) do.
+    Spark only supports UNION ALL recursion (no UNION-distinct frontier
+    dedup yet), which makes path ENUMERATION the safe recursion shape:
+    termination and size must be bounded by construction, not by
+    convergence.
+
+    Scale shape: the recursion runs on the nation-level CONTRACTION of
+    the fact data — the heavy lifting (5-way join + count-distinct) is
+    one ordinary aggregation producing a ≤ 25x24-row edge table, and
+    the enumerated route table is bounded by 600 * 24^2 ≈ 0.35M rows AT
+    ANY DATA SCALE (dim-bounded, like the Markov |types|^2 matrix).
+    Integer capacities + LEAST/MAX folds mean no float ever enters the
+    recursion — the hash match is exact by construction."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BOTTLENECK_ROUTES_SQL)
