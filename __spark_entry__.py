@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (117
+# continuation of the never-driver-verified oracle-paired set (118
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -139,6 +139,7 @@ _PANEL_NEXT_CANDIDATES = [
     # r11 operators that did not fit the 50-slot panel — first in line
     "cosine_threshold_pairs_pruned",
     "recursive_cte_bottleneck_routes",
+    "boilerplate_ngram_removal",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -6320,3 +6320,79 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 burrows_delta_sources.__doc__ = burrows_delta_sources.__doc__.format(
     m=_DELTA_TOP_WORDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate removal — the CCNet / RefinedWeb "shared line"
+# pass, at 5-gram granularity (this corpus is single-line by construction).
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_DF = 3  # a shingle in >= this many distinct docs is boilerplate
+
+
+@_register(
+    "boilerplate_ngram_removal",
+    _SHINGLE_CTE
+    + f"""
+, dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+flagged AS (
+    SELECT s.doc_id, s.shingle, (q.df >= {_BOILERPLATE_DF}) AS is_bp
+    FROM sh s JOIN dfq q ON q.shingle = s.shingle
+)
+SELECT d.source,
+       CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_shingles,
+       CAST(SUM(CASE WHEN f.is_bp THEN 1 ELSE 0 END) AS BIGINT)
+           AS removed_occurrences,
+       CAST(COUNT(DISTINCT CASE WHEN f.is_bp THEN f.shingle END) AS BIGINT)
+           AS distinct_boilerplate,
+       round(CAST(SUM(CASE WHEN f.is_bp THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS removed_frac
+FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.source
+""",
+)
+def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate pass: a 5-gram that appears in >= 3
+    DISTINCT documents is boilerplate (headers, navigation chrome,
+    license blurbs — the shared-content class CCNet removes by hashing
+    lines across shards, Wenzek et al. 2020, and RefinedWeb keeps as a
+    line-dedup stage; this corpus is single-line word soup, so the pass
+    runs at shingle granularity with the exact same corpus-df
+    mechanic).  Reports, per source: docs touched, total doc-shingle
+    incidences, incidences a removal pass would drop, distinct
+    boilerplate shingles seen, and the removed fraction.
+
+    Scale shape: the shingle relation is the engine's standard explode
+    + narrow distinct; the corpus df is one groupBy on the shingle key
+    and the flag join lands on the SAME key, so Catalyst reuses the
+    hash partitioning (no second shuffle of the big relation); the
+    source attach is a doc-keyed equi-join; the final rollup is
+    |sources|-sized.  Nothing is quadratic: unlike the pairwise dedup
+    tiers, boilerplate removal is a per-(doc, shingle) predicate
+    against a corpus-level frequency — the same shape at 100 TB, where
+    the df table is the only state that grows with corpus diversity."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d)  # (doc_id, shingle), distinct per doc
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    flagged = sh.join(dfq, "shingle").select(
+        "doc_id",
+        "shingle",
+        (F.col("df") >= _BOILERPLATE_DF).alias("is_bp"),
+    )
+    bp = F.when(F.col("is_bp"), 1).otherwise(0)
+    return (
+        flagged.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("total_shingles"),
+            F.sum(bp).cast("long").alias("removed_occurrences"),
+            F.countDistinct(F.when(F.col("is_bp"), F.col("shingle")))
+            .cast("long")
+            .alias("distinct_boilerplate"),
+            F.round(
+                F.sum(bp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("removed_frac"),
+        )
+    )

@@ -209,6 +209,11 @@ _HOSTILE_PANEL = [
     # two-pass deviations and must drop via the std > 0 gate on both
     # engines; the top-word tiebreak must agree on tied counts
     "burrows_delta_sources",
+    # r11 boilerplate pass consumes the shingle relation + corpus df:
+    # empty/whitespace-only docs must vanish from the shingle relation
+    # identically, and hostile-doc shingles shared across the corpus
+    # must cross the df threshold identically on both engines
+    "boilerplate_ngram_removal",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
