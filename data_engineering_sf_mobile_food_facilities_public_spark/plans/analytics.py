@@ -1898,6 +1898,107 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity of the part co-occurrence graph (Newman 2002).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "degree_assortativity_part_graph",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u AS p, COUNT(*) AS d FROM sym GROUP BY u),
+    ends AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym s JOIN deg du ON du.p = s.u JOIN deg dv ON dv.p = s.v
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM ends
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(n / 2 AS BIGINT) AS n_edges,
+           round(CAST(n * sxy - sx * sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the parts-bought-together
+    graph (Newman 2002, public): the Pearson correlation of endpoint
+    degrees over the SYMMETRIZED edge list — positive when hubs prefer
+    hubs, negative when hubs attach to leaves (retail co-purchase
+    graphs are typically disassortative).
+
+    By symmetry of the directed edge list, Sx = Sy and Sxx = Syy, so
+    the correlation needs exactly THREE integer moments (sum, square
+    sum, cross sum) plus the edge count — all accumulated as exact
+    wide integers (DECIMAL(38,0) partials here, HUGEINT in the oracle;
+    degree products never touch a float), with the single division and
+    round at the edge, the Simpson's-paradox moment discipline.
+
+    Scale shape: edge build is the triangle-count basket self-join
+    (basket-bounded fanout); degrees are one groupBy on the node key;
+    the degree attach is two broadcast joins against the dim-sized
+    degree table; the moment contraction is a map-side partial
+    aggregate to ONE row.  The node count rides the same single
+    aggregate via a tagged union (no scalar cross join), mirroring
+    triangle_count_part_graph."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("p")).agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("y"))
+    ends = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    wide = lambda c: F.col(c).cast("decimal(38,0)")
+    # tagged union folds the node count into the SAME single aggregate
+    tagged = ends.select(
+        F.lit(0).alias("is_node"), F.col("x"), F.col("y")
+    ).unionAll(deg.select(F.lit(1).alias("is_node"), F.lit(0).alias("x"), F.lit(0).alias("y")))
+    m = tagged.agg(
+        F.sum("is_node").alias("n_nodes"),
+        F.sum(1 - F.col("is_node")).alias("n"),
+        F.sum(F.when(F.col("is_node") == 0, wide("x")).otherwise(F.lit(0))).alias("sx"),
+        F.sum(F.when(F.col("is_node") == 0, wide("x") * wide("x")).otherwise(F.lit(0))).alias("sxx"),
+        F.sum(F.when(F.col("is_node") == 0, wide("x") * wide("y")).otherwise(F.lit(0))).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return m.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weighted sampling (Efraimidis-Spirakis A-Res with an
 # md5-derived uniform): heavier orders more likely sampled, same result
 # on any engine / any partitioning.

@@ -6396,3 +6396,76 @@ def boilerplate_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removed_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release simulation — the MECHANISM member of the
+# privacy family (k-anonymity / l-diversity / t-closeness audit the data;
+# this one actually perturbs the release).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dp_noisy_counts_seeded",
+    """
+    WITH counts AS (
+        SELECT n.n_name, COUNT(*) AS c
+        FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    drawn AS (
+        SELECT n_name, c,
+               CAST(('0x' || substr(md5('dp11' || n_name), 1, 13)) AS BIGINT)
+                   / 4503599627370496.0 AS u
+        FROM counts
+    )
+    SELECT n_name,
+           CAST(c + (CASE WHEN u >= 0.5 THEN 1 ELSE -1 END)
+                    * CAST(floor(-ln(1 - 2 * abs(u - 0.5))) AS BIGINT)
+                AS BIGINT) AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM drawn
+    """,
+)
+def dp_noisy_counts_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer counts released through the two-sided
+    GEOMETRIC mechanism (the discrete Laplace — the universally optimal
+    integer-count mechanism of Ghosh-Roughgarden-Sundararajan 2009,
+    public) at epsilon = 1, sensitivity 1: noise = sign * Geom drawn by
+    inverse CDF, k = floor(-ln(1 - u') / eps) with u' folded from a
+    uniform.
+
+    The uniform is md5-SEEDED from the group key (the engine's A-Res /
+    negative-sampling convention), which makes the release REPLAYABLE —
+    the property the oracle pair needs and what a pipeline wants for
+    deterministic test runs.  Stated honestly (docstring is the spec):
+    a hash of the public group key is NOT cryptographic randomness, so
+    this query is the release *simulation* for engine parity and
+    magnitude auditing; a production release swaps u for a real RNG and
+    keeps every other expression unchanged.
+
+    Portability: one ln per group on an md5-derived rational (the
+    weighted_sample_orders precedent), floored to an integer — a
+    cross-engine floor flip would need the true value within 1 ulp of
+    an integer, negligible over 25 dim-sized groups.  Scale shape: one
+    grouped count (map-side partial), noise is a scalar expression on
+    the |nations|-sized result; nothing else touches the fact table."""
+    cu = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    counts = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp11"), F.col("n_name"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(4503599627370496.0)
+    mag = F.floor(-F.log(1 - 2 * F.abs(u - 0.5))).cast("long")
+    sign = F.when(u >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    return counts.select(
+        "n_name",
+        (F.col("c") + sign * mag).cast("long").alias("noisy_count"),
+        F.lit(1.0).cast("double").alias("epsilon"),
+    )

@@ -1182,3 +1182,78 @@ def test_kcore_round4_is_fixpoint_and_degrees_bounded(spark):
 
     rows = kcore_part_graph(spark, "/root/testdata/sf0.001").collect()
     assert all(r.core_degree >= _KCORE_K for r in rows)
+
+
+def test_star_graph_assortativity_is_minus_one(spark, tmp_path):
+    # 2-item baskets {center, leaf_i} build a 6-leaf star: every edge
+    # joins degree 6 to degree 1, so the degree-degree correlation over
+    # the symmetrized edge list is exactly -1 (Newman's disassortative
+    # extreme).  Exercises the exact-integer moment path end to end.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        degree_assortativity_part_graph,
+    )
+
+    orders, parts = [], []
+    for i in range(1, 7):
+        orders += [i, i]
+        parts += [0, i]
+    n = len(orders)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(orders, pa.int64()),
+                "l_partkey": pa.array(parts, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    row = degree_assortativity_part_graph(spark, str(tmp_path)).collect()[0]
+    assert row.n_nodes == 7
+    assert row.n_edges == 6
+    assert row.assortativity == -1.0
+
+
+def test_dp_noise_matches_python_inverse_cdf(spark):
+    # The seeded geometric draw is a pure function of the group key:
+    # replicate it in plain Python from the md5 and require the Spark
+    # release to match EXACTLY, group by group (and epsilon to ride
+    # along as the accounting column).
+    import hashlib
+    import math
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis import (
+        dp_noisy_counts_seeded,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    cu = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    true = {
+        r.n_name: r.c
+        for r in cu.join(n, cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    got = {r.n_name: (r.noisy_count, r.epsilon) for r in
+           dp_noisy_counts_seeded(spark, sf).collect()}
+    assert set(got) == set(true)
+    for name, c in true.items():
+        u = int(hashlib.md5(f"dp11{name}".encode()).hexdigest()[:13], 16) / 2**52
+        mag = math.floor(-math.log(1 - 2 * abs(u - 0.5)))
+        noise = (1 if u >= 0.5 else -1) * mag
+        assert got[name] == (c + noise, 1.0), name
