@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (120
+# continuation of the never-driver-verified oracle-paired set (122
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -142,6 +142,8 @@ _PANEL_NEXT_CANDIDATES = [
     "boilerplate_ngram_removal",
     "degree_assortativity_part_graph",
     "dp_noisy_counts_seeded",
+    "ips_offline_policy_value",
+    "rake_keywords_by_source",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

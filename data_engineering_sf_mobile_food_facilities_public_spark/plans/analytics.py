@@ -1898,6 +1898,94 @@ def triangle_count_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS over a replayable logged bandit.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ips_offline_policy_value",
+    """
+    WITH logs AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('act' || CAST(event_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) % 3 AS a_log,
+               length(event_type) % 3 AS a_tgt,
+               CAST(round(value * 100) AS BIGINT) AS v100
+        FROM events
+    ),
+    scored AS (
+        SELECT event_type,
+               CASE WHEN (v100 + a_log) % 7 < 2 THEN 1 ELSE 0 END AS r,
+               CASE WHEN a_tgt = a_log THEN 1 ELSE 0 END AS m
+        FROM logs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS logged_value,
+           round(3.0 * SUM(m * r) / COUNT(*), 6) AS ips_value,
+           round(CAST(SUM(m * r) AS DOUBLE) / NULLIF(SUM(m), 0), 6)
+               AS snips_value
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def ips_offline_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) evaluation of a deterministic target
+    policy from logged bandit feedback: inverse-propensity scoring
+    (Horvitz-Thompson; Li et al. 2011's replay method, public) and its
+    self-normalized variant (Swaminathan-Joachims SNIPS), per context.
+
+    The logged policy is SIMULATED replayably on the events table (the
+    engine's md5-draw convention): action = md5(event_id) mod 3 —
+    uniform, so the propensity is exactly 1/3 and the IPS weight is
+    exactly 3; reward is a deterministic integer function of (value,
+    action); the target policy picks an action from the context alone.
+    Every aggregate is an INTEGER sum (matches, rewards, weighted
+    rewards never touch a float until the final divisions), so the
+    estimate is summation-order-exact on both engines — the same
+    moment discipline as the stats family.
+
+    Contexts where the target policy never matches the log emit NULL
+    SNIPS (0/0) rather than a fabricated 0 — the honest "no evidence"
+    answer an estimator should give.
+
+    Scale shape: one scan, one grouped integer aggregate (map-side
+    partials), |contexts| output rows; propensity weighting at 100 TB
+    is exactly this shape — the entire estimator is a reduction."""
+    ev = load(spark, sf_dir, "events")
+    a_log = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("act"), F.col("event_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    a_tgt = F.length("event_type") % 3
+    v100 = F.round(F.col("value") * 100).cast("long")
+    r = F.when((v100 + a_log) % 7 < 2, 1).otherwise(0)
+    m = F.when(a_tgt == a_log, 1).otherwise(0)
+    scored = ev.select("event_type", r.alias("r"), m.alias("m"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
+            "logged_value"
+        ),
+        F.round(F.lit(3.0) * F.sum(F.col("m") * F.col("r")) / F.count(F.lit(1)), 6)
+        .alias("ips_value"),
+        F.round(
+            F.sum(F.col("m") * F.col("r")).cast("double")
+            / F.nullif(F.sum("m"), F.lit(0)),
+            6,
+        ).alias("snips_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Degree assortativity of the part co-occurrence graph (Newman 2002).
 # ---------------------------------------------------------------------------
 

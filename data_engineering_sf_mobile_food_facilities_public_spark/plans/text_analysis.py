@@ -6469,3 +6469,170 @@ def dp_noisy_counts_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") + sign * mag).cast("long").alias("noisy_count"),
         F.lit(1.0).cast("double").alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases, degree/frequency
+# word scores (the non-graph sibling of textrank_keywords).
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ["the", "a", "and", "is"]  # the text_quality_scores list
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 3
+
+
+@_register(
+    "rake_keywords_by_source",
+    f"""
+    WITH tokd AS (
+        SELECT d.doc_id, d.source,
+               list_filter(regexp_split_to_array(trim(d.text),
+                           '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS t
+        FROM documents d
+    ),
+    pos AS (
+        SELECT doc_id, source, t[i] AS w, i,
+               CASE WHEN list_contains({_RAKE_STOPS!r}, t[i])
+                    THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id, source, t,
+                     unnest(generate_series(1, len(t))) AS i FROM tokd)
+    ),
+    seg AS (
+        SELECT doc_id, source, w, i, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+        FROM pos
+    ),
+    runs AS (SELECT doc_id, source, pid, w, i FROM seg WHERE stop = 0),
+    asm AS (
+        SELECT doc_id, source, pid,
+               string_agg(w, ' ' ORDER BY i) AS phrase,
+               COUNT(*) AS plen
+        FROM runs GROUP BY doc_id, source, pid
+    ),
+    cand AS (SELECT * FROM asm WHERE plen <= {_RAKE_MAX_LEN}),
+    occ AS (
+        SELECT r.source, r.w, c.plen
+        FROM runs r
+        JOIN cand c ON c.doc_id = r.doc_id AND c.pid = r.pid
+    ),
+    ws AS (
+        SELECT source, w,
+               CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(18,6)) AS score_w
+        FROM occ GROUP BY source, w
+    ),
+    phr AS (
+        SELECT source, phrase, MAX(plen) AS n_words,
+               COUNT(*) AS n_occurrences
+        FROM cand GROUP BY source, phrase
+    ),
+    pw AS (
+        SELECT p.source, p.phrase, p.n_words, p.n_occurrences, s.score_w
+        FROM (SELECT source, phrase, n_words, n_occurrences,
+                     unnest(regexp_split_to_array(phrase, ' ')) AS w
+              FROM phr) p
+        JOIN ws s ON s.source = p.source AND s.w = p.w
+    ),
+    scored AS (
+        SELECT source, phrase, n_words, n_occurrences,
+               SUM(score_w) AS score
+        FROM pw GROUP BY source, phrase, n_words, n_occurrences
+    )
+    SELECT source, phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(score AS DOUBLE) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY score DESC, phrase) AS rnk
+          FROM scored)
+    WHERE rnk <= {_RAKE_TOPK}
+    """,
+)
+def rake_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction per source (Rose et al. 2010, public):
+    stopwords delimit candidate phrases (runs capped at 4 words, the
+    common implementation bound), each word scores degree/frequency
+    over the candidate occurrences — degree counts the full length of
+    every phrase occurrence containing the word, rewarding words that
+    live in long phrases — and a phrase scores the sum of its word
+    scores; top-3 phrases per source.  The degree/frequency heuristic
+    is the non-graph sibling of :func:`textrank_keywords` (which ranks
+    single words by PageRank over adjacency).
+
+    Portability: word scores are rounded to DECIMAL(18,6) BEFORE the
+    phrase sum, so the sum is summation-order-exact (the Burrows-Delta
+    z-score convention); ranking breaks ties on the phrase string.
+
+    Scale shape: tokenize + posexplode is the corpus scan; phrase
+    assembly is a per-(doc, run) sort-grouped string_agg (doc-bounded
+    groups); word stats and phrase stats are two grouped aggregates
+    keyed by (source, word) / (source, phrase); the re-explode of
+    DISTINCT phrases for scoring is bounded by phrase length <= 4.
+    Nothing joins fact-to-fact except through bounded keys."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.filter(TX.tokens("text"), lambda x: x != "").alias("t"),
+    )
+    pos = tok.select(
+        "doc_id",
+        "source",
+        F.posexplode("t").alias("i", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        "i",
+        F.when(F.col("w").isin(_RAKE_STOPS), 1).otherwise(0).alias("stop"),
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("i")
+    seg = pos.withColumn("pid", F.sum("stop").over(wseg))
+    runs = seg.filter(F.col("stop") == 0).select(
+        "doc_id", "source", "pid", "w", "i"
+    )
+    asm = runs.groupBy("doc_id", "source", "pid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    cand = asm.filter(F.col("plen") <= _RAKE_MAX_LEN)
+    occ = runs.join(
+        cand.select("doc_id", "pid", "plen"), ["doc_id", "pid"]
+    ).select("source", "w", "plen")
+    ws = occ.groupBy("source", "w").agg(
+        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("score_w")
+    )
+    phr = cand.groupBy("source", "phrase").agg(
+        F.max("plen").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    pw = phr.select(
+        "source",
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    ).join(ws, ["source", "w"])
+    scored = pw.groupBy("source", "phrase", "n_words", "n_occurrences").agg(
+        F.sum("score_w").alias("score")
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("score"), "phrase")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select(
+            "source",
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -56,6 +56,10 @@ _EVENT_PANEL = [
     # the LEAD order a pure event_id tiebreak, and the decimal-rounded
     # power steps must agree for all 10 iterations
     "markov_stationary_event_types",
+    # r11 IPS/SNIPS: negative and zero values stress the round(value *
+    # 100) reward bridge; contexts the target policy never matches in
+    # this tiny log must emit NULL SNIPS identically on both engines
+    "ips_offline_policy_value",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

@@ -214,6 +214,11 @@ _HOSTILE_PANEL = [
     # identically, and hostile-doc shingles shared across the corpus
     # must cross the df threshold identically on both engines
     "boilerplate_ngram_removal",
+    # r11 RAKE: empty/whitespace-only docs must vanish at the token
+    # filter identically; all-stopword docs produce zero candidate
+    # phrases; the decimal word-score rounding must agree before the
+    # phrase sum on both engines
+    "rake_keywords_by_source",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
