@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (122
+# continuation of the never-driver-verified oracle-paired set (124
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -144,6 +144,8 @@ _PANEL_NEXT_CANDIDATES = [
     "dp_noisy_counts_seeded",
     "ips_offline_policy_value",
     "rake_keywords_by_source",
+    "grid_density_clusters",
+    "shapley_channel_attribution",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -2642,6 +2642,270 @@ def geo_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shapley-value channel attribution — exact coalition game over weekly
+# journeys (the order-free complement of multi_touch_attribution).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "shapley_channel_attribution",
+    """
+    WITH j AS (
+        SELECT user_id, date_trunc('week', ts) AS wk,
+               bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END)
+                   AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    vt AS (SELECT mask, COUNT(*) AS n, SUM(conv) AS cn FROM j GROUP BY mask),
+    v AS (
+        SELECT m.mask,
+               COALESCE(CAST(round(CAST(vt.cn AS DOUBLE) / vt.n, 6)
+                             AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+                   AS v
+        FROM range(0, 16) m(mask) LEFT JOIN vt ON vt.mask = m.mask
+    ),
+    ch AS (
+        SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                              ('signup', 4), ('error', 8)) AS t(channel, bit)
+    ),
+    marg AS (
+        SELECT c.channel,
+               CASE (a.mask % 2) + ((a.mask // 2) % 2)
+                    + ((a.mask // 4) % 2) + ((a.mask // 8) % 2)
+                    WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+                   AS w,
+               b.v - a.v AS dv
+        FROM ch c
+        JOIN v a ON (a.mask // c.bit) % 2 = 0
+        JOIN v b ON b.mask = a.mask + c.bit
+    )
+    SELECT channel,
+           round(CAST(SUM(w * dv) AS DOUBLE) / 24, 6) AS shapley_value
+    FROM marg GROUP BY channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution of weekly conversion over the
+    four touch channels (data-driven coalition game, Shapley 1953;
+    the marketing formulation of Zhao et al. 2018, public): a journey
+    is a (user, week), its coalition is the SET of channels touched
+    (a 4-bit mask), the characteristic value v(S) is the conversion
+    rate of journeys with exactly coalition S (unobserved coalitions
+    contribute 0 — the data-driven convention), and each channel gets
+    its exact Shapley share sum_w(S)[v(S + i) - v(S)] / 4!.
+
+    Exactness: v(S) is rounded to DECIMAL(18,6) once; every marginal
+    difference, integer kernel weight (|S|!(3-|S|)! in {6,2,2,6}) and
+    the 16-term sum stay in DECIMAL; the single /24 division happens
+    at the edge.  Subset pairing is pure integer arithmetic on the
+    mask (S + i with the bit test (mask div bit) % 2 = 0), so both
+    engines enumerate identical coalitions.  The efficiency axiom
+    (shares sum to v(grand) - v(empty)) is pinned by a test.
+
+    The order-FREE counterpart of :func:`multi_touch_attribution`
+    (position-based) and the coalition counterpart of the Markov
+    machinery: position rules are arbitrary, Shapley is the unique
+    symmetric-efficient split.
+
+    Scale shape: ONE scan builds journeys (grouped bit_or — map-side
+    partials), the game itself lives on a 16-row table joined to a
+    4-row channel dim: the entire attribution is dim-bounded compute
+    after a single fact aggregation, at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    j = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            bit.alias("bit"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("cv"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.expr("bit_or(bit)").alias("mask"), F.max("cv").alias("conv"))
+    )
+    vt = j.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("cn")
+    )
+    v = (
+        spark.range(16)
+        .select(F.col("id").cast("long").alias("mask"))
+        .join(F.broadcast(vt), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(
+                F.round(F.col("cn").cast("double") / F.col("n"), 6).cast(
+                    "decimal(18,6)"
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("v"),
+        )
+    )
+    ch_structs = ", ".join(
+        f"struct('{c}' AS channel, {b} AS bit)"
+        for c, b in [("click", 1), ("view", 2), ("signup", 4), ("error", 8)]
+    )
+    ch = spark.range(1).select(
+        F.expr(f"explode(array({ch_structs}))").alias("c")
+    ).select(F.col("c.channel").alias("channel"), F.col("c.bit").alias("bit"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pc = (
+        F.col("a.mask") % 2
+        + (F.expr("a.mask div 2") % 2)
+        + (F.expr("a.mask div 4") % 2)
+        + (F.expr("a.mask div 8") % 2)
+    )
+    w = (
+        F.when(pc == 0, 6).when(pc == 1, 2).when(pc == 2, 2).otherwise(6)
+    )
+    marg = (
+        ch.join(a, F.expr("(a.mask div bit) % 2 = 0"))
+        .join(b, F.col("b.mask") == F.col("a.mask") + F.col("bit"))
+        .select(
+            "channel",
+            (w * (F.col("b.v") - F.col("a.v"))).alias("wdv"),
+        )
+    )
+    return marg.groupBy("channel").agg(
+        F.round(F.sum("wdv").cast("double") / 24, 6).alias("shapley_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering — the STING / grid-DBSCAN shape: dense cells,
+# then connected components over the 8-adjacency of dense cells only.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grid_density_clusters",
+    """
+    WITH RECURSIVE cells AS (
+        SELECT o_custkey % 23 AS cy, (o_custkey // 23) % 19 AS cx,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS nc, SUM(c) AS sc FROM cells),
+    dense AS (
+        SELECT cy, cx, c, cy * 100 + cx AS id
+        FROM cells, tot
+        WHERE 10 * c * nc >= 13 * sc
+    ),
+    probes AS (
+        SELECT id, cy + dy AS cy, cx + dx AS cx
+        FROM dense,
+             unnest([-1, 0, 1]) AS t1(dy),
+             unnest([-1, 0, 1]) AS t2(dx)
+        WHERE NOT (dy = 0 AND dx = 0)
+    ),
+    edges AS (
+        SELECT p.id AS a, d.id AS b
+        FROM probes p JOIN dense d ON p.cy = d.cy AND p.cx = d.cx
+         AND p.id < d.id
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    lab AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM walk GROUP BY a)
+    SELECT CAST(COALESCE(l.comp, d.id) AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.c) AS BIGINT) AS n_points,
+           CAST(MAX(d.c) AS BIGINT) AS peak_cell_points
+    FROM dense d LEFT JOIN lab l ON l.id = d.id
+    GROUP BY COALESCE(l.comp, d.id)
+    """,
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (STING, Wang et al. 1997 / the grid
+    stage of GriDBSCAN, public): bucket orders into a 23x19 cell grid,
+    flag cells holding at least 1.3x the mean load as DENSE — the
+    threshold is evaluated as 10*c*n_cells >= 13*sum(c), ALL-INTEGER,
+    so no float boundary can flip a cell between engines — and cluster
+    dense cells by connected components over their 8-adjacency.
+    Isolated dense cells keep their own label (a cluster of one).
+
+    This is how DBSCAN survives 100 TB: the density test is one grouped
+    count over the fact table, adjacency is the geo-grid probe-explode
+    EQUI-join (never a distance cross join), and the component search
+    runs on the DENSE-CELL graph only — grid-bounded (<= 437 nodes here,
+    bounded by the grid, not the data), while the fact table is touched
+    exactly once.  The engine side reuses the iterative min-label
+    fixpoint (operators/graph.py); the oracle walks the same edges with
+    a recursive-CTE transitive closure (the near_dup_components pair).
+
+    The 1.3x-mean rule keeps the SAME selectivity at every SF (mean
+    scales with the data), so sf0.001 / sf0.01 / sf0.1 all exercise
+    non-trivial cluster structure."""
+    from ..operators.graph import connected_components
+
+    o = load(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            (F.col("o_custkey") % 23).alias("cy"),
+            F.expr("(o_custkey div 23) % 19").alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("c").alias("sc")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(10 * F.col("c") * F.col("nc") >= 13 * F.col("sc"))
+        .select("cy", "cx", "c", (F.col("cy") * 100 + F.col("cx")).alias("id"))
+    )
+    neighbor_structs = ", ".join(
+        f"struct({dy} AS dy, {dx} AS dx)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    )
+    probes = dense.select(
+        "id", "cy", "cx", F.expr(f"explode(array({neighbor_structs}))").alias("o")
+    ).select(
+        "id",
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+    )
+    edges = probes.alias("p").join(
+        dense.alias("d"),
+        (F.col("p.cy") == F.col("d.cy"))
+        & (F.col("p.cx") == F.col("d.cx"))
+        & (F.col("p.id") < F.col("d.id")),
+    ).select(F.col("p.id").alias("id_a"), F.col("d.id").alias("id_b"))
+    cc = connected_components(edges)
+    labeled = dense.join(
+        cc.withColumnRenamed("id", "cid"), dense.id == F.col("cid"), "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
+        "c",
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("n_points"),
+        F.max("c").cast("long").alias("peak_cell_points"),
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_cells",
+        "n_points",
+        "peak_cell_points",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weighted median — cumulative-weight crossing, no per-group sort collect.
 # ---------------------------------------------------------------------------
 

@@ -60,6 +60,11 @@ _EVENT_PANEL = [
     # 100) reward bridge; contexts the target policy never matches in
     # this tiny log must emit NULL SNIPS identically on both engines
     "ips_offline_policy_value",
+    # r11 Shapley: a tiny log leaves most of the 16 coalitions
+    # UNOBSERVED (v = 0 convention must agree), purchase-only journeys
+    # hit the empty coalition, and the week truncation must bucket
+    # same-instant events identically
+    "shapley_channel_attribution",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

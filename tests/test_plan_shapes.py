@@ -283,6 +283,15 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row global band-distribution broadcast onto the bounded
     # quasi-identifier class table (the ordered-EMD reference)
     "t_closeness_audit",
+    # r11: 1-row (n_cells, total-points) broadcast onto the grid-sized
+    # cell table for the all-integer density threshold (the water-
+    # filling budget-scalar pattern)
+    "grid_density_clusters",
+    # r11: the 4-channel x 16-coalition Shapley kernel is a deliberate
+    # dim-grid join (64 rows, data-size-independent — the
+    # cross_join_region_status_grid pattern); the fact table feeds it
+    # through one grouped bit_or aggregate only
+    "shapley_channel_attribution",
 }
 
 

@@ -1257,3 +1257,48 @@ def test_dp_noise_matches_python_inverse_cdf(spark):
         mag = math.floor(-math.log(1 - 2 * abs(u - 0.5)))
         noise = (1 if u >= 0.5 else -1) * mag
         assert got[name] == (c + noise, 1.0), name
+
+
+def test_shapley_attribution_satisfies_efficiency_axiom(spark):
+    # The Shapley shares must telescope to v(grand coalition) - v(empty):
+    # recompute the characteristic function independently and compare
+    # (each released share is rounded at 6dp -> tolerance 4 * 0.5e-6).
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        shapley_channel_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    j = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            bit.alias("bit"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("cv"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.expr("bit_or(bit)").alias("mask"), F.max("cv").alias("conv"))
+    )
+    vt = {
+        r.mask: round(r.cn / r.n, 6)
+        for r in j.groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("cn"))
+        .collect()
+    }
+    v_grand = vt.get(15, 0.0)
+    v_empty = vt.get(0, 0.0)
+    shares = {
+        r.channel: r.shapley_value
+        for r in shapley_channel_attribution(spark, sf).collect()
+    }
+    assert set(shares) == {"click", "view", "signup", "error"}
+    assert abs(sum(shares.values()) - (v_grand - v_empty)) <= 4 * 0.5e-6
