@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (124
+# continuation of the never-driver-verified oracle-paired set (126
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -146,6 +146,8 @@ _PANEL_NEXT_CANDIDATES = [
     "rake_keywords_by_source",
     "grid_density_clusters",
     "shapley_channel_attribution",
+    "diff_in_diff_event_value",
+    "quantile_normalize_prices",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

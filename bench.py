@@ -124,6 +124,13 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "mtld_lexical_diversity",
     "hilbert_key_orders",
+    # second-half round-11 additions: the degree-ratio-pruned pair
+    # join, the native recursive-CTE path enumeration, the corpus-df
+    # boilerplate pass, and the iterative dense-cell components
+    "cosine_threshold_pairs_pruned",
+    "recursive_cte_bottleneck_routes",
+    "boilerplate_ngram_removal",
+    "grid_density_clusters",
 ]
 
 

@@ -2642,6 +2642,229 @@ def geo_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile normalization across groups — map every group onto the pooled
+# distribution (Bolstad et al. 2003), scalably (no single-task sort).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quantile_normalize_prices",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS r,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS ng,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                   AS pooled_pos,
+               COUNT(*) OVER () AS n
+        FROM orders
+    ),
+    pooled AS (SELECT pooled_pos, o_totalprice AS pv FROM ranked),
+    mapped AS (
+        SELECT k.o_orderkey, k.o_orderpriority, k.o_totalprice,
+               p.pv AS qnorm
+        FROM (SELECT *,
+                     CASE WHEN ng > 1
+                          THEN ((r - 1) * (n - 1)) // (ng - 1)
+                          ELSE (n - 1) // 2 END AS pos
+              FROM ranked) k
+        JOIN pooled p ON p.pooled_pos = k.pos
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(qnorm AS DOUBLE) AS qnorm_price
+    FROM mapped
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def quantile_normalize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of order value across priority classes
+    (Bolstad et al. 2003, public — the microarray normalizer, standard
+    ML feature prep): each row's value is replaced by the POOLED
+    distribution's value at the row's within-group quantile, so every
+    group ends up with the identical marginal distribution.  Position
+    arithmetic is ALL-INTEGER (pos = (r-1)(N-1) div (ng-1); singleton
+    groups map to the pooled median), so both engines pick the same
+    pooled element — no interpolation float can disagree.  Output is
+    the deterministic 1-in-97 key sample of the mapping.
+
+    Scale shape: the oracle states the semantics with two windows (one
+    PARTITIONed, one GLOBAL row_number — a single-task sort at scale);
+    the engine derives BOTH ranks from the bucketed two-pass machinery
+    instead: per-group ranks from grouped_running_sum (a giant group
+    spans many buckets) and the pooled 0..N-1 rank from surrogate_key
+    (no single-partition window anywhere, the F4 shape).  The position
+    lookup is then one integer equi-join.  Group sizes and N ride the
+    same aggregates.  This is the engine's standing claim — same
+    result as the window formulation, scalable plan — applied to a
+    two-rank composition."""
+    from ..operators.windows import surrogate_key
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    pooled = surrogate_key(
+        o, ["o_totalprice", "o_orderkey"], out_col="pooled_pos"
+    )
+    ranked = grouped_running_sum(
+        pooled.withColumn("one", F.lit(1)),
+        "o_orderpriority",
+        ["o_totalprice", "o_orderkey"],
+        "one",
+        out_col="r",
+    )
+    sizes = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("ng"))
+    ntot = o.agg(F.count(F.lit(1)).alias("n"))
+    pos = (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.when(
+                F.col("ng") > 1,
+                F.expr("((r - 1) * (n - 1)) div (ng - 1)"),
+            )
+            .otherwise(F.expr("(n - 1) div 2"))
+            .alias("pos"),
+        )
+    )
+    lookup = pooled.select(
+        F.col("pooled_pos").alias("pos"), F.col("o_totalprice").alias("pv")
+    )
+    return (
+        pos.join(lookup, "pos")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("pv").cast("double").alias("qnorm_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the panel-data causal estimator, on an
+# md5-assigned treatment and a fixed policy date.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "diff_in_diff_event_value",
+    """
+    WITH cells AS (
+        SELECT
+            CAST(('0x' || substr(md5('did' || CAST(user_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) % 2 AS treat,
+            CASE WHEN ts >= TIMESTAMP '2024-07-01 00:00:00' THEN 1 ELSE 0 END
+                AS post,
+            CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT
+        CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        round(CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS DOUBLE)
+              / (100.0 * NULLIF(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END), 0)), 6)
+            AS mean_treat_post,
+        round(CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS DOUBLE)
+              / (100.0 * NULLIF(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END), 0)), 6)
+            AS mean_treat_pre,
+        round(CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS DOUBLE)
+              / (100.0 * NULLIF(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END), 0)), 6)
+            AS mean_control_post,
+        round(CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS DOUBLE)
+              / (100.0 * NULLIF(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END), 0)), 6)
+            AS mean_control_pre,
+        round(
+            (CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / (100.0 * NULLIF(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END), 0))
+             - CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS DOUBLE)
+             / (100.0 * NULLIF(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END), 0)))
+            - (CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS DOUBLE)
+               / (100.0 * NULLIF(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END), 0))
+               - CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS DOUBLE)
+               / (100.0 * NULLIF(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END), 0))),
+            6) AS did_estimate
+    FROM cells
+    """,
+)
+def diff_in_diff_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card-Krueger two-period two-group
+    form, public): treatment assigned replayably by md5(user) mod 2
+    (the SRM guardrail's split), the policy date splits pre/post, and
+    the estimate is (treat-post - treat-pre) - (control-post -
+    control-pre) over per-cell mean event values.
+
+    Exactness: values become integer CENTS (round(value*100)) so every
+    cell sum is an exact integer; each mean is ONE double division and
+    the estimate combines four of them in a fixed expression tree —
+    identical IEEE evaluation on both engines, rounded at the edge.
+    Empty cells surface as NULL (NULLIF guard) rather than 0 — the
+    estimator is undefined without all four cells, and the NULL
+    propagates honestly into did_estimate.
+
+    Scale shape: the ENTIRE estimator is one scan and one 1-row
+    aggregate with conditional integer partials (map-side combine);
+    no grid join, no window — the ideal 100 TB shape.  The md5
+    assignment keeps the split orthogonal to time by construction;
+    parallel-trends itself is an identifying ASSUMPTION, not a
+    computation (see srm_check_assignment for the assignment audit)."""
+    ev = load(spark, sf_dir, "events")
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    post = F.when(
+        F.col("ts") >= F.lit("2024-07-01 00:00:00").cast("timestamp"), 1
+    ).otherwise(0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = ev.select(treat.alias("treat"), post.alias("post"), cents.alias("cents"))
+
+    def cell_mean(t, p):
+        s = F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("cents"))
+            .otherwise(0)
+        ).cast("double")
+        n = F.nullif(
+            F.sum(
+                F.when((F.col("treat") == t) & (F.col("post") == p), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        return s / (F.lit(100.0) * n)
+
+    return cells.agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.round(cell_mean(1, 1), 6).alias("mean_treat_post"),
+        F.round(cell_mean(1, 0), 6).alias("mean_treat_pre"),
+        F.round(cell_mean(0, 1), 6).alias("mean_control_post"),
+        F.round(cell_mean(0, 0), 6).alias("mean_control_pre"),
+        F.round(
+            (cell_mean(1, 1) - cell_mean(1, 0))
+            - (cell_mean(0, 1) - cell_mean(0, 0)),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shapley-value channel attribution — exact coalition game over weekly
 # journeys (the order-free complement of multi_touch_attribution).
 # ---------------------------------------------------------------------------

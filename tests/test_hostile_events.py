@@ -65,6 +65,11 @@ _EVENT_PANEL = [
     # hit the empty coalition, and the week truncation must bucket
     # same-instant events identically
     "shapley_channel_attribution",
+    # r11 DiD: the hostile corpus is ENTIRELY pre-period (Jan 2024), so
+    # both post cells are empty -> NULL means and a NULL estimate must
+    # propagate identically (never a fabricated 0); negative values
+    # stress the integer-cents bridge
+    "diff_in_diff_event_value",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

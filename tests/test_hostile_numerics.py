@@ -56,6 +56,10 @@ HOSTILE_LINEITEM = (
 # symlink verbatim).  Each is a place where tie order, zero division,
 # zero variance, or negative values could diverge between engines.
 _NUMERIC_PANEL = [
+    # r11 quantile normalization: all-equal prices make every rank a
+    # pure orderkey tiebreak, and singleton priority groups take the
+    # pooled-median branch — both must map identically on both engines
+    "quantile_normalize_prices",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

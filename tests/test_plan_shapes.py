@@ -292,6 +292,9 @@ _NESTED_LOOP_ALLOWED = {
     # cross_join_region_status_grid pattern); the fact table feeds it
     # through one grouped bit_or aggregate only
     "shapley_channel_attribution",
+    # r11: 1-row pooled-size (N) scalar broadcast onto the ranked frame
+    # for the integer position arithmetic (the water-filling pattern)
+    "quantile_normalize_prices",
 }
 
 
