@@ -11251,3 +11251,331 @@ def srm_check_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_gof"),
         F.round((n1d - half) / F.sqrt(nd / 4), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — absorbing-chain conversion credit
+# (the chain-based sibling of shapley_channel_attribution).
+# ---------------------------------------------------------------------------
+
+_MRE_STEPS = 12
+_MRE_CHANNELS = ["click", "view", "signup", "error"]
+
+
+def _markov_removal_oracle_sql() -> str:
+    """Unrolled absorbing-chain twin of the Spark loop below: x0..xK as
+    generated MATERIALIZED CTEs (the HITS convention — DuckDB inlines
+    unmaterialized chained CTEs exponentially) applying the identical
+    round-to-6 DECIMAL update for all 5 chains jointly."""
+    steps = []
+    prev = "x0"
+    for i in range(1, _MRE_STEPS + 1):
+        steps.append(f"""
+    x{i} AS MATERIALIZED (
+        SELECT st.chain, st.s,
+               CAST(round(CAST(coalesce(p.p, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+                          + CAST(coalesce(m.mass, CAST(0 AS DECIMAL(18,12))) AS DOUBLE),
+                          6) AS DECIMAL(18,6)) AS x
+        FROM st
+        LEFT JOIN pcv p ON p.chain = st.chain AND p.s = st.s
+        LEFT JOIN (
+            SELECT mp.chain, mp.src AS s,
+                   SUM(CAST(xp.x * (CAST(mp.n AS DOUBLE) / mp.tot)
+                            AS DECIMAL(18,12))) AS mass
+            FROM matp mp JOIN {prev} xp
+              ON xp.chain = mp.chain AND xp.s = mp.dst
+            GROUP BY mp.chain, mp.src
+        ) m ON m.chain = st.chain AND m.s = st.s
+    )""")
+        prev = f"x{i}"
+    chan_values = ", ".join(f"('{c}', '{c}')" for c in _MRE_CHANNELS)
+    return f"""
+    WITH ev AS (
+        SELECT user_id, date_trunc('week', ts) AS wk, ts, event_id, event_type
+        FROM events
+    ),
+    fp AS (
+        SELECT user_id, wk, ts AS pts, event_id AS pid
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, wk
+                                           ORDER BY ts, event_id) AS rn
+              FROM ev WHERE event_type = 'purchase')
+        WHERE rn = 1
+    ),
+    kept AS (
+        SELECT e.user_id, e.wk, e.ts, e.event_id, e.event_type
+        FROM ev e LEFT JOIN fp f ON f.user_id = e.user_id AND f.wk = e.wk
+        WHERE e.event_type <> 'purchase'
+          AND (f.user_id IS NULL OR e.ts < f.pts
+               OR (e.ts = f.pts AND e.event_id < f.pid))
+    ),
+    jmeta AS (
+        SELECT user_id, wk,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                   AS has_conv
+        FROM ev GROUP BY user_id, wk
+    ),
+    seq AS (
+        SELECT user_id, wk, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, wk
+                                  ORDER BY ts, event_id) AS rn,
+               LEAD(event_type) OVER (PARTITION BY user_id, wk
+                                      ORDER BY ts, event_id) AS nxt
+        FROM kept
+    ),
+    trans0 AS (
+        SELECT '__START' AS src, event_type AS dst FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT s.event_type,
+               CASE WHEN j.has_conv THEN '__CONV' ELSE '__NULL' END
+        FROM seq s JOIN jmeta j ON j.user_id = s.user_id AND j.wk = s.wk
+        WHERE s.nxt IS NULL
+        UNION ALL
+        SELECT '__START', '__CONV'
+        FROM jmeta j LEFT JOIN (SELECT DISTINCT user_id, wk FROM kept) k
+          ON k.user_id = j.user_id AND k.wk = j.wk
+        WHERE k.user_id IS NULL AND j.has_conv
+    ),
+    trans AS (SELECT src, dst, COUNT(*) AS n FROM trans0 GROUP BY 1, 2),
+    chains(chain, removed) AS (
+        SELECT 'full', CAST(NULL AS VARCHAR)
+        UNION ALL SELECT * FROM (VALUES {chan_values}) v(a, b)
+    ),
+    cmat AS MATERIALIZED (
+        SELECT c.chain, t.src,
+               CASE WHEN t.dst = c.removed THEN '__NULL' ELSE t.dst END AS dst,
+               SUM(t.n) AS n
+        FROM trans t CROSS JOIN chains c
+        WHERE c.removed IS NULL OR t.src <> c.removed
+        GROUP BY 1, 2, 3
+    ),
+    matp AS MATERIALIZED (
+        SELECT chain, src, dst, n,
+               SUM(n) OVER (PARTITION BY chain, src) AS tot
+        FROM cmat
+    ),
+    st AS MATERIALIZED (SELECT DISTINCT chain, src AS s FROM matp),
+    pcv AS MATERIALIZED (
+        SELECT chain, src AS s,
+               CAST(round(CAST(n AS DOUBLE) / tot, 6) AS DECIMAL(18,6)) AS p
+        FROM matp WHERE dst = '__CONV'
+    ),
+    x0 AS (SELECT chain, s, CAST(0 AS DECIMAL(18,6)) AS x FROM st),{",".join(steps)},
+    fin AS MATERIALIZED (
+        SELECT chain, x FROM {prev} WHERE s = '__START'
+    ),
+    scored AS (
+        SELECT f.chain AS channel,
+               CAST(b.x AS DOUBLE) AS conv_prob_full,
+               CAST(f.x AS DOUBLE) AS conv_prob_removed,
+               CAST(round(1 - CAST(f.x AS DOUBLE)
+                          / NULLIF(CAST(b.x AS DOUBLE), 0), 6)
+                    AS DECIMAL(18,6)) AS re6
+        FROM fin f CROSS JOIN (SELECT x FROM fin WHERE chain = 'full') b
+        WHERE f.chain <> 'full'
+    )
+    SELECT channel, conv_prob_full, conv_prob_removed,
+           CAST(re6 AS DOUBLE) AS removal_effect,
+           round(CAST(re6 AS DOUBLE)
+                 / NULLIF(CAST(SUM(re6) OVER () AS DOUBLE), 0), 6)
+               AS attribution_share
+    FROM scored
+    """
+
+
+@_register("markov_removal_attribution", _markov_removal_oracle_sql())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain conversion attribution by REMOVAL EFFECT (Anderl et
+    al. 2016, public — the standard data-driven alternative to
+    position rules): weekly journeys become a first-order chain over
+    {START, channels, CONV, NULL} (truncated at the first purchase;
+    purchase-only weeks transition START->CONV directly); each
+    channel's credit is how much the K-step conversion probability
+    DROPS when that channel's node is deleted (transitions into it
+    redirect to NULL, its outgoing rows vanish), normalized into
+    shares.  The chain-based complement of
+    :func:`shapley_channel_attribution`: Shapley sees coalitions
+    (order-free), removal effect sees the PATH structure.
+
+    All 5 chains (full + 4 removals) iterate JOINTLY as one
+    chain-tagged matrix: _MRE_STEPS unrolled absorption steps
+    x[k+1](s) = round(P(s->CONV) + sum_t P(s->t) x[k](t), 6), the
+    markov_stationary DECIMAL discipline (oracle = generated
+    MATERIALIZED CTEs from the same constants — the HITS lesson).
+    Removal can only redirect mass toward the NULL absorber, so
+    removal effects are nonnegative up to the 1e-6 rounding grain by
+    construction.
+
+    Scale shape: per-(user, week) windows are journey-bounded; after
+    the transition-count contraction every structure is (5 chains) x
+    |states|^2 <= 245 rows, localCheckpointed so the {k}-step loop
+    never re-touches the fact table; the final share normalization is
+    a 4-row window."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w_j = Window.partitionBy("user_id", "wk").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_j))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "wk", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+        )
+    )
+    kept = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, ["user_id", "wk"], "left")
+        .filter(
+            F.col("pts").isNull()
+            | (F.col("ts") < F.col("pts"))
+            | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select("user_id", "wk", "ts", "event_id", "event_type")
+    )
+    jmeta = ev.groupBy("user_id", "wk").agg(
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1)
+        .alias("has_conv")
+    )
+    seq = kept.select(
+        "user_id",
+        "wk",
+        "event_type",
+        F.row_number().over(w_j).alias("rn"),
+        F.lead("event_type").over(w_j).alias("nxt"),
+    )
+    t_start = seq.filter(F.col("rn") == 1).select(
+        F.lit("__START").alias("src"), F.col("event_type").alias("dst")
+    )
+    t_mid = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    t_end = (
+        seq.filter(F.col("nxt").isNull())
+        .join(jmeta, ["user_id", "wk"])
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("has_conv"), "__CONV").otherwise("__NULL").alias("dst"),
+        )
+    )
+    t_direct = (
+        jmeta.join(kept.select("user_id", "wk").distinct(), ["user_id", "wk"], "left_anti")
+        .filter(F.col("has_conv"))
+        .select(F.lit("__START").alias("src"), F.lit("__CONV").alias("dst"))
+    )
+    trans = (
+        t_start.unionByName(t_mid).unionByName(t_end).unionByName(t_direct)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chain_structs = ", ".join(
+        ["struct('full' AS chain, CAST(NULL AS STRING) AS removed)"]
+        + [f"struct('{c}' AS chain, '{c}' AS removed)" for c in _MRE_CHANNELS]
+    )
+    chains = spark.range(1).select(
+        F.expr(f"explode(array({chain_structs}))").alias("c")
+    ).select(F.col("c.chain").alias("chain"), F.col("c.removed").alias("removed"))
+    cmat = (
+        trans.crossJoin(F.broadcast(chains))
+        .filter(F.col("removed").isNull() | (F.col("src") != F.col("removed")))
+        .groupBy(
+            "chain",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), "__NULL")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    w_cs = Window.partitionBy("chain", "src")
+    matp = cmat.select(
+        "chain", "src", "dst", "n", F.sum("n").over(w_cs).alias("tot")
+    ).localCheckpoint(eager=True)
+    st = matp.select("chain", F.col("src").alias("s")).distinct()
+    pcv = matp.filter(F.col("dst") == "__CONV").select(
+        "chain",
+        F.col("src").alias("s"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6)
+        .cast("decimal(18,6)")
+        .alias("p"),
+    )
+    x = st.select(
+        "chain", "s", F.lit(0).cast("decimal(18,6)").alias("x")
+    )
+    for _ in range(_MRE_STEPS):
+        mass = (
+            matp.join(
+                x.select(
+                    F.col("chain").alias("xc"),
+                    F.col("s").alias("xs"),
+                    F.col("x"),
+                ),
+                (F.col("chain") == F.col("xc")) & (F.col("dst") == F.col("xs")),
+            )
+            .select(
+                "chain",
+                F.col("src").alias("s"),
+                (F.col("x") * (F.col("n").cast("double") / F.col("tot")))
+                .cast("decimal(18,12)")
+                .alias("c"),
+            )
+            .groupBy("chain", "s")
+            .agg(F.sum("c").alias("mass"))
+        )
+        x = (
+            st.join(pcv, ["chain", "s"], "left")
+            .join(mass, ["chain", "s"], "left")
+            .select(
+                "chain",
+                "s",
+                F.round(
+                    F.coalesce(F.col("p"), F.lit(0).cast("decimal(18,6)"))
+                    .cast("double")
+                    + F.coalesce(
+                        F.col("mass"), F.lit(0).cast("decimal(18,12)")
+                    ).cast("double"),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("x"),
+            )
+        )
+    fin = x.filter(F.col("s") == "__START").select("chain", "x")
+    base = fin.filter(F.col("chain") == "full").select(
+        F.col("x").alias("bx")
+    )
+    scored = (
+        fin.filter(F.col("chain") != "full")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("chain").alias("channel"),
+            F.col("bx").cast("double").alias("conv_prob_full"),
+            F.col("x").cast("double").alias("conv_prob_removed"),
+            F.round(
+                1
+                - F.col("x").cast("double")
+                / F.nullif(F.col("bx").cast("double"), F.lit(0.0)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("re6"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return scored.select(
+        "channel",
+        "conv_prob_full",
+        "conv_prob_removed",
+        F.col("re6").cast("double").alias("removal_effect"),
+        F.round(
+            F.col("re6").cast("double")
+            / F.nullif(F.sum("re6").over(w_all).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("attribution_share"),
+    )
+

@@ -70,6 +70,12 @@ _EVENT_PANEL = [
     # propagate identically (never a fabricated 0); negative values
     # stress the integer-cents bridge
     "diff_in_diff_event_value",
+    # r11 Markov removal: purchase-BEFORE-signup journeys truncate at
+    # the first purchase (later events dropped identically); the
+    # purchase-only week takes the direct START->CONV arc; same-instant
+    # events make journey order a pure event_id tiebreak through all
+    # 12 rounded absorption steps
+    "markov_removal_attribution",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

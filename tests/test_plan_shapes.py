@@ -295,6 +295,10 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row pooled-size (N) scalar broadcast onto the ranked frame
     # for the integer position arithmetic (the water-filling pattern)
     "quantile_normalize_prices",
+    # r11: the 5-row chain-tag broadcast onto the dim-sized transition
+    # table (deliberate dim-grid, builds all removal chains in one
+    # frame) + the 1-row full-chain baseline broadcast at the end
+    "markov_removal_attribution",
 }
 
 

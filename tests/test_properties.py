@@ -1302,3 +1302,22 @@ def test_shapley_attribution_satisfies_efficiency_axiom(spark):
     }
     assert set(shares) == {"click", "view", "signup", "error"}
     assert abs(sum(shares.values()) - (v_grand - v_empty)) <= 4 * 0.5e-6
+
+
+def test_markov_removal_effects_nonnegative_and_shares_normalize(spark):
+    # Deleting a channel can only redirect mass to the NULL absorber,
+    # so K-step conversion cannot increase: removal effects are >= 0 up
+    # to the 1e-6 per-step rounding grain, and the shares sum to 1
+    # (when any effect is positive).
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        markov_removal_attribution,
+    )
+
+    rows = markov_removal_attribution(spark, "/root/testdata/sf0.001").collect()
+    assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
+    for r in rows:
+        assert r.conv_prob_removed <= r.conv_prob_full + 1e-5, r
+        assert r.removal_effect >= -1e-5, r
+    shares = [r.attribution_share for r in rows if r.attribution_share is not None]
+    if shares:
+        assert abs(sum(shares) - 1.0) <= 4 * 0.5e-6
