@@ -11579,3 +11579,165 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attribution_share"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Croston's method — intermittent-demand forecasting as an order-pinned
+# fold (the MTLD sequential-state discipline on a numeric series).
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = "0.2"
+
+
+def _croston_oracle_sql() -> str:
+    """DuckDB oracle as a RECURSIVE CTE walking one DAY per level with
+    (z, p, q, init) as ordinary columns — fixed-width DOUBLE/INT state,
+    but the recursive form is kept anyway for symmetry with the MTLD
+    lesson (list_reduce is banned for stateful folds in oracles)."""
+    a = _CROSTON_ALPHA
+    return f"""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+               datediff('day', CAST(MIN(date_trunc('day', ts)) AS DATE),
+                        CAST(MAX(date_trunc('day', ts)) AS DATE)) + 1 AS nd
+        FROM events
+    ),
+    dem AS (
+        SELECT event_type,
+               datediff('day', b.d0, CAST(date_trunc('day', ts) AS DATE)) + 1
+                   AS i,
+               COUNT(*) AS d
+        FROM events, bounds b
+        GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    walk(event_type, i, z, p, q, init, nz) AS (
+        SELECT t.event_type, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+               0, 0, 0
+        FROM types t
+        UNION ALL
+        SELECT w.event_type, w.i + 1,
+               CASE WHEN w.d > 0 AND w.init = 0 THEN CAST(w.d AS DOUBLE)
+                    WHEN w.d > 0 THEN w.z + {a} * (w.d - w.z)
+                    ELSE w.z END,
+               CASE WHEN w.d > 0 AND w.init = 0 THEN CAST(w.q + 1 AS DOUBLE)
+                    WHEN w.d > 0 THEN w.p + {a} * ((w.q + 1) - w.p)
+                    ELSE w.p END,
+               CASE WHEN w.d > 0 THEN 0 ELSE w.q + 1 END,
+               CASE WHEN w.d > 0 THEN 1 ELSE w.init END,
+               CASE WHEN w.d > 0 THEN w.nz + 1 ELSE w.nz END
+        FROM (SELECT w.*, b.nd,
+                     COALESCE(dm.d, 0) AS d
+              FROM walk w
+              CROSS JOIN bounds b
+              LEFT JOIN dem dm ON dm.event_type = w.event_type
+                              AND dm.i = w.i + 1
+              WHERE w.i < b.nd) w
+    ),
+    fin AS (
+        SELECT w.event_type, w.nz, w.z, w.p
+        FROM walk w, bounds b WHERE w.i = b.nd
+    )
+    SELECT f.event_type,
+           CAST(b.nd AS BIGINT) AS n_days,
+           CAST(f.nz AS BIGINT) AS nonzero_days,
+           round(f.z, 6) AS smoothed_size,
+           round(f.p, 6) AS smoothed_interval,
+           round(f.z / NULLIF(f.p, 0), 6) AS croston_forecast
+    FROM fin f, bounds b
+    """
+
+
+@_register("croston_intermittent_demand", _croston_oracle_sql())
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972, public — THE standard forecaster
+    for intermittent series, spare-parts demand being the classic):
+    per event type, walk the daily count series in calendar order and
+    keep two exponential smoothers that update ONLY on non-zero days —
+    demand size z += a(d - z) and inter-demand interval p += a(q - p),
+    both seeded by the first non-zero day; the rate forecast is z/p.
+    alpha = 0.2.
+
+    Sequential state on a numeric series — the MTLD shape — run as a
+    pure order-pinned Spark ``aggregate()`` HOF over the zero-filled
+    day array (state is a fixed-width (DOUBLE, DOUBLE, INT, INT, INT)
+    struct; both engines execute the IDENTICAL float update sequence,
+    so the smoothers agree bitwise before the edge rounding).  The
+    zero-fill matters: missing days advance the interval counter q,
+    which is Croston's whole point.
+
+    Scale shape: one grouped (type, day) count contracts the fact
+    table; the day array is CALENDAR-sized (grows with time, not with
+    data volume), built per type from a map literal + sequence(), and
+    the fold is one projection over |types| rows.  The day span rides
+    a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date(F.date_trunc("day", F.col("ts")))).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.to_date(F.date_trunc("day", F.col("ts")))),
+                F.min(F.to_date(F.date_trunc("day", F.col("ts")))),
+            )
+            + 1
+        ).alias("nd"),
+    )
+    dem = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            (
+                F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("d0"))
+                + 1
+            ).alias("i"),
+        )
+        .groupBy("event_type", "i")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_type = (
+        dem.groupBy("event_type")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("i"), F.col("d")))
+            ).alias("m")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "nd",
+            F.expr(
+                "transform(sequence(1, nd), i -> coalesce(element_at(m, i), 0))"
+            ).alias("arr"),
+        )
+    )
+    a = _CROSTON_ALPHA
+    fold = f"""aggregate(
+        arr,
+        named_struct('z', CAST(0 AS DOUBLE), 'p', CAST(0 AS DOUBLE),
+                     'q', 0, 'init', 0, 'nz', 0),
+        (acc, d) -> named_struct(
+            'z', CASE WHEN d > 0 AND acc.init = 0 THEN CAST(d AS DOUBLE)
+                      WHEN d > 0 THEN acc.z + {a} * (d - acc.z)
+                      ELSE acc.z END,
+            'p', CASE WHEN d > 0 AND acc.init = 0
+                      THEN CAST(acc.q + 1 AS DOUBLE)
+                      WHEN d > 0 THEN acc.p + {a} * ((acc.q + 1) - acc.p)
+                      ELSE acc.p END,
+            'q', CASE WHEN d > 0 THEN 0 ELSE acc.q + 1 END,
+            'init', CASE WHEN d > 0 THEN 1 ELSE acc.init END,
+            'nz', CASE WHEN d > 0 THEN acc.nz + 1 ELSE acc.nz END)
+    )"""
+    return per_type.select(
+        "event_type",
+        F.col("nd").cast("long").alias("n_days"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("st.nz").cast("long").alias("nonzero_days"),
+        F.round(F.col("st.z"), 6).alias("smoothed_size"),
+        F.round(F.col("st.p"), 6).alias("smoothed_interval"),
+        F.round(
+            F.col("st.z") / F.nullif(F.col("st.p"), F.lit(0.0)), 6
+        ).alias("croston_forecast"),
+    )

@@ -76,6 +76,11 @@ _EVENT_PANEL = [
     # events make journey order a pure event_id tiebreak through all
     # 12 rounded absorption steps
     "markov_removal_attribution",
+    # r11 Croston: the hostile corpus is bursty by construction (many
+    # all-zero days between events) — the interval smoother q must
+    # advance across zero-fill identically; types seen on a single day
+    # stay at their seed (z = d, p = first gap) on both engines
+    "croston_intermittent_demand",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

@@ -299,6 +299,9 @@ _NESTED_LOOP_ALLOWED = {
     # table (deliberate dim-grid, builds all removal chains in one
     # frame) + the 1-row full-chain baseline broadcast at the end
     "markov_removal_attribution",
+    # r11: 1-row calendar-bounds broadcast (day0 + span) onto the scan
+    # and onto the |types| fold frame (the water-filling pattern)
+    "croston_intermittent_demand",
 }
 
 
