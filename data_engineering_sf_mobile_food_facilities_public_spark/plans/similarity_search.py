@@ -2640,3 +2640,94 @@ def embedding_decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame
 embedding_decontaminate_split.__doc__ = embedding_decontaminate_split.__doc__.format(
     ceil=_XSPLIT_CEIL
 )
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest neighbors across the even/odd vector split — the
+# batch-alignment primitive (MNN correction / translation-pair mining).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mutual_nearest_neighbors",
+    """
+    WITH e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    cand AS (
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cos_sim DESC, id_b) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY cos_sim DESC, id_a) AS rb
+        FROM cand
+    )
+    SELECT label, id_a, id_b, cos_sim
+    FROM ranked WHERE ra = 1 AND rb = 1
+    """,
+)
+def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors between the even- and odd-id halves of
+    the embedding corpus, within label cells: a pair survives only if
+    each side is the OTHER's top-1 by cosine.  MNN is the alignment
+    primitive of batch-effect correction (Haghverdi et al. 2018) and
+    bilingual lexicon mining (the CSLS/MNN family, Conneau et al.
+    2018, both public) — mutuality is what suppresses hub vectors
+    that are "everyone's neighbor".
+
+    Both directions rank the SAME candidate frame (one within-cell
+    equi-join), on the ROUNDED cosine with id tiebreaks — the
+    item_item ranking convention, so a rounding boundary can never
+    order the engines differently; zero-norm vectors are excluded
+    (cosine undefined, the blocked_pairs rule).
+
+    Scale shape: candidates come from the label-cell equi-join
+    (signatures of the SemDeDup shape — never an all-pairs scan);
+    the two rank windows partition by vector id, shuffling the
+    cell-bounded candidate relation, not the corpus; mutuality is a
+    filter, not a second join."""
+    from ..operators.similarity import stage_blocked
+
+    e = load(spark, sf_dir, "embeddings")
+    staged = stage_blocked(e, "label").filter(F.col("n") > 0)
+    a = staged.filter(F.col("id") % 2 == 0).select(
+        "block",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = staged.filter(F.col("id") % 2 == 1).select(
+        "block",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = a.join(b, "block").select(
+        F.col("block").alias("label"),
+        "id_a",
+        "id_b",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), "id_b")
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cos_sim"), "id_a")
+    return (
+        cand.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select("label", "id_a", "id_b", "cos_sim")
+    )

@@ -6636,3 +6636,128 @@ def rake_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood keyness — which words characterize each source
+# (the signed G^2 complement of vocab_psi / Burrows' Delta).
+# ---------------------------------------------------------------------------
+
+_KEYNESS_TOPK = 5
+
+
+@_register(
+    "dunning_llr_keyness",
+    _TOKENS_CTE
+    + f"""
+    , w AS (
+        SELECT d.source, u.w AS word
+        FROM tok t
+        JOIN documents d ON d.doc_id = t.doc_id,
+        unnest(list_filter(t.tokens, x -> x <> '')) AS u(w)
+    ),
+    sw AS (SELECT source, word, COUNT(*) AS a FROM w GROUP BY 1, 2),
+    stot AS (SELECT source, COUNT(*) AS n1 FROM w GROUP BY 1),
+    wtot AS (SELECT word, COUNT(*) AS cw FROM w GROUP BY 1),
+    ctot AS (SELECT COUNT(*) AS n FROM w),
+    scored AS (
+        SELECT sw.source, sw.word, sw.a, wtot.cw - sw.a AS b,
+               stot.n1, ctot.n - stot.n1 AS n2,
+               round(2 * (
+                   CASE WHEN sw.a > 0 THEN sw.a * ln(CAST(sw.a AS DOUBLE)
+                        / (CAST(stot.n1 AS DOUBLE) * wtot.cw / ctot.n))
+                        ELSE 0 END
+                   + CASE WHEN wtot.cw - sw.a > 0
+                          THEN (wtot.cw - sw.a)
+                               * ln(CAST(wtot.cw - sw.a AS DOUBLE)
+                                    / (CAST(ctot.n - stot.n1 AS DOUBLE)
+                                       * wtot.cw / ctot.n))
+                          ELSE 0 END), 6) AS g2,
+               CASE WHEN CAST(sw.a AS DOUBLE) * (ctot.n - stot.n1)
+                         > CAST(wtot.cw - sw.a AS DOUBLE) * stot.n1
+                    THEN 1 ELSE -1 END AS direction
+        FROM sw
+        JOIN stot ON stot.source = sw.source
+        JOIN wtot ON wtot.word = sw.word
+        CROSS JOIN ctot
+    )
+    SELECT source, word, CAST(a AS BIGINT) AS cnt_in,
+           CAST(b AS BIGINT) AS cnt_rest, g2,
+           CAST(direction AS INT) AS direction, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY g2 DESC, word) AS rnk
+          FROM scored)
+    WHERE rnk <= {_KEYNESS_TOPK}
+    """,
+)
+def dunning_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, public — the
+    corpus-linguistics standard for "which words CHARACTERIZE this
+    source vs the rest"): per (source, word), G^2 = 2[a ln(a/E_a) +
+    b ln(b/E_b)] over the word's in-source count a and rest-of-corpus
+    count b against their expected splits; top-5 per source, with the
+    overuse direction signed by the exact integer cross-multiplication
+    a*n2 > b*n1 (no frequency ratio float ever decides the sign).
+    Complements vocab_psi (distribution drift) and Burrows' Delta
+    (stylometry): keyness names the WORDS responsible.
+
+    Portability: counts are integers, each G^2 term is one ln on an
+    integer-derived rational (the TF-IDF convention), zero-count terms
+    contribute exactly 0 on both engines, and ranking runs over the
+    ROUNDED score with the word tiebreak.
+
+    Scale shape: one tokenize-explode scan; three grouped contractions
+    (source-word, source, word) of which two are dim-sized; the corpus
+    total is a 1-row broadcast; the per-source top-k is a window over
+    the (source, word) contraction, never the token stream."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        F.explode(F.filter(TX.tokens("text"), lambda x: x != "")).alias("word"),
+    )
+    sw = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+    stot = w.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    wtot = w.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    ctot = w.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        sw.join(F.broadcast(stot), "source")
+        .join(wtot, "word")
+        .crossJoin(F.broadcast(ctot))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("cw") - F.col("a")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = (F.col("n") - F.col("n1")).cast("double")
+    t1 = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.log(a / (n1 * F.col("cw") / F.col("n"))),
+    ).otherwise(F.lit(0))
+    t2 = F.when(
+        F.col("cw") - F.col("a") > 0,
+        (F.col("cw") - F.col("a"))
+        * F.log(b / (n2 * F.col("cw") / F.col("n"))),
+    ).otherwise(F.lit(0))
+    scored = j.select(
+        "source",
+        "word",
+        F.col("a"),
+        (F.col("cw") - F.col("a")).alias("b"),
+        F.round(2 * (t1 + t2), 6).alias("g2"),
+        F.when(
+            a * (F.col("n") - F.col("n1")) > b * F.col("n1"), 1
+        ).otherwise(-1).alias("direction"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("g2"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _KEYNESS_TOPK)
+        .select(
+            "source",
+            "word",
+            F.col("a").cast("long").alias("cnt_in"),
+            F.col("b").cast("long").alias("cnt_rest"),
+            "g2",
+            F.col("direction").cast("int").alias("direction"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

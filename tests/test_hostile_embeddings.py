@@ -51,6 +51,11 @@ HOSTILE_EMBEDDINGS = [
 ]
 
 _EMBED_PANEL = [
+    # r11 MNN: zero vectors must drop from BOTH halves identically;
+    # identical/opposite vectors give cos exactly +/-1; labels whose
+    # even or odd half is empty must emit no candidates on either
+    # engine; mutuality ties break on the rounded cosine + id
+    "mutual_nearest_neighbors",
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "binary_quantize_hamming_topk",

@@ -219,6 +219,10 @@ _HOSTILE_PANEL = [
     # phrases; the decimal word-score rounding must agree before the
     # phrase sum on both engines
     "rake_keywords_by_source",
+    # r11 keyness: empty/whitespace-only docs contribute no tokens; a
+    # word confined to ONE source has b = 0 (term contributes exactly
+    # 0); the integer cross-multiplied direction sign must agree
+    "dunning_llr_keyness",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",

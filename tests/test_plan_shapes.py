@@ -302,6 +302,10 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row calendar-bounds broadcast (day0 + span) onto the scan
     # and onto the |types| fold frame (the water-filling pattern)
     "croston_intermittent_demand",
+    # r11: 1-row corpus-token-total broadcast onto the (source, word)
+    # contraction for the G^2 expectations (the bm25 corpus-stats
+    # pattern)
+    "dunning_llr_keyness",
 }
 
 
