@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (130
+# continuation of the never-driver-verified oracle-paired set (131
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -152,6 +152,7 @@ _PANEL_NEXT_CANDIDATES = [
     "croston_intermittent_demand",
     "dunning_llr_keyness",
     "mutual_nearest_neighbors",
+    "holt_winters_backtest_wape",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -11741,3 +11741,176 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("st.z") / F.nullif(F.col("st.p"), F.lit(0.0)), 6
         ).alias("croston_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing — the weekly-seasonality
+# member of the backtest family (seasonal_naive -> holt_linear -> HW).
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_CUT = "1998-01-01"
+_HW_HORIZON = 7
+_HW_PERIOD = 7
+
+
+def _hw_slot_case(prefix: str, t_expr: str) -> str:
+    """CASE picking the seasonal component for slot t_expr % 7."""
+    whens = " ".join(
+        f"WHEN {i} THEN {prefix}s{i}" for i in range(_HW_PERIOD)
+    )
+    return f"(CASE ({t_expr}) % {_HW_PERIOD} {whens} END)"
+
+
+def _hw_updates(acc: str, y: str) -> dict:
+    """The shared IEEE expression texts for one Holt-Winters step
+    (zero-initialized seasonals; slot = processed-count % 7), used
+    verbatim by BOTH the Spark fold and the DuckDB recursion so the
+    engines execute the identical arithmetic."""
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    sslot = _hw_slot_case(f"{acc}.", f"{acc}.t")
+    lnew = f"({a} * ({y} - {sslot}) + {1 - a} * ({acc}.l + {acc}.b))"
+    bnew = f"({b} * ({lnew} - {acc}.l) + {1 - b} * {acc}.b)"
+    snew = {
+        i: (
+            f"CASE WHEN ({acc}.t) % {_HW_PERIOD} = {i} "
+            f"THEN {g} * ({y} - {lnew}) + {1 - g} * {acc}.s{i} "
+            f"ELSE {acc}.s{i} END"
+        )
+        for i in range(_HW_PERIOD)
+    }
+    return {"lnew": lnew, "bnew": bnew, "snew": snew}
+
+
+def _hw_oracle_sql() -> str:
+    u = _hw_updates("r", "s.rev")
+    s_first = ", ".join(f"CAST(0.0 AS DOUBLE)" for _ in range(_HW_PERIOD))
+    s_step = ",\n               ".join(
+        u["snew"][i] for i in range(_HW_PERIOD)
+    )
+    s_cols = ", ".join(f"s{i}" for i in range(_HW_PERIOD))
+    fslot = _hw_slot_case("st.", f"st.t + t.h - 1")
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, rev, ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily WHERE d < DATE '{_HW_CUT}'
+    ),
+    rec(rn, l, b, {s_cols}, t) AS (
+        SELECT rn, rev, CAST(0.0 AS DOUBLE), {s_first}, 1
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn,
+               {u["lnew"]},
+               {u["bnew"]},
+               {s_step},
+               r.t + 1
+        FROM rec r JOIN seq s ON s.rn = r.rn + 1
+    ),
+    st AS (
+        SELECT * FROM rec WHERE rn = (SELECT MAX(rn) FROM seq)
+    ),
+    test AS (
+        SELECT d, rev, (d - DATE '{_HW_CUT}') + 1 AS h
+        FROM daily
+        WHERE d >= DATE '{_HW_CUT}'
+          AND d < DATE '{_HW_CUT}' + INTERVAL {_HW_HORIZON} DAY
+    ),
+    scored AS (
+        SELECT t.rev AS actual,
+               st.l + t.h * st.b + {fslot} AS forecast
+        FROM test t CROSS JOIN st
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CASE WHEN SUM(CAST(abs(actual) AS DECIMAL(18,6))) <> 0
+                THEN round(CAST(SUM(CAST(abs(actual - forecast)
+                                         AS DECIMAL(18,6))) AS DOUBLE)
+                           / CAST(SUM(CAST(abs(actual) AS DECIMAL(18,6)))
+                                  AS DOUBLE), 6) + 0
+                ELSE NULL END AS wape
+    FROM scored
+    """
+
+
+@_register("holt_winters_backtest_wape", _hw_oracle_sql())
+def holt_winters_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing backtest (Winters 1960,
+    public), weekly period 7, zero-initialized seasonals: level/trend/
+    seasonal recursions on the pre-cut daily revenue, forecast
+    level + h*trend + s[slot] for the next 7 days, WAPE-scored — the
+    seasonality-aware member completing seasonal_naive (pure season,
+    no smoothing) and holt_linear (smoothing, no season).
+
+    Cross-engine exactness: the seasonal state is SEVEN scalar struct
+    fields (s0..s6), never an array — the update CASEs are generated
+    ONCE (_hw_updates) and pasted verbatim into both the Spark
+    ``aggregate`` fold and the oracle's recursive CTE, so the engines
+    execute the identical IEEE expression tree step for step (the
+    holt_linear convention, extended to 9-field state).
+
+    Scale shape: one fact contraction to the day spine; the fold's
+    array is calendar-bounded; the 1-row fitted state broadcasts onto
+    the 7-day test frame."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    cut = F.lit(_HW_CUT).cast("date")
+    train = daily.filter(F.col("d") < cut)
+    u = _hw_updates("acc", "x.rev")
+    s_init = ", ".join(
+        f"'s{i}', CAST(0.0 AS DOUBLE)" for i in range(_HW_PERIOD)
+    )
+    s_seed = ", ".join(f"'s{i}', acc.s{i}" for i in range(_HW_PERIOD))
+    s_step = ", ".join(
+        f"'s{i}', {u['snew'][i]}" for i in range(_HW_PERIOD)
+    )
+    state = train.agg(
+        F.expr(
+            f"""
+            aggregate(
+              array_sort(collect_list(struct(d, rev))),
+              named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+                           {s_init}, 't', 0),
+              (acc, x) -> IF(acc.t = 0,
+                named_struct('l', x.rev, 'b', CAST(0.0 AS DOUBLE),
+                             {s_seed}, 't', 1),
+                named_struct('l', {u["lnew"]}, 'b', {u["bnew"]},
+                             {s_step}, 't', acc.t + 1)))
+            """
+        ).alias("st")
+    ).select("st.*")
+    test = daily.filter(
+        (F.col("d") >= cut) & (F.col("d") < F.date_add(cut, _HW_HORIZON))
+    ).select("d", "rev", (F.datediff(F.col("d"), cut) + 1).alias("h"))
+    fslot = _hw_slot_case("", "t + h - 1")
+    scored = test.crossJoin(F.broadcast(state)).select(
+        F.col("rev").alias("actual"),
+        F.expr(f"l + h * b + {fslot}").alias("forecast"),
+    )
+    abs_err = F.abs(F.col("actual") - F.col("forecast")).cast("decimal(18,6)")
+    abs_act = F.abs(F.col("actual")).cast("decimal(18,6)")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.when(
+                F.sum(abs_act) != 0,
+                F.round(
+                    F.sum(abs_err).cast("double") / F.sum(abs_act).cast("double"),
+                    6,
+                )
+                + 0,
+            ).otherwise(F.lit(None))
+        ).alias("wape"),
+    )

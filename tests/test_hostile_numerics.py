@@ -60,6 +60,11 @@ _NUMERIC_PANEL = [
     # pure orderkey tiebreak, and singleton priority groups take the
     # pooled-median branch — both must map identically on both engines
     "quantile_normalize_prices",
+    # r11 Holt-Winters: the hostile corpus is a SHORT pre-cut series
+    # (seasonal slots only partially visited) with an EMPTY test window
+    # -> n_days = 0 and NULL wape must agree; all-equal and zero
+    # revenue days keep the recursion exactly flat on both engines
+    "holt_winters_backtest_wape",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

@@ -217,6 +217,8 @@ _NESTED_LOOP_ALLOWED = {
     # r9: 1-row (level, trend) smoothing state broadcast onto the
     # 7-row test window (Q15/Q22 scalar pattern)
     "holt_linear_backtest_wape",
+    # r11: the same pattern with the 9-field Holt-Winters state
+    "holt_winters_backtest_wape",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
