@@ -11914,3 +11914,208 @@ def holt_winters_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(None))
         ).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal precedence matrix — which event type a user reaches FIRST
+# (the non-adjacent complement of event_type_transitions).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "temporal_precedence_pairs",
+    """
+    WITH firsts AS (
+        SELECT user_id, event_type, ts AS fts, event_id AS fid
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN a.fts < b.fts
+                         OR (a.fts = b.fts AND a.fid < b.fid)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_a_first,
+           round(CAST(SUM(CASE WHEN a.fts < b.fts
+                               OR (a.fts = b.fts AND a.fid < b.fid)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_a_first
+    FROM firsts a JOIN firsts b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def temporal_precedence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal precedence matrix: for each unordered event-type pair,
+    among users who emitted BOTH, how often does type A's FIRST
+    occurrence precede type B's (first-passage ordering — the
+    process-mining "eventually-follows" relation, van der Aalst,
+    public)?  Complements ``event_type_transitions``: transitions see
+    ADJACENT steps, precedence sees lifecycle order regardless of what
+    happened in between (signup-before-purchase holds even when 40
+    clicks separate them).
+
+    Ties on the first-occurrence timestamp break on event_id — the
+    engine's total-order rule — so the integer counts are exact on
+    both engines; the only float is the final ratio, rounded at the
+    edge.
+
+    Scale shape: one per-(user, type) ROW_NUMBER window (user-bounded
+    partitions) contracts the fact table to <= |users| x |types| first
+    rows; the pair join is a per-user self-join bounded by |types|^2
+    per user (dim-squared fanout, linear in users); the output is the
+    |types| choose 2 matrix."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("fts"),
+            F.col("event_id").alias("fid"),
+        )
+    )
+    a = firsts.alias("a")
+    b = firsts.alias("b")
+    a_first = (
+        (F.col("a.fts") < F.col("b.fts"))
+        | ((F.col("a.fts") == F.col("b.fts")) & (F.col("a.fid") < F.col("b.fid")))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.sum(a_first).cast("long").alias("n_a_first"),
+            F.round(
+                F.sum(a_first).cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_a_first"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation — top-down proportional coherence
+# across the nation -> region hierarchy (Hyndman et al.).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hierarchical_forecast_reconciliation",
+    """
+    WITH m AS (
+        SELECT r.r_name, n.n_name,
+               date_trunc('month', o.o_orderdate) AS mon,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    ),
+    lastm AS (SELECT MAX(mon) AS lm FROM m),
+    nl AS (
+        SELECT r_name, n_name, cents AS last_cents
+        FROM m, lastm WHERE mon = lm
+    ),
+    rl AS (SELECT r_name, SUM(last_cents) AS r_last FROM nl GROUP BY 1),
+    r3 AS (
+        SELECT m.r_name,
+               SUM(m.cents) AS s3,
+               COUNT(DISTINCT m.mon) AS k3
+        FROM m, lastm
+        WHERE m.mon >= lm - INTERVAL 2 MONTH
+        GROUP BY m.r_name
+    )
+    SELECT nl.n_name, nl.r_name,
+           round(nl.last_cents / 100.0, 6) AS base_forecast,
+           round((CAST(r3.s3 AS DOUBLE) / r3.k3 / 100.0)
+                 * (CAST(nl.last_cents AS DOUBLE) / NULLIF(rl.r_last, 0)),
+                 6) AS reconciled_forecast,
+           round(CAST(r3.s3 AS DOUBLE) / r3.k3 / 100.0, 6)
+               AS region_forecast
+    FROM nl
+    JOIN rl ON rl.r_name = nl.r_name
+    JOIN r3 ON r3.r_name = nl.r_name
+    """,
+)
+def hierarchical_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-down proportional forecast reconciliation over the nation ->
+    region hierarchy (Hyndman et al. 2011's historical-proportions
+    method, public): the nation-level base forecast is last month's
+    value (naive), the region-level forecast is the 3-month average —
+    two METHODS that disagree in aggregate — and reconciliation
+    distributes the region forecast over nations by their last-month
+    revenue shares, restoring coherence (reconciled nations sum to
+    their region's forecast, up to the edge rounding; pinned by test).
+
+    Exactness: revenue rides as integer cents; shares are one double
+    division on integer operands; the region average divides an exact
+    integer 3-month sum by the distinct-month count.  Zero-revenue
+    regions propagate NULL (NULLIF) rather than inventing shares.
+
+    Scale shape: one fact contraction to (region, nation, month); the
+    last-month scalar is a 1-row broadcast; everything downstream is
+    hierarchy-sized."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    lastm = m.agg(F.max("mon").alias("lm"))
+    nl = (
+        m.crossJoin(F.broadcast(lastm))
+        .filter(F.col("mon") == F.col("lm"))
+        .select("r_name", "n_name", F.col("cents").alias("last_cents"))
+    )
+    rl = nl.groupBy("r_name").agg(F.sum("last_cents").alias("r_last"))
+    r3 = (
+        m.crossJoin(F.broadcast(lastm))
+        .filter(F.col("mon") >= F.expr("lm - INTERVAL 2 MONTH"))
+        .groupBy("r_name")
+        .agg(
+            F.sum("cents").alias("s3"),
+            F.countDistinct("mon").alias("k3"),
+        )
+    )
+    region_fc = F.col("s3").cast("double") / F.col("k3") / 100.0
+    share = F.col("last_cents").cast("double") / F.nullif(
+        F.col("r_last"), F.lit(0)
+    )
+    return (
+        nl.join(F.broadcast(rl), "r_name")
+        .join(F.broadcast(r3), "r_name")
+        .select(
+            "n_name",
+            "r_name",
+            F.round(F.col("last_cents") / 100.0, 6).alias("base_forecast"),
+            F.round(region_fc * share, 6).alias("reconciled_forecast"),
+            F.round(region_fc, 6).alias("region_forecast"),
+        )
+    )

@@ -81,6 +81,10 @@ _EVENT_PANEL = [
     # advance across zero-fill identically; types seen on a single day
     # stay at their seed (z = d, p = first gap) on both engines
     "croston_intermittent_demand",
+    # r11 precedence: user 1's five same-instant events make EVERY
+    # first-occurrence comparison a pure event_id tiebreak; singleton
+    # users contribute to no pair
+    "temporal_precedence_pairs",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

@@ -219,6 +219,8 @@ _NESTED_LOOP_ALLOWED = {
     "holt_linear_backtest_wape",
     # r11: the same pattern with the 9-field Holt-Winters state
     "holt_winters_backtest_wape",
+    # r11: 1-row last-month scalar broadcast onto the hierarchy frame
+    "hierarchical_forecast_reconciliation",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection

@@ -1321,3 +1321,26 @@ def test_markov_removal_effects_nonnegative_and_shares_normalize(spark):
     shares = [r.attribution_share for r in rows if r.attribution_share is not None]
     if shares:
         assert abs(sum(shares) - 1.0) <= 4 * 0.5e-6
+
+
+def test_reconciled_forecasts_cohere_per_region(spark):
+    # Top-down reconciliation's whole point: reconciled nation
+    # forecasts sum to their region's forecast (each nation rounded at
+    # 6dp -> tolerance n_nations * 0.5e-6).
+    from collections import defaultdict
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        hierarchical_forecast_reconciliation,
+    )
+
+    rows = hierarchical_forecast_reconciliation(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_region = defaultdict(list)
+    region_fc = {}
+    for r in rows:
+        by_region[r.r_name].append(r.reconciled_forecast)
+        region_fc[r.r_name] = r.region_forecast
+    assert by_region
+    for reg, vals in by_region.items():
+        assert abs(sum(vals) - region_fc[reg]) <= (len(vals) + 1) * 0.5e-6, reg
