@@ -3823,95 +3823,6 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Kolmogorov-Smirnov statistic — max CDF gap, exact integer fractions.
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "ks_statistic_price_halves",
-    """
-    WITH assigned AS (
-        SELECT o_totalprice AS x,
-               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
-               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-    ),
-    stepped AS (
-        SELECT x,
-               SUM(SUM(is1)) OVER (ORDER BY x
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-               SUM(SUM(is2)) OVER (ORDER BY x
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
-               SUM(SUM(is1)) OVER () AS n1,
-               SUM(SUM(is2)) OVER () AS n2
-        FROM assigned GROUP BY x
-    )
-    SELECT round(MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)), 6)
-             AS ks_stat,
-           CAST(any_value(n1) AS BIGINT) AS n1,
-           CAST(any_value(n2) AS BIGINT) AS n2
-    FROM stepped
-    """,
-)
-def ks_statistic_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov statistic between the halves of
-    1996: group by distinct price (ties collapse), running counts per
-    sample over the value order, and the max |CDF1 - CDF2| — all
-    integer counts until the final exact divisions, so the statistic is
-    bit-stable.  The nonparametric cousin of PSI for drift detection.
-
-    Scale shape: both cumulative counters run through
-    :func:`grouped_running_sum` with a constant group key — the
-    two-pass range-partition decomposition — so NO single-task global
-    window touches the distinct-value set (at 100 TB the distinct
-    prices alone can be billions of rows).  The sample totals enter as
-    a broadcast 1-row aggregate (the Q15 scalar pattern), not a
-    partition-less window."""
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    assigned = o.select(
-        F.col("o_totalprice").alias("x"),
-        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
-        .otherwise(0)
-        .alias("is1"),
-        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
-        .otherwise(1)
-        .alias("is2"),
-    )
-    per_x = assigned.groupBy("x").agg(
-        F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
-    )
-    totals = per_x.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
-    stepped = grouped_running_sum(
-        per_x.withColumn("__one", F.lit(1)),
-        "__one",
-        ["x"],
-        ["d1", "d2"],
-        out_col=["c1", "c2"],
-    )
-    return (
-        stepped.crossJoin(F.broadcast(totals))
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("c1").cast("double") / F.col("n1")
-                        - F.col("c2").cast("double") / F.col("n2")
-                    )
-                ),
-                6,
-            ).alias("ks_stat"),
-            F.first("n1").cast("long").alias("n1"),
-            F.first("n2").cast("long").alias("n2"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # OHLC hypertable rollup — open/high/low/close per (event_type, hour).
 # ---------------------------------------------------------------------------
 
