@@ -12030,3 +12030,250 @@ def hierarchical_forecast_reconciliation(
             F.round(region_fc, 6).alias("region_forecast"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramer-von Mises two-sample statistic — the INTEGRATED ECDF-gap
+# companion of the KS max-gap, on the same 1996-halves split.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cramer_von_mises_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, SUM(is1) AS d1, SUM(is2) AS d2 FROM assigned GROUP BY x
+    ),
+    stepped AS (
+        SELECT d1, d2,
+            SUM(d1) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+            SUM(d2) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        FROM per_x
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+        FROM per_x
+    ),
+    m AS (
+        SELECT SUM(CAST(d1 + d2 AS HUGEINT)
+                   * (CAST(c1 AS HUGEINT) * t.n2 - CAST(c2 AS HUGEINT) * t.n1)
+                   * (CAST(c1 AS HUGEINT) * t.n2 - CAST(c2 AS HUGEINT) * t.n1))
+                   AS num,
+               any_value(t.n1) AS n1, any_value(t.n2) AS n2
+        FROM stepped CROSS JOIN tot t
+    )
+    SELECT n1, n2,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2
+                    * (CAST(n1 AS DOUBLE) + n2)
+                    * (CAST(n1 AS DOUBLE) + n2)), 6) AS cvm_t
+    FROM m
+    """,
+)
+def cramer_von_mises_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic on the 1996 halves: T =
+    sum over all observations of (F1 - F2)^2, scaled by n1*n2/N^2 —
+    the INTEGRATED ECDF-gap test beside KS's max gap (Anderson 1962,
+    public; KS is blind to many small gaps, CvM accumulates them — a
+    drift gate runs both).
+
+    Exactness: with F1 - F2 = (c1*n2 - c2*n1)/(n1*n2), T reduces to
+    sum_j m_j * dev_j^2 / (n1 * n2 * N^2) where dev_j and the
+    multiplicity m_j are INTEGERS per distinct value — the whole
+    numerator accumulates in exact wide integers (DECIMAL(38,0) /
+    HUGEINT) and only the final division is a double.  (The wide
+    accumulator bounds the numerator at ~10^38 — beyond ~10^12-row
+    samples normalize the deviation first; documented, not hit at any
+    test SF.)
+
+    Scale shape: identical to :func:`ks_statistic_price_halves` — tie
+    collapse, BOTH counters from one grouped_running_sum two-pass
+    decomposition, 1-row totals broadcast."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("is2"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
+    )
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["d1", "d2"],
+        out_col=["c1", "c2"],
+    )
+    tot = per_x.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    dev = (
+        F.col("c1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+    )
+    m = (
+        stepped.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            ((F.col("d1") + F.col("d2")).cast("decimal(38,0)") * dev * dev)
+            .alias("term"),
+        )
+        .agg(
+            F.sum("term").alias("num"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(
+            F.col("num").cast("double")
+            / (n1d * n2d * (n1d + n2d) * (n1d + n2d)),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank ANOVA — the nonparametric sibling of anova_f,
+# tie-corrected, on doubled integer average ranks.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kruskal_wallis_price_by_priority",
+    """
+    WITH per_v AS (
+        SELECT o_totalprice AS x, o_orderpriority AS g, COUNT(*) AS d
+        FROM orders GROUP BY 1, 2
+    ),
+    per_x AS (SELECT x, SUM(d) AS m FROM per_v GROUP BY x),
+    stepped AS (
+        SELECT x, m,
+            SUM(m) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+        FROM per_x
+    ),
+    avg2 AS (
+        SELECT x, m, 2 * (call - m) + m + 1 AS r2 FROM stepped
+    ),
+    grp AS (
+        SELECT v.g,
+               SUM(CAST(v.d AS HUGEINT) * a.r2) AS s2,
+               SUM(v.d) AS ng
+        FROM per_v v JOIN avg2 a ON a.x = v.x
+        GROUP BY v.g
+    ),
+    ties AS (
+        SELECT SUM(CAST(m AS HUGEINT) * m * m - m) AS t3t,
+               CAST(SUM(m) AS BIGINT) AS n
+        FROM per_x
+    ),
+    hsum AS (
+        SELECT SUM(CAST(s2 AS DOUBLE) * s2 / ng) AS q,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM grp
+    )
+    SELECT t.n, h.k,
+           round(3.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * h.q
+                 - 3.0 * (t.n + 1), 6) AS h_stat,
+           round((3.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * h.q
+                  - 3.0 * (t.n + 1))
+                 / (1 - CAST(t.t3t AS DOUBLE)
+                        / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6)
+               AS h_corrected
+    FROM ties t CROSS JOIN hsum h
+    """,
+)
+def kruskal_wallis_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA of order value across the five
+    priority classes (Kruskal & Wallis 1952, public) — the
+    nonparametric sibling of ``anova_f_price_by_priority``: H from
+    per-group rank sums, then the standard tie correction
+    1 - sum(t^3 - t)/(N^3 - N).
+
+    Exactness: tied ranks are AVERAGE ranks, which are half-integers —
+    so everything runs on DOUBLED ranks: r2 = 2*(prefix before the
+    value) + m + 1 is an exact integer per distinct value, per-group
+    rank sums S2 accumulate in wide integers, and H = 3/(N(N+1)) *
+    sum(S2_g^2/n_g) - 3(N+1) algebraically absorbs the /2 (12/4 = 3).
+    No float enters until the final H expression.
+
+    Scale shape: the distinct-value prefix count comes from the same
+    grouped_running_sum two-pass decomposition as KS/CvM; the rank
+    attach is an equi-join on the distinct value; group state is
+    |priorities|-sized; ties and totals ride 1-row broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    per_v = o.groupBy(
+        F.col("o_totalprice").alias("x"), F.col("o_orderpriority").alias("g")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    per_x = per_v.groupBy("x").agg(F.sum("d").alias("m"))
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        "m",
+        out_col="call",
+    )
+    avg2 = stepped.select(
+        "x", "m", (2 * (F.col("call") - F.col("m")) + F.col("m") + 1).alias("r2")
+    )
+    grp = (
+        per_v.join(avg2.select("x", "r2"), "x")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("r2")).alias("s2"),
+            F.sum("d").alias("ng"),
+        )
+    )
+    ties = per_x.agg(
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m")
+            - F.col("m")
+        ).alias("t3t"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    hsum = grp.agg(
+        F.sum(
+            F.col("s2").cast("double") * F.col("s2").cast("double")
+            / F.col("ng")
+        ).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    h = 3.0 / (nd * (F.col("n") + 1)) * F.col("q") - 3.0 * (F.col("n") + 1)
+    corr = 1 - F.col("t3t").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return (
+        ties.crossJoin(F.broadcast(hsum))
+        .select(
+            F.col("n"),
+            F.col("k"),
+            F.round(h, 6).alias("h_stat"),
+            F.round(h / corr, 6).alias("h_corrected"),
+        )
+    )

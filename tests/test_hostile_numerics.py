@@ -65,6 +65,11 @@ _NUMERIC_PANEL = [
     # -> n_days = 0 and NULL wape must agree; all-equal and zero
     # revenue days keep the recursion exactly flat on both engines
     "holt_winters_backtest_wape",
+    # r11 CvM + Kruskal-Wallis: the all-equal price block is one giant
+    # tie (the tie-corrected denominator and the doubled average rank
+    # must agree exactly); zero/negative prices order identically
+    "cramer_von_mises_price_halves",
+    "kruskal_wallis_price_by_priority",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

@@ -221,6 +221,11 @@ _NESTED_LOOP_ALLOWED = {
     "holt_winters_backtest_wape",
     # r11: 1-row last-month scalar broadcast onto the hierarchy frame
     "hierarchical_forecast_reconciliation",
+    # r11: 1-row (n1, n2) totals broadcast onto the stepped relation
+    # (the ks_statistic pattern, integrated variant)
+    "cramer_von_mises_price_halves",
+    # r11: 1-row tie-term x 1-row rank-sum scalar combine
+    "kruskal_wallis_price_by_priority",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
