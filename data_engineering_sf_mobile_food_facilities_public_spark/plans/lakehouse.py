@@ -842,3 +842,192 @@ def rendezvous_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(moved).cast("double") / F.count(F.lit(1)), 6) + 0.0
         ).alias("moved_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector compaction audit — merge-on-read bookkeeping: which
+# files have soaked up enough deletes that rewriting beats masking.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "deletion_vector_compaction_audit",
+    """
+    WITH filed AS (
+        SELECT o_orderkey // 4096 AS file_id,
+               CASE WHEN CAST(('0x' || substr(md5('dv' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                        % 100 < 17
+                    THEN 1 ELSE 0 END AS deleted
+        FROM orders
+    ),
+    per_file AS (
+        SELECT file_id, COUNT(*) AS n_rows,
+               SUM(deleted) AS n_deleted
+        FROM filed GROUP BY file_id
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_deleted AS BIGINT) AS n_deleted,
+           round(CAST(n_deleted AS DOUBLE) / n_rows, 6) AS dv_density,
+           CAST(CASE WHEN 5 * n_deleted >= n_rows THEN 1 ELSE 0 END
+                AS INT) AS rewrite_recommended
+    FROM per_file
+    """,
+)
+def deletion_vector_compaction_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read deletion-vector bookkeeping (the Delta/Iceberg v2
+    position-delete model, public): rows map to 4096-row files by key
+    range, a replayable md5 draw marks ~17% as soft-deleted, and the
+    audit reports each file's deletion-vector density plus the
+    compaction verdict — rewrite when deletes reach 20% of the file,
+    evaluated as the ALL-INTEGER 5*n_deleted >= n_rows so no float
+    threshold can flip a file between engines.
+
+    This is the maintenance query a lakehouse table service runs to
+    pick OPTIMIZE targets: merge-on-read keeps writes cheap by masking
+    rows at scan time, but every masked row is read-side tax forever —
+    the density audit is what converts that tax back into a bounded
+    rewrite (the copy-on-write/merge-on-read tradeoff).
+
+    Scale shape: one scan, one grouped integer aggregate on the
+    file-id contraction (map-side partials) — the same shape the real
+    manifest-level audit has, where n_rows/n_deleted come from file
+    footers instead of a scan."""
+    o = load(spark, sf_dir, "orders")
+    deleted = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("dv"), F.col("o_orderkey").cast("string"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 17,
+            1,
+        ).otherwise(0)
+    )
+    per_file = (
+        o.select(
+            F.expr("o_orderkey div 4096").alias("file_id"),
+            deleted.alias("deleted"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("deleted").alias("n_deleted"),
+        )
+    )
+    return per_file.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_deleted").cast("long").alias("n_deleted"),
+        F.round(F.col("n_deleted").cast("double") / F.col("n_rows"), 6).alias(
+            "dv_density"
+        ),
+        F.when(5 * F.col("n_deleted") >= F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rewrite_recommended"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder apportionment — exact integer allocation of a fixed
+# budget by revenue share (quota methods, no float rounding drift).
+# ---------------------------------------------------------------------------
+
+_APPORTION_SEATS = 1000
+
+
+@_register(
+    "largest_remainder_apportionment",
+    f"""
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(cents) AS t FROM rev),
+    quota AS (
+        SELECT n_name, cents,
+               (cents * {_APPORTION_SEATS}) // t AS floor_seats,
+               (cents * {_APPORTION_SEATS}) % t AS remainder
+        FROM rev, tot
+    ),
+    short AS (
+        SELECT {_APPORTION_SEATS} - SUM(floor_seats) AS k FROM quota
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, n_name) AS rnk
+        FROM quota
+    )
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(floor_seats + CASE WHEN rnk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM ranked, short
+    """,
+)
+def largest_remainder_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton/Hare) apportionment of a fixed
+    1000-unit budget across nations by revenue share — the exact
+    integer allocation primitive behind quota sampling, budget splits
+    and proportional shard counts (public electoral method).  Every
+    quantity is integer: quotas are cents*SEATS div total with integer
+    remainders, the shortfall k = SEATS - sum(floors), and the k
+    largest remainders (nation-name tiebreak) get +1.  Seats sum to
+    EXACTLY the budget by construction — no float-share rounding
+    drift, ever (the property test pins it).
+
+    Scale shape: one fact contraction to |nations| rows; the total and
+    shortfall are 1-row broadcasts; the remainder rank is a window
+    over the dim-sized frame."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr(f"(cents * {_APPORTION_SEATS}) div t").alias("floor_seats"),
+        ((F.col("cents") * _APPORTION_SEATS) % F.col("t")).alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(_APPORTION_SEATS) - F.sum("floor_seats")).alias("k")
+    )
+    w = Window.orderBy(F.desc("remainder"), "n_name")
+    ranked = quota.withColumn("rnk", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "n_name",
+        F.col("cents").cast("long").alias("cents"),
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )

@@ -226,6 +226,9 @@ _NESTED_LOOP_ALLOWED = {
     "cramer_von_mises_price_halves",
     # r11: 1-row tie-term x 1-row rank-sum scalar combine
     "kruskal_wallis_price_by_priority",
+    # r11: 1-row revenue-total + 1-row seat-shortfall broadcasts onto
+    # the |nations| quota frame
+    "largest_remainder_apportionment",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection

@@ -1344,3 +1344,16 @@ def test_reconciled_forecasts_cohere_per_region(spark):
     assert by_region
     for reg, vals in by_region.items():
         assert abs(sum(vals) - region_fc[reg]) <= (len(vals) + 1) * 0.5e-6, reg
+
+
+def test_apportionment_seats_sum_exactly_to_budget(spark):
+    # Largest remainder's defining property: integer seats sum to the
+    # exact budget at every scale, no float drift.
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.lakehouse import (
+        largest_remainder_apportionment,
+    )
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        rows = largest_remainder_apportionment(spark, sf).collect()
+        assert sum(r.seats for r in rows) == 1000, sf
+        assert all(r.seats >= 0 for r in rows)
