@@ -2731,3 +2731,150 @@ def mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ra") == 1) & (F.col("rb") == 1))
         .select("label", "id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-means, fixed unrolled iterations — the oracle-paired twin of
+# the rows-only IVF tier (pyspark.ml KMeans is seed/impl-dependent;
+# this one is bit-deterministic by construction).
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd iterations as generated MATERIALIZED CTEs: exact
+    DECIMAL distances (diff re-cast to DECIMAL(18,9) before squaring so
+    both engines keep precision 37/18 products), double-rounded
+    centroid means (one division, round 9)."""
+    steps = []
+    prev = "c0"
+    for t in range(_KM_ITERS):
+        steps.append(f"""
+    d{t} AS MATERIALIZED (
+        SELECT id, cluster, dist, ROW_NUMBER() OVER (
+            PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM (
+            SELECT b.id, c.cluster,
+                   SUM(CAST(CAST(b.x - c.c AS DECIMAL(18,9))
+                            * CAST(b.x - c.c AS DECIMAL(18,9))
+                            AS DECIMAL(37,18))) AS dist
+            FROM base b JOIN {prev} c ON c.pos = b.pos
+            GROUP BY b.id, c.cluster
+        )
+    ),
+    a{t} AS MATERIALIZED (
+        SELECT id, cluster, dist FROM d{t} WHERE rn = 1
+    ),
+    c{t + 1} AS MATERIALIZED (
+        SELECT a.cluster, b.pos,
+               CAST(round(CAST(SUM(b.x) AS DOUBLE) / COUNT(*), 9)
+                    AS DECIMAL(18,9)) AS c
+        FROM base b JOIN a{t} a ON a.id = b.id
+        GROUP BY a.cluster, b.pos
+    )""")
+        prev = f"c{t + 1}"
+    last_a = f"a{_KM_ITERS - 1}"
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id AS id, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM (SELECT DISTINCT vec_id FROM embeddings
+              ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS MATERIALIZED (
+        SELECT s.cluster, b.pos, b.x AS c
+        FROM seeds s JOIN base b ON b.id = s.vec_id
+    ),{",".join(steps)}
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(dist) AS DOUBLE), 6) AS inertia
+    FROM {last_a}
+    GROUP BY cluster
+    """
+
+
+@_register("kmeans_fixed_iterations_exact", _kmeans_oracle_sql())
+def kmeans_fixed_iterations_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k = 4), THREE unrolled iterations, seeded by
+    the 4 smallest vec_ids — the bit-deterministic, oracle-paired twin
+    of the rows-only IVF tier (pyspark.ml's KMeans varies with seed
+    and implementation; SURVEY's rows-only ledger documents that
+    obstruction — this query removes it by pinning seeds, iteration
+    count, and every numeric boundary).
+
+    Numeric discipline: squared-L2 distances are FULLY EXACT — the
+    component difference re-casts to DECIMAL(18,9) before squaring
+    (keeping the product at precision 37, scale 18 on BOTH engines —
+    Spark would otherwise shrink the scale of a 19,9 x 19,9 product)
+    and sums stay in DECIMAL, so the argmin ordering is exact and the
+    (dist, cluster) tiebreak is engine-independent; centroid means are
+    the single allowed double division, rounded to 9 and re-cast.
+    Empty clusters simply drop their centroid rows (both engines
+    agree by join semantics).
+
+    Scale shape: the per-iteration work is one (id, pos) x (cluster,
+    pos) equi-join producing K rows per vector-dimension, contracted
+    map-side to K distances per vector — linear in the corpus with
+    dim-bounded fanout; centroids are (K x dim) frames; the rank
+    window partitions by vector id.  Three iterations = three bounded
+    shuffles, no loop-carried lineage (each step re-reads the exploded
+    base, which Catalyst reuses)."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x0"
+        ),
+    ).select("id", "pos", F.col("x0").cast("decimal(18,9)").alias("x"))
+    seeds = (
+        e.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id"),
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+        )
+    )
+    cent = (
+        seeds.join(base, seeds.vec_id == base.id)
+        .select("cluster", "pos", F.col("x").alias("c"))
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        diff = (F.col("x") - F.col("c")).cast("decimal(18,9)")
+        dists = (
+            base.join(cent, "pos")
+            .groupBy("id", "cluster")
+            .agg(
+                F.sum((diff * diff).cast("decimal(37,18)")).alias("dist")
+            )
+        )
+        w = Window.partitionBy("id").orderBy("dist", "cluster")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "cluster", "dist")
+        )
+        cent = (
+            base.join(assign.select("id", "cluster"), "id")
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 9)
+                .cast("decimal(18,9)")
+                .alias("c")
+            )
+        )
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("dist").cast("double"), 6).alias("inertia"),
+    )

@@ -56,6 +56,11 @@ _EMBED_PANEL = [
     # even or odd half is empty must emit no candidates on either
     # engine; mutuality ties break on the rounded cosine + id
     "mutual_nearest_neighbors",
+    # r11 exact k-means: the zero vector and duplicate vectors are
+    # legitimate members (L2 is defined everywhere); seeds pin to the
+    # 4 smallest ids; equidistant duplicates must tiebreak on cluster
+    # id identically through all 3 exact-DECIMAL iterations
+    "kmeans_fixed_iterations_exact",
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "binary_quantize_hamming_topk",
