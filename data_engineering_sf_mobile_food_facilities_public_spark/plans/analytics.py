@@ -12277,3 +12277,112 @@ def kruskal_wallis_price_by_priority(
             F.round(h / corr, 6).alias("h_corrected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient — do the part graph's hubs trade among
+# themselves? (the thresholded companion of degree assortativity).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rich_club_coefficient",
+    """
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS p, COUNT(*) AS d FROM sym GROUP BY u),
+    ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+    club AS (
+        SELECT ks.k, COUNT(*) AS n_k
+        FROM ks JOIN deg ON deg.d > ks.k
+        GROUP BY ks.k
+    ),
+    ek AS (
+        SELECT ks.k, COUNT(*) AS e_k
+        FROM ks
+        JOIN edges e ON TRUE
+        JOIN deg du ON du.p = e.u AND du.d > ks.k
+        JOIN deg dv ON dv.p = e.v AND dv.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT c.k AS k,
+           CAST(c.n_k AS BIGINT) AS n_nodes,
+           CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS n_edges,
+           CASE WHEN c.n_k >= 2
+                THEN round(2.0 * COALESCE(ek.e_k, 0)
+                           / (CAST(c.n_k AS DOUBLE) * (c.n_k - 1)), 6)
+                END AS phi
+    FROM club c LEFT JOIN ek ON ek.k = c.k
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the parts-bought-together graph (Zhou &
+    Mondragon 2004, public): for each degree threshold k, phi(k) =
+    2 E_k / (N_k (N_k - 1)) — the edge density among nodes of degree
+    > k.  Rising phi(k) means hubs preferentially connect to hubs (a
+    rich club); read alongside :func:`degree_assortativity_part_graph`
+    (one global correlation) as the thresholded PROFILE of the same
+    phenomenon.
+
+    Counts are exact integers; each density is one double division
+    rounded at the edge; clubs of fewer than 2 nodes emit NULL
+    (density undefined), never a fabricated 0.
+
+    Scale shape: the edge build is the shared basket self-join; the
+    degree attach is two broadcast joins against the dim-sized degree
+    table; the 5-threshold club membership is a deliberate
+    dim-broadcast (5 x |parts| predicate rows, data-size-independent
+    thresholds)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("p")).agg(F.count(F.lit(1)).alias("d"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 4, 8, 16, 32)])).alias("k")
+    )
+    club = (
+        ks.join(F.broadcast(deg), F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    ek = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_k").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("n_edges"),
+            F.when(
+                F.col("n_k") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("e_k"), F.lit(0))
+                    / (F.col("n_k").cast("double") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

@@ -6761,3 +6761,75 @@ def dunning_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 richness — how much vocabulary a source HASN'T shown yet
+# (the abundance-based companion of Good-Turing's unseen MASS).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "chao1_vocab_richness",
+    _TOKENS_CTE
+    + """
+    , w AS (
+        SELECT d.source, u.w AS word
+        FROM tok t
+        JOIN documents d ON d.doc_id = t.doc_id,
+        unnest(list_filter(t.tokens, x -> x <> '')) AS u(w)
+    ),
+    freq AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    spec AS (
+        SELECT source,
+               COUNT(*) AS s_obs,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM freq GROUP BY source
+    )
+    SELECT source,
+           CAST(s_obs AS BIGINT) AS s_obs,
+           CAST(f1 AS BIGINT) AS f1,
+           CAST(f2 AS BIGINT) AS f2,
+           round(s_obs + CASE WHEN f2 > 0
+                              THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                              ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END,
+                 6) AS chao1
+    FROM spec
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimator per source (Chao 1984, public — the
+    abundance-based lower bound on TOTAL vocabulary size, observed +
+    unseen): S_chao1 = S_obs + F1^2/(2 F2), falling back to the
+    bias-corrected F1(F1-1)/2 form when no doubletons exist.  The
+    companion of ``good_turing_unseen_mass``: Good-Turing prices the
+    probability MASS of unseen words, Chao1 counts the unseen TYPES —
+    a corpus datasheet reports both.
+
+    Counts are integers end to end; the single division is rounded at
+    the edge.  One tokenize-explode scan, one (source, word)
+    contraction, one |sources|-sized spectrum rollup — map-side
+    partials all the way (the Yule's K shape)."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        F.explode(F.filter(TX.tokens("text"), lambda x: x != "")).alias("word"),
+    )
+    freq = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    spec = freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    est = F.when(
+        F.col("f2") > 0, f1 * F.col("f1") / (2.0 * F.col("f2"))
+    ).otherwise(f1 * (F.col("f1") - 1) / 2.0)
+    return spec.select(
+        "source",
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(F.col("s_obs") + est, 6).alias("chao1"),
+    )

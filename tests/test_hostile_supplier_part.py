@@ -95,6 +95,13 @@ _SP_PANEL = [
     # transitivity under degenerate graphs: no edges (NULL ratio),
     # wedges with no triangles, and the dominant-part hot node
     "global_clustering_coefficient",
+    # r11 assortativity + rich club share the same edge build: the
+    # dominant-part hub must drive the correlation and the club
+    # thresholds identically; clubs smaller than 2 emit NULL density,
+    # the threshold-pruned cosine pair join must stay lossless
+    "degree_assortativity_part_graph",
+    "rich_club_coefficient",
+    "cosine_threshold_pairs_pruned",
 ]
 
 

@@ -223,6 +223,10 @@ _HOSTILE_PANEL = [
     # word confined to ONE source has b = 0 (term contributes exactly
     # 0); the integer cross-multiplied direction sign must agree
     "dunning_llr_keyness",
+    # r11 Chao1: an all-hapax source takes the no-doubleton
+    # bias-corrected branch (F1(F1-1)/2) — both engines must branch
+    # identically; empty docs contribute no tokens
+    "chao1_vocab_richness",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",

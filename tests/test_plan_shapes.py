@@ -229,6 +229,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row revenue-total + 1-row seat-shortfall broadcasts onto
     # the |nations| quota frame
     "largest_remainder_apportionment",
+    # r11: the 5-row degree-threshold dim broadcast onto the degree /
+    # edge frames (deliberate dim-grid, thresholds are constants)
+    "rich_club_coefficient",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
