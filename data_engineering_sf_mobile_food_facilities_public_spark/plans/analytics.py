@@ -12386,3 +12386,263 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the SUM-form survival companion of
+# Kaplan-Meier's product (no recursion: rounded DECIMAL terms add).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nelson_aalen_repurchase_hazard",
+    """
+    WITH dd AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    ranked AS (
+        SELECT o_custkey, d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+        FROM dd
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+               MIN(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM ranked WHERE rn <= 2 GROUP BY 1
+    ),
+    sub AS (
+        SELECT CAST(CASE WHEN d2 IS NOT NULL THEN d2 - d1
+                    ELSE (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - d1
+                    END AS INT) AS dur,
+               CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM firsts
+    ),
+    grp AS (
+        SELECT dur,
+               CAST(SUM(ev) AS BIGINT) AS d_events,
+               CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c_cens
+        FROM sub GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d_events,
+               CAST(SUM(d_events + c_cens)
+                    OVER (ORDER BY dur
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_risk
+        FROM grp
+    ),
+    terms AS (
+        SELECT dur, d_events, n_risk,
+               CAST(round(CAST(d_events AS DOUBLE) / n_risk, 9)
+                    AS DECIMAL(18,9)) AS dh
+        FROM risk WHERE d_events > 0
+    )
+    SELECT dur, d_events, n_risk,
+           round(CAST(SUM(dh) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS cum_hazard
+    FROM terms
+    """,
+)
+def nelson_aalen_repurchase_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-repurchase (Nelson
+    1972 / Aalen 1978, public), on the identical right-censored
+    duration construction as :func:`kaplan_meier_repurchase`: H(t) =
+    sum over event times <= t of d_i / n_i.  KM multiplies survival
+    factors (which forces the rounded RECURSION); the hazard SUMS —
+    so each increment rounds to DECIMAL(18,9) once and the cumulative
+    sum is order-exact with no recursion at all, the cheaper estimator
+    a monitoring job prefers (and exp(-H) approximates S when
+    increments are small — reading both curves side by side is the
+    standard survival sanity check).
+
+    Scale shape: per-customer duration build is two bounded windows;
+    the hazard lives on the EVENT-TIME spine (duration-days-bounded,
+    the calendar-dim exception), where the reverse-cumulative risk set
+    and forward-cumulative hazard are spine-sized windows."""
+    o = load(spark, sf_dir, "orders")
+    dd = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    ranked = dd.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    sub = firsts.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("mx"), F.col("d1")))
+        .cast("int")
+        .alias("dur"),
+        F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = sub.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_cens"),
+    )
+    w_rev = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = grp.select(
+        "dur",
+        "d_events",
+        F.sum(F.col("d_events") + F.col("c_cens")).over(w_rev)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    terms = risk.filter(F.col("d_events") > 0).select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.round(F.col("d_events").cast("double") / F.col("n_risk"), 9)
+        .cast("decimal(18,9)")
+        .alias("dh"),
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.round(F.sum("dh").over(w_fwd).cast("double"), 6).alias("cum_hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation — optimal stratified-sample sizes from exact
+# moments, integerized by the largest-remainder machinery.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@_register(
+    "neyman_allocation_sample_sizes",
+    f"""
+    WITH strata AS (
+        SELECT o_orderpriority AS stratum,
+               COUNT(*) AS n_pop,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s,
+               SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS HUGEINT)) AS ss
+        FROM orders GROUP BY 1
+    ),
+    sig AS (
+        SELECT stratum, n_pop,
+               sqrt(CAST(n_pop * ss - s * s AS DOUBLE)
+                    / (CAST(n_pop AS DOUBLE) * (n_pop - 1))) / 100.0
+                   AS sigma
+        FROM strata WHERE n_pop > 1
+    ),
+    wi AS (
+        SELECT stratum, n_pop, sigma,
+               CAST(round(n_pop * sigma * 1000000) AS HUGEINT) AS w
+        FROM sig
+    ),
+    tot AS (SELECT SUM(w) AS t FROM wi),
+    quota AS (
+        SELECT stratum, n_pop, sigma,
+               (w * {_NEYMAN_BUDGET}) // t AS fl,
+               (w * {_NEYMAN_BUDGET}) % t AS rem
+        FROM wi, tot
+    ),
+    short AS (SELECT {_NEYMAN_BUDGET} - SUM(fl) AS k FROM quota)
+    SELECT stratum, CAST(n_pop AS BIGINT) AS n_pop,
+           round(sigma, 6) AS sigma,
+           CAST(fl + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_n
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rnk
+          FROM quota), short
+    """,
+)
+def neyman_allocation_sample_sizes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934,
+    public): a fixed budget of {b} samples split across order-priority
+    strata proportionally to N_h * sigma_h — the allocation that
+    minimizes the stratified-mean variance — then integerized by the
+    same largest-remainder machinery as the apportionment query (so
+    allocations sum to EXACTLY the budget; singleton strata drop —
+    sigma undefined).
+
+    Exactness: sigma comes from the exact integer-cents moment
+    numerator n*ss - s^2 (the Welch/Simpson discipline; never
+    difference float sums); the weights enter the integer quota
+    arithmetic as micro-units round(N_h * sigma_h * 1e6) so the floor
+    division and remainder rank are pure integers.
+
+    Scale shape: one grouped moment aggregate (map-side partials),
+    then |strata|-sized arithmetic with two 1-row broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    sig = strata.filter(F.col("n_pop") > 1).select(
+        "stratum",
+        "n_pop",
+        (
+            F.sqrt(
+                (F.col("n_pop") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n_pop").cast("double") * (F.col("n_pop") - 1))
+            )
+            / 100.0
+        ).alias("sigma"),
+    )
+    wi = sig.select(
+        "stratum",
+        "n_pop",
+        "sigma",
+        F.round(F.col("n_pop") * F.col("sigma") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("w"),
+    )
+    tot = wi.agg(F.sum("w").alias("t"))
+    quota = wi.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_pop",
+        "sigma",
+        F.expr(f"CAST((w * {_NEYMAN_BUDGET}) div t AS DECIMAL(38,0))").alias(
+            "fl"
+        ),
+        ((F.col("w") * _NEYMAN_BUDGET) % F.col("t")).alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("fl")).alias("k")
+    )
+    w_r = Window.orderBy(F.desc("rem"), "stratum")
+    return (
+        quota.withColumn("rnk", F.row_number().over(w_r))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "stratum",
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.round(F.col("sigma"), 6).alias("sigma"),
+            (
+                F.col("fl")
+                + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )
+
+
+neyman_allocation_sample_sizes.__doc__ = (
+    neyman_allocation_sample_sizes.__doc__.format(b=_NEYMAN_BUDGET)
+)

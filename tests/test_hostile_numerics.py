@@ -70,6 +70,12 @@ _NUMERIC_PANEL = [
     # must agree exactly); zero/negative prices order identically
     "cramer_von_mises_price_halves",
     "kruskal_wallis_price_by_priority",
+    # r11 Neyman: the all-equal price stratum has sigma exactly 0
+    # (weight 0, floor 0 seats) and singleton strata drop — the
+    # largest-remainder integerization must agree on degenerate
+    # weights; Nelson-Aalen's duration spine under few distinct dates
+    "neyman_allocation_sample_sizes",
+    "nelson_aalen_repurchase_hazard",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

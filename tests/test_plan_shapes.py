@@ -232,6 +232,12 @@ _NESTED_LOOP_ALLOWED = {
     # r11: the 5-row degree-threshold dim broadcast onto the degree /
     # edge frames (deliberate dim-grid, thresholds are constants)
     "rich_club_coefficient",
+    # r11: 1-row max-date censoring scalar broadcast onto the
+    # per-customer duration frame (the kaplan_meier pattern)
+    "nelson_aalen_repurchase_hazard",
+    # r11: 1-row weight-total + 1-row shortfall broadcasts onto the
+    # |strata| quota frame (the apportionment pattern)
+    "neyman_allocation_sample_sizes",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
