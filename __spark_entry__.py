@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (142
+# continuation of the never-driver-verified oracle-paired set (143
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -164,6 +164,7 @@ _PANEL_NEXT_CANDIDATES = [
     "rich_club_coefficient",
     "nelson_aalen_repurchase_hazard",
     "neyman_allocation_sample_sizes",
+    "interval_union_coverage_per_user",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

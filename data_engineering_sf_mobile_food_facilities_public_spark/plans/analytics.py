@@ -12646,3 +12646,121 @@ def neyman_allocation_sample_sizes(
 neyman_allocation_sample_sizes.__doc__ = (
     neyman_allocation_sample_sizes.__doc__.format(b=_NEYMAN_BUDGET)
 )
+
+
+# ---------------------------------------------------------------------------
+# Interval union — total covered time from overlapping activity windows
+# (the measure-theoretic cousin of sessionization's gap rule).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "interval_union_coverage_per_user",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 1800000000 AS e,
+               event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM marked
+    ),
+    per_island AS (
+        SELECT user_id, island_id,
+               MAX(e) - MIN(s) AS covered_us,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_us) // 1000000 AS BIGINT) AS covered_seconds
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_union_coverage_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Total ACTIVE time per user as the measure of the union of
+    overlapping 30-minute activity windows (one per event) — the
+    interval-union problem every usage-billing and uptime pipeline
+    solves: overlapping windows must not double-count.  Islands form
+    where an interval's start exceeds the running max end of all
+    EARLIER intervals (the standard sweep), island coverage is
+    max(end) - min(start), and the user total sums islands.
+
+    Everything is integer epoch-microseconds: island boundaries,
+    coverage, and the final seconds division are exact on both
+    engines; interval starts tie-break on event_id (the hostile
+    same-instant convention).
+
+    Scale shape: two per-user windows (user-bounded partitions — the
+    sessionize shape) and two grouped integer aggregates; no join at
+    all.  Differs from ``session_window_user_activity`` semantically:
+    session windows CHAIN on inter-event gaps (an event extends the
+    session), interval union measures FIXED-length windows — billing
+    vs engagement."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1800000000).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-9223372036854775808)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("covered_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.expr("CAST(SUM(covered_us) div 1000000 AS BIGINT)").alias(
+            "covered_seconds"
+        ),
+    )

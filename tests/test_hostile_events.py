@@ -85,6 +85,10 @@ _EVENT_PANEL = [
     # first-occurrence comparison a pure event_id tiebreak; singleton
     # users contribute to no pair
     "temporal_precedence_pairs",
+    # r11 interval union: five same-instant events form ONE island
+    # whose coverage is exactly one window; fully-disjoint singleton
+    # users produce n_islands = n_events identically
+    "interval_union_coverage_per_user",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",
