@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (143
+# continuation of the never-driver-verified oracle-paired set (145
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -165,6 +165,8 @@ _PANEL_NEXT_CANDIDATES = [
     "nelson_aalen_repurchase_hazard",
     "neyman_allocation_sample_sizes",
     "interval_union_coverage_per_user",
+    "max_drawdown_daily_revenue",
+    "regression_discontinuity_price",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -12764,3 +12764,197 @@ def interval_union_coverage_per_user(
             "covered_seconds"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative daily revenue — the running-peak
+# shortfall metric, exact in integer cents.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "max_drawdown_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                   * CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END)
+                   AS net_cents
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               SUM(net_cents) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM daily
+    ),
+    dd AS (
+        SELECT d, c,
+               MAX(c) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM cum
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(MAX(peak - c) / 100.0, 2) AS max_drawdown,
+           round(MAX(peak) / 100.0, 2) AS peak_value,
+           CAST(MIN(CASE WHEN peak - c = (SELECT MAX(peak - c) FROM dd)
+                         THEN d END) AS VARCHAR) AS trough_date
+    FROM dd
+    """,
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily NET revenue series
+    (fulfilled orders add, open/pending subtract — a signed series so
+    the peak-to-trough shortfall is non-trivial): drawdown(d) =
+    running_peak(d) - cumulative(d), reported at its maximum with the
+    first trough date — THE risk summary for any cumulative P&L curve
+    (public finance standard).
+
+    All arithmetic is integer cents: the cumulative sum, the running
+    peak and every drawdown are exact, the trough-date argmax
+    tie-breaks to the EARLIEST date, and only the two display
+    divisions by 100 are doubles.
+
+    Scale shape: one fact contraction to the day spine; both running
+    quantities are spine-sized windows (the calendar-dim exception,
+    same as the backtest family); the argmax rides the same frame."""
+    o = load(spark, sf_dir, "orders")
+    signed = F.round(F.col("o_totalprice") * 100).cast("long") * F.when(
+        F.col("o_orderstatus") == "F", 1
+    ).otherwise(-1)
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(signed).alias("net_cents")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "d", F.sum("net_cents").over(w_cum).alias("c")
+    ).select("d", "c", F.max("c").over(w_cum).alias("peak"))
+    mx = dd.agg(F.max(F.col("peak") - F.col("c")).alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max(F.col("peak") - F.col("c")) / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak") / 100.0, 2).alias("peak_value"),
+            F.min(
+                F.when(F.col("peak") - F.col("c") == F.col("mdd"), F.col("d"))
+            )
+            .cast("string")
+            .alias("trough_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity — the local-linear jump at a policy cutoff,
+# from exact DECIMAL moments on each side.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "regression_discontinuity_price",
+    """
+    WITH win AS (
+        SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS side,
+               CAST(round(o_totalprice * 100) AS BIGINT) - 15000000 AS xc,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+        WHERE o_totalprice >= 100000 AND o_totalprice < 200000
+    ),
+    mo AS (
+        SELECT side, COUNT(*) AS n,
+               SUM(CAST(xc AS HUGEINT)) AS sx,
+               SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(xc AS HUGEINT) * y) AS sxy
+        FROM win GROUP BY side
+    ),
+    fit AS (
+        SELECT side, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               CAST(sy AS DOUBLE) / n
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / n) AS intercept
+        FROM mo WHERE n * sxx - sx * sx <> 0
+    )
+    SELECT MAX(CASE WHEN side = 1 THEN n END) AS n_right,
+           MAX(CASE WHEN side = 0 THEN n END) AS n_left,
+           round(MAX(CASE WHEN side = 1 THEN intercept END), 6)
+               AS limit_right,
+           round(MAX(CASE WHEN side = 0 THEN intercept END), 6)
+               AS limit_left,
+           round(MAX(CASE WHEN side = 1 THEN intercept END)
+                 - MAX(CASE WHEN side = 0 THEN intercept END), 6)
+               AS rd_jump
+    FROM fit
+    """,
+)
+def regression_discontinuity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; the local-linear form of Imbens-Lemieux 2008,
+    public) of the jump in high-priority incidence at the
+    150k order-value cutoff: fit one OLS line per side within the
+    [100k, 200k) bandwidth on the CENTERED running variable and
+    report each side's intercept (= the limit AT the cutoff) and
+    their difference — the causal-family member that identifies off a
+    THRESHOLD, next to diff-in-diff (time) and IPS (propensity).
+
+    Exactness: the running variable is integer cents centered at the
+    cutoff, the outcome is a 0/1 indicator, so all five moments are
+    exact wide integers (the Simpson's-paradox discipline) and the
+    slope/intercept expressions are fixed double trees rounded at the
+    edge; degenerate sides (zero x-variance) drop via the exact
+    integer determinant guard.
+
+    Scale shape: one scan, one 2-group moment aggregate (map-side
+    partials), a 2-row fit frame — nothing else."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") < 200000)
+    )
+    win = o.select(
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("side"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") - 15000000).alias(
+            "xc"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    wide = lambda c: F.col(c).cast("decimal(38,0)")
+    mo = win.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(wide("xc")).alias("sx"),
+        F.sum(wide("xc") * wide("xc")).alias("sxx"),
+        F.sum(wide("y")).alias("sy"),
+        F.sum(wide("xc") * wide("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    det = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / det.cast(
+        "double"
+    )
+    intercept = F.col("sy").cast("double") / F.col("n") - slope * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    fit = mo.filter(det != 0).select(
+        "side", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+    pick = lambda s, c: F.max(F.when(F.col("side") == s, F.col(c)))
+    return fit.agg(
+        pick(1, "n").cast("long").alias("n_right"),
+        pick(0, "n").cast("long").alias("n_left"),
+        F.round(pick(1, "intercept"), 6).alias("limit_right"),
+        F.round(pick(0, "intercept"), 6).alias("limit_left"),
+        F.round(pick(1, "intercept") - pick(0, "intercept"), 6).alias(
+            "rd_jump"
+        ),
+    )

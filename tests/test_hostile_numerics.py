@@ -76,6 +76,12 @@ _NUMERIC_PANEL = [
     # weights; Nelson-Aalen's duration spine under few distinct dates
     "neyman_allocation_sample_sizes",
     "nelson_aalen_repurchase_hazard",
+    # r11 drawdown + RDD: the hostile corpus is all-F-status (a
+    # monotone cumulative curve -> drawdown exactly 0, trough = first
+    # day) and sits entirely OUTSIDE the RDD bandwidth (both sides
+    # empty -> NULLs must propagate identically)
+    "max_drawdown_daily_revenue",
+    "regression_discontinuity_price",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

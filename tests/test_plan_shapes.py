@@ -238,6 +238,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row weight-total + 1-row shortfall broadcasts onto the
     # |strata| quota frame (the apportionment pattern)
     "neyman_allocation_sample_sizes",
+    # r11: 1-row max-drawdown scalar broadcast back for the trough
+    # argmax over the day spine
+    "max_drawdown_daily_revenue",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
