@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (145
+# continuation of the never-driver-verified oracle-paired set (147
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -167,6 +167,8 @@ _PANEL_NEXT_CANDIDATES = [
     "interval_union_coverage_per_user",
     "max_drawdown_daily_revenue",
     "regression_discontinuity_price",
+    "dsar_access_extract",
+    "kmv_intersection_estimate",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -12958,3 +12958,150 @@ def regression_discontinuity_price(
             "rd_jump"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta intersection estimate — sketch set algebra with a
+# deterministic lane, emitted beside the exact answer (the
+# kmv_distinct_estimate convention, extended to INTERSECTION).
+# ---------------------------------------------------------------------------
+
+_KMVI_K = 256
+_KMVI_SCALE = float(16**12)
+
+
+@_register(
+    "kmv_intersection_estimate",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    ha AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS hv,
+               ROW_NUMBER() OVER (ORDER BY ('0x' || substr(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT) AS rnk
+        FROM a
+    ),
+    hb AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS hv,
+               ROW_NUMBER() OVER (ORDER BY ('0x' || substr(
+                   md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT) AS rnk
+        FROM b
+    ),
+    tha AS (
+        SELECT CASE WHEN COUNT(*) >= {_KMVI_K}
+                    THEN MAX(CASE WHEN rnk = {_KMVI_K} THEN hv END)
+                    ELSE CAST({_KMVI_SCALE!r} AS BIGINT) END AS th
+        FROM ha WHERE rnk <= {_KMVI_K}
+    ),
+    thb AS (
+        SELECT CASE WHEN COUNT(*) >= {_KMVI_K}
+                    THEN MAX(CASE WHEN rnk = {_KMVI_K} THEN hv END)
+                    ELSE CAST({_KMVI_SCALE!r} AS BIGINT) END AS th
+        FROM hb WHERE rnk <= {_KMVI_K}
+    ),
+    theta AS (SELECT LEAST(tha.th, thb.th) AS th FROM tha, thb),
+    common AS (
+        SELECT COUNT(*) AS c
+        FROM ha JOIN hb ON hb.hv = ha.hv CROSS JOIN theta t
+        WHERE ha.rnk <= {_KMVI_K} AND hb.rnk <= {_KMVI_K}
+          AND ha.hv < t.th
+    ),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+        FROM a JOIN b ON b.o_custkey = a.o_custkey
+    )
+    SELECT CAST({_KMVI_K} AS INT) AS k,
+           CAST(t.th AS BIGINT) AS theta_hash,
+           CAST(c.c AS BIGINT) AS n_common_below_theta,
+           CAST(round(c.c * {_KMVI_SCALE!r} / t.th) AS BIGINT)
+               AS intersection_estimate,
+           x.exact_intersection
+    FROM theta t CROSS JOIN common c CROSS JOIN exact x
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch INTERSECTION estimate between the H1-1996 and
+    H2-1996 active-customer sets (the KMV/theta set algebra of
+    Dasgupta et al. 2016's theta sketches, public), with the
+    deterministic md5 lane so the whole estimate is oracle-checkable:
+    keep each side's 256 smallest distinct hashes, set theta = the
+    smaller k-th hash (or full scale for sub-k sets — the exact
+    small-domain rule), count retained hashes BOTH sides share below
+    theta, and scale by 1/theta.  The exact intersection rides along
+    as the calibration column (the kmv_distinct_estimate convention);
+    the EXACT twin of this half-over-half membership question is
+    ``multiset_customer_orders_h1_vs_h2``.
+
+    Scale shape: each sketch is a distinct-contraction plus a
+    TakeOrdered-shaped rank (k tiny); the intersection probe joins two
+    <= k-row frames; sketch algebra never touches the fact table
+    again — this is why theta sketches are the warehouse standard for
+    audience-overlap at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+
+    def half(lo, hi):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a = half("1996-01-01", "1996-07-01")
+    b = half("1996-07-01", "1997-01-01")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+    def sketch(df):
+        # TakeOrderedAndProject (orderBy + limit), NOT a global
+        # row_number window — the k smallest hashes reduce per
+        # partition and merge on the driver-side heap
+        ranked = df.select(hv.alias("hv")).orderBy("hv").limit(_KMVI_K)
+        th = ranked.agg(
+            F.when(F.count(F.lit(1)) >= _KMVI_K, F.max("hv"))
+            .otherwise(F.lit(int(_KMVI_SCALE)))
+            .alias("th")
+        )
+        return ranked, th
+
+    ra, tha = sketch(a)
+    rb, thb = sketch(b)
+    theta = tha.crossJoin(thb.withColumnRenamed("th", "th2")).select(
+        F.least(F.col("th"), F.col("th2")).alias("th")
+    )
+    common = (
+        ra.select(F.col("hv"))
+        .join(rb.select(F.col("hv").alias("hv2")), F.col("hv") == F.col("hv2"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = a.join(b, "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_KMVI_K).cast("int").alias("k"),
+            F.col("th").cast("long").alias("theta_hash"),
+            F.col("c").cast("long").alias("n_common_below_theta"),
+            F.round(F.col("c") * F.lit(_KMVI_SCALE) / F.col("th"))
+            .cast("long")
+            .alias("intersection_estimate"),
+            "exact_intersection",
+        )
+    )

@@ -1031,3 +1031,121 @@ def largest_remainder_apportionment(
         .cast("long")
         .alias("seats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSAR access extract — the right-of-ACCESS dual of the right-to-be-
+# forgotten cascade: everything held about a subject, checksummed.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dsar_access_extract",
+    """
+    WITH subjects AS (
+        SELECT c_custkey FROM customer
+        WHERE substr(md5('forget' || CAST(c_custkey AS VARCHAR)), 1, 2) < '10'
+    ),
+    c_rows AS (
+        SELECT c.c_custkey AS subject, 'customer' AS table_name,
+               CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '|'
+                     || c.c_name || '|' || CAST(c.c_nationkey AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS rh
+        FROM customer c JOIN subjects s ON s.c_custkey = c.c_custkey
+    ),
+    o_rows AS (
+        SELECT o.o_custkey AS subject, 'orders' AS table_name,
+               CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '|'
+                     || o.o_orderstatus || '|'
+                     || CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR)), 1, 15)) AS BIGINT) AS rh
+        FROM orders o JOIN subjects s ON s.c_custkey = o.o_custkey
+    ),
+    l_rows AS (
+        SELECT o.o_custkey AS subject, 'lineitem' AS table_name,
+               CAST(('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || '|'
+                     || CAST(l.l_linenumber AS VARCHAR) || '|'
+                     || CAST(l.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS rh
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN subjects s ON s.c_custkey = o.o_custkey
+    ),
+    allr AS (
+        SELECT * FROM c_rows UNION ALL SELECT * FROM o_rows
+        UNION ALL SELECT * FROM l_rows
+    )
+    SELECT subject, table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_checksum
+    FROM allr GROUP BY subject, table_name
+    """,
+)
+def dsar_access_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-subject ACCESS request extract (GDPR Art. 15 — the dual of
+    the Art. 17 erasure cascade, and the SAME md5 subject cohort as
+    :func:`forget_customers_cascade` so the two queries audit each
+    other): for every subject, how many records each table holds about
+    them, with an order-free XOR checksum of per-record md5 content
+    digests — the manifest a DSAR fulfillment job emits, and what a
+    post-erasure re-run must return ZERO rows against.
+
+    Exactness: each record digests to a 15-hex md5 prefix (bigint);
+    XOR is commutative/associative, so the checksum is partition-order
+    free (the merkle_range_checksums convention); money enters the
+    digest as integer cents, never a formatted float.
+
+    Scale shape: subject filter pushes into each scan (the cohort is a
+    pure row predicate); lineitem reaches subjects through one
+    orderkey equi-join; one grouped XOR/count per (subject, table) —
+    linear everywhere, no window."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    subj = F.substring(
+        F.md5(F.concat(F.lit("forget"), F.col("c_custkey").cast("string"))), 1, 2
+    ) < "10"
+    subjects = c.filter(subj).select("c_custkey")
+
+    def digest(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    c_rows = c.join(subjects, "c_custkey").select(
+        F.col("c_custkey").alias("subject"),
+        F.lit("customer").alias("table_name"),
+        digest(
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("rh"),
+    )
+    o_rows = o.join(
+        subjects, o.o_custkey == subjects.c_custkey
+    ).select(
+        F.col("o_custkey").alias("subject"),
+        F.lit("orders").alias("table_name"),
+        digest(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        ).alias("rh"),
+    )
+    l_rows = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(subjects, F.col("o_custkey") == subjects.c_custkey)
+        .select(
+            F.col("o_custkey").alias("subject"),
+            F.lit("lineitem").alias("table_name"),
+            digest(
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            ).alias("rh"),
+        )
+    )
+    allr = c_rows.unionByName(o_rows).unionByName(l_rows)
+    return allr.groupBy("subject", "table_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.expr("bit_xor(rh)").cast("long").alias("xor_checksum"),
+    )

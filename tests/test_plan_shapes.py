@@ -241,6 +241,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row max-drawdown scalar broadcast back for the trough
     # argmax over the day spine
     "max_drawdown_daily_revenue",
+    # r11: theta/common/exact are three 1-row scalar combines over the
+    # <=k-row sketch frames (the kmv_distinct 1x1 pattern)
+    "kmv_intersection_estimate",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
