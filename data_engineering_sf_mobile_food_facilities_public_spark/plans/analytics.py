@@ -13105,3 +13105,99 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join — feature-store correctness: features are
+# computed STRICTLY BEFORE each entity's label timestamp.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "point_in_time_feature_join",
+    """
+    WITH hist AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rdesc,
+               COUNT(*) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prior_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prior_cents
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(d AS VARCHAR) AS label_date,
+           CAST(round(cents / 100.0, 2) AS DOUBLE) AS label_value,
+           CAST(prior_orders AS BIGINT) AS f_prior_orders,
+           round(COALESCE(prior_cents, 0) / 100.0, 2) AS f_prior_spend,
+           round(COALESCE(prior_cents, 0) / 100.0
+                 / NULLIF(prior_orders, 0), 6) AS f_prior_avg
+    FROM hist
+    WHERE rdesc = 1 AND o_custkey % 97 = 0
+    """,
+)
+def point_in_time_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly (the feature-store PIT
+    join — Feast/Tecton's central correctness contract, public): the
+    label row is each customer's LAST order, and every feature
+    aggregates orders STRICTLY BEFORE it (the 1-PRECEDING frame), so
+    the label can never leak into its own features — the temporal
+    sibling of ``leakage_guarded_split`` (which guards the
+    train/test axis) and ``loo_target_encoding_priority`` (which
+    guards the own-row axis).  First-time customers surface with
+    0 prior orders and NULL average, the honest cold-start row.
+
+    Exactness: money rides as integer cents through both window
+    frames; ties on the label date break on o_orderkey DESC exactly
+    like the ascending feature frame's tiebreak, so the two windows
+    agree on which row is "last".  Output is the 1-in-97 key sample.
+
+    Scale shape: ONE shuffle on the entity key serves both window
+    passes (same partitioning); no self-join — the naive formulation
+    joins each label against its own history (quadratic per entity);
+    the frame formulation is linear."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    w_prior = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        cents.alias("cents"),
+        F.row_number().over(w_desc).alias("rdesc"),
+        F.count(F.lit(1)).over(w_prior).alias("prior_orders"),
+        F.sum(cents).over(w_prior).alias("prior_cents"),
+    )
+    return hist.filter(
+        (F.col("rdesc") == 1) & (F.col("o_custkey") % 97 == 0)
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("d").cast("string").alias("label_date"),
+        F.round(F.col("cents") / 100.0, 2).cast("double").alias("label_value"),
+        F.col("prior_orders").cast("long").alias("f_prior_orders"),
+        F.round(F.coalesce(F.col("prior_cents"), F.lit(0)) / 100.0, 2).alias(
+            "f_prior_spend"
+        ),
+        F.round(
+            F.coalesce(F.col("prior_cents"), F.lit(0))
+            / 100.0
+            / F.nullif(F.col("prior_orders"), F.lit(0)),
+            6,
+        ).alias("f_prior_avg"),
+    )

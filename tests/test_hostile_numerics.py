@@ -82,6 +82,10 @@ _NUMERIC_PANEL = [
     # empty -> NULLs must propagate identically)
     "max_drawdown_daily_revenue",
     "regression_discontinuity_price",
+    # r11 PIT join: single-order customers are the cold-start row
+    # (0 priors, NULL average); same-date orders make the label pick
+    # and the prior frame a pure orderkey tiebreak that must agree
+    "point_in_time_feature_join",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",
