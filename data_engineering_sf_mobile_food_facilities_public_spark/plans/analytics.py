@@ -13201,3 +13201,191 @@ def point_in_time_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_prior_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — do two segments repurchase at different rates?
+# (completes KM + Nelson-Aalen with the between-group comparison).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "log_rank_test_repurchase",
+    """
+    WITH dd AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    ranked AS (
+        SELECT o_custkey, d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+        FROM dd
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+               MIN(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM ranked WHERE rn <= 2 GROUP BY 1
+    ),
+    sub AS (
+        SELECT f.o_custkey,
+               CAST(CASE WHEN f.d2 IS NOT NULL THEN f.d2 - f.d1
+                    ELSE (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+                         - f.d1 END AS INT) AS dur,
+               CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        FROM firsts f JOIN customer c ON c.c_custkey = f.o_custkey
+    ),
+    per_t AS (
+        SELECT dur,
+               SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS dt1,
+               SUM(CASE WHEN g = 0 THEN ev ELSE 0 END) AS dt0,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS at1,
+               SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS at0
+        FROM sub GROUP BY dur
+    ),
+    cum AS (
+        SELECT dur, dt1, dt0, at1, at0,
+               SUM(at1) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(at0) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+               SUM(at1) OVER () AS n1tot,
+               SUM(at0) OVER () AS n0tot
+        FROM per_t
+    ),
+    terms AS (
+        SELECT dur,
+               dt1, dt0,
+               n1tot - c1 + at1 AS r1,
+               n0tot - c0 + at0 AS r0,
+               CAST(round(CAST(dt1 + dt0 AS DOUBLE) * (n1tot - c1 + at1)
+                          / ((n1tot - c1 + at1) + (n0tot - c0 + at0)), 9)
+                    AS DECIMAL(18,9)) AS e1,
+               CASE WHEN (n1tot - c1 + at1) + (n0tot - c0 + at0) > 1
+                    THEN CAST(round(
+                         CAST(dt1 + dt0 AS DOUBLE)
+                         * ((n1tot - c1 + at1)
+                            * CAST(n0tot - c0 + at0 AS DOUBLE))
+                         / (CAST((n1tot - c1 + at1) + (n0tot - c0 + at0)
+                                 AS DOUBLE)
+                            * ((n1tot - c1 + at1) + (n0tot - c0 + at0)))
+                         * ((n1tot - c1 + at1) + (n0tot - c0 + at0)
+                            - (dt1 + dt0))
+                         / ((n1tot - c1 + at1) + (n0tot - c0 + at0) - 1),
+                         9) AS DECIMAL(18,9))
+                    ELSE CAST(0 AS DECIMAL(18,9)) END AS v
+        FROM cum WHERE dt1 + dt0 > 0
+    )
+    SELECT CAST(SUM(dt1) AS BIGINT) AS observed_1,
+           round(CAST(SUM(e1) AS DOUBLE), 6) AS expected_1,
+           round(CAST(SUM(v) AS DOUBLE), 6) AS variance,
+           round((SUM(dt1) - CAST(SUM(e1) AS DOUBLE))
+                 / NULLIF(sqrt(CAST(SUM(v) AS DOUBLE)), 0), 6) AS z
+    FROM terms
+    """,
+)
+def log_rank_test_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966, public) of whether BUILDING-segment
+    customers repurchase on a different clock than everyone else — the
+    between-group member completing the survival family (KM estimates
+    each curve, Nelson-Aalen its hazard, log-rank COMPARES): at each
+    event time, group 1's observed events are scored against the
+    hypergeometric expectation d_t * r1_t / r_t with variance
+    d_t (r1 r0 / r^2) ((r - d)/(r - 1)), and z = (O - E)/sqrt(V).
+
+    Exactness: event and at-risk counts are exact integers built from
+    the same KM duration construction; each expectation/variance term
+    rounds ONCE to DECIMAL(18,9) (the Nelson-Aalen increment rule) so
+    the sums over event times are order-free; the final z is two
+    double ops past exact sums.  Single-member risk sets take V = 0
+    (the r - 1 guard), matching the textbook convention.
+
+    Scale shape: per-customer duration windows, one grouped contract
+    to the event-time spine, two spine-sized cumulative windows, a
+    1-row reduction."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    dd = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    firsts = (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    sub = (
+        firsts.crossJoin(F.broadcast(maxd))
+        .join(c.select("c_custkey", "c_mktsegment"),
+              firsts.o_custkey == F.col("c_custkey"))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("mx"), F.col("d1")))
+            .cast("int")
+            .alias("dur"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    per_t = sub.groupBy("dur").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0)).alias("dt1"),
+        F.sum(F.when(F.col("g") == 0, F.col("ev")).otherwise(0)).alias("dt0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("at1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("at0"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_t.select(
+        "dur",
+        "dt1",
+        "dt0",
+        "at1",
+        "at0",
+        F.sum("at1").over(w_cum).alias("c1"),
+        F.sum("at0").over(w_cum).alias("c0"),
+        F.sum("at1").over(w_all).alias("n1tot"),
+        F.sum("at0").over(w_all).alias("n0tot"),
+    )
+    r1 = F.col("n1tot") - F.col("c1") + F.col("at1")
+    r0 = F.col("n0tot") - F.col("c0") + F.col("at0")
+    rt = r1 + r0
+    dt = F.col("dt1") + F.col("dt0")
+    e1 = F.round(dt.cast("double") * r1 / rt, 9).cast("decimal(18,9)")
+    v = (
+        F.when(
+            rt > 1,
+            F.round(
+                dt.cast("double")
+                * (r1 * r0.cast("double"))
+                / (rt.cast("double") * rt)
+                * (rt - dt)
+                / (rt - 1),
+                9,
+            ).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+    )
+    terms = cum.filter(dt > 0).select(
+        F.col("dt1"), e1.alias("e1"), v.alias("v")
+    )
+    return terms.agg(
+        F.sum("dt1").cast("long").alias("observed_1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("expected_1"),
+        F.round(F.sum("v").cast("double"), 6).alias("variance"),
+        F.round(
+            (F.sum("dt1") - F.sum("e1").cast("double"))
+            / F.nullif(F.sqrt(F.sum("v").cast("double")), F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )

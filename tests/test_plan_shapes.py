@@ -244,6 +244,8 @@ _NESTED_LOOP_ALLOWED = {
     # r11: theta/common/exact are three 1-row scalar combines over the
     # <=k-row sketch frames (the kmv_distinct 1x1 pattern)
     "kmv_intersection_estimate",
+    # r11: 1-row max-date censoring scalar broadcast (the KM pattern)
+    "log_rank_test_repurchase",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
