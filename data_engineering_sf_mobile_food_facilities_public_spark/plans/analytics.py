@@ -13389,3 +13389,149 @@ def log_rank_test_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) — survey weights that hit
+# both margins, as unrolled DECIMAL-rounded half-steps.
+# ---------------------------------------------------------------------------
+
+_IPF_STEPS = 6  # full row+column sweeps
+
+
+def _ipf_oracle_sql() -> str:
+    """Unrolled raking sweeps as MATERIALIZED CTEs: each half-step
+    scales cell weights by target/current margin and rounds to
+    DECIMAL(18,9) (the markov/HITS iteration contract)."""
+    steps = []
+    prev = "w0"
+    for k in range(1, _IPF_STEPS + 1):
+        steps.append(f"""
+    r{k} AS MATERIALIZED (
+        SELECT w.n_name, w.seg, w.c,
+               CAST(round(CAST(w.w AS DOUBLE)
+                          * (m.tr / CAST(rs.s AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM {prev} w
+        JOIN (SELECT n_name, SUM(c * w) AS s FROM {prev} GROUP BY n_name) rs
+          ON rs.n_name = w.n_name
+        CROSS JOIN m
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT w.n_name, w.seg, w.c,
+               CAST(round(CAST(w.w AS DOUBLE)
+                          * (m.tc / CAST(cs.s AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM r{k} w
+        JOIN (SELECT seg, SUM(c * w) AS s FROM r{k} GROUP BY seg) cs
+          ON cs.seg = w.seg
+        CROSS JOIN m
+    )""")
+        prev = f"w{k}"
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT n.n_name, c.c_mktsegment AS seg, COUNT(*) AS c
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS MATERIALIZED (
+        SELECT CAST(SUM(c) AS DOUBLE) / COUNT(DISTINCT n_name) AS tr,
+               CAST(SUM(c) AS DOUBLE) / COUNT(DISTINCT seg) AS tc
+        FROM cells
+    ),
+    w0 AS (
+        SELECT n_name, seg, c, CAST(1 AS DECIMAL(18,9)) AS w FROM cells
+    ),{",".join(steps)}
+    SELECT n_name, seg AS mktsegment, CAST(c AS BIGINT) AS n_customers,
+           round(CAST(w AS DOUBLE), 6) AS weight
+    FROM {prev}
+    """
+
+
+@_register("ipf_raking_weights", _ipf_oracle_sql())
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming &
+    Stephan 1940, public): per-(nation, segment) customer-cell weights
+    scaled in alternating row/column sweeps until both margins hit
+    their targets — here the BALANCED design (every nation and every
+    segment weighted to equal representation), the standard correction
+    for over-represented strata before estimating anything from a
+    skewed panel.
+
+    Six unrolled sweeps, each half-step rounding the weights to
+    DECIMAL(18,9) (the markov/HITS iteration contract; oracle =
+    generated MATERIALIZED CTEs from the same constants); margin sums
+    are exact integer-x-DECIMAL products, and each scaling factor is
+    ONE double division.  Convergence to the margins is pinned by a
+    property test.
+
+    Scale shape: one fact contraction to the |nations| x |segments|
+    cell table; every sweep is dim-sized (two grouped sums + a join
+    back); the margin targets ride a 1-row broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    m = cells.agg(
+        (
+            F.sum("c").cast("double") / F.countDistinct("n_name")
+        ).alias("tr"),
+        (
+            F.sum("c").cast("double") / F.countDistinct("seg")
+        ).alias("tc"),
+    )
+    w = cells.select(
+        "n_name", "seg", "c", F.lit(1).cast("decimal(18,9)").alias("w")
+    )
+    for _ in range(_IPF_STEPS):
+        # each half-step references w TWICE (margin aggregate + join
+        # back), which doubles the lazy plan per step — 2^12 analysis
+        # blowup by sweep 6.  Pin the 125-row frame once per sweep
+        # (the markov localCheckpoint convention) so the plan stays
+        # constant-size; at 100 TB this frame is |nations|x|segments|
+        # regardless of data.
+        w = w.localCheckpoint(eager=True)
+        rs = w.groupBy("n_name").agg(F.sum(F.col("c") * F.col("w")).alias("s"))
+        w = (
+            w.join(rs, "n_name")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "n_name",
+                "seg",
+                "c",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.col("tr") / F.col("s").cast("double")),
+                    9,
+                )
+                .cast("decimal(18,9)")
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("seg").agg(F.sum(F.col("c") * F.col("w")).alias("s"))
+        w = (
+            w.join(cs, "seg")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "n_name",
+                "seg",
+                "c",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.col("tc") / F.col("s").cast("double")),
+                    9,
+                )
+                .cast("decimal(18,9)")
+                .alias("w"),
+            )
+        )
+    return w.select(
+        "n_name",
+        F.col("seg").alias("mktsegment"),
+        F.col("c").cast("long").alias("n_customers"),
+        F.round(F.col("w").cast("double"), 6).alias("weight"),
+    )

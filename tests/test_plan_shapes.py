@@ -246,6 +246,9 @@ _NESTED_LOOP_ALLOWED = {
     "kmv_intersection_estimate",
     # r11: 1-row max-date censoring scalar broadcast (the KM pattern)
     "log_rank_test_repurchase",
+    # r11: 1-row margin-target broadcast onto every raking half-step
+    # (12 of them, each over the |nations| x |segments| cell frame)
+    "ipf_raking_weights",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection

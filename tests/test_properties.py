@@ -1357,3 +1357,28 @@ def test_apportionment_seats_sum_exactly_to_budget(spark):
         rows = largest_remainder_apportionment(spark, sf).collect()
         assert sum(r.seats for r in rows) == 1000, sf
         assert all(r.seats >= 0 for r in rows)
+
+
+def test_ipf_raking_hits_both_margins(spark):
+    # After 6 sweeps the weighted margins must sit within the rounding
+    # grain of the balanced targets (the raking convergence property).
+    from collections import defaultdict
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        ipf_raking_weights,
+    )
+
+    rows = ipf_raking_weights(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_customers for r in rows)
+    nations = {r.n_name for r in rows}
+    segs = {r.mktsegment for r in rows}
+    tr, tc = total / len(nations), total / len(segs)
+    rowm, colm = defaultdict(float), defaultdict(float)
+    for r in rows:
+        rowm[r.n_name] += r.n_customers * r.weight
+        colm[r.mktsegment] += r.n_customers * r.weight
+    # column sweep ran last -> columns exact to rounding; rows near
+    for s, v in colm.items():
+        assert abs(v - tc) <= 1e-3 * tc, (s, v, tc)
+    for nname, v in rowm.items():
+        assert abs(v - tr) <= 0.05 * tr, (nname, v, tr)
