@@ -13535,3 +13535,122 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_customers"),
         F.round(F.col("w").cast("double"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mediation analysis — product-of-coefficients from exact moments
+# (does discount MEDIATE the quantity -> return relationship?).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mediation_quantity_discount_returns",
+    """
+    WITH base AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x,
+               CAST(round(l_discount * 100) AS HUGEINT) AS m,
+               CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                    AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    mo AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(m) AS sm, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(m * m) AS smm,
+               SUM(x * m) AS sxm, SUM(x * y) AS sxy, SUM(m * y) AS smy
+        FROM base
+    ),
+    ctr AS (
+        SELECT n,
+               n * sxx - sx * sx AS a,
+               n * smm - sm * sm AS b,
+               n * sxm - sx * sm AS c,
+               n * sxy - sx * sy AS d,
+               n * smy - sm * sy AS e
+        FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(c AS DOUBLE) / CAST(a AS DOUBLE), 6) + 0.0 AS path_a,
+           round(CAST(a * e - c * d AS DOUBLE)
+                 / CAST(a * b - c * c AS DOUBLE), 6) + 0.0 AS path_b,
+           round(CAST(d AS DOUBLE) / CAST(a AS DOUBLE), 6) + 0.0
+               AS total_effect,
+           round(CAST(b * d - c * e AS DOUBLE)
+                 / CAST(a * b - c * c AS DOUBLE), 6) + 0.0 AS direct_effect,
+           round((CAST(c AS DOUBLE) / CAST(a AS DOUBLE))
+                 * (CAST(a * e - c * d AS DOUBLE)
+                    / CAST(a * b - c * c AS DOUBLE)), 6) + 0.0
+               AS indirect_effect
+    FROM ctr WHERE a <> 0 AND a * b - c * c <> 0
+    """,
+)
+def mediation_quantity_discount_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baron-Kenny mediation by product of coefficients (Baron & Kenny
+    1986; the a*b form of MacKinnon, public): does discount MEDIATE
+    the quantity -> returned-flag relationship?  path a = slope of
+    discount on quantity, path b = discount's coefficient in the
+    two-predictor y ~ quantity + discount regression (closed-form 2x2
+    normal equations), total = simple y ~ quantity slope, direct =
+    quantity's two-predictor coefficient, indirect = a*b — and the
+    Cochran identity total = direct + indirect holds to the rounding
+    grain (pinned by test).  Completes the causal shelf: DiD (time),
+    RDD (threshold), IPS (propensity), Shapley/Markov (attribution),
+    mediation (mechanism).
+
+    Exactness: all nine moments are exact wide integers (quantity,
+    discount-percent and the 0/1 flag are integer-coded), every
+    centered cross-product n*Sab - Sa*Sb and the 2x2 determinant stay
+    in exact integer arithmetic, and each released coefficient is ONE
+    double division (or one product of two) rounded at the edge;
+    degenerate designs drop via the exact determinant guards.
+
+    Scale shape: one scan, one 1-row moment aggregate — the entire
+    three-regression analysis is map-side partials plus driver-free
+    scalar algebra."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = "decimal(38,0)"
+    base = li.select(
+        F.col("l_quantity").cast(wide).alias("x"),
+        F.round(F.col("l_discount") * 100).cast(wide).alias("m"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast(wide).alias("y"),
+    )
+    mo = base.agg(
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).alias("smy"),
+    )
+    ctr = mo.select(
+        "n",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("a"),
+        (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).alias("b"),
+        (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).alias("c"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("d"),
+        (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).alias("e"),
+    )
+    det = F.col("a") * F.col("b") - F.col("c") * F.col("c")
+    pa = F.col("c").cast("double") / F.col("a").cast("double")
+    pb = (F.col("a") * F.col("e") - F.col("c") * F.col("d")).cast(
+        "double"
+    ) / det.cast("double")
+    return ctr.filter((F.col("a") != 0) & (det != 0)).select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(pa, 6) + 0.0).alias("path_a"),
+        (F.round(pb, 6) + 0.0).alias("path_b"),
+        (F.round(
+            F.col("d").cast("double") / F.col("a").cast("double"), 6
+        ) + 0.0).alias("total_effect"),
+        (F.round(
+            (F.col("b") * F.col("d") - F.col("c") * F.col("e")).cast("double")
+            / det.cast("double"),
+            6,
+        ) + 0.0).alias("direct_effect"),
+        (F.round(pa * pb, 6) + 0.0).alias("indirect_effect"),
+    )

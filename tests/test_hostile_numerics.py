@@ -86,6 +86,10 @@ _NUMERIC_PANEL = [
     # (0 priors, NULL average); same-date orders make the label pick
     # and the prior frame a pure orderkey tiebreak that must agree
     "point_in_time_feature_join",
+    # r11 mediation: near-degenerate hostile designs (constant
+    # quantity blocks) stress the exact determinant guards, and
+    # near-zero effects stress the -0.0 normalization on BOTH engines
+    "mediation_quantity_discount_returns",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

@@ -1382,3 +1382,16 @@ def test_ipf_raking_hits_both_margins(spark):
         assert abs(v - tc) <= 1e-3 * tc, (s, v, tc)
     for nname, v in rowm.items():
         assert abs(v - tr) <= 0.05 * tr, (nname, v, tr)
+
+
+def test_mediation_effects_satisfy_cochran_identity(spark):
+    # total = direct + indirect holds exactly in the algebra; released
+    # values are each rounded at 6dp -> tolerance 3 * 0.5e-6.
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        mediation_quantity_discount_returns,
+    )
+
+    r = mediation_quantity_discount_returns(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert abs(r.total_effect - (r.direct_effect + r.indirect_effect)) <= 3 * 0.5e-6
