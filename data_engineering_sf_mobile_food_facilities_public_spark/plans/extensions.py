@@ -1366,3 +1366,78 @@ audio_fingerprint_near_dup.__doc__ = audio_fingerprint_near_dup.__doc__.format(
     bands=_AFP_BANDS,
     d=_AFP_MAXDIST,
 )
+
+
+@_register(
+    "streaming_srm_guardrail",
+    """
+    WITH assigned AS (
+        SELECT CAST(('0x' || substr(md5('srm' || CAST(user_id AS VARCHAR)),
+                     1, 13)) AS BIGINT) % 2 AS variant
+        FROM events
+    ),
+    counts AS (
+        SELECT variant, COUNT(*) AS n FROM assigned GROUP BY variant
+    )
+    SELECT CAST(SUM(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_treatment,
+           CAST(SUM(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS n_control,
+           round((SUM(CASE WHEN variant = 1 THEN n ELSE 0 END)
+                  - SUM(CASE WHEN variant = 0 THEN n ELSE 0 END))
+                 / sqrt(CAST(SUM(n) AS DOUBLE)), 6) AS srm_z
+    FROM counts
+    """,
+)
+def streaming_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample-ratio-mismatch guardrail AS A LIVE STREAM: events
+    arrive per micro-batch, each is assigned its md5 variant (the
+    srm_check_assignment split), and complete-mode aggregation keeps
+    the per-variant exposure counts always fresh — the monitor an
+    experimentation platform watches DURING the experiment, where
+    catching a broken splitter on day one is the whole point (the
+    batch twin audits after the fact).  The final z = (n1 - n0)/
+    sqrt(n) is computed over the drained AvailableNow state and
+    hash-matched against the batch oracle, proving stream/batch parity
+    for the guardrail exactly as the OHLC twin proves it for candles.
+
+    Scale shape: streaming grouped count with 2-row state; the z is
+    scalar arithmetic on the final table."""
+    from ..streaming.events_stream import read_events_stream
+
+    _stream_run_counter[0] += 1
+    name = f"srm_guardrail_{_stream_run_counter[0]}"
+    ev = read_events_stream(spark, sf_dir)
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    counts = ev.select(variant.alias("variant")).groupBy("variant").agg(
+        F.count("*").alias("n")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    n1 = F.sum(F.when(F.col("variant") == 1, F.col("n")).otherwise(0))
+    n0 = F.sum(F.when(F.col("variant") == 0, F.col("n")).otherwise(0))
+    return t.agg(
+        n1.cast("long").alias("n_treatment"),
+        n0.cast("long").alias("n_control"),
+        F.round((n1 - n0) / F.sqrt(F.sum("n").cast("double")), 6).alias(
+            "srm_z"
+        ),
+    )
