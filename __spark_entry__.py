@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (152
+# continuation of the never-driver-verified oracle-paired set (153
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -174,6 +174,7 @@ _PANEL_NEXT_CANDIDATES = [
     "ipf_raking_weights",
     "mediation_quantity_discount_returns",
     "streaming_srm_guardrail",
+    "word_adaptation_scores",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -6833,3 +6833,97 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f2").cast("long").alias("f2"),
         F.round(F.col("s_obs") + est, 6).alias("chao1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word adaptation — Church's "seen once, expect again" burstiness:
+# P(word recurs in a doc | it appeared at all).
+# ---------------------------------------------------------------------------
+
+_ADAPT_MIN_DF = 5
+_ADAPT_TOPK = 10
+
+
+@_register(
+    "word_adaptation_scores",
+    _TOKENS_CTE
+    + f"""
+    , wc AS (
+        SELECT t.doc_id, u.w AS word, COUNT(*) AS c
+        FROM tok t, unnest(list_filter(t.tokens, x -> x <> '')) AS u(w)
+        GROUP BY t.doc_id, u.w
+    ),
+    stats AS (
+        SELECT word,
+               COUNT(*) AS df1,
+               SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2,
+               SUM(c) AS cf
+        FROM wc GROUP BY word
+    ),
+    scored AS (
+        SELECT word, df1, df2, cf,
+               round(CAST(df2 AS DOUBLE) / df1, 6) AS adaptation
+        FROM stats WHERE df1 >= {_ADAPT_MIN_DF}
+    )
+    SELECT word, CAST(df1 AS BIGINT) AS df_once,
+           CAST(df2 AS BIGINT) AS df_twice,
+           CAST(cf AS BIGINT) AS cf, adaptation,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY adaptation DESC, word) AS rnk
+          FROM scored)
+    WHERE rnk <= {_ADAPT_TOPK}
+    """,
+)
+def word_adaptation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word adaptation (Church 2000's "Empirical estimates of
+    adaptation", public): P(a word appears AGAIN in a document | it
+    appeared at all) = df_twice / df_once — the burstiness signal that
+    separates content words (bursty: once a doc mentions a topic it
+    keeps mentioning it) from function words (Poisson-ish), which a
+    Poisson/unigram independence assumption gets badly wrong.  Top-10
+    most adaptive words with df >= 5, ranked on the rounded score with
+    the word tiebreak.  The cross-DOC companion of
+    ``doc_repetition_scores`` (within-doc) and the document-frequency
+    cousin of ``fano_burstiness_by_event_type`` (variance-based).
+
+    Counts are integers; the single ratio rounds at the edge.  One
+    tokenize-explode, one (doc, word) contraction, one word rollup,
+    one top-k window over word stats."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(F.filter(TX.tokens("text"), lambda x: x != "")).alias(
+                "word"
+            ),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df1"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("df2"),
+        F.sum("c").alias("cf"),
+    )
+    scored = stats.filter(F.col("df1") >= _ADAPT_MIN_DF).select(
+        "word",
+        "df1",
+        "df2",
+        "cf",
+        F.round(F.col("df2").cast("double") / F.col("df1"), 6).alias(
+            "adaptation"
+        ),
+    )
+    w = Window.orderBy(F.desc("adaptation"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ADAPT_TOPK)
+        .select(
+            "word",
+            F.col("df1").cast("long").alias("df_once"),
+            F.col("df2").cast("long").alias("df_twice"),
+            F.col("cf").cast("long").alias("cf"),
+            "adaptation",
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )

@@ -227,6 +227,10 @@ _HOSTILE_PANEL = [
     # bias-corrected branch (F1(F1-1)/2) — both engines must branch
     # identically; empty docs contribute no tokens
     "chao1_vocab_richness",
+    # r11 adaptation: hostile docs where every word is hapax give
+    # df_twice = 0 (adaptation exactly 0); the df floor must prune
+    # identically; rank ties on equal adaptation break on the word
+    "word_adaptation_scores",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
