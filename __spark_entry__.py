@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (153
+# continuation of the never-driver-verified oracle-paired set (154
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -175,6 +175,7 @@ _PANEL_NEXT_CANDIDATES = [
     "mediation_quantity_discount_returns",
     "streaming_srm_guardrail",
     "word_adaptation_scores",
+    "price_elasticity_by_brand",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

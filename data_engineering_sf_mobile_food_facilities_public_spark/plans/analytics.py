@@ -13654,3 +13654,88 @@ def mediation_quantity_discount_returns(
         ) + 0.0).alias("direct_effect"),
         (F.round(pa * pb, 6) + 0.0).alias("indirect_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity by brand — log-log demand slope with PRE-ROUNDED
+# DECIMAL log addends (the DSIR discipline on a regression).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "price_elasticity_by_brand",
+    """
+    WITH base AS (
+        SELECT p.p_brand,
+               CAST(round(ln(l.l_extendedprice / l.l_quantity), 9)
+                    AS DECIMAL(18,9)) AS lx,
+               CAST(round(ln(l.l_quantity), 9) AS DECIMAL(18,9)) AS ly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    mo AS (
+        SELECT p_brand, COUNT(*) AS n,
+               SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(CAST(lx * lx AS DECIMAL(37,18))) AS sxx,
+               SUM(CAST(lx * ly AS DECIMAL(37,18))) AS sxy
+        FROM base GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+    FROM mo WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per part brand: the slope of
+    ln(quantity) on ln(unit price) — the log-log regression whose
+    coefficient IS the elasticity (standard econometrics, public),
+    estimated per brand so category managers can see which brands'
+    demand is price-sensitive.
+
+    The float discipline is the DSIR pre-rounded-addend rule applied
+    to a regression: each row's ln values round ONCE to DECIMAL(18,9),
+    so every moment (sums, squares, cross products — kept at exact
+    DECIMAL(37,18)) is summation-order-free, and the slope is computed
+    from exact centered numerators with ONE double division per brand.
+    A raw double Σ ln(x)·ln(y) would be partition-order-dependent —
+    exactly the class the r7/r8 drivers caught.
+
+    Scale shape: one fact-dim equi-join (part is broadcastable), one
+    grouped DECIMAL moment aggregate with map-side partials,
+    |brands|-sized output."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = load(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 9)
+        .cast("decimal(18,9)")
+        .alias("lx"),
+        F.round(F.log(F.col("l_quantity")), 9)
+        .cast("decimal(18,9)")
+        .alias("ly"),
+    )
+    mo = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(37,18)")).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(37,18)")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mo.filter(det != 0).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / det.cast("double"),
+            6,
+        ).alias("elasticity"),
+    )

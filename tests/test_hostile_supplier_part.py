@@ -102,6 +102,10 @@ _SP_PANEL = [
     "degree_assortativity_part_graph",
     "rich_club_coefficient",
     "cosine_threshold_pairs_pruned",
+    # r11 elasticity: constant-price hostile brands have zero log-x
+    # variance and must drop via the exact integer-decimal determinant
+    # guard identically; zero/negative quantities are excluded rows
+    "price_elasticity_by_brand",
 ]
 
 
