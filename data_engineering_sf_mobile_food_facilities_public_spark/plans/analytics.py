@@ -13739,3 +13739,171 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("elasticity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain — how predictable is the
+# next action? (info-theory over the same chain as the stationary op).
+# ---------------------------------------------------------------------------
+
+
+def _markov_entropy_oracle_sql() -> str:
+    """Same generated chain + power-iteration CTEs as
+    ``_markov_oracle_sql`` (shared constants — the two cannot drift),
+    with the entropy tail: per-edge addends pi_i * p_ij * ln(p_ij)
+    pre-rounded to DECIMAL(18,12), summed exactly."""
+    steps = []
+    prev = "p0"
+    for i in range(1, _MKV_STEPS + 1):
+        steps.append(f"""
+    p{i} AS (
+        SELECT t.event_type,
+               CAST(round(CAST(coalesce(SUM(CAST({prev}.pi
+                        * (CAST(m.n AS DOUBLE) / m.tot) AS DECIMAL(18,12))), 0)
+                    AS DOUBLE), 6) AS DECIMAL(18,6)) AS pi
+        FROM types t
+        LEFT JOIN mat m ON m.dst = t.event_type
+        LEFT JOIN {prev} ON {prev}.event_type = m.src
+        GROUP BY t.event_type
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dangling AS (
+        SELECT t.event_type AS src, t.event_type AS dst, CAST(1 AS BIGINT) AS n
+        FROM types t LEFT JOIN (SELECT DISTINCT src FROM counts) c
+          ON c.src = t.event_type
+        WHERE c.src IS NULL
+    ),
+    allc AS (SELECT * FROM counts UNION ALL SELECT * FROM dangling),
+    mat AS (
+        SELECT src, dst, n, SUM(n) OVER (PARTITION BY src) AS tot FROM allc
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+    p0 AS (
+        SELECT t.event_type,
+               CAST(round(1.0 / k.k, 6) AS DECIMAL(18,6)) AS pi
+        FROM types t CROSS JOIN k
+    ),{",".join(steps)},
+    addends AS (
+        SELECT CAST(round(CAST(pf.pi AS DOUBLE)
+                          * (CAST(m.n AS DOUBLE) / m.tot)
+                          * ln(CAST(m.n AS DOUBLE) / m.tot), 12)
+                    AS DECIMAL(18,12)) AS a
+        FROM mat m JOIN {prev} pf ON pf.event_type = m.src
+    )
+    SELECT k.k AS n_states,
+           round(-CAST((SELECT SUM(a) FROM addends) AS DOUBLE), 6)
+               AS entropy_rate_nats,
+           round(ln(CAST(k.k AS DOUBLE)), 6) AS max_entropy_nats,
+           round(-CAST((SELECT SUM(a) FROM addends) AS DOUBLE)
+                 / ln(CAST(k.k AS DOUBLE)), 6) AS efficiency
+    FROM k
+    """
+
+
+@_register("markov_entropy_rate", _markov_entropy_oracle_sql())
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type chain (Shannon; H =
+    -sum_i pi_i sum_j p_ij ln p_ij, public): how many nats of surprise
+    the NEXT action carries once you know the current one — the
+    predictability summary for behavioral monitoring (falling entropy
+    rate = usage is routinizing; max_entropy = ln k and the efficiency
+    ratio contextualize it).  Reuses the EXACT stationary distribution
+    machinery — same transition build, same dangling self-loops, same
+    10 rounded power steps and constants as
+    :func:`markov_stationary_event_types`, so the two releases cannot
+    disagree about the chain.
+
+    Float discipline: each edge's pi * p * ln p addend rounds ONCE to
+    DECIMAL(18,12) (the DSIR rule), so the edge sum is order-free;
+    ln on identical integer-derived rationals agrees bitwise (the
+    TF-IDF precedent).
+
+    Scale shape: identical to the stationary query — fact table
+    touched once, |types|^2 matrix localCheckpointed, the loop state
+    |types|-sized; the entropy tail is one dim-sized aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w_u).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    types = ev.select("event_type").distinct()
+    dangling = (
+        types.join(
+            counts.select("src").distinct(),
+            types["event_type"] == F.col("src"),
+            "left_anti",
+        )
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    allc = counts.unionByName(dangling)
+    w_src = Window.partitionBy("src")
+    mat = allc.select(
+        "src", "dst", "n", F.sum("n").over(w_src).alias("tot")
+    ).localCheckpoint(eager=True)
+    k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        F.round(1.0 / F.col("k"), 6).cast("decimal(18,6)").alias("pi"),
+    )
+    for _ in range(_MKV_STEPS):
+        contrib = (
+            mat.join(pi, mat["src"] == pi["event_type"])
+            .select(
+                F.col("dst"),
+                (
+                    F.col("pi") * (F.col("n").cast("double") / F.col("tot"))
+                ).cast("decimal(18,12)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pi = (
+            types.join(contrib, types["event_type"] == contrib["dst"], "left")
+            .select(
+                "event_type",
+                F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double"), 6)
+                .cast("decimal(18,6)")
+                .alias("pi"),
+            )
+        )
+    p = F.col("n").cast("double") / F.col("tot")
+    addends = mat.join(pi, mat["src"] == pi["event_type"]).select(
+        F.round(F.col("pi").cast("double") * p * F.log(p), 12)
+        .cast("decimal(18,12)")
+        .alias("a")
+    )
+    h = addends.agg(F.sum("a").alias("s"))
+    return (
+        k.crossJoin(F.broadcast(h))
+        .select(
+            F.col("k").cast("long").alias("n_states"),
+            F.round(-F.col("s").cast("double"), 6).alias("entropy_rate_nats"),
+            F.round(F.log(F.col("k").cast("double")), 6).alias(
+                "max_entropy_nats"
+            ),
+            F.round(
+                -F.col("s").cast("double") / F.log(F.col("k").cast("double")),
+                6,
+            ).alias("efficiency"),
+        )
+    )

@@ -89,6 +89,11 @@ _EVENT_PANEL = [
     # whose coverage is exactly one window; fully-disjoint singleton
     # users produce n_islands = n_events identically
     "interval_union_coverage_per_user",
+    # r11 entropy rate: the dangling 'error' type's self-loop has
+    # p = 1 -> addend exactly 0; deterministic chains (single
+    # continuation per src) must drive entropy toward 0 identically
+    # through the shared 10-step stationary machinery
+    "markov_entropy_rate",
     "ohlc_hourly_by_type",
     "funnel_signup_to_purchase",
     "scd2_user_event_history",

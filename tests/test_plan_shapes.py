@@ -249,6 +249,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row margin-target broadcast onto every raking half-step
     # (12 of them, each over the |nations| x |segments| cell frame)
     "ipf_raking_weights",
+    # r11: the stationary query's 1-row type-count scalar, twice (seed
+    # + final entropy combine)
+    "markov_entropy_rate",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
