@@ -13907,3 +13907,164 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("efficiency"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation of the closed-form OLS — exact fold moments
+# via the totals-minus-fold identity (the LOO trick at fold level).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kfold_cv_ols_rmse",
+    """
+    WITH base AS (
+        SELECT CAST(('0x' || substr(md5('cv' || CAST(l_orderkey AS VARCHAR)
+                     || ':' || CAST(l_linenumber AS VARCHAR)), 1, 13))
+                    AS BIGINT) % 5 AS fold,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    fm AS (
+        SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM base GROUP BY fold
+    ),
+    tot AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy
+        FROM fm
+    ),
+    coef AS (
+        SELECT f.fold,
+               CAST((t.n - f.n) * (t.sxy - f.sxy)
+                    - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
+                   / CAST((t.n - f.n) * (t.sxx - f.sxx)
+                          - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE) AS b,
+               CAST(t.sy - f.sy AS DOUBLE) / (t.n - f.n)
+                 - (CAST((t.n - f.n) * (t.sxy - f.sxy)
+                         - (t.sx - f.sx) * (t.sy - f.sy) AS DOUBLE)
+                    / CAST((t.n - f.n) * (t.sxx - f.sxx)
+                           - (t.sx - f.sx) * (t.sx - f.sx) AS DOUBLE))
+                   * (CAST(t.sx - f.sx AS DOUBLE) / (t.n - f.n)) AS a
+        FROM fm f CROSS JOIN tot t
+        WHERE (t.n - f.n) * (t.sxx - f.sxx)
+              - (t.sx - f.sx) * (t.sx - f.sx) <> 0
+    ),
+    resid AS (
+        SELECT b.fold,
+               CAST(round(pow(CAST(b.y AS DOUBLE) / 100.0
+                              - (c.a / 100.0
+                                 + (c.b / 100.0) * CAST(b.x AS DOUBLE)), 2),
+                          6) AS DECIMAL(28,6)) AS r2
+        FROM base b JOIN coef c ON c.fold = b.fold
+    )
+    SELECT r.fold AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           round(MAX(c.b) / 100.0, 6) AS slope,
+           round(MAX(c.a) / 100.0, 6) AS intercept,
+           round(sqrt(CAST(SUM(r.r2) AS DOUBLE) / COUNT(*)), 6) AS rmse
+    FROM resid r JOIN coef c ON c.fold = r.fold
+    GROUP BY r.fold
+    """,
+)
+def kfold_cv_ols_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-fold cross-validation of the price ~ quantity OLS (the
+    held-out evaluation of ``ols_price_vs_quantity``): folds are
+    md5-assigned, each fold's TRAINING moments come from the
+    totals-minus-fold identity (one grouped aggregate — never a
+    re-scan per fold, the LOO target-encoding trick applied to model
+    fitting), and each fold's held-out RMSE scores predictions from
+    the other folds' line.
+
+    Float discipline: all moments are exact wide integers in CENTS;
+    coefficients are fixed double trees from exact operands; each
+    row's squared residual (in price units) rounds ONCE to
+    DECIMAL(28,6) so the fold SSE is summation-order-free (the
+    elasticity/DSIR addend rule); degenerate folds drop via the exact
+    integer determinant guard.
+
+    Scale shape: two scans (one for moments, one for residuals), a
+    5-row coefficient broadcast between them, map-side partials
+    everywhere — the entire CV is two reductions."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = "decimal(38,0)"
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cv"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    base = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").cast(wide).alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast(wide).alias("y"),
+    )
+    fm = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = fm.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = fm.crossJoin(F.broadcast(tot))
+    rn = F.col("tn") - F.col("n")
+    rsx = F.col("tsx") - F.col("sx")
+    rsy = F.col("tsy") - F.col("sy")
+    rsxx = F.col("tsxx") - F.col("sxx")
+    rsxy = F.col("tsxy") - F.col("sxy")
+    det = rn * rsxx - rsx * rsx
+    b = (rn * rsxy - rsx * rsy).cast("double") / det.cast("double")
+    a = rsy.cast("double") / rn.cast("double") - b * (
+        rsx.cast("double") / rn.cast("double")
+    )
+    coef = j.filter(det != 0).select(
+        "fold", b.alias("b"), a.alias("a")
+    )
+    resid = base.join(F.broadcast(coef), "fold").select(
+        "fold",
+        "a",
+        "b",
+        F.round(
+            F.pow(
+                F.col("y").cast("double") / 100.0
+                - (
+                    F.col("a") / 100.0
+                    + (F.col("b") / 100.0) * F.col("x").cast("double")
+                ),
+                2,
+            ),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("r2"),
+    )
+    return resid.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.max("b") / 100.0, 6).alias("slope"),
+        F.round(F.max("a") / 100.0, 6).alias("intercept"),
+        F.round(
+            F.sqrt(F.sum("r2").cast("double") / F.count(F.lit(1))), 6
+        ).alias("rmse"),
+    )

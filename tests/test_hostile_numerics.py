@@ -90,6 +90,10 @@ _NUMERIC_PANEL = [
     # quantity blocks) stress the exact determinant guards, and
     # near-zero effects stress the -0.0 normalization on BOTH engines
     "mediation_quantity_discount_returns",
+    # r11 k-fold CV: tiny hostile folds (a few rows each) exercise the
+    # totals-minus-fold identity near degeneracy — constant-quantity
+    # training complements drop via the exact determinant guard
+    "kfold_cv_ols_rmse",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",
