@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (156
+# continuation of the never-driver-verified oracle-paired set (158
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -178,6 +178,8 @@ _PANEL_NEXT_CANDIDATES = [
     "price_elasticity_by_brand",
     "markov_entropy_rate",
     "kfold_cv_ols_rmse",
+    "trending_parts_decayed",
+    "rocchio_feedback_rerank",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -14068,3 +14068,90 @@ def kfold_cv_ols_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("r2").cast("double") / F.count(F.lit(1))), 6
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending parts — exponentially time-decayed demand vs raw volume
+# (the recency-weighted top-k every storefront runs).
+# ---------------------------------------------------------------------------
+
+_TREND_HALF_LIFE_DAYS = 7.0
+_TREND_TOPK = 10
+
+
+@_register(
+    "trending_parts_decayed",
+    f"""
+    WITH ref AS (
+        SELECT MAX(CAST(l_shipdate AS DATE)) AS r FROM lineitem
+    ),
+    w AS (
+        SELECT l_partkey,
+               CAST(round(pow(0.5,
+                    datediff('day', CAST(l_shipdate AS DATE), ref.r)
+                    / {_TREND_HALF_LIFE_DAYS!r}), 9) AS DECIMAL(18,9)) AS wt
+        FROM lineitem, ref
+    ),
+    agg AS (
+        SELECT l_partkey, COUNT(*) AS n_lines, SUM(wt) AS decayed
+        FROM w GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(decayed AS DOUBLE) AS decayed_demand,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY decayed DESC, l_partkey)
+                 AS rnk
+          FROM agg)
+    WHERE rnk <= {_TREND_TOPK}
+    """,
+)
+def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-10 parts by exponentially time-decayed demand
+    (half-life {h} days from the newest ship date) — the
+    recency-weighted ranking every storefront/feed runs, where a burst
+    last week outranks steady volume last year; n_lines rides along so
+    the trending-vs-volume divergence is visible in one row.
+
+    Portability: each line's decay weight pow(0.5, age/{h}) is
+    computed on the IDENTICAL integer age and rounded once to
+    DECIMAL(18,9) (the elasticity addend rule), so per-part decayed
+    sums are exact and order-free; ranking runs over the exact DECIMAL
+    with the partkey tiebreak.
+
+    Scale shape: 1-row newest-date broadcast, one scan, one grouped
+    DECIMAL aggregate (map-side partials), one top-k window over the
+    part-dim-sized result."""
+    li = load(spark, sf_dir, "lineitem")
+    ref = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("r"))
+    w = li.crossJoin(F.broadcast(ref)).select(
+        "l_partkey",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                F.datediff(F.col("r"), F.col("l_shipdate").cast("date"))
+                / F.lit(_TREND_HALF_LIFE_DAYS),
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("wt"),
+    )
+    agg = w.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum("wt").alias("decayed")
+    )
+    wr = Window.orderBy(F.desc("decayed"), "l_partkey")
+    return (
+        agg.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TREND_TOPK)
+        .select(
+            "l_partkey",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("decayed").cast("double").alias("decayed_demand"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
+
+
+trending_parts_decayed.__doc__ = trending_parts_decayed.__doc__.format(
+    h=_TREND_HALF_LIFE_DAYS
+)

@@ -6927,3 +6927,187 @@ def word_adaptation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio relevance feedback — query expansion from top/bottom feedback
+# (the feedback member of the retrieval family: BM25 / QL / TF-IDF).
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_VOCAB = 20
+_ROCCHIO_QUERY = ("spark", "table")
+_ROCCHIO_REL = 5
+_ROCCHIO_POOL = 20
+_ROCCHIO_TOPK = 10
+
+
+@_register(
+    "rocchio_feedback_rerank",
+    _TOKENS_CTE
+    + f"""
+    , w AS (
+        SELECT t.doc_id, u.w AS word
+        FROM tok t, unnest(list_filter(t.tokens, x -> x <> '')) AS u(w)
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word)
+                       AS rnk
+            FROM w GROUP BY word
+        ) WHERE rnk <= {_ROCCHIO_VOCAB}
+    ),
+    tf AS (
+        SELECT w.doc_id, w.word, COUNT(*) AS tf
+        FROM w JOIN vocab v ON v.word = w.word
+        GROUP BY w.doc_id, w.word
+    ),
+    s0 AS (
+        SELECT doc_id, SUM(tf) AS score0
+        FROM tf WHERE word IN {_ROCCHIO_QUERY!r}
+        GROUP BY doc_id
+    ),
+    pool AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score0 DESC, doc_id)
+                   AS rnk
+        FROM s0
+    ),
+    rel AS (SELECT doc_id FROM pool WHERE rnk <= {_ROCCHIO_REL}),
+    nonrel AS (SELECT doc_id FROM pool
+               WHERE rnk > {_ROCCHIO_POOL - _ROCCHIO_REL}
+                 AND rnk <= {_ROCCHIO_POOL}),
+    cr AS (
+        SELECT v.word,
+               CAST(round(CAST(COALESCE(SUM(t.tf), 0) AS DOUBLE)
+                          / {_ROCCHIO_REL}, 9) AS DECIMAL(18,9)) AS c
+        FROM vocab v
+        LEFT JOIN (SELECT tf.word, tf.tf FROM tf
+                   JOIN rel ON rel.doc_id = tf.doc_id) t
+          ON t.word = v.word
+        GROUP BY v.word
+    ),
+    cn AS (
+        SELECT v.word,
+               CAST(round(CAST(COALESCE(SUM(t.tf), 0) AS DOUBLE)
+                          / {_ROCCHIO_REL}, 9) AS DECIMAL(18,9)) AS c
+        FROM vocab v
+        LEFT JOIN (SELECT tf.word, tf.tf FROM tf
+                   JOIN nonrel ON nonrel.doc_id = tf.doc_id) t
+          ON t.word = v.word
+        GROUP BY v.word
+    ),
+    q2 AS (
+        SELECT cr.word,
+               CAST(CASE WHEN cr.word IN {_ROCCHIO_QUERY!r}
+                         THEN 1 ELSE 0 END AS DECIMAL(18,9))
+               + CAST(0.75 AS DECIMAL(3,2)) * cr.c
+               - CAST(0.15 AS DECIMAL(3,2)) * cn.c AS qw
+        FROM cr JOIN cn ON cn.word = cr.word
+    ),
+    rescored AS (
+        SELECT tf.doc_id, SUM(q2.qw * tf.tf) AS score
+        FROM tf JOIN q2 ON q2.word = tf.word
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(score AS DOUBLE) AS score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM rescored)
+    WHERE rnk <= {_ROCCHIO_TOPK}
+    """,
+)
+def rocchio_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio relevance feedback (Rocchio 1971, public — THE classic
+    query-expansion loop): an initial term-frequency retrieval for the
+    query ("spark", "table") picks a 20-doc pool; the top 5 act as
+    positive feedback and the pool's bottom 5 as negative; the
+    expanded query q' = q + 0.75 * centroid(rel) - 0.15 *
+    centroid(nonrel) over the top-20 vocabulary then re-ranks the
+    corpus.  Completes the retrieval shelf: BM25 (lexical ranking),
+    QL-Dirichlet (language model), TF-IDF (weighting), RRF (fusion),
+    MMR (diversity) — Rocchio adds the FEEDBACK loop.
+
+    Exactness: term frequencies are integers; both centroids round
+    ONCE to DECIMAL(18,9); the Rocchio combination uses exact DECIMAL
+    literals (0.75, 0.15), so every expanded weight and re-ranking
+    score is exact DECIMAL arithmetic — both rank windows tie-break on
+    doc_id.
+
+    Scale shape: vocabulary and feedback pools are fixed-k TakeOrdered
+    shapes; the tf relation is corpus-linear restricted to 20 words;
+    centroids are 20-row aggregates; the re-rank is one broadcast join
+    of a 20-row query vector onto the tf relation."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.filter(TX.tokens("text"), lambda x: x != "")).alias("word"),
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), "word")
+        .limit(_ROCCHIO_VOCAB)
+        .select("word")
+    )
+    tf = (
+        w.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s0 = (
+        tf.filter(F.col("word").isin(*_ROCCHIO_QUERY))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("score0"))
+    )
+    pool = s0.orderBy(F.desc("score0"), "doc_id").limit(_ROCCHIO_POOL)
+    wp = Window.orderBy(F.desc("score0"), "doc_id")
+    pool = pool.withColumn("rnk", F.row_number().over(wp))
+    rel = pool.filter(F.col("rnk") <= _ROCCHIO_REL).select("doc_id")
+    nonrel = pool.filter(
+        (F.col("rnk") > _ROCCHIO_POOL - _ROCCHIO_REL)
+        & (F.col("rnk") <= _ROCCHIO_POOL)
+    ).select("doc_id")
+
+    def centroid(docs):
+        return (
+            vocab.join(
+                tf.join(docs, "doc_id").select("word", "tf"), "word", "left"
+            )
+            .groupBy("word")
+            .agg(
+                F.round(
+                    F.coalesce(F.sum("tf"), F.lit(0)).cast("double")
+                    / _ROCCHIO_REL,
+                    9,
+                )
+                .cast("decimal(18,9)")
+                .alias("c")
+            )
+        )
+
+    cr = centroid(rel)
+    cn = centroid(nonrel).withColumnRenamed("c", "c2")
+    q2 = cr.join(cn, "word").select(
+        "word",
+        (
+            F.when(F.col("word").isin(*_ROCCHIO_QUERY), 1)
+            .otherwise(0)
+            .cast("decimal(18,9)")
+            + F.lit(0.75).cast("decimal(3,2)") * F.col("c")
+            - F.lit(0.15).cast("decimal(3,2)") * F.col("c2")
+        ).alias("qw"),
+    )
+    rescored = (
+        tf.join(F.broadcast(q2), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qw") * F.col("tf")).alias("score"))
+    )
+    wr = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _ROCCHIO_TOPK)
+        .select(
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )

@@ -231,6 +231,11 @@ _HOSTILE_PANEL = [
     # df_twice = 0 (adaptation exactly 0); the df floor must prune
     # identically; rank ties on equal adaptation break on the word
     "word_adaptation_scores",
+    # r11 Rocchio: hostile corpora where the query terms never occur
+    # leave the feedback pool EMPTY (centroids all zero, q' = q) —
+    # both engines must degrade to the raw query identically; vocab
+    # rank ties on equal cf break on the word
+    "rocchio_feedback_rerank",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",

@@ -255,6 +255,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row total-moments broadcast onto the 5-row fold frame
     # (the totals-minus-fold identity)
     "kfold_cv_ols_rmse",
+    # r11: 1-row newest-ship-date scalar broadcast onto the scan for
+    # the integer decay ages (the Croston calendar-bounds pattern)
+    "trending_parts_decayed",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
