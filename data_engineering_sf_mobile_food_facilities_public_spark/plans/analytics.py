@@ -14155,3 +14155,160 @@ def trending_parts_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
 trending_parts_decayed.__doc__ = trending_parts_decayed.__doc__.format(
     h=_TREND_HALF_LIFE_DAYS
 )
+
+
+# ---------------------------------------------------------------------------
+# Last-digit uniformity audit — the fraud check Benford's first digit
+# can't do (trailing digits of organic amounts should be UNIFORM).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "last_digit_uniformity_audit",
+    """
+    WITH d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS digit
+        FROM orders
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT CAST(c.digit AS INT) AS digit,
+           CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.t, 6) AS share,
+           round(CAST((10 * c.n - t.t) AS DOUBLE)
+                 * (10 * c.n - t.t) / (10.0 * t.t * t.t) * 10, 6)
+               AS chi2_term
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def last_digit_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit (cents) uniformity audit — the trailing-digit fraud
+    test that complements ``benford_first_digit_prices``: leading
+    digits of organic amounts follow Benford, but TRAILING digits
+    should be uniform, and humans inventing numbers produce neither
+    (Nigrini's digit-analysis program, public).  Emits each digit's
+    count, share and chi-squared contribution (E = N/10, spelled
+    (10n - N)^2 / (10 N^2) * 10 so the numerator stays in exact
+    integer arithmetic).
+
+    One scan, one 10-row grouped count, a 1-row total broadcast."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 10).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    dev = 10 * F.col("n") - F.col("t")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        F.round(
+            dev.cast("double") * dev / (10.0 * F.col("t") * F.col("t")) * 10,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity dashboard — every FK edge of the schema audited
+# in one tagged union (the ops view over the per-pair constraint checks).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "referential_integrity_dashboard",
+    """
+    SELECT 'lineitem.orderkey -> orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.partkey -> part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.suppkey -> supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.nationkey -> nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.nationkey -> nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.regionkey -> region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def referential_integrity_dashboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every foreign-key edge of the schema audited in ONE result — the
+    ops dashboard over the per-pair constraint operators
+    (``pk_violations_lineitem_orderkey`` /
+    ``fk_orphans_lineitem_supplier`` check single edges; a nightly
+    integrity job wants the whole graph): child cardinality and orphan
+    count per edge, via LEFT ANTI joins (never NOT IN — its NULL
+    semantics silently lie).
+
+    Scale shape: each edge is one anti-join against a (mostly
+    broadcastable) parent key projection; counts fold into a 7-row
+    tagged union; the fact table is scanned once per edge it
+    participates in, with only the key column read (pushdown-pruned)."""
+
+    def edge(label, child, ckey, parent, pkey):
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    frames = [
+        edge("lineitem.orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.partkey -> part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders.custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier.nationkey -> nation", s, "s_nationkey", n, "n_nationkey"),
+        edge("nation.regionkey -> region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

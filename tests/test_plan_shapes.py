@@ -258,6 +258,11 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row newest-ship-date scalar broadcast onto the scan for
     # the integer decay ages (the Croston calendar-bounds pattern)
     "trending_parts_decayed",
+    # r11: 10-row digit frame x 1-row total scalar
+    "last_digit_uniformity_audit",
+    # r11: seven (1-row child-count x 1-row orphan-count) scalar
+    # combines, one per FK edge of the tagged union
+    "referential_integrity_dashboard",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
