@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (160
+# continuation of the never-driver-verified oracle-paired set (161
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -182,6 +182,7 @@ _PANEL_NEXT_CANDIDATES = [
     "rocchio_feedback_rerank",
     "last_digit_uniformity_audit",
     "referential_integrity_dashboard",
+    "kwic_concordance",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -7111,3 +7111,81 @@ def rocchio_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance — keyword in context, the corpus inspection tool.
+# ---------------------------------------------------------------------------
+
+_KWIC_TARGET = "spark"
+_KWIC_WIN = 3
+
+
+@_register(
+    "kwic_concordance",
+    _TOKENS_CTE
+    + f"""
+    , pos AS (
+        SELECT doc_id, t, i
+        FROM (SELECT doc_id, list_filter(tokens, x -> x <> '') AS t
+              FROM tok),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+        WHERE t[i] = '{_KWIC_TARGET}'
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS position,
+           COALESCE(array_to_string(
+               t[greatest(i - {_KWIC_WIN}, 1):i - 1], ' '), '')
+               AS left_context,
+           COALESCE(array_to_string(
+               t[i + 1:least(i + {_KWIC_WIN}, len(t))], ' '), '')
+               AS right_context
+    FROM pos
+    WHERE doc_id % 7 = 0
+    """,
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for '{w}' (the corpus tool every
+    linguist and every data-quality reviewer greps with — KWIC is the
+    oldest text-analysis display there is, Luhn 1960, public): every
+    occurrence in the 1-in-7 doc sample with {k} words of left/right
+    context.  Window edges clamp (DuckDB's inclusive 1-based slices
+    and Spark's slice(start, length) spell the SAME clamped ranges —
+    the boundary arithmetic is the whole cross-engine content here).
+
+    Scale shape: tokenize + position explode, a pure row filter on the
+    target, per-row array slicing — scan-local, no shuffle at all."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    base = d.select(
+        "doc_id", F.filter(TX.tokens("text"), lambda x: x != "").alias("t")
+    )
+    pos = base.select(
+        "doc_id", "t", F.posexplode("t").alias("i0", "w")
+    ).filter(F.col("w") == _KWIC_TARGET)
+    # Spark posexplode is 0-based; the oracle's generate_series is
+    # 1-based — normalize to the 1-based position once
+    i = F.col("i0") + 1
+    left_start = F.greatest(i - _KWIC_WIN, F.lit(1))
+    left_len = i - left_start
+    right_len = F.least(
+        F.lit(_KWIC_WIN), F.size("t") - i
+    )
+    return pos.select(
+        "doc_id",
+        i.cast("long").alias("position"),
+        F.concat_ws(
+            " ", F.slice("t", left_start, F.greatest(left_len, F.lit(0)))
+        ).alias("left_context"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t",
+                i + 1,
+                F.greatest(right_len, F.lit(0)),
+            ),
+        ).alias("right_context"),
+    )
+
+
+kwic_concordance.__doc__ = kwic_concordance.__doc__.format(
+    w=_KWIC_TARGET, k=_KWIC_WIN
+)

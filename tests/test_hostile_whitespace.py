@@ -236,6 +236,10 @@ _HOSTILE_PANEL = [
     # both engines must degrade to the raw query identically; vocab
     # rank ties on equal cf break on the word
     "rocchio_feedback_rerank",
+    # r11 KWIC: target at position 1 / at the last token clamps the
+    # context windows to EMPTY strings (never NULL) identically;
+    # hostile docs without the target vanish at the row filter
+    "kwic_concordance",
     # winnowing consumes positioned shingles: short/empty/whitespace-only
     # docs exercise the partial-window single-fingerprint rule
     "winnowing_fingerprints",
