@@ -14312,3 +14312,176 @@ def referential_integrity_dashboard(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive calibration — measured FPR vs theory on
+# a deterministic md5 lane (the engineering gate behind bloom_prune).
+# ---------------------------------------------------------------------------
+
+_BFC_M = 4096
+_BFC_K = 3
+
+
+@_register(
+    "bloom_fpr_calibration",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+    ),
+    b0 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    b AS (
+        SELECT o_custkey FROM b0
+        WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.o_custkey = b0.o_custkey)
+    ),
+    bits AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5('bf' || CAST(lane AS VARCHAR)
+                         || ':' || CAST(o_custkey AS VARCHAR)), 1, 13))
+                         AS BIGINT) % {_BFC_M} AS pos
+        FROM a, unnest([0, 1, 2]) AS t(lane)
+    ),
+    probes AS (
+        SELECT b.o_custkey,
+               CAST(('0x' || substr(md5('bf' || CAST(t.lane AS VARCHAR)
+                    || ':' || CAST(b.o_custkey AS VARCHAR)), 1, 13))
+                    AS BIGINT) % {_BFC_M} AS pos
+        FROM b, unnest([0, 1, 2]) AS t(lane)
+    ),
+    hits AS (
+        SELECT p.o_custkey, COUNT(*) AS n_hit
+        FROM probes p JOIN bits ON bits.pos = p.pos
+        GROUP BY p.o_custkey
+    ),
+    fp AS (
+        SELECT COUNT(*) AS n_fp FROM hits WHERE n_hit = {_BFC_K}
+    ),
+    sizes AS (
+        SELECT (SELECT COUNT(*) FROM a) AS n_members,
+               (SELECT COUNT(*) FROM b) AS n_probes,
+               (SELECT COUNT(*) FROM bits) AS bits_set
+    )
+    SELECT CAST({_BFC_M} AS INT) AS m_bits,
+           CAST({_BFC_K} AS INT) AS k_hashes,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(s.n_probes AS BIGINT) AS n_probes,
+           CAST(s.bits_set AS BIGINT) AS bits_set,
+           round(CAST(s.bits_set AS DOUBLE) / {_BFC_M}, 6) AS fill_ratio,
+           round(CAST(f.n_fp AS DOUBLE) / NULLIF(s.n_probes, 0), 6)
+               AS measured_fpr,
+           round(pow(1 - pow(1 - 1.0 / {_BFC_M}, {_BFC_K} * s.n_members),
+                     {_BFC_K}), 6) AS theoretical_fpr
+    FROM sizes s CROSS JOIN fp f
+    """,
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive calibration (Bloom 1970's analysis,
+    public): build a {m}-bit / {k}-hash filter over the H1-1996 active
+    customers on a DETERMINISTIC md5 lane (so the oracle replays the
+    exact same bits — the production ``operators/bloom.py`` uses
+    xxhash64, whose filter the oracle can only verify THROUGH the
+    exact join; this query verifies the filter itself), probe it with
+    the H2-ONLY customers (true non-members by construction), and
+    report measured FPR beside the textbook
+    (1 - (1 - 1/m)^(kn))^k expectation and the fill ratio — the
+    calibration gate that tells you whether a filter is sized right
+    BEFORE you ship it in front of a 100 TB shuffle.
+
+    All counts are exact integers; the two FPR numbers are fixed
+    double expressions rounded at the edge.  Scale shape: bit and
+    probe relations are explode-by-3 contractions; the membership
+    probe is an equi-join on the bit position (the filter side is
+    <= m rows, broadcastable); everything else is 1-row algebra."""
+    o = load(spark, sf_dir, "orders")
+
+    def half(lo, hi):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a = half("1996-01-01", "1996-07-01")
+    b = half("1996-07-01", "1997-01-01").join(a, "o_custkey", "left_anti")
+
+    def positions(df):
+        return df.select(
+            "o_custkey",
+            F.explode(F.array(*[F.lit(i) for i in range(_BFC_K)])).alias(
+                "lane"
+            ),
+        ).select(
+            "o_custkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bf"),
+                                F.col("lane").cast("string"),
+                                F.lit(":"),
+                                F.col("o_custkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BFC_M
+            ).alias("pos"),
+        )
+
+    bits = positions(a).select("pos").distinct()
+    hits = (
+        positions(b)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    fp = hits.filter(F.col("n_hit") == _BFC_K).agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    sizes = (
+        a.agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_probes"))))
+        .crossJoin(F.broadcast(bits.agg(F.count(F.lit(1)).alias("bits_set"))))
+    )
+    return sizes.crossJoin(F.broadcast(fp)).select(
+        F.lit(_BFC_M).cast("int").alias("m_bits"),
+        F.lit(_BFC_K).cast("int").alias("k_hashes"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.round(F.col("bits_set").cast("double") / _BFC_M, 6).alias(
+            "fill_ratio"
+        ),
+        F.round(
+            F.col("n_fp").cast("double") / F.nullif(F.col("n_probes"), F.lit(0)),
+            6,
+        ).alias("measured_fpr"),
+        F.round(
+            F.pow(
+                1
+                - F.pow(
+                    F.lit(1 - 1.0 / _BFC_M), _BFC_K * F.col("n_members")
+                ),
+                _BFC_K,
+            ),
+            6,
+        ).alias("theoretical_fpr"),
+    )
+
+
+bloom_fpr_calibration.__doc__ = bloom_fpr_calibration.__doc__.format(
+    m=_BFC_M, k=_BFC_K
+)

@@ -263,6 +263,8 @@ _NESTED_LOOP_ALLOWED = {
     # r11: seven (1-row child-count x 1-row orphan-count) scalar
     # combines, one per FK edge of the tagged union
     "referential_integrity_dashboard",
+    # r11: four 1-row size/count scalars combined for the FPR algebra
+    "bloom_fpr_calibration",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
