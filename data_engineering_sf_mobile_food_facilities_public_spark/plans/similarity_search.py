@@ -2878,3 +2878,141 @@ def kmeans_fixed_iterations_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.sum("dist").cast("double"), 6).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN leave-one-out label accuracy — the classifier-free probe of
+# embedding quality (majority vote of the 5 nearest neighbors).
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_SAMPLE_MOD = 20
+
+
+@_register(
+    "knn_loo_label_accuracy",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, label, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % {_KNN_SAMPLE_MOD} = 0),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS true_label,
+               c.vec_id AS cid, c.label AS clabel,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, cid) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT qid, true_label, clabel, COUNT(*) AS n_votes
+        FROM topk GROUP BY qid, true_label, clabel
+    ),
+    pred AS (
+        SELECT qid, true_label, clabel AS pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY n_votes DESC, clabel) AS r
+              FROM votes)
+        WHERE r = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def knn_loo_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy on a 1-in-20 query sample —
+    the classifier-free probe of whether the embedding GEOMETRY
+    already separates the labels (Cover & Hart 1967's nearest-neighbor
+    rule, public): each sampled vector is classified by the majority
+    label of its 5 nearest OTHER vectors (rounded-cosine rank, id
+    tiebreak; vote ties break to the smallest label), reported as
+    per-label accuracy.  Complements ``ml_logreg_embedding_classifier``
+    (parametric, rows-only) and
+    ``label_noise_centroid_disagreement`` (centroid-level) with the
+    local, fully oracle-checkable member.
+
+    Scale shape: the brute-force scoring is QUERY-SAMPLE bounded (the
+    ann_cosine_topk contract — |queries| x corpus, linear in the
+    corpus for a fixed sample); ranks partition by query; votes and
+    accuracy are k-bounded aggregates.  At 100 TB the candidate side
+    swaps to any blocked/ANN tier with the same vote tail."""
+    e = load(spark, sf_dir, "embeddings")
+    staged = (
+        e.select(
+            "vec_id",
+            "label",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .withColumn(
+            "n",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    q = staged.filter(F.col("vec_id") % _KNN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    c = staged.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = q.join(c, F.col("cid") != F.col("qid")).select(
+        "qid",
+        "true_label",
+        "cid",
+        "clabel",
+        F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    topk = scored.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= _KNN_K
+    )
+    votes = topk.groupBy("qid", "true_label", "clabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("n_votes"), "clabel")
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("qid", "true_label", F.col("clabel").alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )

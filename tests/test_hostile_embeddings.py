@@ -61,6 +61,10 @@ _EMBED_PANEL = [
     # 4 smallest ids; equidistant duplicates must tiebreak on cluster
     # id identically through all 3 exact-DECIMAL iterations
     "kmeans_fixed_iterations_exact",
+    # r11 kNN-LOO: the zero vector drops from queries AND candidates;
+    # duplicate vectors give cos exactly 1.0 (pure cid tiebreaks);
+    # vote ties on tiny hostile corpora break to the smallest label
+    "knn_loo_label_accuracy",
     "ann_cosine_topk",
     "embedding_near_dup_blocked",
     "binary_quantize_hamming_topk",

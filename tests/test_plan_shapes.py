@@ -109,6 +109,9 @@ _NESTED_LOOP_ALLOWED = {
     "ann_cosine_topk",
     "ann_cosine_topk_vectorized",
     "ann_ivf_topk",
+    # r11: same deliberate query-sample x corpus broadcast as the ann
+    # brute-force tier, with the kNN vote tail
+    "knn_loo_label_accuracy",
     # binary prefilter tier: same deliberate broadcast query x corpus
     # scan as the other brute-force ANN tiers (64x smaller state)
     "binary_quantize_hamming_topk",
