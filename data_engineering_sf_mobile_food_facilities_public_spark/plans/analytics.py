@@ -14485,3 +14485,130 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_fpr_calibration.__doc__ = bloom_fpr_calibration.__doc__.format(
     m=_BFC_M, k=_BFC_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump — the best single Gini split, from one cumulative pass
+# (the CART building block, exact counts end to end).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decision_stump_returnflag",
+    """
+    WITH per_q AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               COUNT(*) AS cnt,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT q,
+               SUM(cnt) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               SUM(pos) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+               SUM(cnt) OVER () AS n,
+               SUM(pos) OVER () AS p
+        FROM per_q
+    ),
+    scored AS (
+        SELECT q AS threshold, nl, n - nl AS nr, pl, p - pl AS pr,
+               round(1 - (
+                   (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl
+                 + (CAST(p - pl AS DOUBLE) * (p - pl)
+                    + CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))
+                   / (n - nl)
+               ) / n, 9) AS wgini,
+               round(1 - (CAST(p AS DOUBLE) * p
+                          + CAST(n - p AS DOUBLE) * (n - p)) / (CAST(n AS DOUBLE) * n),
+                     6) AS root_gini
+        FROM cum WHERE nl < n
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+           round(wgini, 6) AS weighted_gini, root_gini
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY wgini, threshold) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def decision_stump_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The best single Gini split of l_quantity against the returned
+    flag — a CART decision stump (Breiman et al. 1984, public), the
+    unit cell of every tree ensemble and the simplest "is this feature
+    worth anything?" audit: all 50 candidate thresholds are scored
+    from ONE cumulative pass over the distinct-value relation
+    (left/right class counts fall out of running sums — never a
+    per-threshold re-scan), and the winner is reported beside the
+    root's impurity.
+
+    Exactness: every count is an exact integer; the weighted-Gini
+    identity 1 - (1/n) sum_s (pos_s^2 + neg_s^2)/n_s is evaluated as a
+    fixed double tree over integer operands and rounded to 9dp BEFORE
+    the argmin rank (threshold tiebreak), so the chosen stump cannot
+    differ between engines.
+
+    Scale shape: one grouped count on the feature value, value-spine
+    windows (50 rows here; a bucketed cumsum past codegen scale), a
+    1-row answer."""
+    li = load(spark, sf_dir, "lineitem")
+    per_q = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+    w_cum = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_q.select(
+        "q",
+        F.sum("cnt").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("pl"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("pos").over(w_all).alias("p"),
+    )
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    nr, pr = n - nl, p - pl
+    negl, negr = nl - pl, nr - pr
+    wgini = F.round(
+        1
+        - (
+            (pl.cast("double") * pl + negl.cast("double") * negl) / nl
+            + (pr.cast("double") * pr + negr.cast("double") * negr) / nr
+        )
+        / n,
+        9,
+    )
+    root = F.round(
+        1
+        - (p.cast("double") * p + (n - p).cast("double") * (n - p))
+        / (n.cast("double") * n),
+        6,
+    )
+    scored = cum.filter(nl < n).select(
+        F.col("q").alias("threshold"),
+        nl.alias("nl"),
+        nr.alias("nr"),
+        pl.alias("pl"),
+        pr.alias("pr"),
+        wgini.alias("wgini"),
+        root.alias("root_gini"),
+    )
+    wr = Window.orderBy("wgini", "threshold")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("threshold").cast("long").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("pr").cast("long").alias("pos_right"),
+            F.round(F.col("wgini"), 6).alias("weighted_gini"),
+            "root_gini",
+        )
+    )

@@ -94,6 +94,10 @@ _NUMERIC_PANEL = [
     # totals-minus-fold identity near degeneracy — constant-quantity
     # training complements drop via the exact determinant guard
     "kfold_cv_ols_rmse",
+    # r11 stump: all-equal quantities leave NO valid split (nl < n
+    # never holds -> empty result identically); pure-class sides give
+    # Gini exactly 0 on both engines
+    "decision_stump_returnflag",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",
