@@ -14612,3 +14612,207 @@ def decision_stump_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "root_gini",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — monotone-trend detection on the daily
+# revenue spine, exact integer S with tie-corrected variance.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mann_kendall_trend_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+                   AS sgn
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    s AS (SELECT SUM(sgn) AS s, COUNT(*) AS n_pairs FROM pairs),
+    nn AS (SELECT COUNT(*) AS n FROM daily),
+    ties AS (
+        SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                   AS tt
+        FROM (SELECT v, COUNT(*) AS t FROM daily GROUP BY v HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST(s.s AS BIGINT) AS s_statistic,
+           round((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                  - CAST(ties.tt AS DOUBLE)) / 18, 6) AS variance,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1) WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / NULLIF(sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                                * (2 * nn.n + 5)
+                                - CAST(ties.tt AS DOUBLE)) / 18), 0), 6) AS z
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue (Mann 1945 /
+    Kendall 1975, public — the nonparametric trend detector
+    environmental and ops monitoring default to because it needs no
+    distributional assumption and shrugs at outliers): S = sum of
+    sign(v_j - v_i) over all later-day pairs, tie-corrected variance
+    n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, and the
+    continuity-corrected z.  The significance companion of
+    ``theil_sen_trend_1996`` (which estimates the slope MK tests).
+
+    Exactness: revenue compares as integer cents so every sign is
+    exact; S and the tie spectrum are integers; variance and z are
+    fixed double trees rounded at the edge.
+
+    Scale shape: the pair enumeration is DAY-SPINE-squared — bounded
+    by the calendar (2,410 days -> ~2.9M comparisons of pre-aggregated
+    rows at any data scale), the same bounded-quadratic class as the
+    Burrows word grid; the fact table contracts once."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .select(sgn.alias("sgn"))
+        .agg(F.sum("sgn").alias("s"))
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast("decimal(38,0)")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tt")
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt").cast("double")) / 18
+    corr = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_statistic"),
+            F.round(var, 6).alias("variance"),
+            F.round(
+                corr / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+            ).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — are daily up/down moves random?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "runs_test_daily_moves",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        FROM orders GROUP BY 1
+    ),
+    moves AS (
+        SELECT d, CASE WHEN v > LAG(v) OVER (ORDER BY d) THEN 1 ELSE 0 END
+                   AS up,
+               LAG(v) OVER (ORDER BY d) AS pv, v
+        FROM daily
+    ),
+    m AS (SELECT d, up FROM moves WHERE pv IS NOT NULL AND v <> pv),
+    chg AS (
+        SELECT up,
+               CASE WHEN up <> LAG(up) OVER (ORDER BY d) THEN 1 ELSE 0 END
+                   AS c
+        FROM m
+    ),
+    runs AS (
+        SELECT SUM(c) + 1 AS r, SUM(up) AS n1, COUNT(*) - SUM(up) AS n2
+        FROM chg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           round(1 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           round((r - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / NULLIF(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                               / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                                  * (n1 + n2 - 1))), 0), 6) AS z
+    FROM runs
+    """,
+)
+def runs_test_daily_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940, public) on the daily-revenue
+    up/down sequence: too FEW runs means momentum (ups cluster), too
+    MANY means mean-reversion — the randomness diagnostic that
+    complements ``acf_daily_revenue`` (linear correlation) with a
+    sign-only, outlier-immune view.  Flat days drop (no move); runs,
+    up/down counts and the comparison chain are exact integers off
+    integer-cents comparisons; expected runs and z are the textbook
+    closed forms, rounded at the edge.
+
+    Scale shape: one fact contraction to the day spine; one LAG chain
+    over the spine (calendar-bounded); a 1-row answer."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    w = Window.orderBy("d")
+    moves = daily.select(
+        "d",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull() & (F.col("v") != F.col("pv"))).select(
+        "d", F.when(F.col("v") > F.col("pv"), 1).otherwise(0).alias("up")
+    )
+    runs = moves.select(
+        "d",
+        "up",
+        F.when(F.col("up") != F.lag("up").over(w), 1).otherwise(0).alias("chg"),
+    ).agg(
+        (F.sum("chg") + 1).alias("r"),
+        F.sum("up").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).alias("n2"),
+    )
+    n1, n2, r = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("r"),
+    )
+    er = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return runs.select(
+        F.col("n1").cast("long").alias("n_up"),
+        F.col("n2").cast("long").alias("n_down"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((r - er) / F.nullif(vr, F.lit(0.0)), 6).alias("z"),
+    )

@@ -98,6 +98,11 @@ _NUMERIC_PANEL = [
     # never holds -> empty result identically); pure-class sides give
     # Gini exactly 0 on both engines
     "decision_stump_returnflag",
+    # r11 MK + runs: the all-equal price block makes tied DAYS (the
+    # tie-corrected variance term binds); hostile short series with
+    # flat moves must drop them identically before the runs chain
+    "mann_kendall_trend_daily",
+    "runs_test_daily_moves",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

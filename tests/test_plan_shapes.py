@@ -268,6 +268,10 @@ _NESTED_LOOP_ALLOWED = {
     "referential_integrity_dashboard",
     # r11: four 1-row size/count scalars combined for the FPR algebra
     "bloom_fpr_calibration",
+    # r11: the day-spine pair enumeration is a deliberate bounded
+    # quadratic on the calendar dim (the Burrows word-grid class),
+    # plus 1-row S/ties/n scalar combines
+    "mann_kendall_trend_daily",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
