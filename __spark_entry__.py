@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (166
+# continuation of the never-driver-verified oracle-paired set (168
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -188,6 +188,8 @@ _PANEL_NEXT_CANDIDATES = [
     "decision_stump_returnflag",
     "mann_kendall_trend_daily",
     "runs_test_daily_moves",
+    "cohens_d_price_halves",
+    "kish_design_effect",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -14816,3 +14816,207 @@ def runs_test_daily_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(er, 6).alias("expected_runs"),
         F.round((r - er) / F.nullif(vr, F.lit(0.0)), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g — the effect SIZE the t-statistic is missing.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohens_d_price_halves",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                    THEN 1 ELSE 0 END AS g,
+               CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    mo AS (
+        SELECT g, COUNT(*) AS n, SUM(cents) AS s,
+               SUM(cents * cents) AS ss
+        FROM assigned GROUP BY g
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+               MAX(CASE WHEN g = 0 THEN n END) AS n2,
+               MAX(CASE WHEN g = 1 THEN s END) AS s1,
+               MAX(CASE WHEN g = 0 THEN s END) AS s2,
+               MAX(CASE WHEN g = 1 THEN ss END) AS ss1,
+               MAX(CASE WHEN g = 0 THEN ss END) AS ss2
+        FROM mo
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1)
+                         + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / n2))
+                        / (n1 + n2 - 2)) / 100 * 100, 6) AS cohens_d,
+           round(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1)
+                          + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / n2))
+                         / (n1 + n2 - 2)) / 100 * 100)
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM w
+    """,
+)
+def cohens_d_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g between the 1996 halves on order value
+    (Cohen 1988 / Hedges 1981, public): the standardized EFFECT SIZE
+    a test statistic cannot convey — at 100 TB every difference is
+    "significant", and d is the number that says whether anyone should
+    care; g applies the small-sample bias correction 1 - 3/(4N - 9).
+
+    Exactness: the pooled-SD numerator uses the exact integer moment
+    form n*ss - s^2 (the Welch/Simpson discipline — never difference
+    float sums); both released numbers are fixed double trees over
+    exact integer-cents operands.  (The /100 * 100 pair keeps the
+    cents-vs-dollars units explicit AND identical on both engines: d
+    is scale-invariant, so the expression shape is what must match,
+    not the unit.)
+
+    One scan, one 2-group moment aggregate, a 1-row answer."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    wide = "decimal(38,0)"
+    assigned = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1
+        ).otherwise(0).alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast(wide).alias("cents"),
+    )
+    mo = assigned.groupBy("g").agg(
+        F.count(F.lit(1)).cast(wide).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    pick = lambda g, c: F.max(F.when(F.col("g") == g, F.col(c)))
+    w = mo.agg(
+        pick(1, "n").alias("n1"),
+        pick(0, "n").alias("n2"),
+        pick(1, "s").alias("s1"),
+        pick(0, "s").alias("s2"),
+        pick(1, "ss").alias("ss1"),
+        pick(0, "ss").alias("ss2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mean_diff = F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d
+    ssd1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / n1d
+    ssd2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / n2d
+    d = mean_diff / F.sqrt((ssd1 + ssd2) / (n1d + n2d - 2)) / 100 * 100
+    g_corr = 1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * g_corr.cast("double"), 6).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kish effective sample size — what the raking weights COST in
+# precision (the design-effect companion of ipf_raking_weights).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "kish_design_effect",
+    """
+    WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS seg, COUNT(*) AS c
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    -- balanced-design weights in CLOSED FORM: the IPF fixpoint for a
+    -- saturated 2-margin balance target is w ~ tr*tc/(cell share), i.e.
+    -- w_ij proportional to 1/c_ij normalized so sum(c*w) = n
+    w AS (
+        SELECT cells.n_name, cells.seg, cells.c,
+               CAST(round(CAST(tot.n AS DOUBLE)
+                          / ((SELECT COUNT(*) FROM cells) * cells.c), 9)
+                    AS DECIMAL(18,9)) AS wt
+        FROM cells, tot
+    )
+    , terms AS (
+        SELECT c,
+               CAST(round(c * CAST(wt AS DOUBLE), 9) AS DECIMAL(18,9)) AS cw,
+               CAST(round(c * CAST(wt AS DOUBLE) * CAST(wt AS DOUBLE), 9)
+                    AS DECIMAL(18,9)) AS cww
+        FROM w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           round(CAST(SUM(cw) AS DOUBLE) * CAST(SUM(cw) AS DOUBLE)
+                 / CAST(SUM(cww) AS DOUBLE), 6) AS kish_n_eff,
+           round(CAST(SUM(c) AS DOUBLE)
+                 / (CAST(SUM(cw) AS DOUBLE) * CAST(SUM(cw) AS DOUBLE)
+                    / CAST(SUM(cww) AS DOUBLE)), 6) AS design_effect
+    FROM terms
+    """,
+)
+def kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size and design effect (Kish 1965,
+    public) for CELL-BALANCING weights over the (nation, segment)
+    grid: n_eff = (sum c w)^2 / sum c w^2 — the precision a weighted
+    estimator actually has; deff = n / n_eff is what the weighting
+    COSTS.  This is the audit that belongs next to
+    ``ipf_raking_weights``: raking fixes representativeness, Kish
+    prices it.  (The balanced saturated-target fixpoint has the
+    closed form w proportional to 1/cell-share, so this query needs
+    no iteration at all — the iterative op covers the general-margin
+    case.)
+
+    Weights round once to DECIMAL(18,9) and each cell's c*w and
+    c*w^2 addends round once more before the exact DECIMAL sums (a
+    BIGINT x DECIMAL^2 product overflows DuckDB's 38-digit width and
+    silently degrades to DOUBLE — the addend rule sidesteps the whole
+    class); the two releases are fixed double trees.  One fact
+    contraction, dim-sized algebra."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.round(
+            F.col("n").cast("double") / (F.col("k") * F.col("c")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("wt"),
+    )
+    terms = w.select(
+        "c",
+        F.round(F.col("c") * F.col("wt").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("cw"),
+        F.round(
+            F.col("c") * F.col("wt").cast("double") * F.col("wt").cast("double"),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("cww"),
+    )
+    sw = F.sum("cw").cast("double")
+    sww = F.sum("cww").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.round(sw * sw / sww, 6).alias("kish_n_eff"),
+        F.round(F.sum("c").cast("double") / (sw * sw / sww), 6).alias(
+            "design_effect"
+        ),
+    )

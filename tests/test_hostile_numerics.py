@@ -103,6 +103,9 @@ _NUMERIC_PANEL = [
     # flat moves must drop them identically before the runs chain
     "mann_kendall_trend_daily",
     "runs_test_daily_moves",
+    # r11 Cohen's d: the hostile corpus sits outside the 1996 window
+    # entirely -> empty groups and NULL effect sizes must agree
+    "cohens_d_price_halves",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

@@ -272,6 +272,9 @@ _NESTED_LOOP_ALLOWED = {
     # quadratic on the calendar dim (the Burrows word-grid class),
     # plus 1-row S/ties/n scalar combines
     "mann_kendall_trend_daily",
+    # r11: 1-row (total, cell-count) scalar broadcast onto the
+    # dim-grid cell frame for the closed-form balance weights
+    "kish_design_effect",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
