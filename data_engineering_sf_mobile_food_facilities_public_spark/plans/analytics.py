@@ -15020,3 +15020,154 @@ def kish_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "design_effect"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weibull rank-regression fit — the parametric member of the survival
+# family (median-rank linearization, pre-rounded log addends).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weibull_rank_regression_fit",
+    """
+    WITH dd AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    ranked AS (
+        SELECT o_custkey, d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+        FROM dd
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+               MIN(CASE WHEN rn = 2 THEN d END) AS d2
+        FROM ranked WHERE rn <= 2 GROUP BY 1
+    ),
+    ev AS (
+        SELECT CAST(d2 - d1 AS INT) AS dur FROM firsts
+        WHERE d2 IS NOT NULL AND d2 > d1
+    ),
+    per_d AS (SELECT dur, COUNT(*) AS m FROM ev GROUP BY dur),
+    cum AS (
+        SELECT dur, m,
+               SUM(m) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m
+                   AS cprev,
+               SUM(m) OVER () AS n
+        FROM per_d
+    ),
+    occ AS (
+        SELECT dur, n, cprev + u.i AS i
+        FROM cum, unnest(generate_series(1, m)) AS u(i)
+    ),
+    addends AS (
+        SELECT CAST(round(ln(CAST(dur AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(round(ln(-ln(1 - (i - 0.3) / (n + 0.4))), 9)
+                    AS DECIMAL(18,9)) AS y
+        FROM occ
+    ),
+    mo AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * x AS DECIMAL(37,18))) AS sxx,
+               SUM(CAST(x * y AS DECIMAL(37,18))) AS sxy
+        FROM addends
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS shape_k,
+           round(exp(-(CAST(sy AS DOUBLE) / n
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / n))
+                     / (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE))), 6)
+               AS scale_days
+    FROM mo WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def weibull_rank_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the UNCENSORED repurchase durations by
+    median-rank regression (Benard's approximation (i - 0.3)/(n + 0.4)
+    and the ln(-ln(1-F)) ~ ln(t) linearization — the standard
+    reliability-engineering probability plot, public): the slope IS
+    the Weibull shape k (k < 1 infant-mortality churn, k > 1 wear-out
+    repurchase rhythm) and scale = exp(-intercept/k) is the
+    characteristic time in days.  The PARAMETRIC member beside the
+    nonparametric KM / Nelson-Aalen / log-rank trio.
+
+    Exactness: tie-aware per-occurrence ranks come from the
+    distinct-duration cumulative counts expanded with sequence() (all
+    integers); each observation's ln/ln-ln addends round ONCE to
+    DECIMAL(18,9) (the elasticity rule) so the four moments are
+    order-free; the slope and the exp() live in fixed double trees on
+    identical operands; degenerate designs drop via the exact
+    determinant guard.
+
+    Scale shape: the duration build is the KM construction; the
+    spine-sized cumulative windows expand back to one row per EVENT
+    (linear), then one moment aggregate."""
+    o = load(spark, sf_dir, "orders")
+    dd = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    firsts = (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    ev = firsts.filter(
+        F.col("d2").isNotNull() & (F.col("d2") > F.col("d1"))
+    ).select(F.datediff(F.col("d2"), F.col("d1")).cast("int").alias("dur"))
+    per_d = ev.groupBy("dur").agg(F.count(F.lit(1)).alias("m"))
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_d.select(
+        "dur",
+        "m",
+        (F.sum("m").over(w_cum) - F.col("m")).alias("cprev"),
+        F.sum("m").over(w_all).alias("n"),
+    )
+    occ = cum.select(
+        "dur",
+        "n",
+        "cprev",
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("j"),
+    ).select("dur", "n", (F.col("cprev") + F.col("j")).alias("i"))
+    addends = occ.select(
+        F.round(F.log(F.col("dur").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(
+            F.log(-F.log(1 - (F.col("i") - 0.3) / (F.col("n") + 0.4))), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    mo = addends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(37,18)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(37,18)")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    k = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / det.cast("double")
+    a = F.col("sy").cast("double") / F.col("n") - k * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    return mo.filter(det != 0).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.round(k, 6).alias("shape_k"),
+        F.round(F.exp(-a / k), 6).alias("scale_days"),
+    )

@@ -275,6 +275,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row (total, cell-count) scalar broadcast onto the
     # dim-grid cell frame for the closed-form balance weights
     "kish_design_effect",
+    # r11: 1-row max-date censoring scalar (the KM pattern) feeding
+    # the duration build
+    "weibull_rank_regression_fit",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
