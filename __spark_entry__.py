@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (169
+# continuation of the never-driver-verified oracle-paired set (170
 # entries = ~3 more rounds of ~39-slot rotation; the tail of the
 # never-verified set joins as this list drains).  The determinism
 # matrix has an opt-in test that stresses exactly this list so
@@ -191,6 +191,7 @@ _PANEL_NEXT_CANDIDATES = [
     "cohens_d_price_halves",
     "kish_design_effect",
     "weibull_rank_regression_fit",
+    "theils_u_status_priority",
     "ks_statistic_price_halves",
     "chi2_independence_status_priority",
     "hits_customer_supplier",

@@ -15171,3 +15171,106 @@ def weibull_rank_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(k, 6).alias("shape_k"),
         F.round(F.exp(-a / k), 6).alias("scale_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient — ASYMMETRIC categorical association
+# (how much of status does priority actually explain, and vice versa).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "theils_u_status_priority",
+    """
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    hs AS (
+        SELECT -SUM(CAST(round(CAST(cs AS DOUBLE) / t.n
+                               * ln(CAST(cs AS DOUBLE) / t.n), 12)
+                         AS DECIMAL(18,12))) AS h
+        FROM (SELECT s, SUM(c) AS cs FROM cells GROUP BY s), tot t
+    ),
+    hp AS (
+        SELECT -SUM(CAST(round(CAST(cp AS DOUBLE) / t.n
+                               * ln(CAST(cp AS DOUBLE) / t.n), 12)
+                         AS DECIMAL(18,12))) AS h
+        FROM (SELECT p, SUM(c) AS cp FROM cells GROUP BY p), tot t
+    ),
+    hj AS (
+        SELECT -SUM(CAST(round(CAST(c AS DOUBLE) / t.n
+                               * ln(CAST(c AS DOUBLE) / t.n), 12)
+                         AS DECIMAL(18,12))) AS h
+        FROM cells, tot t
+    )
+    SELECT round(CAST(hs.h AS DOUBLE), 6) AS h_status,
+           round(CAST(hp.h AS DOUBLE), 6) AS h_priority,
+           round(CAST(hj.h AS DOUBLE), 6) AS h_joint,
+           round(CAST(hs.h + hp.h - hj.h AS DOUBLE), 6) AS mutual_info,
+           round(CAST(hs.h + hp.h - hj.h AS DOUBLE)
+                 / NULLIF(CAST(hs.h AS DOUBLE), 0), 6)
+               AS u_status_given_priority,
+           round(CAST(hs.h + hp.h - hj.h AS DOUBLE)
+                 / NULLIF(CAST(hp.h AS DOUBLE), 0), 6)
+               AS u_priority_given_status
+    FROM hs CROSS JOIN hp CROSS JOIN hj
+    """,
+)
+def theils_u_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between order status and
+    priority (Theil 1970, public): U(X|Y) = I(X;Y)/H(X) — the
+    ASYMMETRIC normalization of mutual information that answers "what
+    fraction of X's uncertainty does knowing Y remove?" in each
+    direction, where Cramer's V (``chi2_independence_status_priority``)
+    gives one symmetric number and raw MI
+    (``mutual_information_lang_source``) has no [0,1] scale.  All
+    three entropies release alongside.
+
+    Float discipline: every p*ln(p) addend rounds ONCE to
+    DECIMAL(18,12) (the entropy-rate rule) so each entropy is an
+    exact DECIMAL sum; the MI identity and both ratios are fixed
+    double trees rounded at the edge.
+
+    Scale shape: one fact contraction to the |status| x |priority|
+    cell table; marginals re-aggregate the cells; three 1-row scalar
+    combines."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+
+    def entropy(df, cnt_col):
+        pr = F.col(cnt_col).cast("double") / F.col("n")
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select(
+                F.round(pr * F.log(pr), 12).cast("decimal(18,12)").alias("a")
+            )
+            .agg((-F.sum("a")).alias("h"))
+        )
+
+    hs = entropy(cells.groupBy("s").agg(F.sum("c").alias("cs")), "cs")
+    hp = entropy(
+        cells.groupBy("p").agg(F.sum("c").alias("cp")), "cp"
+    ).withColumnRenamed("h", "h2")
+    hj = entropy(cells, "c").withColumnRenamed("h", "h3")
+    mi = (F.col("h") + F.col("h2") - F.col("h3")).cast("double")
+    return (
+        hs.crossJoin(F.broadcast(hp))
+        .crossJoin(F.broadcast(hj))
+        .select(
+            F.round(F.col("h").cast("double"), 6).alias("h_status"),
+            F.round(F.col("h2").cast("double"), 6).alias("h_priority"),
+            F.round(F.col("h3").cast("double"), 6).alias("h_joint"),
+            F.round(mi, 6).alias("mutual_info"),
+            F.round(
+                mi / F.nullif(F.col("h").cast("double"), F.lit(0.0)), 6
+            ).alias("u_status_given_priority"),
+            F.round(
+                mi / F.nullif(F.col("h2").cast("double"), F.lit(0.0)), 6
+            ).alias("u_priority_given_status"),
+        )
+    )

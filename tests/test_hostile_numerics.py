@@ -106,6 +106,10 @@ _NUMERIC_PANEL = [
     # r11 Cohen's d: the hostile corpus sits outside the 1996 window
     # entirely -> empty groups and NULL effect sizes must agree
     "cohens_d_price_halves",
+    # r11 Theil's U: near-degenerate hostile tables (one dominant
+    # status) push marginal entropies toward 0 — the NULLIF guard and
+    # the rounded p*ln(p) addends must agree at the boundary
+    "theils_u_status_priority",
     "pricing_summary",
     "round_prices",
     "conditional_aggregation",

@@ -278,6 +278,9 @@ _NESTED_LOOP_ALLOWED = {
     # r11: 1-row max-date censoring scalar (the KM pattern) feeding
     # the duration build
     "weibull_rank_regression_fit",
+    # r11: three 1-row entropy scalars combined for the MI identity,
+    # plus the 1-row total onto the dim-sized cell/marginal frames
+    "theils_u_status_priority",
     # r9: 1-row point-lift estimate broadcast onto the 16-replica frame
     "ab_lift_bootstrap_range",
     # r10: 1-row k-th-threshold broadcast for DSIR's top-k selection
