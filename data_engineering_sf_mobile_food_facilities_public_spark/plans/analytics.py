@@ -12665,7 +12665,7 @@ neyman_allocation_sample_sizes.__doc__ = (
         FROM events
     ),
     marked AS (
-        SELECT user_id, s, e,
+        SELECT user_id, s, e, event_id,
                CASE WHEN s > COALESCE(MAX(e) OVER (
                         PARTITION BY user_id ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -12676,7 +12676,7 @@ neyman_allocation_sample_sizes.__doc__ = (
     islands AS (
         SELECT user_id, s, e,
                SUM(new_island) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS island_id
         FROM marked
@@ -12732,6 +12732,7 @@ def interval_union_coverage_per_user(
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(
             F.col("s")
             > F.coalesce(
@@ -12742,9 +12743,15 @@ def interval_union_coverage_per_user(
         .otherwise(0)
         .alias("new_island"),
     )
+    # The cumulative-sum window MUST share the (s, event_id) total order
+    # that new_island was computed under: same-instant 30-min windows are
+    # exact (s, e) ties, and a tie-order that differs between the two
+    # windows (or between engines/partitions) would let a new_island=0
+    # row sort before its group's new_island=1 row and split/merge
+    # islands nondeterministically.
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = marked.select(
