@@ -45,19 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-11 panel (r10 VERDICT #1 + #3): core shrinks 16 -> 11 — the
-# three bucket-lookup re-proof slots (surrogate_key_orders,
-# token_budget_mixture, sequence_packing_bins) rotate out now that the
-# r9 hashes are driver-green over the two-level path, the sf_*
-# sentinel drops (all 12 pipeline rows driver-green r09, engine
-# untouched since), and count_min_sketch_flag_freq rotates out
-# (driver-green r10).  semdedup_embedding_prototypes STAYS: its engine
-# changed this round (one shared persisted embeddings projection feeds
-# both the pair join and the centroid/scoring branch) and the r10 hash
-# must be re-proven over the new plan.  New round-11 operators append
-# at the end of the core as they land.
+# Round-12 panel (r11 VERDICT #1 + #4): core shrinks 11 -> 10 sentinels —
+# semdedup_embedding_prototypes rotates out (its r10 hash was re-proven
+# driver-green over the rewritten single-scan plan in r11 and the engine
+# is untouched this round).  The one r12 engine change so far —
+# interval_union_coverage_per_user's island-window tie-order fix (ADVICE
+# r11 medium) — enters the core per the "changed plans enter the core
+# the round they change" rule; it was also never driver-verified, so it
+# counts toward this round's backlog burn-down.
 _PANEL_CORE = [
-    # flagship + §2 family sentinels
+    # flagship + section-2 family sentinels
     "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
     "projection_filter",  # P1-P3/P6
     "full_outer_join_composite",  # J1
@@ -68,75 +65,21 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    # engine changed this round: shared staged+persisted corpus scan
-    "semdedup_embedding_prototypes",  # re-proving the r10 hash over the new plan
+    # engine changed this round: island-id window now shares the
+    # (s, event_id) tie order with the new_island mark (ADVICE r11)
+    "interval_union_coverage_per_user",
 ]
 
-# Round-11 rotation: 39 slots, ALL never driver-verified (r10 VERDICT
-# #1) — the 10 round-11 operators lead (new this round), then the 18
-# round-10 operators (matrix-stressed via the opt-in determinism test
-# all of round 10), then the TPC-H remainder (completing driver
-# coverage of the 22-query suite), then lakehouse/ops and the first
-# frame/SQL-feature slot.  Every member is locally parity-green at
-# three SFs and vanilla-session pre-flighted before this round ends.
-# Rotated out (driver-green r10, still in the local parity suite): the
-# r10 rotation cohort and the bucket-lookup re-proof slots.
+# Round-12 rotation: 39 slots, ALL never driver-verified (r11 VERDICT
+# #1 — this round must verify more pairs than it adds) — the head of
+# the staging pool in its staged oldest-first order: the 10 r11
+# second-half operators first, then the causal/stats shelf, the
+# forecasting shelf, and the survival/privacy remainder.  Every member
+# is locally parity-green at three SFs, matrix-stressed by the opt-in
+# determinism test, and vanilla-session pre-flighted before this round
+# ends.  Rotated out (driver-green r11, still replayed by the local
+# parity suite): the full r11 rotation cohort + semdedup.
 _PANEL_ROTATING = [
-    # round-11 operators (never-verified by definition; fixture +
-    # matrix covered in their landing commits)
-    "audio_fingerprint_near_dup",  # Haitsma-Kalker PCM fingerprint near-dup
-    "query_likelihood_dirichlet_topk",  # Zhai-Lafferty LM retrieval
-    "kneser_ney_bigram_scores",  # interpolated-KN perplexity filter
-    "kcenter_coreset_embeddings",  # Gonzalez farthest-point coreset
-    "video_scene_change_gif",  # shot-boundary detection over real decode
-    "embedding_decontaminate_split",  # cross-split semantic decontamination
-    "association_rules_part_pairs",  # directed basket rules (conf + lift)
-    "mtld_lexical_diversity",  # stateful HOF fold vs recursive-CTE oracle
-    "hilbert_key_orders",  # Hilbert layout key (locality sibling of zorder)
-    "t_closeness_audit",  # ordered-EMD release gate (privacy trio complete)
-    # round-10 operators (matrix-stressed, first in line)
-    "dsir_importance_weights",
-    "kaplan_meier_repurchase",
-    "bh_fdr_priority_price",
-    "good_turing_unseen_mass",
-    "rendezvous_rebalance_delta",
-    "cohens_kappa_langid",
-    "brier_decomposition_returns",
-    "linear_interp_daily_revenue",
-    "cf_negative_sampling",
-    "growth_accounting_monthly",
-    "embedding_isotropy_report",
-    "yules_k_by_source",
-    "markov_stationary_event_types",
-    "lpa_communities_part_graph",
-    "isotonic_price_vs_quantity",
-    "covariance_power_iteration",
-    "water_filling_token_caps",
-    "image_phash_near_dup",
-    # TPC-H remainder — completes driver coverage of all 22
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q16_parts_supplier_relationship",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_inactive_high_balance",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    # lakehouse / operational
-    "forget_customers_cascade",
-]
-
-# Staging pool for the NEXT rounds' rotation (r12+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (170
-# entries = ~3 more rounds of ~39-slot rotation; the tail of the
-# never-verified set joins as this list drains).  The determinism
-# matrix has an opt-in test that stresses exactly this list so
-# candidates arrive pre-stressed; all are locally parity-green at
-# three SFs.
-_PANEL_NEXT_CANDIDATES = [
-    # r11 operators that did not fit the 50-slot panel — first in line
     "cosine_threshold_pairs_pruned",
     "recursive_cte_bottleneck_routes",
     "boilerplate_ngram_removal",
@@ -164,7 +107,6 @@ _PANEL_NEXT_CANDIDATES = [
     "rich_club_coefficient",
     "nelson_aalen_repurchase_hazard",
     "neyman_allocation_sample_sizes",
-    "interval_union_coverage_per_user",
     "max_drawdown_daily_revenue",
     "regression_discontinuity_price",
     "dsar_access_extract",
@@ -177,6 +119,15 @@ _PANEL_NEXT_CANDIDATES = [
     "word_adaptation_scores",
     "price_elasticity_by_brand",
     "markov_entropy_rate",
+]
+
+# Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set (130
+# entries = ~3 more rounds of ~39-slot rotation; new r12 operators
+# append at the tail as they land).  The determinism matrix has an
+# opt-in test that stresses exactly this list so candidates arrive
+# pre-stressed; all are locally parity-green at three SFs.
+_PANEL_NEXT_CANDIDATES = [
     "kfold_cv_ols_rmse",
     "trending_parts_decayed",
     "rocchio_feedback_rerank",
