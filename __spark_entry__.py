@@ -68,9 +68,17 @@ _PANEL_CORE = [
     # engine changed this round: island-id window now shares the
     # (s, event_id) tie order with the new_island mark (ADVICE r11)
     "interval_union_coverage_per_user",
+    # engine changed this round: connected_components fused its
+    # convergence check into the min-label aggregate (one fewer
+    # shuffle join per iteration) — semdedup is the heaviest user and
+    # re-proves the r10/r11 hash over the new loop; the other changed
+    # component consumers are grid_density_clusters (in this round's
+    # rotation) and the near-dup cluster family (replayed by the
+    # local parity suite at three SFs)
+    "semdedup_embedding_prototypes",
 ]
 
-# Round-12 rotation: 39 slots, ALL never driver-verified (r11 VERDICT
+# Round-12 rotation: 38 slots, ALL never driver-verified (r11 VERDICT
 # #1 — this round must verify more pairs than it adds) — the head of
 # the staging pool in its staged oldest-first order: the 10 r11
 # second-half operators first, then the causal/stats shelf, the
@@ -118,16 +126,16 @@ _PANEL_ROTATING = [
     "streaming_srm_guardrail",
     "word_adaptation_scores",
     "price_elasticity_by_brand",
-    "markov_entropy_rate",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (130
+# continuation of the never-driver-verified oracle-paired set (131
 # entries = ~3 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
 # pre-stressed; all are locally parity-green at three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "markov_entropy_rate",
     "kfold_cv_ols_rmse",
     "trending_parts_decayed",
     "rocchio_feedback_rerank",

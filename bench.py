@@ -21,6 +21,9 @@ from data_engineering_sf_mobile_food_facilities_public_spark.session import get_
 from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
 
 HEADLINE = [
+    # --- the frozen r01 baseline block (27 queries): every entry the
+    # round-1 suite timed stays visible verbatim so the judge's
+    # vs-BENCH_r01 comparison never loses a member ---
     "flagship_top5_customers_by_order_count",
     "pricing_summary",
     "top_revenue_orders",
@@ -48,89 +51,66 @@ HEADLINE = [
     "q18_large_volume_customers",
     "bitmap_distinct_parts_by_flag",
     "session_window_user_activity",
-    # round-6 additions: the curation/graph surface (no r01 baseline —
-    # the diff gate tolerates added queries and tracks them from here on)
-    "repetition_filter_stats",
-    "token_budget_mixture",
+    # --- current watch items + family heavies ---
+    # r11 VERDICT drift trio (adjudicated as JIT warmth in SCALE.md;
+    # kept visible so the adjudication stays checkable)
+    "bm25_topk_docs",
+    "int8_recall_vs_exact",
+    "ivf_label_cells_recall_curve",
+    # connected-components users (engine changed r12: fused
+    # convergence check) + the SemDeDup watch item
+    "semdedup_embedding_prototypes",
+    "entity_resolution_customers",
+    "grid_density_clusters",
+    # scaling-table heavies: the 3.2x/decade CF flag and its DIMSUM
+    # mitigation, the recursion-tax query, the composition pipelines
+    "item_item_cosine_recs",
+    "cosine_threshold_pairs_pruned",
+    "recursive_cte_bottleneck_routes",
     "corpus_curation_pipeline",
     "pagerank_customer_supplier",
-    # round-7 additions: the TPC-H suite is now complete (22/22); the
-    # two new shapes worth tracking are the correlated-MIN decorrelation
-    # and the semi+anti "kept waiting" pair
-    "q2_min_cost_supplier",
-    "q21_suppliers_kept_waiting",
-    "sequence_packing_bins",
-    # round-8 additions: the RAG chunker (pure scan-side row expansion),
-    # span-level decontamination (positioned-shingle join + per-doc
-    # islands window), and the leakage-guarded split (LSH composition)
-    "chunk_documents_overlapping",
-    "benchmark_span_decontamination",
-    "leakage_guarded_split",
-    # late round-8 additions: the curriculum interleave (bucketed rank +
-    # broadcast-counts position algebra), the one-pass datasheet, and
-    # the sliding-distinct-users bitmap re-aggregation
-    "curriculum_interleave_order",
-    "dataset_datasheet_by_source",
-    "rolling_7day_active_users",
-    # sweep-line concurrency: session windows + the constant-key
-    # bucketed global cumsum on the endpoint relation
-    "max_concurrent_sessions_daily",
-    # exact similarity join, prefix-filter-pruned (the lossless
-    # counterpart of the benched minhash_lsh_near_dup tier)
-    "prefix_filtered_jaccard_pairs",
-    # basket self-join + per-item top-k (the CF recommend precompute —
-    # pair fanout bounded by basket size, broadcast degree joins)
-    "item_item_cosine_recs",
-    # winnowing candidate join: signatures shuffle, never documents
-    "winnowing_overlap_pairs",
-    # final round-8 additions: the corpus-wide token explode + two
-    # grouped contractions behind the Heaps curve; the rank-sum
-    # statistic through the bucketed running count; the exact-vs-int8
-    # recall composition; and the two-level HHI contraction (the graph
-    # queries — sssp/kcore/triangles — share the quadratic-within-order
-    # edge build and would dominate the suite; they stay sweep-only)
-    "heaps_law_vocab_growth",
-    "mann_whitney_u_price_halves",
-    "int8_recall_vs_exact",
-    "hhi_supplier_concentration",
-    # round-9 additions: BM25 ranking (broadcast corpus stats +
-    # TakeOrdered), the Gopher repetition fold (zero-shuffle HOF scan),
-    # tie-aware Spearman through the bucketed distinct-value cumsum,
-    # blocked ER with iterative components, and the label-cell IVF
-    # recall curve (codebook broadcast + cell equi-join)
-    "bm25_topk_docs",
-    "gopher_dup_trigram_chars",
-    "spearman_price_vs_quantity",
-    "entity_resolution_customers",
-    "ivf_label_cells_recall_curve",
-    # round-10 additions: SemDeDup (cell equi-join pairs + min-label
-    # components + centroid-cos prototype rank) and the md5-lane CMS
-    # (lane explode contracting map-side to the d x w counter grid)
-    "semdedup_embedding_prototypes",
-    "count_min_sketch_flag_freq",
-    # later round-10 additions worth tracking: the hashed-ngram DSIR
-    # explode, the 10-step Markov iteration, and the set-algebra MAU
-    # bridge
-    "dsir_importance_weights",
     "markov_stationary_event_types",
-    "growth_accounting_monthly",
-    # round-11 additions worth tracking: the banded PCM-fingerprint
-    # join, the bigram-type contractions behind Kneser-Ney, the basket
-    # pair fanout of the directed rules, the K-pass Gonzalez coreset,
-    # the stateful MTLD HOF fold, and the vectorized Hilbert walk
+    # one representative per near-dup/rank-stat family (the rest of
+    # the family is sweep-only below)
+    "prefix_filtered_jaccard_pairs",
+    "spearman_price_vs_quantity",
+    # round-11 recents (first bench round was r11; keep one more)
     "audio_fingerprint_near_dup",
     "kneser_ney_bigram_scores",
     "association_rules_part_pairs",
     "kcenter_coreset_embeddings",
     "mtld_lexical_diversity",
-    "hilbert_key_orders",
-    # second-half round-11 additions: the degree-ratio-pruned pair
-    # join, the native recursive-CTE path enumeration, the corpus-df
-    # boilerplate pass, and the iterative dense-cell components
-    "cosine_threshold_pairs_pruned",
-    "recursive_cte_bottleneck_routes",
     "boilerplate_ngram_removal",
-    "grid_density_clusters",
+]
+
+# Retired from the visible headline list in r12 (r11 VERDICT #5: the
+# driver records only the LAST 2000 chars of the bench line, so the
+# 68-entry dict was truncating its head — including the flagship).
+# Every retired entry is >=2 rounds stable, has its plan shape pinned
+# by tests, and stays replayed by the oracle-parity suite; re-add any
+# of them via SPARK_GRAFT_BENCH_QUERIES=name,name for an ad-hoc sweep.
+SWEEP_ONLY = [
+    "repetition_filter_stats",
+    "token_budget_mixture",
+    "q2_min_cost_supplier",
+    "q21_suppliers_kept_waiting",
+    "sequence_packing_bins",
+    "chunk_documents_overlapping",
+    "benchmark_span_decontamination",
+    "leakage_guarded_split",
+    "curriculum_interleave_order",
+    "dataset_datasheet_by_source",
+    "rolling_7day_active_users",
+    "max_concurrent_sessions_daily",
+    "winnowing_overlap_pairs",
+    "heaps_law_vocab_growth",
+    "mann_whitney_u_price_halves",
+    "hhi_supplier_concentration",
+    "gopher_dup_trigram_chars",
+    "count_min_sketch_flag_freq",
+    "dsir_importance_weights",
+    "growth_accounting_monthly",
+    "hilbert_key_orders",
 ]
 
 
@@ -164,20 +144,25 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    total = round(sum(timings.values()), 2)
+    # compact separators + 2-decimal timings: the driver records only
+    # the LAST 2000 chars of this line, and the full dict must fit
+    # (r11 VERDICT #5)
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1990:
+        print(f"WARNING: bench line {len(line)} chars exceeds the driver tail window", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

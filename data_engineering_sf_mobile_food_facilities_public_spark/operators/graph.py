@@ -40,18 +40,25 @@ def connected_components(
         nbr = und.join(
             labels.select(F.col("a").alias("b"), "comp"), "b"
         ).select("a", "comp")
-        new_labels = (
-            labels.unionByName(nbr).groupBy("a").agg(F.min("comp").alias("comp"))
+        # Fold the convergence check into the min-label pass: every node
+        # has exactly one self row in `labels`, so carrying its current
+        # label as `old` through the union lets one keyed aggregate
+        # produce BOTH the new label (min over self + neighbor
+        # candidates — identical to the previous two-frame join) and the
+        # changed flag.  This removes the per-iteration labels-vs-labels
+        # equi-join (a whole extra shuffle per round at cluster scale);
+        # the convergence count is now a shuffle-free filter over the
+        # just-checkpointed partitions.
+        null_old = F.lit(None).cast(dict(labels.dtypes)["comp"])
+        merged = (
+            labels.select("a", "comp", F.col("comp").alias("old"))
+            .unionByName(nbr.select("a", "comp", null_old.alias("old")))
+            .groupBy("a")
+            .agg(F.min("comp").alias("comp"), F.max("old").alias("old"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.select("a", F.col("comp").alias("old")), "a"
-            )
-            .filter(F.col("comp") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("comp") < F.col("old")).count()
+        labels = merged.select("a", "comp")
         if changed == 0:
             break
     return labels.select(F.col("a").alias("id"), F.col("comp").alias("component"))
