@@ -15281,3 +15281,440 @@ def theils_u_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("u_priority_given_status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily-revenue series — "is there ANY
+# autocorrelation in the first K lags" (the whiteness gate every
+# forecasting pipeline runs before trusting residuals).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ljung_box_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, rev FROM daily
+    ),
+    g AS (
+        SELECT COUNT(*) AS n, SUM(rev) AS sx,
+               SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2)))
+                   AS sxx
+        FROM ser
+    ),
+    lagm AS (
+        SELECT l.lag, COUNT(*) AS np,
+               SUM(CAST(a.rev AS DECIMAL(19,2))
+                   * CAST(b.rev AS DECIMAL(19,2))) AS sxy,
+               SUM(a.rev) AS st, SUM(b.rev) AS sh
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.rn = a.rn - l.lag
+        GROUP BY l.lag
+    ),
+    r AS (
+        SELECT lag, np, g.n,
+               (CAST(sxy AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / g.n)
+                  * (CAST(st AS DOUBLE) + CAST(sh AS DOUBLE))
+                + np * (CAST(sx AS DOUBLE) / g.n)
+                     * (CAST(sx AS DOUBLE) / g.n))
+               / NULLIF(CAST(sxx AS DOUBLE)
+                        - g.n * (CAST(sx AS DOUBLE) / g.n)
+                              * (CAST(sx AS DOUBLE) / g.n), 0.0) AS rk
+        FROM lagm CROSS JOIN g
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(np AS BIGINT) AS n_pairs,
+           round(rk, 6) AS r_k,
+           round(n * (n + 2.0)
+                 * SUM(rk * rk / (n - lag)) OVER (
+                       ORDER BY lag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS q_lb
+    FROM r
+    """,
+)
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q statistic (Ljung & Box 1978, public) over lags 1..7
+    of the daily-revenue series: r_k is the GLOBAL-MEAN autocorrelation
+    (autocovariance over the full-series variance — the time-series
+    ACF, deliberately different from :func:`acf_daily_revenue`'s
+    per-lag Pearson), and Q(K) = n(n+2) * sum_{{k<=K}} r_k^2/(n-k)
+    accumulates over the lag rows, so the output reads as the whole
+    Q-vs-chi2(df=lag) test sequence.
+
+    Exactness: r_k expands into exact DECIMAL moment sums — sum(x_t *
+    x_{{t-k}}), head/tail sums, and the global (n, sum x, sum x^2) —
+    combined in DOUBLE only in the final closed form, so every value is
+    partition-order-independent; the cumulative Q is a 7-row ordered
+    window on unique lag keys.  Zero-variance series yield NULL r_k
+    (excluded from Q identically by both engines' null-skipping SUM).
+
+    Scale shape: one shuffled day aggregate contracts facts to a
+    ~2.4k-row series; the lag self-join and the 7-row Q window run on
+    that dim-sized frame (the acf exemption).  Output: exactly 7 rows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    ser = daily.select(F.row_number().over(Window.orderBy("d")).alias("rn"), "rev")
+    g = ser.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a, b = ser.alias("a"), ser.alias("b")
+    lagm = (
+        lags.join(a)
+        .join(b, F.col("b.rn") == F.col("a.rn") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.col("a.rev") * F.col("b.rev")).alias("sxy"),
+            F.sum(F.col("a.rev")).alias("st"),
+            F.sum(F.col("b.rev")).alias("sh"),
+        )
+    )
+    j = lagm.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    rk = (
+        F.col("sxy").cast("double")
+        - mean * (F.col("st").cast("double") + F.col("sh").cast("double"))
+        + F.col("np") * mean * mean
+    ) / F.nullif(F.col("sxx").cast("double") - nd * mean * mean, F.lit(0.0))
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        j.select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("np").cast("long").alias("n_pairs"),
+            rk.alias("rk_raw"),
+            nd.alias("nd"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("rk_raw"), 6).alias("r_k"),
+            F.round(
+                F.col("nd")
+                * (F.col("nd") + 2.0)
+                * F.sum(
+                    F.col("rk_raw") * F.col("rk_raw") / (F.col("nd") - F.col("lag"))
+                ).over(w),
+                6,
+            ).alias("q_lb"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson statistic on detrended daily revenue — first-order serial
+# correlation of OLS residuals, fully closed-form from exact moments.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "durbin_watson_daily_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, rev FROM daily
+    ),
+    diffs AS (
+        SELECT a.rev - b.rev AS dv
+        FROM ser a JOIN ser b ON b.t = a.t - 1
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM ser) AS n,
+               (SELECT SUM(CAST(t AS BIGINT)) FROM ser) AS st,
+               (SELECT SUM(CAST(t AS BIGINT) * CAST(t AS BIGINT)) FROM ser)
+                   AS stt,
+               (SELECT SUM(rev) FROM ser) AS sx,
+               (SELECT SUM(CAST(rev AS DECIMAL(19,2))
+                           * CAST(rev AS DECIMAL(19,2))) FROM ser) AS sxx,
+               (SELECT SUM(CAST(t AS DECIMAL(19,0))
+                           * CAST(rev AS DECIMAL(19,2))) FROM ser) AS stx,
+               (SELECT SUM(CAST(dv AS DECIMAL(19,2))
+                           * CAST(dv AS DECIMAL(19,2))) FROM diffs) AS sdd,
+               (SELECT SUM(dv) FROM diffs) AS sd
+    ),
+    fit AS (
+        SELECT n,
+               (n * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+               / NULLIF(n * CAST(stt AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0.0) AS beta,
+               CAST(sx AS DOUBLE) AS sxd, CAST(st AS DOUBLE) AS std,
+               CAST(stt AS DOUBLE) AS sttd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(stx AS DOUBLE) AS stxd, CAST(sdd AS DOUBLE) AS sddd,
+               CAST(sd AS DOUBLE) AS sdd2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(beta, 6) AS beta_per_day,
+           round((sddd - 2 * beta * sdd2 + (n - 1) * beta * beta)
+                 / NULLIF(sxxd
+                          - 2 * ((sxd - beta * std) / n) * sxd
+                          - 2 * beta * stxd
+                          + n * ((sxd - beta * std) / n)
+                              * ((sxd - beta * std) / n)
+                          + 2 * ((sxd - beta * std) / n) * beta * std
+                          + beta * beta * sttd, 0.0),
+                 6) AS dw,
+           round(1.0 - ((sddd - 2 * beta * sdd2 + (n - 1) * beta * beta)
+                 / NULLIF(sxxd
+                          - 2 * ((sxd - beta * std) / n) * sxd
+                          - 2 * beta * stxd
+                          + n * ((sxd - beta * std) / n)
+                              * ((sxd - beta * std) / n)
+                          + 2 * ((sxd - beta * std) / n) * beta * std
+                          + beta * beta * sttd, 0.0)) / 2.0,
+                 6) AS rho_hat
+    FROM fit
+    """,
+)
+def durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950, public) of the
+    residuals from the OLS day-index trend fit of daily revenue —
+    DW ~ 2(1-rho), the standard "did detrending leave serial
+    correlation" gate (pairs with :func:`ljung_box_daily_revenue`,
+    which tests the raw series).
+
+    Closed form, no residual materialization: with e_t = x_t - a - b*t,
+    the successive difference e_t - e_{t-1} = (x_t - x_{t-1}) - b, so
+    sum (e_t - e_{t-1})^2 = sum dv^2 - 2b * sum dv + (n-1) b^2 over the
+    EXACT decimal first differences dv, and sum e_t^2 expands into the
+    exact raw moments (sum x, sum x^2, sum t*x, sum t, sum t^2).
+    Doubles appear only in the final expression — both engines combine
+    identical decimal-derived values, so the result is bit-stable; a
+    zero-variance denominator yields NULL (undefined DW), never a
+    divide-by-zero.
+
+    Scale shape: the day aggregate contracts facts; everything after
+    runs on the ~2.4k-row series (one lag-1 self-join for the exact
+    differences, then scalar algebra).  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    ser = daily.select(F.row_number().over(Window.orderBy("d")).alias("t"), "rev")
+    a, b = ser.alias("a"), ser.alias("b")
+    diffs = a.join(b, F.col("b.t") == F.col("a.t") - 1).select(
+        (F.col("a.rev") - F.col("b.rev")).alias("dv")
+    )
+    m1 = ser.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("long")).alias("st"),
+        F.sum(F.col("t").cast("long") * F.col("t").cast("long")).alias("stt"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("rev")).alias("stx"),
+    )
+    m2 = diffs.agg(
+        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
+        F.sum("dv").alias("sd"),
+    )
+    j = m1.crossJoin(F.broadcast(m2))
+    n = F.col("n").cast("double")
+    st, stt = F.col("st").cast("double"), F.col("stt").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    stx = F.col("stx").cast("double")
+    sdd, sd = F.col("sdd").cast("double"), F.col("sd").cast("double")
+    beta = (n * stx - st * sx) / F.nullif(n * stt - st * st, F.lit(0.0))
+    alpha = (sx - beta * st) / n
+    num = sdd - 2 * beta * sd + (n - 1) * beta * beta
+    den = F.nullif(
+        sxx
+        - 2 * alpha * sx
+        - 2 * beta * stx
+        + n * alpha * alpha
+        + 2 * alpha * beta * st
+        + beta * beta * stt,
+        F.lit(0.0),
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(beta, 6).alias("beta_per_day"),
+        F.round(num / den, 6).alias("dw"),
+        F.round(1.0 - (num / den) / 2.0, 6).alias("rho_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test — did the daily-revenue trend change at a
+# known break date?  Two-regime OLS vs pooled, F on the RSS reduction.
+# ---------------------------------------------------------------------------
+
+_CHOW_BREAK = "1998-01-01"
+
+
+@_register(
+    "chow_break_daily_trend",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, rev,
+               CASE WHEN d < DATE '{_CHOW_BREAK}' THEN 0 ELSE 1 END AS regime
+        FROM daily
+    ),
+    m AS (
+        SELECT regime, COUNT(*) AS n,
+               SUM(CAST(t AS BIGINT)) AS st,
+               SUM(CAST(t AS BIGINT) * CAST(t AS BIGINT)) AS stt,
+               SUM(rev) AS sx,
+               SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2)))
+                   AS sxx,
+               SUM(CAST(t AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,2)))
+                   AS stx
+        FROM ser GROUP BY regime
+    ),
+    rss AS (
+        SELECT regime, n,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               - CASE WHEN n * CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) = 0 THEN 0
+                      ELSE (CAST(stx AS DOUBLE)
+                            - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                           * (CAST(stx AS DOUBLE)
+                              - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                           / (CAST(stt AS DOUBLE)
+                              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n)
+                 END AS rss
+        FROM m
+    ),
+    pooled AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(t AS BIGINT)) AS st,
+               SUM(CAST(t AS BIGINT) * CAST(t AS BIGINT)) AS stt,
+               SUM(rev) AS sx,
+               SUM(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2)))
+                   AS sxx,
+               SUM(CAST(t AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,2)))
+                   AS stx
+        FROM ser
+    ),
+    prss AS (
+        SELECT n,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               - (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 * (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / NULLIF(CAST(stt AS DOUBLE)
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n, 0.0)
+                   AS rss_pooled
+        FROM pooled
+    )
+    SELECT CAST(p.n AS BIGINT) AS n_days,
+           CAST((SELECT n FROM rss WHERE regime = 0) AS BIGINT) AS n_pre,
+           CAST((SELECT n FROM rss WHERE regime = 1) AS BIGINT) AS n_post,
+           round(sqrt(p.rss_pooled / p.n), 2) AS rmse_pooled,
+           round(sqrt((SELECT SUM(rss) FROM rss) / (p.n - 4.0)), 2)
+               AS rmse_split,
+           round(((p.rss_pooled - (SELECT SUM(rss) FROM rss)) / 2.0)
+                 / NULLIF((SELECT SUM(rss) FROM rss) / (p.n - 4.0), 0.0),
+                 6) AS f_chow
+    FROM prss p
+    """,
+)
+def chow_break_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test (Chow 1960, public) for a structural break in the
+    daily-revenue trend at the KNOWN candidate date {break}: fit the
+    day-index OLS separately before/after the break and pooled, then
+    F = ((RSS_pooled - RSS_1 - RSS_2)/k) / ((RSS_1+RSS_2)/(n-2k)),
+    k = 2 parameters — the classic "did the regime change" gate for
+    revenue curves (the known-date complement of the CUSUM changepoint
+    scan, which SEARCHES for the break).  RSS magnitudes are released
+    as RMSEs: raw sums of squares sit at ~1e15 where a last-ulp
+    double-evaluation difference between engines exceeds any absolute
+    rounding grain, while RMSE is relative-scale and 2dp-stable.
+
+    Each regime's RSS comes from exact DECIMAL raw moments (n, sum t,
+    sum t^2, sum x, sum x^2, sum t*x) via RSS = Syy_c - Sxy_c^2/Stt_c;
+    doubles enter only in that closed form.  A single-day regime has
+    zero time-variance — its slope term is dropped (RSS = Syy_c, the
+    intercept-only fit) identically on both engines.
+
+    Scale shape: one day aggregate contracts facts, then two grouped
+    moment rows + one pooled row; the F statistic is scalar algebra on
+    a broadcast 3-row frame.  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    ser = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        "rev",
+        F.when(F.col("d") < F.lit(_CHOW_BREAK).cast("date"), 0)
+        .otherwise(1)
+        .alias("regime"),
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("t").cast("long")).alias("st"),
+            F.sum(F.col("t").cast("long") * F.col("t").cast("long")).alias("stt"),
+            F.sum("rev").alias("sx"),
+            F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+            F.sum(F.col("t").cast("decimal(19,0)") * F.col("rev")).alias("stx"),
+        )
+
+    def rss_col():
+        n = F.col("n").cast("double")
+        st, stt = F.col("st").cast("double"), F.col("stt").cast("double")
+        sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+        stx = F.col("stx").cast("double")
+        syy_c = sxx - sx * sx / n
+        sxy_c = stx - st * sx / n
+        stt_c = stt - st * st / n
+        return F.when(stt_c == 0, syy_c).otherwise(syy_c - sxy_c * sxy_c / stt_c)
+
+    per = moments(ser, ["regime"]).select("regime", "n", rss_col().alias("rss"))
+    split = per.agg(
+        F.sum("rss").alias("rss_split"),
+        F.sum(F.when(F.col("regime") == 0, F.col("n"))).alias("n_pre"),
+        F.sum(F.when(F.col("regime") == 1, F.col("n"))).alias("n_post"),
+    )
+    pooled = moments(ser, []).select(
+        F.col("n").alias("n_days"), rss_col().alias("rss_pooled")
+    )
+    j = pooled.crossJoin(F.broadcast(split))
+    f = ((F.col("rss_pooled") - F.col("rss_split")) / 2.0) / F.nullif(
+        F.col("rss_split") / (F.col("n_days").cast("double") - 4.0), F.lit(0.0)
+    )
+    return j.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round(
+            F.sqrt(F.col("rss_pooled") / F.col("n_days").cast("double")), 2
+        ).alias("rmse_pooled"),
+        F.round(
+            F.sqrt(
+                F.col("rss_split") / (F.col("n_days").cast("double") - 4.0)
+            ),
+            2,
+        ).alias("rmse_split"),
+        F.round(f, 6).alias("f_chow"),
+    )
+
+
+chow_break_daily_trend.__doc__ = chow_break_daily_trend.__doc__.replace(
+    "{break}", _CHOW_BREAK
+)
