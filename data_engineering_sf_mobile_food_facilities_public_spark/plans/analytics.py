@@ -15718,3 +15718,507 @@ def chow_break_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 chow_break_daily_trend.__doc__ = chow_break_daily_trend.__doc__.replace(
     "{break}", _CHOW_BREAK
 )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram of daily revenue at fixed candidate periods — the DFT power
+# readout behind "is there weekly/monthly/quarterly seasonality".
+# ---------------------------------------------------------------------------
+
+_PERIODOGRAM_PERIODS = (7, 14, 30, 91)
+
+# Phase tables as 12dp literals generated ONCE in Python and injected
+# into BOTH engines: cos/sin(2*pi*t/P) depends only on t mod P, so each
+# period needs P rows, and shipping the same literal constants to Spark
+# and DuckDB removes any libm last-ulp divergence from the comparison.
+import math as _math
+
+_PERIODOGRAM_PHASES: list[tuple[int, int, str, str]] = [
+    (
+        p,
+        t,
+        f"{_math.cos(2.0 * _math.pi * t / p):.12f}",
+        f"{_math.sin(2.0 * _math.pi * t / p):.12f}",
+    )
+    for p in _PERIODOGRAM_PERIODS
+    for t in range(p)
+]
+
+
+def _periodogram_oracle_sql() -> str:
+    values = ",\n        ".join(
+        f"({p}, {t}, {c}, {s})" for p, t, c, s in _PERIODOGRAM_PHASES
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS t, rev FROM daily
+    ),
+    phases(period, idx, c, s) AS (
+        VALUES
+        {values}
+    ),
+    terms AS (
+        SELECT ph.period,
+               ser.rev * CAST(ph.c AS DECIMAL(14,12)) AS xc,
+               ser.rev * CAST(ph.s AS DECIMAL(14,12)) AS xs
+        FROM ser JOIN phases ph
+          ON ph.idx = ser.t % ph.period
+    ),
+    agg AS (
+        SELECT period, COUNT(*) AS n, SUM(xc) AS c_sum, SUM(xs) AS s_sum
+        FROM terms GROUP BY period
+    )
+    SELECT CAST(period AS BIGINT) AS period,
+           CAST(n AS BIGINT) AS n_days,
+           round((2.0 / n) * (CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+                              + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+                 / 1000000.0, 4) AS power_millions
+    FROM agg
+    """
+
+
+@_register("periodogram_daily_revenue", _periodogram_oracle_sql())
+def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram (public, 1898) of the daily-revenue series
+    at the fixed candidate periods {periods} days: power(P) =
+    (2/n) * (C^2 + S^2) with C = sum x_t cos(2 pi t / P), S likewise —
+    the direct DFT readout for "does revenue have weekly / biweekly /
+    monthly / quarterly seasonality" (the frequency-domain companion of
+    :func:`acf_daily_revenue` and :func:`weekday_seasonality_profile`).
+
+    Cross-engine exactness: cos/sin(2 pi t/P) depends only on t mod P,
+    so each period's phase values are a P-row table of 12dp literals
+    generated once in Python and shipped VERBATIM to both engines —
+    no libm call happens inside either engine, the products
+    rev(DECIMAL) x phase(DECIMAL) are exact, and the C/S sums are
+    order-independent decimals; doubles enter only in the final power
+    expression.  Power is released in millions at 4dp (relative-scale
+    stability, the chow_break convention).
+
+    Scale shape: the day aggregate contracts facts to the ~2.4k-row
+    series; the phase join is a broadcast of 142 literal rows and the
+    per-period sums are map-side combinable.  Output: 4 rows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    ser = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("t"), "rev"
+    )
+    phases = spark.createDataFrame(
+        [(p, t, c, s) for p, t, c, s in _PERIODOGRAM_PHASES],
+        "period INT, idx INT, c STRING, s STRING",
+    ).select(
+        "period",
+        "idx",
+        F.col("c").cast("decimal(14,12)").alias("c"),
+        F.col("s").cast("decimal(14,12)").alias("s"),
+    )
+    terms = ser.join(
+        F.broadcast(phases), F.col("idx") == F.col("t") % F.col("period")
+    ).select(
+        "period",
+        (F.col("rev") * F.col("c")).alias("xc"),
+        (F.col("rev") * F.col("s")).alias("xs"),
+    )
+    agg = terms.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("c_sum"),
+        F.sum("xs").alias("s_sum"),
+    )
+    cs = F.col("c_sum").cast("double")
+    ss = F.col("s_sum").cast("double")
+    return agg.select(
+        F.col("period").cast("long").alias("period"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            (2.0 / F.col("n")) * (cs * cs + ss * ss) / 1000000.0, 4
+        ).alias("power_millions"),
+    )
+
+
+periodogram_daily_revenue.__doc__ = periodogram_daily_revenue.__doc__.replace(
+    "{periods}", repr(_PERIODOGRAM_PERIODS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) homogeneity-of-variance test —
+# "do the priority classes have equal price SPREAD", robust to skew.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "brown_forsythe_price_priority",
+    """
+    WITH med AS (
+        SELECT o_orderpriority,
+               quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5) AS med
+        FROM orders GROUP BY 1
+    ),
+    z AS (
+        SELECT o.o_orderpriority,
+               abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - m.med) AS z
+        FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    g AS (
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(z) AS sz,
+               SUM(CAST(z AS DECIMAL(19,2)) * CAST(z AS DECIMAL(19,2))) AS szz
+        FROM z GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sz) AS tsz,
+               SUM(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / n) AS ssw,
+               SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n) AS sb_raw
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           round((sb_raw - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE) / nn)
+                 / (k - 1.0)
+                 / NULLIF(ssw / (nn - k), 0.0), 6) AS f_bf,
+           round((sb_raw - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE) / nn)
+                 / NULLIF(sb_raw
+                          - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE) / nn
+                          + ssw, 0.0), 6) AS eta_sq
+    FROM tot
+    """,
+)
+def brown_forsythe_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974, public): one-way
+    ANOVA F over the MEDIAN-centered absolute deviations z = |price -
+    group median| across order priorities — the robust
+    homogeneity-of-variance gate (classic Levene uses the mean;
+    centering on the group median keeps the test honest under the
+    skewed price distribution).  Complements
+    :func:`kruskal_wallis_price_by_priority` (location) with a SPREAD
+    test.
+
+    Exactness: group medians come from percentile_disc — an actual
+    data value, so z is an exact DECIMAL difference; SSW/SSB assemble
+    from per-group decimal moment sums with doubles only in the final
+    F / eta^2 (both relative-scale, 6dp-stable).  A zero within-group
+    spread yields NULL F, never divide-by-zero.
+
+    Scale shape: two shuffled aggregates on the same priority key (the
+    median pass and the moment pass) with a broadcast median join
+    between them; all post-group work is on 5 rows.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("med")
+    )
+    z = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(_dec("o_totalprice") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    nd = F.col("n").cast("double")
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sz").alias("tsz"),
+        F.sum(
+            F.col("szz").cast("double")
+            - F.col("sz").cast("double") * F.col("sz").cast("double") / nd
+        ).alias("ssw"),
+        F.sum(
+            F.col("sz").cast("double") * F.col("sz").cast("double") / nd
+        ).alias("sb_raw"),
+    )
+    kd = F.col("k").cast("double")
+    nnd = F.col("nn").cast("double")
+    ssb = F.col("sb_raw") - F.col("tsz").cast("double") * F.col("tsz").cast(
+        "double"
+    ) / nnd
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.round(
+            (ssb / (kd - 1.0))
+            / F.nullif(F.col("ssw") / (nnd - kd), F.lit(0.0)),
+            6,
+        ).alias("f_bf"),
+        F.round(ssb / F.nullif(ssb + F.col("ssw"), F.lit(0.0)), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — does the fulfilled-order proportion TREND
+# monotonically across the ordered priority classes?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cochran_armitage_priority_trend",
+    """
+    WITH g AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(r) AS rr,
+               SUM(w * n) AS swn, SUM(w * w * n) AS swwn, SUM(w * r) AS swr
+        FROM g
+    )
+    SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           round(CAST(rr AS DOUBLE) / nn, 6) AS p_overall,
+           round((CAST(swr AS DOUBLE)
+                  - CAST(rr AS DOUBLE) * CAST(swn AS DOUBLE) / nn)
+                 / NULLIF(sqrt((CAST(rr AS DOUBLE) / nn)
+                               * (1.0 - CAST(rr AS DOUBLE) / nn)
+                               * (CAST(swwn AS DOUBLE)
+                                  - CAST(swn AS DOUBLE)
+                                    * CAST(swn AS DOUBLE) / nn)), 0.0),
+                 6) AS z_trend
+    FROM tot
+    """,
+)
+def cochran_armitage_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954 / Armitage 1955,
+    public): z statistic for a LINEAR trend in the fulfilled-order
+    proportion across the ordered priority classes, scored by the
+    priority rank digit (1-URGENT .. 5-LOW) — the ordered-exposure
+    upgrade of :func:`chi2_independence_status_priority`, which throws
+    the ordering away.
+
+    T = sum w_j (r_j - n_j R/N) against its null variance
+    (R/N)(1-R/N)(sum n_j w_j^2 - (sum n_j w_j)^2/N); every moment is an
+    exact integer sum, doubles appear only in the final ratio.  A
+    degenerate table (all success or all failure, or one group) yields
+    NULL z identically on both engines.
+
+    Scale shape: one grouped count on the priority digit (map-side
+    combinable, 5 rows out) and scalar algebra.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("r"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("w") * F.col("n")).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("swwn"),
+        F.sum(F.col("w") * F.col("r")).alias("swr"),
+    )
+    nn = F.col("nn").cast("double")
+    rr = F.col("rr").cast("double")
+    p = rr / nn
+    t_stat = F.col("swr").cast("double") - rr * F.col("swn").cast("double") / nn
+    var0 = (
+        p
+        * (1.0 - p)
+        * (
+            F.col("swwn").cast("double")
+            - F.col("swn").cast("double") * F.col("swn").cast("double") / nn
+        )
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.round(p, 6).alias("p_overall"),
+        F.round(t_stat / F.nullif(F.sqrt(var0), F.lit(0.0)), 6).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test — did individual customers CHANGE activity state
+# between the two halves of the history (paired binary, not two-sample)?
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SPLIT = "1998-01-01"
+
+
+@_register(
+    "mcnemar_customer_halves",
+    f"""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderdate <  TIMESTAMP '{_MCNEMAR_SPLIT} 00:00:00'
+                        THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN o_orderdate >= TIMESTAMP '{_MCNEMAR_SPLIT} 00:00:00'
+                        THEN 1 ELSE 0 END) AS h2
+        FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS n_both,
+               SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS c
+        FROM flags
+    )
+    SELECT CAST(n_both AS BIGINT) AS n_both_halves,
+           CAST(b AS BIGINT) AS n_h1_only,
+           CAST(c AS BIGINT) AS n_h2_only,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / NULLIF(b + c, 0), 6)
+               AS chi2_mcnemar,
+           round(CASE WHEN b + c = 0 THEN NULL
+                      ELSE (abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                           / (b + c) END, 6) AS chi2_cc
+    FROM cells
+    """,
+)
+def mcnemar_customer_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947, public) on per-customer
+    activity across the {split} split: each ordering customer is a
+    PAIRED observation (active-before, active-after), and the test uses
+    only the discordant cells — b = churned (h1 only), c = newly active
+    (h2 only); chi2 = (b-c)^2/(b+c), plus the Edwards
+    continuity-corrected variant.  The paired complement of
+    :func:`growth_accounting_monthly`'s aggregate churn ledger: it asks
+    whether churn and activation RATES differ, per identical customer.
+
+    Integer cell counts -> doubles only in the final ratio; b+c = 0
+    (no state changes) yields NULL on both engines.  Customers with no
+    orders never enter (they have no pair state on either side).
+
+    Scale shape: one grouped boolean aggregate per customer (map-side
+    combinable), one 3-cell contraction, scalar algebra.  Output: one
+    row."""
+    o = load(spark, sf_dir, "orders")
+    split = F.lit(_MCNEMAR_SPLIT).cast("timestamp")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderdate") < split, 1).otherwise(0)).alias("h1"),
+        F.max(F.when(F.col("o_orderdate") >= split, 1).otherwise(0)).alias("h2"),
+    )
+    cells = flags.agg(
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0)
+        ).alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    bc = (b + c).cast("double")
+    return cells.select(
+        F.col("n_both").cast("long").alias("n_both_halves"),
+        b.cast("long").alias("n_h1_only"),
+        c.cast("long").alias("n_h2_only"),
+        F.round(
+            ((b - c) * (b - c)).cast("double") / F.nullif(bc, F.lit(0.0)), 6
+        ).alias("chi2_mcnemar"),
+        F.round(
+            F.when(
+                b + c > 0,
+                (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / bc,
+            ),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+mcnemar_customer_halves.__doc__ = mcnemar_customer_halves.__doc__.replace(
+    "{split}", _MCNEMAR_SPLIT
+)
+
+
+# ---------------------------------------------------------------------------
+# Tukey-Kramer HSD pairwise comparisons — WHICH priority classes differ in
+# mean price, after the ANOVA said "some do".
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tukey_hsd_price_priority",
+    """
+    WITH g AS (
+        SELECT o_orderpriority AS pr, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                   * CAST(o_totalprice AS DECIMAL(19,2))) AS sxx
+        FROM orders GROUP BY 1
+    ),
+    msw AS (
+        SELECT SUM(CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (SUM(n) - COUNT(*)) AS msw
+        FROM g
+    )
+    SELECT a.pr AS priority_a, b.pr AS priority_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(CAST(a.sx AS DOUBLE) / a.n
+                 - CAST(b.sx AS DOUBLE) / b.n, 4) AS mean_diff,
+           round(abs(CAST(a.sx AS DOUBLE) / a.n
+                     - CAST(b.sx AS DOUBLE) / b.n)
+                 / NULLIF(sqrt((m.msw / 2.0) * (1.0 / a.n + 1.0 / b.n)), 0.0),
+                 6) AS q_stat
+    FROM g a JOIN g b ON a.pr < b.pr CROSS JOIN msw m
+    """,
+)
+def tukey_hsd_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD studentized-range statistics (Tukey 1949 /
+    Kramer 1956, public) for every pair of order-priority classes:
+    q_ij = |mean_i - mean_j| / sqrt((MSW/2)(1/n_i + 1/n_j)) with the
+    pooled within-group mean square from the one-way ANOVA — the
+    post-hoc step that localizes WHICH pairs differ after
+    :func:`anova_f_price_by_priority` rejects.  q statistics are
+    released (compare to q_{k,df} critical values); no p-values, so no
+    distribution tables enter the engine.
+
+    Means and MSW come from exact per-group DECIMAL moments; the pair
+    join runs on the 5-row group frame (25/2 pairs), so every double
+    expression combines identical values on both engines.
+
+    Scale shape: ONE grouped moment pass over orders (map-side
+    combinable), then a 5x5 self-join on the contracted frame with the
+    scalar MSW broadcast.  Output: 10 pair rows."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).alias("sx"),
+        F.sum(_dec("o_totalprice", 19) * _dec("o_totalprice", 19)).alias("sxx"),
+    )
+    msw = g.agg(
+        (
+            F.sum(
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1))).cast("double")
+        ).alias("msw")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.pr") < F.col("b.pr")).crossJoin(F.broadcast(msw))
+    mean_a = F.col("a.sx").cast("double") / F.col("a.n")
+    mean_b = F.col("b.sx").cast("double") / F.col("b.n")
+    se = F.sqrt(
+        (F.col("msw") / 2.0)
+        * (1.0 / F.col("a.n") + 1.0 / F.col("b.n"))
+    )
+    return pairs.select(
+        F.col("a.pr").alias("priority_a"),
+        F.col("b.pr").alias("priority_b"),
+        F.col("a.n").cast("long").alias("n_a"),
+        F.col("b.n").cast("long").alias("n_b"),
+        F.round(mean_a - mean_b, 4).alias("mean_diff"),
+        F.round(
+            F.abs(mean_a - mean_b) / F.nullif(se, F.lit(0.0)), 6
+        ).alias("q_stat"),
+    )
