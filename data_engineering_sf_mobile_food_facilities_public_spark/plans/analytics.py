@@ -16222,3 +16222,532 @@ def tukey_hsd_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(mean_a - mean_b) / F.nullif(se, F.lit(0.0)), 6
         ).alias("q_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-brand return rates — beta-binomial
+# method-of-moments prior, the standard fix for small-sample rate ranking.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "eb_shrunk_return_rates_brand",
+    """
+    WITH g AS (
+        SELECT p.p_brand, COUNT(*) AS n,
+               SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    prior AS (
+        SELECT COUNT(*) AS nb,
+               SUM(CAST(k AS DOUBLE) / n) AS sp,
+               SUM((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) AS spp
+        FROM g
+    ),
+    ab AS (
+        SELECT nb,
+               sp / nb AS mu,
+               (spp - sp * sp / nb) / NULLIF(nb - 1.0, 0.0) AS s2
+        FROM prior
+    ),
+    hyper AS (
+        SELECT CASE WHEN s2 > 0 AND mu > 0 AND mu < 1
+                         AND mu * (1.0 - mu) / s2 - 1.0 > 0
+                    THEN (mu * (1.0 - mu) / s2 - 1.0) * mu END AS alpha,
+               CASE WHEN s2 > 0 AND mu > 0 AND mu < 1
+                         AND mu * (1.0 - mu) / s2 - 1.0 > 0
+                    THEN (mu * (1.0 - mu) / s2 - 1.0) * (1.0 - mu) END AS beta,
+               mu
+        FROM ab
+    )
+    SELECT g.p_brand,
+           CAST(g.n AS BIGINT) AS n_items,
+           CAST(g.k AS BIGINT) AS n_returned,
+           round(CAST(g.k AS DOUBLE) / g.n, 6) AS raw_rate,
+           round(CASE WHEN h.alpha IS NULL THEN CAST(g.k AS DOUBLE) / g.n
+                      ELSE (g.k + h.alpha) / (g.n + h.alpha + h.beta) END, 6)
+               AS shrunk_rate,
+           round(h.alpha, 6) AS prior_alpha,
+           round(h.beta, 6) AS prior_beta
+    FROM g CROSS JOIN hyper h
+    """,
+)
+def eb_shrunk_return_rates_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-brand return rates via the
+    beta-binomial method-of-moments prior (Robbins 1956 lineage; the
+    Efron-Morris batting-average construction, public): fit
+    alpha, beta from the across-brand mean/variance of raw rates
+    (alpha+beta = mu(1-mu)/s^2 - 1), then release the posterior mean
+    (k + alpha)/(n + alpha + beta) — small brands shrink hard toward
+    the league rate, big brands barely move.  THE ranking fix when
+    "100% returns on 2 items" must not outrank "20% on 10k items".
+
+    Degenerate priors (zero across-brand variance, or a
+    method-of-moments mass that is not positive) fall back to the raw
+    rate with NULL hyper-parameters, identically on both engines; all
+    moments are integer/rational with doubles at the edge.
+
+    Scale shape: one fact join contracted by a grouped count per brand
+    (map-side combinable), a 1-row prior from the ~25-row brand frame,
+    broadcast back.  Output: one row per brand."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    g = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "k"
+            ),
+        )
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    prior = g.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(rate).alias("sp"),
+        F.sum(rate * rate).alias("spp"),
+    )
+    nb = F.col("nb").cast("double")
+    mu = F.col("sp") / nb
+    s2 = (F.col("spp") - F.col("sp") * F.col("sp") / nb) / F.nullif(
+        nb - 1.0, F.lit(0.0)
+    )
+    mass = mu * (1.0 - mu) / s2 - 1.0
+    ok = (s2 > 0) & (mu > 0) & (mu < 1) & (mass > 0)
+    hyper = prior.select(
+        F.when(ok, mass * mu).alias("alpha"),
+        F.when(ok, mass * (1.0 - mu)).alias("beta"),
+    )
+    j = g.crossJoin(F.broadcast(hyper))
+    return j.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.col("k").cast("long").alias("n_returned"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            F.when(F.col("alpha").isNull(), rate).otherwise(
+                (F.col("k") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta"))
+            ),
+            6,
+        ).alias("shrunk_rate"),
+        F.round("alpha", 6).alias("prior_alpha"),
+        F.round("beta", 6).alias("prior_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (weekday-stratified) Mann-Kendall trend test — Hirsch-Slack:
+# monotone revenue trend judged WITHIN each weekday, then pooled.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "seasonal_mann_kendall_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT d, rev, CAST(dayofweek(d) AS BIGINT) AS season FROM daily
+    ),
+    s_per AS (
+        SELECT a.season,
+               SUM(CASE WHEN b.rev > a.rev THEN 1
+                        WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s,
+               COUNT(*) AS n_pairs
+        FROM ser a JOIN ser b
+          ON a.season = b.season AND b.d > a.d
+        GROUP BY a.season
+    ),
+    counts AS (
+        SELECT season, COUNT(*) AS n FROM ser GROUP BY season
+    ),
+    ties AS (
+        SELECT season, SUM(CAST(t * (t - 1) * (2 * t + 5) AS BIGINT)) AS tie_term
+        FROM (SELECT season, rev, COUNT(*) AS t FROM ser GROUP BY season, rev)
+        GROUP BY season
+    ),
+    per AS (
+        SELECT c.season, c.n, COALESCE(sp.s, 0) AS s,
+               (CAST(c.n AS BIGINT) * (c.n - 1) * (2 * c.n + 5)
+                - COALESCE(t.tie_term, 0)) / 18.0 AS var_s
+        FROM counts c
+        LEFT JOIN s_per sp ON sp.season = c.season
+        LEFT JOIN ties t ON t.season = c.season
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_seasons,
+           CAST(SUM(n) AS BIGINT) AS n_days,
+           CAST(SUM(s) AS BIGINT) AS s_total,
+           round(SUM(var_s), 2) AS var_total,
+           round(CASE WHEN SUM(var_s) <= 0 THEN NULL
+                      WHEN SUM(s) > 0 THEN (SUM(s) - 1) / sqrt(SUM(var_s))
+                      WHEN SUM(s) < 0 THEN (SUM(s) + 1) / sqrt(SUM(var_s))
+                      ELSE 0.0 END, 6) AS z_smk
+    FROM per
+    """,
+)
+def seasonal_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984, public):
+    the MK S statistic is computed WITHIN each weekday stratum (pairs
+    only compare a Monday to a later Monday, etc.) and the seven S and
+    null variances pool into one continuity-corrected z — the
+    seasonality-robust upgrade of :func:`mann_kendall_trend_daily`,
+    immune to the weekly cycle masquerading as (or masking) a monotone
+    drift.  Tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18
+    per stratum.
+
+    Everything is integer sign/tie arithmetic on exact DECIMAL day
+    revenues (comparisons, never differences), so both engines agree
+    bit-for-bit; doubles appear only in the final z.
+
+    Scale shape: the day aggregate contracts facts to ~2.4k rows; the
+    within-season pair join is ~7 x 343^2/2 = 0.4M comparisons on that
+    dim-sized frame (the documented series exemption), grouped
+    map-side.  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    ser = daily.select("d", "rev", F.dayofweek("d").cast("long").alias("season"))
+    a, b = ser.alias("a"), ser.alias("b")
+    s_per = (
+        a.join(
+            b,
+            (F.col("a.season") == F.col("b.season")) & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.season").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    counts = ser.groupBy("season").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        ser.groupBy("season", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("season")
+        .agg(
+            F.sum(
+                (
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("long")
+            ).alias("tie_term")
+        )
+    )
+    per = (
+        counts.join(s_per, "season", "left")
+        .join(ties, "season", "left")
+        .select(
+            "n",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            (
+                (
+                    F.col("n").cast("long")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce("tie_term", F.lit(0))
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("n").alias("n_days"),
+        F.sum("s").alias("s_total"),
+        F.sum("var_s").alias("var_total"),
+    )
+    s, v = F.col("s_total"), F.col("var_total")
+    z = (
+        F.when(v <= 0, F.lit(None))
+        .when(s > 0, (s - 1) / F.sqrt(v))
+        .when(s < 0, (s + 1) / F.sqrt(v))
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        F.col("n_seasons").cast("long").alias("n_seasons"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s_total").cast("long").alias("s_total"),
+        F.round(v, 2).alias("var_total"),
+        F.round(z, 6).alias("z_smk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag 1) — do yesterday's clicks help predict today's
+# purchases beyond yesterday's purchases?  Restricted-vs-unrestricted OLS.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "granger_clicks_purchases_lag1",
+    """
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY 1
+    ),
+    ser AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, c, p FROM days
+    ),
+    tri AS (
+        SELECT cur.p AS y, prv.p AS x1, prv.c AS x2
+        FROM ser cur JOIN ser prv ON prv.rn = cur.rn - 1
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               SUM(y) AS sy, SUM(x1) AS s1, SUM(x2) AS s2,
+               SUM(y * y) AS syy, SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+               SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(x1 * x2) AS s12
+        FROM tri
+    ),
+    cm AS (
+        SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12
+        FROM m
+    ),
+    fit AS (
+        SELECT n,
+               cyy - CASE WHEN c11 = 0 THEN 0 ELSE c1y * c1y / c11 END AS rss_r,
+               CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+                    ELSE cyy - ((c1y * c22 - c2y * c12) * c1y
+                                + (c2y * c11 - c1y * c12) * c2y)
+                               / (c11 * c22 - c12 * c12) END AS rss_u
+        FROM cm
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(sqrt(rss_r / n), 4) AS rmse_restricted,
+           round(sqrt(rss_u / n), 4) AS rmse_unrestricted,
+           round(CASE WHEN rss_u <= 0 THEN NULL
+                      ELSE (rss_r - rss_u) / (rss_u / (n - 3.0)) END, 6)
+               AS f_granger
+    FROM fit
+    """,
+)
+def granger_clicks_purchases_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality test at lag 1 (Granger 1969, public): does
+    yesterday's CLICK count improve today's PURCHASE count prediction
+    beyond yesterday's purchases?  F = (RSS_r - RSS_u) / (RSS_u/(n-3))
+    between the restricted AR(1) fit p_t ~ p_{t-1} and the unrestricted
+    p_t ~ p_{t-1} + c_{t-1} — the predictive-precedence companion of
+    :func:`temporal_precedence_pairs` and :func:`ccf_click_vs_purchase`
+    (which correlate; this one tests INCREMENTAL predictive value).
+
+    The 2-regressor normal equations solve in closed form (Cramer) from
+    EXACT integer moment sums of the daily count series; doubles enter
+    only in the centered-moment algebra.  Degenerate designs (constant
+    regressor, singular 2x2) yield NULL F identically on both engines;
+    RMSEs release at relative scale (the chow_break convention).
+
+    Scale shape: one day aggregate contracts events; the lag join and
+    the single moment row run on the ~2.4k-day series.  Output: one
+    row."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    ser = days.select(F.row_number().over(Window.orderBy("d")).alias("rn"), "c", "p")
+    cur, prv = ser.alias("cur"), ser.alias("prv")
+    tri = cur.join(prv, F.col("prv.rn") == F.col("cur.rn") - 1).select(
+        F.col("cur.p").alias("y"),
+        F.col("prv.p").alias("x1"),
+        F.col("prv.c").alias("x2"),
+    )
+    m = tri.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+    n = F.col("n").cast("double")
+
+    def c(ab, a, b):
+        return F.col(ab).cast("double") - F.col(a).cast("double") * F.col(
+            b
+        ).cast("double") / n
+
+    cyy = c("syy", "sy", "sy")
+    c11 = c("s11", "s1", "s1")
+    c22 = c("s22", "s2", "s2")
+    c1y = c("s1y", "s1", "sy")
+    c2y = c("s2y", "s2", "sy")
+    c12 = c("s12", "s1", "s2")
+    det = c11 * c22 - c12 * c12
+    rss_r = cyy - F.when(c11 == 0, F.lit(0.0)).otherwise(c1y * c1y / c11)
+    rss_u = F.when(
+        det == 0, F.lit(None).cast("double")
+    ).otherwise(
+        cyy - ((c1y * c22 - c2y * c12) * c1y + (c2y * c11 - c1y * c12) * c2y) / det
+    )
+    f = F.when(
+        rss_u <= 0, F.lit(None).cast("double")
+    ).otherwise((rss_r - rss_u) / (rss_u / (n - 3.0)))
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.sqrt(rss_r / n), 4).alias("rmse_restricted"),
+        F.round(F.sqrt(rss_u / n), 4).alias("rmse_unrestricted"),
+        F.round(f, 6).alias("f_granger"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch relative-error quantiles — the mergeable production quantile
+# sketch (log-gamma buckets), validated in-query against the exact answer.
+# ---------------------------------------------------------------------------
+
+_DDSKETCH_ALPHA = 0.01
+_DDSKETCH_GAMMA = (1.0 + _DDSKETCH_ALPHA) / (1.0 - _DDSKETCH_ALPHA)
+_DDSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def _ddsketch_oracle_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in _DDSKETCH_QS)
+    g = _DDSKETCH_GAMMA
+    return f"""
+    WITH buckets AS (
+        SELECT CAST(ceil(ln(o_totalprice) / ln({g!r})) AS BIGINT) AS b,
+               COUNT(*) AS cnt
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, cnt,
+               SUM(cnt) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               (SELECT SUM(cnt) FROM buckets) AS n
+        FROM buckets
+    ),
+    qs(q) AS (VALUES {qvals}),
+    hit AS (
+        SELECT qs.q, MIN(cum.b) AS qb, MIN(cum.n) AS n
+        FROM qs JOIN cum ON cum.cum >= ceil(qs.q * cum.n)
+        GROUP BY qs.q
+    ),
+    exact AS (
+        SELECT CAST(0.5 AS DOUBLE) AS q,
+               quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.5)
+                   AS x_exact
+        FROM orders WHERE o_totalprice > 0
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE) AS q,
+               quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.9)
+                   AS x_exact
+        FROM orders WHERE o_totalprice > 0
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE) AS q,
+               quantile_disc(CAST(o_totalprice AS DECIMAL(18,2)), 0.99)
+                   AS x_exact
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(h.q AS DOUBLE) AS q,
+           CAST(h.n AS BIGINT) AS n_rows,
+           CAST(h.qb AS BIGINT) AS bucket,
+           round(2.0 * pow({g!r}, h.qb) / ({g!r} + 1.0), 2) AS est,
+           CAST(e.x_exact AS DECIMAL(18,2)) AS exact,
+           round(abs(2.0 * pow({g!r}, h.qb) / ({g!r} + 1.0)
+                     / CAST(e.x_exact AS DOUBLE) - 1.0), 6) AS rel_err
+    FROM hit h JOIN exact e ON e.q = h.q
+    """
+
+
+@_register("ddsketch_quantiles_price", _ddsketch_oracle_sql())
+def ddsketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson, Rim & Lee, VLDB 2019, public) of the
+    order price at q = {qs}, alpha = {alpha}: bucket index b =
+    ceil(ln x / ln gamma) with gamma = (1+a)/(1-a) guarantees
+    RELATIVE error <= alpha at any quantile — the mergeable sketch
+    DataDog/production telemetry uses where t-digest/GK give rank-error
+    only.  The query carries the exact percentile_disc answer alongside
+    and releases the realized relative error, so the alpha contract is
+    checked ON the release (the int8_recall_vs_exact convention: sketch
+    + its own quality audit in one result).
+
+    Portability: ln/pow run on identical double inputs in both engines;
+    a bucket flip would need a price within one ulp of a bucket
+    boundary (width ln(gamma) ~ 0.02 — ~1e-14 probability over the
+    distinct prices).  Counts and the bucket cumsum are exact integers;
+    the estimate rounds at relative-safe 2dp.
+
+    Scale shape: the sketch IS the aggregation — one grouped count on
+    the bucket id (map-side combinable, ~1.5k buckets for the price
+    range), a dim-sized cumsum, and a 3-row quantile probe; the exact
+    twin is one percentile_disc pass.  At 100 TB the bucket frame stays
+    ~1.5k rows and merges associatively across partitions/days — that
+    mergeability is the whole point of the sketch.  Output: 3 rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    g = _DDSKETCH_GAMMA
+    buckets = o.groupBy(
+        F.ceil(F.log(F.col("o_totalprice")) / F.lit(_math.log(g)))
+        .cast("long")
+        .alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = buckets.agg(F.sum("cnt").alias("n"))
+    cum = buckets.select(
+        "b", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    qs = spark.createDataFrame([(q,) for q in _DDSKETCH_QS], "q DOUBLE")
+    hit = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("b").alias("qb"), F.min("n").alias("n"))
+    )
+    one = o.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP "
+                "(ORDER BY CAST(o_totalprice AS DECIMAL(18,2)))"
+            ).alias(f"x{i}")
+            for i, q in enumerate(_DDSKETCH_QS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), x{i}" for i, q in enumerate(_DDSKETCH_QS)
+    )
+    exact = one.select(
+        F.expr(
+            f"stack({len(_DDSKETCH_QS)}, {stack_args}) AS (q, x_exact)"
+        )
+    )
+    est = 2.0 * F.pow(F.lit(g), F.col("qb")) / F.lit(g + 1.0)
+    j = hit.join(exact, "q")
+    return j.select(
+        F.col("q").cast("double").alias("q"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("qb").cast("long").alias("bucket"),
+        F.round(est, 2).alias("est"),
+        F.col("x_exact").cast("decimal(18,2)").alias("exact"),
+        F.round(
+            F.abs(est / F.col("x_exact").cast("double") - 1.0), 6
+        ).alias("rel_err"),
+    )
+
+
+ddsketch_quantiles_price.__doc__ = ddsketch_quantiles_price.__doc__.replace(
+    "{qs}", repr(_DDSKETCH_QS)
+).replace("{alpha}", repr(_DDSKETCH_ALPHA))
