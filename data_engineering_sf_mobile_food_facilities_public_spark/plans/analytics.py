@@ -16751,3 +16751,347 @@ def ddsketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 ddsketch_quantiles_price.__doc__ = ddsketch_quantiles_price.__doc__.replace(
     "{qs}", repr(_DDSKETCH_QS)
 ).replace("{alpha}", repr(_DDSKETCH_ALPHA))
+
+
+# ---------------------------------------------------------------------------
+# Goldfeld-Quandt heteroskedasticity test — does price variance around the
+# quantity fit GROW with quantity?  Two-regime RSS ratio, moment-closed.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "goldfeld_quandt_price_quantity",
+    """
+    WITH m AS (
+        SELECT CASE WHEN l_quantity <= 17 THEN 0 ELSE 1 END AS regime,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(19,2))
+                   * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                   * CAST(l_extendedprice AS DECIMAL(19,2))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(19,2))
+                   * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy
+        FROM lineitem
+        WHERE l_quantity <= 17 OR l_quantity >= 34
+        GROUP BY 1
+    ),
+    rss AS (
+        SELECT regime, n,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+               - CASE WHEN n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx = 0 THEN 0
+                      ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                           * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                 END AS rss
+        FROM m
+    )
+    SELECT CAST((SELECT n FROM rss WHERE regime = 0) AS BIGINT) AS n_low,
+           CAST((SELECT n FROM rss WHERE regime = 1) AS BIGINT) AS n_high,
+           round(sqrt((SELECT rss / (n - 2.0) FROM rss WHERE regime = 0)), 4)
+               AS rmse_low,
+           round(sqrt((SELECT rss / (n - 2.0) FROM rss WHERE regime = 1)), 4)
+               AS rmse_high,
+           round((SELECT rss / (n - 2.0) FROM rss WHERE regime = 1)
+                 / NULLIF((SELECT rss / (n - 2.0) FROM rss WHERE regime = 0),
+                          0.0), 6) AS f_gq
+    """,
+)
+def goldfeld_quandt_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goldfeld-Quandt heteroskedasticity test (Goldfeld & Quandt 1965,
+    public): fit price ~ quantity separately on the LOW-quantity
+    (<= 17) and HIGH-quantity (>= 34) regimes — the middle third is
+    dropped, the classic sharpening step — and release F = MSE_high /
+    MSE_low.  F >> 1 says residual variance grows with the regressor,
+    the violation that silently breaks the OLS standard errors of
+    :func:`ols_price_vs_quantity`.  Fixed literal cut points keep the
+    split deterministic (TPC-H quantities are uniform on 1..50).
+
+    Each regime's RSS is closed-form from exact DECIMAL moments (the
+    chow_break construction); RMSEs release at relative scale.  A
+    zero-variance regime drops its slope term (intercept-only RSS)
+    identically on both engines.
+
+    Scale shape: ONE filtered grouped moment pass over lineitem
+    (map-side combinable, 2 rows out) and scalar algebra.  Output: one
+    row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") <= 17) | (F.col("l_quantity") >= 34)
+    )
+    qx, px = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy(
+        F.when(F.col("l_quantity") <= 17, 0).otherwise(1).alias("regime")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(px).alias("sy"),
+        F.sum(px * px).alias("syy"),
+        F.sum(qx * px).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy_c = syy - sy * sy / n
+    sxy_c = sxy - sx * sy / n
+    sxx_c = sxx - sx * sx / n
+    rss = F.when(sxx_c == 0, syy_c).otherwise(syy_c - sxy_c * sxy_c / sxx_c)
+    per = m.select("regime", "n", (rss / (n - 2.0)).alias("mse"))
+    wide = per.groupBy().pivot("regime", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("mse").alias("mse")
+    )
+    return wide.select(
+        F.col("0_n").cast("long").alias("n_low"),
+        F.col("1_n").cast("long").alias("n_high"),
+        F.round(F.sqrt(F.col("0_mse")), 4).alias("rmse_low"),
+        F.round(F.sqrt(F.col("1_mse")), 4).alias("rmse_high"),
+        F.round(
+            F.col("1_mse") / F.nullif(F.col("0_mse"), F.lit(0.0)), 6
+        ).alias("f_gq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomized-response frequency release — the LOCAL privacy mechanism
+# (perturb per record, debias in aggregate), seeded for replay.
+# ---------------------------------------------------------------------------
+
+_RR_P_TRUTH = 0.75
+_RR_STATUSES = ("F", "O", "P")
+
+
+def _rr_oracle_sql() -> str:
+    p = _RR_P_TRUTH
+    k = len(_RR_STATUSES)
+    fake = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_RR_STATUSES)
+    )
+    return f"""
+    WITH perturbed AS (
+        SELECT o_orderstatus AS true_s,
+               CASE WHEN CAST(('0x' || substr(md5('rr1' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                         / 4503599627370496.0 < {p}
+                    THEN o_orderstatus
+                    ELSE CASE CAST(floor(
+                             CAST(('0x' || substr(md5('rr2' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                             / 4503599627370496.0 * {k}) AS BIGINT)
+                         {fake} END
+               END AS rep_s
+        FROM orders
+    ),
+    agg AS (
+        SELECT rep_s AS status,
+               COUNT(*) AS n_reported,
+               (SELECT COUNT(*) FROM perturbed) AS n
+        FROM perturbed GROUP BY rep_s
+    ),
+    truth AS (
+        SELECT o_orderstatus AS status, COUNT(*) AS n_true
+        FROM orders GROUP BY 1
+    )
+    SELECT a.status,
+           CAST(a.n_reported AS BIGINT) AS n_reported,
+           round((CAST(a.n_reported AS DOUBLE) / a.n - (1.0 - {p}) / {k})
+                 / {p} * a.n, 2) AS est_true,
+           CAST(t.n_true AS BIGINT) AS n_true
+    FROM agg a JOIN truth t ON t.status = a.status
+    """
+
+
+@_register("randomized_response_status", _rr_oracle_sql())
+def randomized_response_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response frequency release (Warner 1965, public; the
+    LOCAL-privacy mechanism RAPPOR generalizes): each order reports its
+    TRUE status with p = {p}, else one of the {k} statuses uniformly;
+    the aggregate debiases with pi_hat = (obs/n - (1-p)/k)/p.  The
+    LOCAL complement of :func:`dp_noisy_counts_seeded` (which perturbs
+    the central aggregate): here every RECORD is already private and
+    the estimator recovers the distribution.  The released frame
+    carries the true counts alongside so the estimator error is
+    auditable in-query.
+
+    Both uniforms are md5-SEEDED from the record key (the engine's
+    replayable-mechanism convention, honestly documented there: hash
+    randomness makes this the parity-checkable simulation; production
+    swaps in a real RNG and keeps the estimator).
+
+    Scale shape: perturbation is a scalar expression in the scan; two
+    grouped counts (map-side) and a 3-row join.  Output: one row per
+    status."""
+    o = load(spark, sf_dir, "orders")
+    p, k = _RR_P_TRUTH, len(_RR_STATUSES)
+
+    def u(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double") / F.lit(4503599627370496.0)
+
+    fake_idx = F.floor(u("rr2") * k).cast("long")
+    fake = F.element_at(
+        F.array(*[F.lit(s) for s in _RR_STATUSES]), (fake_idx + 1).cast("int")
+    )
+    perturbed = o.select(
+        F.col("o_orderstatus").alias("true_s"),
+        F.when(u("rr1") < p, F.col("o_orderstatus")).otherwise(fake).alias(
+            "rep_s"
+        ),
+    )
+    tot = perturbed.agg(F.count(F.lit(1)).alias("n"))
+    agg = (
+        perturbed.groupBy(F.col("rep_s").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_reported"))
+        .crossJoin(F.broadcast(tot))
+    )
+    truth = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    j = agg.join(truth, "status")
+    return j.select(
+        "status",
+        F.col("n_reported").cast("long").alias("n_reported"),
+        F.round(
+            (F.col("n_reported").cast("double") / F.col("n") - (1.0 - p) / k)
+            / p
+            * F.col("n"),
+            2,
+        ).alias("est_true"),
+        F.col("n_true").cast("long").alias("n_true"),
+    )
+
+
+randomized_response_status.__doc__ = randomized_response_status.__doc__.replace(
+    "{p}", repr(_RR_P_TRUTH)
+).replace("{k}", str(len(_RR_STATUSES)))
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling subset-sum estimator — Duffield-Lund-Thorup: a K-row
+# weighted sample that UNBIASEDLY estimates the population total.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 64
+
+
+@_register(
+    "priority_sample_revenue_total",
+    f"""
+    WITH q AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               / NULLIF(CAST(('0x' || substr(md5('ps1' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+                        / 4503599627370496.0, 0.0) AS pq
+        FROM orders
+    ),
+    topk1 AS (
+        SELECT * FROM q ORDER BY pq DESC, o_orderkey LIMIT {_PRIORITY_K + 1}
+    ),
+    tau AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM q) <= {_PRIORITY_K}
+                    THEN 0.0 ELSE MIN(pq) END AS t,
+               (SELECT COUNT(*) FROM q) AS n
+        FROM topk1
+    ),
+    smp AS (
+        SELECT * FROM topk1 ORDER BY pq DESC, o_orderkey LIMIT {_PRIORITY_K}
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_orders,
+           CAST(LEAST({_PRIORITY_K}, t.n) AS BIGINT) AS k_sample,
+           round(SUM(GREATEST(CAST(s.w AS DOUBLE), t.t)) / 100.0, 2)
+               AS est_total,
+           (SELECT round(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) FROM orders) AS true_total,
+           round(SUM(GREATEST(CAST(s.w AS DOUBLE), t.t)) /
+                 NULLIF((SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         FROM orders), 0) - 1.0, 6) AS rel_err
+    FROM smp s CROSS JOIN tau t
+    GROUP BY t.n, t.t
+    """,
+)
+def priority_sample_revenue_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007, public):
+    each order gets priority q_i = w_i/u_i (weight = price in cents,
+    u md5-seeded uniform), the sample is the top-K priorities, tau is
+    the (K+1)-th, and sum max(w_i, tau) over the sample estimates the
+    POPULATION total unbiasedly — the sketch that answers weighted
+    subset-sum queries from K rows where uniform sampling needs
+    thousands.  K = {k}; the true total and realized relative error are
+    released alongside (the DDSketch self-audit convention).
+
+    Populations of <= K orders degrade to the exact sum (tau = 0), the
+    paper's own convention, identically on both engines.  Top-K runs as
+    ORDER BY pq DESC LIMIT K with the orderkey tiebreak — deterministic
+    and TakeOrderedAndProject-shaped, never a global sort
+    materialization.
+
+    Scale shape: one scalar-expression scan computes priorities; the
+    only reductions are TakeOrdered(K+1) and one exact decimal total.
+    At 100 TB the K+1 heap merges per-partition — no shuffle of the
+    fact table.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    w = F.round(F.col("o_totalprice") * 100).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps1"), F.col("o_orderkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4503599627370496.0)
+    q = o.select(
+        "o_orderkey",
+        w.alias("w"),
+        (w.cast("double") / F.nullif(u, F.lit(0.0))).alias("pq"),
+    )
+    topk1 = q.orderBy(F.desc("pq"), "o_orderkey").limit(_PRIORITY_K + 1)
+    tot = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("true_cents"),
+    )
+    tau = (
+        topk1.agg(F.min("pq").alias("min_pq"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("n") <= _PRIORITY_K, F.lit(0.0))
+            .otherwise(F.col("min_pq"))
+            .alias("t"),
+            "n",
+            "true_cents",
+        )
+    )
+    smp = topk1.orderBy(F.desc("pq"), "o_orderkey").limit(_PRIORITY_K)
+    j = smp.crossJoin(F.broadcast(tau))
+    est_cents = F.sum(F.greatest(F.col("w").cast("double"), F.col("t")))
+    return (
+        j.groupBy("n", "t", "true_cents")
+        .agg(est_cents.alias("est_cents"))
+        .select(
+            F.col("n").cast("long").alias("n_orders"),
+            F.least(F.lit(_PRIORITY_K), F.col("n")).cast("long").alias(
+                "k_sample"
+            ),
+            F.round(F.col("est_cents") / 100.0, 2).alias("est_total"),
+            F.round(F.col("true_cents") / 100.0, 2).alias("true_total"),
+            F.round(
+                F.col("est_cents")
+                / F.nullif(F.col("true_cents").cast("double"), F.lit(0.0))
+                - 1.0,
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+priority_sample_revenue_total.__doc__ = (
+    priority_sample_revenue_total.__doc__.replace("{k}", str(_PRIORITY_K))
+)

@@ -3016,3 +3016,145 @@ def knn_loo_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear CKA between full and truncated embeddings — "how much of the
+# representation geometry survives cutting the dimension in half?"
+# ---------------------------------------------------------------------------
+
+_CKA_DIM = 64
+_CKA_TRUNC = 32
+
+
+@_register(
+    "linear_cka_truncation",
+    f"""
+    WITH ex AS (
+        SELECT e.vec_id, i.i,
+               CAST(round(CAST(e.embedding[i.i] AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS x
+        FROM embeddings e
+        JOIN (SELECT unnest(generate_series(1, {_CKA_DIM})) AS i) i ON TRUE
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    sums AS (
+        SELECT i, SUM(x) AS si FROM ex GROUP BY i
+    ),
+    cross_m AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    cmat AS (
+        SELECT cm.i, cm.j,
+               CAST(round(CAST(cm.sxy AS DOUBLE)
+                          - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE)
+                            / n.n, 6) AS DECIMAL(18,6)) AS c
+        FROM cross_m cm
+        JOIN sums sa ON sa.i = cm.i
+        JOIN sums sb ON sb.i = cm.j
+        CROSS JOIN n
+    ),
+    fro AS (
+        SELECT SUM(CASE WHEN j <= {_CKA_TRUNC} THEN c * c END) AS num,
+               SUM(c * c) AS dx,
+               SUM(CASE WHEN i <= {_CKA_TRUNC} AND j <= {_CKA_TRUNC}
+                        THEN c * c END) AS dy
+        FROM cmat
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_vecs,
+           CAST({_CKA_DIM} AS BIGINT) AS dim_full,
+           CAST({_CKA_TRUNC} AS BIGINT) AS dim_trunc,
+           round(CAST(num AS DOUBLE)
+                 / NULLIF(sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)),
+                          0.0), 6) AS cka
+    FROM fro CROSS JOIN n
+    """,
+)
+def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment (Kornblith et al., ICML 2019,
+    public) between the FULL {d}-dim embeddings and their first-{t}-dim
+    truncation: CKA = ||Cxy||_F^2 / (||Cxx||_F ||Cyy||_F) over the
+    centered cross-covariance — the representation-similarity score
+    behind "can we ship the half-size embedding", the geometry-level
+    companion of :func:`matryoshka_truncation_recall` (which measures
+    retrieval survival; this measures structure survival).
+
+    Because the truncation is a PREFIX, Cxy and Cyy are submatrices of
+    the one full covariance C: one exploded self-join builds C once and
+    three filtered Frobenius sums read the score off it.  Floats
+    quantize to 6dp DECIMAL on entry (identical literals both engines),
+    covariance entries re-quantize to 6dp before squaring, so every
+    aggregate is an exact decimal sum; doubles touch only the final
+    ratio.
+
+    Scale shape: the explode is {d} rows per vector and the self-join
+    fans to {d}^2 per vector but contracts map-side to the {d}x{d}
+    moment grid (the covariance_power_iteration shape) — at 100 TB the
+    shuffle carries dim^2 partials per partition, never row pairs.
+    Output: one row."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i0", "x0"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x0").cast("double"), 6).cast("decimal(12,6)").alias("x"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    sums = ex.groupBy("i").agg(F.sum("x").alias("si"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cross_m = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+    )
+    sa = sums.select(F.col("i").alias("i"), F.col("si").alias("si_a"))
+    sb = sums.select(F.col("i").alias("j"), F.col("si").alias("si_b"))
+    cmat = (
+        cross_m.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy").cast("double")
+                - F.col("si_a").cast("double")
+                * F.col("si_b").cast("double")
+                / F.col("n"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    c2 = F.col("c") * F.col("c")
+    fro = cmat.agg(
+        F.sum(F.when(F.col("j") <= _CKA_TRUNC, c2)).alias("num"),
+        F.sum(c2).alias("dx"),
+        F.sum(
+            F.when((F.col("i") <= _CKA_TRUNC) & (F.col("j") <= _CKA_TRUNC), c2)
+        ).alias("dy"),
+    )
+    return fro.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.lit(_CKA_DIM).cast("long").alias("dim_full"),
+        F.lit(_CKA_TRUNC).cast("long").alias("dim_trunc"),
+        F.round(
+            F.col("num").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("dx").cast("double"))
+                * F.sqrt(F.col("dy").cast("double")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("cka"),
+    )
+
+
+linear_cka_truncation.__doc__ = linear_cka_truncation.__doc__.replace(
+    "{d}", str(_CKA_DIM)
+).replace("{t}", str(_CKA_TRUNC))
