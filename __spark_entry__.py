@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (131
+# continuation of the never-driver-verified oracle-paired set (147
 # entries = ~3 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
@@ -266,6 +266,24 @@ _PANEL_NEXT_CANDIDATES = [
     "acctbal_boxplot_by_nation",
     "acf_daily_revenue",
     "activity_islands_per_user",
+    # round-12 operators (oracle-paired, landed with fixture + matrix
+    # coverage; they join the never-driver-verified tail here)
+    "ljung_box_daily_revenue",
+    "durbin_watson_daily_trend",
+    "chow_break_daily_trend",
+    "periodogram_daily_revenue",
+    "brown_forsythe_price_priority",
+    "cochran_armitage_priority_trend",
+    "mcnemar_customer_halves",
+    "tukey_hsd_price_priority",
+    "eb_shrunk_return_rates_brand",
+    "seasonal_mann_kendall_daily",
+    "granger_clicks_purchases_lag1",
+    "ddsketch_quantiles_price",
+    "goldfeld_quandt_price_quantity",
+    "randomized_response_status",
+    "priority_sample_revenue_total",
+    "linear_cka_truncation",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

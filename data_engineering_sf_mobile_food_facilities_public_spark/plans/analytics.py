@@ -15775,9 +15775,10 @@ def _periodogram_oracle_sql() -> str:
     )
     SELECT CAST(period AS BIGINT) AS period,
            CAST(n AS BIGINT) AS n_days,
-           round((2.0 / n) * (CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
-                              + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
-                 / 1000000.0, 4) AS power_millions
+           round(log10(1.0 + (2.0 / n)
+                       * (CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+                          + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))),
+                 6) AS log10_power
     FROM agg
     """
 
@@ -15797,8 +15798,9 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     no libm call happens inside either engine, the products
     rev(DECIMAL) x phase(DECIMAL) are exact, and the C/S sums are
     order-independent decimals; doubles enter only in the final power
-    expression.  Power is released in millions at 4dp (relative-scale
-    stability, the chow_break convention).
+    expression.  Power is released as log10(1 + power) at 6dp: raw
+    power scales with the squared series magnitude, where a last-ulp
+    repr difference beats any absolute grain (the chow_break lesson).
 
     Scale shape: the day aggregate contracts facts to the ~2.4k-row
     series; the phase join is a broadcast of 142 literal rows and the
@@ -15834,12 +15836,16 @@ def periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = F.col("c_sum").cast("double")
     ss = F.col("s_sum").cast("double")
+    # power releases on the log10 scale: raw power grows with the
+    # square of the series magnitude (hostile DECIMAL-edge days put it
+    # at ~1e19, where a last-ulp double repr difference exceeds any
+    # absolute rounding grain), while log10 is relative-scale stable
     return agg.select(
         F.col("period").cast("long").alias("period"),
         F.col("n").cast("long").alias("n_days"),
         F.round(
-            (2.0 / F.col("n")) * (cs * cs + ss * ss) / 1000000.0, 4
-        ).alias("power_millions"),
+            F.log10(1.0 + (2.0 / F.col("n")) * (cs * cs + ss * ss)), 6
+        ).alias("log10_power"),
     )
 
 
@@ -16239,16 +16245,29 @@ def tukey_hsd_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     ),
+    rq AS (
+        -- rates quantized by INTEGER arithmetic (floor(k*1e10/n)):
+        -- bit-identical on both engines by construction, unlike a
+        -- double round whose scaled-multiply vs exact-binary rounding
+        -- can disagree at the last retained digit
+        SELECT (k * 10000000000) // n AS r10 FROM g
+    ),
     prior AS (
-        SELECT COUNT(*) AS nb,
-               SUM(CAST(k AS DOUBLE) / n) AS sp,
-               SUM((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) AS spp
-        FROM g
+        SELECT COUNT(*) AS nb, SUM(r10) AS sp,
+               SUM(CAST(r10 AS DECIMAL(19,0)) * CAST(r10 AS DECIMAL(19,0)))
+                   AS spp
+        FROM rq
     ),
     ab AS (
+        -- the across-brand variance cancels catastrophically (all
+        -- rates near the league mean), so nb*spp - sp^2 assembles
+        -- EXACTLY in decimal and only the final division is double
         SELECT nb,
-               sp / nb AS mu,
-               (spp - sp * sp / nb) / NULLIF(nb - 1.0, 0.0) AS s2
+               CAST(sp AS DOUBLE) / nb / 1e10 AS mu,
+               CAST(nb * spp - CAST(sp AS DECIMAL(19,0))
+                               * CAST(sp AS DECIMAL(19,0)) AS DOUBLE)
+               / NULLIF(CAST(nb AS DOUBLE) * nb * (nb - 1.0), 0.0) / 1e20
+                   AS s2
         FROM prior
     ),
     hyper AS (
@@ -16304,16 +16323,29 @@ def eb_shrunk_return_rates_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rate = F.col("k").cast("double") / F.col("n")
-    prior = g.agg(
+    # rates quantized by INTEGER arithmetic (floor(k*1e10/n)) —
+    # bit-identical across engines by construction, unlike a double
+    # round; the across-brand variance cancels catastrophically (all
+    # rates sit near the league mean), so nb*spp - sp^2 assembles
+    # EXACTLY in decimal and only the final division is double (a
+    # double SUM here was partition-order noise amplified by the
+    # cancellation — caught by the sf0.1 parity sweep)
+    rq = g.select(
+        F.expr("k * 10000000000L div n").alias("r10")
+    )
+    prior = rq.agg(
         F.count(F.lit(1)).alias("nb"),
-        F.sum(rate).alias("sp"),
-        F.sum(rate * rate).alias("spp"),
+        F.sum("r10").alias("sp"),
+        F.sum(
+            F.col("r10").cast("decimal(19,0)") * F.col("r10").cast("decimal(19,0)")
+        ).alias("spp"),
     )
     nb = F.col("nb").cast("double")
-    mu = F.col("sp") / nb
-    s2 = (F.col("spp") - F.col("sp") * F.col("sp") / nb) / F.nullif(
-        nb - 1.0, F.lit(0.0)
-    )
+    mu = F.col("sp").cast("double") / nb / 1e10
+    s2 = (
+        F.col("nb") * F.col("spp")
+        - F.col("sp").cast("decimal(19,0)") * F.col("sp").cast("decimal(19,0)")
+    ).cast("double") / F.nullif(nb * nb * (nb - 1.0), F.lit(0.0)) / 1e20
     mass = mu * (1.0 - mu) / s2 - 1.0
     ok = (s2 > 0) & (mu > 0) & (mu < 1) & (mass > 0)
     hyper = prior.select(

@@ -3032,8 +3032,8 @@ _CKA_TRUNC = 32
     f"""
     WITH ex AS (
         SELECT e.vec_id, i.i,
-               CAST(round(CAST(e.embedding[i.i] AS DOUBLE), 6)
-                    AS DECIMAL(12,6)) AS x
+               CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS x
         FROM embeddings e
         JOIN (SELECT unnest(generate_series(1, {_CKA_DIM})) AS i) i ON TRUE
     ),
@@ -3042,19 +3042,31 @@ _CKA_TRUNC = 32
         SELECT i, SUM(x) AS si FROM ex GROUP BY i
     ),
     cross_m AS (
-        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+        SELECT a.i AS i, b.i AS j,
+               SUM(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0)))
+                   AS sxy
         FROM ex a JOIN ex b ON a.vec_id = b.vec_id
         GROUP BY a.i, b.i
     ),
-    cmat AS (
+    craw AS (
         SELECT cm.i, cm.j,
-               CAST(round(CAST(cm.sxy AS DOUBLE)
-                          - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE)
-                            / n.n, 6) AS DECIMAL(18,6)) AS c
+               (CAST(cm.sxy AS DOUBLE)
+                - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / n.n)
+               / 1e12 AS cr
         FROM cross_m cm
         JOIN sums sa ON sa.i = cm.i
         JOIN sums sb ON sb.i = cm.j
         CROSS JOIN n
+    ),
+    scal AS (
+        SELECT CASE WHEN MAX(abs(cr)) > 0
+                    THEN pow(10.0, floor(log10(MAX(abs(cr))))) END AS s
+        FROM craw
+    ),
+    cmat AS (
+        SELECT i, j,
+               CAST(round(cr / scal.s, 6) AS DECIMAL(18,6)) AS c
+        FROM craw CROSS JOIN scal
     ),
     fro AS (
         SELECT SUM(CASE WHEN j <= {_CKA_TRUNC} THEN c * c END) AS num,
@@ -3084,10 +3096,12 @@ def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because the truncation is a PREFIX, Cxy and Cyy are submatrices of
     the one full covariance C: one exploded self-join builds C once and
     three filtered Frobenius sums read the score off it.  Floats
-    quantize to 6dp DECIMAL on entry (identical literals both engines),
-    covariance entries re-quantize to 6dp before squaring, so every
-    aggregate is an exact decimal sum; doubles touch only the final
-    ratio.
+    quantize to 6dp DECIMAL on entry (identical literals both engines);
+    covariance entries normalize by one global power-of-10 scale (CKA
+    is exactly scale-invariant) and re-quantize to 6dp before squaring,
+    so every aggregate is an exact decimal sum at ANY input magnitude;
+    doubles touch only the final ratio.  An all-zero covariance yields
+    NULL cka.
 
     Scale shape: the explode is {d} rows per vector and the self-join
     fans to {d}^2 per vector but contracts map-side to the {d}x{d}
@@ -3101,7 +3115,9 @@ def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x0").cast("double"), 6).cast("decimal(12,6)").alias("x"),
+        F.round(F.col("x0").cast("double") * 1000000)
+        .cast("long")
+        .alias("x"),
     )
     n = e.agg(F.count(F.lit(1)).alias("n"))
     sums = ex.groupBy("i").agg(F.sum("x").alias("si"))
@@ -3109,27 +3125,48 @@ def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_m = (
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+        .agg(
+            F.sum(
+                F.col("a.x").cast("decimal(19,0)")
+                * F.col("b.x").cast("decimal(19,0)")
+            ).alias("sxy")
+        )
     )
     sa = sums.select(F.col("i").alias("i"), F.col("si").alias("si_a"))
     sb = sums.select(F.col("i").alias("j"), F.col("si").alias("si_b"))
-    cmat = (
+    craw = (
         cross_m.join(F.broadcast(sa), "i")
         .join(F.broadcast(sb), "j")
         .crossJoin(F.broadcast(n))
         .select(
             "i",
             "j",
-            F.round(
-                F.col("sxy").cast("double")
-                - F.col("si_a").cast("double")
-                * F.col("si_b").cast("double")
-                / F.col("n"),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("c"),
+            (
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("si_a").cast("double")
+                    * F.col("si_b").cast("double")
+                    / F.col("n")
+                )
+                / 1e12
+            ).alias("cr"),
         )
+    )
+    # CKA is exactly invariant to scaling C by s (num ~ s^2, each
+    # denominator factor ~ s), so the entries normalize by a global
+    # power of 10 before the 6dp quantization — keeping ~7 significant
+    # digits at ANY data magnitude (hostile 1e6-valued vectors push
+    # raw C to ~1e13, where a fixed absolute grain loses everything)
+    scal = craw.agg(
+        F.when(
+            F.max(F.abs(F.col("cr"))) > 0,
+            F.pow(10.0, F.floor(F.log10(F.max(F.abs(F.col("cr")))))),
+        ).alias("s")
+    )
+    cmat = craw.crossJoin(F.broadcast(scal)).select(
+        "i",
+        "j",
+        F.round(F.col("cr") / F.col("s"), 6).cast("decimal(18,6)").alias("c"),
     )
     c2 = F.col("c") * F.col("c")
     fro = cmat.agg(

@@ -51,6 +51,11 @@ HOSTILE_EMBEDDINGS = [
 ]
 
 _EMBED_PANEL = [
+    # r12 linear CKA: zero vectors are legitimate rows (centering
+    # handles them); duplicate vectors inflate covariance identically;
+    # the all-zero dimension gives exact-0 covariance entries whose
+    # -0.0 normalization must agree after rounding
+    "linear_cka_truncation",
     # r11 MNN: zero vectors must drop from BOTH halves identically;
     # identical/opposite vectors give cos exactly +/-1; labels whose
     # even or odd half is empty must emit no candidates on either

@@ -47,6 +47,10 @@ HOSTILE_EVENTS = (
 )
 
 _EVENT_PANEL = [
+    # r12 Granger: the hostile corpus has days with zero clicks AND
+    # zero purchases (constant regressor blocks -> singular 2x2 takes
+    # the NULL branch), and the single-day corpus leaves n < 4
+    "granger_clicks_purchases_lag1",
     # r10 growth accounting: a SINGLE-month corpus — everyone is NEW,
     # zero retained/resurrected, and churn past the horizon must be
     # ABSENT (unknowable), not zero

@@ -259,6 +259,46 @@ _NUMERIC_PANEL = [
     # WAPE under negative/zero revenue (abs semantics, zero-total
     # NULL guard) and series shorter than the 7-day season
     "seasonal_naive_backtest_wape",
+    # r12 time-series diagnostics: the 28-day hostile series with
+    # all-tied revenue days (zero-variance NULL guards), negative and
+    # zero day sums, and a DECIMAL-edge block; all moment-closed forms
+    # must keep exact decimals until the final expression
+    "ljung_box_daily_revenue",
+    "durbin_watson_daily_trend",
+    "periodogram_daily_revenue",
+    # r12 chow: every hostile date is 2024 -> the pre-break regime is
+    # EMPTY (NULL n_pre) and pooled == post RSS; both engines must
+    # propagate the empty-regime NULLs identically
+    "chow_break_daily_trend",
+    # r12 group tests: the singleton 5-LOW/X groups (zero within-group
+    # spread), the all-tied price block (median deviations exactly 0),
+    # and a status alphabet beyond F/O/P stress every degenerate guard
+    "brown_forsythe_price_priority",
+    "cochran_armitage_priority_trend",
+    "tukey_hsd_price_priority",
+    # r12 mcnemar: all hostile dates sit AFTER the 1998 split -> b = 0
+    # and every active customer is h2-only; chi2 = c and the continuity
+    # correction must agree
+    "mcnemar_customer_halves",
+    # r12 EB shrinkage: hostile brands give all-equal raw rates
+    # (across-brand variance 0 -> raw-rate fallback with NULL priors)
+    "eb_shrunk_return_rates_brand",
+    # r12 seasonal MK: ~4 days per weekday with the all-tied block
+    # (tie-corrected variance can hit 0 -> NULL z) and signed revenue
+    "seasonal_mann_kendall_daily",
+    # r12 GQ: hostile quantities cluster at 0/5/negative -> regimes
+    # with zero quantity variance take the intercept-only RSS branch
+    "goldfeld_quandt_price_quantity",
+    # r12 seeded mechanisms: zero/negative prices (w = 0 priorities tie
+    # on the orderkey), tiny populations near the K boundary, and the
+    # 'X' status outside the RR alphabet (reported truthfully or
+    # replaced, never invented)
+    "randomized_response_status",
+    "priority_sample_revenue_total",
+    # r12 DDSketch: zero and negative prices are EXCLUDED by contract
+    # (log undefined) and the all-tied block lands in one bucket whose
+    # estimate must satisfy the alpha bound on both engines
+    "ddsketch_quantiles_price",
     # skew factors under the 90% dominant customer and singleton keys
     "join_key_skew_report",
 ]
