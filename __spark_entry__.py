@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (147
+# continuation of the never-driver-verified oracle-paired set (148
 # entries = ~3 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
@@ -284,6 +284,7 @@ _PANEL_NEXT_CANDIDATES = [
     "randomized_response_status",
     "priority_sample_revenue_total",
     "linear_cka_truncation",
+    "hll_md5_registers_distinct",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

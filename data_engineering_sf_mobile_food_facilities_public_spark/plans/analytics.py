@@ -17127,3 +17127,136 @@ def priority_sample_revenue_total(spark: SparkSession, sf_dir: str) -> DataFrame
 priority_sample_revenue_total.__doc__ = (
     priority_sample_revenue_total.__doc__.replace("{k}", str(_PRIORITY_K))
 )
+
+
+# ---------------------------------------------------------------------------
+# From-scratch HyperLogLog over deterministic md5 registers — the sketch
+# ALGORITHM itself, oracle-paired (the engine-opaque DataSketches/HLL++
+# variants stay rows-only per the SURVEY ledger; this is their
+# hash-provable twin, the KMV/CMS conversion route applied to HLL).
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (b = 8 bucket bits)
+
+
+@_register(
+    "hll_md5_registers_distinct",
+    f"""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5('hll' || CAST(o_custkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    ),
+    reg AS (
+        SELECT CAST(hv % {_HLL_M} AS BIGINT) AS j,
+               MAX(52 - CAST(floor(log2((hv // {_HLL_M}) * 2 + 1)) AS BIGINT))
+                   AS m
+        FROM h GROUP BY 1
+    ),
+    s AS (
+        SELECT COUNT(*) AS nz,
+               SUM(CAST(POW(2.0, 53 - m) AS BIGINT)) AS isum
+        FROM reg
+    ),
+    est AS (
+        SELECT nz,
+               0.7213 / (1.0 + 1.079 / {_HLL_M})
+               * {_HLL_M} * {_HLL_M} * POW(2.0, 53)
+               / (CAST(isum AS DOUBLE)
+                  + ({_HLL_M} - nz) * POW(2.0, 53)) AS e_raw
+        FROM s
+    ),
+    fin AS (
+        SELECT CASE WHEN e_raw <= 2.5 * {_HLL_M} AND nz < {_HLL_M}
+                    THEN {_HLL_M} * ln({_HLL_M} / ({_HLL_M} - CAST(nz AS DOUBLE)))
+                    ELSE e_raw END AS e
+        FROM est
+    )
+    SELECT CAST(round(e) AS BIGINT) AS hll_estimate,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+               AS exact_distinct,
+           round(e / NULLIF((SELECT COUNT(DISTINCT o_custkey) FROM orders), 0)
+                 - 1.0, 6) AS rel_err
+    FROM fin
+    """,
+)
+def hll_md5_registers_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from scratch (Flajolet, Fusy, Gandouet & Meunier
+    2007, public) over {m} deterministic md5 registers, estimating the
+    distinct ordering customers: bucket j = h mod {m}, register M_j =
+    max rho(h div {m}) (leading-zero rank in the remaining 52 bits),
+    raw estimate alpha_m m^2 / sum 2^-M_j, with the paper's
+    linear-counting fallback below 2.5m when empty registers remain.
+    Exact answer and realized relative error ride along (the
+    ddsketch/priority-sample self-audit convention).
+
+    Why this exists next to the rows-only HLL entries: Spark's HLL++
+    and DataSketches registers are ENGINE-OPAQUE (SURVEY ledger), but
+    the algorithm itself is not — md5-seeded registers replay bit for
+    bit in DuckDB, the same conversion route that paired KMV and
+    Count-Min.  Portability details: rho comes from floor(log2(2r+1))
+    (2r+1 is ODD, so never an exact power of two: a cross-engine floor
+    flip needs libm's log2 within one ulp of an integer, the negligible
+    class documented for the DP mechanism's ln; the +1 also keeps it
+    off log2(0)); the harmonic sum accumulates as the INTEGER
+    sum 2^(53-M_j) — a sum of powers of two in doubles would round
+    order-dependently past the 53-bit mantissa.
+
+    Scale shape: the sketch is one grouped MAX over {m} register keys
+    (map-side combinable — the whole reduction is {m} rows), which is
+    exactly why HLL is THE distinct-count structure at 100 TB; the
+    exact COUNT DISTINCT twin rides along only for the audit."""
+    o = load(spark, sf_dir, "orders")
+    m = _HLL_M
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll"), F.col("o_custkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = o.select(hv.alias("hv"))
+    reg = h.groupBy((F.col("hv") % m).alias("j")).agg(
+        F.max(
+            F.lit(52)
+            - F.floor(
+                F.log2(F.expr(f"hv div {m}") * 2 + 1)
+            ).cast("long")
+        ).alias("m")
+    )
+    s = reg.agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias(
+            "isum"
+        ),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e_raw = (
+        F.lit(alpha)
+        * m
+        * m
+        * F.pow(F.lit(2.0), 53)
+        / (
+            F.col("isum").cast("double")
+            + (m - F.col("nz")) * F.pow(F.lit(2.0), 53)
+        )
+    )
+    e = F.when(
+        (e_raw <= 2.5 * m) & (F.col("nz") < m),
+        m * F.log(F.lit(float(m)) / (m - F.col("nz").cast("double"))),
+    ).otherwise(e_raw)
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            F.round(e).cast("long").alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                e / F.nullif(F.col("exact_distinct").cast("double"), F.lit(0.0))
+                - 1.0,
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -299,6 +299,11 @@ _NUMERIC_PANEL = [
     # (log undefined) and the all-tied block lands in one bucket whose
     # estimate must satisfy the alpha bound on both engines
     "ddsketch_quantiles_price",
+    # r12 from-scratch HLL: the hostile corpus has only 6 distinct
+    # customers -> deep linear-counting regime (250 empty registers);
+    # the md5 registers and the integer harmonic sum must replay
+    # bit-for-bit
+    "hll_md5_registers_distinct",
     # skew factors under the 90% dominant customer and singleton keys
     "join_key_skew_report",
 ]
