@@ -1113,3 +1113,43 @@ def test_bucket_lookup_codegen_stable_past_flat_cap(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_priority_sample_is_take_ordered_not_global_sort(spark):
+    # DLT priority sampling: both the K+1 and K cuts must compile to
+    # per-partition heaps (TakeOrderedAndProject) — a global Sort would
+    # materialize the full fact ordering at 100 TB for a 64-row sample
+    plan = _plan(spark, "priority_sample_revenue_total")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [pq" not in plan
+
+
+def test_linear_cka_contracts_map_side_and_broadcasts_scalars(spark):
+    # the dim^2 covariance build must contract via partial aggregation
+    # (map-side combine on (i, j)) and the per-dim sums / scalar frames
+    # must broadcast — no sort-merge join on the exploded pair frame
+    plan = _plan(spark, "linear_cka_truncation")
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_sketch_reduction_is_register_sized(spark):
+    # the whole reduction is one grouped MAX over 256 register keys —
+    # exactly two aggregation exchanges (registers, then the 1-row
+    # harmonic sum) plus the exact-twin audit aggregate; no join of
+    # fact-sized frames
+    plan = _plan(spark, "hll_md5_registers_distinct")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 6
+
+
+def test_bottleneck_recursion_reads_materialized_edges(spark):
+    # the recursive CTE must recurse over the localCheckpointed edge
+    # contraction (an RDD scan), NOT re-run the 5-way fact join per
+    # UnionLoop level: at most one lineitem scan may appear (from the
+    # eager checkpoint build happening before this plan), and the
+    # recursion body must reference the scanned-RDD edge view
+    plan = _plan(spark, "recursive_cte_bottleneck_routes")
+    assert plan.count("lineitem") == 0  # edges pre-materialized
+    assert "Scan ExistingRDD" in plan or "UnionLoop" in plan
