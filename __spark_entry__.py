@@ -129,7 +129,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (148
+# continuation of the never-driver-verified oracle-paired set (150
 # entries = ~3 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
@@ -285,6 +285,8 @@ _PANEL_NEXT_CANDIDATES = [
     "priority_sample_revenue_total",
     "linear_cka_truncation",
     "hll_md5_registers_distinct",
+    "ransac_price_quantity_line",
+    "gumbel_monthly_max_revenue",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

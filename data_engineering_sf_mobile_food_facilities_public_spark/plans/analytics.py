@@ -17260,3 +17260,272 @@ def hll_md5_registers_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded RANSAC line fit — robust regression by consensus: the OLS family
+# member that survives the gross outliers OLS averages into the fit.
+# ---------------------------------------------------------------------------
+
+_RANSAC_CANDIDATES = 8
+_RANSAC_TOL = 5000.0  # inlier band in price units
+
+
+@_register(
+    "ransac_price_quantity_line",
+    f"""
+    WITH seeded AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+               md5('rans' || CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)) AS hk
+        FROM lineitem
+    ),
+    picks AS (
+        -- hk can TIE: the fact table legitimately contains duplicate
+        -- (orderkey, linenumber) rows (see pk_violations), so the pick
+        -- order tiebreaks on the values; full-row duplicates then
+        -- yield identical picks either way
+        SELECT x, y, ROW_NUMBER() OVER (ORDER BY hk, x, y) AS rk
+        FROM (SELECT * FROM seeded ORDER BY hk, x, y
+              LIMIT {2 * _RANSAC_CANDIDATES})
+    ),
+    cand AS (
+        SELECT CAST((a.rk + 1) // 2 AS BIGINT) AS cid,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+               CAST(a.y AS DOUBLE)
+               - CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                 * CAST(a.x AS DOUBLE) AS icept
+        FROM picks a JOIN picks b
+          ON b.rk = a.rk + 1 AND a.rk % 2 = 1 AND b.x <> a.x
+    ),
+    votes AS (
+        SELECT c.cid, c.slope, c.icept,
+               SUM(CASE WHEN abs(CAST(s.y AS DOUBLE)
+                                 - (c.icept + c.slope * CAST(s.x AS DOUBLE)))
+                             <= {_RANSAC_TOL} THEN 1 ELSE 0 END) AS n_inliers,
+               COUNT(*) AS n
+        FROM seeded s CROSS JOIN cand c
+        GROUP BY c.cid, c.slope, c.icept
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           round(slope, 6) AS slope,
+           round(icept, 4) AS intercept,
+           CAST(n_inliers AS BIGINT) AS n_inliers,
+           round(CAST(n_inliers AS DOUBLE) / n, 6) AS inlier_frac
+    FROM votes
+    ORDER BY n_inliers DESC, cid
+    LIMIT 1
+    """,
+)
+def ransac_price_quantity_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC line fit (Fischler & Bolles 1981, public) of price vs
+    quantity: {c} two-point candidate lines from md5-seeded picks, each
+    voted on by EVERY row (inlier = |residual| <= {tol}), best
+    consensus wins — the robust-regression member of the OLS shelf
+    (:func:`ols_price_vs_quantity` averages gross outliers INTO the
+    fit; RANSAC fits the consensus and ignores them; Theil-Sen is the
+    rank-based middle ground).
+
+    Determinism: the sample IS the seed — picks are the {2c} smallest
+    md5 keys (TakeOrdered, orderkey+linenumber salted), candidates pair
+    them in rank order (vertical pairs with equal x drop), the winner
+    tiebreaks on candidate id.  Slopes are exact-decimal differences
+    ratioed once in double, identical on both engines.
+
+    Scale shape: candidate generation is a {2c}-row TakeOrdered; the
+    vote is ONE fact scan against the broadcast candidate set with a
+    map-side-combinable count — RANSAC's usual per-iteration re-scan
+    collapses into a single pass that evaluates all candidates at
+    once.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem")
+    seeded = li.select(
+        _dec("l_quantity").alias("x"),
+        _dec("l_extendedprice").alias("y"),
+        F.md5(
+            F.concat(
+                F.lit("rans"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hk"),
+    )
+    # hk can TIE (duplicate (orderkey, linenumber) fact rows exist —
+    # see pk_violations), so the pick order tiebreaks on the values
+    picks = (
+        seeded.orderBy("hk", "x", "y")
+        .limit(2 * _RANSAC_CANDIDATES)
+        .select(
+            "x",
+            "y",
+            F.row_number().over(Window.orderBy("hk", "x", "y")).alias("rk"),
+        )
+    )
+    a, b = picks.alias("a"), picks.alias("b")
+    slope = (F.col("b.y") - F.col("a.y")).cast("double") / (
+        F.col("b.x") - F.col("a.x")
+    ).cast("double")
+    cand = a.join(
+        b,
+        (F.col("b.rk") == F.col("a.rk") + 1)
+        & (F.col("a.rk") % 2 == 1)
+        & (F.col("b.x") != F.col("a.x")),
+    ).select(
+        F.expr("CAST((a.rk + 1) div 2 AS BIGINT)").alias("cid"),
+        slope.alias("slope"),
+        (F.col("a.y").cast("double") - slope * F.col("a.x").cast("double")).alias(
+            "icept"
+        ),
+    )
+    votes = (
+        seeded.crossJoin(F.broadcast(cand))
+        .groupBy("cid", "slope", "icept")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y").cast("double")
+                        - (F.col("icept") + F.col("slope") * F.col("x").cast("double"))
+                    )
+                    <= _RANSAC_TOL,
+                    1,
+                ).otherwise(0)
+            ).alias("n_inliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        votes.orderBy(F.desc("n_inliers"), "cid")
+        .limit(1)
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.round("slope", 6).alias("slope"),
+            F.round("icept", 4).alias("intercept"),
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+            F.round(
+                F.col("n_inliers").cast("double") / F.col("n"), 6
+            ).alias("inlier_frac"),
+        )
+    )
+
+
+ransac_price_quantity_line.__doc__ = (
+    ransac_price_quantity_line.__doc__.replace("{c}", str(_RANSAC_CANDIDATES))
+    .replace("{2c}", str(2 * _RANSAC_CANDIDATES))
+    .replace("{tol}", repr(_RANSAC_TOL))
+)
+
+
+# ---------------------------------------------------------------------------
+# Gumbel extreme-value fit of monthly revenue maxima — probability-weighted
+# moments (closed form, no iteration) + the T-period return level.
+# ---------------------------------------------------------------------------
+
+_GUMBEL_T = 100
+_EULER_GAMMA = 0.5772156649015329
+
+
+@_register(
+    "gumbel_monthly_max_revenue",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (
+        SELECT strftime(d, '%Y-%m') AS m, MAX(rev) AS mx
+        FROM daily GROUP BY 1
+    ),
+    ranked AS (
+        SELECT mx, ROW_NUMBER() OVER (ORDER BY mx, m) AS i,
+               COUNT(*) OVER () AS n
+        FROM blocks
+    ),
+    pwm AS (
+        SELECT MAX(n) AS n, SUM(mx) AS s0,
+               SUM(CAST(i - 1 AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,2)))
+                   AS s1
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(CAST(s0 AS DOUBLE) / n, 2) AS b0_mean_max,
+           round((2.0 * CAST(s1 AS DOUBLE) / NULLIF(n * (n - 1.0), 0.0)
+                  - CAST(s0 AS DOUBLE) / n) / ln(2.0), 2) AS beta_scale,
+           round(CAST(s0 AS DOUBLE) / n
+                 - {_EULER_GAMMA!r} * (2.0 * CAST(s1 AS DOUBLE)
+                     / NULLIF(n * (n - 1.0), 0.0)
+                     - CAST(s0 AS DOUBLE) / n) / ln(2.0), 2) AS mu_location,
+           round((CAST(s0 AS DOUBLE) / n
+                  - {_EULER_GAMMA!r} * (2.0 * CAST(s1 AS DOUBLE)
+                      / NULLIF(n * (n - 1.0), 0.0)
+                      - CAST(s0 AS DOUBLE) / n) / ln(2.0))
+                 - ((2.0 * CAST(s1 AS DOUBLE) / NULLIF(n * (n - 1.0), 0.0)
+                     - CAST(s0 AS DOUBLE) / n) / ln(2.0))
+                   * ln(-ln(1.0 - 1.0 / {_GUMBEL_T})), 2)
+               AS return_level_{_GUMBEL_T}
+    FROM pwm
+    """,
+)
+def gumbel_monthly_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit of the MONTHLY MAXIMA of daily revenue by
+    probability-weighted moments (Hosking, Wallis & Wood 1985 /
+    Landwehr 1979, public — closed form, no iteration): b0 = mean of
+    block maxima, b1 = sum (i-1) x_(i) / (n(n-1)) over the ascending
+    order statistics, then scale beta = (2 b1 - b0)/ln 2 and location
+    mu = b0 - gamma_E beta; released with the {t}-month RETURN LEVEL
+    mu - beta ln(-ln(1 - 1/{t})) — "the biggest revenue day we should
+    expect once per {t} months", the extreme-value question none of the
+    mean-centric shelf (drawdown, CUSUM, anomalies) answers.
+
+    The order statistics rank ascending with the month tiebreak; b0/b1
+    assemble from exact DECIMAL sums (rank * value products in
+    DECIMAL(19,x)); doubles enter only in the closed-form paragraph
+    above, identically on both engines; monetary outputs round at 2dp
+    relative scale.
+
+    Scale shape: two nested contractions (day aggregate, then month
+    max) shrink facts to ~80 block rows; the rank window and PWM sums
+    run on that frame.  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    blocks = daily.groupBy(
+        F.date_format("d", "yyyy-MM").alias("m")
+    ).agg(F.max("rev").alias("mx"))
+    w = Window.orderBy("mx", "m")
+    ranked = blocks.select(
+        "mx",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pwm = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("mx").alias("s0"),
+        F.sum(
+            (F.col("i") - 1).cast("decimal(19,0)") * F.col("mx").cast("decimal(19,2)")
+        ).alias("s1"),
+    )
+    n = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / n
+    # a single-block corpus has no second PWM: NULL beta/mu/level,
+    # never an ANSI divide-by-zero (hostile single-month fixture)
+    b1x2 = 2.0 * F.col("s1").cast("double") / F.nullif(n * (n - 1.0), F.lit(0.0))
+    beta = (b1x2 - b0) / F.lit(_math.log(2.0))
+    mu = b0 - F.lit(_EULER_GAMMA) * beta
+    rl = mu - beta * F.lit(_math.log(-_math.log(1.0 - 1.0 / _GUMBEL_T)))
+    return pwm.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(b0, 2).alias("b0_mean_max"),
+        F.round(beta, 2).alias("beta_scale"),
+        F.round(mu, 2).alias("mu_location"),
+        F.round(rl, 2).alias(f"return_level_{_GUMBEL_T}"),
+    )
+
+
+gumbel_monthly_max_revenue.__doc__ = gumbel_monthly_max_revenue.__doc__.replace(
+    "{t}", str(_GUMBEL_T)
+)

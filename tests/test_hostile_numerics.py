@@ -304,6 +304,14 @@ _NUMERIC_PANEL = [
     # the md5 registers and the integer harmonic sum must replay
     # bit-for-bit
     "hll_md5_registers_distinct",
+    # r12 RANSAC: hk ties from the duplicate (orderkey, linenumber)
+    # rows ARE the hostile case (value tiebreak); all-vertical pick
+    # pairs (tied quantities) drop candidates on both engines
+    "ransac_price_quantity_line",
+    # r12 Gumbel-PWM: a single-month corpus leaves n_blocks = 1 (the
+    # n-1 denominators go NULL/degenerate identically); all-tied block
+    # maxima make beta exactly 0 and the return level = mu
+    "gumbel_monthly_max_revenue",
     # skew factors under the 90% dominant customer and singleton keys
     "join_key_skew_report",
 ]

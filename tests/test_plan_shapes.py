@@ -370,6 +370,30 @@ _NESTED_LOOP_ALLOWED = {
     # contraction for the G^2 expectations (the bm25 corpus-stats
     # pattern)
     "dunning_llr_keyness",
+    # r12: 1-row global-moments / scalar broadcasts onto dim-sized
+    # series frames (the water-filling budget-scalar pattern): the
+    # 7-lag grid x the ~2.4k-day series (ljung_box), the diff-moments
+    # scalar (durbin_watson), the regime-split scalar (chow), the
+    # 142-literal phase table against the day spine (periodogram),
+    # the 1-row prior onto the ~25-row brand frame (eb_shrunk), the
+    # bucket-cumsum quantile probe (ddsketch), the 1-row population
+    # total (randomized_response, priority_sample, hll), the dim^2
+    # covariance scalars (linear_cka), and the 8-candidate vote
+    # broadcast (ransac)
+    "ljung_box_daily_revenue",
+    "durbin_watson_daily_trend",
+    "chow_break_daily_trend",
+    "periodogram_daily_revenue",
+    "eb_shrunk_return_rates_brand",
+    "ddsketch_quantiles_price",
+    "randomized_response_status",
+    "priority_sample_revenue_total",
+    "linear_cka_truncation",
+    "hll_md5_registers_distinct",
+    "ransac_price_quantity_line",
+    # r12: the 5x5 priority pair grid is a deliberate inequality join
+    # on a 5-row contraction (the burrows_delta dim-grid pattern)
+    "tukey_hsd_price_priority",
 }
 
 
