@@ -1828,11 +1828,15 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mode choice, measured: ``broadcast_ranks=True`` was A/B-timed at
     sf0.1 (interleaved best-of-3 each) — 2.98s vs 2.67s for the default
-    shuffle path.  Locally the sequential blocking broadcast builds cost
-    more than the small in-process shuffles they remove, so the query
-    keeps the default; on a real cluster, where each removed exchange is
-    a network shuffle of the edge relation, the broadcast mode is the
-    right pick for dimension-sized rank vectors."""
+    shuffle path — and re-measured at sf1/sf3 in round 12 (SCALE.md
+    fourth-decade table): warm iteration cost grows 3.63x per 3x data
+    in shuffle mode (every iteration exchanges the edge relation) vs
+    2.60x in broadcast mode (only node-count partials move).  Locally
+    the sequential blocking broadcast builds cost more than the small
+    in-process shuffles they remove, so the query keeps the default
+    below ~sf1-scale graphs; at sf3+ or on a real cluster, where each
+    removed exchange is a network shuffle of the edge relation,
+    broadcast_ranks is the right mode — now measured, not argued."""
     ranks, _, _ = pagerank_run(spark, sf_dir, iters=_PR_ITERS)
     return ranks
 
