@@ -3108,29 +3108,65 @@ def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment grid (the covariance_power_iteration shape) — at 100 TB the
     shuffle carries dim^2 partials per partition, never row pairs.
     Output: one row."""
+    import pandas as _pd  # Arrow-batched; no row-at-a-time Python
+
     e = load(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("i0", "x0"),
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x0").cast("double") * 1000000)
-        .cast("long")
-        .alias("x"),
-    )
     n = e.agg(F.count(F.lit(1)).alias("n"))
-    sums = ex.groupBy("i").agg(F.sum("x").alias("si"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cross_m = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum(
-                F.col("a.x").cast("decimal(19,0)")
-                * F.col("b.x").cast("decimal(19,0)")
-            ).alias("sxy")
-        )
+
+    # The dim^2 Gram build is the one place built-in operators can't
+    # express the work efficiently: the exploded self-join materializes
+    # rows x dim^2 join rows just to aggregate them back down (5.5s at
+    # sf0.1).  mapInPandas computes each Arrow batch's EXACT int64
+    # X^T X partial with one vectorized matmul and emits dim^2 partial
+    # rows per batch instead — identical integers (int64 is exact and
+    # associative; |x6| <= ~1e7 even on the hostile corpus, so a batch
+    # of <= 64k rows stays far from the 9.2e18 overflow line), so the
+    # DuckDB oracle's pairwise-sum formulation still matches bit for
+    # bit.  Half-up rounding is replicated explicitly: np.rint rounds
+    # half-to-even, which is NOT what both engines' round() does.
+    import numpy as _np
+
+    def _gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = _np.asarray(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            )
+            scaled = arr * 1000000.0
+            x6 = _np.where(
+                scaled >= 0,
+                _np.floor(scaled + 0.5),
+                _np.ceil(scaled - 0.5),
+            ).astype(_np.int64)
+            p = x6.T @ x6
+            d = p.shape[0]
+            ii, jj = _np.meshgrid(
+                _np.arange(1, d + 1), _np.arange(1, d + 1), indexing="ij"
+            )
+            yield _pd.DataFrame(
+                {
+                    "i": ii.ravel(),
+                    "j": jj.ravel(),
+                    "pxy": p.ravel(),
+                    # repeat maps flat index (i-1)*d+(j-1) -> colsum[i-1],
+                    # so the j==1 slice carries sum x6 per i exactly once
+                    "psi": _np.repeat(x6.sum(axis=0), d),
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        _gram_partials, "i INT, j INT, pxy BIGINT, psi BIGINT"
+    )
+    cross_m = partials.groupBy("i", "j").agg(
+        F.sum(F.col("pxy").cast("decimal(38,0)")).alias("sxy")
+    )
+    # per-dim sums ride along in the same partials (psi repeats per j;
+    # summing the j==1 slice recovers sum x6 per i exactly)
+    sums = (
+        partials.filter(F.col("j") == 1)
+        .groupBy("i")
+        .agg(F.sum(F.col("psi").cast("decimal(38,0)")).alias("si"))
     )
     sa = sums.select(F.col("i").alias("i"), F.col("si").alias("si_a"))
     sb = sums.select(F.col("i").alias("j"), F.col("si").alias("si_b"))
