@@ -81,6 +81,16 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "mtld_lexical_diversity",
     "boilerplate_ngram_removal",
+    # round-12 additions worth tracking: the DDSketch bucket grid with
+    # its exact-quantile audit twin, the two-scan RANSAC consensus
+    # vote, the Arrow-matmul CKA gram build, the median-centered
+    # spread ANOVA (two grouped passes + percentile_disc), and the
+    # weekday-stratified MK pair join on the day series
+    "ddsketch_quantiles_price",
+    "ransac_price_quantity_line",
+    "linear_cka_truncation",
+    "brown_forsythe_price_priority",
+    "seasonal_mann_kendall_daily",
 ]
 
 # Retired from the visible headline list in r12 (r11 VERDICT #5: the
