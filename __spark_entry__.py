@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-12 panel (r11 VERDICT #1 + #4): core shrinks 11 -> 10 sentinels —
+# Round-12 panel (r11 VERDICT #1 + #4): core is 10 sentinels + ONE changed-plan re-proof slot (<= 11, r11 VERDICT #4) —
 # semdedup_embedding_prototypes rotates out (its r10 hash was re-proven
 # driver-green over the rewritten single-scan plan in r11 and the engine
 # is untouched this round).  The one r12 engine change so far —
@@ -65,9 +65,6 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    # engine changed this round: island-id window now shares the
-    # (s, event_id) tie order with the new_island mark (ADVICE r11)
-    "interval_union_coverage_per_user",
     # engine changed this round: connected_components fused its
     # convergence check into the min-label aggregate (one fewer
     # shuffle join per iteration) — semdedup is the heaviest user and
@@ -78,7 +75,7 @@ _PANEL_CORE = [
     "semdedup_embedding_prototypes",
 ]
 
-# Round-12 rotation: 38 slots, ALL never driver-verified (r11 VERDICT
+# Round-12 rotation: 39 slots, ALL never driver-verified (r11 VERDICT
 # #1 — this round must verify more pairs than it adds) — the head of
 # the staging pool in its staged oldest-first order: the 10 r11
 # second-half operators first, then the causal/stats shelf, the
@@ -88,6 +85,11 @@ _PANEL_CORE = [
 # ends.  Rotated out (driver-green r11, still replayed by the local
 # parity suite): the full r11 rotation cohort + semdedup.
 _PANEL_ROTATING = [
+    # engine changed this round AND never driver-verified: the island-id
+    # window now shares the (s, event_id) tie order with the new_island
+    # mark (ADVICE r11 medium) — verifying it here satisfies both the
+    # changed-plan re-proof and the backlog burn-down
+    "interval_union_coverage_per_user",
     "cosine_threshold_pairs_pruned",
     "recursive_cte_bottleneck_routes",
     "boilerplate_ngram_removal",
