@@ -16753,22 +16753,28 @@ def ddsketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("b").alias("qb"), F.min("n").alias("n"))
     )
-    one = o.agg(
-        *[
-            F.expr(
-                f"percentile_disc({q}) WITHIN GROUP "
-                "(ORDER BY CAST(o_totalprice AS DECIMAL(18,2)))"
-            ).alias(f"x{i}")
-            for i, q in enumerate(_DDSKETCH_QS)
-        ]
+    # the exact audit twin via the bucketed distinct-value cumsum
+    # (grouped_running_sum) instead of percentile_disc: Spark's
+    # percentile_disc object-aggregates every value into one buffer
+    # (1.8s at sf0.1, 10x the sketch itself) where the two-pass cumsum
+    # is a grouped count + range-bucketed prefix sums (~0.4s) and, at
+    # 100 TB, never funnels the column through one task
+    from ..operators.windows import grouped_running_sum
+
+    vals = (
+        o.groupBy(_dec("o_totalprice").alias("xv"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("g", F.lit(1))
     )
-    stack_args = ", ".join(
-        f"CAST({q} AS DOUBLE), x{i}" for i, q in enumerate(_DDSKETCH_QS)
-    )
-    exact = one.select(
-        F.expr(
-            f"stack({len(_DDSKETCH_QS)}, {stack_args}) AS (q, x_exact)"
+    cum = grouped_running_sum(vals, "g", ["xv"], "c", "ccum")
+    exact = (
+        F.broadcast(qs)
+        .join(
+            cum.crossJoin(F.broadcast(tot.select(F.col("n").alias("nn")))),
+            F.col("ccum") >= F.ceil(F.col("q") * F.col("nn")),
         )
+        .groupBy("q")
+        .agg(F.min("xv").alias("x_exact"))
     )
     est = 2.0 * F.pow(F.lit(g), F.col("qb")) / F.lit(g + 1.0)
     j = hit.join(exact, "q")
