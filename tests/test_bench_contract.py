@@ -1,0 +1,42 @@
+"""Bench harness contract — the driver records only the LAST 2000 chars
+of bench.py's stdout, so the ONE JSON line must fit that window or the
+head of the timing dict (historically the flagship block) silently
+disappears from BENCH_r{N}.json (r11 VERDICT #5)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+
+
+def test_headline_names_resolve():
+    missing = [n for n in bench.HEADLINE if n not in relational.QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_sweep_only_names_resolve_and_stay_disjoint():
+    missing = [n for n in bench.SWEEP_ONLY if n not in relational.QUERIES]
+    assert not missing, missing
+    assert not set(bench.SWEEP_ONLY) & set(bench.HEADLINE)
+
+
+def test_bench_line_fits_driver_tail_window():
+    # worst realistic rendering: every timing at 2dp with a 2-digit
+    # integer part ("99.99" = 5 chars), total at 6 chars
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": 999.99,
+            "unit": "sec",
+            "queries": {n: 99.99 for n in bench.HEADLINE},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1990, (
+        f"bench JSON line would be {len(line)} chars; the driver tail "
+        "window keeps 2000 — retire an entry to SWEEP_ONLY"
+    )
