@@ -131,7 +131,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (150
+# continuation of the never-driver-verified oracle-paired set (151
 # entries = ~3 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
@@ -289,6 +289,7 @@ _PANEL_NEXT_CANDIDATES = [
     "hll_md5_registers_distinct",
     "ransac_price_quantity_line",
     "gumbel_monthly_max_revenue",
+    "page_hinkley_daily_revenue",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -17555,3 +17555,134 @@ def gumbel_monthly_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 gumbel_monthly_max_revenue.__doc__ = gumbel_monthly_max_revenue.__doc__.replace(
     "{t}", str(_GUMBEL_T)
 )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift detector — the STREAMING changepoint test
+# (uses only the running mean available at each step, unlike CUSUM's
+# global-mean hindsight).
+# ---------------------------------------------------------------------------
+
+_PH_LAMBDA = 2000.0  # alarm threshold in kilodollar units
+
+
+@_register(
+    "page_hinkley_daily_revenue",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT d,
+               CAST(rev AS DECIMAL(24,5)) / 1000 AS x,
+               ROW_NUMBER() OVER (ORDER BY d) AS t,
+               SUM(CAST(rev AS DECIMAL(24,5)) / 1000) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+        FROM daily
+    ),
+    addends AS (
+        -- pre-rounded DECIMAL addends (the DSIR discipline): the PH
+        -- trajectory is then an EXACT cumulative sum, immune to how
+        -- either engine associates a windowed double SUM
+        SELECT d, t,
+               CAST(round(CAST(cx AS DOUBLE) / t - CAST(x AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS a
+        FROM ser
+    ),
+    traj AS (
+        SELECT d, t,
+               SUM(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM addends
+    ),
+    exc AS (
+        SELECT d, t, m,
+               m - MIN(m) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        FROM traj
+    ),
+    peak AS (
+        SELECT CAST(MAX(t) AS BIGINT) AS n_days,
+               MAX(e) AS e_max,
+               MIN(CASE WHEN e = (SELECT MAX(e) FROM exc) THEN d END)
+                   AS peak_d,
+               MIN(CASE WHEN e > {_PH_LAMBDA!r} THEN d END) AS alarm_d
+        FROM exc
+    )
+    SELECT n_days,
+           round(CAST(e_max AS DOUBLE), 4) AS ph_max_excursion,
+           CAST(peak_d AS VARCHAR) AS peak_date,
+           CAST(alarm_d AS VARCHAR) AS first_alarm_date,
+           alarm_d IS NOT NULL AS alarm_crossed
+    FROM peak
+    """,
+)
+def page_hinkley_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector (Page 1954 / Hinkley 1971, public)
+    over daily revenue in kilodollar units, testing for a DOWNWARD
+    shift: the trajectory accumulates (running_mean_t - x_t), the
+    excursion is its gap above the running minimum, and the alarm
+    fires when the excursion crosses lambda = {lam} — the SEQUENTIAL
+    changepoint test (each step only uses the mean observable at that
+    step), vs :func:`cusum_changepoint_daily_revenue` which centers on
+    the GLOBAL mean in hindsight.  A monitoring pipeline deploys PH;
+    CUSUM is the retrospective audit.
+
+    Determinism: the per-step addend (cum_t/t - x_t) pre-rounds to
+    DECIMAL(18,6) — the DSIR addend discipline — so the trajectory and
+    running-minimum windows are EXACT cumulative sums regardless of
+    how either engine associates a windowed double SUM; the peak and
+    alarm argmins tiebreak on the date spine.
+
+    Scale shape: one day aggregate contracts facts; the three ordered
+    windows ride the ~2.4k-row series (the documented series
+    exemption).  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    x = (F.col("rev").cast("decimal(24,5)") / 1000).alias("x")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ser = daily.select(
+        "d",
+        x,
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum(x).over(w).alias("cx"),
+    )
+    addends = ser.select(
+        "d",
+        "t",
+        F.round(
+            F.col("cx").cast("double") / F.col("t") - F.col("x").cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("a"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    traj = addends.select("d", "t", F.sum("a").over(wt).alias("m"))
+    exc = traj.select(
+        "d", "t", "m", (F.col("m") - F.min("m").over(wt)).alias("e")
+    )
+    emax = exc.agg(F.max("e").alias("e_max"))
+    peak = exc.crossJoin(F.broadcast(emax)).agg(
+        F.max("t").cast("long").alias("n_days"),
+        F.max("e_max").alias("e_max"),
+        F.min(F.when(F.col("e") == F.col("e_max"), F.col("d"))).alias("peak_d"),
+        F.min(F.when(F.col("e") > _PH_LAMBDA, F.col("d"))).alias("alarm_d"),
+    )
+    return peak.select(
+        "n_days",
+        F.round(F.col("e_max").cast("double"), 4).alias("ph_max_excursion"),
+        F.col("peak_d").cast("string").alias("peak_date"),
+        F.col("alarm_d").cast("string").alias("first_alarm_date"),
+        F.col("alarm_d").isNotNull().alias("alarm_crossed"),
+    )
+
+
+page_hinkley_daily_revenue.__doc__ = page_hinkley_daily_revenue.__doc__.replace(
+    "{lam}", repr(_PH_LAMBDA)
+)

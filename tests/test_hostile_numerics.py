@@ -312,6 +312,11 @@ _NUMERIC_PANEL = [
     # n-1 denominators go NULL/degenerate identically); all-tied block
     # maxima make beta exactly 0 and the return level = mu
     "gumbel_monthly_max_revenue",
+    # r12 Page-Hinkley: the 28-day hostile series with all-tied blocks
+    # (zero addends), negative day sums, and the DECIMAL-edge spike —
+    # the pre-rounded addend trajectory and the running-min excursion
+    # must agree exactly, and no alarm fires on a flat series
+    "page_hinkley_daily_revenue",
     # skew factors under the 90% dominant customer and singleton keys
     "join_key_skew_report",
 ]
