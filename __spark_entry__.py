@@ -132,7 +132,7 @@ _PANEL_ROTATING = [
 
 # Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
 # continuation of the never-driver-verified oracle-paired set (151
-# entries = ~3 more rounds of ~39-slot rotation; new r12 operators
+# entries = ~4 more rounds of ~39-slot rotation; new r12 operators
 # append at the tail as they land).  The determinism matrix has an
 # opt-in test that stresses exactly this list so candidates arrive
 # pre-stressed; all are locally parity-green at three SFs.
