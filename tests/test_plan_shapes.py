@@ -394,6 +394,9 @@ _NESTED_LOOP_ALLOWED = {
     # r12: the 5x5 priority pair grid is a deliberate inequality join
     # on a 5-row contraction (the burrows_delta dim-grid pattern)
     "tukey_hsd_price_priority",
+    # r12: 1-row max-excursion scalar broadcast onto the day series for
+    # the peak/alarm argmins (the water-filling budget-scalar pattern)
+    "page_hinkley_daily_revenue",
 }
 
 
