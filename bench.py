@@ -171,7 +171,15 @@ def main() -> None:
         separators=(",", ":"),
     )
     if len(line) > 1990:
-        print(f"WARNING: bench line {len(line)} chars exceeds the driver tail window", file=sys.stderr)
+        # Fail HARD: a silently truncated dict head is exactly the r11
+        # VERDICT #5 failure this guard exists to prevent (ADVICE r12
+        # low upgraded the old stderr WARNING to an error).
+        print(
+            f"ERROR: bench line {len(line)} chars exceeds the driver "
+            "tail window (1990) — retire entries to SWEEP_ONLY",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     print(line)
     spark.stop()
 

@@ -16253,8 +16253,15 @@ def tukey_hsd_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- rates quantized by INTEGER arithmetic (floor(k*1e10/n)):
         -- bit-identical on both engines by construction, unlike a
         -- double round whose scaled-multiply vs exact-binary rounding
-        -- can disagree at the last retained digit
-        SELECT (k * 10000000000) // n AS r10 FROM g
+        -- can disagree at the last retained digit.  HUGEINT keeps the
+        -- k*1e10 product exact past k ~ 9.2e8 (ADVICE r12 low: the
+        -- plain BIGINT product overflowed around sf3000); note plain
+        -- DECIMAL // in DuckDB coerces to DOUBLE, which loses the
+        -- product at the same scale — hence HUGEINT here and
+        -- DECIMAL(27,0) div on the Spark side, both exact
+        SELECT CAST((CAST(k AS HUGEINT) * 10000000000) // n AS BIGINT)
+               AS r10
+        FROM g
     ),
     prior AS (
         SELECT COUNT(*) AS nb, SUM(r10) AS sp,
@@ -16335,7 +16342,13 @@ def eb_shrunk_return_rates_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double SUM here was partition-order noise amplified by the
     # cancellation — caught by the sf0.1 parity sweep)
     rq = g.select(
-        F.expr("k * 10000000000L div n").alias("r10")
+        # DECIMAL(27,0) * 1e10 -> DECIMAL(38,0) keeps the product exact
+        # for any k a 100 TB fact table can produce (k*1e10 overflowed
+        # BIGINT at k ~ 9.2e8, roughly sf3000 — ADVICE r12 low); div
+        # returns the exact integral quotient as BIGINT
+        F.expr(
+            "CAST(CAST(k AS DECIMAL(27,0)) * 10000000000 div n AS BIGINT)"
+        ).alias("r10")
     )
     prior = rq.agg(
         F.count(F.lit(1)).alias("nb"),
@@ -17159,7 +17172,7 @@ _HLL_M = 256  # registers (b = 8 bucket bits)
     ),
     reg AS (
         SELECT CAST(hv % {_HLL_M} AS BIGINT) AS j,
-               MAX(52 - CAST(floor(log2((hv // {_HLL_M}) * 2 + 1)) AS BIGINT))
+               MAX(53 - CAST(floor(log2((hv // {_HLL_M}) * 2 + 1)) AS BIGINT))
                    AS m
         FROM h GROUP BY 1
     ),
@@ -17204,7 +17217,10 @@ def hll_md5_registers_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DataSketches registers are ENGINE-OPAQUE (SURVEY ledger), but
     the algorithm itself is not — md5-seeded registers replay bit for
     bit in DuckDB, the same conversion route that paired KMV and
-    Count-Min.  Portability details: rho comes from floor(log2(2r+1))
+    Count-Min.  Portability details: rho = 53 - floor(log2(2r+1))
+    (bit-length of the 52-bit remainder gives leading zeros; rho is
+    leading zeros PLUS ONE — the +1 the r12 release dropped, halving
+    the estimate; ADVICE r12 high, fixed in both engines)
     (2r+1 is ODD, so never an exact power of two: a cross-engine floor
     flip needs libm's log2 within one ulp of an integer, the negligible
     class documented for the DP mechanism's ln; the +1 also keeps it
@@ -17230,7 +17246,7 @@ def hll_md5_registers_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = o.select(hv.alias("hv"))
     reg = h.groupBy((F.col("hv") % m).alias("j")).agg(
         F.max(
-            F.lit(52)
+            F.lit(53)
             - F.floor(
                 F.log2(F.expr(f"hv div {m}") * 2 + 1)
             ).cast("long")
@@ -17396,6 +17412,16 @@ def ransac_price_quantity_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explosion through the broadcast join (3.5s -> ~1s at sf0.1; at
     # 100 TB it is the difference between one fact scan and eight).
     cand_rows = sorted(cand.collect(), key=lambda r: r["cid"])
+    if not cand_rows:
+        # Every pick pair tied on x (constant-quantity / tiny corpus):
+        # the oracle's LIMIT 1 over zero votes returns 0 rows, so the
+        # engine must too — without the guard the generated
+        # `stack(0, )` is a parse error (ADVICE r12 medium).
+        return spark.createDataFrame(
+            [],
+            "cid bigint, slope double, intercept double, "
+            "n_inliers bigint, inlier_frac double",
+        )
     yd, xd = F.col("y").cast("double"), F.col("x").cast("double")
     agg = seeded.agg(
         F.count(F.lit(1)).alias("n"),

@@ -24,14 +24,15 @@ def test_sweep_only_names_resolve_and_stay_disjoint():
 
 
 def test_bench_line_fits_driver_tail_window():
-    # worst realistic rendering: every timing at 2dp with a 2-digit
-    # integer part ("99.99" = 5 chars), total at 6 chars
+    # worst realistic rendering: every timing at 2dp with a THREE-digit
+    # integer part ("999.99" = 6 chars — a slow driver machine can push
+    # a heavy sf0.1 entry past 100s; ADVICE r12 low), total at 7 chars
     line = json.dumps(
         {
             "metric": "headline_suite_total",
-            "value": 999.99,
+            "value": 9999.99,
             "unit": "sec",
-            "queries": {n: 99.99 for n in bench.HEADLINE},
+            "queries": {n: 999.99 for n in bench.HEADLINE},
             "sf": 0.1,
         },
         separators=(",", ":"),

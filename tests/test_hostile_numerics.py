@@ -365,3 +365,45 @@ def test_numeric_family_parity_on_hostile_tables(spark, hostile_num_dir, name):
         queries[name](spark, hostile_num_dir), oracles[name], hostile_num_dir
     )
     assert not problems, f"{name} on hostile numerics: {problems}"
+
+
+@pytest.fixture(scope="module")
+def constant_quantity_dir(spark, tmp_path_factory):
+    """Every lineitem has the SAME quantity: all 8 RANSAC pick pairs tie
+    on x, so the candidate set is EMPTY (ADVICE r12 medium — the
+    generated stack(0, ) was a Spark parse error while the oracle
+    cleanly returned 0 rows)."""
+    root = tmp_path_factory.mktemp("const_qty")
+    for t in TESTDATA_TABLES:
+        if t != "lineitem":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", root / f"{t}.parquet")
+    from tests.fixture_io import write_naive_parquet
+
+    rows = [
+        [k, k % 7 + 1, k % 3 + 1, 1, 5.0, 100.0 + k, 0.0, 0.0,
+         "N", "O", f"1996-01-{k % 9 + 1:02d} 00:00:00"]
+        for k in range(1, 25)
+    ]
+    write_naive_parquet(
+        str(root / "lineitem.parquet"),
+        rows,
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+        ts_cols=["l_shipdate"],
+        int_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        int32_cols=["l_linenumber"],
+    )
+    return str(root)
+
+
+def test_ransac_empty_candidate_set_matches_oracle(spark, constant_quantity_dir):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    name = "ransac_price_quantity_line"
+    df = queries[name](spark, constant_quantity_dir)
+    assert df.count() == 0
+    problems = compare(df, oracles[name], constant_quantity_dir)
+    assert not problems, problems

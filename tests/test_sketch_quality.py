@@ -182,3 +182,23 @@ def test_power_iteration_rayleigh_bounds(spark):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4, np.linalg.norm(v)
     assert ray <= w[-1] + 1e-6, (ray, w[-1])
     assert ray >= C.trace() / d - 1e-4, (ray, C.trace() / d)
+
+
+def test_hll_md5_registers_rel_err_within_3_sigma(spark):
+    """The from-scratch md5-register HLL must actually estimate: the
+    released rel_err column stays within 3x the published RSE
+    (1.04/sqrt(m), Flajolet et al. 2007).  Guards the rho off-by-one
+    class (ADVICE r12 high: register = 52 - floor(log2(2v+1)) computes
+    leading zeros, not rank, doubling the harmonic sum and halving the
+    estimate to rel_err ~ -0.5 — a defect oracle parity CANNOT see
+    because both engines shared the formula, and the 6-distinct hostile
+    fixture only exercises the linear-counting fallback)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import _HLL_M
+
+    bound = 3 * 1.04 / (_HLL_M ** 0.5)
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        r = relational.QUERIES["hll_md5_registers_distinct"](
+            spark, sf_dir
+        ).collect()[0]
+        assert abs(r.rel_err) <= bound, (sf_dir, r.rel_err, bound)
+        assert abs(r.hll_estimate - r.exact_distinct) <= bound * r.exact_distinct + 1
