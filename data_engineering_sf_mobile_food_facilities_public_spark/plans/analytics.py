@@ -1629,6 +1629,24 @@ def hll_sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
+# mode='auto' crossover, from the measured sf1/sf3 warm power laws
+# (SCALE.md "Fourth decade" probe): shuffle warm = 4.68s * 3.63^d,
+# broadcast_ranks warm = 7.84s * 2.60^d per decade-of-3 above sf1
+# (11.7M bidirectional edges); the curves cross at d ~ 1.55, i.e.
+# ~5.5x sf1 ~ 64M edge rows.  The node guard keeps the rank vector
+# genuinely broadcastable (~40 B/row -> ~1.2 GB at 30M nodes).
+_PR_AUTO_EDGE_CROSSOVER = 64_000_000
+_PR_AUTO_MAX_BCAST_NODES = 30_000_000
+
+
+def _pagerank_pick_broadcast(n_edges: int, n_nodes: int) -> bool:
+    """mode='auto' decision: broadcast the rank vector only past the
+    measured shuffle/broadcast warm crossover (~64M bidirectional edge
+    rows) and only while the vector itself stays broadcastable."""
+    return (
+        n_edges >= _PR_AUTO_EDGE_CROSSOVER
+        and n_nodes <= _PR_AUTO_MAX_BCAST_NODES
+    )
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1685,7 +1703,8 @@ def pagerank_run(
     tol: float | None = None,
     check_every: int = 5,
     handles: list[DataFrame] | None = None,
-    broadcast_ranks: bool = False,
+    broadcast_ranks: bool | None = None,
+    mode: str = "auto",
 ) -> tuple[DataFrame, int, float | None]:
     """Parameterized PageRank on the customer-supplier graph; returns
     ``(ranks, iterations_run, last_l1_delta)``.
@@ -1712,11 +1731,25 @@ def pagerank_run(
     edge partitions, so only the per-destination partial aggregate
     exchanges — node-count rows, not edge-count.  Valid whenever the rank
     vector fits the broadcast threshold (dimension-sized graphs: the
-    customer-supplier graph here).  The default (False) keeps every join
-    a key-partitioned shuffle, which is the only shape that survives a
-    billion-node web-scale graph; AQE's dynamic join-strategy switch
+    customer-supplier graph here).  ``broadcast_ranks=False`` keeps every
+    join a key-partitioned shuffle, which is the only shape that survives
+    a billion-node web-scale graph; AQE's dynamic join-strategy switch
     recovers most of the gap there at runtime when a side turns out
     small.
+
+    ``mode`` (used when ``broadcast_ranks`` is None — the default) picks
+    the join strategy from the MEASURED sf1/sf3 warm crossover (SCALE.md
+    "Fourth decade" probe, r12): shuffle warm cost grows 3.63x per 3x
+    edges (alpha ~ 1.17), broadcast-ranks 2.60x (alpha ~ 0.87), with
+    shuffle the absolute winner at sf1 (4.68s vs 7.84s, 11.7M edges);
+    equating the two power laws puts the crossover at ~5.5x sf1 ~ 64M
+    bidirectional edge rows.  ``mode='auto'`` counts the persisted edge
+    relation (one cheap action that simultaneously materializes the
+    loop-invariant cache the first iteration would otherwise pay for)
+    and picks broadcast_ranks iff edges >= 64M AND the rank vector stays
+    broadcastable (nodes <= 30M, ~1.2 GB at ~40 B/row — beyond that only
+    the shuffle shape survives regardless of edge count).
+    ``mode='shuffle'`` / ``mode='broadcast_ranks'`` force a path.
 
     Cache ownership: the loop-invariant ``edges_w``/``base`` frames stay
     persisted because the RETURNED ranks plan still references them —
@@ -1758,6 +1791,22 @@ def pagerank_run(
     base = nodes.crossJoin(F.broadcast(nn)).persist()  # (node, n) scalar bcast
     if handles is not None:
         handles.extend([edges_w, base])
+    if broadcast_ranks is None:
+        if mode == "shuffle":
+            broadcast_ranks = False
+        elif mode == "broadcast_ranks":
+            broadcast_ranks = True
+        elif mode == "auto":
+            # both counts land on frames the loop persists anyway, so
+            # the "extra" actions mostly pre-pay the first iteration's
+            # cache build rather than adding work
+            broadcast_ranks = _pagerank_pick_broadcast(
+                edges_w.count(), base.count()
+            )
+        else:
+            raise ValueError(
+                f"mode must be auto|shuffle|broadcast_ranks, got {mode!r}"
+            )
     ranks = base.select(
         "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
     )

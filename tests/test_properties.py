@@ -1395,3 +1395,41 @@ def test_mediation_effects_satisfy_cochran_identity(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()[0]
     assert abs(r.total_effect - (r.direct_effect + r.indirect_effect)) <= 3 * 0.5e-6
+
+
+def test_pagerank_auto_mode_picks_measured_crossover(spark):
+    """mode='auto' (the r12 VERDICT #3 default) resolves the join
+    strategy from the measured sf1/sf3 warm power laws: shuffle below
+    ~64M bidirectional edge rows, broadcast_ranks above — but never
+    when the rank vector itself outgrows broadcastability (30M nodes).
+    The decision helper is pure; the equivalence of the two physical
+    paths is pinned by test_pagerank_broadcast_mode_matches_shuffle_mode."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        _PR_AUTO_EDGE_CROSSOVER,
+        _PR_AUTO_MAX_BCAST_NODES,
+        _pagerank_pick_broadcast,
+        pagerank_run,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # below the crossover (the sf1 probe point: shuffle won 4.68s vs 7.84s)
+    assert not _pagerank_pick_broadcast(11_700_000, 160_000)
+    # above it (the extrapolated sf9-equivalent regime)
+    assert _pagerank_pick_broadcast(_PR_AUTO_EDGE_CROSSOVER, 1_000_000)
+    # edge count alone is not enough: a web-scale rank vector cannot
+    # broadcast, whatever the edge count
+    assert not _pagerank_pick_broadcast(10**9, _PR_AUTO_MAX_BCAST_NODES + 1)
+
+    # auto is the default and runs end-to-end (tiny graph -> shuffle path)
+    h: list = []
+    ranks, iters_run, _ = pagerank_run(spark, SF_SMOKE, iters=2, handles=h)
+    total = sum(r.pr for r in ranks.collect())
+    for df in h:
+        df.unpersist()
+    assert iters_run == 2
+    assert abs(total - 1.0) < 1e-2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode must be"):
+        pagerank_run(spark, SF_SMOKE, iters=1, mode="bogus")
