@@ -17761,3 +17761,533 @@ def page_hinkley_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 page_hinkley_daily_revenue.__doc__ = page_hinkley_daily_revenue.__doc__.replace(
     "{lam}", repr(_PH_LAMBDA)
 )
+
+
+# ---------------------------------------------------------------------------
+# Ordinal association shelf — Goodman-Kruskal gamma, Kendall tau-b and
+# Somers' d from ONE contingency contraction.  chi2_independence and
+# theils_u measure nominal association on the same pair; these are the
+# ORDERED-category statistics (is a later status associated with a lower
+# priority?), and all three share the concordant/discordant pair counts.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ordinal_association_status_priority",
+    """
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS DECIMAL(19,0)) AS f
+        FROM orders GROUP BY 1, 2
+    ),
+    pq AS (
+        SELECT SUM(CASE WHEN b.s > a.s AND b.p > a.p THEN a.f * b.f END)
+                   AS conc,
+               SUM(CASE WHEN b.s > a.s AND b.p < a.p THEN a.f * b.f END)
+                   AS disc
+        FROM cells a CROSS JOIN cells b
+    ),
+    marg AS (
+        SELECT (SELECT CAST(SUM(f) AS DECIMAL(19,0)) FROM cells) AS n,
+               (SELECT SUM(r * (r - 1)) FROM (
+                    SELECT CAST(SUM(f) AS DECIMAL(19,0)) AS r
+                    FROM cells GROUP BY s)) AS twice_tx,
+               (SELECT SUM(c * (c - 1)) FROM (
+                    SELECT CAST(SUM(f) AS DECIMAL(19,0)) AS c
+                    FROM cells GROUP BY p)) AS twice_ty
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(conc AS DOUBLE) AS pairs_concordant,
+           CAST(disc AS DOUBLE) AS pairs_discordant,
+           round(CAST(conc - disc AS DOUBLE)
+                 / NULLIF(CAST(conc + disc AS DOUBLE), 0), 6) AS gamma,
+           round(CAST(conc - disc AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n * (n - 1) AS DOUBLE)
+                                - CAST(twice_tx AS DOUBLE)) / 2
+                               * (CAST(n * (n - 1) AS DOUBLE)
+                                  - CAST(twice_ty AS DOUBLE)) / 2), 0), 6)
+               AS tau_b,
+           round(CAST(conc - disc AS DOUBLE)
+                 / NULLIF((CAST(n * (n - 1) AS DOUBLE)
+                           - CAST(twice_tx AS DOUBLE)) / 2, 0), 6)
+               AS somers_d_priority_given_status,
+           round(CAST(conc - disc AS DOUBLE)
+                 / NULLIF((CAST(n * (n - 1) AS DOUBLE)
+                           - CAST(twice_ty AS DOUBLE)) / 2, 0), 6)
+               AS somers_d_status_given_priority
+    FROM pq CROSS JOIN marg
+    """,
+)
+def ordinal_association_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma, Kendall tau-b and both Somers' d
+    directions between order status and order priority, treated as
+    ORDERED categories (Goodman & Kruskal 1954, Kendall 1945, Somers
+    1962 — all public).  The nominal-association twins on the same pair
+    (chi2_independence_status_priority, theils_u_status_priority) ignore
+    category order; these ask the directional question: gamma from
+    concordant/discordant pairs only, tau-b with the tie-corrected
+    geometric denominator, d with one variable's ties forgiven.
+
+    All pair counts assemble EXACTLY: the 3x5 contingency table is the
+    only data-sized aggregate, concordance/discordance are DECIMAL(19,0)
+    products of cell counts summed over the 15x15 cell grid (a pair of
+    ROWS is concordant iff its two CELLS are strictly ordered the same
+    way on both axes, so cell-count products count each unordered row
+    pair exactly once), and the n(n-1)/2-scale denominators divide once
+    in double at the edge (halving AFTER the subtraction keeps every
+    intermediate an integer).
+
+    Scale shape: one map-side-combinable groupBy to <= 15 rows, then
+    constant-size arithmetic — the canonical 100 TB contraction.  The
+    DECIMAL(19,0) x DECIMAL(19,0) products are exact to n ~ 1e9 rows per
+    cell pair product < 1e38 (n^2 <= 1e38 -> n <= 1e19 — unreachable).
+    Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("f"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pq = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("b.s") > F.col("a.s")) & (F.col("b.p") > F.col("a.p")),
+                F.col("a.f") * F.col("b.f"),
+            )
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("b.s") > F.col("a.s")) & (F.col("b.p") < F.col("a.p")),
+                F.col("a.f") * F.col("b.f"),
+            )
+        ).alias("disc"),
+    )
+    n_tot = cells.agg(F.sum("f").cast("decimal(19,0)").alias("n"))
+    tx = (
+        cells.groupBy("s")
+        .agg(F.sum("f").cast("decimal(19,0)").alias("r"))
+        .agg(F.sum(F.col("r") * (F.col("r") - 1)).alias("twice_tx"))
+    )
+    ty = (
+        cells.groupBy("p")
+        .agg(F.sum("f").cast("decimal(19,0)").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("twice_ty"))
+    )
+    j = (
+        pq.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    n0d = (F.col("n") * (F.col("n") - 1)).cast("double")
+    dx = (n0d - F.col("twice_tx").cast("double")) / 2
+    dy = (n0d - F.col("twice_ty").cast("double")) / 2
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("conc").cast("double").alias("pairs_concordant"),
+        F.col("disc").cast("double").alias("pairs_discordant"),
+        F.round(
+            cd / F.nullif((F.col("conc") + F.col("disc")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("gamma"),
+        F.round(cd / F.nullif(F.sqrt(dx * dy), F.lit(0.0)), 6).alias("tau_b"),
+        F.round(cd / F.nullif(dx, F.lit(0.0)), 6).alias(
+            "somers_d_priority_given_status"
+        ),
+        F.round(cd / F.nullif(dy, F.lit(0.0)), 6).alias(
+            "somers_d_status_given_priority"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann shift estimator — the robust "how much did the
+# distribution move" companion of mann_whitney_u (which only answers
+# WHETHER it moved): median of all n1*n2 pairwise H2-H1 differences.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hodges_lehmann_quantity_shift",
+    """
+    WITH assigned AS (
+        SELECT l_quantity AS x,
+               CASE WHEN l_shipdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END
+                   AS is1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    g1 AS (SELECT x, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM assigned WHERE is1 = 1 GROUP BY x),
+    g2 AS (SELECT x, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM assigned WHERE is1 = 0 GROUP BY x),
+    grid AS (
+        SELECT CAST(b.x AS DECIMAL(18,2)) - CAST(a.x AS DECIMAL(18,2)) AS d,
+               CAST(SUM(a.w * b.w) AS DECIMAL(38,0)) AS w
+        FROM g1 a CROSS JOIN g2 b
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g1)
+                   AS n1,
+               (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g2)
+                   AS n2,
+               (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM grid)
+                   AS bigw
+    ),
+    cums AS (
+        SELECT d,
+               SUM(w) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid
+    ),
+    sel AS (
+        SELECT (SELECT MIN(d) FROM cums, tot WHERE 2 * cum >= bigw + 1)
+                   AS d_lo,
+               (SELECT MIN(d) FROM cums, tot WHERE 2 * cum >= bigw + 2)
+                   AS d_hi
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round((CAST(d_lo AS DOUBLE) + CAST(d_hi AS DOUBLE)) / 2, 6)
+               AS hl_shift
+    FROM tot CROSS JOIN sel
+    """,
+)
+def hodges_lehmann_quantity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator (Hodges & Lehmann 1963, public) of the
+    H2-minus-H1 location shift in 1996 shipped quantities: the median of
+    all n1*n2 pairwise differences x2 - x1.  Mann-Whitney
+    (mann_whitney_u_price_halves) tests WHETHER the halves differ; this
+    releases the robust estimate of BY HOW MUCH (median-unbiased, 29%
+    breakdown, no normality assumption — the estimator behind the
+    Wilcoxon confidence interval).
+
+    The n1*n2 pair multiset never materializes: quantity takes ~50
+    distinct values, so both samples contract to per-value counts, the
+    difference grid is <= 50x50 rows with DECIMAL(19,0)^2 pair weights,
+    and the weighted median selects the two middle order statistics via
+    2*cum >= W+1 / W+2 threshold scans — NO division anywhere until the
+    final halving in double (integer-threshold selection is the same
+    parity discipline as the mann_whitney midrank sum).  Empty halves
+    yield NULL identically on both engines.
+
+    Scale shape: two map-side-combinable value-count aggregates, a
+    grid-bounded cross join, and a grid-sized (not data-sized) running
+    sum.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    half = F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0)
+    assigned = li.select(_dec("l_quantity").alias("x"), half.alias("is1"))
+    g1 = (
+        assigned.filter(F.col("is1") == 1)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    g2 = (
+        assigned.filter(F.col("is1") == 0)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    a, b = g1.alias("a"), g2.alias("b")
+    grid = (
+        a.crossJoin(b)
+        .groupBy((F.col("b.x") - F.col("a.x")).alias("d"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("decimal(38,0)").alias("w"))
+    )
+    n1 = g1.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n1")
+    )
+    n2 = g2.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n2")
+    )
+    bigw = grid.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("bigw")
+    )
+    # grid-sized (<=2500 rows) unpartitioned running sum — bounded by the
+    # value-grid contraction, never by the data
+    cums = grid.select(
+        "d",
+        F.sum("w")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    ).crossJoin(F.broadcast(bigw))
+    d_lo = cums.filter(2 * F.col("cum") >= F.col("bigw") + 1).agg(
+        F.min("d").alias("d_lo")
+    )
+    d_hi = cums.filter(2 * F.col("cum") >= F.col("bigw") + 2).agg(
+        F.min("d").alias("d_hi")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(d_lo))
+        .crossJoin(F.broadcast(d_hi))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                (F.col("d_lo").cast("double") + F.col("d_hi").cast("double")) / 2,
+                6,
+            ).alias("hl_shift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (earth mover's) distance between the two 1996
+# half-year quantity distributions — the integral-of-|CDF-difference|
+# closed form, assembled entirely in integers.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "wasserstein_quantity_halves",
+    """
+    WITH assigned AS (
+        SELECT l_quantity AS x,
+               CASE WHEN l_shipdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END
+                   AS is1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x,
+               CAST(SUM(is1) AS DECIMAL(19,0)) AS d1,
+               CAST(COUNT(*) - SUM(is1) AS DECIMAL(19,0)) AS d2
+        FROM assigned GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS DECIMAL(19,0)) AS n1,
+               CAST(SUM(d2) AS DECIMAL(19,0)) AS n2
+        FROM per_x
+    ),
+    stepped AS (
+        SELECT x,
+               SUM(d1) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(d2) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               CAST((LEAD(x) OVER (ORDER BY x) - x) * 100
+                    AS DECIMAL(19,0)) AS gap100
+        FROM per_x
+    ),
+    acc AS (
+        SELECT SUM(abs(CAST(c1 AS DECIMAL(19,0)) * n2
+                       - CAST(c2 AS DECIMAL(19,0)) * n1)
+                   * gap100) AS num
+        FROM stepped CROSS JOIN tot
+        WHERE gap100 IS NOT NULL
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(CAST(num AS DOUBLE)
+                 / (100 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+               AS wasserstein_1
+    FROM acc CROSS JOIN tot
+    """,
+)
+def wasserstein_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the H1
+    and H2 1996 shipped-quantity distributions via the closed form
+    W1 = integral |F1 - F2| dx (Vallender 1974, public) — the
+    distribution-shift DISTANCE (in quantity units) next to the
+    mann_whitney/ks/cramer-von-mises family's test statistics: W1 is
+    what drift dashboards threshold because it is interpretable and
+    metric.
+
+    Everything before the final division is integer arithmetic: the
+    step integral is sum over the value grid of
+    |c1*n2 - c2*n1| * 100*gap (cross-multiplied CDF difference — no
+    per-step division), with the 2-decimal quantity grain making
+    100*gap integral; ONE double division by 100*n1*n2 at the edge.
+
+    Scale shape: a map-side-combinable per-value count contraction
+    (quantity has ~50 distinct values), a grid-sized running sum, one
+    row out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    assigned = li.select(
+        _dec("l_quantity").alias("x"),
+        F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0).alias("is1"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").cast("decimal(19,0)").alias("d1"),
+        (F.count(F.lit(1)) - F.sum("is1")).cast("decimal(19,0)").alias("d2"),
+    )
+    tot = per_x.agg(
+        F.sum("d1").cast("decimal(19,0)").alias("n1"),
+        F.sum("d2").cast("decimal(19,0)").alias("n2"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("x")
+    # grid-sized (<=50 rows) unpartitioned window — bounded by the value
+    # grid, never by the data
+    stepped = per_x.select(
+        "x",
+        F.sum("d1").over(w_cum).cast("decimal(19,0)").alias("c1"),
+        F.sum("d2").over(w_cum).cast("decimal(19,0)").alias("c2"),
+        ((F.lead("x").over(w_next) - F.col("x")) * 100)
+        .cast("decimal(19,0)")
+        .alias("gap100"),
+    )
+    acc = (
+        stepped.crossJoin(F.broadcast(tot))
+        .filter(F.col("gap100").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                * F.col("gap100")
+            ).alias("num")
+        )
+    )
+    return acc.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(
+            F.col("num").cast("double")
+            / (100 * F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("wasserstein_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — k-sample location test on counts above/below the
+# POOLED median; the coarser, outlier-immune cousin of Kruskal-Wallis.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mood_median_test_price_priority",
+    """
+    WITH cells AS (
+        SELECT o_orderpriority AS g, o_totalprice AS x,
+               CAST(COUNT(*) AS DECIMAL(19,0)) AS f
+        FROM orders GROUP BY 1, 2
+    ),
+    per_x AS (SELECT x, SUM(f) AS f FROM cells GROUP BY x),
+    n AS (SELECT CAST(SUM(f) AS DECIMAL(19,0)) AS n FROM per_x),
+    med AS (
+        SELECT MIN(x) AS m FROM (
+            SELECT x, SUM(f) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM per_x
+        ) CROSS JOIN n
+        WHERE 2 * cum >= n
+    ),
+    per_g AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN x > m THEN f ELSE 0 END) AS DECIMAL(19,0))
+                   AS a,
+               CAST(SUM(f) AS DECIMAL(19,0)) AS ng
+        FROM cells CROSS JOIN med
+        GROUP BY g
+    ),
+    marg AS (
+        SELECT CAST(SUM(a) AS DECIMAL(19,0)) AS atot,
+               CAST(SUM(ng) AS DECIMAL(19,0)) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_g
+    ),
+    terms AS (
+        SELECT (CAST(a AS DOUBLE)
+                - CAST(ng AS DOUBLE) * atot / n)
+               * (CAST(a AS DOUBLE)
+                - CAST(ng AS DOUBLE) * atot / n)
+               / (CAST(ng AS DOUBLE) * atot / n)
+               + (CAST(ng - a AS DOUBLE)
+                  - CAST(ng AS DOUBLE) * (n - atot) / n)
+                 * (CAST(ng - a AS DOUBLE)
+                  - CAST(ng AS DOUBLE) * (n - atot) / n)
+                 / (CAST(ng AS DOUBLE) * (n - atot) / n) AS term,
+               n, k
+        FROM per_g CROSS JOIN marg
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           CAST(any_value(k) AS BIGINT) AS k_groups,
+           CAST(any_value(k) - 1 AS BIGINT) AS dof,
+           round((SELECT CAST(m AS DOUBLE) FROM med), 2) AS pooled_median,
+           round(SUM(term), 6) AS chi2
+    FROM terms
+    """,
+)
+def mood_median_test_price_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950, public) of order price across the
+    five priorities: dichotomize every order at the POOLED lower median,
+    then Pearson chi2 on the resulting 2xk table.  The coarser,
+    gross-outlier-immune cousin of kruskal_wallis_price_by_priority
+    (which uses full ranks) — the pair is the standard robustness
+    cross-check: KW significant but Mood not flags tail-driven rank
+    effects.
+
+    The pooled median is the exact lower median via the per-value
+    cumulative-count threshold scan (2*cum >= n — integer comparison,
+    no percentile function; the mann_whitney/ddsketch-audit
+    convention).  Counts above/below per group are exact integers from
+    the SAME (priority, price) contraction that produced the median —
+    the fact table is scanned once.  The chi2 term sum follows the
+    chi2_independence convention: a handful of ~1e0-1e2 doubles whose
+    summation-order ulps the 6dp edge rounding absorbs.
+
+    Scale shape: one map-side-combinable contraction to (priority,
+    price) cells — bounded by |priority| x |distinct prices| (price is
+    part-price x quantity, dimension-scaled, not fact-scaled) — then a
+    cell-sized cumsum and constant-size arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("g"), _dec("o_totalprice").alias("x")
+    ).agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("f"))
+    per_x = cells.groupBy("x").agg(F.sum("f").alias("f"))
+    n1 = per_x.agg(F.sum("f").cast("decimal(19,0)").alias("n"))
+    # dimension-scaled (distinct prices) unpartitioned cumsum — the
+    # mann_whitney precedent; never fact-sized
+    cum = per_x.select(
+        "x",
+        F.sum("f")
+        .over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(n1))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("x").alias("m"))
+    )
+    per_g = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("x") > F.col("m"), F.col("f")).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("a"),
+            F.sum("f").cast("decimal(19,0)").alias("ng"),
+        )
+    )
+    marg = per_g.agg(
+        F.sum("a").cast("decimal(19,0)").alias("atot"),
+        F.sum("ng").cast("decimal(19,0)").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per_g.crossJoin(F.broadcast(marg))
+    ad, ngd = F.col("a").cast("double"), F.col("ng").cast("double")
+    atd, nd = F.col("atot").cast("double"), F.col("n").cast("double")
+    ea = ngd * atd / nd
+    eb = ngd * (nd - atd) / nd
+    term = (ad - ea) * (ad - ea) / ea + (
+        (ngd - ad) - eb
+    ) * ((ngd - ad) - eb) / eb
+    summary = j.agg(
+        F.any_value(F.col("n")).cast("long").alias("n"),
+        F.any_value(F.col("k")).cast("long").alias("k_groups"),
+        (F.any_value(F.col("k")) - 1).cast("long").alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+    return summary.crossJoin(F.broadcast(med)).select(
+        "n",
+        "k_groups",
+        "dof",
+        F.round(F.col("m").cast("double"), 2).alias("pooled_median"),
+        "chi2",
+    )

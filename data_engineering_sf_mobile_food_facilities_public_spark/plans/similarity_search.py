@@ -3231,3 +3231,302 @@ def linear_cka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 linear_cka_truncation.__doc__ = linear_cka_truncation.__doc__.replace(
     "{d}", str(_CKA_DIM)
 ).replace("{t}", str(_CKA_TRUNC))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end retrieval cascade — 1-bit Hamming prefilter -> int8 rerank ->
+# exact-double rerank, gated by recall against exact brute force.  The three
+# tiers exist individually (binary_quantize_hamming_topk,
+# int8_quantized_dot_topk, ann_cosine_topk); this composes them into the ONE
+# query a production retrieval stack actually runs, with the funnel widths as
+# released columns so the recall/cost trade is auditable.
+# ---------------------------------------------------------------------------
+
+_CASCADE_T1 = 50  # hamming-tier survivors per query
+_CASCADE_T2 = 20  # int8-tier survivors per query
+_CASCADE_K = 10  # final exact-rerank depth
+
+
+@_register(
+    "retrieval_cascade_recall",
+    f"""
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.v, e.v), 6) AS cos_sim
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+            )
+        ) WHERE rnk <= {_CASCADE_K}
+    ),
+    t1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY hamming, neighbor_id) AS rnk
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       length(list_filter(list_zip(q.v, e.v),
+                              p -> (p[1] > 0) <> (p[2] > 0))) AS hamming
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+            )
+        ) WHERE rnk <= {_CASCADE_T1}
+    ),
+    qz AS (
+        SELECT vec_id,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(floor(
+                         127 * x / list_max(list_transform(v, y -> abs(y)))
+                         + 0.5) AS BIGINT))
+               END AS qv
+        FROM e
+    ),
+    t2 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot_q DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT t1.query_id, t1.neighbor_id,
+                       list_sum(list_transform(
+                           list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS dot_q
+                FROM t1
+                JOIN qz a ON a.vec_id = t1.query_id
+                JOIN qz b ON b.vec_id = t1.neighbor_id
+            )
+        ) WHERE rnk <= {_CASCADE_T2}
+    ),
+    t3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM (
+                SELECT t2.query_id, t2.neighbor_id,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+                FROM t2
+                JOIN e a ON a.vec_id = t2.query_id
+                JOIN e b ON b.vec_id = t2.neighbor_id
+            )
+        ) WHERE rnk <= {_CASCADE_K}
+    ),
+    per_q AS (
+        SELECT x.query_id,
+               COUNT(*) AS n_exact,
+               SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_overlap
+        FROM exact_top x
+        LEFT JOIN t3 c
+          ON c.query_id = x.query_id AND c.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({_CASCADE_T1} AS BIGINT) AS tier1_kept,
+           CAST({_CASCADE_T2} AS BIGINT) AS tier2_kept,
+           round(CAST(SUM(n_overlap) AS DOUBLE) / SUM(n_exact), 6)
+             AS mean_recall_at_10,
+           CAST(MIN(n_overlap) AS BIGINT) AS min_overlap,
+           CAST(SUM(CASE WHEN n_overlap = n_exact THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM per_q
+    """,
+)
+def retrieval_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN retrieval cascade with a recall gate (r12 VERDICT
+    #7c): tier 1 scores the WHOLE corpus with 1-bit sign state (packed
+    int64 XOR popcount — 64x less broadcast state than doubles) and
+    keeps {t1} candidates per query; tier 2 rescores only those with
+    the int8 integer dot (8x less state, exact integer score); tier 3
+    reranks the surviving {t2} with the exact double cosine and returns
+    top-{k}.  Recall@{k} against the exact brute-force top-{k} is the
+    released gate, with the funnel widths as columns so the cost/recall
+    trade is auditable (the per-tier gates
+    ``binary_quantize_hamming_topk`` / ``int8_quantized_dot_topk`` /
+    ``ann_cosine_topk`` measure each tier alone; this is the composed
+    path a retrieval stack actually serves).
+
+    Every tier is deterministic exact arithmetic with neighbor_id
+    tiebreaks, so the whole cascade is oracle-checkable — including
+    the funnel's loss, which is the point of the gate.
+
+    Scale shape: the corpus is scanned ONCE at 1 bit/dim per query
+    batch (the only corpus-sized work); tiers 2-3 touch
+    queries x {t1} / queries x {t2} rows — candidate-sized equi-joins
+    back to the vector table on vec_id, never corpus x corpus.  The
+    exact brute-force reference column is the EVALUATION, not the
+    serving path (at 100 TB it runs on a sampled query set exactly as
+    here, where queries are vec_id % 100)."""
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e0.filter(
+        F.expr("aggregate(v, 0D, (a, x) -> a + x * x)") > 0
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        " / (sqrt(aggregate({a}, 0D, (a, x) -> a + x * x))"
+        "    * sqrt(aggregate({b}, 0D, (a, x) -> a + x * x)))"
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+
+    # exact reference top-k (the evaluation tier)
+    exact_scored = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(cos.format(a="qv", b="cv")), 6).alias("cos_sim"),
+    )
+    w_desc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    exact_top = (
+        exact_scored.withColumn("rnk", F.row_number().over(w_desc))
+        .filter(F.col("rnk") <= _CASCADE_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # tier 1: packed sign bits, hamming top-T1 over the corpus
+    packed = (
+        "aggregate(zip_with({c}, sequence(0, size({c}) - 1),"
+        " (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    qbits = q.select(
+        "query_id", F.expr(packed.format(c="qv")).alias("qbits")
+    )
+    cbits = corpus.select(
+        "neighbor_id", F.expr(packed.format(c="cv")).alias("cbits")
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    t1 = (
+        cbits.join(F.broadcast(qbits), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("qbits").bitwiseXOR(F.col("cbits")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("rnk", F.row_number().over(w_ham))
+        .filter(F.col("rnk") <= _CASCADE_T1)
+        .select("query_id", "neighbor_id")
+    )
+
+    # int8 quantization (shared by query and candidate sides of tier 2)
+    withmax = e.select(
+        "vec_id",
+        "v",
+        F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))").alias("maxabs"),
+    )
+    qz = withmax.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN maxabs = 0D THEN transform(v, x -> 0L)"
+            " ELSE transform(v, x -> CAST(floor(127 * x / maxabs + 0.5D)"
+            " AS BIGINT)) END"
+        ).alias("qv8"),
+    )
+
+    # tier 2: integer dot over tier-1 survivors only
+    t2 = (
+        t1.join(
+            qz.select(F.col("vec_id").alias("query_id"), F.col("qv8").alias("qa")),
+            "query_id",
+        )
+        .join(
+            qz.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("qv8").alias("qb")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+            ).alias("dot_q"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("dot_q"), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _CASCADE_T2)
+        .select("query_id", "neighbor_id")
+    )
+
+    # tier 3: exact cosine rerank of tier-2 survivors
+    t3 = (
+        t2.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("av")),
+            "query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cos.format(a="av", b="bv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_desc))
+        .filter(F.col("rnk") <= _CASCADE_K)
+        .select(
+            F.col("query_id").alias("c_query"),
+            F.col("neighbor_id").alias("c_neighbor"),
+        )
+    )
+
+    per_q = (
+        exact_top.join(
+            t3,
+            (exact_top["query_id"] == t3["c_query"])
+            & (exact_top["neighbor_id"] == t3["c_neighbor"]),
+            "left",
+        )
+        .select(
+            exact_top["query_id"].alias("qid"),
+            F.col("c_neighbor").isNotNull().cast("int").alias("hit"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("hit").alias("n_overlap"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_CASCADE_T1).cast("long").alias("tier1_kept"),
+        F.lit(_CASCADE_T2).cast("long").alias("tier2_kept"),
+        F.round(
+            F.sum("n_overlap").cast("double") / F.sum("n_exact"), 6
+        ).alias("mean_recall_at_10"),
+        F.min("n_overlap").cast("long").alias("min_overlap"),
+        F.sum(
+            F.when(F.col("n_overlap") == F.col("n_exact"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_perfect"),
+    )
+
+
+retrieval_cascade_recall.__doc__ = (
+    retrieval_cascade_recall.__doc__.replace("{t1}", str(_CASCADE_T1))
+    .replace("{t2}", str(_CASCADE_T2))
+    .replace("{k}", str(_CASCADE_K))
+)
