@@ -18291,3 +18291,347 @@ def mood_median_test_price_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.col("m").cast("double"), 2).alias("pooled_median"),
         "chi2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test — "does quantity rise
+# monotonically across the ordered priority classes?"  Kruskal-Wallis asks
+# only whether the groups differ; JT is the test for an ORDERED difference.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "jonckheere_terpstra_priority_trend",
+    """
+    WITH base AS (
+        SELECT o.o_orderpriority AS g, l.l_quantity AS x
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+        SELECT g, x, CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+        FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT gg.g, xx.x, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT g FROM cells) gg
+        CROSS JOIN (SELECT DISTINCT x FROM cells) xx
+        LEFT JOIN cells c ON c.g = gg.g AND c.x = xx.x
+    ),
+    cum AS (
+        SELECT g, x, c,
+               CAST(SUM(c) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(19,0)) AS cc
+        FROM grid
+    ),
+    jt2 AS (
+        SELECT CAST(SUM(b.c * (2 * a.cc - a.c)) AS DECIMAL(38,0)) AS twice_jt
+        FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g
+    ),
+    gm AS (
+        SELECT CAST(SUM(c) AS DECIMAL(19,0)) AS ng FROM cells GROUP BY g
+    ),
+    tm AS (
+        SELECT CAST(SUM(c) AS DECIMAL(19,0)) AS tu FROM cells GROUP BY x
+    ),
+    moments AS (
+        SELECT (SELECT CAST(SUM(ng) AS DECIMAL(19,0)) FROM gm) AS n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gm) AS k,
+               (SELECT CAST(SUM(ng * ng) AS DECIMAL(38,0)) FROM gm) AS sn2,
+               (SELECT CAST(SUM(ng * (ng - 1) * (2 * ng + 5))
+                            AS DECIMAL(38,0)) FROM gm) AS sn125,
+               (SELECT CAST(SUM(ng * (ng - 1)) AS DECIMAL(38,0)) FROM gm)
+                   AS sn11,
+               (SELECT CAST(SUM(ng * (ng - 1) * (ng - 2)) AS DECIMAL(38,0))
+                    FROM gm) AS sn112,
+               (SELECT CAST(SUM(tu * (tu - 1) * (2 * tu + 5))
+                            AS DECIMAL(38,0)) FROM tm) AS st125,
+               (SELECT CAST(SUM(tu * (tu - 1)) AS DECIMAL(38,0)) FROM tm)
+                   AS st11,
+               (SELECT CAST(SUM(tu * (tu - 1) * (tu - 2)) AS DECIMAL(38,0))
+                    FROM tm) AS st112
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_groups,
+           round(CASE WHEN vr > 0 THEN
+                    (CAST(twice_jt AS DOUBLE) / 2
+                     - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        - CAST(sn2 AS DOUBLE)) / 4) / sqrt(vr)
+                 END, 6) AS z_stat
+    FROM jt2 CROSS JOIN (
+        SELECT n, k, sn2,
+               (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                  * (2 * CAST(n AS DOUBLE) + 5)
+                - CAST(sn125 AS DOUBLE) - CAST(st125 AS DOUBLE)) / 72
+               + CAST(sn112 AS DOUBLE) * CAST(st112 AS DOUBLE)
+                 / (36 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                    * (CAST(n AS DOUBLE) - 2))
+               + CAST(sn11 AS DOUBLE) * CAST(st11 AS DOUBLE)
+                 / (8 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS vr
+        FROM moments
+    )
+    """,
+)
+def jonckheere_terpstra_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test (Terpstra 1952, Jonckheere 1954, public)
+    for a MONOTONE quantity trend across the five ordered priority
+    classes: JT = sum over ordered group pairs i<j of the Mann-Whitney
+    count #{x_i < x_j} + ties/2, z-scored with the tie-corrected null
+    moments (Hollander & Wolfe 8.12).  Kruskal-Wallis
+    (kruskal_wallis_price_by_priority) only detects ANY difference; JT
+    is the ordered-alternative test with far more power against the
+    trend a priority system is supposed to produce.
+
+    No pairwise row comparison ever happens: quantity takes ~50
+    distinct values, so each group contracts to per-value counts on a
+    dense 5x50 grid (zero-filled so the per-group cumulative count is
+    defined at every pooled value), and
+    2*U_ij = sum_u c_j(u) * (2*C_i(u) - c_i(u)) assembles 2*JT as an
+    exact DECIMAL(38,0) from grid-sized joins.  Tie-corrected variance
+    terms are exact integer moments of the group and value marginals;
+    the single z division happens in double (the released value is the
+    scale-free statistic — raw JT at ~n^2 magnitude is exactly the
+    absolute-rounding trap the r12 lessons document).
+
+    Scale shape: one fact join contracted by a map-side-combinable
+    (priority, quantity) count, then grid-sized (250-row) arithmetic.
+    Output: one row."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("g"), _dec("l_quantity").alias("x")
+    )
+    cells = base.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("c")
+    )
+    gs = cells.select("g").distinct()
+    xs = cells.select("x").distinct()
+    grid = (
+        gs.crossJoin(xs)
+        .join(cells, ["g", "x"], "left")
+        .select("g", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    cum = grid.select(
+        "g",
+        "x",
+        "c",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("decimal(19,0)")
+        .alias("cc"),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    jt2 = (
+        a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.g") < F.col("b.g")))
+        .agg(
+            F.sum(
+                F.col("b.c") * (2 * F.col("a.cc") - F.col("a.c"))
+            )
+            .cast("decimal(38,0)")
+            .alias("twice_jt")
+        )
+    )
+    gm = cells.groupBy("g").agg(F.sum("c").cast("decimal(19,0)").alias("ng"))
+    tm = cells.groupBy("x").agg(F.sum("c").cast("decimal(19,0)").alias("tu"))
+    moments = (
+        gm.agg(
+            F.sum("ng").cast("decimal(19,0)").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("ng") * F.col("ng")).cast("decimal(38,0)").alias("sn2"),
+            F.sum(F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5))
+            .cast("decimal(38,0)")
+            .alias("sn125"),
+            F.sum(F.col("ng") * (F.col("ng") - 1))
+            .cast("decimal(38,0)")
+            .alias("sn11"),
+            F.sum(F.col("ng") * (F.col("ng") - 1) * (F.col("ng") - 2))
+            .cast("decimal(38,0)")
+            .alias("sn112"),
+        )
+        .crossJoin(
+            F.broadcast(
+                tm.agg(
+                    F.sum(F.col("tu") * (F.col("tu") - 1) * (2 * F.col("tu") + 5))
+                    .cast("decimal(38,0)")
+                    .alias("st125"),
+                    F.sum(F.col("tu") * (F.col("tu") - 1))
+                    .cast("decimal(38,0)")
+                    .alias("st11"),
+                    F.sum(F.col("tu") * (F.col("tu") - 1) * (F.col("tu") - 2))
+                    .cast("decimal(38,0)")
+                    .alias("st112"),
+                )
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+    vr = (
+        (nd * (nd - 1) * (2 * nd + 5)
+         - F.col("sn125").cast("double")
+         - F.col("st125").cast("double")) / 72
+        + F.col("sn112").cast("double") * F.col("st112").cast("double")
+        / (36 * nd * (nd - 1) * (nd - 2))
+        + F.col("sn11").cast("double") * F.col("st11").cast("double")
+        / (8 * nd * (nd - 1))
+    )
+    e_jt = (nd * nd - F.col("sn2").cast("double")) / 4
+    return jt2.crossJoin(F.broadcast(moments)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(
+            F.when(
+                vr > 0,
+                (F.col("twice_jt").cast("double") / 2 - e_jt) / F.sqrt(vr),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — within-block rank test across the ordered months:
+# the repeated-measures companion of Kruskal-Wallis (between groups)
+# and seasonal Mann-Kendall (within-season trend).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "friedman_test_priority_by_month",
+    """
+    WITH bp AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS b,
+               o_orderpriority AS g,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM bp),
+    complete AS (
+        SELECT b FROM bp CROSS JOIN k GROUP BY b, k
+        HAVING COUNT(*) = ANY_VALUE(k)
+    ),
+    ranked AS (
+        SELECT bp.b, bp.g,
+               CAST(2 * RANK() OVER (PARTITION BY bp.b ORDER BY bp.v)
+                    + COUNT(*) OVER (PARTITION BY bp.b, bp.v) - 1
+                    AS DECIMAL(19,0)) AS r2
+        FROM bp JOIN complete USING (b)
+    ),
+    pert AS (
+        SELECT g, CAST(SUM(r2) AS DECIMAL(19,0)) AS r2sum FROM ranked GROUP BY g
+    ),
+    sums AS (
+        SELECT (SELECT CAST(COUNT(*) AS DECIMAL(19,0)) FROM complete) AS bb,
+               (SELECT k FROM k) AS k,
+               (SELECT CAST(SUM(r2 * r2) AS DECIMAL(38,0)) FROM ranked)
+                   AS sr2sq,
+               (SELECT CAST(SUM((r2sum - bb1 * (k1 + 1))
+                               * (r2sum - bb1 * (k1 + 1))) AS DECIMAL(38,0))
+                FROM pert CROSS JOIN (
+                    SELECT (SELECT CAST(COUNT(*) AS DECIMAL(19,0))
+                            FROM complete) AS bb1,
+                           (SELECT CAST(k AS DECIMAL(19,0)) FROM k) AS k1)
+               ) AS s_num
+    )
+    SELECT CAST(bb AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(CASE WHEN CAST(sr2sq AS DOUBLE)
+                           - CAST(bb AS DOUBLE) * k * (k + 1) * (k + 1) > 0
+                      THEN (k - 1) * CAST(s_num AS DOUBLE)
+                           / (CAST(sr2sq AS DOUBLE)
+                              - CAST(bb AS DOUBLE) * k * (k + 1) * (k + 1))
+                 END, 6) AS chi2
+    FROM sums
+    """,
+)
+def friedman_test_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (Friedman 1937, public; tie-corrected form per
+    Conover 1999) of whether the five priorities differ in revenue
+    CONSISTENTLY across months: within each complete month-block the
+    per-priority revenue totals are midranked, and the statistic
+    compares rank-sum spread to the within-block rank variance.  The
+    repeated-measures member of the rank shelf — Kruskal-Wallis pools
+    all rows (a hot month dominates); Friedman blocks by month first,
+    so a priority must win REPEATEDLY to score.
+
+    Parity: ranked values are exact DECIMAL month sums (no division
+    before ranking, so both engines order identically, the r12
+    round-at-rank lesson); midranks enter as the INTEGER 2r = 2*RANK +
+    ties - 1, so rank sums, their centered squares, and the tie-aware
+    denominator sum(4 r^2) - b k (k+1)^2 are all exact integers — the
+    common factor 4 cancels in the ratio and ONE double division
+    produces chi2.  Incomplete blocks (a month missing a priority)
+    drop on both engines identically; a fully-tied corpus returns NULL
+    chi2 (zero denominator) identically.
+
+    Scale shape: one map-side-combinable (month, priority) contraction
+    (~5x|months| rows), block-partitioned rank windows over <= k rows
+    each, constant-size moments.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    bp = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("b"),
+        F.col("o_orderpriority").alias("g"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("v"))
+    k = bp.agg(F.countDistinct("g").alias("k"))
+    complete = (
+        bp.crossJoin(F.broadcast(k))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.any_value("k").alias("k"),
+        )
+        .filter(F.col("cnt") == F.col("k"))
+        .select("b")
+    )
+    ranked = (
+        bp.join(complete, "b")
+        .select(
+            "b",
+            "g",
+            (
+                2 * F.rank().over(Window.partitionBy("b").orderBy("v"))
+                + F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+                - 1
+            )
+            .cast("decimal(19,0)")
+            .alias("r2"),
+        )
+    )
+    pert = ranked.groupBy("g").agg(F.sum("r2").cast("decimal(19,0)").alias("r2sum"))
+    bb = complete.agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("bb"))
+    sr2sq = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("decimal(38,0)").alias("sr2sq")
+    )
+    s_num = (
+        pert.crossJoin(F.broadcast(bb))
+        .crossJoin(F.broadcast(k))
+        .agg(
+            F.sum(
+                (F.col("r2sum") - F.col("bb") * (F.col("k") + 1))
+                * (F.col("r2sum") - F.col("bb") * (F.col("k") + 1))
+            )
+            .cast("decimal(38,0)")
+            .alias("s_num")
+        )
+    )
+    j = (
+        s_num.crossJoin(F.broadcast(bb))
+        .crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(sr2sq))
+    )
+    kd = F.col("k").cast("double")
+    bd = F.col("bb").cast("double")
+    denom = F.col("sr2sq").cast("double") - bd * kd * (kd + 1) * (kd + 1)
+    return j.select(
+        F.col("bb").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(
+            F.when(denom > 0, (kd - 1) * F.col("s_num").cast("double") / denom),
+            6,
+        ).alias("chi2"),
+    )

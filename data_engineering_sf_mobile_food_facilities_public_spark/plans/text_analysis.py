@@ -7189,3 +7189,109 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
 kwic_concordance.__doc__ = kwic_concordance.__doc__.format(
     w=_KWIC_TARGET, k=_KWIC_WIN
 )
+
+
+# ---------------------------------------------------------------------------
+# Hellinger / Bhattacharyya distances between per-source language mixes —
+# the bounded, symmetric mixture-drift metrics next to vocab_psi (which is
+# unbounded and blows up on vanishing bins).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hellinger_lang_mix_by_source_pair",
+    """
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS DECIMAL(19,0)) AS n
+        FROM cells GROUP BY source
+    ),
+    langs AS (SELECT DISTINCT lang FROM cells),
+    grid AS (
+        SELECT t.source, t.n, l.lang, COALESCE(c.c, 0) AS c
+        FROM tot t CROSS JOIN langs l
+        LEFT JOIN cells c ON c.source = t.source AND c.lang = l.lang
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(sqrt((CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE))
+                        * (CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE)))) AS bc,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM grid a JOIN grid b
+          ON a.lang = b.lang AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_langs,
+           round(bc, 6) AS bhattacharyya_coef,
+           round(sqrt(greatest(1 - bc, 0)), 6) AS hellinger
+    FROM pairs
+    """,
+)
+def hellinger_lang_mix_by_source_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient and Hellinger distance (Bhattacharyya
+    1943, Hellinger 1909 — public) between every pair of sources'
+    language mixtures: BC = sum_l sqrt(p_l q_l), H = sqrt(1 - BC).
+    The BOUNDED drift metrics for categorical mixtures —
+    vocab_psi_between_sources diverges on vanishing bins and
+    mutual_information_lang_source is a single pooled number; Hellinger
+    is a metric in [0,1] per source pair, which is what a corpus
+    dashboard thresholds when a new crawl's language mix shifts.
+
+    Parity: counts and totals are exact integers on the zero-filled
+    source x lang grid (a language absent from one source contributes
+    sqrt(0) = 0, identically on both engines); each pair's BC sums a
+    handful of same-magnitude doubles, absorbed by the 6dp edge
+    rounding (the chi2_independence convention), and greatest(1-bc, 0)
+    clamps the one-ulp-past-1.0 case before the sqrt on both sides.
+
+    Scale shape: one map-side-combinable (source, lang) contraction;
+    everything after is grid-sized (|sources| x |langs|).  Output: one
+    row per unordered source pair."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("c")
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("c").cast("decimal(19,0)").alias("n")
+    )
+    langs = cells.select("lang").distinct()
+    grid = (
+        tot.crossJoin(langs)
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            "source", "n", "lang", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(
+                F.sqrt(
+                    (F.col("a.c").cast("double") / F.col("a.n").cast("double"))
+                    * (F.col("b.c").cast("double") / F.col("b.n").cast("double"))
+                )
+            ).alias("bc"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_langs",
+        F.round("bc", 6).alias("bhattacharyya_coef"),
+        F.round(F.sqrt(F.greatest(1 - F.col("bc"), F.lit(0.0))), 6).alias(
+            "hellinger"
+        ),
+    )
