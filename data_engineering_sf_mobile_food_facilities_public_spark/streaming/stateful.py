@@ -85,6 +85,39 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def _update_counts_seeded(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # seed_n carries a prior checkpoint's per-key count: a seed row
+    # contributes (seed_n, value) instead of (1, value), so replaying
+    # one seed row per key reconstructs the migrated state exactly.
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(pdf["seed_n"].sum())
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_counts_seeded(events: DataFrame) -> DataFrame:
+    """``running_user_counts`` with a ``seed_n`` weight column — the
+    state-migration entry point: live rows carry seed_n = 1, bootstrap
+    rows synthesized from an old checkpoint's keyed state carry the
+    prior count (see ``state_inspect.seed_frame_from_state``).  This is
+    how a stateful query changes its shuffle-partition count — state is
+    keyed to the partition layout, so the new-layout query REBUILDS its
+    state from one seed row per key instead of reading the old store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_counts_seeded,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4) — the successor stateful API: typed state
 # variables (value/list/map), timers, TTL, and an explicit processor
