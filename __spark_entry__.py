@@ -45,14 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-12 panel (r11 VERDICT #1 + #4): core is 10 sentinels + ONE changed-plan re-proof slot (<= 11, r11 VERDICT #4) —
-# semdedup_embedding_prototypes rotates out (its r10 hash was re-proven
-# driver-green over the rewritten single-scan plan in r11 and the engine
-# is untouched this round).  The one r12 engine change so far —
-# interval_union_coverage_per_user's island-window tie-order fix (ADVICE
-# r11 medium) — enters the core per the "changed plans enter the core
-# the round they change" rule; it was also never driver-verified, so it
-# counts toward this round's backlog burn-down.
+# Round-13 panel (r12 VERDICT #1 + #2): core is 10 sentinels + ONE
+# changed-plan re-proof slot — semdedup rotates out (hash re-proven
+# driver-green over the cc-fused loop in r12, engine untouched this
+# round); pagerank_customer_supplier enters because its call path
+# changed this round (pagerank_run now defaults to mode='auto', which
+# counts the persisted edge relation before picking the join strategy —
+# the ranks plan is value-identical, re-proven here).
 _PANEL_CORE = [
     # flagship + section-2 family sentinels
     "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
@@ -65,78 +64,34 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    # engine changed this round: connected_components fused its
-    # convergence check into the min-label aggregate (one fewer
-    # shuffle join per iteration) — semdedup is the heaviest user and
-    # re-proves the r10/r11 hash over the new loop; the other changed
-    # component consumers are grid_density_clusters (in this round's
-    # rotation) and the near-dup cluster family (replayed by the
-    # local parity suite at three SFs)
-    "semdedup_embedding_prototypes",
+    # engine changed this round (mode='auto' default, r12 VERDICT #3)
+    "pagerank_customer_supplier",
 ]
 
-# Round-12 rotation: 39 slots, ALL never driver-verified (r11 VERDICT
-# #1 — this round must verify more pairs than it adds) — the head of
-# the staging pool in its staged oldest-first order: the 10 r11
-# second-half operators first, then the causal/stats shelf, the
-# forecasting shelf, and the survival/privacy remainder.  Every member
-# is locally parity-green at three SFs, matrix-stressed by the opt-in
-# determinism test, and vanilla-session pre-flighted before this round
-# ends.  Rotated out (driver-green r11, still replayed by the local
-# parity suite): the full r11 rotation cohort + semdedup.
+# Round-13 rotation: 39 slots, ALL never driver-verified (r12 VERDICT
+# #1: keep the backlog sign negative).  Composition per r12 VERDICT #2:
+# 3 slots for operators whose ENGINE CHANGED this round (the ADVICE r12
+# fixes — HLL rho off-by-one, RANSAC empty-candidate guard, eb_shrunk
+# decimal quantization — all three were also never driver-verified, so
+# they count toward the burn), 6 slots reserved for this round's most
+# novel new pairs (one per r13 family: retrieval cascade, ordinal
+# association, shift estimator, ordered trend, blocked ranks, mixture
+# distance), and 30 oldest-first from the staging pool.  Every member
+# is locally parity-green at three SFs, hostile-fixture covered, and
+# matrix-stressed before the round ends.
 _PANEL_ROTATING = [
-    # engine changed this round AND never driver-verified: the island-id
-    # window now shares the (s, event_id) tie order with the new_island
-    # mark (ADVICE r11 medium) — verifying it here satisfies both the
-    # changed-plan re-proof and the backlog burn-down
-    "interval_union_coverage_per_user",
-    "cosine_threshold_pairs_pruned",
-    "recursive_cte_bottleneck_routes",
-    "boilerplate_ngram_removal",
-    "degree_assortativity_part_graph",
-    "dp_noisy_counts_seeded",
-    "ips_offline_policy_value",
-    "rake_keywords_by_source",
-    "grid_density_clusters",
-    "shapley_channel_attribution",
-    "diff_in_diff_event_value",
-    "quantile_normalize_prices",
-    "markov_removal_attribution",
-    "croston_intermittent_demand",
-    "dunning_llr_keyness",
-    "mutual_nearest_neighbors",
-    "holt_winters_backtest_wape",
-    "temporal_precedence_pairs",
-    "hierarchical_forecast_reconciliation",
-    "cramer_von_mises_price_halves",
-    "kruskal_wallis_price_by_priority",
-    "deletion_vector_compaction_audit",
-    "largest_remainder_apportionment",
-    "kmeans_fixed_iterations_exact",
-    "chao1_vocab_richness",
-    "rich_club_coefficient",
-    "nelson_aalen_repurchase_hazard",
-    "neyman_allocation_sample_sizes",
-    "max_drawdown_daily_revenue",
-    "regression_discontinuity_price",
-    "dsar_access_extract",
-    "kmv_intersection_estimate",
-    "point_in_time_feature_join",
-    "log_rank_test_repurchase",
-    "ipf_raking_weights",
-    "mediation_quantity_discount_returns",
-    "streaming_srm_guardrail",
-    "word_adaptation_scores",
-    "price_elasticity_by_brand",
-]
-
-# Staging pool for the NEXT rounds' rotation (r13+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (151
-# entries = ~4 more rounds of ~39-slot rotation; new r12 operators
-# append at the tail as they land).  The determinism matrix has an
-# opt-in test that stresses exactly this list so candidates arrive
-# pre-stressed; all are locally parity-green at three SFs.
-_PANEL_NEXT_CANDIDATES = [
+    # engine changed this round AND never driver-verified (ADVICE r12)
+    "hll_md5_registers_distinct",
+    "ransac_price_quantity_line",
+    "eb_shrunk_return_rates_brand",
+    # r13 novel pairs — one per new family (r12 VERDICT #2)
+    "retrieval_cascade_recall",
+    "ordinal_association_status_priority",
+    "hodges_lehmann_quantity_shift",
+    "jonckheere_terpstra_priority_trend",
+    "friedman_test_priority_by_month",
+    "hellinger_lang_mix_by_source_pair",
+    # staging pool head, oldest first
     "markov_entropy_rate",
     "kfold_cv_ols_rmse",
     "trending_parts_decayed",
@@ -167,6 +122,16 @@ _PANEL_NEXT_CANDIDATES = [
     "bitwise_agg_orderkeys",
     "broadcast_dict_region_lookup",
     "calendar_edge_functions",
+]
+
+# Staging pool for the NEXT rounds' rotation (r14+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set (120
+# entries = ~3 more rounds of ~39-slot rotation; new r13 operators not
+# already in this round's panel append at the tail as they land).  The
+# determinism matrix has an opt-in test that stresses exactly this list
+# so candidates arrive pre-stressed; all are locally parity-green at
+# three SFs.
+_PANEL_NEXT_CANDIDATES = [
     "calendar_fill_monthly_revenue",
     "cross_join_region_status_grid",
     "dispersion_stats_by_flag",
@@ -268,8 +233,6 @@ _PANEL_NEXT_CANDIDATES = [
     "acctbal_boxplot_by_nation",
     "acf_daily_revenue",
     "activity_islands_per_user",
-    # round-12 operators (oracle-paired, landed with fixture + matrix
-    # coverage; they join the never-driver-verified tail here)
     "ljung_box_daily_revenue",
     "durbin_watson_daily_trend",
     "chow_break_daily_trend",
@@ -278,7 +241,6 @@ _PANEL_NEXT_CANDIDATES = [
     "cochran_armitage_priority_trend",
     "mcnemar_customer_halves",
     "tukey_hsd_price_priority",
-    "eb_shrunk_return_rates_brand",
     "seasonal_mann_kendall_daily",
     "granger_clicks_purchases_lag1",
     "ddsketch_quantiles_price",
@@ -286,10 +248,10 @@ _PANEL_NEXT_CANDIDATES = [
     "randomized_response_status",
     "priority_sample_revenue_total",
     "linear_cka_truncation",
-    "hll_md5_registers_distinct",
-    "ransac_price_quantity_line",
     "gumbel_monthly_max_revenue",
     "page_hinkley_daily_revenue",
+    "wasserstein_quantity_halves",
+    "mood_median_test_price_priority",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

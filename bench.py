@@ -74,12 +74,10 @@ HEADLINE = [
     # the family is sweep-only below)
     "prefix_filtered_jaccard_pairs",
     "spearman_price_vs_quantity",
-    # round-11 recents (first bench round was r11; keep one more)
+    # round-11 recents (first bench round was r11; the rest of the
+    # cohort retired to SWEEP_ONLY in r13 after two stable rounds)
     "audio_fingerprint_near_dup",
-    "kneser_ney_bigram_scores",
-    "association_rules_part_pairs",
     "kcenter_coreset_embeddings",
-    "mtld_lexical_diversity",
     "boilerplate_ngram_removal",
     # round-12 additions worth tracking: the DDSketch bucket grid with
     # its exact-quantile audit twin, the two-scan RANSAC consensus
@@ -91,6 +89,13 @@ HEADLINE = [
     "linear_cka_truncation",
     "brown_forsythe_price_priority",
     "seasonal_mann_kendall_daily",
+    # round-13 additions worth tracking: the composed three-tier
+    # retrieval cascade (the round's heavy — it contains an exact
+    # brute-force evaluation tier), the grid-assembled ordered trend
+    # test, and the source-pair mixture distance
+    "retrieval_cascade_recall",
+    "jonckheere_terpstra_priority_trend",
+    "hellinger_lang_mix_by_source_pair",
 ]
 
 # Retired from the visible headline list in r12 (r11 VERDICT #5: the
@@ -100,6 +105,10 @@ HEADLINE = [
 # by tests, and stays replayed by the oracle-parity suite; re-add any
 # of them via SPARK_GRAFT_BENCH_QUERIES=name,name for an ad-hoc sweep.
 SWEEP_ONLY = [
+    # retired r13 (two stable rounds in the r11-recents block)
+    "kneser_ney_bigram_scores",
+    "association_rules_part_pairs",
+    "mtld_lexical_diversity",
     "repetition_filter_stats",
     "token_budget_mixture",
     "q2_min_cost_supplier",

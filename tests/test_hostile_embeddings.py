@@ -125,6 +125,12 @@ _EMBED_PANEL = [
     # dominate the max-norm seed — the rounded-distance argmax chain
     # must replay identically through all five unrolled selections
     "kcenter_coreset_embeddings",
+    # r13 end-to-end cascade: zero vectors drop from every tier
+    # identically; identical/opposite vectors tie at hamming 0/64 and
+    # dot +/-max (pure neighbor_id tiebreaks through three funnels);
+    # with fewer corpus rows than the tier-1 width the funnel passes
+    # everything and recall must be exactly 1.0 on both engines
+    "retrieval_cascade_recall",
 ]
 
 

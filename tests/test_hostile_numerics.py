@@ -319,6 +319,27 @@ _NUMERIC_PANEL = [
     "page_hinkley_daily_revenue",
     # skew factors under the 90% dominant customer and singleton keys
     "join_key_skew_report",
+    # r13 ordinal shelf: hostile orders collapse to few cells (many
+    # empty), so concordant/discordant sums run over sparse grids and
+    # tie-heavy marginals; degenerate denominators must NULL identically
+    "ordinal_association_status_priority",
+    # r13 HL/W1: the 1996 window may leave a half EMPTY (NULL shift /
+    # zero-weight grid on both engines) and all-tied quantities put the
+    # whole mass on one grid point
+    "hodges_lehmann_quantity_shift",
+    "wasserstein_quantity_halves",
+    # r13 Mood: hostile prices tie heavily, so the pooled median's
+    # threshold scan and the above-count dichotomy sit exactly on tie
+    # boundaries; a group entirely at the median must zero its a-cell
+    "mood_median_test_price_priority",
+    # r13 JT: tied quantities exercise the half-weight tie term and the
+    # tie-corrected variance; a single populated priority zeroes every
+    # ordered pair identically
+    "jonckheere_terpstra_priority_trend",
+    # r13 Friedman: hostile orders span few months; incomplete blocks
+    # (a month missing a priority) must drop identically, and all-tied
+    # block values can zero the denominator -> NULL chi2
+    "friedman_test_priority_by_month",
 ]
 
 

@@ -131,6 +131,10 @@ def test_java_shorthand_ws_would_still_diverge(spark):
 # the driver's own comparator.  Names are matched by membership in the
 # registry so a rename fails loudly rather than silently skipping.
 _HOSTILE_PANEL = [
+    # r13 Hellinger: hostile docs concentrate languages in few sources;
+    # a lang absent from one source contributes sqrt(0) identically and
+    # single-source corpora emit zero pairs on both engines
+    "hellinger_lang_mix_by_source_pair",
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
