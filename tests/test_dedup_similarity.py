@@ -576,3 +576,31 @@ def test_mmr_demotes_redundant_near_duplicate(spark, tmp_path):
         str(root),
     )
     assert not problems, problems
+
+
+def test_retrieval_cascade_funnel_quality(spark):
+    """Quality contract for the composed cascade (r12 VERDICT #7c):
+    (a) recall@10 stays above a measured floor on the smoke corpus
+    (0.68 observed; 0.5 guards against a silently broken tier), and
+    (b) widening tier 1 to the whole corpus makes the cascade's only
+    loss the int8 tier-2 cut — recall must be monotonically >= the
+    production funnel's (the ivf nprobe-monotonicity convention)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import (
+        relational,
+        similarity_search as ss,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = relational.QUERIES["retrieval_cascade_recall"](spark, SF_SMOKE).collect()[0]
+    assert r.n_queries > 0
+    assert 0.5 <= r.mean_recall_at_10 <= 1.0, r.mean_recall_at_10
+
+    old_t1 = ss._CASCADE_T1
+    try:
+        ss._CASCADE_T1 = 10**6  # tier 1 passes everything
+        wide = relational.QUERIES["retrieval_cascade_recall"](
+            spark, SF_SMOKE
+        ).collect()[0]
+    finally:
+        ss._CASCADE_T1 = old_t1
+    assert wide.mean_recall_at_10 >= r.mean_recall_at_10

@@ -397,6 +397,27 @@ _NESTED_LOOP_ALLOWED = {
     # r12: 1-row max-excursion scalar broadcast onto the day series for
     # the peak/alarm argmins (the water-filling budget-scalar pattern)
     "page_hinkley_daily_revenue",
+    # r13: the brute-force evaluation tier broadcasts the query batch
+    # with a non-equi (query_id != neighbor_id) predicate — the exact
+    # ann_cosine_topk pattern; tiers 2-3 are candidate-sized equi-joins
+    "retrieval_cascade_recall",
+    # r13: deliberate dim-grid cross joins on contractions (the
+    # cross_join_region_status_grid pattern): the 15x15 contingency
+    # cell pair grid (ordinal), the <=50x50 value-difference grid
+    # (hodges_lehmann), the 5x50 zero-filled priority/quantity grid
+    # (jonckheere), the |sources| x |langs| grid (hellinger)
+    "ordinal_association_status_priority",
+    "hodges_lehmann_quantity_shift",
+    "jonckheere_terpstra_priority_trend",
+    "hellinger_lang_mix_by_source_pair",
+    # r13: 1-row scalar broadcasts onto grid-sized frames (the
+    # water-filling budget-scalar pattern): total-weight W onto the
+    # difference grid (wasserstein), the pooled median onto the cell
+    # table (mood), block-count/treatment-count onto the rank sums
+    # (friedman)
+    "wasserstein_quantity_halves",
+    "mood_median_test_price_priority",
+    "friedman_test_priority_by_month",
 }
 
 
