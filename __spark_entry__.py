@@ -125,7 +125,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r14+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (120
+# continuation of the never-driver-verified oracle-paired set (122
 # entries = ~3 more rounds of ~39-slot rotation; new r13 operators not
 # already in this round's panel append at the tail as they land).  The
 # determinism matrix has an opt-in test that stresses exactly this list
@@ -252,6 +252,8 @@ _PANEL_NEXT_CANDIDATES = [
     "page_hinkley_daily_revenue",
     "wasserstein_quantity_halves",
     "mood_median_test_price_priority",
+    "ansari_bradley_quantity_halves",
+    "page_trend_test_priority_by_month",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -18635,3 +18635,319 @@ def friedman_test_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test — did the SPREAD of quantities change between
+# the 1996 halves?  The dispersion twin of mann_whitney (location) and the
+# two-sample cousin of brown_forsythe (k-sample spread).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ansari_bradley_quantity_halves",
+    """
+    WITH assigned AS (
+        SELECT l_quantity AS x,
+               CASE WHEN l_shipdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END
+                   AS is1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, CAST(SUM(is1) AS DECIMAL(19,0)) AS d1,
+               CAST(COUNT(*) AS DECIMAL(19,0)) AS t
+        FROM assigned GROUP BY x
+    ),
+    n AS (
+        SELECT CAST(SUM(t) AS DECIMAL(19,0)) AS n,
+               CAST(SUM(d1) AS DECIMAL(19,0)) AS n1
+        FROM per_x
+    ),
+    stepped AS (
+        SELECT d1, t,
+               SUM(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        FROM per_x
+    ),
+    scored AS (
+        -- tied block's doubled midrank 2r = 2*ct - t + 1; AB score from
+        -- both ends: 2a = min(2r, 2(N+1) - 2r) — all integers
+        SELECT d1, t,
+               least(2 * CAST(ct AS DECIMAL(19,0)) - t + 1,
+                     2 * (n + 1) - (2 * CAST(ct AS DECIMAL(19,0)) - t + 1))
+                   AS a2
+        FROM stepped CROSS JOIN n
+    ),
+    m AS (
+        SELECT CAST(SUM(d1 * a2) AS DECIMAL(38,0)) AS ab2,
+               CAST(SUM(t * a2) AS DECIMAL(38,0)) AS sa2,
+               CAST(SUM(t * a2 * a2) AS DECIMAL(38,0)) AS saa4
+        FROM scored
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           round(CASE WHEN vr > 0 THEN
+                    (CAST(ab2 AS DOUBLE) / 2
+                     - CAST(n1 AS DOUBLE) * (CAST(sa2 AS DOUBLE) / 2)
+                       / CAST(n AS DOUBLE)) / sqrt(vr)
+                 END, 6) AS z_stat
+    FROM m CROSS JOIN (
+        SELECT n, n1,
+               CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+               * (CAST(n AS DOUBLE) * (CAST(saa4 AS DOUBLE) / 4)
+                  - (CAST(sa2 AS DOUBLE) / 2) * (CAST(sa2 AS DOUBLE) / 2))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1)) AS vr
+        FROM m CROSS JOIN n
+    )
+    """,
+)
+def ansari_bradley_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (Ansari & Bradley 1960,
+    public) between the 1996 half-year quantity samples: rank the
+    pooled sample from BOTH ends (score a = min(rank, N+1-rank),
+    midranks for ties), sum H1's scores, z-score against the exact
+    permutation moments computed from the REALIZED tied scores
+    (E = n1*abar, Var = n1 n2 (N*sum t a^2 - (sum t a)^2) / (N^2(N-1))
+    — the Hollander-Wolfe conditional-on-ties form, so ties are exact,
+    not approximated).  Completes the two-sample shelf:
+    mann_whitney/HL answer LOCATION, this answers SPREAD, and
+    wasserstein_quantity_halves is the combined metric.
+
+    Parity: doubled midranks 2r = 2*cum - t + 1 and doubled scores
+    2a = min(2r, 2(N+1)-2r) keep everything integer; the statistic,
+    score mean and score variance assemble from DECIMAL sums (the /2
+    and /4 rescales happen in double at the edge, exact for any sum
+    below 2^53 after division — magnitudes ~N^3 stay inside double's
+    integer range through sf100; beyond that the z is still exact to
+    the 6dp release because numerator and denominator share the scale).
+
+    Scale shape: one map-side-combinable per-value contraction (~50
+    quantity values), a grid-sized cumsum, one row out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    assigned = li.select(
+        _dec("l_quantity").alias("x"),
+        F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0).alias("is1"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").cast("decimal(19,0)").alias("d1"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("t"),
+    )
+    n = per_x.agg(
+        F.sum("t").cast("decimal(19,0)").alias("n"),
+        F.sum("d1").cast("decimal(19,0)").alias("n1"),
+    )
+    stepped = per_x.select(
+        "d1",
+        "t",
+        F.sum("t")
+        .over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("ct"),
+    )
+    r2 = 2 * F.col("ct").cast("decimal(19,0)") - F.col("t") + 1
+    scored = stepped.crossJoin(F.broadcast(n)).select(
+        "d1",
+        "t",
+        F.least(r2, 2 * (F.col("n") + 1) - r2).alias("a2"),
+    )
+    m = scored.agg(
+        F.sum(F.col("d1") * F.col("a2")).cast("decimal(38,0)").alias("ab2"),
+        F.sum(F.col("t") * F.col("a2")).cast("decimal(38,0)").alias("sa2"),
+        F.sum(F.col("t") * F.col("a2") * F.col("a2"))
+        .cast("decimal(38,0)")
+        .alias("saa4"),
+    )
+    j = m.crossJoin(F.broadcast(n))
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = nd - n1d
+    abar = (F.col("sa2").cast("double") / 2) / nd
+    vr = (
+        n1d
+        * n2d
+        * (nd * (F.col("saa4").cast("double") / 4)
+           - (F.col("sa2").cast("double") / 2) * (F.col("sa2").cast("double") / 2))
+        / (nd * nd * (nd - 1))
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        F.round(
+            F.when(
+                vr > 0,
+                (F.col("ab2").cast("double") / 2 - n1d * abar) / F.sqrt(vr),
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test — the ORDERED-alternative upgrade of Friedman, exactly
+# as Jonckheere-Terpstra upgrades Kruskal-Wallis: do the monthly rank sums
+# RISE along the priority order?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "page_trend_test_priority_by_month",
+    """
+    WITH bp AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS b,
+               o_orderpriority AS g,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM bp),
+    complete AS (
+        SELECT b FROM bp CROSS JOIN k GROUP BY b, k
+        HAVING COUNT(*) = ANY_VALUE(k)
+    ),
+    ranked AS (
+        SELECT bp.b, bp.g,
+               CAST(2 * RANK() OVER (PARTITION BY bp.b ORDER BY bp.v)
+                    + COUNT(*) OVER (PARTITION BY bp.b, bp.v) - 1
+                    AS DECIMAL(19,0)) AS r2,
+               CAST(DENSE_RANK() OVER (ORDER BY bp.g) AS DECIMAL(19,0)) AS s
+        FROM bp JOIN complete USING (b)
+    ),
+    blockvar AS (
+        -- per-block permutation variance factor: sum (2r - (k+1))^2
+        -- (doubled midranks centered at their invariant mean k+1)
+        SELECT b,
+               CAST(SUM((r2 - (k + 1)) * (r2 - (k + 1))) AS DECIMAL(38,0))
+                   AS sr2c
+        FROM ranked CROSS JOIN k
+        GROUP BY b
+    ),
+    sc AS (
+        SELECT CAST(SUM(s) AS DECIMAL(19,0)) AS ss,
+               CAST(SUM((2 * s - (k + 1)) * (2 * s - (k + 1)))
+                    AS DECIMAL(38,0)) AS ssc4,
+               ANY_VALUE(k) AS k
+        FROM (SELECT DISTINCT s FROM ranked) CROSS JOIN k
+    ),
+    m AS (
+        SELECT (SELECT CAST(SUM(s * r2) AS DECIMAL(38,0)) FROM ranked)
+                   AS l2,
+               (SELECT CAST(COUNT(*) AS DECIMAL(19,0)) FROM complete) AS bb,
+               (SELECT CAST(SUM(sr2c) AS DECIMAL(38,0)) FROM blockvar)
+                   AS svar
+    )
+    SELECT CAST(bb AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_groups,
+           round(CAST(l2 AS DOUBLE) / 2, 1) AS page_l,
+           round(CASE WHEN vr > 0 THEN
+                    (CAST(l2 AS DOUBLE) / 2
+                     - CAST(ss AS DOUBLE) * CAST(bb AS DOUBLE) * (k + 1) / 2)
+                    / sqrt(vr)
+                 END, 6) AS z_stat
+    FROM m CROSS JOIN (
+        SELECT ss, ssc4, k, bb2, svar2,
+               (CAST(ssc4 AS DOUBLE) / 4) * (CAST(svar2 AS DOUBLE) / 4)
+               / (CAST(k AS DOUBLE) - 1) AS vr
+        FROM sc CROSS JOIN (SELECT bb AS bb2, svar AS svar2 FROM m)
+    )
+    """,
+)
+def page_trend_test_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (Page 1963, public) for a MONOTONE revenue
+    ordering across priorities that holds consistently over the monthly
+    blocks: L = sum_j s_j R_j with s_j the priority's order index and
+    R_j its midrank sum over complete blocks.  The ordered-alternative
+    upgrade of friedman_test_priority_by_month, exactly as
+    jonckheere_terpstra upgrades kruskal_wallis — Friedman detects ANY
+    consistent difference, Page detects the TREND.
+
+    z-scored with the exact conditional-on-ties permutation moments:
+    within each block, independent uniform permutations give
+    E(L) = (sum s) * b * (k+1)/2 (midrank means are invariant) and
+    Var(L) = [sum_j (s_j - sbar)^2] * [sum_blocks sum_j (r_ij - rbar)^2]
+    / (k-1) — both assembled from INTEGER doubled midranks/scores
+    (r12 lesson: exact until the single z division).  Ties and
+    incomplete blocks behave identically on both engines by
+    construction.
+
+    Scale shape: the same (month, priority) contraction as Friedman;
+    block-partitioned rank windows over <= k rows; constant-size
+    moments.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    bp = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("b"),
+        F.col("o_orderpriority").alias("g"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("v"))
+    k = bp.agg(F.countDistinct("g").alias("k"))
+    complete = (
+        bp.crossJoin(F.broadcast(k))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.any_value("k").alias("k"))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("b")
+    )
+    ranked = bp.join(complete, "b").select(
+        "b",
+        "g",
+        (
+            2 * F.rank().over(Window.partitionBy("b").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("b", "v"))
+            - 1
+        )
+        .cast("decimal(19,0)")
+        .alias("r2"),
+        F.dense_rank()
+        .over(Window.orderBy("g"))
+        .cast("decimal(19,0)")
+        .alias("s"),
+    )
+    kk = F.col("k")
+    blockvar = (
+        ranked.crossJoin(F.broadcast(k))
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("r2") - (kk + 1)) * (F.col("r2") - (kk + 1)))
+            .cast("decimal(38,0)")
+            .alias("sr2c")
+        )
+    )
+    sc = (
+        ranked.select("s")
+        .distinct()
+        .crossJoin(F.broadcast(k))
+        .agg(
+            F.sum("s").cast("decimal(19,0)").alias("ss"),
+            F.sum((2 * F.col("s") - (kk + 1)) * (2 * F.col("s") - (kk + 1)))
+            .cast("decimal(38,0)")
+            .alias("ssc4"),
+            F.any_value("k").alias("k"),
+        )
+    )
+    l2 = ranked.agg(
+        F.sum(F.col("s") * F.col("r2")).cast("decimal(38,0)").alias("l2")
+    )
+    bb = complete.agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("bb"))
+    svar = blockvar.agg(F.sum("sr2c").cast("decimal(38,0)").alias("svar"))
+    j = (
+        l2.crossJoin(F.broadcast(bb))
+        .crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(svar))
+    )
+    kd = F.col("k").cast("double")
+    e_l = F.col("ss").cast("double") * F.col("bb").cast("double") * (kd + 1) / 2
+    vr = (
+        (F.col("ssc4").cast("double") / 4)
+        * (F.col("svar").cast("double") / 4)
+        / (kd - 1)
+    )
+    return j.select(
+        F.col("bb").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(F.col("l2").cast("double") / 2, 1).alias("page_l"),
+        F.round(
+            F.when(vr > 0, (F.col("l2").cast("double") / 2 - e_l) / F.sqrt(vr)),
+            6,
+        ).alias("z_stat"),
+    )

@@ -340,6 +340,12 @@ _NUMERIC_PANEL = [
     # (a month missing a priority) must drop identically, and all-tied
     # block values can zero the denominator -> NULL chi2
     "friedman_test_priority_by_month",
+    # r13 wave 2: all-tied quantities give every row the same AB score
+    # (zero score variance -> NULL z) and an empty half zeroes n1; the
+    # Page L permutation moments share Friedman's incomplete-block and
+    # all-tied degeneracies
+    "ansari_bradley_quantity_halves",
+    "page_trend_test_priority_by_month",
 ]
 
 

@@ -418,6 +418,10 @@ _NESTED_LOOP_ALLOWED = {
     "wasserstein_quantity_halves",
     "mood_median_test_price_priority",
     "friedman_test_priority_by_month",
+    # r13 wave 2: 1-row N/moment scalar broadcasts onto the ~50-row
+    # value grid (ansari_bradley) and onto the rank-sum frame (page)
+    "ansari_bradley_quantity_halves",
+    "page_trend_test_priority_by_month",
 }
 
 
