@@ -1797,11 +1797,15 @@ def pagerank_run(
         elif mode == "broadcast_ranks":
             broadcast_ranks = True
         elif mode == "auto":
-            # both counts land on frames the loop persists anyway, so
-            # the "extra" actions mostly pre-pay the first iteration's
-            # cache build rather than adding work
-            broadcast_ranks = _pagerank_pick_broadcast(
-                edges_w.count(), base.count()
+            # same predicate as _pagerank_pick_broadcast, written to
+            # SHORT-CIRCUIT: below the edge crossover (the common case)
+            # the node count never runs — one job, not two.  Both
+            # counts land on frames the loop persists anyway, so the
+            # "extra" action mostly pre-pays the first iteration's
+            # cache build rather than adding work.
+            broadcast_ranks = (
+                edges_w.count() >= _PR_AUTO_EDGE_CROSSOVER
+                and base.count() <= _PR_AUTO_MAX_BCAST_NODES
             )
         else:
             raise ValueError(
