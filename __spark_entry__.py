@@ -125,7 +125,7 @@ _PANEL_ROTATING = [
 ]
 
 # Staging pool for the NEXT rounds' rotation (r14+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (122
+# continuation of the never-driver-verified oracle-paired set (125
 # entries = ~3 more rounds of ~39-slot rotation; new r13 operators not
 # already in this round's panel append at the tail as they land).  The
 # determinism matrix has an opt-in test that stresses exactly this list
@@ -254,6 +254,9 @@ _PANEL_NEXT_CANDIDATES = [
     "mood_median_test_price_priority",
     "ansari_bradley_quantity_halves",
     "page_trend_test_priority_by_month",
+    "energy_distance_quantity_halves",
+    "qn_scale_quantity_1996",
+    "heaps_vocab_growth_checkpoints",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -18955,3 +18955,245 @@ def page_trend_test_priority_by_month(spark: SparkSession, sf_dir: str) -> DataF
             6,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy distance (and its Cramer-distance twin) between the 1996 halves —
+# the L2 member of the distribution-shift family: Wasserstein integrates
+# |F1-F2|, energy/Cramer integrates (F1-F2)^2.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "energy_distance_quantity_halves",
+    """
+    WITH assigned AS (
+        SELECT l_quantity AS x,
+               CASE WHEN l_shipdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END
+                   AS is1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x,
+               CAST(SUM(is1) AS DECIMAL(19,0)) AS d1,
+               CAST(COUNT(*) - SUM(is1) AS DECIMAL(19,0)) AS d2
+        FROM assigned GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS DECIMAL(19,0)) AS n1,
+               CAST(SUM(d2) AS DECIMAL(19,0)) AS n2
+        FROM per_x
+    ),
+    stepped AS (
+        SELECT x,
+               SUM(d1) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(d2) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+               CAST((LEAD(x) OVER (ORDER BY x) - x) * 100
+                    AS DECIMAL(19,0)) AS gap100
+        FROM per_x
+    ),
+    acc AS (
+        -- integral of (c1*n2 - c2*n1)^2 dx, all integer: the squared
+        -- cross-multiplied CDF gap times the 100x-integral grid gap
+        SELECT SUM(CAST((CAST(c1 AS DECIMAL(19,0)) * n2
+                         - CAST(c2 AS DECIMAL(19,0)) * n1) AS DOUBLE)
+                   * CAST((CAST(c1 AS DECIMAL(19,0)) * n2
+                           - CAST(c2 AS DECIMAL(19,0)) * n1) AS DOUBLE)
+                   * CAST(gap100 AS DOUBLE)) AS num
+        FROM stepped CROSS JOIN tot
+        WHERE gap100 IS NOT NULL
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(num / (100.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        * CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+               AS cramer_distance,
+           round(2 * num / (100.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                            * CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+               AS energy_distance
+    FROM acc CROSS JOIN tot
+    """,
+)
+def energy_distance_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance (Szekely & Rizzo 2004, public) and its Cramer-
+    distance half between the H1/H2 1996 quantity distributions, via
+    the 1-D identity D^2 = 2 * integral (F1 - F2)^2 dx — the L2 member
+    of the shift family next to wasserstein (L1 of the same gap) and
+    ks (Linf): energy weights LARGE CDF gaps quadratically, which is
+    what makes it the basis of the energy two-sample test and the MMD
+    family's closed-form 1-D case.
+
+    The integral assembles over the ~50-value grid: the cross-
+    multiplied CDF gap g = c1*n2 - c2*n1 is an exact integer; its
+    SQUARE times the integer 100*gap is accumulated in double (each
+    term is exact — g^2 * gap100 is a product of integers below 2^53
+    at any SF the grid contraction permits — and the ~50-term sum
+    follows the chi2_independence small-sum convention), with ONE
+    normalizing division by 100*(n1*n2)^2 at the edge.
+
+    Scale shape: identical to wasserstein_quantity_halves — one
+    map-side-combinable per-value contraction, a grid-sized cumsum,
+    one row out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    assigned = li.select(
+        _dec("l_quantity").alias("x"),
+        F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0).alias("is1"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").cast("decimal(19,0)").alias("d1"),
+        (F.count(F.lit(1)) - F.sum("is1")).cast("decimal(19,0)").alias("d2"),
+    )
+    tot = per_x.agg(
+        F.sum("d1").cast("decimal(19,0)").alias("n1"),
+        F.sum("d2").cast("decimal(19,0)").alias("n2"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = per_x.select(
+        "x",
+        F.sum("d1").over(w_cum).cast("decimal(19,0)").alias("c1"),
+        F.sum("d2").over(w_cum).cast("decimal(19,0)").alias("c2"),
+        ((F.lead("x").over(Window.orderBy("x")) - F.col("x")) * 100)
+        .cast("decimal(19,0)")
+        .alias("gap100"),
+    )
+    g = (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast("double")
+    acc = (
+        stepped.crossJoin(F.broadcast(tot))
+        .filter(F.col("gap100").isNotNull())
+        .agg(F.sum(g * g * F.col("gap100").cast("double")).alias("num"))
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    denom = 100.0 * n1d * n1d * n2d * n2d
+    return acc.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("num") / denom, 6).alias("cramer_distance"),
+        F.round(2 * F.col("num") / denom, 6).alias("energy_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rousseeuw-Croux Qn robust scale — the modern robust sigma (50% breakdown,
+# 82% Gaussian efficiency vs MAD's 37%), selected from the pairwise
+# |difference| multiset without ever materializing the pairs.
+# ---------------------------------------------------------------------------
+
+_QN_CONSISTENCY = 2.21914  # d_n -> d (Rousseeuw & Croux 1993, Gaussian)
+
+
+@_register(
+    "qn_scale_quantity_1996",
+    f"""
+    WITH px AS (
+        SELECT l_quantity AS x, CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(CAST(SUM(c) AS DECIMAL(19,0)) AS BIGINT) AS n FROM px),
+    grid AS (
+        -- weights of the i<j pairwise |difference| multiset, DOUBLED so
+        -- the same-value pair count c*(c-1)/2 stays integral
+        SELECT CAST(b.x AS DECIMAL(18,2)) - CAST(a.x AS DECIMAL(18,2)) AS d,
+               CAST(SUM(CASE WHEN b.x = a.x THEN a.c * (a.c - 1)
+                             ELSE 2 * a.c * b.c END) AS DECIMAL(38,0)) AS w2
+        FROM px a JOIN px b ON b.x >= a.x
+        GROUP BY 1
+    ),
+    kk AS (
+        -- k = C(h, 2) with h = floor(n/2) + 1; doubled: 2k = h*(h-1)
+        SELECT CAST(n // 2 + 1 AS DECIMAL(19,0)) AS h FROM n
+    ),
+    sel AS (
+        SELECT MIN(d) AS qn_raw FROM (
+            SELECT d, SUM(w2) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+            FROM grid
+        ) CROSS JOIN kk
+        WHERE cum2 >= h * (h - 1)
+    )
+    SELECT n,
+           CAST((SELECT h FROM kk) AS BIGINT) AS h,
+           round(CAST(qn_raw AS DOUBLE), 2) AS qn_raw,
+           round({_QN_CONSISTENCY} * CAST(qn_raw AS DOUBLE), 6) AS qn_scale
+    FROM sel CROSS JOIN n
+    """,
+)
+def qn_scale_quantity_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rousseeuw-Croux Qn robust scale (1993, public) of the 1996
+    shipped quantities: the k-th order statistic of the C(n,2) pairwise
+    |x_i - x_j| multiset with k = C(floor(n/2)+1, 2), times the
+    Gaussian consistency constant {d}.  THE modern robust sigma — 50%
+    breakdown like the MAD but 82% Gaussian efficiency (MAD: 37%) and
+    no symmetry assumption; what a drift monitor should use as its
+    denominator before z-scoring anything heavy-tailed.
+
+    The C(n,2) pair multiset never materializes (the hodges_lehmann
+    precedent): ~50 distinct quantity values contract to per-value
+    counts, the |difference| grid carries DOUBLED weights (2*c_a*c_b
+    for distinct values, c*(c-1) for same-value pairs — integral
+    without a /2), and the selection threshold doubles to
+    2k = h*(h-1), so the scan is pure integer comparison.  n // 2 is
+    BIGINT integral division on both engines (n is a row count —
+    always BIGINT-sized even at 100 TB).
+
+    Scale shape: one map-side-combinable per-value contraction, a
+    <= 50x50 grid join, a grid-sized cumsum.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    px = li.groupBy(_dec("l_quantity").alias("x")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("c")
+    )
+    n = px.agg(F.sum("c").cast("decimal(19,0)").cast("long").alias("n"))
+    a, b = px.alias("a"), px.alias("b")
+    grid = (
+        a.join(b, F.col("b.x") >= F.col("a.x"))
+        .groupBy((F.col("b.x") - F.col("a.x")).alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.x") == F.col("a.x"),
+                    F.col("a.c") * (F.col("a.c") - 1),
+                ).otherwise(2 * F.col("a.c") * F.col("b.c"))
+            )
+            .cast("decimal(38,0)")
+            .alias("w2")
+        )
+    )
+    kk = n.select(
+        (F.expr("n div 2") + 1).cast("decimal(19,0)").alias("h")
+    )
+    cums = grid.select(
+        "d",
+        F.sum("w2")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum2"),
+    ).crossJoin(F.broadcast(kk))
+    sel = cums.filter(
+        F.col("cum2") >= F.col("h") * (F.col("h") - 1)
+    ).agg(F.min("d").alias("qn_raw"))
+    return (
+        sel.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "n",
+            F.col("h").cast("long").alias("h"),
+            F.round(F.col("qn_raw").cast("double"), 2).alias("qn_raw"),
+            F.round(
+                F.lit(_QN_CONSISTENCY) * F.col("qn_raw").cast("double"), 6
+            ).alias("qn_scale"),
+        )
+    )
+
+
+qn_scale_quantity_1996.__doc__ = qn_scale_quantity_1996.__doc__.replace(
+    "{d}", str(_QN_CONSISTENCY)
+)

@@ -7295,3 +7295,130 @@ def hellinger_lang_mix_by_source_pair(spark: SparkSession, sf_dir: str) -> DataF
             "hellinger"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary-growth checkpoints — V(n) and T(n) at doubling
+# document counts: the corpus-saturation read behind dedup/quality audits.
+# Integers only (the zipf precedent): no log-log fit, because cross-engine
+# libm float fits are the portability trap the whitespace contract bans.
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+@_register(
+    "heaps_vocab_growth_checkpoints",
+    _TOKENS_CTE
+    + f"""
+    , ranked_docs AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+               len(tokens) AS tc
+        FROM tok
+    ),
+    first_seen AS (
+        SELECT u.token, MIN(r.rn) AS first_rn
+        FROM (SELECT doc_id, unnest(tokens) AS token FROM tok) u
+        JOIN ranked_docs r ON r.doc_id = u.doc_id
+        GROUP BY u.token
+    ),
+    cps AS (
+        SELECT unnest(ARRAY{_HEAPS_CHECKPOINTS}) AS n_docs
+    ),
+    valid AS (
+        SELECT n_docs FROM cps
+        WHERE n_docs <= (SELECT COUNT(*) FROM ranked_docs)
+    ),
+    t AS (
+        SELECT v.n_docs, CAST(SUM(CASE WHEN r.rn <= v.n_docs THEN r.tc
+                                       ELSE 0 END) AS BIGINT) AS total_tokens
+        FROM valid v CROSS JOIN ranked_docs r
+        GROUP BY v.n_docs
+    ),
+    vv AS (
+        SELECT v.n_docs, CAST(SUM(CASE WHEN f.first_rn <= v.n_docs THEN 1
+                                       ELSE 0 END) AS BIGINT) AS vocab_size
+        FROM valid v CROSS JOIN first_seen f
+        GROUP BY v.n_docs
+    )
+    SELECT CAST(t.n_docs AS BIGINT) AS n_docs, t.total_tokens, vv.vocab_size,
+           round(CAST(vv.vocab_size AS DOUBLE) / t.total_tokens, 6)
+               AS vocab_per_token
+    FROM t JOIN vv ON t.n_docs = vv.n_docs
+    """,
+)
+def heaps_vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth checkpoints (Heaps 1978, public):
+    distinct-vocabulary size V and cumulative token count T after the
+    first n documents (doc_id order), at doubling n — the checkpoint
+    row set IS the saturation curve (V ~ k T^beta; a crawl full of
+    boilerplate or duplicates flattens early, an over-filtered corpus
+    keeps climbing).  The zipf_rank_frequency_curve convention applies:
+    exact integers only, no in-engine log-log fit (libm logs are the
+    cross-engine trap), plus one single-division type-token ratio.
+
+    V(n) never needs a corpus-ordered cumsum: each token contracts to
+    its FIRST document rank (one grouped MIN), and every checkpoint is
+    a conditional count over that contraction — the checkpoint grid is
+    a 12-row broadcast.  The one ordered window ranks the DOCUMENT
+    table (the corpus catalog, ~100x smaller than the token relation;
+    the mann_whitney dimension-window precedent).
+
+    Scale shape: one token explode feeding one grouped MIN
+    (map-side-combinable), one doc-sized rank window, two
+    checkpoint-grid conditional aggregates.  Output: <= 12 rows."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", TX.tokens("text").alias("toks"))
+    ranked = tok.select(
+        "doc_id",
+        F.size("toks").alias("tc"),
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    )
+    first_seen = (
+        tok.select("doc_id", F.explode("toks").alias("token"))
+        .join(ranked.select("doc_id", "rn"), "doc_id")
+        .groupBy("token")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    n_docs_total = ranked.agg(F.count(F.lit(1)).alias("nd"))
+    cps = spark.createDataFrame(
+        [(c,) for c in _HEAPS_CHECKPOINTS], "n_docs long"
+    )
+    valid = cps.crossJoin(F.broadcast(n_docs_total)).filter(
+        F.col("n_docs") <= F.col("nd")
+    ).select("n_docs")
+    t = (
+        F.broadcast(valid)
+        .crossJoin(ranked.select("rn", "tc"))
+        .groupBy("n_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("n_docs"), F.col("tc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("total_tokens")
+        )
+    )
+    vv = (
+        F.broadcast(valid)
+        .crossJoin(first_seen)
+        .groupBy("n_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("first_rn") <= F.col("n_docs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
+    )
+    return (
+        t.join(vv, "n_docs")
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_tokens",
+            "vocab_size",
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("total_tokens"), 6
+            ).alias("vocab_per_token"),
+        )
+    )

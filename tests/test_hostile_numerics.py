@@ -346,6 +346,12 @@ _NUMERIC_PANEL = [
     # all-tied degeneracies
     "ansari_bradley_quantity_halves",
     "page_trend_test_priority_by_month",
+    # r13 wave 3: the energy/Cramer integral shares wasserstein's
+    # empty-half and single-point degeneracies (zero distance); Qn's
+    # doubled-weight grid must count same-value pairs c*(c-1) and the
+    # all-tied corpus selects qn_raw = 0 on both engines
+    "energy_distance_quantity_halves",
+    "qn_scale_quantity_1996",
 ]
 
 

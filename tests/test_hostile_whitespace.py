@@ -135,6 +135,11 @@ _HOSTILE_PANEL = [
     # a lang absent from one source contributes sqrt(0) identically and
     # single-source corpora emit zero pairs on both engines
     "hellinger_lang_mix_by_source_pair",
+    # r13 Heaps checkpoints: the hostile corpus has fewer docs than
+    # most checkpoints (they drop identically); whitespace-only and
+    # empty docs contribute zero/empty token arrays whose first-seen
+    # ranks and counts must agree exactly
+    "heaps_vocab_growth_checkpoints",
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",

@@ -422,6 +422,12 @@ _NESTED_LOOP_ALLOWED = {
     # value grid (ansari_bradley) and onto the rank-sum frame (page)
     "ansari_bradley_quantity_halves",
     "page_trend_test_priority_by_month",
+    # r13 wave 3: scalar/grid broadcasts again — total-weight onto the
+    # difference grid (energy, qn) and the 12-row checkpoint grid onto
+    # the doc-rank / first-seen contractions (heaps)
+    "energy_distance_quantity_halves",
+    "qn_scale_quantity_1996",
+    "heaps_vocab_growth_checkpoints",
 }
 
 
