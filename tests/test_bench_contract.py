@@ -41,3 +41,31 @@ def test_bench_line_fits_driver_tail_window():
         f"bench JSON line would be {len(line)} chars; the driver tail "
         "window keeps 2000 — retire an entry to SWEEP_ONLY"
     )
+
+
+def test_backlog_ledger_matches_scale_md():
+    """SCALE.md's quoted backlog must be the mechanically derived number.
+
+    VERDICT r13 #5: the hand-narrated ledger drifted off by one (226 vs
+    227).  The closeout convention is one line ``never-driver-verified
+    ledger: N`` in SCALE.md; the LAST such line must equal
+    scripts/backlog_ledger.py's derivation (oracle-paired registry minus
+    the union of green names across CORRECTNESS_r*.json).
+    """
+    import os
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import backlog_ledger
+
+    quoted = backlog_ledger.scale_md_quoted_backlog(REPO)
+    assert quoted is not None, (
+        "SCALE.md has no 'never-driver-verified ledger: N' line; the "
+        "closeout must quote the generated number"
+    )
+    derived = backlog_ledger.ledger(REPO)["never_driver_verified"]
+    assert quoted == derived, (
+        f"SCALE.md quotes backlog={quoted} but the mechanical ledger "
+        f"derives {derived}; regenerate with scripts/backlog_ledger.py"
+    )
