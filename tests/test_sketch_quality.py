@@ -202,3 +202,163 @@ def test_hll_md5_registers_rel_err_within_3_sigma(spark):
         ).collect()[0]
         assert abs(r.rel_err) <= bound, (sf_dir, r.rel_err, bound)
         assert abs(r.hll_estimate - r.exact_distinct) <= bound * r.exact_distinct + 1
+
+
+# ---------------------------------------------------------------------------
+# Round-14 published-bound sweep (VERDICT r13 #2): every RELEASED
+# accuracy/error column gets a test asserting its PUBLISHED bound or an
+# independent (third-implementation) recomputation — the generalized HLL
+# lesson: oracle parity cannot catch a formula both engines share.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_fpr_calibration_within_binomial_band(spark):
+    """bloom_fpr_calibration's released columns audited independently:
+    (a) theoretical_fpr recomputed in Python from (m,k,n_members) must
+    match the released column (formula-drift guard), (b) measured_fpr
+    is Binomial(n_probes, p~theoretical) so it must sit within 3 sigma
+    of theory (+ one-probe discreteness), and (c) fill_ratio must match
+    its expectation 1-(1-1/m)^(k*n) within a 3-sigma Poisson-binomial
+    band (Bloom 1970 / Mitzenmacher-Upfal)."""
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        r = relational.QUERIES["bloom_fpr_calibration"](spark, sf_dir).collect()[0]
+        m, k, n = r.m_bits, r.k_hashes, r.n_members
+        p_theory = (1.0 - (1.0 - 1.0 / m) ** (k * n)) ** k
+        assert abs(r.theoretical_fpr - round(p_theory, 6)) <= 1e-6, (
+            sf_dir, r.theoretical_fpr, p_theory,
+        )
+        sigma = (p_theory * (1 - p_theory) / r.n_probes) ** 0.5
+        assert abs(r.measured_fpr - p_theory) <= 3 * sigma + 1.0 / r.n_probes, (
+            sf_dir, r.measured_fpr, p_theory, sigma, r.n_probes,
+        )
+        fill_theory = 1.0 - (1.0 - 1.0 / m) ** (k * n)
+        fill_sigma = (fill_theory * (1 - fill_theory) / m) ** 0.5
+        assert abs(r.fill_ratio - fill_theory) <= 3 * fill_sigma + 1.0 / m, (
+            sf_dir, r.fill_ratio, fill_theory,
+        )
+
+
+def test_minhash_calibration_within_broder_variance_bound(spark):
+    """minhash_estimate_calibration's released mean_abs_err audited
+    against the Broder (1997) estimator variance: each signature
+    agreement is Binomial(k=8, J), so sd(J_hat) = sqrt(J(1-J)/k)
+    <= 1/(2*sqrt(k)) and E|J_hat - J| <= sd by Jensen.  The
+    pair-weighted mean absolute error across all groups must stay
+    within that bound plus a 3-sigma concentration term (|err| <= 1,
+    so var of the N-pair mean <= 1/(4N))."""
+    rows = relational.QUERIES["minhash_estimate_calibration"](
+        spark, SF_SMOKE
+    ).collect()
+    n_pairs = sum(r.n_pairs for r in rows)
+    assert n_pairs > 0
+    weighted_mae = sum(r.n_pairs * r.mean_abs_err for r in rows) / n_pairs
+    k = 8
+    bound = 1.0 / (2 * k**0.5) + 1.5 / n_pairs**0.5
+    assert weighted_mae <= bound, (weighted_mae, bound, n_pairs)
+    # per-group sanity: estimates and true Jaccard live on [0,1]
+    for r in rows:
+        assert 0 <= r.n_eq <= k
+        assert 0.0 <= r.mean_true_jaccard <= 1.0
+        assert 0.0 <= r.mean_abs_err <= 1.0
+
+
+def test_ddsketch_released_rel_err_within_alpha(spark):
+    """ddsketch_quantiles_price's released rel_err must honor the
+    published DDSketch guarantee (Masson/Rim/Lee VLDB 2019): the bucket
+    representative 2*gamma^b/(gamma+1) is within alpha of every value
+    in bucket b, and the probed bucket contains the exact rank-target
+    value, so rel_err <= alpha (+ the 2dp rounding of est, bounded by
+    0.005/exact).  The exact side is recomputed independently here with
+    a driver-side sort (type-1 lower quantile at rank ceil(q*n))."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        _DDSKETCH_ALPHA,
+        _DDSKETCH_QS,
+    )
+
+    rows = relational.QUERIES["ddsketch_quantiles_price"](spark, SF_SMOKE).collect()
+    assert {float(r.q) for r in rows} == set(_DDSKETCH_QS)
+    vals = sorted(
+        float(x.o_totalprice)
+        for x in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .filter(F.col("o_totalprice") > 0)
+        .select("o_totalprice")
+        .collect()
+    )
+    import math
+
+    n = len(vals)
+    for r in rows:
+        exact_indep = round(vals[math.ceil(r.q * n) - 1], 2)
+        assert abs(float(r.exact) - exact_indep) < 0.005, (r.q, r.exact, exact_indep)
+        slack = 0.005 / float(r.exact) + 1e-6
+        assert r.rel_err <= _DDSKETCH_ALPHA + slack, (r.q, r.rel_err)
+        assert abs(r.est / exact_indep - 1.0) <= _DDSKETCH_ALPHA + slack
+
+
+def test_cascade_recall_column_matches_numpy_recompute(spark):
+    """retrieval_cascade_recall's released mean_recall_at_10 recomputed
+    by a THIRD implementation (numpy, no Spark expressions shared): the
+    same funnel — packed sign bits -> hamming top-50 (neighbor_id-asc
+    ties) -> int8 floor(127x/maxabs+0.5) integer dot top-20 -> exact
+    cosine (6dp) top-10 — against the exact 6dp-cosine top-10.  A
+    shared-formula defect in the recall arithmetic (the HLL-rho class)
+    cannot hide from this."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
+        _CASCADE_K,
+        _CASCADE_T1,
+        _CASCADE_T2,
+    )
+
+    released = relational.QUERIES["retrieval_cascade_recall"](
+        spark, SF_SMOKE
+    ).collect()[0]
+
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in raw], dtype=np.int64)
+    V = np.array([r.embedding for r in raw], dtype=np.float64)
+    nz = (V * V).sum(axis=1) > 0
+    ids, V = ids[nz], V[nz]
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    qmask = ids % 100 == 0
+    qids = ids[qmask]
+    assert released.n_queries == len(qids)
+
+    bits = V > 0  # packed sign state, bitwise
+    maxabs = np.abs(V).max(axis=1)
+    qz = np.where(
+        maxabs[:, None] == 0, 0, np.floor(127 * V / np.where(maxabs == 0, 1, maxabs)[:, None] + 0.5)
+    ).astype(np.int64)
+    norms = np.sqrt((V * V).sum(axis=1))
+
+    def topk(scores, own_idx, k, desc):
+        s = scores.copy().astype(np.float64)
+        s[own_idx] = -np.inf if desc else np.inf
+        key = -s if desc else s
+        order = np.lexsort((ids, key))  # key asc, neighbor_id asc ties
+        return order[:k]
+
+    total_overlap, total_exact = 0, 0
+    for qi in np.flatnonzero(qmask):
+        cos = np.round(V @ V[qi] / (norms * norms[qi]), 6)
+        exact_idx = set(topk(cos, qi, _CASCADE_K, desc=True))
+        ham = (bits ^ bits[qi]).sum(axis=1).astype(np.float64)
+        t1 = topk(ham, qi, _CASCADE_T1, desc=False)
+        dots = (qz[t1] @ qz[qi]).astype(np.float64)
+        t1_sorted = t1[np.lexsort((ids[t1], -dots))][:_CASCADE_T2]
+        cos2 = np.round(V[t1_sorted] @ V[qi] / (norms[t1_sorted] * norms[qi]), 6)
+        t3 = t1_sorted[np.lexsort((ids[t1_sorted], -cos2))][:_CASCADE_K]
+        total_overlap += len(exact_idx & set(t3))
+        total_exact += len(exact_idx)
+
+    recall_indep = round(total_overlap / total_exact, 6)
+    assert abs(released.mean_recall_at_10 - recall_indep) <= 1e-6, (
+        released.mean_recall_at_10,
+        recall_indep,
+    )
