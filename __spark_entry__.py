@@ -257,6 +257,8 @@ _PANEL_NEXT_CANDIDATES = [
     "energy_distance_quantity_halves",
     "qn_scale_quantity_1996",
     "heaps_vocab_growth_checkpoints",
+    # r14 additions land at the staging tail as they register
+    "prefix_jaccard_sampled_pairs",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

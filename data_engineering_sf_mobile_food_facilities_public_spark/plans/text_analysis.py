@@ -3293,10 +3293,128 @@ def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     hot-bucket cap in the LSH tier simply never joins here; candidate
     verification reuses the array-intersect :func:`jaccard` scorer over
     pruned pairs only."""
+    return prefix_jaccard_pairs_run(spark, sf_dir, threshold=0.6)
+
+
+_PJS_PCT = 25  # deterministic md5-lane sample for the sampled audit tier
+
+
+def prefix_jaccard_pairs_run(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    sample_pct: int | None = None,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Parameterized exact prefix-filtered Jaccard audit (VERDICT r13
+    #6): the fourth-decade probe measured the GLOBAL variant's
+    candidate sort going alpha~1.13 superlinear (n log n sort +
+    scheduling, not skew), so the operational ruling — "run the exact
+    audit on samples or per-shard at scale" — is a code path here, not
+    prose.
+
+    * ``sample_pct`` — keep only documents whose deterministic md5 lane
+      (``md5('pjs:' || doc_id) % 100``) falls below the percentage; the
+      audit is then EXACT on the sampled sub-corpus and its cost scales
+      with the sample, independent of corpus growth.  The lane is
+      oracle-replayable, so the sampled tier stays hash-verified.
+    * ``n_shards`` — assign each document to one of S md5 shards and
+      run the whole audit within each shard (see
+      :func:`...operators.minhash.prefix_filter_pairs` ``shard_col``):
+      per-shard sorts are (n/S) log(n/S) and shards schedule
+      independently, trading cross-shard pairs for a flat scale curve.
+
+    Both knobs compose; the serving path for full-corpus near-dup
+    remains MinHash-LSH banding (the r13 adjudication)."""
     d = load(spark, sf_dir, "documents")
+    if sample_pct is not None:
+        lane = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("pjs:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        d = d.filter(lane < int(sample_pct))
     sh = shingles(d)
-    cands = prefix_filter_pairs(sh, 0.6)
-    return jaccard(cands, sh).filter(F.col("jaccard") >= 0.6)
+    if n_shards is not None and int(n_shards) > 1:
+        shard = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("pjh:"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % int(n_shards)
+        )
+        sh = sh.withColumn("__shard", shard)
+        cands = prefix_filter_pairs(sh, threshold, shard_col="__shard")
+        sh = sh.drop("__shard")
+    else:
+        cands = prefix_filter_pairs(sh, threshold)
+    return jaccard(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+@_register(
+    "prefix_jaccard_sampled_pairs",
+    _TOKENS_CTE.replace(
+        "FROM documents",
+        f"""FROM documents
+    WHERE CAST(('0x' || substr(md5('pjs:' || CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) % 100 < {_PJS_PCT}""",
+    )
+    + """
+, pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tokens[i:i+4], ' ') AS shingle
+    FROM pos
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT cm.id_a, cm.id_b,
+       CAST(cm.n_common AS DOUBLE) / (na.n_sh + nb.n_sh - cm.n_common) AS jaccard
+FROM common cm
+JOIN sizes na ON na.doc_id = cm.id_a
+JOIN sizes nb ON nb.doc_id = cm.id_b
+WHERE CAST(cm.n_common AS DOUBLE) / (na.n_sh + nb.n_sh - cm.n_common) >= 0.6
+""",
+)
+def prefix_jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED exact-Jaccard audit tier (VERDICT r13 #6): identical
+    semantics to :func:`prefix_filtered_jaccard_pairs` but over the
+    deterministic 25% md5-lane document sample, which is the tier that
+    stays affordable when the full-corpus exact audit's measured
+    alpha~1.13 sort superlinearity bites (x30 probe, SCALE.md r13).
+    The oracle runs the UNPRUNED any-shared-shingle join over the SAME
+    sampled sub-corpus, so losslessness of the prefix filter is
+    hash-proven on the sampled tier exactly as on the full one."""
+    return prefix_jaccard_pairs_run(
+        spark, sf_dir, threshold=0.6, sample_pct=_PJS_PCT
+    )
 
 
 @_register("bpe_train_merges")  # rows-only: iterative data-dependent argmax loop

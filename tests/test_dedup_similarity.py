@@ -610,3 +610,95 @@ def test_retrieval_cascade_funnel_quality(spark):
     # with a one-query-in-ten tolerance; re-measure if the embedding
     # fixture is ever regenerated.
     assert wide.mean_recall_at_10 >= r.mean_recall_at_10 - (0.1 / r.n_queries)
+
+
+def test_prefix_jaccard_sharded_equals_full_restricted_to_same_shard(spark):
+    """The sharded audit tier (VERDICT r13 #6) is per-shard EXACT: the
+    union of per-shard results must equal the full exact result
+    restricted to same-shard pairs — nothing within a shard is lost
+    (the prefix principle holds for any total order, including
+    per-shard df) and nothing cross-shard is invented."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis import (
+        prefix_jaccard_pairs_run,
+    )
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs_run(spark, SF_SMOKE).collect()
+    }
+    sharded = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs_run(spark, SF_SMOKE, n_shards=3).collect()
+    }
+    lane = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pjh:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    shard_of = {
+        r.doc_id: r.s
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", lane.alias("s"))
+        .collect()
+    }
+    same_shard = {
+        (a, b, j) for (a, b, j) in full if shard_of[a] == shard_of[b]
+    }
+    assert sharded == same_shard
+    assert sharded < full  # cross-shard pairs exist and are excluded by design
+
+
+def test_prefix_jaccard_sampled_tier_exact_on_sample(spark):
+    """The sampled audit tier is EXACT on its sub-corpus: its result
+    must equal the full exact result restricted to pairs where BOTH
+    docs fall in the md5 lane, and the sample must be a real subset."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis import (
+        _PJS_PCT,
+        prefix_jaccard_pairs_run,
+    )
+
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs_run(spark, SF_SMOKE).collect()
+    }
+    sampled = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in relational.QUERIES["prefix_jaccard_sampled_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    lane = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pjs:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    in_lane = {
+        r.doc_id
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(lane < _PJS_PCT)
+        .select("doc_id")
+        .collect()
+    }
+    want = {(a, b, j) for (a, b, j) in full if a in in_lane and b in in_lane}
+    assert sampled == want
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert 0 < len(in_lane) < n_docs

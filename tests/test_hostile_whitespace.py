@@ -166,6 +166,10 @@ _HOSTILE_PANEL = [
     # hostile corpus (empty docs, whitespace-only docs, exotic spaces)
     # must prune identically on both engines
     "prefix_filtered_jaccard_pairs",
+    # r14: the sampled audit tier consumes the same shingle relation
+    # through an md5 document lane — the lane arithmetic and the pruned
+    # join must agree on hostile docs on both engines
+    "prefix_jaccard_sampled_pairs",
     # conjunctive search explodes the token array into postings: empty
     # tokens from whitespace-only docs must be dropped identically, and
     # the top-df selection must tie-break identically on both engines
