@@ -19252,3 +19252,600 @@ def qn_scale_quantity_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
 qn_scale_quantity_1996.__doc__ = qn_scale_quantity_1996.__doc__.replace(
     "{d}", str(_QN_CONSISTENCY)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: two-sample shelf — Cliff's delta (ordinal effect size) and the
+# Kuiper statistic (the rotation-robust KS sibling).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cliffs_delta_quantity_halves",
+    """
+    WITH assigned AS (
+        SELECT l_quantity AS x,
+               CASE WHEN l_shipdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END
+                   AS is1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    g1 AS (SELECT x, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM assigned WHERE is1 = 1 GROUP BY x),
+    g2 AS (SELECT x, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM assigned WHERE is1 = 0 GROUP BY x),
+    cnt AS (
+        SELECT
+          (SELECT CAST(COALESCE(SUM(a.w * b.w), 0) AS DECIMAL(38,0))
+             FROM g1 a JOIN g2 b ON b.x > a.x) AS n_gt,
+          (SELECT CAST(COALESCE(SUM(a.w * b.w), 0) AS DECIMAL(38,0))
+             FROM g1 a JOIN g2 b ON b.x < a.x) AS n_lt,
+          (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g1) AS n1,
+          (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g2) AS n2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(n_gt AS BIGINT) AS n_gt,
+           CAST(n_lt AS BIGINT) AS n_lt,
+           round((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS cliffs_delta
+    FROM cnt
+    """,
+)
+def cliffs_delta_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (Cliff 1993, public) between the H2 and H1 1996
+    shipped-quantity distributions: d = (#{x2 > x1} - #{x2 < x1}) /
+    (n1 n2) — the ordinal effect size that reads Mann-Whitney's U as a
+    [-1, 1] magnitude (d = 2*U/(n1 n2) - 1 up to tie handling), robust
+    to any monotone transform.  Completes the two-sample shelf next to
+    hodges_lehmann (shift in UNITS) and cliff-free rank tests (p-values
+    without magnitude).
+
+    Exactness: the n1*n2 pair multiset contracts to the ~50-value
+    count grid; greater/less pair masses are DECIMAL(19,0)^2 products
+    summed in DECIMAL(38,0) — exact at any SF — and ONE double
+    division runs at the edge, rounded 6dp.
+
+    Scale shape: two map-side-combinable value-count aggregates and two
+    grid-bounded (<= 50x50) inequality joins; no data-sized shuffle
+    beyond the contraction.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    half = F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0)
+    assigned = li.select(_dec("l_quantity").alias("x"), half.alias("is1"))
+    g1 = (
+        assigned.filter(F.col("is1") == 1)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    g2 = (
+        assigned.filter(F.col("is1") == 0)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    a, b = g1.alias("a"), g2.alias("b")
+    n_gt = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.coalesce(F.sum(F.col("a.w") * F.col("b.w")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_gt")
+        )
+    )
+    n_lt = (
+        a.join(b, F.col("b.x") < F.col("a.x"))
+        .agg(
+            F.coalesce(F.sum(F.col("a.w") * F.col("b.w")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_lt")
+        )
+    )
+    n1 = g1.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n1")
+    )
+    n2 = g2.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n2")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n_gt))
+        .crossJoin(F.broadcast(n_lt))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("n_gt").cast("long").alias("n_gt"),
+            F.col("n_lt").cast("long").alias("n_lt"),
+            F.round(
+                (F.col("n_gt").cast("double") - F.col("n_lt").cast("double"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("cliffs_delta"),
+        )
+    )
+
+
+@_register(
+    "kuiper_test_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, SUM(is1) AS d1, SUM(is2) AS d2 FROM assigned GROUP BY x
+    ),
+    stepped AS (
+        SELECT
+            SUM(d1) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+            SUM(d2) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        FROM per_x
+    ),
+    tot AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2
+        FROM per_x
+    ),
+    m AS (
+        SELECT MAX(CAST(c1 AS DECIMAL(19,0)) * t.n2
+                   - CAST(c2 AS DECIMAL(19,0)) * t.n1) AS dplus,
+               MAX(CAST(c2 AS DECIMAL(19,0)) * t.n1
+                   - CAST(c1 AS DECIMAL(19,0)) * t.n2) AS dminus,
+               any_value(t.n1) AS n1, any_value(t.n2) AS n2
+        FROM stepped CROSS JOIN tot t
+    )
+    SELECT n1, n2,
+           round(CAST(GREATEST(dplus, 0) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_plus,
+           round(CAST(GREATEST(dminus, 0) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_minus,
+           round(CAST(GREATEST(dplus, 0) + GREATEST(dminus, 0) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS kuiper_v,
+           round((CAST(GREATEST(dplus, 0) + GREATEST(dminus, 0) AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+               AS kuiper_z
+    FROM m
+    """,
+)
+def kuiper_test_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper statistic (Kuiper 1960, public) between the
+    1996 half-year order-price distributions: V = D+ + D- with
+    D+/- the max SIGNED ECDF gaps — the KS sibling whose value is
+    invariant under cyclic shifts and equally sensitive at the
+    distribution tails (KS concentrates power at the median), the
+    standard choice for periodic/circular drift audits.
+
+    Exactness: the ks_statistic_price_halves discipline verbatim —
+    both signed deviations maximize over the exact INTEGER
+    c1*n2 - c2*n1 (DECIMAL products), clamped at 0 (the gap at the
+    virtual -inf step), and only the final divisions/sqrt run in
+    double, rounded 6dp.
+
+    Scale shape: one value-contraction, one grouped_running_sum
+    two-pass cumsum on distinct prices, a broadcast totals join, one
+    global max — no data-sized window.  Output: one row."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("is2"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("d1"), F.sum("is2").alias("d2")
+    )
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["d1", "d2"],
+        out_col=["c1", "c2"],
+    )
+    tot = per_x.agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    m = (
+        stepped.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("c1").cast("decimal(19,0)") * F.col("n2")
+                - F.col("c2").cast("decimal(19,0)") * F.col("n1")
+            ).alias("sgap"),
+        )
+        .agg(
+            F.max("sgap").alias("dplus"),
+            F.max(-F.col("sgap")).alias("dminus"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    dp = F.greatest(F.col("dplus"), F.lit(0)).cast("double") / (n1d * n2d)
+    dm = F.greatest(F.col("dminus"), F.lit(0)).cast("double") / (n1d * n2d)
+    # V sums the two clamped INTEGER deviations exactly and divides ONCE
+    # (one IEEE op) — summing the two already-divided doubles would be a
+    # different rounding than the oracle's single division
+    v = (
+        F.greatest(F.col("dplus"), F.lit(0))
+        + F.greatest(F.col("dminus"), F.lit(0))
+    ).cast("double") / (n1d * n2d)
+    return m.select(
+        "n1",
+        "n2",
+        F.round(dp, 6).alias("d_plus"),
+        F.round(dm, 6).alias("d_minus"),
+        F.round(v, 6).alias("kuiper_v"),
+        F.round(v * F.sqrt(n1d * n2d / (n1d + n2d)), 6).alias("kuiper_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: inequality indices (Theil T / Atkinson) over customer revenue.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "inequality_indices_customer_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey, CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS y
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey
+        HAVING SUM(o_totalprice) > 0
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DECIMAL(38,2)) AS s
+        FROM rev
+    ),
+    terms AS (
+        SELECT
+            CAST(round((CAST(y AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                       * ln(CAST(y AS DOUBLE) / (CAST(s AS DOUBLE) / n)), 6)
+                 AS DECIMAL(18,6)) AS t_theil,
+            CAST(round(sqrt(CAST(y AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t_sqrt
+        FROM rev CROSS JOIN tot
+    )
+    SELECT t.n,
+           round(CAST(s AS DOUBLE) / t.n, 6) AS mean_revenue,
+           round(CAST(SUM(tr.t_theil) AS DOUBLE) / t.n, 6) AS theil_t,
+           round(1 - (CAST(SUM(tr.t_sqrt) AS DOUBLE) / t.n)
+                     * (CAST(SUM(tr.t_sqrt) AS DOUBLE) / t.n)
+                     / (CAST(s AS DOUBLE) / t.n), 6) AS atkinson_05
+    FROM terms tr CROSS JOIN tot t
+    GROUP BY t.n, t.s
+    """,
+)
+def inequality_indices_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T index (Theil 1967) and Atkinson index at inequality
+    aversion e=0.5 (Atkinson 1970) of the 1996 per-customer revenue
+    distribution — the decomposable entropy-based and the
+    welfare-based inequality measures next to the Gini/Lorenz shelf
+    (gini_revenue_by_nation, lorenz_curve_revenue_deciles): Theil
+    decomposes additively across subgroups, Atkinson states "the share
+    of total revenue society would give up for perfect equality".
+
+    Determinism: per-customer revenue y and the total S are exact
+    DECIMALs; the mean enters each term as the identical double ratio.
+    The per-customer transcendental terms (y/mu)*ln(y/mu) and sqrt(y)
+    are order-sensitive in double, so each is rounded to 6dp and
+    summed EXACTLY as DECIMAL(18,6) (the dataset_datasheet avg_quality
+    convention) — only the final constant count of double ops differs
+    from zero, identical on both engines.
+
+    Scale shape: one map-side-combinable per-customer aggregate, a
+    1-row broadcast of (n, S), one more map-side-combinable term sum.
+    Output: one row."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").cast("decimal(18,2)").alias("y"))
+        .filter(F.col("y") > 0)
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("decimal(38,2)").alias("s"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    yd = F.col("y").cast("double")
+    terms = rev.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "s",
+        F.round((yd / mu) * F.log(yd / mu), 6)
+        .cast("decimal(18,6)")
+        .alias("t_theil"),
+        F.round(F.sqrt(yd), 6).cast("decimal(18,6)").alias("t_sqrt"),
+    )
+    sq_mean = F.sum("t_sqrt").cast("double") / F.col("n")
+    return terms.groupBy("n", "s").agg(
+        F.round(F.first(mu), 6).alias("mean_revenue"),
+        F.round(F.sum("t_theil").cast("double") / F.col("n"), 6).alias("theil_t"),
+        F.round(F.lit(1) - sq_mean * sq_mean / mu, 6).alias("atkinson_05"),
+    ).select("n", "mean_revenue", "theil_t", "atkinson_05")
+
+
+# ---------------------------------------------------------------------------
+# Round 14: degree assortativity of the customer-supplier graph.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "degree_assortativity_customer_supplier",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    pairs AS (
+        SELECT ds.d AS dx, dd.d AS dy
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+               CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dx) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(dy AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS syy
+        FROM pairs
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM sums
+    """,
+)
+def degree_assortativity_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public) of the
+    bidirectional customer-supplier graph: the Pearson correlation of
+    endpoint degrees over all directed edges — negative means hubs
+    attach to leaves (the typical bipartite-commerce signature),
+    positive means hub-hub mixing.  Reads the SAME edge relation as
+    pagerank_customer_supplier, so the two release a consistent
+    graph-shape dashboard.
+
+    Determinism: degrees are exact integers; all five moment sums
+    accumulate in DECIMAL (exact); the correlation assembles from six
+    deterministic double casts at the edge (the energy_distance
+    convention — deterministic double roundings of exact decimals,
+    absorbed by the 6dp release).
+
+    Scale shape: degree is one map-side-combinable aggregate on the
+    edge relation; the moment pass re-joins degrees onto edges by the
+    SAME src/dst keys the graph family always shuffles on, then
+    contracts to a single row.  No windows, nothing data-sized beyond
+    the two degree joins.  Output: one row."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    pairs = edges.join(ds, "src").join(dd, "dst")
+    dx19 = F.col("dx").cast("decimal(19,0)")
+    dy19 = F.col("dy").cast("decimal(19,0)")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(dx19).cast("decimal(38,0)").alias("sx"),
+        F.sum(dy19).cast("decimal(38,0)").alias("sy"),
+        F.sum(dx19 * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dx19 * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dy19 * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return sums.select(
+        F.col("m").cast("long").alias("n_directed_edges"),
+        F.round(
+            (md * sxy - sx * sy)
+            / (F.sqrt(md * sxx - sx * sx) * F.sqrt(md * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Brier score decomposition of a grouped probability forecast.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "brier_decomposition_priority_status",
+    """
+    WITH train AS (
+        SELECT o_orderpriority AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_tr,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_tr
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY o_orderpriority
+    ),
+    eval_ AS (
+        SELECT o_orderpriority AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s_k
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(s_k) AS BIGINT) AS s
+        FROM eval_
+    ),
+    binterms AS (
+        SELECT e.k,
+               CAST(t.s_tr AS DOUBLE) / t.n_tr AS p_k,
+               CAST(round(e.n_k * (CAST(t.s_tr AS DOUBLE) / t.n_tr)
+                                * (CAST(t.s_tr AS DOUBLE) / t.n_tr)
+                          - 2 * (CAST(t.s_tr AS DOUBLE) / t.n_tr) * e.s_k
+                          + e.s_k, 6) AS DECIMAL(28,6)) AS t_brier,
+               CAST(round(e.n_k
+                          * (CAST(t.s_tr AS DOUBLE) / t.n_tr
+                             - CAST(e.s_k AS DOUBLE) / e.n_k)
+                          * (CAST(t.s_tr AS DOUBLE) / t.n_tr
+                             - CAST(e.s_k AS DOUBLE) / e.n_k), 6)
+                    AS DECIMAL(28,6)) AS t_rel,
+               CAST(round(e.n_k
+                          * (CAST(e.s_k AS DOUBLE) / e.n_k
+                             - CAST(g.s AS DOUBLE) / g.n)
+                          * (CAST(e.s_k AS DOUBLE) / e.n_k
+                             - CAST(g.s AS DOUBLE) / g.n), 6)
+                    AS DECIMAL(28,6)) AS t_res
+        FROM eval_ e JOIN train t ON t.k = e.k CROSS JOIN tot g
+    )
+    SELECT g.n AS n_eval,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(SUM(t_brier) AS DOUBLE) / g.n, 6) AS brier,
+           round(CAST(SUM(t_rel) AS DOUBLE) / g.n, 6) AS reliability,
+           round(CAST(SUM(t_res) AS DOUBLE) / g.n, 6) AS resolution,
+           round((CAST(g.s AS DOUBLE) / g.n)
+                 * (1 - CAST(g.s AS DOUBLE) / g.n), 6) AS uncertainty
+    FROM binterms CROSS JOIN tot g
+    GROUP BY g.n, g.s
+    """,
+)
+def brier_decomposition_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for a grouped
+    probability forecast: train P(status='F') per order priority on
+    H1-1996, evaluate on H2-1996, and release Brier = reliability -
+    resolution + uncertainty — the standard calibration audit for any
+    binned probabilistic model (here the 5-priority stump; the same
+    shape audits an LLM judge's confidence bins).  The identity is an
+    algebraic self-check the test asserts to rounding precision.
+
+    Determinism: bin masses and F-counts are exact integers; the
+    forecast p_k and bin means enter as identical double ratios; each
+    bin's three terms round to 6dp and sum EXACTLY as DECIMAL(28,6)
+    (5 bins — the small-sum convention), with the three final
+    divisions at the edge.
+
+    Scale shape: two map-side-combinable per-priority aggregates (one
+    per half), a 5-row join, a 1-row broadcast total — the canonical
+    contraction.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+
+    def half(lo, hi):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+
+    is_f = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    train = (
+        half("1996-01-01", "1996-07-01")
+        .groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.sum(is_f).cast("long").alias("s_tr"),
+        )
+    )
+    ev = (
+        half("1996-07-01", "1997-01-01")
+        .groupBy(F.col("o_orderpriority").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(is_f).cast("long").alias("s_k"),
+        )
+    )
+    tot = ev.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("s_k").cast("long").alias("s"),
+    )
+    p_k = F.col("s_tr").cast("double") / F.col("n_tr")
+    ybar_k = F.col("s_k").cast("double") / F.col("n_k")
+    ybar = F.col("s").cast("double") / F.col("n")
+    binterms = (
+        ev.join(train, "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "s",
+            F.round(
+                F.col("n_k") * p_k * p_k - 2 * p_k * F.col("s_k") + F.col("s_k"),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("t_brier"),
+            F.round(F.col("n_k") * (p_k - ybar_k) * (p_k - ybar_k), 6)
+            .cast("decimal(28,6)")
+            .alias("t_rel"),
+            F.round(F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar), 6)
+            .cast("decimal(28,6)")
+            .alias("t_res"),
+        )
+    )
+    return binterms.groupBy("n", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum("t_brier").cast("double") / F.col("n"), 6).alias("brier"),
+        F.round(F.sum("t_rel").cast("double") / F.col("n"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.sum("t_res").cast("double") / F.col("n"), 6).alias(
+            "resolution"
+        ),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+    ).select(
+        F.col("n").alias("n_eval"),
+        "n_bins",
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+    )
