@@ -19589,263 +19589,223 @@ def inequality_indices_customer_revenue(
 
 
 # ---------------------------------------------------------------------------
-# Round 14: degree assortativity of the customer-supplier graph.
+# Round 14: exact ROC AUC via the Mann-Whitney identity.
 # ---------------------------------------------------------------------------
 
 
 @_register(
-    "degree_assortativity_customer_supplier",
+    "roc_auc_discount_returns",
     """
-    WITH e0 AS (
-        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WITH scored AS (
+        SELECT CAST(l_discount AS DECIMAL(4,2)) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
     ),
-    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
-            FROM edges GROUP BY src),
-    pairs AS (
-        SELECT ds.d AS dx, dd.d AS dy
-        FROM edges e
-        JOIN deg ds ON ds.node = e.src
-        JOIN deg dd ON dd.node = e.dst
-    ),
-    sums AS (
-        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
-               CAST(SUM(CAST(dx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
-               CAST(SUM(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
-               CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS sxy,
-               CAST(SUM(CAST(dx AS DECIMAL(19,0)) * dx) AS DECIMAL(38,0)) AS sxx,
-               CAST(SUM(CAST(dy AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS syy
-        FROM pairs
+    g1 AS (SELECT s, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM scored WHERE y = 1 GROUP BY s),
+    g0 AS (SELECT s, CAST(COUNT(*) AS DECIMAL(19,0)) AS w
+           FROM scored WHERE y = 0 GROUP BY s),
+    cnt AS (
+        SELECT
+          (SELECT CAST(COALESCE(SUM(p.w * n.w), 0) AS DECIMAL(38,0))
+             FROM g1 p JOIN g0 n ON p.s > n.s) AS n_gt,
+          (SELECT CAST(COALESCE(SUM(p.w * n.w), 0) AS DECIMAL(38,0))
+             FROM g1 p JOIN g0 n ON p.s = n.s) AS n_tie,
+          (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g1) AS n_pos,
+          (SELECT CAST(COALESCE(SUM(w), 0) AS DECIMAL(38,0)) FROM g0) AS n_neg
     )
-    SELECT CAST(m AS BIGINT) AS n_directed_edges,
-           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-               AS assortativity
-    FROM sums
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(n_gt AS BIGINT) AS n_concordant,
+           CAST(n_tie AS BIGINT) AS n_tied,
+           round(CAST(2 * n_gt + n_tie AS DOUBLE)
+                 / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               AS roc_auc
+    FROM cnt
     """,
 )
-def degree_assortativity_customer_supplier(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Degree assortativity coefficient (Newman 2002, public) of the
-    bidirectional customer-supplier graph: the Pearson correlation of
-    endpoint degrees over all directed edges — negative means hubs
-    attach to leaves (the typical bipartite-commerce signature),
-    positive means hub-hub mixing.  Reads the SAME edge relation as
-    pagerank_customer_supplier, so the two release a consistent
-    graph-shape dashboard.
+def roc_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the discount score as a predictor of returned
+    lineitems, via the Mann-Whitney identity AUC = (#{s+ > s-} +
+    #{s+ = s-}/2) / (n+ n-) (Hanley & McNeil 1982, public) — the
+    rank-sum formulation that never materializes an ROC curve or a
+    threshold sweep, which is what makes exact AUC tractable at
+    100 TB: both classes contract to per-score counts (discount has
+    ~11 distinct values), the concordant/tied pair masses are
+    DECIMAL(19,0)^2 products summed exactly in DECIMAL(38,0), and ONE
+    double division runs at the edge (2*gt + tie kept integer — no
+    half-weight float).
 
-    Determinism: degrees are exact integers; all five moment sums
-    accumulate in DECIMAL (exact); the correlation assembles from six
-    deterministic double casts at the edge (the energy_distance
-    convention — deterministic double roundings of exact decimals,
-    absorbed by the 6dp release).
+    The binary-label evaluation twin of cliffs_delta (AUC =
+    (delta+1)/2 up to tie handling) and the missing member of the
+    eval shelf next to brier_decomposition_returns (calibration) and
+    cf_holdout_ndcg (ranking).
 
-    Scale shape: degree is one map-side-combinable aggregate on the
-    edge relation; the moment pass re-joins degrees onto edges by the
-    SAME src/dst keys the graph family always shuffles on, then
-    contracts to a single row.  No windows, nothing data-sized beyond
-    the two degree joins.  Output: one row."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
+    Scale shape: one scan, two map-side-combinable per-score count
+    aggregates, two grid-bounded (<= 11x11) joins.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").cast("decimal(4,2)").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g1 = (
+        li.filter(F.col("y") == 1)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    g0 = (
+        li.filter(F.col("y") == 0)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    )
+    p, n = g1.alias("p"), g0.alias("n")
+    n_gt = p.join(n, F.col("p.s") > F.col("n.s")).agg(
+        F.coalesce(F.sum(F.col("p.w") * F.col("n.w")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("n_gt")
+    )
+    n_tie = p.join(n, F.col("p.s") == F.col("n.s")).agg(
+        F.coalesce(F.sum(F.col("p.w") * F.col("n.w")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("n_tie")
+    )
+    n_pos = g1.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n_pos")
+    )
+    n_neg = g0.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n_neg")
+    )
+    return (
+        n_pos.crossJoin(F.broadcast(n_neg))
+        .crossJoin(F.broadcast(n_gt))
+        .crossJoin(F.broadcast(n_tie))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
-    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
-    pairs = edges.join(ds, "src").join(dd, "dst")
-    dx19 = F.col("dx").cast("decimal(19,0)")
-    dy19 = F.col("dy").cast("decimal(19,0)")
-    sums = pairs.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
-        F.sum(dx19).cast("decimal(38,0)").alias("sx"),
-        F.sum(dy19).cast("decimal(38,0)").alias("sy"),
-        F.sum(dx19 * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(dx19 * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(dy19 * F.col("dy")).cast("decimal(38,0)").alias("syy"),
-    )
-    md = F.col("m").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    return sums.select(
-        F.col("m").cast("long").alias("n_directed_edges"),
-        F.round(
-            (md * sxy - sx * sy)
-            / (F.sqrt(md * sxx - sx * sx) * F.sqrt(md * syy - sy * sy)),
-            6,
-        ).alias("assortativity"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 14: Brier score decomposition of a grouped probability forecast.
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "brier_decomposition_priority_status",
-    """
-    WITH train AS (
-        SELECT o_orderpriority AS k,
-               CAST(COUNT(*) AS BIGINT) AS n_tr,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS s_tr
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-07-01'
-        GROUP BY o_orderpriority
-    ),
-    eval_ AS (
-        SELECT o_orderpriority AS k,
-               CAST(COUNT(*) AS BIGINT) AS n_k,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS s_k
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-        GROUP BY o_orderpriority
-    ),
-    tot AS (
-        SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(s_k) AS BIGINT) AS s
-        FROM eval_
-    ),
-    binterms AS (
-        SELECT e.k,
-               CAST(t.s_tr AS DOUBLE) / t.n_tr AS p_k,
-               CAST(round(e.n_k * (CAST(t.s_tr AS DOUBLE) / t.n_tr)
-                                * (CAST(t.s_tr AS DOUBLE) / t.n_tr)
-                          - 2 * (CAST(t.s_tr AS DOUBLE) / t.n_tr) * e.s_k
-                          + e.s_k, 6) AS DECIMAL(28,6)) AS t_brier,
-               CAST(round(e.n_k
-                          * (CAST(t.s_tr AS DOUBLE) / t.n_tr
-                             - CAST(e.s_k AS DOUBLE) / e.n_k)
-                          * (CAST(t.s_tr AS DOUBLE) / t.n_tr
-                             - CAST(e.s_k AS DOUBLE) / e.n_k), 6)
-                    AS DECIMAL(28,6)) AS t_rel,
-               CAST(round(e.n_k
-                          * (CAST(e.s_k AS DOUBLE) / e.n_k
-                             - CAST(g.s AS DOUBLE) / g.n)
-                          * (CAST(e.s_k AS DOUBLE) / e.n_k
-                             - CAST(g.s AS DOUBLE) / g.n), 6)
-                    AS DECIMAL(28,6)) AS t_res
-        FROM eval_ e JOIN train t ON t.k = e.k CROSS JOIN tot g
-    )
-    SELECT g.n AS n_eval,
-           CAST(COUNT(*) AS BIGINT) AS n_bins,
-           round(CAST(SUM(t_brier) AS DOUBLE) / g.n, 6) AS brier,
-           round(CAST(SUM(t_rel) AS DOUBLE) / g.n, 6) AS reliability,
-           round(CAST(SUM(t_res) AS DOUBLE) / g.n, 6) AS resolution,
-           round((CAST(g.s AS DOUBLE) / g.n)
-                 * (1 - CAST(g.s AS DOUBLE) / g.n), 6) AS uncertainty
-    FROM binterms CROSS JOIN tot g
-    GROUP BY g.n, g.s
-    """,
-)
-def brier_decomposition_priority_status(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Murphy (1973) decomposition of the Brier score for a grouped
-    probability forecast: train P(status='F') per order priority on
-    H1-1996, evaluate on H2-1996, and release Brier = reliability -
-    resolution + uncertainty — the standard calibration audit for any
-    binned probabilistic model (here the 5-priority stump; the same
-    shape audits an LLM judge's confidence bins).  The identity is an
-    algebraic self-check the test asserts to rounding precision.
-
-    Determinism: bin masses and F-counts are exact integers; the
-    forecast p_k and bin means enter as identical double ratios; each
-    bin's three terms round to 6dp and sum EXACTLY as DECIMAL(28,6)
-    (5 bins — the small-sum convention), with the three final
-    divisions at the edge.
-
-    Scale shape: two map-side-combinable per-priority aggregates (one
-    per half), a 5-row join, a 1-row broadcast total — the canonical
-    contraction.  Output: one row."""
-    o = load(spark, sf_dir, "orders")
-
-    def half(lo, hi):
-        return o.filter(
-            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
-        )
-
-    is_f = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-    train = (
-        half("1996-01-01", "1996-07-01")
-        .groupBy(F.col("o_orderpriority").alias("k"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tr"),
-            F.sum(is_f).cast("long").alias("s_tr"),
-        )
-    )
-    ev = (
-        half("1996-07-01", "1997-01-01")
-        .groupBy(F.col("o_orderpriority").alias("k"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_k"),
-            F.sum(is_f).cast("long").alias("s_k"),
-        )
-    )
-    tot = ev.agg(
-        F.sum("n_k").cast("long").alias("n"),
-        F.sum("s_k").cast("long").alias("s"),
-    )
-    p_k = F.col("s_tr").cast("double") / F.col("n_tr")
-    ybar_k = F.col("s_k").cast("double") / F.col("n_k")
-    ybar = F.col("s").cast("double") / F.col("n")
-    binterms = (
-        ev.join(train, "k")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            "s",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.col("n_gt").cast("long").alias("n_concordant"),
+            F.col("n_tie").cast("long").alias("n_tied"),
             F.round(
-                F.col("n_k") * p_k * p_k - 2 * p_k * F.col("s_k") + F.col("s_k"),
+                (2 * F.col("n_gt") + F.col("n_tie")).cast("double")
+                / (
+                    2
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
                 6,
-            )
-            .cast("decimal(28,6)")
-            .alias("t_brier"),
-            F.round(F.col("n_k") * (p_k - ybar_k) * (p_k - ybar_k), 6)
-            .cast("decimal(28,6)")
-            .alias("t_rel"),
-            F.round(F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar), 6)
-            .cast("decimal(28,6)")
-            .alias("t_res"),
+            ).alias("roc_auc"),
         )
     )
-    return binterms.groupBy("n", "s").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bins"),
-        F.round(F.sum("t_brier").cast("double") / F.col("n"), 6).alias("brier"),
-        F.round(F.sum("t_rel").cast("double") / F.col("n"), 6).alias(
-            "reliability"
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Jarque-Bera normality test from exact central moments.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "jarque_bera_quantity_1996",
+    """
+    WITH x AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,2)) AS v
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ),
+    raw AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS s3,
+               CAST(SUM(CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)
+                        * CAST(v * 100 AS HUGEINT)) AS HUGEINT) AS s4
+        FROM x
+    ),
+    mom AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        FROM raw
+    ),
+    ctr AS (
+        SELECT n,
+               (d2 / n - (d1 / n) * (d1 / n)) / 1e4 AS m2,
+               (d3 / n - 3 * (d1 / n) * (d2 / n)
+                + 2 * (d1 / n) * (d1 / n) * (d1 / n)) / 1e6 AS m3,
+               (d4 / n - 4 * (d1 / n) * (d3 / n)
+                + 6 * (d1 / n) * (d1 / n) * (d2 / n)
+                - 3 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)) / 1e8 AS m4
+        FROM mom
+    )
+    SELECT n,
+           round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis,
+           round((n / 6.0)
+                 * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                    * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0), 6)
+               AS jb_stat
+    FROM ctr
+    """,
+)
+def jarque_bera_quantity_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic (Jarque & Bera 1980, public) of
+    the 1996 shipped quantities: JB = n/6 * (S^2 + K^2/4) from sample
+    skewness S and excess kurtosis K — the moment-based distribution
+    gate a feature/quality pipeline runs before assuming Gaussian
+    thresholds (MAD/z-score outlier rules, control charts).
+
+    Determinism: quantities scale to EXACT integers (x*100 as
+    DECIMAL-quantized cents, HUGEINT on the oracle, DECIMAL(38,0)
+    partials here), so all four raw power sums are exact; the central
+    moments then assemble from identical double casts with the SAME
+    operation tree on both engines (the Simpson's-paradox moment
+    discipline), de-scaled by the constant 1e4/1e6/1e8, and the 6dp
+    edge absorbs last-ulp residue.
+
+    Scale shape: ONE map-side-combinable aggregate over the scan — the
+    canonical 100 TB contraction (4 wide-integer sums + a count), then
+    1-row algebra.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    xi = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    )
+    raw = li.select(xi.alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m2 = (d2 / n - (d1 / n) * (d1 / n)) / F.lit(1e4)
+    m3 = (
+        d3 / n - 3 * (d1 / n) * (d2 / n) + 2 * (d1 / n) * (d1 / n) * (d1 / n)
+    ) / F.lit(1e6)
+    m4 = (
+        d4 / n
+        - 4 * (d1 / n) * (d3 / n)
+        + 6 * (d1 / n) * (d1 / n) * (d2 / n)
+        - 3 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)
+    ) / F.lit(1e8)
+    skew = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3
+    return raw.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round((n / F.lit(6.0)) * (skew * skew + exk * exk / F.lit(4.0)), 6).alias(
+            "jb_stat"
         ),
-        F.round(F.sum("t_res").cast("double") / F.col("n"), 6).alias(
-            "resolution"
-        ),
-        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
-    ).select(
-        F.col("n").alias("n_eval"),
-        "n_bins",
-        "brier",
-        "reliability",
-        "resolution",
-        "uncertainty",
     )
