@@ -7540,3 +7540,248 @@ def heaps_vocab_growth_checkpoints(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("vocab_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: per-source LM evaluation — corpus-model cross-entropy /
+# perplexity per source, and per-source KL divergence from the corpus
+# unigram mixture over a bounded vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bigram_perplexity_by_source",
+    _TOKENS_CTE
+    + """
+    , pos AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM tok
+        WHERE len(tokens) >= 2
+    ),
+    bigrams AS (
+        SELECT d.source, b.w1, b.w2
+        FROM (SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2 FROM pos) b
+        JOIN documents d ON d.doc_id = b.doc_id
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bigrams),
+    sb AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS DECIMAL(19,0)) AS n_sw
+        FROM bigrams GROUP BY source, w1, w2
+    ),
+    terms AS (
+        SELECT s.source, s.n_sw,
+               CAST(round(ln((g.c12 + 1.0) / (h.c1 + voc.v)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM sb s
+        JOIN big g ON g.w1 = s.w1 AND g.w2 = s.w2
+        JOIN hist h ON h.w1 = s.w1
+        CROSS JOIN voc
+    )
+    SELECT source,
+           CAST(SUM(n_sw) AS BIGINT) AS n_bigrams,
+           round(-CAST(SUM(n_sw * lp) AS DOUBLE) / CAST(SUM(n_sw) AS DOUBLE), 6)
+               AS cross_entropy_nats,
+           round(exp(-CAST(SUM(n_sw * lp) AS DOUBLE)
+                     / CAST(SUM(n_sw) AS DOUBLE)), 6) AS perplexity
+    FROM terms
+    GROUP BY source
+    """,
+)
+def bigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy and perplexity under the CORPUS-trained
+    add-one bigram model (Jurafsky & Martin ch. 3, public): P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V) — the mixture-eval table a data-curation
+    owner reads to see which source the corpus LM finds surprising
+    (high perplexity flags register drift or noise; the per-SOURCE twin
+    of ``bigram_lm_scores``'s per-document filter, with smoothing so
+    the score is a proper held-in evaluation).
+
+    Determinism: the per-bigram-TYPE log-probability is ONE identical
+    double expression rounded to 6dp and fixed as DECIMAL(18,6); the
+    per-source sum weights those constants by exact DECIMAL counts
+    (order-free), and the final division/exp run at the edge.
+
+    Scale shape: the model is two grouped counts on the exploded
+    bigram stream (the bigram_lm_scores shuffle); the per-source
+    contraction groups by (source, w1, w2) BEFORE joining model
+    probabilities, so the join moves bigram TYPES, not tokens.
+    Output: one row per source."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", TX.tokens("text").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bigrams = toks.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 2)).alias("i"),
+        F.col("tk"),
+    ).select(
+        "source",
+        F.col("tk")[F.col("i")].alias("w1"),
+        F.col("tk")[F.col("i") + 1].alias("w2"),
+    )
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    hist = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    voc = bigrams.agg(F.countDistinct("w2").cast("long").alias("v"))
+    sb = bigrams.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n_sw")
+    )
+    terms = (
+        sb.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "source",
+            "n_sw",
+            F.round(
+                F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    h = -F.sum(F.col("n_sw") * F.col("lp")).cast("double") / F.sum(
+        "n_sw"
+    ).cast("double")
+    return terms.groupBy("source").agg(
+        F.sum("n_sw").cast("long").alias("n_bigrams"),
+        F.round(h, 6).alias("cross_entropy_nats"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )
+
+
+_KL_VOCAB_K = 200  # bounded vocabulary: top-K corpus tokens + __other__
+
+
+@_register(
+    "kl_divergence_source_vs_corpus",
+    _TOKENS_CTE
+    + f"""
+    , tk AS (
+        SELECT d.source, u.token
+        FROM tok t
+        JOIN documents d ON d.doc_id = t.doc_id
+        JOIN (SELECT doc_id, unnest(tokens) AS token FROM tok) u
+          ON u.doc_id = t.doc_id
+        WHERE u.token <> ''
+    ),
+    topv AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM tk GROUP BY token
+            ORDER BY c DESC, token LIMIT {_KL_VOCAB_K}
+        )
+    ),
+    bucketed AS (
+        SELECT tk.source,
+               CASE WHEN v.token IS NOT NULL THEN tk.token
+                    ELSE '__other__' END AS bucket
+        FROM tk LEFT JOIN topv v ON v.token = tk.token
+    ),
+    buckets AS (SELECT DISTINCT bucket FROM bucketed),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM buckets),
+    src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+        FROM bucketed GROUP BY source
+    ),
+    cell AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bucketed GROUP BY source, bucket
+    ),
+    corpus AS (
+        SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc FROM cell GROUP BY bucket
+    ),
+    corpus_tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM corpus),
+    grid AS (
+        SELECT s.source, s.ns, b.bucket, COALESCE(c.c, 0) AS c,
+               co.cc, ct.n, nb.k
+        FROM src_tot s
+        CROSS JOIN buckets b
+        LEFT JOIN cell c ON c.source = s.source AND c.bucket = b.bucket
+        JOIN corpus co ON co.bucket = b.bucket
+        CROSS JOIN corpus_tot ct CROSS JOIN nb
+    )
+    SELECT source,
+           any_value(CAST(ns AS BIGINT)) AS n_tokens,
+           any_value(k) AS n_buckets,
+           round(SUM(((c + 1.0) / (ns + k))
+                     * ln(((c + 1.0) / (ns + k)) / ((cc + 1.0) / (n + k)))),
+                 6) + 0 AS kl_nats
+    FROM grid
+    GROUP BY source
+    """,
+)
+def kl_divergence_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (Kullback & Leibler 1951, public) of each source's
+    token distribution from the pooled corpus distribution, over the
+    bounded top-{k} vocabulary plus an ``__other__`` tail bucket with
+    add-one smoothing — the per-source drift DIRECTION reading next to
+    vocab_psi_between_sources (symmetric, two named sources) and
+    hellinger_lang_mix (language cells): KL(source || corpus) is the
+    expected per-token log-loss of coding a source with corpus
+    statistics, i.e. the DSIR-style importance signal per source.
+
+    Determinism: the vocab_psi discipline — a BOUNDED ({k}+1) bucket
+    grid (zero-filled per source), exact integer counts everywhere,
+    identical single-expression double terms, and one 6dp edge round
+    over an O(1)-size sum.
+
+    Scale shape: one exploded-token (source, token) contraction, a
+    TakeOrdered top-K, a broadcast membership join, then grid-sized
+    (|sources| x {k}+1) algebra.  Output: one row per source."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    topv = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(_KL_VOCAB_K)
+        .select("token")
+    )
+    bucketed = tk.join(
+        F.broadcast(topv.withColumn("__in", F.lit(1))), "token", "left"
+    ).select(
+        "source",
+        F.when(F.col("__in").isNotNull(), F.col("token"))
+        .otherwise(F.lit("__other__"))
+        .alias("bucket"),
+    )
+    buckets = bucketed.select("bucket").distinct()
+    nb = buckets.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    src_tot = bucketed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    cell = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    corpus = cell.groupBy("bucket").agg(F.sum("c").cast("long").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").cast("long").alias("n"))
+    grid = (
+        src_tot.crossJoin(buckets)
+        .join(cell, ["source", "bucket"], "left")
+        .select(
+            "source", "ns", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .join(corpus, "bucket")
+        .crossJoin(F.broadcast(corpus_tot))
+        .crossJoin(F.broadcast(nb))
+    )
+    p = (F.col("c") + F.lit(1.0)) / (F.col("ns") + F.col("k"))
+    q = (F.col("cc") + F.lit(1.0)) / (F.col("n") + F.col("k"))
+    return grid.groupBy("source").agg(
+        F.first(F.col("ns")).alias("n_tokens"),
+        F.first(F.col("k")).alias("n_buckets"),
+        (F.round(F.sum(p * F.log(p / q)), 6) + F.lit(0)).alias("kl_nats"),
+    )
+
+
+kl_divergence_source_vs_corpus.__doc__ = (
+    kl_divergence_source_vs_corpus.__doc__.replace("{k}", str(_KL_VOCAB_K))
+)
