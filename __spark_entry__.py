@@ -259,6 +259,14 @@ _PANEL_NEXT_CANDIDATES = [
     "heaps_vocab_growth_checkpoints",
     # r14 additions land at the staging tail as they register
     "prefix_jaccard_sampled_pairs",
+    "cliffs_delta_quantity_halves",
+    "kuiper_test_price_halves",
+    "inequality_indices_customer_revenue",
+    "roc_auc_discount_returns",
+    "jarque_bera_quantity_1996",
+    "bigram_perplexity_by_source",
+    "kl_divergence_source_vs_corpus",
+    "jl_projection_distortion",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

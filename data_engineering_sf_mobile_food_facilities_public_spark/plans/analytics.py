@@ -19289,7 +19289,8 @@ qn_scale_quantity_1996.__doc__ = qn_scale_quantity_1996.__doc__.replace(
            CAST(n_gt AS BIGINT) AS n_gt,
            CAST(n_lt AS BIGINT) AS n_lt,
            round((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
-                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS cliffs_delta
+                 / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0), 6)
+               AS cliffs_delta
     FROM cnt
     """,
 )
@@ -19359,7 +19360,10 @@ def cliffs_delta_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lt").cast("long").alias("n_lt"),
             F.round(
                 (F.col("n_gt").cast("double") - F.col("n_lt").cast("double"))
-                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                / F.nullif(
+                    F.col("n1").cast("double") * F.col("n2").cast("double"),
+                    F.lit(0.0),
+                ),
                 6,
             ).alias("cliffs_delta"),
         )
@@ -19619,8 +19623,8 @@ def inequality_indices_customer_revenue(
            CAST(n_gt AS BIGINT) AS n_concordant,
            CAST(n_tie AS BIGINT) AS n_tied,
            round(CAST(2 * n_gt + n_tie AS DOUBLE)
-                 / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
-               AS roc_auc
+                 / nullif(2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0),
+                 6) AS roc_auc
     FROM cnt
     """,
 )
@@ -19685,10 +19689,11 @@ def roc_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tie").cast("long").alias("n_tied"),
             F.round(
                 (2 * F.col("n_gt") + F.col("n_tie")).cast("double")
-                / (
+                / F.nullif(
                     2
                     * F.col("n_pos").cast("double")
-                    * F.col("n_neg").cast("double")
+                    * F.col("n_neg").cast("double"),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("roc_auc"),

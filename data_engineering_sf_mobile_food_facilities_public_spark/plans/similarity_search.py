@@ -3530,3 +3530,180 @@ retrieval_cascade_recall.__doc__ = (
     .replace("{t2}", str(_CASCADE_T2))
     .replace("{k}", str(_CASCADE_K))
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Johnson-Lindenstrauss sign-projection distortion audit.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # projected dimensions
+
+
+@_register(
+    "jl_projection_distortion",
+    f"""
+    WITH a AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 100 = 0
+    ),
+    b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pr AS (
+        SELECT a.vec_id AS pair_id, a.v AS va, b.v AS vb
+        FROM a JOIN b ON b.vec_id = a.vec_id + 1
+    ),
+    diffs AS (
+        -- 6dp-quantized coordinate difference in INTEGER MICRO-UNITS:
+        -- all downstream squares/sums are HUGEINT-exact at any input
+        -- magnitude (the 1e12 unit scales cancel in the final ratio)
+        SELECT pair_id, i - 1 AS i,
+               CAST(CAST(round(va[i] - vb[i], 6) AS DECIMAL(25,6))
+                    * CAST(1000000 AS DECIMAL(7,0)) AS HUGEINT) AS du
+        FROM pr, unnest(generate_series(1, len(va))) AS t(i)
+    ),
+    den AS (
+        SELECT pair_id, CAST(SUM(du * du) AS HUGEINT) AS dd
+        FROM diffs GROUP BY pair_id
+    ),
+    proj AS (
+        SELECT pair_id, j,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(
+                          'jl:' || CAST(j AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)), 1, 1)) AS INT)
+                         % 2 = 0 THEN du ELSE -du END)
+                    AS HUGEINT) AS dy
+        FROM diffs, unnest(generate_series(0, {_JL_K - 1})) AS s(j)
+        GROUP BY pair_id, j
+    ),
+    num AS (
+        SELECT pair_id, CAST(SUM(dy * dy) AS HUGEINT) AS yy
+        FROM proj GROUP BY pair_id
+    ),
+    ratio AS (
+        SELECT n.pair_id,
+               CAST(round((CAST(n.yy AS DOUBLE) / CAST(d.dd AS DOUBLE))
+                          / {_JL_K}, 6) AS DECIMAL(12,6)) AS r
+        FROM num n JOIN den d ON d.pair_id = n.pair_id
+        WHERE d.dd > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST({_JL_K} AS BIGINT) AS k,
+           round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_distortion,
+           CAST(MIN(r) AS DOUBLE) AS min_distortion,
+           CAST(MAX(r) AS DOUBLE) AS max_distortion
+    FROM ratio
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit (JL 1984; Achlioptas 2003
+    database-friendly +-1 projections — public) for a k={k} sign
+    projection of the embedding space: for a deterministic sample of
+    vector pairs (vec_id % 100 == 0 paired with its successor), release
+    the squared-distance distortion ||P(a-b)||^2 / (k * ||a-b||^2) —
+    mean/min/max over pairs.  E[distortion] = 1 EXACTLY for Rademacher
+    signs (the audit every random-projection index should publish
+    before trading 64 float dims for {k}); the signs come from a
+    deterministic md5 lane so both engines use the SAME matrix.
+
+    Determinism: coordinate differences round once to 6dp and become
+    DECIMAL; the projection is sign-flipped EXACT DECIMAL addition
+    (projecting the difference directly — linearity — so no per-vector
+    rounding); numerator/denominator square-sums are exact DECIMALs;
+    ONE double division per pair at the edge, 6dp.
+
+    Scale shape: pairs x dim x k rows ~ sampled-pairs-bounded (the
+    eval-tier convention: the audit runs on a pinned sample at any
+    corpus size); two grouped exact sums and a 1-row final aggregate.
+    Output: one row."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("pair_id"), F.col("v").alias("va")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("pair_id"), F.col("v").alias("vb"))
+    pr = a.join(b, "pair_id")
+    # 6dp-quantized difference in INTEGER MICRO-UNITS (decimal-exact
+    # x1e6, lossless scale drop): squares and sums stay exact DECIMAL
+    # integers at any input magnitude, and the unit scale cancels in
+    # the final ratio — the HUGEINT convention from wasserstein
+    diffs = pr.select(
+        "pair_id",
+        F.posexplode(F.zip_with("va", "vb", lambda x, y: x - y)).alias(
+            "i", "draw"
+        ),
+    ).select(
+        "pair_id",
+        "i",
+        (
+            F.round(F.col("draw"), 6).cast("decimal(16,6)")
+            * F.lit(1000000).cast("decimal(7,0)")
+        )
+        .cast("decimal(19,0)")
+        .alias("du"),
+    )
+    den = diffs.groupBy("pair_id").agg(
+        F.sum(F.col("du") * F.col("du")).cast("decimal(38,0)").alias("dd")
+    )
+    ks = spark.range(_JL_K).select(F.col("id").cast("int").alias("j"))
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("jl:"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0
+    )
+    proj = (
+        diffs.crossJoin(F.broadcast(ks))
+        .select(
+            "pair_id",
+            "j",
+            F.when(sign_even, F.col("du")).otherwise(-F.col("du")).alias("t"),
+        )
+        .groupBy("pair_id", "j")
+        .agg(F.sum("t").cast("decimal(19,0)").alias("dy"))
+    )
+    num = proj.groupBy("pair_id").agg(
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("yy")
+    )
+    ratio = (
+        num.join(den, "pair_id")
+        .filter(F.col("dd") > 0)
+        .select(
+            F.round(
+                (F.col("yy").cast("double") / F.col("dd").cast("double"))
+                / F.lit(_JL_K),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("r")
+        )
+    )
+    return ratio.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.lit(_JL_K).cast("long").alias("k"),
+        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_distortion"
+        ),
+        F.min("r").cast("double").alias("min_distortion"),
+        F.max("r").cast("double").alias("max_distortion"),
+    )
+
+
+jl_projection_distortion.__doc__ = jl_projection_distortion.__doc__.replace(
+    "{k}", str(_JL_K)
+)

@@ -56,6 +56,11 @@ _EMBED_PANEL = [
     # the all-zero dimension gives exact-0 covariance entries whose
     # -0.0 normalization must agree after rounding
     "linear_cka_truncation",
+    # r14 JL audit: identical consecutive vectors give a zero
+    # difference (dd = 0 -> pair EXCLUDED identically); zero vectors
+    # are fine (the diff is what projects); the md5 sign lane and the
+    # 6dp diff quantization must agree bit-for-bit on hostile values
+    "jl_projection_distortion",
     # r11 MNN: zero vectors must drop from BOTH halves identically;
     # identical/opposite vectors give cos exactly +/-1; labels whose
     # even or odd half is empty must emit no candidates on either

@@ -352,6 +352,17 @@ _NUMERIC_PANEL = [
     # all-tied corpus selects qn_raw = 0 on both engines
     "energy_distance_quantity_halves",
     "qn_scale_quantity_1996",
+    # r14 two-sample/eval wave: Cliff's delta and Kuiper share the
+    # empty-half degeneracies (NULL delta / NULL V); the exact AUC must
+    # NULL (not NaN) when a class is absent and halve ties exactly;
+    # Jarque-Bera's 1996 window is EMPTY on the 2024 hostile fixture
+    # (all-NULL moments); the inequality indices must survive negative
+    # and zero prices via the y > 0 guard and singleton customers
+    "cliffs_delta_quantity_halves",
+    "kuiper_test_price_halves",
+    "roc_auc_discount_returns",
+    "jarque_bera_quantity_1996",
+    "inequality_indices_customer_revenue",
 ]
 
 

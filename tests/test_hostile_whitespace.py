@@ -170,6 +170,11 @@ _HOSTILE_PANEL = [
     # through an md5 document lane — the lane arithmetic and the pruned
     # join must agree on hostile docs on both engines
     "prefix_jaccard_sampled_pairs",
+    # r14 LM eval pair: whitespace-only docs yield zero bigrams (the
+    # len >= 2 filter) and empty tokens must drop from the KL vocab;
+    # single-source corpora still release (KL ~ 0 vs themselves)
+    "bigram_perplexity_by_source",
+    "kl_divergence_source_vs_corpus",
     # conjunctive search explodes the token array into postings: empty
     # tokens from whitespace-only docs must be dropped identically, and
     # the top-df selection must tie-break identically on both engines

@@ -362,3 +362,63 @@ def test_cascade_recall_column_matches_numpy_recompute(spark):
         released.mean_recall_at_10,
         recall_indep,
     )
+
+
+def test_jl_distortion_unbiased_and_matches_numpy_recompute(spark):
+    """jl_projection_distortion's released columns audited two ways:
+    (a) third-implementation recompute — numpy rebuilds the md5 sign
+    matrix, the 6dp-quantized differences, and the exact ratio
+    arithmetic; every released column must match; (b) published moment
+    bound — for Rademacher signs E[||Pd||^2/(k||d||^2)] = 1 exactly and
+    Var <= 2/k per pair (Achlioptas 2003), so the mean over n pairs
+    must sit within 3*sqrt(2/k)/sqrt(n) of 1."""
+    import hashlib
+
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
+        _JL_K,
+    )
+
+    released = relational.QUERIES["jl_projection_distortion"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ratios = []
+    for vid, va in raw.items():
+        if vid % 100 != 0 or (vid + 1) not in raw:
+            continue
+        d = np.round(va - raw[vid + 1], 6)
+        dd = float((d * d).sum())
+        if dd <= 0:
+            continue
+        yy = 0.0
+        for j in range(_JL_K):
+            s = np.array(
+                [
+                    1
+                    if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16)
+                    % 2
+                    == 0
+                    else -1
+                    for i in range(len(d))
+                ]
+            )
+            dy = float((s * d).sum())
+            yy += dy * dy
+        ratios.append(round((yy / dd) / _JL_K, 6))
+    assert released.n_pairs == len(ratios)
+    assert abs(released.mean_distortion - round(sum(ratios) / len(ratios), 6)) <= 1e-6
+    assert abs(released.min_distortion - min(ratios)) <= 1e-9
+    assert abs(released.max_distortion - max(ratios)) <= 1e-9
+    band = 3 * (2 / _JL_K) ** 0.5 / len(ratios) ** 0.5
+    assert abs(released.mean_distortion - 1.0) <= band, (
+        released.mean_distortion,
+        band,
+    )
