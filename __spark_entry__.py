@@ -45,13 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-13 panel (r12 VERDICT #1 + #2): core is 10 sentinels + ONE
-# changed-plan re-proof slot — semdedup rotates out (hash re-proven
-# driver-green over the cc-fused loop in r12, engine untouched this
-# round); pagerank_customer_supplier enters because its call path
-# changed this round (pagerank_run now defaults to mode='auto', which
-# counts the persisted edge relation before picking the join strategy —
-# the ranks plan is value-identical, re-proven here).
+# Round-14 panel (r13 VERDICT #1): core is 10 sentinels + ONE
+# changed-plan re-proof slot — pagerank_customer_supplier stays because
+# its mode='auto' decision path changed AGAIN this round (VERDICT r13
+# #4: the edge count now reads Parquet footer metadata below the
+# crossover; the ranks plan is value-identical, re-proven here).
+# prefix_filter_pairs also gained a shard_col parameter, but the
+# registered default path compiles to the identical plan (shard_keys
+# empty) and its modified function gets driver coverage through the
+# NEW prefix_jaccard_sampled_pairs rotating slot below.
 _PANEL_CORE = [
     # flagship + section-2 family sentinels
     "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
@@ -64,74 +66,29 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    # engine changed this round (mode='auto' default, r12 VERDICT #3)
+    # engine changed this round (metadata-cheap auto decision, r13 #4)
     "pagerank_customer_supplier",
 ]
 
-# Round-13 rotation: 39 slots, ALL never driver-verified (r12 VERDICT
-# #1: keep the backlog sign negative).  Composition per r12 VERDICT #2:
-# 3 slots for operators whose ENGINE CHANGED this round (the ADVICE r12
-# fixes — HLL rho off-by-one, RANSAC empty-candidate guard, eb_shrunk
-# decimal quantization — all three were also never driver-verified, so
-# they count toward the burn), 6 slots reserved for this round's most
-# novel new pairs (one per r13 family: retrieval cascade, ordinal
-# association, shift estimator, ordered trend, blocked ranks, mixture
-# distance), and 30 oldest-first from the staging pool.  Every member
-# is locally parity-green at three SFs, hostile-fixture covered, and
-# matrix-stressed before the round ends.
+# Round-14 rotation: 39 slots, ALL never driver-verified (r13 VERDICT
+# #1: keep burning; 236 in the mechanical ledger after this round's 9
+# adds, so the panel lands the count at 197 <= the <=201 target).
+# Composition repeats the split the r13 verdict endorsed: 6 slots for
+# this round's most novel new pairs (one per family — JL projection
+# audit, sampled exact-Jaccard tier, exact ROC AUC, inequality indices,
+# corpus-LM perplexity, ordinal effect size; the kuiper/jarque/KL
+# siblings stay staged) and 33 oldest-first from the staging pool.
+# Every member is locally parity-green at three SFs, hostile-fixture
+# covered, and matrix-stressed before the round ends.
 _PANEL_ROTATING = [
-    # engine changed this round AND never driver-verified (ADVICE r12)
-    "hll_md5_registers_distinct",
-    "ransac_price_quantity_line",
-    "eb_shrunk_return_rates_brand",
-    # r13 novel pairs — one per new family (r12 VERDICT #2)
-    "retrieval_cascade_recall",
-    "ordinal_association_status_priority",
-    "hodges_lehmann_quantity_shift",
-    "jonckheere_terpstra_priority_trend",
-    "friedman_test_priority_by_month",
-    "hellinger_lang_mix_by_source_pair",
+    # r14 novel pairs — one per new family (r13 VERDICT #1 split)
+    "jl_projection_distortion",
+    "prefix_jaccard_sampled_pairs",
+    "roc_auc_discount_returns",
+    "inequality_indices_customer_revenue",
+    "bigram_perplexity_by_source",
+    "cliffs_delta_quantity_halves",
     # staging pool head, oldest first
-    "markov_entropy_rate",
-    "kfold_cv_ols_rmse",
-    "trending_parts_decayed",
-    "rocchio_feedback_rerank",
-    "last_digit_uniformity_audit",
-    "referential_integrity_dashboard",
-    "kwic_concordance",
-    "bloom_fpr_calibration",
-    "knn_loo_label_accuracy",
-    "decision_stump_returnflag",
-    "mann_kendall_trend_daily",
-    "runs_test_daily_moves",
-    "cohens_d_price_halves",
-    "kish_design_effect",
-    "weibull_rank_regression_fit",
-    "theils_u_status_priority",
-    "ks_statistic_price_halves",
-    "chi2_independence_status_priority",
-    "hits_customer_supplier",
-    "simpsons_paradox_slopes",
-    "srm_check_assignment",
-    "burrows_delta_sources",
-    "max_maintenance_under_deletes",
-    "rendezvous_shard_counts",
-    "replication_checksum_orders",
-    "scd2_as_of_snapshot",
-    "array_set_ops_region_pairs",
-    "bitwise_agg_orderkeys",
-    "broadcast_dict_region_lookup",
-    "calendar_edge_functions",
-]
-
-# Staging pool for the NEXT rounds' rotation (r14+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (125
-# entries = ~3 more rounds of ~39-slot rotation; new r13 operators not
-# already in this round's panel append at the tail as they land).  The
-# determinism matrix has an opt-in test that stresses exactly this list
-# so candidates arrive pre-stressed; all are locally parity-green at
-# three SFs.
-_PANEL_NEXT_CANDIDATES = [
     "calendar_fill_monthly_revenue",
     "cross_join_region_status_grid",
     "dispersion_stats_by_flag",
@@ -165,6 +122,16 @@ _PANEL_NEXT_CANDIDATES = [
     "execute_immediate_status_totals",
     "filter_clause_aggregates",
     "group_by_all_status_priority",
+]
+
+# Staging pool for the NEXT rounds' rotation (r15+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set (the 33
+# promoted into this round's rotation are removed; new r14 operators
+# not in this round's panel append at the tail as they land).  The
+# determinism matrix has an opt-in test that stresses exactly this list
+# so candidates arrive pre-stressed; all are locally parity-green at
+# three SFs.
+_PANEL_NEXT_CANDIDATES = [
     "identifier_dynamic_rollup",
     "lateral_column_alias_margins",
     "pipe_syntax_flag_revenue",
@@ -258,15 +225,9 @@ _PANEL_NEXT_CANDIDATES = [
     "qn_scale_quantity_1996",
     "heaps_vocab_growth_checkpoints",
     # r14 additions land at the staging tail as they register
-    "prefix_jaccard_sampled_pairs",
-    "cliffs_delta_quantity_halves",
     "kuiper_test_price_halves",
-    "inequality_indices_customer_revenue",
-    "roc_auc_discount_returns",
     "jarque_bera_quantity_1996",
-    "bigram_perplexity_by_source",
     "kl_divergence_source_vs_corpus",
-    "jl_projection_distortion",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING
