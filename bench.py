@@ -54,14 +54,10 @@ HEADLINE = [
     # --- current watch items + family heavies ---
     # r11 VERDICT drift trio (adjudicated as JIT warmth in SCALE.md;
     # kept visible so the adjudication stays checkable)
-    "bm25_topk_docs",
-    "int8_recall_vs_exact",
-    "ivf_label_cells_recall_curve",
     # connected-components users (engine changed r12: fused
     # convergence check) + the SemDeDup watch item
     "semdedup_embedding_prototypes",
     "entity_resolution_customers",
-    "grid_density_clusters",
     # scaling-table heavies: the 3.2x/decade CF flag and its DIMSUM
     # mitigation, the recursion-tax query, the composition pipelines
     "item_item_cosine_recs",
@@ -76,19 +72,12 @@ HEADLINE = [
     "spearman_price_vs_quantity",
     # round-11 recents (first bench round was r11; the rest of the
     # cohort retired to SWEEP_ONLY in r13 after two stable rounds)
-    "audio_fingerprint_near_dup",
-    "kcenter_coreset_embeddings",
-    "boilerplate_ngram_removal",
     # round-12 additions worth tracking: the DDSketch bucket grid with
     # its exact-quantile audit twin, the two-scan RANSAC consensus
     # vote, the Arrow-matmul CKA gram build, the median-centered
     # spread ANOVA (two grouped passes + percentile_disc), and the
     # weekday-stratified MK pair join on the day series
-    "ddsketch_quantiles_price",
     "ransac_price_quantity_line",
-    "linear_cka_truncation",
-    "brown_forsythe_price_priority",
-    "seasonal_mann_kendall_daily",
     # round-13 additions worth tracking: the composed three-tier
     # retrieval cascade (the round's heavy — it contains an exact
     # brute-force evaluation tier), the grid-assembled ordered trend
@@ -96,6 +85,12 @@ HEADLINE = [
     "retrieval_cascade_recall",
     "jonckheere_terpstra_priority_trend",
     "hellinger_lang_mix_by_source_pair",
+    # round-14 additions worth tracking: the JL sign-projection audit
+    # (exact integer-unit pipeline over sampled pairs) and the sampled
+    # exact-Jaccard audit tier (the scale path for the alpha~1.13
+    # full-corpus sort)
+    "jl_projection_distortion",
+    "prefix_jaccard_sampled_pairs",
 ]
 
 # Retired from the visible headline list in r12 (r11 VERDICT #5: the
@@ -105,6 +100,24 @@ HEADLINE = [
 # by tests, and stays replayed by the oracle-parity suite; re-add any
 # of them via SPARK_GRAFT_BENCH_QUERIES=name,name for an ad-hoc sweep.
 SWEEP_ONLY = [
+    # retired r14 (VERDICT r13 #3: bring the suite under the tail
+    # budget with headroom): the r11 drift trio — its adjudication is
+    # now root-caused and order-independent by construction (the cache
+    # fix), so visibility bought nothing — plus grid_density (same
+    # class), the remaining r11-recents cohort (3 stable rounds), and
+    # the 2-round-stable r12 additions; ransac stays visible one more
+    # round (engine changed r13)
+    "bm25_topk_docs",
+    "int8_recall_vs_exact",
+    "ivf_label_cells_recall_curve",
+    "grid_density_clusters",
+    "audio_fingerprint_near_dup",
+    "kcenter_coreset_embeddings",
+    "boilerplate_ngram_removal",
+    "ddsketch_quantiles_price",
+    "linear_cka_truncation",
+    "brown_forsythe_price_priority",
+    "seasonal_mann_kendall_daily",
     # retired r13 (two stable rounds in the r11-recents block)
     "kneser_ney_bigram_scores",
     "association_rules_part_pairs",
