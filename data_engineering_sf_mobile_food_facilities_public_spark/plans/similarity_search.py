@@ -3364,13 +3364,28 @@ def retrieval_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force reference column is the EVALUATION, not the
     serving path (at 100 TB it runs on a sampled query set exactly as
     here, where queries are vec_id % 100)."""
+    return retrieval_cascade_run(spark, sf_dir)
+
+
+def retrieval_cascade_run(
+    spark: SparkSession, sf_dir: str, query_max_id: int | None = None
+) -> DataFrame:
+    """Parameterized cascade (VERDICT r13 #7): ``query_max_id`` PINS the
+    evaluation budget — queries become vec_id % 100 == 0 AND vec_id <=
+    query_max_id, the production gate SCALE.md describes (a fixed query
+    set, so the tier-1 scan and the eval tier grow linearly in CORPUS
+    size instead of quadratically when both sides grow).  None keeps
+    the registered fraction-sampled set."""
     e0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     e = e0.filter(
         F.expr("aggregate(v, 0D, (a, x) -> a + x * x)") > 0
     )
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    qbase = e.filter(F.col("vec_id") % 100 == 0)
+    if query_max_id is not None:
+        qbase = qbase.filter(F.col("vec_id") <= int(query_max_id))
+    q = qbase.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cos = (

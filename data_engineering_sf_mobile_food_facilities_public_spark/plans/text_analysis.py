@@ -3305,6 +3305,7 @@ def prefix_jaccard_pairs_run(
     threshold: float = 0.6,
     sample_pct: int | None = None,
     n_shards: int | None = None,
+    sample_bp: int | None = None,
 ) -> DataFrame:
     """Parameterized exact prefix-filtered Jaccard audit (VERDICT r13
     #6): the fourth-decade probe measured the GLOBAL variant's
@@ -3324,10 +3325,18 @@ def prefix_jaccard_pairs_run(
       per-shard sorts are (n/S) log(n/S) and shards schedule
       independently, trading cross-shard pairs for a flat scale curve.
 
-    Both knobs compose; the serving path for full-corpus near-dup
+    ``sample_bp`` is the fine-grained (basis-point, lane % 10000) twin
+    of ``sample_pct`` for PINNED-BUDGET scale probes: on an x30 corpus,
+    bp = 2500/30 keeps the absolute sampled-document count constant, so
+    the audit's cost curve can be measured at a fixed budget.
+
+    All knobs compose; the serving path for full-corpus near-dup
     remains MinHash-LSH banding (the r13 adjudication)."""
     d = load(spark, sf_dir, "documents")
-    if sample_pct is not None:
+    if sample_pct is not None or sample_bp is not None:
+        mod, cut = (
+            (100, int(sample_pct)) if sample_pct is not None else (10000, int(sample_bp))
+        )
         lane = (
             F.conv(
                 F.substring(
@@ -3340,9 +3349,9 @@ def prefix_jaccard_pairs_run(
                 16,
                 10,
             ).cast("long")
-            % 100
+            % mod
         )
-        d = d.filter(lane < int(sample_pct))
+        d = d.filter(lane < cut)
     sh = shingles(d)
     if n_shards is not None and int(n_shards) > 1:
         shard = (

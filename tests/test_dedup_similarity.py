@@ -702,3 +702,27 @@ def test_prefix_jaccard_sampled_tier_exact_on_sample(spark):
     assert sampled == want
     n_docs = load(spark, SF_SMOKE, "documents").count()
     assert 0 < len(in_lane) < n_docs
+
+
+def test_cascade_pinned_query_budget_and_bp_sample_knobs(spark):
+    """The r14 scale knobs are executable, not prose: query_max_id pins
+    the cascade's evaluation budget (n_queries counts only base-range
+    queries), and sample_bp selects the fine-grained md5 lane as a
+    subset of the coarse pct lane (bp = 100 * pct keeps a superset of
+    nothing new: lane%10000 < 2500 iff ... distinct lanes, so assert
+    only the budget semantics, not set equality)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
+        retrieval_cascade_run,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.text_analysis import (
+        prefix_jaccard_pairs_run,
+    )
+
+    full = retrieval_cascade_run(spark, SF_SMOKE).collect()[0]
+    pinned = retrieval_cascade_run(spark, SF_SMOKE, query_max_id=200).collect()[0]
+    assert pinned.n_queries == 3  # vec_id in {0, 100, 200}
+    assert pinned.n_queries < full.n_queries
+
+    n_full = prefix_jaccard_pairs_run(spark, SF_SMOKE).count()
+    n_bp = prefix_jaccard_pairs_run(spark, SF_SMOKE, sample_bp=2500).count()
+    assert 0 <= n_bp <= n_full
