@@ -19316,43 +19316,37 @@ def cliffs_delta_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     half = F.when(F.col("l_shipdate") < "1996-07-01", 1).otherwise(0)
     assigned = li.select(_dec("l_quantity").alias("x"), half.alias("is1"))
-    g1 = (
-        assigned.filter(F.col("is1") == 1)
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    # ONE fact scan, ONE lineage chain (the roc_auc stepped form):
+    # contract to the per-value (w1, w2) grid, strictly-below running
+    # sums of BOTH masses on the <= ~50-row grid, all four pair masses
+    # from one aggregate: n_gt = sum_x w1(x)*cumw2_above(x) is
+    # equivalently sum_x w2(x)*cumw1(<x); n_lt = sum_x w1(x)*cumw2(<x).
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").cast("decimal(19,0)").alias("w1"),
+        (F.count(F.lit(1)) - F.sum("is1")).cast("decimal(19,0)").alias("w2"),
     )
-    g2 = (
-        assigned.filter(F.col("is1") == 0)
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
-    )
-    a, b = g1.alias("a"), g2.alias("b")
-    n_gt = (
-        a.join(b, F.col("b.x") > F.col("a.x"))
-        .agg(
-            F.coalesce(F.sum(F.col("a.w") * F.col("b.w")), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("n_gt")
-        )
-    )
-    n_lt = (
-        a.join(b, F.col("b.x") < F.col("a.x"))
-        .agg(
-            F.coalesce(F.sum(F.col("a.w") * F.col("b.w")), F.lit(0))
-            .cast("decimal(38,0)")
-            .alias("n_lt")
-        )
-    )
-    n1 = g1.agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n1")
-    )
-    n2 = g2.agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n2")
+    wbelow = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = per_x.select(
+        "w1",
+        "w2",
+        F.coalesce(F.sum("w1").over(wbelow), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cum1"),
+        F.coalesce(F.sum("w2").over(wbelow), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cum2"),
     )
     return (
-        n1.crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(n_gt))
-        .crossJoin(F.broadcast(n_lt))
+        stepped.agg(
+            F.coalesce(F.sum("w1"), F.lit(0)).cast("decimal(38,0)").alias("n1"),
+            F.coalesce(F.sum("w2"), F.lit(0)).cast("decimal(38,0)").alias("n2"),
+            F.coalesce(F.sum(F.col("w2") * F.col("cum1")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_gt"),
+            F.coalesce(F.sum(F.col("w1") * F.col("cum2")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_lt"),
+        )
         .select(
             F.col("n1").cast("long").alias("n1"),
             F.col("n2").cast("long").alias("n2"),
@@ -19651,37 +19645,37 @@ def roc_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").cast("decimal(4,2)").alias("s"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    g1 = (
-        li.filter(F.col("y") == 1)
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
+    # ONE fact scan, ONE lineage chain: contract to the per-score
+    # (w1, w0) class-count grid, take a strictly-below running sum of
+    # the negative mass on the <= ~11-row grid (grid-sized
+    # unpartitioned window — the hodges_lehmann precedent, bounded by
+    # the value contraction, never by the data), and assemble all four
+    # pair masses in ONE aggregate: n_gt = sum_s w1(s)*cumw0(<s),
+    # n_tie = sum_s w1(s)*w0(s).  No plan branch re-reads the fact
+    # table (the multi-branch form scanned it 6x pre-AQE).
+    per_s = li.groupBy("s").agg(
+        F.sum("y").cast("decimal(19,0)").alias("w1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("decimal(19,0)").alias("w0"),
     )
-    g0 = (
-        li.filter(F.col("y") == 0)
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("w"))
-    )
-    p, n = g1.alias("p"), g0.alias("n")
-    n_gt = p.join(n, F.col("p.s") > F.col("n.s")).agg(
-        F.coalesce(F.sum(F.col("p.w") * F.col("n.w")), F.lit(0))
+    wbelow = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = per_s.select(
+        "w1",
+        "w0",
+        F.coalesce(F.sum("w0").over(wbelow), F.lit(0))
         .cast("decimal(38,0)")
-        .alias("n_gt")
-    )
-    n_tie = p.join(n, F.col("p.s") == F.col("n.s")).agg(
-        F.coalesce(F.sum(F.col("p.w") * F.col("n.w")), F.lit(0))
-        .cast("decimal(38,0)")
-        .alias("n_tie")
-    )
-    n_pos = g1.agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n_pos")
-    )
-    n_neg = g0.agg(
-        F.coalesce(F.sum("w"), F.lit(0)).cast("decimal(38,0)").alias("n_neg")
+        .alias("cum0"),
     )
     return (
-        n_pos.crossJoin(F.broadcast(n_neg))
-        .crossJoin(F.broadcast(n_gt))
-        .crossJoin(F.broadcast(n_tie))
+        stepped.agg(
+            F.coalesce(F.sum("w1"), F.lit(0)).cast("decimal(38,0)").alias("n_pos"),
+            F.coalesce(F.sum("w0"), F.lit(0)).cast("decimal(38,0)").alias("n_neg"),
+            F.coalesce(F.sum(F.col("w1") * F.col("cum0")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_gt"),
+            F.coalesce(F.sum(F.col("w1") * F.col("w0")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("n_tie"),
+        )
         .select(
             F.col("n_pos").cast("long").alias("n_pos"),
             F.col("n_neg").cast("long").alias("n_neg"),

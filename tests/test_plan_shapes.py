@@ -173,6 +173,23 @@ _NESTED_LOOP_ALLOWED = {
     # aggregate contracts the fact table first); the lagged pairing
     # itself is an equi-join on rn +/- lag
     "acf_daily_revenue",
+    # (r14 note: cliffs_delta and roc_auc were rewritten to the
+    # single-scan stepped-window form — no nested loop at all — so the
+    # no-accidental-BNLJ guard covers them like any other query)
+    # 1-row sample-totals broadcast onto the stepped CDF (the
+    # ks_statistic pattern verbatim)
+    "kuiper_test_price_halves",
+    # 1-row (n, S) broadcast onto the per-customer revenue relation
+    # before the term contraction
+    "inequality_indices_customer_revenue",
+    # 1-row vocab-size broadcast into the smoothed log-probability
+    "bigram_perplexity_by_source",
+    # bounded (|sources| x 201) zero-filled bucket grid + 1-row
+    # corpus-total/bucket-count broadcasts (the vocab_psi discipline)
+    "kl_divergence_source_vs_corpus",
+    # 16-row projection-dimension spine crossed onto the sampled-pair
+    # diff relation (pairs x dim x k is sample-bounded by design)
+    "jl_projection_distortion",
     "ccf_click_vs_purchase",
     # 1-row totals broadcast into the 10-row decile-target spine; the
     # boundary selection is an equi-join on the exact integer targets
