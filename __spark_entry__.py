@@ -228,6 +228,8 @@ _PANEL_NEXT_CANDIDATES = [
     "kuiper_test_price_halves",
     "jarque_bera_quantity_1996",
     "kl_divergence_source_vs_corpus",
+    "partial_corr_price_quantity_given_discount",
+    "goodman_kruskal_lambda_status_priority",
 ]
 
 _PANEL_FIRST = _PANEL_CORE + _PANEL_ROTATING

@@ -19808,3 +19808,235 @@ def jarque_bera_quantity_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jb_stat"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (wave 2): partial correlation from one exact-moment scan.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "partial_corr_price_quantity_given_discount",
+    """
+    WITH u AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS HUGEINT) AS z
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(z) AS HUGEINT) AS sz,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(SUM(y * y) AS HUGEINT) AS syy,
+               CAST(SUM(z * z) AS HUGEINT) AS szz,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * z) AS HUGEINT) AS sxz,
+               CAST(SUM(y * z) AS HUGEINT) AS syz
+        FROM u
+    ),
+    r AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS rxy,
+               (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                   AS rxz,
+               (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+               / (sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * sqrt(n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+                   AS ryz
+        FROM m
+    )
+    SELECT n,
+           round(rxy, 6) AS r_price_quantity,
+           round(rxz, 6) AS r_price_discount,
+           round(ryz, 6) AS r_quantity_discount,
+           round((rxy - rxz * ryz)
+                 / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)), 6)
+               AS partial_r
+    FROM r
+    """,
+)
+def partial_corr_price_quantity_given_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation (Yule 1907, public) of extended
+    price and quantity CONTROLLING for discount: r_xy.z = (r_xy -
+    r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — the confounder-adjusted
+    association the Simpson's-paradox shelf reads as a single number
+    (simpsons_paradox_slopes shows the per-group flip; this removes
+    one linear confounder exactly).
+
+    Determinism: all three variables quantize to exact integer
+    hundredths (HUGEINT on the oracle, DECIMAL(38,0) partials here), so
+    the TEN moment sums of the single scan are exact; the three
+    Pearson correlations and the partial assemble from identical
+    double casts with the same operation tree (the jarque_bera moment
+    discipline), 6dp at the edge.
+
+    Scale shape: ONE map-side-combinable aggregate over one scan (10
+    wide-integer sums + a count), then 1-row algebra — the canonical
+    100 TB contraction.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem")
+    u = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("y"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("z"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            n * F.col(sab).cast("double")
+            - F.col(sa).cast("double") * F.col(sb).cast("double")
+        ) / (
+            F.sqrt(
+                n * F.col(saa).cast("double")
+                - F.col(sa).cast("double") * F.col(sa).cast("double")
+            )
+            * F.sqrt(
+                n * F.col(sbb).cast("double")
+                - F.col(sb).cast("double") * F.col(sb).cast("double")
+            )
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return m.select(
+        "n",
+        F.round(rxy, 6).alias("r_price_quantity"),
+        F.round(rxz, 6).alias("r_price_discount"),
+        F.round(ryz, 6).alias("r_quantity_discount"),
+        F.round(
+            (rxy - rxz * ryz)
+            / (F.sqrt(1 - rxz * rxz) * F.sqrt(1 - ryz * ryz)),
+            6,
+        ).alias("partial_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (wave 2): Goodman-Kruskal lambda — nominal PRE association.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "goodman_kruskal_lambda_status_priority",
+    """
+    WITH cell AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    rowmax AS (  -- best guess of status WITHIN each priority
+        SELECT p, MAX(c) AS m FROM cell GROUP BY p
+    ),
+    colmax AS (  -- best guess of priority WITHIN each status
+        SELECT s, MAX(c) AS m FROM cell GROUP BY s
+    ),
+    marg AS (
+        SELECT
+            (SELECT MAX(ms) FROM (SELECT SUM(c) AS ms FROM cell GROUP BY s))
+                AS max_s,
+            (SELECT MAX(mp) FROM (SELECT SUM(c) AS mp FROM cell GROUP BY p))
+                AS max_p,
+            (SELECT CAST(SUM(m) AS BIGINT) FROM rowmax) AS sum_rowmax,
+            (SELECT CAST(SUM(m) AS BIGINT) FROM colmax) AS sum_colmax
+    )
+    SELECT t.n,
+           CAST(sum_rowmax AS BIGINT) AS sum_within_priority_max,
+           CAST(max_s AS BIGINT) AS modal_status_count,
+           round(CAST(sum_rowmax - max_s AS DOUBLE)
+                 / nullif(CAST(t.n - max_s AS DOUBLE), 0), 6)
+               AS lambda_status_given_priority,
+           round(CAST(sum_colmax - max_p AS DOUBLE)
+                 / nullif(CAST(t.n - max_p AS DOUBLE), 0), 6)
+               AS lambda_priority_given_status
+    FROM marg CROSS JOIN tot t
+    """,
+)
+def goodman_kruskal_lambda_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal lambda (Goodman & Kruskal 1954, public) between
+    order status and priority, BOTH directions: the proportional
+    reduction in prediction error from knowing the other NOMINAL
+    variable — lambda = (sum of within-category maxima - modal
+    marginal) / (N - modal marginal).  The nominal member of the
+    association shelf: chi2_independence answers "dependent at all?",
+    the ordinal shelf (gamma/tau-b/Somers) assumes order; lambda is
+    the measure when neither variable is ordered and the question is
+    "how much better do I PREDICT".
+
+    Exactness: everything is integer counts until the two edge
+    divisions (NULL on a constant outcome via nullif, identically on
+    both engines); MAX over counts is tie-free by value.
+
+    Scale shape: one map-side-combinable (status, priority) cell
+    contraction (<= 15 rows), then grid-sized maxima and 1-row
+    algebra.  Output: one row."""
+    o = load(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cell.agg(F.sum("c").cast("long").alias("n"))
+    rowmax = cell.groupBy("p").agg(F.max("c").alias("m"))
+    colmax = cell.groupBy("s").agg(F.max("c").alias("m"))
+    max_s = (
+        cell.groupBy("s")
+        .agg(F.sum("c").alias("ms"))
+        .agg(F.max("ms").cast("long").alias("max_s"))
+    )
+    max_p = (
+        cell.groupBy("p")
+        .agg(F.sum("c").alias("mp"))
+        .agg(F.max("mp").cast("long").alias("max_p"))
+    )
+    sum_rowmax = rowmax.agg(F.sum("m").cast("long").alias("sum_rowmax"))
+    sum_colmax = colmax.agg(F.sum("m").cast("long").alias("sum_colmax"))
+    j = (
+        tot.crossJoin(F.broadcast(max_s))
+        .crossJoin(F.broadcast(max_p))
+        .crossJoin(F.broadcast(sum_rowmax))
+        .crossJoin(F.broadcast(sum_colmax))
+    )
+    return j.select(
+        "n",
+        F.col("sum_rowmax").alias("sum_within_priority_max"),
+        F.col("max_s").alias("modal_status_count"),
+        F.round(
+            (F.col("sum_rowmax") - F.col("max_s")).cast("double")
+            / F.nullif((F.col("n") - F.col("max_s")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("lambda_status_given_priority"),
+        F.round(
+            (F.col("sum_colmax") - F.col("max_p")).cast("double")
+            / F.nullif((F.col("n") - F.col("max_p")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("lambda_priority_given_status"),
+    )

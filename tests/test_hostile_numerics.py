@@ -363,6 +363,12 @@ _NUMERIC_PANEL = [
     "roc_auc_discount_returns",
     "jarque_bera_quantity_1996",
     "inequality_indices_customer_revenue",
+    # r14 wave 2: partial correlation must NULL (not NaN/error) when a
+    # variable is constant (zero variance -> 0/0 under the hostile
+    # all-tied shapes) and the huge-magnitude rows stress the HUGEINT
+    # moment sums; lambda must NULL on a constant outcome (n == modal)
+    "partial_corr_price_quantity_given_discount",
+    "goodman_kruskal_lambda_status_priority",
 ]
 
 

@@ -190,6 +190,9 @@ _NESTED_LOOP_ALLOWED = {
     # 16-row projection-dimension spine crossed onto the sampled-pair
     # diff relation (pairs x dim x k is sample-bounded by design)
     "jl_projection_distortion",
+    # four 1-row marginal-maxima scalars combined into the single
+    # lambda report row (everything upstream is the <=15-cell grid)
+    "goodman_kruskal_lambda_status_priority",
     "ccf_click_vs_purchase",
     # 1-row totals broadcast into the 10-row decile-target spine; the
     # boundary selection is an equi-join on the exact integer targets

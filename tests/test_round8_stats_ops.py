@@ -158,3 +158,66 @@ def test_l_diversity_vs_k_anonymity(spark, q):
     # l never exceeds the class size floor (can't have more distinct
     # sensitive values than members) or the band cardinality (4)
     assert 1 <= ld["l_diversity"] <= min(ka["k_anonymity"], 4)
+
+
+def test_partial_corr_matches_numpy_recompute(spark):
+    """r14 brute-force check: the one-scan exact-moment partial
+    correlation must match numpy's two-regression definition on the
+    raw rows (Yule's identity), to the 6dp release grain."""
+    import numpy as np
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+    from tests.conftest import SF_SMOKE
+
+    r = relational.QUERIES["partial_corr_price_quantity_given_discount"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_extendedprice", "l_quantity", "l_discount")
+        .collect()
+    )
+    x = np.round([float(v.l_extendedprice) for v in rows], 2)
+    y = np.round([float(v.l_quantity) for v in rows], 2)
+    z = np.round([float(v.l_discount) for v in rows], 2)
+    c = np.corrcoef(np.vstack([x, y, z]))
+    rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+    want = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert r.n == len(rows)
+    assert abs(r.r_price_quantity - rxy) <= 2e-6
+    assert abs(r.partial_r - want) <= 2e-6, (r.partial_r, want)
+
+
+def test_goodman_kruskal_lambda_matches_brute_force(spark):
+    """r14 brute-force check: lambda recomputed from a plain Python
+    crosstab of the raw rows, both directions."""
+    from collections import Counter
+
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import relational
+    from tests.conftest import SF_SMOKE
+
+    r = relational.QUERIES["goodman_kruskal_lambda_status_priority"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cell = Counter((v.o_orderstatus, v.o_orderpriority) for v in rows)
+    n = len(rows)
+
+    def lam(axis):
+        groups = {}
+        marg = Counter()
+        for (s, p), c in cell.items():
+            k, v = (p, s) if axis == "s_given_p" else (s, p)
+            groups.setdefault(k, Counter())[v] += c
+            marg[v] += c
+        sum_max = sum(max(g.values()) for g in groups.values())
+        modal = max(marg.values())
+        return (sum_max - modal) / (n - modal) if n != modal else None
+
+    assert r.n == n
+    assert abs(r.lambda_status_given_priority - lam("s_given_p")) <= 1e-6
+    assert abs(r.lambda_priority_given_status - lam("p_given_s")) <= 1e-6
