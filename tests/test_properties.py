@@ -1456,3 +1456,20 @@ def test_pagerank_auto_mode_picks_measured_crossover(spark):
 
     with _pytest.raises(ValueError, match="mode must be"):
         pagerank_run(spark, SF_SMOKE, iters=1, mode="bogus")
+
+
+def test_parquet_footer_rows_directory_layout(spark, tmp_path):
+    """The footer-metadata bound used by pagerank's mode='auto' must
+    also read the directory-of-part-files layout (the x-replica probe
+    shape), summing every part footer."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.analytics import (
+        _parquet_footer_rows,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n = base.count()
+    out = tmp_path / "lineitem.parquet"
+    base.repartition(4).write.mode("overwrite").parquet(str(out))
+    got = _parquet_footer_rows(str(tmp_path), "lineitem")
+    assert got == n, (got, n)
