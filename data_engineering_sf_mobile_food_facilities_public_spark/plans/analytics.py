@@ -1741,6 +1741,7 @@ def pagerank_run(
     handles: list[DataFrame] | None = None,
     broadcast_ranks: bool | None = None,
     mode: str = "auto",
+    decision: dict | None = None,
 ) -> tuple[DataFrame, int, float | None]:
     """Parameterized PageRank on the customer-supplier graph; returns
     ``(ranks, iterations_run, last_l1_delta)``.
@@ -1789,6 +1790,9 @@ def pagerank_run(
     broadcastable (nodes <= 30M, ~1.2 GB at ~40 B/row — beyond that only
     the shuffle shape survives regardless of edge count).
     ``mode='shuffle'`` / ``mode='broadcast_ranks'`` force a path.
+    ``decision`` (optional dict) receives ``{'broadcast_ranks': bool}``
+    — the branch actually taken — so the auto-mode delegation to
+    :func:`_pagerank_pick_broadcast` is testable end-to-end.
 
     Cache ownership: the loop-invariant ``edges_w``/``base`` frames stay
     persisted because the RETURNED ranks plan still references them —
@@ -1862,6 +1866,11 @@ def pagerank_run(
             raise ValueError(
                 f"mode must be auto|shuffle|broadcast_ranks, got {mode!r}"
             )
+    if decision is not None:
+        # observability hook (VERDICT r14 #6): expose the branch the
+        # production path actually chose so tests can pin the
+        # auto-mode -> _pagerank_pick_broadcast delegation.
+        decision["broadcast_ranks"] = bool(broadcast_ranks)
     ranks = base.select(
         "node", F.round(F.lit(1.0) / F.col("n"), 6).alias("pr")
     )
@@ -19305,8 +19314,14 @@ def cliffs_delta_quantity_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the n1*n2 pair multiset contracts to the ~50-value
     count grid; greater/less pair masses are DECIMAL(19,0)^2 products
-    summed in DECIMAL(38,0) — exact at any SF — and ONE double
-    division runs at the edge, rounded 6dp.
+    summed in DECIMAL(38,0), and ONE double division runs at the edge,
+    rounded 6dp.  The delta ratio (computed on the pre-cast decimal
+    masses) is exact at any SF; the RELEASED n_gt/n_lt count columns
+    are BIGINT and carry a ~9.2e18 ceiling — n1*n2 must stay below
+    2^63, i.e. each half below ~3e9 rows (ADVICE r14; beyond that the
+    counts overflow while cliffs_delta stays correct — widen the
+    release to DecimalType if raw pair masses are needed, at the cost
+    of the driver hash's asymmetric DECIMAL(38,0) rendering).
 
     Scale shape: two map-side-combinable value-count aggregates and two
     grid-bounded (<= 50x50) inequality joins; no data-sized shuffle
@@ -19632,7 +19647,15 @@ def roc_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~11 distinct values), the concordant/tied pair masses are
     DECIMAL(19,0)^2 products summed exactly in DECIMAL(38,0), and ONE
     double division runs at the edge (2*gt + tie kept integer — no
-    half-weight float).
+    half-weight float).  The AUC itself (computed on the pre-cast
+    DECIMAL(38,0) masses) is exact at any SF; the RELEASED
+    n_concordant/n_tied count columns are BIGINT and therefore carry a
+    ~9.2e18 ceiling — n_pos*n_neg must stay below 2^63, i.e. each
+    class below ~3e9 rows (ADVICE r14; a 100 TB lineitem exceeds it,
+    at which point the counts overflow while roc_auc stays correct —
+    widen the release to DecimalType if raw pair masses are needed at
+    that scale; BIGINT is kept here because the driver's value hash
+    renders DECIMAL(38,0) asymmetrically across engines).
 
     The binary-label evaluation twin of cliffs_delta (AUC =
     (delta+1)/2 up to tie handling) and the missing member of the

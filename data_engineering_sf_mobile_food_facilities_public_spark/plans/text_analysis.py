@@ -3330,8 +3330,16 @@ def prefix_jaccard_pairs_run(
     bp = 2500/30 keeps the absolute sampled-document count constant, so
     the audit's cost curve can be measured at a fixed budget.
 
-    All knobs compose; the serving path for full-corpus near-dup
-    remains MinHash-LSH banding (the r13 adjudication)."""
+    ``sample_pct`` and ``sample_bp`` are mutually exclusive (they are
+    two granularities of the SAME md5 lane; passing both is ambiguous
+    and raises ``ValueError`` — ADVICE r14).  Either sampling knob
+    composes with ``n_shards``; the serving path for full-corpus
+    near-dup remains MinHash-LSH banding (the r13 adjudication)."""
+    if sample_pct is not None and sample_bp is not None:
+        raise ValueError(
+            "sample_pct and sample_bp are two granularities of the same "
+            "md5 sampling lane — pass at most one"
+        )
     d = load(spark, sf_dir, "documents")
     if sample_pct is not None or sample_bp is not None:
         mod, cut = (
@@ -7718,9 +7726,9 @@ _KL_VOCAB_K = 200  # bounded vocabulary: top-K corpus tokens + __other__
     SELECT source,
            any_value(CAST(ns AS BIGINT)) AS n_tokens,
            any_value(k) AS n_buckets,
-           round(SUM(((c + 1.0) / (ns + k))
-                     * ln(((c + 1.0) / (ns + k)) / ((cc + 1.0) / (n + k)))),
-                 6) + 0 AS kl_nats
+           round(CAST(SUM(CAST(round(((c + 1.0) / (ns + k))
+                     * ln(((c + 1.0) / (ns + k)) / ((cc + 1.0) / (n + k))),
+                     6) AS DECIMAL(18,6))) AS DOUBLE), 6) + 0 AS kl_nats
     FROM grid
     GROUP BY source
     """,
@@ -7735,10 +7743,12 @@ def kl_divergence_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     expected per-token log-loss of coding a source with corpus
     statistics, i.e. the DSIR-style importance signal per source.
 
-    Determinism: the vocab_psi discipline — a BOUNDED ({k}+1) bucket
-    grid (zero-filled per source), exact integer counts everywhere,
-    identical single-expression double terms, and one 6dp edge round
-    over an O(1)-size sum.
+    Determinism: the bigram_perplexity discipline — a BOUNDED ({k}+1)
+    bucket grid (zero-filled per source), exact integer counts
+    everywhere, each double p*ln(p/q) term rounded 6dp and pinned to
+    DECIMAL(18,6) BEFORE the sum (exact decimal addition, so the total
+    is partition/order-independent; ADVICE r14), and one 6dp edge
+    round.
 
     Scale shape: one exploded-token (source, token) contraction, a
     TakeOrdered top-K, a broadcast membership join, then grid-sized
@@ -7784,10 +7794,15 @@ def kl_divergence_source_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     )
     p = (F.col("c") + F.lit(1.0)) / (F.col("ns") + F.col("k"))
     q = (F.col("cc") + F.lit(1.0)) / (F.col("n") + F.col("k"))
+    # ADVICE r14: pin each p*ln(p/q) term to DECIMAL(18,6) BEFORE the
+    # sum (the bigram_perplexity convention) so the ~201-term total is
+    # exact decimal addition — partition/order-independent — instead of
+    # FP summation that could flip the 6dp edge round between engines.
+    term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
     return grid.groupBy("source").agg(
         F.first(F.col("ns")).alias("n_tokens"),
         F.first(F.col("k")).alias("n_buckets"),
-        (F.round(F.sum(p * F.log(p / q)), 6) + F.lit(0)).alias("kl_nats"),
+        (F.round(F.sum(term).cast("double"), 6) + F.lit(0)).alias("kl_nats"),
     )
 
 

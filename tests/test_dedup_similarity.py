@@ -726,3 +726,11 @@ def test_cascade_pinned_query_budget_and_bp_sample_knobs(spark):
     n_full = prefix_jaccard_pairs_run(spark, SF_SMOKE).count()
     n_bp = prefix_jaccard_pairs_run(spark, SF_SMOKE, sample_bp=2500).count()
     assert 0 <= n_bp <= n_full
+
+    # ADVICE r14: the two sampling knobs are two granularities of ONE
+    # md5 lane — passing both is ambiguous and must fail loudly, not
+    # silently pick the coarse lane
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at most one"):
+        prefix_jaccard_pairs_run(spark, SF_SMOKE, sample_pct=25, sample_bp=2500)

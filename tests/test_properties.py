@@ -1473,3 +1473,42 @@ def test_parquet_footer_rows_directory_layout(spark, tmp_path):
     base.repartition(4).write.mode("overwrite").parquet(str(out))
     got = _parquet_footer_rows(str(tmp_path), "lineitem")
     assert got == n, (got, n)
+
+def test_pagerank_auto_mode_branch_matches_helper_across_crossover(
+    spark, monkeypatch
+):
+    """VERDICT r14 #6: the branch pagerank_run(mode='auto') ACTUALLY
+    takes must equal _pagerank_pick_broadcast's verdict on both sides
+    of the edge crossover — pinned end-to-end via the decision hook so
+    the production-path delegation can't silently regress.  The
+    crossover is straddled by monkeypatching the module constant (the
+    test graph is fixed; the constant is what moves)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans import (
+        analytics,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def _run_auto() -> bool:
+        d: dict = {}
+        h: list = []
+        analytics.pagerank_run(
+            spark, SF_SMOKE, iters=1, handles=h, decision=d
+        )
+        for df in h:
+            df.unpersist()
+        return d["broadcast_ranks"]
+
+    n_li = analytics._parquet_footer_rows(SF_SMOKE, "lineitem")
+    assert n_li is not None and 2 * n_li < analytics._PR_AUTO_EDGE_CROSSOVER
+
+    # side 1: real constant — footer bound decisively below the
+    # crossover, helper says shuffle, production branch must agree
+    assert analytics._pagerank_pick_broadcast(2 * n_li, 10**9) is False
+    assert _run_auto() is False
+
+    # side 2: crossover lowered beneath the footer bound — the bound is
+    # no longer decisive, auto falls back to real edge/node counts, and
+    # the helper (with those same counts) says broadcast_ranks
+    monkeypatch.setattr(analytics, "_PR_AUTO_EDGE_CROSSOVER", 2)
+    assert analytics._pagerank_pick_broadcast(2, 100) is True
+    assert _run_auto() is True
