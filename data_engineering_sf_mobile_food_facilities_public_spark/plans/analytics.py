@@ -7122,6 +7122,124 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Round 15: Pettitt rank-based changepoint on the daily revenue series.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pettitt_changepoint_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    perv AS (SELECT rev, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY rev),
+    cumv AS (
+        SELECT rev, cnt,
+               SUM(cnt) OVER (ORDER BY rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM perv
+    ),
+    ranked AS (
+        SELECT dd.d, 2 * c.c - c.cnt + 1 AS m
+        FROM daily dd JOIN cumv c ON dd.rev = c.rev
+    ),
+    stepped AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               SUM(t.n + 1 - m) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+               t.n
+        FROM ranked CROSS JOIN tot t
+    )
+    SELECT CAST(d AS VARCHAR) AS changepoint_day,
+           CAST(i AS BIGINT) AS day_index,
+           n AS n_days,
+           CAST(abs(u) AS BIGINT) AS k_statistic,
+           round(least(1.0,
+                 2 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+    FROM stepped
+    WHERE i < n
+    ORDER BY abs(u) DESC, d
+    LIMIT 1
+    """,
+)
+def pettitt_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979, public) on the daily
+    revenue series: the split day t maximizing |U_t| with
+    U_t = sum_{i<=t} sum_{j>t} sgn(x_j - x_i) — the rank-based
+    distribution-free AMOC locator, with the closed-form approximate
+    significance p ~ 2*exp(-6K^2/(n^3+n^2)).
+
+    Pre-registered distinctness vs
+    :func:`cusum_changepoint_daily_revenue`: CUSUM locates a MEAN
+    shift on the values themselves (variance-scaled path, sensitive to
+    heavy tails); Pettitt operates on RANKS — a Mann-Whitney statistic
+    at every split point — so one outlier day cannot drag the
+    changepoint, and the p-value is distribution-free.
+
+    Exactness: midranks via the doubled-integer identity
+    m_t = 2*cum_t - cnt_t + 1 off the revenue VALUE contraction, the
+    Pettitt recurrence U_t = U_{t-1} + (n + 1 - m_t) as an exact
+    integer running sum over day order, ARGMAX compared on integers
+    (ties break on the earlier day), t = n excluded (U_n = 0 by
+    construction).  Only the p-value runs in double, clamped at 1 and
+    rounded 6dp on the single released row.
+
+    Scale shape: a calendar-bounded day contraction, a value-grid
+    cumsum + day-grid cumsum through :func:`grouped_running_sum` (no
+    data-sized window), a broadcast scalar join, and one
+    TakeOrderedAndProject.  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    perv = daily.groupBy("rev").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cumv = grouped_running_sum(
+        perv.withColumn("__one", F.lit(1)), "__one", ["rev"], ["cnt"], out_col=["c"]
+    )
+    ranked = daily.join(
+        cumv.select("rev", (2 * F.col("c") - F.col("cnt") + 1).alias("m")), "rev"
+    )
+    stepped = grouped_running_sum(
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("__one", F.lit(1))
+        .withColumn("__cnt", F.lit(1))
+        .withColumn("v", F.col("n") + 1 - F.col("m")),
+        "__one",
+        ["d"],
+        ["__cnt", "v"],
+        out_col=["i", "u"],
+    )
+    nd = F.col("n").cast("double")
+    ku = F.abs(F.col("u")).cast("double")
+    return (
+        stepped.filter(F.col("i") < F.col("n"))
+        .orderBy(F.abs(F.col("u")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").cast("string").alias("changepoint_day"),
+            F.col("i").cast("long").alias("day_index"),
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("u")).cast("long").alias("k_statistic"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2 * F.exp(-6.0 * ku * ku / (nd * nd * nd + nd * nd)),
+                ),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Behavioral path mining — the most common ordered 3-event paths, the
 # "what do users actually do" read behind funnel design.
 # ---------------------------------------------------------------------------
@@ -19510,6 +19628,171 @@ def kuiper_test_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 15: two-sample Anderson-Darling (tie-adjusted A2akN).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "anderson_darling_price_halves",
+    """
+    WITH assigned AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END AS is1,
+               CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 0 ELSE 1 END AS is2
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    per_x AS (
+        SELECT x, CAST(SUM(is1) AS BIGINT) AS f1, CAST(SUM(is2) AS BIGINT) AS f2
+        FROM assigned GROUP BY x
+    ),
+    stepped AS (
+        SELECT f1, f2,
+               2 * SUM(f1) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f1 AS m1,
+               2 * SUM(f2) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f2 AS m2
+        FROM per_x
+    ),
+    tot AS (
+        SELECT CAST(SUM(f1) AS BIGINT) AS n1, CAST(SUM(f2) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM per_x
+    ),
+    terms AS (
+        SELECT t.n1, t.n2, t.g,
+               CAST(round(
+                 CAST(f1 + f2 AS DOUBLE)
+                 * ((CAST(t.n1 + t.n2 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                     - CAST(t.n1 AS DOUBLE) * CAST(m1 + m2 AS DOUBLE))
+                    * (CAST(t.n1 + t.n2 AS DOUBLE) * CAST(m1 AS DOUBLE)
+                       - CAST(t.n1 AS DOUBLE) * CAST(m1 + m2 AS DOUBLE)))
+                 / nullif(CAST(t.n1 + t.n2 AS DOUBLE)
+                          * (CAST(m1 + m2 AS DOUBLE)
+                             * (2 * CAST(t.n1 + t.n2 AS DOUBLE)
+                                - CAST(m1 + m2 AS DOUBLE))
+                             - CAST(t.n1 + t.n2 AS DOUBLE)
+                               * CAST(f1 + f2 AS DOUBLE)), 0)
+                 / nullif(CAST(t.n1 AS DOUBLE), 0)
+                 + CAST(f1 + f2 AS DOUBLE)
+                 * ((CAST(t.n1 + t.n2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+                     - CAST(t.n2 AS DOUBLE) * CAST(m1 + m2 AS DOUBLE))
+                    * (CAST(t.n1 + t.n2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+                       - CAST(t.n2 AS DOUBLE) * CAST(m1 + m2 AS DOUBLE)))
+                 / nullif(CAST(t.n1 + t.n2 AS DOUBLE)
+                          * (CAST(m1 + m2 AS DOUBLE)
+                             * (2 * CAST(t.n1 + t.n2 AS DOUBLE)
+                                - CAST(m1 + m2 AS DOUBLE))
+                             - CAST(t.n1 + t.n2 AS DOUBLE)
+                               * CAST(f1 + f2 AS DOUBLE)), 0)
+                 / nullif(CAST(t.n2 AS DOUBLE), 0), 12)
+               AS DECIMAL(24,12)) AS rt
+        FROM stepped CROSS JOIN tot t
+    )
+    SELECT any_value(n1) AS n1, any_value(n2) AS n2,
+           any_value(g) AS n_distinct,
+           round(CAST(any_value(n1) + any_value(n2) - 1 AS DOUBLE)
+                 / CAST(any_value(n1) + any_value(n2) AS DOUBLE)
+                 * CAST(SUM(rt) AS DOUBLE), 6) AS a2akn
+    FROM terms
+    """,
+)
+def anderson_darling_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic between the 1996 half-year
+    order-price distributions — the tie-adjusted A2akN of Scholz &
+    Stephens (1987, public; scipy's ``anderson_ksamp`` midrank
+    variant), k=2:
+
+        A2akN = (N-1)/N * sum_i (1/n_i) * sum_j (l_j/N)
+                * (N*M_ij - n_i*B_j)^2 / (B_j*(N-B_j) - N*l_j/4)
+
+    with l_j the pooled multiplicity at distinct value j, B_j/M_ij the
+    MIDRANK cumulatives (cum - l/2).  Pre-registered distinctness vs
+    :func:`cramer_von_mises_price_halves`: CvM is the UNWEIGHTED L2
+    ECDF distance; AD's H(1-H) denominator re-weights the tails, the
+    member of the ECDF family with power against tail alternatives
+    (KS concentrates at the median, Kuiper at cyclic shifts).
+
+    Exactness/determinism: doubled midranks m_i = 2*cum_i - f_i and
+    b = m1 + m2 are exact integers off the value contraction (the
+    algebra clears every half/quarter: term_i = l*(N*m_i - n_i*b)^2 /
+    (N*(b*(2N-b) - N*l)), derived by substituting B=b/2, M=m/2); each
+    row's combined double term is rounded 12dp and pinned to
+    DECIMAL(24,12) before the sum (order-independent; 12dp keeps the
+    accumulated rounding slack below 1e-8 on a ~100k-value grid), with
+    one 6dp edge round.  Degenerate rows (denominator 0 — only the
+    all-one-value grid) contribute null and drop from the sum rather
+    than poisoning it.
+
+    Scale shape: one value-contraction, one grouped_running_sum
+    two-pass cumsum on distinct prices (no data-sized window), a
+    broadcast totals join, one map-side-combinable term sum.
+    Output: one row."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assigned = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is1"),
+        F.when(F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("is2"),
+    )
+    per_x = assigned.groupBy("x").agg(
+        F.sum("is1").alias("f1"), F.sum("is2").alias("f2")
+    )
+    stepped = grouped_running_sum(
+        per_x.withColumn("__one", F.lit(1)),
+        "__one",
+        ["x"],
+        ["f1", "f2"],
+        out_col=["c1", "c2"],
+    ).select(
+        "f1",
+        "f2",
+        (2 * F.col("c1") - F.col("f1")).alias("m1"),
+        (2 * F.col("c2") - F.col("f2")).alias("m2"),
+    )
+    tot = per_x.agg(
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    nd = F.col("n1").cast("double") + F.col("n2").cast("double")
+    ld = (F.col("f1") + F.col("f2")).cast("double")
+    bd = (F.col("m1") + F.col("m2")).cast("double")
+    den = F.nullif(nd * (bd * (2 * nd - bd) - nd * ld), F.lit(0.0))
+
+    def _t(m, n):
+        d = nd * F.col(m).cast("double") - F.col(n).cast("double") * bd
+        return ld * (d * d) / den / F.nullif(F.col(n).cast("double"), F.lit(0.0))
+
+    terms = stepped.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "g",
+        F.round(_t("m1", "n1") + _t("m2", "n2"), 12)
+        .cast("decimal(24,12)")
+        .alias("rt"),
+    )
+    return terms.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("g").alias("n_distinct"),
+        F.round(
+            (F.first("n1") + F.first("n2") - 1).cast("double")
+            / (F.first("n1") + F.first("n2")).cast("double")
+            * F.sum("rt").cast("double"),
+            6,
+        ).alias("a2akn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 14: inequality indices (Theil T / Atkinson) over customer revenue.
 # ---------------------------------------------------------------------------
 
@@ -19715,6 +19998,119 @@ def roc_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("roc_auc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: exact average precision (PR-family twin of the ROC AUC).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "average_precision_discount_returns",
+    """
+    WITH scored AS (
+        SELECT CAST(l_discount AS DECIMAL(4,2)) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL
+    ),
+    per_s AS (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS w1, CAST(COUNT(*) AS BIGINT) AS w
+        FROM scored GROUP BY s
+    ),
+    stepped AS (
+        SELECT w1,
+               SUM(w1) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               SUM(w) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+               SUM(w1) OVER () AS p,
+               SUM(w) OVER () AS tot
+        FROM per_s
+    )
+    SELECT CAST(any_value(p) AS BIGINT) AS n_pos,
+           CAST(any_value(tot) - any_value(p) AS BIGINT) AS n_neg,
+           round(CAST(SUM(CAST(round(
+                     CAST(w1 AS DOUBLE) * CAST(tp AS DOUBLE)
+                     / nullif(CAST(p AS DOUBLE) * CAST(nn AS DOUBLE), 0), 12)
+                 AS DECIMAL(18,12))) AS DOUBLE), 6) AS average_precision,
+           round(CAST(any_value(p) AS DOUBLE)
+                 / nullif(CAST(any_value(tot) AS DOUBLE), 0), 6) AS prevalence
+    FROM stepped
+    """,
+)
+def average_precision_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision of the discount score as a predictor of
+    returned lineitems — the scikit-learn threshold-step definition
+    AP = Σ_k (R_k − R_{k−1}) · P_k with one threshold per DISTINCT
+    score value (tie-robust: a tie group is one threshold, never an
+    arbitrary within-tie order), equivalently Σ_s (w1(s)/P) · TP(s)/N(s)
+    over the descending score grid.
+
+    The precision-recall twin of :func:`roc_auc_discount_returns`
+    (pre-registered distinctness: AUC is rank-sum concordance and
+    prevalence-free; AP weights by precision at each positive mass and
+    diverges from AUC exactly under class imbalance — the metric that
+    moves when the positive class is rare).  ``prevalence`` (= P/N) is
+    released alongside because it is AP's random-ranking baseline.
+
+    Exactness/determinism: the score contracts to the ~11-value grid;
+    TP/N running masses are exact integers from two grid-sized running
+    sums (the hodges/roc_auc unpartitioned-window precedent, bounded by
+    the value contraction); each per-threshold term is ONE double
+    expression over those integers, rounded 12dp and pinned to
+    DECIMAL(18,12) before the grid-sized sum (order-independent), with
+    a 6dp edge round.  Integer-to-double conversion is exact below
+    2^53 (~9e15 pair mass — see the roc_auc ceiling note); beyond, both
+    engines perform the identical double arithmetic.
+
+    Null scores are unrankable and excluded on BOTH sides (their
+    Spark/DuckDB sort placement under DESC differs from ASC; the
+    explicit filter removes the ambiguity class entirely).
+
+    Scale shape: one fact scan, one map-side-combinable per-score
+    aggregate, grid-bounded windows, one grid-sized final aggregate.
+    Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount").isNotNull())
+    scored = li.select(
+        F.col("l_discount").cast("decimal(4,2)").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    per_s = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("w1"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    wdesc = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per_s.select(
+        "w1",
+        F.sum("w1").over(wdesc).alias("tp"),
+        F.sum("w").over(wdesc).alias("nn"),
+        F.sum("w1").over(wall).alias("p"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    term = F.round(
+        F.col("w1").cast("double")
+        * F.col("tp").cast("double")
+        / F.nullif(
+            F.col("p").cast("double") * F.col("nn").cast("double"), F.lit(0.0)
+        ),
+        12,
+    ).cast("decimal(18,12)")
+    return stepped.agg(
+        F.first("p").cast("long").alias("n_pos"),
+        (F.first("tot") - F.first("p")).cast("long").alias("n_neg"),
+        F.round(F.sum(term).cast("double"), 6).alias("average_precision"),
+        F.round(
+            F.first("p").cast("double")
+            / F.nullif(F.first("tot").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("prevalence"),
     )
 
 
