@@ -7122,6 +7122,371 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Round 15: Hurst exponent via rescaled-range (R/S) analysis.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hurst_exponent_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(rev * 100 AS DECIMAL(19,0)) AS x,
+               ROW_NUMBER() OVER (ORDER BY d) AS i
+        FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+    sizes AS (SELECT * FROM (VALUES (16), (32), (64), (128)) AS sv(s)),
+    rows_b AS (
+        SELECT sv.s, CAST(floor((a.i - 1) / sv.s) AS BIGINT) AS b,
+               (a.i - 1) % sv.s + 1 AS j, a.x, a.i
+        FROM a CROSS JOIN sizes sv
+    ),
+    stepped AS (
+        SELECT s, b, j, x,
+               SUM(x) OVER (PARTITION BY s, b ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(x) OVER (PARTITION BY s, b) AS sb,
+               COUNT(*) OVER (PARTITION BY s, b) AS cnt
+        FROM rows_b
+    ),
+    blocks AS (
+        SELECT s, b,
+               MAX(s * c - j * sb) AS emax, MIN(s * c - j * sb) AS emin,
+               any_value(sb) AS sb, any_value(cnt) AS cnt,
+               SUM(x * x) AS ssq
+        FROM stepped GROUP BY s, b
+        HAVING any_value(cnt) = s
+    ),
+    rs AS (
+        SELECT s,
+               CAST(round(
+                 (CAST(emax - emin AS DOUBLE) / CAST(s AS DOUBLE))
+                 / nullif(sqrt(greatest(0.0,
+                     CAST(ssq AS DOUBLE) / CAST(s AS DOUBLE)
+                     - (CAST(sb AS DOUBLE) / CAST(s AS DOUBLE))
+                       * (CAST(sb AS DOUBLE) / CAST(s AS DOUBLE)))), 0), 6)
+               AS DECIMAL(18,6)) AS rsb
+        FROM blocks
+    ),
+    persize AS (
+        SELECT s, CAST(COUNT(rsb) AS BIGINT) AS nb,
+               CAST(SUM(rsb) AS DOUBLE) / CAST(COUNT(rsb) AS DOUBLE) AS mean_rs
+        FROM rs GROUP BY s
+    ),
+    pts AS (
+        SELECT s, mean_rs,
+               CAST(round(ln(CAST(s AS DOUBLE)), 12) AS DECIMAL(18,12)) AS lx,
+               CAST(round(ln(mean_rs), 12) AS DECIMAL(18,12)) AS ly,
+               CAST(round(ln(CAST(s AS DOUBLE)) * ln(mean_rs), 12)
+                    AS DECIMAL(18,12)) AS lxy,
+               CAST(round(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE)), 12)
+                    AS DECIMAL(18,12)) AS lxx
+        FROM persize
+        WHERE mean_rs IS NOT NULL AND mean_rs > 0
+    )
+    SELECT any_value(t.n) AS n_days,
+           round(MAX(CASE WHEN p.s = 16 THEN p.mean_rs END), 6) AS rs_16,
+           round(MAX(CASE WHEN p.s = 32 THEN p.mean_rs END), 6) AS rs_32,
+           round(MAX(CASE WHEN p.s = 64 THEN p.mean_rs END), 6) AS rs_64,
+           round(MAX(CASE WHEN p.s = 128 THEN p.mean_rs END), 6) AS rs_128,
+           round((CAST(COUNT(p.s) AS DOUBLE) * CAST(SUM(p.lxy) AS DOUBLE)
+                  - CAST(SUM(p.lx) AS DOUBLE) * CAST(SUM(p.ly) AS DOUBLE))
+                 / nullif(CAST(COUNT(p.s) AS DOUBLE) * CAST(SUM(p.lxx) AS DOUBLE)
+                          - CAST(SUM(p.lx) AS DOUBLE) * CAST(SUM(p.lx) AS DOUBLE),
+                          0), 6) AS h_exponent
+    FROM pts p CROSS JOIN tot t
+    """,
+)
+def hurst_exponent_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily revenue series via classical
+    rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis
+    1969, public): for dyadic window sizes s in {16, 32, 64, 128},
+    split the day grid into complete s-day blocks, compute each
+    block's R/S = (max-min of mean-centered cumulative deviations) /
+    (population std), average per size, and estimate H as the OLS
+    slope of ln(mean R/S) on ln(s).  H ~ 0.5 = short-memory, > 0.5 =
+    long-range persistence, < 0.5 = anti-persistent.
+
+    Pre-registered distinctness vs :func:`acf_daily_revenue` /
+    :func:`ljung_box_daily_revenue`: the ACF family reads SHORT-lag
+    serial correlation; the R/S log-log slope estimates LONG-range
+    dependence — H != 0.5 with all short-lag ACF ~ 0 is exactly the
+    regime ACF misses.
+
+    Exactness/determinism: the series is integer cents; within-block
+    cumulative deviations use the scaled-integer identity
+    e_j = s*C_j - j*S_b (DECIMAL — the cusum numerator trick), so
+    block R = (max e - min e)/s compares exact integers before ONE
+    double division; per-block R/S is rounded 6dp and pinned to
+    DECIMAL(18,6) before the per-size mean (order-independent), and
+    the <= 4 log-log regression terms are 12dp-decimal-pinned before
+    their sums.  Zero-variance blocks drop via nullif; sizes with no
+    complete block (short series) drop from the regression, which
+    needs >= 2 points (else h_exponent is null).
+
+    Scale shape: a calendar-bounded day contraction, a 4-size
+    grid-sized fanout, per-block windows (PARTITION BY size, block —
+    thousands of small partitions, never one global window), map-side
+    per-block and per-size aggregates.  Output: one row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    a = grouped_running_sum(
+        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+        "__one",
+        ["d"],
+        ["__cnt"],
+        out_col=["i"],
+    ).select((F.col("rev") * 100).cast("decimal(19,0)").alias("x"), "i")
+    tot = a.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = spark.createDataFrame([(16,), (32,), (64,), (128,)], "s int")
+    rows_b = a.crossJoin(F.broadcast(sizes)).select(
+        "s",
+        F.floor((F.col("i") - 1) / F.col("s")).alias("b"),
+        ((F.col("i") - 1) % F.col("s") + 1).alias("j"),
+        "x",
+        "i",
+    )
+    wrun = (
+        Window.partitionBy("s", "b")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wblk = Window.partitionBy("s", "b")
+    stepped = rows_b.select(
+        "s",
+        "b",
+        "j",
+        "x",
+        F.sum("x").over(wrun).alias("c"),
+        F.sum("x").over(wblk).alias("sb"),
+        F.count(F.lit(1)).over(wblk).alias("cnt"),
+    )
+    blocks = (
+        stepped.groupBy("s", "b")
+        .agg(
+            F.max(F.col("s") * F.col("c") - F.col("j") * F.col("sb")).alias("emax"),
+            F.min(F.col("s") * F.col("c") - F.col("j") * F.col("sb")).alias("emin"),
+            F.first("sb").alias("sb"),
+            F.first("cnt").alias("cnt"),
+            F.sum(F.col("x") * F.col("x")).alias("ssq"),
+        )
+        .filter(F.col("cnt") == F.col("s"))
+    )
+    sd = F.col("s").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.col("ssq").cast("double") / sd
+            - (F.col("sb").cast("double") / sd) * (F.col("sb").cast("double") / sd),
+        )
+    )
+    rs = blocks.select(
+        "s",
+        F.round(
+            ((F.col("emax") - F.col("emin")).cast("double") / sd)
+            / F.nullif(sigma, F.lit(0.0)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("rsb"),
+    )
+    persize = rs.groupBy("s").agg(
+        F.count("rsb").cast("long").alias("nb"),
+        (F.sum("rsb").cast("double") / F.count("rsb").cast("double")).alias(
+            "mean_rs"
+        ),
+    )
+    lnx = F.log(F.col("s").cast("double"))
+    lny = F.log(F.col("mean_rs"))
+    pts = persize.filter(
+        F.col("mean_rs").isNotNull() & (F.col("mean_rs") > 0)
+    ).select(
+        "s",
+        "mean_rs",
+        F.round(lnx, 12).cast("decimal(18,12)").alias("lx"),
+        F.round(lny, 12).cast("decimal(18,12)").alias("ly"),
+        F.round(lnx * lny, 12).cast("decimal(18,12)").alias("lxy"),
+        F.round(lnx * lnx, 12).cast("decimal(18,12)").alias("lxx"),
+    )
+    kd = F.count("s").cast("double")
+    return pts.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n_days"),
+        F.round(F.max(F.when(F.col("s") == 16, F.col("mean_rs"))), 6).alias("rs_16"),
+        F.round(F.max(F.when(F.col("s") == 32, F.col("mean_rs"))), 6).alias("rs_32"),
+        F.round(F.max(F.when(F.col("s") == 64, F.col("mean_rs"))), 6).alias("rs_64"),
+        F.round(F.max(F.when(F.col("s") == 128, F.col("mean_rs"))), 6).alias(
+            "rs_128"
+        ),
+        F.round(
+            (kd * F.sum("lxy").cast("double") - F.sum("lx").cast("double") * F.sum("ly").cast("double"))
+            / F.nullif(
+                kd * F.sum("lxx").cast("double")
+                - F.sum("lx").cast("double") * F.sum("lx").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("h_exponent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 15: Lo-MacKinlay variance-ratio test on daily revenue.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "variance_ratio_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    a AS (
+        SELECT CAST(rev * 100 AS DECIMAL(19,0)) AS y,
+               ROW_NUMBER() OVER (ORDER BY d) AS i
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) - 1 AS t,
+               max_by(y, i) - min_by(y, i) AS dy
+        FROM a
+    ),
+    qs AS (SELECT * FROM (VALUES (1), (2), (5), (10)) AS qv(q)),
+    diffs AS (
+        SELECT qv.q,
+               CAST(round(
+                 (CAST(t.t * (a1.y - a0.y) - qv.q * t.dy AS DOUBLE)
+                  / (100.0 * CAST(t.t AS DOUBLE)))
+                 * (CAST(t.t * (a1.y - a0.y) - qv.q * t.dy AS DOUBLE)
+                    / (100.0 * CAST(t.t AS DOUBLE))), 6)
+               AS DECIMAL(38,6)) AS tq
+        FROM a a1 CROSS JOIN qs qv CROSS JOIN tot t
+        JOIN a a0 ON a0.i = a1.i - qv.q
+    ),
+    sq AS (
+        SELECT q, SUM(tq) AS s, CAST(COUNT(*) AS BIGINT) AS nq
+        FROM diffs GROUP BY q
+    ),
+    s1 AS (SELECT s AS sbase FROM sq WHERE q = 1),
+    assembled AS (
+        SELECT sq.q, t.t,
+               (CAST(sq.s AS DOUBLE)
+                / nullif(CAST(sq.q AS DOUBLE) * CAST(t.t - sq.q + 1 AS DOUBLE)
+                         * (1 - CAST(sq.q AS DOUBLE) / CAST(t.t AS DOUBLE)), 0))
+               / nullif(CAST(s1.sbase AS DOUBLE) / CAST(t.t - 1 AS DOUBLE), 0)
+                 AS vr_raw
+        FROM sq CROSS JOIN s1 CROSS JOIN tot t
+        WHERE sq.q > 1
+    )
+    SELECT q, t + 1 AS n_days,
+           round(vr_raw, 6) AS variance_ratio,
+           round((vr_raw - 1)
+                 / sqrt(2.0 * CAST(2 * q - 1 AS DOUBLE) * CAST(q - 1 AS DOUBLE)
+                        / (3.0 * CAST(q AS DOUBLE) * CAST(t AS DOUBLE))), 6)
+               AS z_stat
+    FROM assembled
+    ORDER BY q
+    """,
+)
+def variance_ratio_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (Lo & MacKinlay 1988, public)
+    of the random-walk hypothesis on the daily revenue level series:
+    VR(q) = sigma_c^2(q) / sigma_a^2 with the unbiased overlapping
+    estimators (mu = (y_T - y_0)/T; sigma_a^2 on 1-day increments over
+    T-1; sigma_c^2(q) on overlapping q-day increments over
+    m = q(T-q+1)(1-q/T)), plus the homoskedastic z statistic
+    (VR-1)/sqrt(2(2q-1)(q-1)/(3qT)) per horizon q in {2, 5, 10}.
+
+    Pre-registered distinctness vs :func:`runs_test_daily_moves`: the
+    runs test reads SIGN randomness only; VR(q) is the
+    variance-aggregation martingale test whose deviation from 1 reads
+    mean-reversion (<1) vs trending (>1) with magnitude.
+
+    Exactness/determinism: the series is integer CENTS off the day
+    contraction; each squared deviation has the exact integer-scaled
+    numerator T*D_k - q*(y_T - y_0) (DECIMAL — the cusum trick), one
+    double division by 100T, a 6dp round, and a DECIMAL(38,6) pin
+    before the per-q sum (order-independent; headroom to ~3e14/day
+    revenue).  VR and z divide once per released row.  Horizons with
+    q >= n_days drop out (no overlapping increment exists);
+    sigma_a^2 = 0 (exactly linear series) yields null via nullif.
+
+    Scale shape: a calendar-bounded day contraction, one ROW_NUMBER
+    over the day grid, a 4-horizon grid-sized self-join on the day
+    index, map-side-combinable per-q sums, scalar broadcasts.
+    Output: one row per released horizon (<= 3)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    a = grouped_running_sum(
+        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+        "__one",
+        ["d"],
+        ["__cnt"],
+        out_col=["i"],
+    ).select((F.col("rev") * 100).cast("decimal(19,0)").alias("y"), "i")
+    tot = a.agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("t"),
+        (F.expr("max_by(y, i)") - F.expr("min_by(y, i)")).alias("dy"),
+    )
+    qs = spark.createDataFrame([(1,), (2,), (5,), (10,)], "q int")
+    a1 = a.select(F.col("y").alias("y1"), F.col("i").alias("i1"))
+    a0 = a.select(F.col("y").alias("y0"), F.col("i").alias("i0"))
+    joined = (
+        a1.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(tot))
+        .join(a0, F.col("i0") == F.col("i1") - F.col("q"))
+    )
+    u = (
+        F.col("t") * (F.col("y1") - F.col("y0")) - F.col("q") * F.col("dy")
+    ).cast("double") / (F.lit(100.0) * F.col("t").cast("double"))
+    diffs = joined.select("q", F.round(u * u, 6).cast("decimal(38,6)").alias("tq"))
+    sq = diffs.groupBy("q").agg(F.sum("tq").alias("s"))
+    s1 = sq.filter(F.col("q") == 1).select(F.col("s").alias("sbase"))
+    qd, td = F.col("q").cast("double"), F.col("t").cast("double")
+    vr_raw = (
+        F.col("s").cast("double")
+        / F.nullif(
+            qd * (F.col("t") - F.col("q") + 1).cast("double") * (1 - qd / td),
+            F.lit(0.0),
+        )
+    ) / F.nullif(
+        F.col("sbase").cast("double") / (F.col("t") - 1).cast("double"),
+        F.lit(0.0),
+    )
+    assembled = (
+        sq.filter(F.col("q") > 1)
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(tot))
+        .select("q", "t", vr_raw.alias("vr_raw"))
+    )
+    return assembled.select(
+        "q",
+        (F.col("t") + 1).alias("n_days"),
+        F.round(F.col("vr_raw"), 6).alias("variance_ratio"),
+        F.round(
+            (F.col("vr_raw") - 1)
+            / F.sqrt(
+                2.0 * (2 * F.col("q") - 1).cast("double") * (F.col("q") - 1).cast("double")
+                / (3.0 * qd * td)
+            ),
+            6,
+        ).alias("z_stat"),
+    ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
 # Round 15: Pettitt rank-based changepoint on the daily revenue series.
 # ---------------------------------------------------------------------------
 
