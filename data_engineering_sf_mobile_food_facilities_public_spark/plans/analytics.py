@@ -7122,6 +7122,203 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Round 15: Hoeffding's D dependence statistic on the quantity/discount
+# cell grid.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "hoeffding_d_quantity_discount",
+    """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+               CAST(l_discount AS DECIMAL(4,2)) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT xs.x, ys.y, COALESCE(ce.c, 0) AS c
+        FROM (SELECT DISTINCT x FROM cells) xs
+        CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        LEFT JOIN cells ce ON ce.x = xs.x AND ce.y = ys.y
+    ),
+    w1 AS (
+        SELECT x, y, c,
+               COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS py,
+               COALESCE(SUM(c) OVER (PARTITION BY y ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS px,
+               SUM(c) OVER (PARTITION BY x) AS cx,
+               SUM(c) OVER (PARTITION BY y) AS cy
+        FROM grid
+    ),
+    w2 AS (
+        SELECT x, y, c, py, px, cx, cy,
+               COALESCE(SUM(py) OVER (PARTITION BY y ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS adom,
+               SUM(px) OVER (PARTITION BY x) AS cltx,
+               SUM(py) OVER (PARTITION BY y) AS clty
+        FROM w1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT t.n,
+               CAST(round(
+                 CAST(c AS DOUBLE) * (
+                   CAST(t.n - 2 AS DOUBLE) * CAST(t.n - 3 AS DOUBLE)
+                     * CAST(4 * adom + 2 * py + 2 * px + c - 1 AS DOUBLE)
+                     * CAST(4 * adom + 2 * py + 2 * px + c - 5 AS DOUBLE)
+                   + CAST(2 * cltx + cx - 1 AS DOUBLE)
+                     * CAST(2 * cltx + cx - 3 AS DOUBLE)
+                     * CAST(2 * clty + cy - 1 AS DOUBLE)
+                     * CAST(2 * clty + cy - 3 AS DOUBLE)
+                   - 2.0 * CAST(t.n - 2 AS DOUBLE)
+                     * CAST(2 * cltx + cx - 3 AS DOUBLE)
+                     * CAST(2 * clty + cy - 3 AS DOUBLE)
+                     * CAST(4 * adom + 2 * py + 2 * px + c - 1 AS DOUBLE)
+                 )
+                 / nullif(16.0 * CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+                          * CAST(t.n - 2 AS DOUBLE) * CAST(t.n - 3 AS DOUBLE)
+                          * CAST(t.n - 4 AS DOUBLE), 0), 12)
+               AS DECIMAL(24,12)) AS tc
+        FROM w2 CROSS JOIN tot t
+        WHERE c > 0
+    )
+    SELECT any_value(n) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(30.0 * CAST(SUM(tc) AS DOUBLE), 6) AS hoeffding_d
+    FROM terms
+    """,
+)
+def hoeffding_d_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D statistic of dependence (Hoeffding 1948, public;
+    the SAS PROC CORR HOEFFDING midrank-tie convention) between
+    l_quantity and l_discount:
+
+        D = 30 * ((n-2)(n-3)*D1 + D2 - 2(n-2)*D3)
+              / (n(n-1)(n-2)(n-3)(n-4))
+
+    with D1 = sum (Q_i-1)(Q_i-2), D2 = sum (R_i-1)(R_i-2)(S_i-1)(S_i-2),
+    D3 = sum (R_i-2)(S_i-2)(Q_i-1); R/S midranks and Q the bivariate
+    rank 1 + #[x<,y<] + (1/2)#[x=,y<] + (1/2)#[x<,y=] + (1/4)(#[x=,y=]-1).
+
+    Pre-registered distinctness vs
+    :func:`kendall_tau_quantity_discount`: tau measures MONOTONE
+    association (a V-shaped dependence nets to tau ~ 0); D is the
+    bivariate-ECDF dominance statistic that is nonzero under ANY
+    dependence — the classical screen for non-monotone structure.
+
+    Exactness/determinism: everything contracts to the ~50x11
+    ZERO-FILLED value-pair grid; the half/quarter tie weights clear
+    under the doubled/quadrupled-integer identities r2 = 2*cltx+cx+1,
+    s2 = 2*clty+cy+1, q4 = 3+c+4A+2Bx+2By (all exact integers from
+    five grid-bounded windows — strict dominance A is a running sum of
+    the per-column prefix Py, never a pair join); each cell's
+    normalized contribution is ONE double expression (identical
+    operation order in both engines; |t| <= c/n so the 12dp
+    DECIMAL(24,12) pin is exact to ~5e-13 per cell), summed
+    order-independently with a 6dp edge round.  n <= 4 yields null via
+    nullif (the statistic is undefined).  The cell frame persists
+    (550-row dim-grid — the semdedup staged-projection precedent) so
+    the grid/marginal branches cost ONE fact scan, not five.
+
+    Scale shape: one fact scan into a map-side-combinable (x, y)
+    contraction; all remaining work is windows and joins on the
+    bounded grid.  Output: one row."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+    )
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+            F.col("l_discount").cast("decimal(4,2)").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_py = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_px = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1 = grid.select(
+        "x",
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(w_py), F.lit(0)).alias("py"),
+        F.coalesce(F.sum("c").over(w_px), F.lit(0)).alias("px"),
+        F.sum("c").over(Window.partitionBy("x")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("y")).alias("cy"),
+    )
+    w2 = w1.select(
+        "x",
+        "y",
+        "c",
+        "py",
+        "px",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("py").over(w_px), F.lit(0)).alias("adom"),
+        F.sum("px").over(Window.partitionBy("x")).alias("cltx"),
+        F.sum("py").over(Window.partitionBy("y")).alias("clty"),
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _d(e):
+        return e.cast("double")
+
+    q4m1 = 4 * F.col("adom") + 2 * F.col("py") + 2 * F.col("px") + F.col("c") - 1
+    q4m5 = 4 * F.col("adom") + 2 * F.col("py") + 2 * F.col("px") + F.col("c") - 5
+    r2m1 = 2 * F.col("cltx") + F.col("cx") - 1
+    r2m3 = 2 * F.col("cltx") + F.col("cx") - 3
+    s2m1 = 2 * F.col("clty") + F.col("cy") - 1
+    s2m3 = 2 * F.col("clty") + F.col("cy") - 3
+    num = (
+        _d(F.col("n") - 2) * _d(F.col("n") - 3) * _d(q4m1) * _d(q4m5)
+        + _d(r2m1) * _d(r2m3) * _d(s2m1) * _d(s2m3)
+        - 2.0 * _d(F.col("n") - 2) * _d(r2m3) * _d(s2m3) * _d(q4m1)
+    )
+    den = F.nullif(
+        16.0
+        * _d(F.col("n"))
+        * _d(F.col("n") - 1)
+        * _d(F.col("n") - 2)
+        * _d(F.col("n") - 3)
+        * _d(F.col("n") - 4),
+        F.lit(0.0),
+    )
+    terms = (
+        w2.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") > 0)
+        .select(
+            "n",
+            F.round(_d(F.col("c")) * num / den, 12)
+            .cast("decimal(24,12)")
+            .alias("tc"),
+        )
+    )
+    return terms.agg(
+        F.first("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(30.0 * F.sum("tc").cast("double"), 6).alias("hoeffding_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 15: Hurst exponent via rescaled-range (R/S) analysis.
 # ---------------------------------------------------------------------------
 

@@ -7673,6 +7673,173 @@ def bigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ccnet_perplexity_buckets",
+    _TOKENS_CTE
+    + """
+    , pos AS (
+        SELECT doc_id, tokens,
+               unnest(generate_series(1, len(tokens) - 1)) AS i
+        FROM tok
+        WHERE len(tokens) >= 2
+    ),
+    bigrams AS (
+        SELECT d.doc_id, d.source, b.w1, b.w2
+        FROM (SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2 FROM pos) b
+        JOIN documents d ON d.doc_id = b.doc_id
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bigrams),
+    db AS (
+        SELECT doc_id, source, w1, w2, CAST(COUNT(*) AS DECIMAL(19,0)) AS n_dw
+        FROM bigrams GROUP BY doc_id, source, w1, w2
+    ),
+    doch AS (
+        SELECT s.doc_id, any_value(s.source) AS source,
+               round(-CAST(SUM(s.n_dw * CAST(round(
+                         ln((g.c12 + 1.0) / (h.c1 + voc.v)), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(SUM(s.n_dw) AS DOUBLE), 6) AS h6
+        FROM db s
+        JOIN big g ON g.w1 = s.w1 AND g.w2 = s.w2
+        JOIN hist h ON h.w1 = s.w1
+        CROSS JOIN voc
+        GROUP BY s.doc_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM doch),
+    perv AS (SELECT h6, CAST(COUNT(*) AS BIGINT) AS cnt FROM doch GROUP BY h6),
+    cumv AS (
+        SELECT h6, SUM(cnt) OVER (ORDER BY h6
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM perv
+    ),
+    th AS (
+        SELECT MIN(CASE WHEN cum >= CAST(floor((t.n + 2) / 3.0) AS BIGINT)
+                        THEN h6 END) AS t1,
+               MIN(CASE WHEN cum >= CAST(floor((2 * t.n + 2) / 3.0) AS BIGINT)
+                        THEN h6 END) AS t2
+        FROM cumv CROSS JOIN tot t
+    )
+    SELECT d.source,
+           CASE WHEN d.h6 <= th.t1 THEN 'head'
+                WHEN d.h6 <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(d.h6 AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logloss
+    FROM doch d CROSS JOIN th
+    GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    score EVERY document's cross-entropy under the corpus-trained
+    add-one bigram LM (the :func:`bigram_perplexity_by_source` model,
+    verbatim), split the corpus at the GLOBAL logloss terciles, and
+    release per (source, head/middle/tail) document counts with mean
+    logloss — the quality-filter table a curation pipeline thresholds
+    on (CCNet keeps 'head', reviews 'middle', drops 'tail').
+
+    Pre-registered distinctness vs ``bigram_perplexity_by_source``:
+    that op EVALUATES the LM per source (one row per source); this one
+    SCORES EACH DOCUMENT and buckets — the filtering operator itself,
+    whose output grain is (source x bucket) membership.
+
+    Determinism: per-bigram-type log-probs are 6dp DECIMAL(18,6)
+    constants (the LM convention); each document's logloss weights
+    them by exact DECIMAL counts, divides once, and rounds to 6dp —
+    and the tercile thresholds are ORDER STATISTICS of those rounded
+    values, computed as min-above-ceil(k·n/3) on the logloss value
+    contraction's running count (no engine percentile function, whose
+    boundary semantics differ between engines).  Docs with < 2 tokens
+    have no bigram and are excluded (unscorable) on both sides.
+
+    Scale shape: the LM build is the existing two grouped counts on
+    the exploded bigram stream; doc scoring contracts to (doc, bigram
+    type) BEFORE the model join; the threshold pass is a value-grid
+    cumsum via :func:`grouped_running_sum`, and bucketing is a scalar
+    broadcast.  Output: one row per (source, bucket) — <= 3·|sources|."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", TX.tokens("text").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bigrams = toks.select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("tk") - 2)).alias("i"),
+        F.col("tk"),
+    ).select(
+        "source",
+        "doc_id",
+        F.col("tk")[F.col("i")].alias("w1"),
+        F.col("tk")[F.col("i") + 1].alias("w2"),
+    )
+    big = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    hist = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    voc = bigrams.agg(F.countDistinct("w2").cast("long").alias("v"))
+    db = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n_dw")
+    )
+    lp = (
+        F.round(
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    doch = (
+        db.join(big, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", "source", "n_dw", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.round(
+                -F.sum(F.col("n_dw") * F.col("lp")).cast("double")
+                / F.sum("n_dw").cast("double"),
+                6,
+            ).alias("h6"),
+        )
+    )
+    tot = doch.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    perv = doch.groupBy("h6").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cumv = grouped_running_sum(
+        perv.withColumn("__one", F.lit(1)), "__one", ["h6"], ["cnt"], out_col=["cum"]
+    )
+    k1 = F.floor((F.col("n") + 2) / 3.0).cast("long")
+    k2 = F.floor((2 * F.col("n") + 2) / 3.0).cast("long")
+    th = (
+        cumv.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum") >= k1, F.col("h6"))).alias("t1"),
+            F.min(F.when(F.col("cum") >= k2, F.col("h6"))).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("h6") <= F.col("t1"), F.lit("head"))
+        .when(F.col("h6") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket")
+    )
+    return (
+        doch.crossJoin(F.broadcast(th))
+        .groupBy("source", bucket)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("h6").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_logloss"),
+        )
+    )
+
+
 _KL_VOCAB_K = 200  # bounded vocabulary: top-K corpus tokens + __other__
 
 
