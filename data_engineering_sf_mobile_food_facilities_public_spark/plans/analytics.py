@@ -7426,22 +7426,29 @@ def hurst_exponent_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete block (short series) drop from the regression, which
     needs >= 2 points (else h_exponent is null).
 
-    Scale shape: a calendar-bounded day contraction, a 4-size
-    grid-sized fanout, per-block windows (PARTITION BY size, block —
-    thousands of small partitions, never one global window), map-side
-    per-block and per-size aggregates.  Output: one row."""
+    Scale shape: a calendar-bounded day contraction into a PERSISTED
+    indexed day frame (the totals and size-fanout branches would
+    otherwise each re-scan the fact table; the r14 single-scan
+    lesson), a 4-size grid-sized fanout, per-block windows (PARTITION
+    BY size, block — thousands of small partitions, never one global
+    window), map-side per-block and per-size aggregates.
+    Output: one row."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
-    a = grouped_running_sum(
-        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
-        "__one",
-        ["d"],
-        ["__cnt"],
-        out_col=["i"],
-    ).select((F.col("rev") * 100).cast("decimal(19,0)").alias("x"), "i")
+    a = (
+        grouped_running_sum(
+            daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+            "__one",
+            ["d"],
+            ["__cnt"],
+            out_col=["i"],
+        )
+        .select((F.col("rev") * 100).cast("decimal(19,0)").alias("x"), "i")
+        .persist()
+    )
     tot = a.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sizes = spark.createDataFrame([(16,), (32,), (64,), (128,)], "s int")
     rows_b = a.crossJoin(F.broadcast(sizes)).select(
@@ -7617,22 +7624,28 @@ def variance_ratio_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     q >= n_days drop out (no overlapping increment exists);
     sigma_a^2 = 0 (exactly linear series) yields null via nullif.
 
-    Scale shape: a calendar-bounded day contraction, one ROW_NUMBER
-    over the day grid, a 4-horizon grid-sized self-join on the day
-    index, map-side-combinable per-q sums, scalar broadcasts.
+    Scale shape: a calendar-bounded day contraction into a PERSISTED
+    indexed day frame (the totals/lag-side/lead-side branches would
+    otherwise each re-scan the fact table; the r14 single-scan
+    lesson), a 4-horizon grid-sized self-join on the day index,
+    map-side-combinable per-q sums, scalar broadcasts.
     Output: one row per released horizon (<= 3)."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
-    a = grouped_running_sum(
-        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
-        "__one",
-        ["d"],
-        ["__cnt"],
-        out_col=["i"],
-    ).select((F.col("rev") * 100).cast("decimal(19,0)").alias("y"), "i")
+    a = (
+        grouped_running_sum(
+            daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
+            "__one",
+            ["d"],
+            ["__cnt"],
+            out_col=["i"],
+        )
+        .select((F.col("rev") * 100).cast("decimal(19,0)").alias("y"), "i")
+        .persist()
+    )
     tot = a.agg(
         (F.count(F.lit(1)) - 1).cast("long").alias("t"),
         (F.expr("max_by(y, i)") - F.expr("min_by(y, i)")).alias("dy"),
@@ -7752,14 +7765,17 @@ def pettitt_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataF
     construction).  Only the p-value runs in double, clamped at 1 and
     rounded 6dp on the single released row.
 
-    Scale shape: a calendar-bounded day contraction, a value-grid
-    cumsum + day-grid cumsum through :func:`grouped_running_sum` (no
-    data-sized window), a broadcast scalar join, and one
-    TakeOrderedAndProject.  Output: one row."""
+    Scale shape: a calendar-bounded day contraction (PERSISTED — the
+    tot/value-grid/rank branches would otherwise each re-scan the fact
+    table; the r14 single-scan lesson), a value-grid cumsum + day-grid
+    cumsum through :func:`grouped_running_sum` (no data-sized window),
+    a broadcast scalar join, and one TakeOrderedAndProject.
+    Output: one row."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+        .persist()
     )
     tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
     perv = daily.groupBy("rev").agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -7691,7 +7691,7 @@ def bigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
             FROM bigrams GROUP BY w1, w2),
     hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
-    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bigrams),
+    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM big),
     db AS (
         SELECT doc_id, source, w1, w2, CAST(COUNT(*) AS DECIMAL(19,0)) AS n_dw
         FROM bigrams GROUP BY doc_id, source, w1, w2
@@ -7757,10 +7757,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no bigram and are excluded (unscorable) on both sides.
 
     Scale shape: the LM build is the existing two grouped counts on
-    the exploded bigram stream; doc scoring contracts to (doc, bigram
-    type) BEFORE the model join; the threshold pass is a value-grid
-    cumsum via :func:`grouped_running_sum`, and bucketing is a scalar
-    broadcast.  Output: one row per (source, bucket) — <= 3·|sources|."""
+    the exploded bigram stream; the model type table PERSISTS
+    (vocabulary-bounded) so hist/voc derive without re-exploding the
+    corpus, and V counts distinct continuations over TYPES (equal by
+    definition to the stream count — the r14 single-scan lesson); doc
+    scoring contracts to (doc, bigram type) BEFORE the model join; the
+    per-doc score frame PERSISTS (one row per doc) so the
+    threshold/total/bucket branches reuse it; the threshold pass is a
+    value-grid cumsum via :func:`grouped_running_sum`, and bucketing
+    is a scalar broadcast.  Output: one row per (source, bucket) —
+    <= 3·|sources|."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "source", "doc_id", TX.tokens("text").alias("tk")
@@ -7776,11 +7782,13 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tk")[F.col("i")].alias("w1"),
         F.col("tk")[F.col("i") + 1].alias("w2"),
     )
-    big = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    big = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .persist()
     )
     hist = big.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    voc = bigrams.agg(F.countDistinct("w2").cast("long").alias("v"))
+    voc = big.agg(F.countDistinct("w2").cast("long").alias("v"))
     db = bigrams.groupBy("doc_id", "source", "w1", "w2").agg(
         F.count(F.lit(1)).cast("decimal(19,0)").alias("n_dw")
     )
@@ -7805,6 +7813,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("h6"),
         )
+        .persist()
     )
     tot = doch.agg(F.count(F.lit(1)).cast("long").alias("n"))
     perv = doch.groupBy("h6").agg(F.count(F.lit(1)).cast("long").alias("cnt"))

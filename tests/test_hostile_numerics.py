@@ -168,6 +168,27 @@ _NUMERIC_PANEL = [
     # produce identical midranks and tie corrections on both engines
     "spearman_price_vs_quantity",
     "kendall_tau_quantity_discount",
+    # r15 ECDF/rank family: the all-equal price block is one giant
+    # pooled tie (AD's midrank cumulatives and the tie-adjusted
+    # denominator must agree; degenerate single-value grids hit the
+    # nullif guard), and the 2024-dated hostile corpus empties the
+    # 1996 halves entirely (all-null release must match)
+    "anderson_darling_price_halves",
+    # r15 AP: discount=1.0 edge rows, zero-positives prevalence, and
+    # tie groups spanning both classes must step identically
+    "average_precision_discount_returns",
+    # r15 Hoeffding: all-tied quantity blocks collapse grid columns
+    # (quarter-integer tie weights bind); negative quantities order
+    # below zero identically; n <= 4 would null via the guard
+    "hoeffding_d_quantity_discount",
+    # r15 day-series trio: ~2-week hostile series (few days, heavy
+    # revenue ties from the all-equal block) — Pettitt's midranks and
+    # integer argmax, VR's short-horizon dropout (q >= T) and the
+    # sigma=0 nullif, and Hurst's no-complete-block degradation
+    # (single regression point -> null H) must agree on both engines
+    "pettitt_changepoint_daily_revenue",
+    "variance_ratio_daily_revenue",
+    "hurst_exponent_daily_revenue",
     # r9 WOE binning: empty bins (0.5 smoothing paths), all-good or
     # all-bad bins, and out-of-range prices must bin identically
     "woe_binning_price_returns",

@@ -175,6 +175,11 @@ _HOSTILE_PANEL = [
     # single-source corpora still release (KL ~ 0 vs themselves)
     "bigram_perplexity_by_source",
     "kl_divergence_source_vs_corpus",
+    # r15: document-level scoring under the same corpus LM — unscorable
+    # docs (zero bigrams) must drop identically, and the tercile
+    # thresholds are order statistics over very few distinct logloss
+    # values (heavy ties: whole buckets can collapse to one value)
+    "ccnet_perplexity_buckets",
     # conjunctive search explodes the token array into postings: empty
     # tokens from whitespace-only docs must be dropped identically, and
     # the top-df selection must tie-break identically on both engines

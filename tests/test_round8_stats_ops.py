@@ -221,3 +221,229 @@ def test_goodman_kruskal_lambda_matches_brute_force(spark):
     assert r.n == n
     assert abs(r.lambda_status_given_priority - lam("s_given_p")) <= 1e-6
     assert abs(r.lambda_priority_given_status - lam("p_given_s")) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-15 operators: independent numpy recomputes (third implementations)
+# and mathematical invariants on the real SF_SMOKE tables.
+# ---------------------------------------------------------------------------
+
+
+def _duck(sql):
+    import duckdb
+
+    from tests.parity import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_average_precision_matches_numpy_recompute(spark, q):
+    import numpy as np
+
+    (r,) = q["average_precision_discount_returns"](spark, SF_SMOKE).collect()
+    rows = _duck(
+        "SELECT CAST(l_discount AS DOUBLE), "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        "FROM lineitem WHERE l_discount IS NOT NULL"
+    )
+    s = np.array([x[0] for x in rows])
+    y = np.array([x[1] for x in rows])
+    ap = 0.0
+    tp = nn = 0
+    P = int(y.sum())
+    for v in sorted(set(s), reverse=True):
+        m = s == v
+        tp += int(y[m].sum())
+        nn += int(m.sum())
+        ap += (int(y[m].sum()) / P) * (tp / nn)
+    assert r["n_pos"] == P and r["n_neg"] == len(y) - P
+    assert abs(r["average_precision"] - ap) < 1e-5
+    assert abs(r["prevalence"] - P / len(y)) < 1e-5
+
+
+def test_anderson_darling_matches_numpy_recompute(spark, q):
+    import numpy as np
+
+    (r,) = q["anderson_darling_price_halves"](spark, SF_SMOKE).collect()
+    rows = _duck(
+        "SELECT CAST(o_totalprice AS DOUBLE), "
+        "CASE WHEN o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01'"
+    )
+    x = np.array([v[0] for v in rows])
+    g = np.array([v[1] for v in rows])
+    n1, n2 = int(g.sum()), int((1 - g).sum())
+    N = n1 + n2
+    vals = np.sort(np.unique(x))
+    a2 = 0.0
+    for ni, mask in ((n1, g == 1), (n2, g == 0)):
+        inner = 0.0
+        cum = cumi = 0
+        for v in vals:
+            lj = int((x == v).sum())
+            fij = int((x[mask] == v).sum())
+            Bj = cum + lj / 2.0
+            Mij = cumi + fij / 2.0
+            den = Bj * (N - Bj) - N * lj / 4.0
+            if den != 0:
+                inner += (lj / N) * (N * Mij - ni * Bj) ** 2 / den
+            cum += lj
+            cumi += fij
+        a2 += inner / ni
+    a2 *= (N - 1) / N
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["a2akn"] - a2) < 1e-4
+
+
+def test_hoeffding_d_matches_numpy_brute_force(spark, q):
+    import numpy as np
+
+    (r,) = q["hoeffding_d_quantity_discount"](spark, SF_SMOKE).collect()
+    rows = _duck(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE) "
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL"
+    )
+    x = np.array([v[0] for v in rows])
+    y = np.array([v[1] for v in rows])
+    n = len(x)
+    lt_x = x[None, :] < x[:, None]
+    eq_x = x[None, :] == x[:, None]
+    lt_y = y[None, :] < y[:, None]
+    eq_y = y[None, :] == y[:, None]
+    R = lt_x.sum(1) + (eq_x.sum(1) + 1) / 2.0
+    S = lt_y.sum(1) + (eq_y.sum(1) + 1) / 2.0
+    Q = (
+        1
+        + (lt_x & lt_y).sum(1)
+        + 0.5 * (eq_x & lt_y).sum(1)
+        + 0.5 * (lt_x & eq_y).sum(1)
+        + 0.25 * ((eq_x & eq_y).sum(1) - 1)
+    )
+    D1 = ((Q - 1) * (Q - 2)).sum()
+    D2 = ((R - 1) * (R - 2) * (S - 1) * (S - 2)).sum()
+    D3 = ((R - 2) * (S - 2) * (Q - 1)).sum()
+    D = (
+        30.0
+        * ((n - 2) * (n - 3) * D1 + D2 - 2 * (n - 2) * D3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    assert r["n_rows"] == n
+    assert abs(r["hoeffding_d"] - D) < 1e-5
+    # range sanity (SAS bound: -0.5 <= D <= 1)
+    assert -0.5 <= r["hoeffding_d"] <= 1.0
+
+
+def test_pettitt_matches_numpy_brute_force(spark, q):
+    import numpy as np
+
+    (r,) = q["pettitt_changepoint_daily_revenue"](spark, SF_SMOKE).collect()
+    rows = _duck(
+        "SELECT CAST(o_orderdate AS DATE) AS d, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    rev = np.array([float(v[1]) for v in rows])
+    n = len(rev)
+    sgn = np.sign(rev[None, :] - rev[:, None])
+    u = np.array(
+        [sgn[: t + 1, t + 1 :].sum() for t in range(n - 1)]
+    )  # U_t for t = 1..n-1
+    k = int(np.abs(u).max())
+    t_star = int(np.argmax(np.abs(u))) + 1
+    assert r["n_days"] == n
+    assert r["k_statistic"] == k
+    assert r["day_index"] == t_star
+    p = 2 * np.exp(-6.0 * k * k / (n**3 + n**2))
+    assert abs(r["p_value"] - min(1.0, p)) < 1e-6
+
+
+def test_variance_ratio_matches_numpy_recompute(spark, q):
+    import numpy as np
+
+    rows = {r["q"]: r for r in q["variance_ratio_daily_revenue"](spark, SF_SMOKE).collect()}
+    raw = _duck(
+        "SELECT CAST(o_orderdate AS DATE) AS d, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    y = np.array([float(v[1]) for v in raw])
+    T = len(y) - 1
+    mu = (y[-1] - y[0]) / T
+    s1 = ((np.diff(y) - mu) ** 2).sum() / (T - 1)
+    for qq, rr in rows.items():
+        dq = y[qq:] - y[:-qq]
+        m = qq * (T - qq + 1) * (1 - qq / T)
+        vr = (((dq - qq * mu) ** 2).sum() / m) / s1
+        z = (vr - 1) / np.sqrt(2.0 * (2 * qq - 1) * (qq - 1) / (3.0 * qq * T))
+        assert abs(rr["variance_ratio"] - vr) < 1e-4
+        assert abs(rr["z_stat"] - z) < 1e-3
+        assert rr["n_days"] == T + 1
+    assert sorted(rows) == [2, 5, 10]
+
+
+def test_hurst_matches_numpy_recompute(spark, q):
+    import numpy as np
+
+    (r,) = q["hurst_exponent_daily_revenue"](spark, SF_SMOKE).collect()
+    raw = _duck(
+        "SELECT CAST(o_orderdate AS DATE) AS d, "
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    )
+    x = np.array([float(v[1]) for v in raw])
+    pts = []
+    for s in (16, 32, 64, 128):
+        rss = []
+        for b in range(len(x) // s):
+            blk = x[b * s : (b + 1) * s]
+            dev = np.cumsum(blk - blk.mean())
+            sd = blk.std()  # population
+            if sd > 0:
+                rss.append(round((dev.max() - dev.min()) / sd, 6))
+        if rss:
+            mean_rs = float(np.mean(rss))
+            pts.append((np.log(s), np.log(mean_rs)))
+            got = r[f"rs_{s}"]
+            assert got is not None and abs(got - mean_rs) < 1e-4
+    lx = np.array([p[0] for p in pts])
+    ly = np.array([p[1] for p in pts])
+    k = len(pts)
+    slope = (k * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        k * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert abs(r["h_exponent"] - slope) < 1e-4
+
+
+def test_ccnet_buckets_ordered_and_partitioned(spark, q):
+    rows = q["ccnet_perplexity_buckets"](spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["bucket"]] = r
+    assert set().union(*[set(v) for v in by_src.values()]) <= {
+        "head",
+        "middle",
+        "tail",
+    }
+    # bucket thresholds are GLOBAL value cuts, so within every source the
+    # mean logloss must be ordered head <= middle <= tail
+    for src, bk in by_src.items():
+        means = [
+            bk[b]["mean_logloss"] for b in ("head", "middle", "tail") if b in bk
+        ]
+        assert means == sorted(means), src
+    # global buckets are near-terciles (exact thirds up to ties)
+    tot = {b: 0 for b in ("head", "middle", "tail")}
+    for r in rows:
+        tot[r["bucket"]] += r["n_docs"]
+    n = sum(tot.values())
+    assert n > 0 and tot["head"] >= 1
