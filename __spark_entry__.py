@@ -45,15 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full registry is always returned and the local parity suite
 # (tests/test_oracle_parity.py) checks all of it either way.
 #
-# Round-14 panel (r13 VERDICT #1): core is 10 sentinels + ONE
-# changed-plan re-proof slot — pagerank_customer_supplier stays because
-# its mode='auto' decision path changed AGAIN this round (VERDICT r13
-# #4: the edge count now reads Parquet footer metadata below the
-# crossover; the ranks plan is value-identical, re-proven here).
-# prefix_filter_pairs also gained a shard_col parameter, but the
-# registered default path compiles to the identical plan (shard_keys
-# empty) and its modified function gets driver coverage through the
-# NEW prefix_jaccard_sampled_pairs rotating slot below.
+# Round-15 panel (r14 VERDICT #1): core is the 10 sentinels only.  No
+# core query's engine changed this round — pagerank's r14 auto-mode
+# change is driver-proven (pass r14) and its delegation is now pinned
+# end-to-end by test_pagerank_auto_mode_branch_matches_helper_across_
+# crossover, so its re-proof slot returns to the rotation.  The one
+# released query whose engine DID change (kl_divergence_source_vs_
+# corpus: ADVICE r14 per-term DECIMAL pinning) is never-driver-verified
+# and sits in the rotation, covering the change and burning backlog in
+# the same slot.  prefix_jaccard_pairs_run gained a knob-conflict
+# ValueError (ADVICE r14) — the registered default paths pass no knobs
+# and compile unchanged.
 _PANEL_CORE = [
     # flagship + section-2 family sentinels
     "flagship_top5_customers_by_order_count",  # J4 (the reference's query)
@@ -66,72 +68,39 @@ _PANEL_CORE = [
     "top_revenue_orders",  # O2
     "api_source_scan",  # S1/S2 Python DataSource
     "pricing_summary",  # A7 aggregate
-    # engine changed this round (metadata-cheap auto decision, r13 #4)
-    "pagerank_customer_supplier",
 ]
 
-# Round-14 rotation: 39 slots, ALL never driver-verified (r13 VERDICT
-# #1: keep burning; 236 in the mechanical ledger after this round's 9
-# adds, so the panel lands the count at 197 <= the <=201 target).
-# Composition repeats the split the r13 verdict endorsed: 6 slots for
-# this round's most novel new pairs (one per family — JL projection
-# audit, sampled exact-Jaccard tier, exact ROC AUC, inequality indices,
-# corpus-LM perplexity, ordinal effect size; the kuiper/jarque/KL
-# siblings stay staged) and 33 oldest-first from the staging pool.
-# Every member is locally parity-green at three SFs, hostile-fixture
-# covered, and matrix-stressed before the round ends.
+# Round-15 rotation: 40 slots, ALL never driver-verified (r14 VERDICT
+# #1: burn below 160+adds; the mechanical ledger reads 206 after this
+# round's 7 adds, so the 40-slot burn lands the post-r15 count at
+# 166 <= the 160+7 target).  Composition per the r14 brief: the EIGHT
+# named SURVEY-mapped stragglers first (no section-2/section-8 family
+# may stay without a driver-green member), then the engine-changed KL
+# pair, this round's 7 novel operators, and 24 oldest-first from the
+# staging pool.  Every member is locally parity-green at three SFs,
+# hostile-fixture covered, and matrix-stressed before the round ends.
 _PANEL_ROTATING = [
-    # r14 novel pairs — one per new family (r13 VERDICT #1 split)
-    "jl_projection_distortion",
-    "prefix_jaccard_sampled_pairs",
-    "roc_auc_discount_returns",
-    "inequality_indices_customer_revenue",
-    "bigram_perplexity_by_source",
-    "cliffs_delta_quantity_halves",
+    # r14 VERDICT #1's eight named stragglers (SURVEY section-2/8 rows)
+    "flagship_via_sql",  # S10 SQL-interface proof
+    "ols_price_vs_quantity",  # M2 oracle-paired twin
+    "audio_sample_decode",  # multimodal audio oracle pair
+    "video_frame_sample",  # multimodal video oracle pair
+    "simhash_signatures",  # dedup primitive
+    "ngram_jaccard_pairs",  # dedup primitive
+    "text_lang_id",  # text-analysis family
+    "text_token_stats",  # text-analysis family
+    # engine changed this round (ADVICE r14: per-term DECIMAL pinning)
+    "kl_divergence_source_vs_corpus",
+    # r15 novel pairs (pre-registered in SCALE.md with distinctness
+    # notes; numpy third-implementation tests in test_round8_stats_ops)
+    "average_precision_discount_returns",
+    "anderson_darling_price_halves",
+    "pettitt_changepoint_daily_revenue",
+    "variance_ratio_daily_revenue",
+    "hurst_exponent_daily_revenue",
+    "hoeffding_d_quantity_discount",
+    "ccnet_perplexity_buckets",
     # staging pool head, oldest first
-    "calendar_fill_monthly_revenue",
-    "cross_join_region_status_grid",
-    "dispersion_stats_by_flag",
-    "distribution_windows",
-    "expectations_orders",
-    "lateral_long_words_per_doc",
-    "listagg_nations_per_region",
-    "map_status_counts_by_priority",
-    "mode_median_by_flag",
-    "mom_revenue_change",
-    "multiset_customer_orders_h1_vs_h2",
-    "parameterized_sql_big_orders",
-    "percentile_disc_by_status",
-    "q13_customer_order_distribution",
-    "q18_large_volume_customers",
-    "range_frame_price_neighbors",
-    "regexp_doc_features",
-    "regr_price_vs_quantity",
-    "rows_per_input_file",
-    "string_scalar_breadth",
-    "to_json_order_documents",
-    "top2_orders_per_customer",
-    "try_divide_return_rates",
-    "udaf_weighted_avg_discount",
-    "zonemap_pruning_by_layout",
-    "approx_top_k_by_status",
-    "approx_top_k_priorities",
-    "arrow_grouped_extrema_status",
-    "pagination_orders_page3",
-    "collated_type_counts",
-    "execute_immediate_status_totals",
-    "filter_clause_aggregates",
-    "group_by_all_status_priority",
-]
-
-# Staging pool for the NEXT rounds' rotation (r15+): the oldest-first
-# continuation of the never-driver-verified oracle-paired set (the 33
-# promoted into this round's rotation are removed; new r14 operators
-# not in this round's panel append at the tail as they land).  The
-# determinism matrix has an opt-in test that stresses exactly this list
-# so candidates arrive pre-stressed; all are locally parity-green at
-# three SFs.
-_PANEL_NEXT_CANDIDATES = [
     "identifier_dynamic_rollup",
     "lateral_column_alias_margins",
     "pipe_syntax_flag_revenue",
@@ -156,6 +125,16 @@ _PANEL_NEXT_CANDIDATES = [
     "gopher_curation_pipeline",
     "gopher_dup_trigram_chars",
     "gopher_quality_rules",
+]
+
+# Staging pool for the NEXT rounds' rotation (r16+): the oldest-first
+# continuation of the never-driver-verified oracle-paired set (the 24
+# staged entries + 4 staged stragglers promoted into this round's
+# rotation are removed; the r15 novel operators all rotate THIS round
+# so none append here).  The determinism matrix has an opt-in test
+# that stresses exactly this list so candidates arrive pre-stressed;
+# all are locally parity-green at three SFs.
+_PANEL_NEXT_CANDIDATES = [
     "greedy_coverage_selection",
     "incremental_near_dup_new_batch",
     "inverted_index_conjunctive",
@@ -168,16 +147,12 @@ _PANEL_NEXT_CANDIDATES = [
     "near_dup_cluster_sizes",
     "near_dup_cluster_source_purity",
     "near_dup_threshold_histogram",
-    "ngram_jaccard_pairs",
     "pii_redact_documents",
     "pseudonymize_customer_orders",
     "repetition_filter_stats",
     "simhash64_near_dup_pairs",
-    "simhash_signatures",
     "streaming_incremental_near_dup",
     "text_fingerprints",
-    "text_lang_id",
-    "text_token_stats",
     "textrank_keywords",
     "tokenizer_fertility_by_lang",
     "top_collocations_pmi",
@@ -227,7 +202,6 @@ _PANEL_NEXT_CANDIDATES = [
     # r14 additions land at the staging tail as they register
     "kuiper_test_price_halves",
     "jarque_bera_quantity_1996",
-    "kl_divergence_source_vs_corpus",
     "partial_corr_price_quantity_given_discount",
     "goodman_kruskal_lambda_status_priority",
 ]

@@ -72,25 +72,24 @@ HEADLINE = [
     "spearman_price_vs_quantity",
     # round-11 recents (first bench round was r11; the rest of the
     # cohort retired to SWEEP_ONLY in r13 after two stable rounds)
-    # round-12 additions worth tracking: the DDSketch bucket grid with
-    # its exact-quantile audit twin, the two-scan RANSAC consensus
-    # vote, the Arrow-matmul CKA gram build, the median-centered
-    # spread ANOVA (two grouped passes + percentile_disc), and the
-    # weekday-stratified MK pair join on the day series
-    "ransac_price_quantity_line",
-    # round-13 additions worth tracking: the composed three-tier
-    # retrieval cascade (the round's heavy — it contains an exact
-    # brute-force evaluation tier), the grid-assembled ordered trend
-    # test, and the source-pair mixture distance
+    # round-13 additions still tracked: the composed three-tier
+    # retrieval cascade (it contains an exact brute-force evaluation
+    # tier; engine re-probed r14 so it stays visible one more round)
     "retrieval_cascade_recall",
-    "jonckheere_terpstra_priority_trend",
-    "hellinger_lang_mix_by_source_pair",
     # round-14 additions worth tracking: the JL sign-projection audit
     # (exact integer-unit pipeline over sampled pairs) and the sampled
     # exact-Jaccard audit tier (the scale path for the alpha~1.13
     # full-corpus sort)
     "jl_projection_distortion",
     "prefix_jaccard_sampled_pairs",
+    # round-15 additions worth tracking: the heaviest new day-series op
+    # (two chained bucketed cumsums + a value-grid rank join), the
+    # corpus-LM document scorer (persisted type table + per-doc score
+    # frame), and the zero-filled dominance grid with its persisted
+    # cell contraction
+    "pettitt_changepoint_daily_revenue",
+    "ccnet_perplexity_buckets",
+    "hoeffding_d_quantity_discount",
 ]
 
 # Retired from the visible headline list in r12 (r11 VERDICT #5: the
@@ -143,6 +142,13 @@ SWEEP_ONLY = [
     "dsir_importance_weights",
     "growth_accounting_monthly",
     "hilbert_key_orders",
+    # retired r15 (VERDICT r14 #3): ransac was the builder's own watch
+    # item (2 rounds past its r13 engine change, 2.3 -> 1.88s stable);
+    # the two r13 additions were 2 rounds stable (jonckheere
+    # 1.31 -> 1.19, hellinger 0.39 -> 0.27)
+    "ransac_price_quantity_line",
+    "jonckheere_terpstra_priority_trend",
+    "hellinger_lang_mix_by_source_pair",
 ]
 
 
