@@ -71,14 +71,17 @@ _PANEL_CORE = [
 ]
 
 # Round-15 rotation: 40 slots, ALL never driver-verified (r14 VERDICT
-# #1: burn below 160+adds; the mechanical ledger reads 206 after this
-# round's 7 adds, so the 40-slot burn lands the post-r15 count at
-# 166 <= the 160+7 target).  Composition per the r14 brief: the EIGHT
+# #1: burn below 160+adds; the mechanical ledger reads 207 after this
+# round's 8 adds, so the 40-slot burn lands the post-r15 count at
+# 167 <= the 160+8 target).  Composition per the r14 brief: the EIGHT
 # named SURVEY-mapped stragglers first (no section-2/section-8 family
 # may stay without a driver-green member), then the engine-changed KL
-# pair, this round's 7 novel operators, and 24 oldest-first from the
-# staging pool.  Every member is locally parity-green at three SFs,
-# hostile-fixture covered, and matrix-stressed before the round ends.
+# pair, this round's 7 novel operators + the VERDICT-#2 semdedup
+# mitigation tier (driver-proven in its landing round, the
+# prefix_jaccard_sampled_pairs precedent), and 23 oldest-first from
+# the staging pool.  Every member is locally parity-green at three
+# SFs, hostile-fixture covered, and matrix-stressed before the round
+# ends.
 _PANEL_ROTATING = [
     # r14 VERDICT #1's eight named stragglers (SURVEY section-2/8 rows)
     "flagship_via_sql",  # S10 SQL-interface proof
@@ -100,6 +103,9 @@ _PANEL_ROTATING = [
     "hurst_exponent_daily_revenue",
     "hoeffding_d_quantity_discount",
     "ccnet_perplexity_buckets",
+    # VERDICT r14 #2 mitigation tier (x10/x30 probe: fixed-codebook
+    # semdedup alpha~2.1; md5-lane sharded pair join returns ~linear)
+    "semdedup_sharded_prototypes",
     # staging pool head, oldest first
     "identifier_dynamic_rollup",
     "lateral_column_alias_margins",
@@ -124,7 +130,6 @@ _PANEL_ROTATING = [
     "flesch_readability_by_source",
     "gopher_curation_pipeline",
     "gopher_dup_trigram_chars",
-    "gopher_quality_rules",
 ]
 
 # Staging pool for the NEXT rounds' rotation (r16+): the oldest-first
@@ -135,6 +140,7 @@ _PANEL_ROTATING = [
 # that stresses exactly this list so candidates arrive pre-stressed;
 # all are locally parity-green at three SFs.
 _PANEL_NEXT_CANDIDATES = [
+    "gopher_quality_rules",
     "greedy_coverage_selection",
     "incremental_near_dup_new_batch",
     "inverted_index_conjunctive",

@@ -2043,6 +2043,28 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
     min-label operator; centroids are #labels x dim map-side-combined
     partials; the final rank window partitions by component —
     cluster-sized, never corpus-wide."""
+    return semdedup_run(spark, sf_dir)
+
+
+def semdedup_run(
+    spark: SparkSession, sf_dir: str, cell_shards: int | None = None
+) -> DataFrame:
+    """Parameterized SemDeDup (VERDICT r14 #2): the r15 x10/x30 probe
+    measured the FIXED-codebook pass going alpha ~ 2.1 superlinear
+    (cells grow with the corpus, so the within-cell pair join is
+    n^2/k), which is exactly the regime the docstring's "k ~
+    N/cell_budget" caveat predicts.  ``cell_shards=S`` makes the
+    mitigation executable: each label cell splits into S deterministic
+    md5 lanes (``md5('sds:' || vec_id) % S`` — the oracle-replayable
+    lane idiom of ``prefix_jaccard_sampled_pairs``), pairing runs
+    within (label, lane), and per-cell pair work drops by ~S^2/S = S
+    while cross-lane duplicate pairs are traded away — the same
+    recall-for-flatness contract as LSH banding and the sharded
+    Jaccard audit.  Serving guidance: pick S ~ cell_size/budget so
+    lanes stay bounded as the corpus grows; components within a lane
+    are refinements of the full components (every sharded edge is a
+    full edge).  Centroids and prototype scoring stay per LABEL —
+    sharding only touches the pair join."""
     from pyspark import StorageLevel
 
     from ..functions.vectors import dot, norm
@@ -2055,15 +2077,47 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
     # Persist is safe here: the blocks are (id, label, dim doubles + 1)
     # per row — smaller than the source parquet — and MEMORY_AND_DISK
     # spills rather than recomputes at 100x scale.
-    staged = stage_blocked(
-        load(spark, sf_dir, "embeddings"), "label"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e0 = staged.select(
-        F.col("id").alias("vec_id"),
-        F.col("block").alias("label"),
-        "v",
-        F.col("n").alias("nv"),
-    )
+    emb = load(spark, sf_dir, "embeddings")
+    if cell_shards is not None and int(cell_shards) > 1:
+        lane = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("sds:"), F.col("vec_id").cast("string"))
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % int(cell_shards)
+        )
+        emb = emb.withColumn(
+            "__cell",
+            F.concat(
+                F.col("label").cast("string"), F.lit("#"), lane.cast("string")
+            ),
+        )
+        staged = stage_blocked(emb, "__cell").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        e0 = staged.select(
+            F.col("id").alias("vec_id"),
+            F.substring_index(F.col("block"), "#", 1).alias("label"),
+            "v",
+            F.col("n").alias("nv"),
+        )
+    else:
+        staged = stage_blocked(emb, "label").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        e0 = staged.select(
+            F.col("id").alias("vec_id"),
+            F.col("block").alias("label"),
+            "v",
+            F.col("n").alias("nv"),
+        )
     # the pair join pays a single dot-product HOF per pair (norms come
     # precomputed from the staged frame) — the embedding_near_dup_blocked
     # parity-proven pattern; measured 8.4s -> ~6s end-to-end at sf0.1
@@ -2119,6 +2173,97 @@ def semdedup_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame
 
 semdedup_embedding_prototypes.__doc__ = semdedup_embedding_prototypes.__doc__.format(
     ceil=_SEMDEDUP_CEIL
+)
+
+
+_SEMDEDUP_SHARDS = 4  # md5 lanes per label cell in the sharded tier
+
+
+@_register(
+    "semdedup_sharded_prototypes",
+    f"""
+    WITH RECURSIVE e0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               CAST(('0x' || substr(md5('sds:' || CAST(vec_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) % {_SEMDEDUP_SHARDS} AS lane
+        FROM embeddings
+    ),
+    pos AS (  -- zero-norm vectors excluded from pairing: cosine undefined
+        SELECT vec_id, label, lane, v FROM e0
+        WHERE list_sum(list_transform(v, x -> x * x)) > 0
+    ),
+    edges AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM pos a JOIN pos b
+          ON a.label = b.label AND a.lane = b.lane AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_CEIL}
+    ),
+    und AS (SELECT ia AS a, ib AS b FROM edges
+            UNION SELECT ib, ia FROM edges),
+    walk AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN und e ON w.b = e.a
+    ),
+    comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+             FROM walk GROUP BY a),
+    ex AS (
+        SELECT label, i - 1 AS pos, CAST(v[i] AS DECIMAL(18,9)) AS x
+        FROM e0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ),
+    sums AS (
+        SELECT label, pos, CAST(SUM(x) AS DOUBLE) AS s
+        FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS cv,
+               list_sum(list_transform(list(s ORDER BY pos), x -> x * x)) AS cn2
+        FROM sums GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               coalesce(c.component, e.vec_id) AS component,
+               CASE WHEN list_sum(list_transform(e.v, x -> x * x)) = 0
+                         OR ct.cn2 = 0 THEN NULL
+                    ELSE round(list_cosine_similarity(e.v, ct.cv), 6) + 0.0
+               END AS cos_cent
+        FROM e0 e
+        JOIN cent ct ON ct.label = e.label
+        LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    ranked AS (
+        SELECT component, vec_id, cos_cent,
+               COUNT(*) OVER (PARTITION BY component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY cos_cent ASC NULLS FIRST, vec_id)
+                   AS rn
+        FROM scored
+    )
+    SELECT component, vec_id AS kept_vec_id,
+           cos_cent AS prototype_centroid_cos,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def semdedup_sharded_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE tIER of :func:`semdedup_embedding_prototypes` (VERDICT
+    r14 #2): identical SemDeDup semantics, but every label cell splits
+    into {shards} deterministic md5 lanes and the quadratic pair join
+    runs within (label, lane).  The r15 x10/x30 probe measured the
+    fixed-codebook pass at alpha ~ 2.1 (cells grow with the corpus);
+    lanes cap the per-task pair fanout so the pass returns to ~linear,
+    trading away only cross-lane duplicate pairs — the LSH-banding
+    recall contract, here made oracle-checkable because the lane is an
+    md5 function both engines replay exactly.  Components under
+    sharding REFINE the full components (every sharded edge is a full
+    edge — test-pinned), so prototype count is an upper bound on the
+    full tier's.  Serving guidance: S ~ cell_size/budget at the target
+    corpus; S = {shards} at sf0.1 stands in for that policy."""
+    return semdedup_run(spark, sf_dir, cell_shards=_SEMDEDUP_SHARDS)
+
+
+semdedup_sharded_prototypes.__doc__ = semdedup_sharded_prototypes.__doc__.format(
+    shards=_SEMDEDUP_SHARDS
 )
 
 

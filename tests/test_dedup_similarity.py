@@ -734,3 +734,64 @@ def test_cascade_pinned_query_budget_and_bp_sample_knobs(spark):
 
     with _pytest.raises(ValueError, match="at most one"):
         prefix_jaccard_pairs_run(spark, SF_SMOKE, sample_pct=25, sample_bp=2500)
+
+
+def test_semdedup_sharded_refines_full(spark):
+    """VERDICT r14 #2 mitigation contract: the sharded tier's pair
+    edges are a SUBSET of the full tier's (lanes only remove edges), so
+    its components refine the full components — at least as many
+    prototypes, identical corpus coverage.  Pinned at the edge level
+    via the staging internals and at the released level via counts."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.catalog import load
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.similarity import (
+        blocked_pairs_staged,
+        stage_blocked,
+    )
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
+        _SEMDEDUP_CEIL,
+        semdedup_run,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    full_edges = {
+        (r.id_a, r.id_b)
+        for r in blocked_pairs_staged(
+            stage_blocked(emb, "label"), _SEMDEDUP_CEIL
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    lane = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sds:"), F.col("vec_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    sharded = emb.withColumn(
+        "__cell",
+        F.concat(F.col("label").cast("string"), F.lit("#"), lane.cast("string")),
+    )
+    shard_edges = {
+        (r.id_a, r.id_b)
+        for r in blocked_pairs_staged(
+            stage_blocked(sharded, "__cell"), _SEMDEDUP_CEIL
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert shard_edges <= full_edges
+    assert len(shard_edges) < len(full_edges)  # lanes actually cut work
+
+    full = semdedup_run(spark, SF_SMOKE).collect()
+    spark.catalog.clearCache()
+    sh = semdedup_run(spark, SF_SMOKE, cell_shards=3).collect()
+    spark.catalog.clearCache()
+    assert len(sh) >= len(full)
+    assert sum(r.n_members for r in sh) == sum(r.n_members for r in full)

@@ -111,6 +111,10 @@ _EMBED_PANEL = [
     # identical vectors (cos 1.0) must component-merge, and the
     # keep-lowest-centroid-cosine rule must tie-break identically
     "semdedup_embedding_prototypes",
+    # r15 sharded tier: the md5 lane split must replay exactly on
+    # hostile ids, and zero-norm / identical-vector behavior is
+    # inherited (lanes only ever REMOVE pair edges)
+    "semdedup_sharded_prototypes",
     # r10 isotropy: zero vectors drop, exact opposites cancel in the
     # sum vector, huge/tiny magnitudes normalize away — the closed-form
     # pairwise mean must match the oracle on all of it
