@@ -448,6 +448,20 @@ _NESTED_LOOP_ALLOWED = {
     "energy_distance_quantity_halves",
     "qn_scale_quantity_1996",
     "heaps_vocab_growth_checkpoints",
+    # r15: the same two deliberate patterns again — 1-row scalar
+    # broadcasts (totals onto the value grid for AD; n onto the day
+    # grid for pettitt; T/dy and S1 onto the horizon rows for VR; n
+    # onto the pair-cell grid for hoeffding; voc/total/threshold
+    # scalars for ccnet) and tiny lit-grid fanouts (the 4-row q/size
+    # frames onto the day grid for VR/hurst, the 50x11 zero-fill
+    # xs-x-ys grid for hoeffding — the cross_join_region_status_grid
+    # pattern).  average_precision and semdedup_sharded compile clean.
+    "anderson_darling_price_halves",
+    "pettitt_changepoint_daily_revenue",
+    "variance_ratio_daily_revenue",
+    "hurst_exponent_daily_revenue",
+    "hoeffding_d_quantity_discount",
+    "ccnet_perplexity_buckets",
 }
 
 
