@@ -11119,10 +11119,25 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     Cross-engine exactness: each step's mass sums accumulate in
     DECIMAL(18,12) addends and ROUND to DECIMAL(18,6) before the next
     step — the pagerank/textrank iteration contract (oracle =
-    generated unrolled CTEs from the same constants).  Scale shape:
-    the per-user LEAD window is user-bounded; everything after the
-    transition-count contraction is |event_types|-sized — the
-    iteration state never touches the fact table again."""
+    generated unrolled CTEs from the same constants).  The per-step
+    fold accumulates in DECIMAL(38,12) (exact at these magnitudes, so
+    addition order is immaterial) and the addends are the identical
+    DECIMAL(18,12) products the groupBy-sum formulation used.
+
+    Scale shape: the per-user LEAD window is user-bounded; the
+    transition matrix contracts to |event_types|^2 rows and then to ONE
+    row (sorted type array + edge array), and all {k} power steps run
+    as a single runtime ``aggregate(sequence(1, {k}), ...)`` fold over
+    that row — ONE stage instead of 2-3 dim-sized shuffle stages per
+    step (r15 OPT: measured 2.19s -> 0.65s at sf0.1; on a cluster each
+    removed stage is a scheduler round-trip on dim-sized data).  The
+    event-type domain is enum-like (dim-sized by nature), which is the
+    same boundedness the previous loop already assumed when it
+    localCheckpointed the |types|^2 matrix and broadcast the scalar
+    count.  NOTE: the fold must stay a RUNTIME sequence — unrolling the
+    steps into chained withColumns re-inlines through CollapseProject
+    into an exponentially nested tree and Catalyst itself hangs
+    (measured; see OPTIMIZATION_r15.md)."""
     ev = load(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -11147,46 +11162,43 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     allc = counts.unionByName(dangling)
     w_src = Window.partitionBy("src")
-    # the matrix is |types|^2 rows but its lineage contains the
-    # fact-table LEAD window; materialize the tiny frame once (the
-    # graph-loop convention).  Measured at sf0.1: a modest win (~4.5s
-    # -> ~4.2s warm — ReuseExchange already dedupes the 10 lazy
-    # references; the loop's ~30 dim-sized stages are scheduling-bound)
-    # but load-bearing at scale, where a wide types domain would break
-    # exchange reuse and re-run the fact scan per iteration
-    mat = allc.select(
-        "src", "dst", "n", F.sum("n").over(w_src).alias("tot")
-    ).localCheckpoint(eager=True)
-    k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    pi = types.crossJoin(F.broadcast(k)).select(
-        "event_type",
-        F.round(1.0 / F.col("k"), 6).cast("decimal(18,6)").alias("pi"),
+    mat = allc.select("src", "dst", "n", F.sum("n").over(w_src).alias("tot"))
+    # contract the |types|^2 matrix to ONE row: sorted type domain (every
+    # type has a src row — the dangling fix guarantees it) + edge array
+    # with the row-stochastic p = n/tot precomputed.  collect_list order
+    # is partition-dependent, but the fold's decimal additions are exact,
+    # so the result is order-independent.
+    one = mat.agg(
+        F.array_sort(F.collect_set(F.col("src"))).alias("ts"),
+        F.collect_list(
+            F.struct(
+                "src",
+                "dst",
+                (F.col("n").cast("double") / F.col("tot")).alias("p"),
+            )
+        ).alias("m"),
     )
-    for _ in range(_MKV_STEPS):
-        contrib = (
-            mat.join(pi, mat["src"] == pi["event_type"])
-            .select(
-                F.col("dst"),
-                (
-                    F.col("pi") * (F.col("n").cast("double") / F.col("tot"))
-                ).cast("decimal(18,12)").alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("mass"))
+    # all k power steps as one RUNTIME fold (see docstring: an unrolled
+    # withColumn chain is exponentially re-inlined by CollapseProject)
+    fold = (
+        f"aggregate(sequence(1, {_MKV_STEPS}),"
+        " transform(ts, t -> cast(round(1.0 / size(ts), 6) as decimal(18,6))),"
+        " (pis, i) -> transform(ts, t -> cast(round(cast(aggregate("
+        "   filter(m, e -> e.dst = t),"
+        "   cast(0 as decimal(38,12)),"
+        "   (acc, e) -> cast(acc + cast(element_at(map_from_arrays(ts, pis), e.src)"
+        "     * e.p as decimal(18,12)) as decimal(38,12))"
+        " ) as double), 6) as decimal(18,6))))"
+    )
+    return (
+        one.select("ts", F.expr(fold).alias("pis"))
+        .select(F.arrays_zip("ts", "pis").alias("z"))
+        .select(F.explode("z").alias("e"))
+        .select(
+            F.col("e.ts").alias("event_type"),
+            (F.col("e.pis").cast("double") + 0.0).alias("pi"),
+            F.lit(_MKV_STEPS).cast("int").alias("n_steps"),
         )
-        pi = (
-            types.join(contrib, types["event_type"] == contrib["dst"], "left")
-            .select(
-                "event_type",
-                F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double"), 6)
-                .cast("decimal(18,6)")
-                .alias("pi"),
-            )
-        )
-    return pi.select(
-        "event_type",
-        (F.col("pi").cast("double") + 0.0).alias("pi"),
-        F.lit(_MKV_STEPS).cast("int").alias("n_steps"),
     )
 
 
