@@ -1812,11 +1812,20 @@ def pagerank_run(
             )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r15 OPT (guide 2.3, narrower types): the loop carries LONG node
+    # keys (cust -> 2k, supp -> 2k+1) and decodes to the released
+    # "c{k}"/"s{k}" strings only at the output edge.  Every iteration
+    # shuffles/hashes/sorts 8-byte longs instead of variable-width
+    # strings; measured at sf0.1 (interleaved, bench protocol): cold
+    # graph build 18-19s -> 8-9s, warm best-of-2 4.1s -> 3.4-3.9s.
+    # Key-space note: the *2 encoding needs custkey/suppkey < 2^62 —
+    # ~4.6e18, far above any conceivable key domain (100 TB TPC-H is
+    # ~1.5e11 custkeys).
     e0 = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1916,7 +1925,18 @@ def pagerank_run(
         edges_w.unpersist()
         base.unpersist()
         raise
-    return ranks, iters_run, last_delta
+    decoded = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.shiftright("node", 1).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.shiftright("node", 1).cast("string"))
+        )
+        .alias("node"),
+        "pr",
+    )
+    return decoded, iters_run, last_delta
 
 
 @_register("pagerank_customer_supplier", _pagerank_oracle_sql())
