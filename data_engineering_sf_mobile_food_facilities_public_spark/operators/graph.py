@@ -64,6 +64,63 @@ def connected_components(
     return labels.select(F.col("a").alias("id"), F.col("comp").alias("component"))
 
 
+def connected_components_blocked(
+    edges: DataFrame,
+    block: str = "block",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, component) for edge sets whose components are KNOWN to be
+    bounded within a blocking key (e.g. SemDeDup pairs, which only exist
+    within a label cell): one union-find pass per block via an
+    Arrow-batched ``applyInPandas`` — a single shuffle on the block key
+    instead of the iterative operator's join + aggregate + checkpoint +
+    convergence-count PER ROUND (r15 OPT: semdedup's component step was
+    3.1-3.8s of its ~4.9s total at sf0.1; this pass is ~0.2s).
+
+    Output is identical to :func:`connected_components` on the same
+    edges: component = min node id reachable (union-by-min keeps every
+    tree root the minimum of its tree; pinned by
+    tests/test_dedup_similarity.py::test_blocked_components_match_iterative).
+    The per-block union-find is in-memory Python over that block's edge
+    list — valid exactly when blocks are bounded (the caller's own scale
+    contract; SemDeDup cells, LSH bands).  NOT for global graphs whose
+    components span blocks — use :func:`connected_components`."""
+    import pandas as pd
+
+    id_type = dict(edges.dtypes)[src]
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union by MIN: the root stays the min id
+        ids = list(parent)
+        return pd.DataFrame(
+            {"id": ids, "component": [find(x) for x in ids]}
+        )
+
+    return edges.groupBy(block).applyInPandas(
+        _union_find, f"id {id_type}, component {id_type}"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "id_a",

@@ -102,11 +102,17 @@ def stage_blocked(
     ).withColumn("n", norm(F.col("v")))
 
 
-def blocked_pairs_staged(staged: DataFrame, threshold: float) -> DataFrame:
+def blocked_pairs_staged(
+    staged: DataFrame, threshold: float, keep_block: bool = False
+) -> DataFrame:
     """Exact near-dup pairs from a :func:`stage_blocked` projection:
     equi-join on the block key, id_a < id_b, cosine >= threshold.
     Both join sides are column renames of the SAME staged frame, so a
-    persisted input is scanned from cache on both sides."""
+    persisted input is scanned from cache on both sides.
+    ``keep_block=True`` adds the block key to the output — pairs are
+    within-block by construction, so callers running block-bounded
+    follow-ups (e.g. per-block connected components) can group on it
+    without a re-derivation join."""
     live = staged.filter(F.col("n") > 0)  # cosine undefined for zero vectors
     a = live.select(
         "block",
@@ -120,12 +126,12 @@ def blocked_pairs_staged(staged: DataFrame, threshold: float) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("n").alias("nb"),
     )
+    cols = (["block"] if keep_block else []) + ["id_a", "id_b"]
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a",
-            "id_b",
+            *cols,
             F.round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 ROUND_DIGITS,

@@ -2122,10 +2122,17 @@ def semdedup_run(
     # precomputed from the staged frame) — the embedding_near_dup_blocked
     # parity-proven pattern; measured 8.4s -> ~6s end-to-end at sf0.1
     # before the shared staging, ~3s after
-    edges = blocked_pairs_staged(staged, _SEMDEDUP_CEIL).select("id_a", "id_b")
-    from ..operators.graph import connected_components
+    # r15 OPT: pairs exist only WITHIN a cell (the equi-join key), so
+    # components are cell-bounded by construction — the per-block
+    # union-find pass replaces the global iterative fixpoint (which paid
+    # join + aggregate + checkpoint + convergence count per round; that
+    # loop was 3.1-3.8s of this query's ~4.9s at sf0.1, the single
+    # biggest term).  Identity with the iterative operator is pinned by
+    # test_blocked_components_match_iterative.
+    edges = blocked_pairs_staged(staged, _SEMDEDUP_CEIL, keep_block=True)
+    from ..operators.graph import connected_components_blocked
 
-    comp = connected_components(edges).select(
+    comp = connected_components_blocked(edges).select(
         F.col("id").alias("vec_id"), "component"
     )
     ex = e0.select(

