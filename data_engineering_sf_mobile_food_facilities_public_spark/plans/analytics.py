@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.windows import grouped_running_max, grouped_running_sum
+from ..operators.windows import (
+    bounded_running_sum,
+    grouped_running_max,
+    grouped_running_sum,
+)
 from ..operators.timeseries import (
     asof_join,
     range_join_count,
@@ -7799,18 +7803,17 @@ def pettitt_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataF
     )
     tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
     perv = daily.groupBy("rev").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    cumv = grouped_running_sum(
-        perv.withColumn("__one", F.lit(1)), "__one", ["rev"], ["cnt"], out_col=["c"]
-    )
+    # r15 OPT: both cumsums run over the day contraction, whose size is
+    # CALENDAR-bounded (~2.6k rows at any SF) — the dim-bounded window
+    # replaces two grouped_running_sum passes (2.9s -> 1.0s at sf0.1)
+    cumv = bounded_running_sum(perv, ["rev"], ["cnt"], out_col=["c"])
     ranked = daily.join(
         cumv.select("rev", (2 * F.col("c") - F.col("cnt") + 1).alias("m")), "rev"
     )
-    stepped = grouped_running_sum(
+    stepped = bounded_running_sum(
         ranked.crossJoin(F.broadcast(tot))
-        .withColumn("__one", F.lit(1))
         .withColumn("__cnt", F.lit(1))
         .withColumn("v", F.col("n") + 1 - F.col("m")),
-        "__one",
         ["d"],
         ["__cnt", "v"],
         out_col=["i", "u"],

@@ -1512,3 +1512,34 @@ def test_pagerank_auto_mode_branch_matches_helper_across_crossover(
     monkeypatch.setattr(analytics, "_PR_AUTO_EDGE_CROSSOVER", 2)
     assert analytics._pagerank_pick_broadcast(2, 100) is True
     assert _run_auto() is True
+
+
+def test_bounded_running_sum_matches_grouped(spark):
+    """bounded_running_sum (one dim-sized window; r15 OPT) must produce
+    the exact rows grouped_running_sum produces for the same order and
+    values — the swap pettitt made is a plan change, never a value
+    change.  Multi-value form and duplicate order keys included."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.windows import (
+        bounded_running_sum,
+        grouped_running_sum,
+    )
+
+    rows = [(d % 7, 1, d * 3 % 11) for d in range(200)]
+    df = spark.createDataFrame(rows, "k int, one int, v long").withColumn(
+        "__one", F.lit(1)
+    )
+    got = {
+        (r.k, r.i, r.u)
+        for r in bounded_running_sum(df, ["k", "v"], ["one", "v"], ["i", "u"])
+        .select("k", "i", "u")
+        .collect()
+    }
+    want = {
+        (r.k, r.i, r.u)
+        for r in grouped_running_sum(
+            df, "__one", ["k", "v"], ["one", "v"], out_col=["i", "u"]
+        )
+        .select("k", "i", "u")
+        .collect()
+    }
+    assert got == want and len(got) > 0
