@@ -8482,22 +8482,27 @@ def spearman_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qx").isNotNull() & F.col("py").isNotNull())
     )
 
-    def double_ranks(col: str, r2name: str) -> DataFrame:
+    def double_ranks(col: str, r2name: str, bounded: bool = False) -> DataFrame:
         cnt = rows.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
-        run = grouped_running_sum(
-            cnt.withColumn("__one", F.lit(1)),
-            "__one",
-            [col],
-            "__c",
-            out_col="__run",
-        )
+        if bounded:
+            # r15 OPT: the quantity domain is SPEC-bounded (1..50 at any
+            # scale factor), so its rank grid takes the one-window path
+            run = bounded_running_sum(cnt, [col], ["__c"], out_col=["__run"])
+        else:
+            run = grouped_running_sum(
+                cnt.withColumn("__one", F.lit(1)),
+                "__one",
+                [col],
+                "__c",
+                out_col="__run",
+            )
         # rank_lt = run - c; double-rank = 2*rank_lt + c + 1 = 2*run - c + 1
         return run.select(
             col,
             (2 * F.col("__run") - F.col("__c") + 1).cast("long").alias(r2name),
         )
 
-    qr = double_ranks("qx", "r2x")
+    qr = double_ranks("qx", "r2x", bounded=True)
     pr = double_ranks("py", "r2y")
     joined = rows.join(F.broadcast(qr), "qx").join(pr, "py")
     d19 = "decimal(19,0)"
@@ -14685,9 +14690,11 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln on identical integer-derived rationals agrees bitwise (the
     TF-IDF precedent).
 
-    Scale shape: identical to the stationary query — fact table
-    touched once, |types|^2 matrix localCheckpointed, the loop state
-    |types|-sized; the entropy tail is one dim-sized aggregate."""
+    Scale shape: identical to the stationary query — fact table touched
+    once, the |types|^2 matrix contracted to one row, all power steps +
+    the entropy fold in a single runtime-fold stage (r15 OPT, the
+    markov_stationary_event_types collapse applied to the shared
+    machinery; measured there 2.19s -> 0.65s at sf0.1)."""
     ev = load(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -14712,55 +14719,49 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allc = counts.unionByName(dangling)
     w_src = Window.partitionBy("src")
-    mat = allc.select(
-        "src", "dst", "n", F.sum("n").over(w_src).alias("tot")
-    ).localCheckpoint(eager=True)
-    k = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    pi = types.crossJoin(F.broadcast(k)).select(
-        "event_type",
-        F.round(1.0 / F.col("k"), 6).cast("decimal(18,6)").alias("pi"),
-    )
-    for _ in range(_MKV_STEPS):
-        contrib = (
-            mat.join(pi, mat["src"] == pi["event_type"])
-            .select(
-                F.col("dst"),
-                (
-                    F.col("pi") * (F.col("n").cast("double") / F.col("tot"))
-                ).cast("decimal(18,12)").alias("c"),
+    mat = allc.select("src", "dst", "n", F.sum("n").over(w_src).alias("tot"))
+    # r15 OPT: the same one-row contraction + runtime fold as the
+    # stationary query — the |types|^2 matrix collapses to (ts, m) and
+    # all power steps run in one stage.  The entropy tail then folds the
+    # SAME decimal(18,12) addends over the edge array; the final pi map
+    # is bound ONCE via a single-element transform (inlining it into the
+    # per-edge lambda would re-run the whole power fold per edge).
+    one = mat.agg(
+        F.array_sort(F.collect_set(F.col("src"))).alias("ts"),
+        F.collect_list(
+            F.struct(
+                "src",
+                "dst",
+                (F.col("n").cast("double") / F.col("tot")).alias("p"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("mass"))
-        )
-        pi = (
-            types.join(contrib, types["event_type"] == contrib["dst"], "left")
-            .select(
-                "event_type",
-                F.round(F.coalesce(F.col("mass"), F.lit(0)).cast("double"), 6)
-                .cast("decimal(18,6)")
-                .alias("pi"),
-            )
-        )
-    p = F.col("n").cast("double") / F.col("tot")
-    addends = mat.join(pi, mat["src"] == pi["event_type"]).select(
-        F.round(F.col("pi").cast("double") * p * F.log(p), 12)
-        .cast("decimal(18,12)")
-        .alias("a")
+        ).alias("m"),
     )
-    h = addends.agg(F.sum("a").alias("s"))
-    return (
-        k.crossJoin(F.broadcast(h))
-        .select(
-            F.col("k").cast("long").alias("n_states"),
-            F.round(-F.col("s").cast("double"), 6).alias("entropy_rate_nats"),
-            F.round(F.log(F.col("k").cast("double")), 6).alias(
-                "max_entropy_nats"
-            ),
-            F.round(
-                -F.col("s").cast("double") / F.log(F.col("k").cast("double")),
-                6,
-            ).alias("efficiency"),
-        )
+    fold = (
+        f"aggregate(sequence(1, {_MKV_STEPS}),"
+        " transform(ts, t -> cast(round(1.0 / size(ts), 6) as decimal(18,6))),"
+        " (pis, i) -> transform(ts, t -> cast(round(cast(aggregate("
+        "   filter(m, e -> e.dst = t),"
+        "   cast(0 as decimal(38,12)),"
+        "   (acc, e) -> cast(acc + cast(element_at(map_from_arrays(ts, pis), e.src)"
+        "     * e.p as decimal(18,12)) as decimal(38,12))"
+        " ) as double), 6) as decimal(18,6))))"
+    )
+    s_expr = (
+        "if(size(m) = 0, cast(null as decimal(38,12)),"
+        f" transform(array(map_from_arrays(ts, {fold})), pim ->"
+        "   aggregate(m, cast(0 as decimal(38,12)),"
+        "     (acc, e) -> cast(acc + cast(round("
+        "       cast(element_at(pim, e.src) as double) * e.p * ln(e.p), 12)"
+        "     as decimal(18,12)) as decimal(38,12))))[0])"
+    )
+    kd = F.col("k").cast("double")
+    return one.select(
+        F.size("ts").cast("long").alias("k"), F.expr(s_expr).alias("s")
+    ).select(
+        F.col("k").cast("long").alias("n_states"),
+        F.round(-F.col("s").cast("double"), 6).alias("entropy_rate_nats"),
+        F.round(F.log(kd), 6).alias("max_entropy_nats"),
+        F.round(-F.col("s").cast("double") / F.log(kd), 6).alias("efficiency"),
     )
 
 
