@@ -43,13 +43,18 @@ def test_two_hop_route_beats_weak_direct_edge(spark):
     assert got[("C", "B")] == (7, 1)
 
 
-def test_plan_contains_iterative_union_operator(spark):
+def test_plan_is_unrolled_over_materialized_edges(spark):
     plan = (
         recursive_cte_bottleneck_routes(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # Spark 4 lowers WITH RECURSIVE to a UnionLoop physical node; if a
-    # future version rewrites it away this test documents the change
-    assert "UnionLoop" in plan
+    # r16 OPT: the literal hops<3 bound is hand-unrolled — no per-level
+    # UnionLoop jobs; three enumeration levels as broadcast joins over
+    # the localCheckpointed (RDD-scanned) edge contraction
+    assert "UnionLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan
+    # the native WITH RECURSIVE engine surface stays exercised by the
+    # inline-SQL semantics test above and calendar_fill_monthly_revenue
