@@ -5134,6 +5134,14 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Item-item collaborative filtering — co-occurrence cosine, top-k neighbors.
 # ---------------------------------------------------------------------------
 
+# sorted basket array -> array of (u, v) structs with u < v: the in-row
+# equivalent of the distinct (o,p) self-join under a.p < b.p (r16 OPT,
+# shared by item_item_cosine and cosine_threshold_pairs)
+_BASKET_PAIRS = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+)
+
 
 @_register(
     "item_item_cosine_recs",
@@ -5180,7 +5188,9 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer inputs (counts are far below 2^53) — identical across
     engines, the hybrid_search_rrf convention.
 
-    Scale shape: pair generation is the basket self-join — fanout
+    Scale shape: pair generation is an in-row transform over per-order
+    basket ARRAYS (r16 OPT — one collect_set exchange replaces the
+    distinct + self-join; see :func:`item_item_cosine`) — fanout
     bounded by per-order basket size (TPC-H caps lineitems per order at
     7), so pairs grow linearly with orders, not quadratically with the
     catalog; degrees join on the part key (dim-sized, broadcastable);
@@ -5192,9 +5202,9 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry keeps the exact uncapped semantics (TPC-H's 7-line bound
     makes the cap vacuous here)."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # r16 OPT: no pre-distinct — item_item_cosine's collect_set basket
+    # build dedups (o, p) in the same single exchange (guide §2.4)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     return item_item_cosine(op, k=5, max_basket_size=None)
 
 
@@ -5208,27 +5218,34 @@ def item_item_cosine(
     with n items contributes C(n, 2) pairs to the self-join — quadratic
     exactly where basket-bounded fanout was the design premise (a
     scraped wishlist, a warehouse restock order).  With the cap,
-    baskets larger than ``max_basket_size`` are dropped BEFORE the
-    self-join via an unordered window count over ``o`` (one shuffle the
-    join then reuses), bounding any basket's contribution to
-    C(cap, 2).  Items in a dropped basket still pair through their
-    other, normal-sized baskets; degrees are computed AFTER the cap so
-    the cosine stays consistent with the pairs actually generated.
-    Default ``None`` preserves exact uncapped semantics — the
-    oracle-paired path."""
+    baskets larger than ``max_basket_size`` are dropped BEFORE pair
+    generation (a plain ``size(basket) <= cap`` filter on the basket
+    array), bounding any basket's contribution to C(cap, 2).  Items in
+    a dropped basket still pair through their other, normal-sized
+    baskets; degrees are computed AFTER the cap so the cosine stays
+    consistent with the pairs actually generated.  Default ``None``
+    preserves exact uncapped semantics — the oracle-paired path.
+
+    r16 OPT (guide §2.3/§2.4): baskets collect into per-order SORTED
+    ARRAYS with ONE ``collect_set`` exchange on the order key (the set
+    dedups (o, p), so callers need no pre-distinct), and pairs come
+    from an in-row slice/transform over each array — replacing the
+    op.distinct exchange + the self-join's exchange and two SMJ sorts.
+    The pair fanout and its aggregate exchange are unchanged (that
+    multiset IS the computation); per-basket pair generation stays
+    C(basket, 2)-bounded exactly like the self-join it replaces.
+    Interleaved A/B at sf0.1: 2.8-3.6s -> 1.9-2.1s."""
+    baskets = op.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
     if max_basket_size is not None:
-        w_cap = Window.partitionBy("o")
-        op = (
-            op.withColumn("__bsz", F.count(F.lit(1)).over(w_cap))
-            .filter(F.col("__bsz") <= max_basket_size)
-            .drop("__bsz")
-        )
-    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
-    a = op.alias("a")
-    b = op.alias("b")
+        baskets = baskets.filter(F.size("ps") <= max_basket_size)
+    deg = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     cooc = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("e"))
+        .groupBy(F.col("e.u").alias("p_a"), F.col("e.v").alias("p_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sym = cooc.select(
@@ -5298,9 +5315,9 @@ def cosine_threshold_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     The prune is the exact (non-sampling) core of DIMSUM (Zadeh &
     Goel 2013, "Dimension Independent Similarity Computation", public)
     specialized to 0/1 basket vectors: cooc(u, v) <= min(n_u, n_v), so
-    cosine >= tau forces the DEGREE RATIO n_min/n_max >= tau^2.  Both
-    membership sides carry their item's degree into the self-join and
-    the ratio bound sits IN the join condition — a (popular, rare)
+    cosine >= tau forces the DEGREE RATIO n_min/n_max >= tau^2.  Each
+    generated pair picks up both degrees from a broadcast attach and
+    the ratio bound fires in the SAME map stage — a (popular, rare)
     pair is discarded at the mapper before it ever enters the
     co-occurrence shuffle, which is where DIMSUM's win lives (the
     sampled version trades exactness for a tighter bound; this one
@@ -5313,15 +5330,15 @@ def cosine_threshold_pairs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     round-at-the-edge double.
 
     Scale shape: degree attach is a broadcast join (item-dim-sized);
-    the basket self-join's fanout is basket-bounded exactly like
+    the basket-array pair fanout is basket-bounded exactly like
     :func:`item_item_cosine_recs`, but the ratio predicate drops
     skew-crossing pairs pre-shuffle, so the aggregation shuffle sees
     only pairs that can still qualify; the final exact threshold is a
     post-aggregate filter with no window."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # r16 OPT: no pre-distinct — the collect_set basket build dedups
+    # (o, p) in the same single exchange (guide §2.4)
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     return cosine_threshold_pairs(op, tau_num=1, tau_den=10)
 
 
@@ -5333,32 +5350,41 @@ def cosine_threshold_pairs(
     (see :func:`cosine_threshold_pairs_pruned`).  The threshold is a
     rational so every comparison stays in exact integer arithmetic:
     the pre-shuffle prune is ``num^2 * max_deg <= den^2 * min_deg``
-    and the final gate is ``den^2 * c^2 >= num^2 * n_u * n_v``."""
+    and the final gate is ``den^2 * c^2 >= num^2 * n_u * n_v``.
+
+    r16 OPT (guide §2.3/§2.4, the item_item_cosine basket-array form):
+    one collect_set exchange on the order key builds sorted basket
+    arrays (dedup included, so callers need no pre-distinct), pairs
+    come from an in-row slice/transform, and the degree-ratio prune
+    runs as a map-side filter right after the broadcast degree attach
+    — still BEFORE the pair aggregate's exchange, which is where
+    DIMSUM's win lives."""
     n2 = tau_num * tau_num
     d2 = tau_den * tau_den
-    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    opd = op.join(F.broadcast(deg), "p")
-    a = opd.select(
-        F.col("o"), F.col("p").alias("u"), F.col("n").alias("n_u")
-    ).alias("a")
-    b = opd.select(
-        F.col("o"), F.col("p").alias("v"), F.col("n").alias("n_v")
-    ).alias("b")
-    # ratio bound inside the join condition: tau^2 * n_max <= n_min,
-    # cross-multiplied to integers so no float ever decides a pair
-    pruned = a.join(
-        b,
-        (F.col("a.o") == F.col("b.o"))
-        & (F.col("a.u") < F.col("b.v"))
-        & (F.lit(n2) * F.col("b.n_v") <= F.lit(d2) * F.col("a.n_u"))
-        & (F.lit(n2) * F.col("a.n_u") <= F.lit(d2) * F.col("b.n_v")),
+    baskets = op.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    deg = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    cooc = pruned.groupBy(
-        F.col("a.u").alias("u"),
-        F.col("b.v").alias("v"),
-        F.col("a.n_u").alias("n_u"),
-        F.col("b.n_v").alias("n_v"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    pairs = baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("e")).select(
+        F.col("e.u").alias("u"), F.col("e.v").alias("v")
+    )
+    du = deg.select(F.col("p").alias("u"), F.col("n").alias("n_u"))
+    dv = deg.select(F.col("p").alias("v"), F.col("n").alias("n_v"))
+    # ratio bound map-side, pre-exchange: tau^2 * n_max <= n_min,
+    # cross-multiplied to integers so no float ever decides a pair
+    pruned = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .filter(
+            (F.lit(n2) * F.col("n_v") <= F.lit(d2) * F.col("n_u"))
+            & (F.lit(n2) * F.col("n_u") <= F.lit(d2) * F.col("n_v"))
+        )
+    )
+    cooc = pruned.groupBy("u", "v", "n_u", "n_v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     cw = F.col("c").cast("decimal(19,0)")
     return (
         cooc.filter(
