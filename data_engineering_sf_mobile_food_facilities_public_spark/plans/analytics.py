@@ -7160,9 +7160,10 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     decimals — engines cannot disagree on the winning day even when two
     CUSUM values are close; ties break on the day itself.  The single
     division happens once, on the 1-row result.  The cumulative
-    revenue runs through :func:`grouped_running_sum`'s bucketed
-    two-pass decomposition; totals enter broadcast (Q15 pattern);
-    argmax is a TakeOrderedAndProject over the day-level frame.
+    revenue runs through :func:`bounded_running_sum` over the
+    calendar-bounded day frame (r16 OPT — the pettitt swap); totals
+    enter broadcast (Q15 pattern); argmax is a TakeOrderedAndProject
+    over the day-level frame.
 
     (max_abs_cusum is rounded to 4dp: its magnitude is day-revenue
     scale, bounded by the corpus — not the 1e26 class the ANOVA lesson
@@ -7172,9 +7173,12 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
-    stepped = grouped_running_sum(
-        daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
-        "__one",
+    # r16 OPT (the pettitt swap, guide §1.2): the day frame is
+    # CALENDAR-bounded (~2.6k rows at any scale factor — a domain
+    # invariant), so both cumsums take the one-window bounded path
+    # instead of the fact-scale two-pass machinery
+    stepped = bounded_running_sum(
+        daily.withColumn("__cnt", F.lit(1)),
         ["d"],
         ["__cnt", "rev"],
         out_col=["i", "cum"],
@@ -7520,10 +7524,12 @@ def hurst_exponent_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
+    # r16 OPT (the pettitt swap, guide §1.2): the day index runs over
+    # the CALENDAR-bounded day contraction (~2.6k rows at any SF — a
+    # domain invariant), so the one-window bounded path applies
     a = (
-        grouped_running_sum(
-            daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
-            "__one",
+        bounded_running_sum(
+            daily.withColumn("__cnt", F.lit(1)),
             ["d"],
             ["__cnt"],
             out_col=["i"],
@@ -7717,10 +7723,12 @@ def variance_ratio_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
+    # r16 OPT (the pettitt swap, guide §1.2): the day index runs over
+    # the CALENDAR-bounded day contraction (~2.6k rows at any SF — a
+    # domain invariant), so the one-window bounded path applies
     a = (
-        grouped_running_sum(
-            daily.withColumn("__one", F.lit(1)).withColumn("__cnt", F.lit(1)),
-            "__one",
+        bounded_running_sum(
+            daily.withColumn("__cnt", F.lit(1)),
             ["d"],
             ["__cnt"],
             out_col=["i"],
