@@ -11143,6 +11143,36 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MKV_STEPS = 10
 
 
+def _markov_power_fold(steps: int = _MKV_STEPS) -> str:
+    """The runtime power-iteration fold over the one-row (ts, m) matrix
+    contraction — all ``steps`` rounded power steps as a single
+    ``aggregate(sequence(1, k), ...)`` expression (r15 OPT; an unrolled
+    withColumn chain is exponentially re-inlined by CollapseProject and
+    hangs Catalyst).  SHARED verbatim by markov_stationary_event_types
+    and markov_entropy_rate (ADVICE r15: one definition, not two copies
+    that must stay bitwise-identical).
+
+    Exactness contract: the per-step addends are the same
+    DECIMAL(18,12) products the groupBy-sum formulation used,
+    accumulated in exact DECIMAL(38,12) (order-free) and rounded to
+    DECIMAL(18,6) at each step boundary.  The step's pi map is bound
+    ONCE per step via the single-element transform (ADVICE r15:
+    building map_from_arrays per edge per target was an O(|types|)
+    map construction inside the innermost lambda — correct but a
+    quadratic-factor waste)."""
+    return (
+        f"aggregate(sequence(1, {steps}),"
+        " transform(ts, t -> cast(round(1.0 / size(ts), 6) as decimal(18,6))),"
+        " (pis, i) -> transform(array(map_from_arrays(ts, pis)), pim ->"
+        "   transform(ts, t -> cast(round(cast(aggregate("
+        "     filter(m, e -> e.dst = t),"
+        "     cast(0 as decimal(38,12)),"
+        "     (acc, e) -> cast(acc + cast(element_at(pim, e.src)"
+        "       * e.p as decimal(18,12)) as decimal(38,12))"
+        "   ) as double), 6) as decimal(18,6))))[0])"
+    )
+
+
 def _markov_oracle_sql() -> str:
     """Unrolled power-iteration twin of the Spark loop below: p0..pK as
     generated CTEs applying the identical round-to-6 DECIMAL update, so
@@ -11272,20 +11302,8 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("m"),
     )
-    # all k power steps as one RUNTIME fold (see docstring: an unrolled
-    # withColumn chain is exponentially re-inlined by CollapseProject)
-    fold = (
-        f"aggregate(sequence(1, {_MKV_STEPS}),"
-        " transform(ts, t -> cast(round(1.0 / size(ts), 6) as decimal(18,6))),"
-        " (pis, i) -> transform(ts, t -> cast(round(cast(aggregate("
-        "   filter(m, e -> e.dst = t),"
-        "   cast(0 as decimal(38,12)),"
-        "   (acc, e) -> cast(acc + cast(element_at(map_from_arrays(ts, pis), e.src)"
-        "     * e.p as decimal(18,12)) as decimal(38,12))"
-        " ) as double), 6) as decimal(18,6))))"
-    )
     return (
-        one.select("ts", F.expr(fold).alias("pis"))
+        one.select("ts", F.expr(_markov_power_fold()).alias("pis"))
         .select(F.arrays_zip("ts", "pis").alias("z"))
         .select(F.explode("z").alias("e"))
         .select(
@@ -14814,19 +14832,9 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     )
-    fold = (
-        f"aggregate(sequence(1, {_MKV_STEPS}),"
-        " transform(ts, t -> cast(round(1.0 / size(ts), 6) as decimal(18,6))),"
-        " (pis, i) -> transform(ts, t -> cast(round(cast(aggregate("
-        "   filter(m, e -> e.dst = t),"
-        "   cast(0 as decimal(38,12)),"
-        "   (acc, e) -> cast(acc + cast(element_at(map_from_arrays(ts, pis), e.src)"
-        "     * e.p as decimal(18,12)) as decimal(38,12))"
-        " ) as double), 6) as decimal(18,6))))"
-    )
     s_expr = (
         "if(size(m) = 0, cast(null as decimal(38,12)),"
-        f" transform(array(map_from_arrays(ts, {fold})), pim ->"
+        f" transform(array(map_from_arrays(ts, {_markov_power_fold()})), pim ->"
         "   aggregate(m, cast(0 as decimal(38,12)),"
         "     (acc, e) -> cast(acc + cast(round("
         "       cast(element_at(pim, e.src) as double) * e.p * ln(e.p), 12)"
