@@ -85,7 +85,16 @@ def connected_components_blocked(
     The per-block union-find is in-memory Python over that block's edge
     list — valid exactly when blocks are bounded (the caller's own scale
     contract; SemDeDup cells, LSH bands).  NOT for global graphs whose
-    components span blocks — use :func:`connected_components`."""
+    components span blocks — use :func:`connected_components`.
+
+    MISUSE MODE (ADVICE r15, explicit by contract): a node id appearing
+    in MORE THAN ONE block emits one (id, component) row PER BLOCK,
+    possibly with conflicting components — there is no runtime guard
+    (detecting it would cost the global shuffle this operator exists to
+    avoid).  Callers must guarantee one block per node (semdedup: one
+    cell per vector); the duplicate-row behavior is pinned loud by
+    tests/test_dedup_similarity.py::
+    test_blocked_components_duplicate_block_node_behavior."""
     import pandas as pd
 
     id_type = dict(edges.dtypes)[src]

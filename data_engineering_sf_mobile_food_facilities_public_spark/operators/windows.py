@@ -302,7 +302,13 @@ def bounded_running_sum(
 
     Do NOT use on anything that grows with the corpus: one giant
     single-task sort is exactly the failure mode grouped_running_sum
-    was built to avoid."""
+    was built to avoid.
+
+    ``order_by`` keys must be UNIQUE (or tied rows identical in every
+    summed value): the ROWS frame makes the result depend on the
+    within-tie physical order otherwise — the same total-order contract
+    :func:`grouped_running_sum` states (ADVICE r15).  All current
+    callers feed pre-grouped distinct keys (day spine, value grid)."""
     values = [value] if isinstance(value, str) else list(value)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(values) != len(out_cols):

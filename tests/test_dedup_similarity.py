@@ -833,9 +833,13 @@ def test_blocked_components_match_iterative(spark):
 
 
 def test_semdedup_components_unchanged_by_blocked_pass(spark):
-    """End-to-end pin: semdedup over the real smoke corpus produces the
-    identical released frame whether components come from the blocked
-    union-find or the iterative operator (same edges, same semantics)."""
+    """End-to-end sanity of the blocked-union-find path on the real
+    smoke corpus: the released frame is nonempty and has exactly one
+    prototype per component.  (ADVICE r15: this test runs ONLY the new
+    path — the blocked-vs-iterative equivalence itself is pinned by
+    test_blocked_components_match_iterative on the unit fixture, and
+    the one-block-per-node precondition by
+    test_blocked_components_duplicate_block_node_behavior.)"""
     from data_engineering_sf_mobile_food_facilities_public_spark.plans.similarity_search import (
         semdedup_run,
     )
@@ -844,3 +848,27 @@ def test_semdedup_components_unchanged_by_blocked_pass(spark):
     assert len(out) > 0
     comps = {c for c, *_ in out}
     assert len(comps) == len(out)  # one prototype per component
+
+
+def test_blocked_components_duplicate_block_node_behavior(spark):
+    """connected_components_blocked's documented contract when a node id
+    appears in MORE THAN ONE block (a caller bug — semdedup assigns one
+    cell per vector): it emits one (id, component) row per block, which
+    may conflict.  This pin makes the failure mode explicit and loud:
+    if the operator ever starts silently merging or dropping rows, the
+    documented duplicate-row behavior (and every caller's reliance on
+    one-block-per-node) must be re-audited."""
+    from data_engineering_sf_mobile_food_facilities_public_spark.operators.graph import (
+        connected_components_blocked,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 7, 9), (1, 7, 3)],  # node 7 appears in blocks 0 and 1
+        "block int, id_a long, id_b long",
+    )
+    rows = connected_components_blocked(edges).collect()
+    per_id: dict = {}
+    for r in rows:
+        per_id.setdefault(r.id, []).append(r.component)
+    assert sorted(per_id[7]) == [3, 7]  # two conflicting rows for node 7
+    assert per_id[9] == [7] and per_id[3] == [3]
