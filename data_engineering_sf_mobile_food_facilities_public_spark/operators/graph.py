@@ -35,7 +35,19 @@ def connected_components(
     ).distinct()
     und = und.localCheckpoint(eager=True)
 
-    labels = und.select("a").distinct().withColumn("comp", F.col("a"))
+    # r16 OPT: initialize each node's label with its NEIGHBORHOOD min
+    # (min over self and direct neighbors — one aggregate over the
+    # checkpointed edge relation, same shuffle the old `.distinct()`
+    # init paid) instead of the self-label.  This is exactly the state
+    # the old first loop round produced, so every graph converges one
+    # full round (join + union-agg + checkpoint + count action) earlier;
+    # the fixpoint itself is unchanged.  Measured on the ER pipeline at
+    # sf0.1: 1.7-1.9s -> 1.5-1.7s.
+    labels = (
+        und.select("a", F.least(F.col("a"), F.col("b")).alias("comp"))
+        .groupBy("a")
+        .agg(F.min("comp").alias("comp"))
+    )
     for _ in range(max_iter):
         nbr = und.join(
             labels.select(F.col("a").alias("b"), "comp"), "b"
