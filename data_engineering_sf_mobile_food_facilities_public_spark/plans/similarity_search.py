@@ -3531,21 +3531,36 @@ def retrieval_cascade_run(
     e0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = e0.filter(
-        F.expr("aggregate(v, 0D, (a, x) -> a + x * x)") > 0
+    # r16 OPT (guide 2.3, shuffle/compute fewer bytes): the L2 norm is a
+    # PER-VECTOR quantity, but the cosine HOF used to recompute both
+    # sides' sqrt(sum x^2) PER PAIR — in the exact evaluation tier that
+    # is ~|queries| redundant norm passes over every corpus vector.
+    # Precompute it once per row; `dot / (nrm_a * nrm_b)` evaluates the
+    # exact same doubles in the same order as the inlined form (sqrt of
+    # the identical aggregate, then the identical multiply/divide), so
+    # every rounded score is bit-identical.  `nrm > 0` keeps the same
+    # rows as `sum x^2 > 0` (sqrt is strictly monotone from 0, and a
+    # NaN fails both).  brute_force_topk set the precedent in r12.
+    en = e0.select(
+        "vec_id",
+        "v",
+        F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").alias("nrm"),
     )
+    e = en.filter(F.col("nrm") > 0)
     qbase = e.filter(F.col("vec_id") % 100 == 0)
     if query_max_id is not None:
         qbase = qbase.filter(F.col("vec_id") <= int(query_max_id))
     q = qbase.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    cos = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
-        " / (sqrt(aggregate({a}, 0D, (a, x) -> a + x * x))"
-        "    * sqrt(aggregate({b}, 0D, (a, x) -> a + x * x)))"
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
 
     # exact reference top-k (the evaluation tier)
     exact_scored = corpus.join(
@@ -3553,7 +3568,9 @@ def retrieval_cascade_run(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(F.expr(cos.format(a="qv", b="cv")), 6).alias("cos_sim"),
+        F.round(
+            F.expr(dot.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cos_sim"),
     )
     w_desc = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
@@ -3636,20 +3653,32 @@ def retrieval_cascade_run(
         .select("query_id", "neighbor_id")
     )
 
-    # tier 3: exact cosine rerank of tier-2 survivors
+    # tier 3: exact cosine rerank of tier-2 survivors (precomputed norms
+    # ride in on the same candidate-sized joins — see the r16 OPT note)
     t3 = (
         t2.join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("av")),
+            e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
+            ),
             "query_id",
         )
         .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv")),
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("bv"),
+                F.col("nrm").alias("bn"),
+            ),
             "neighbor_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.expr(cos.format(a="av", b="bv")), 6).alias("cos_sim"),
+            F.round(
+                F.expr(dot.format(a="av", b="bv")) / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(w_desc))
         .filter(F.col("rnk") <= _CASCADE_K)
